@@ -1,0 +1,583 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.{Analytics, Buckets, EventWeights, Exact, TimeFeatures}
+
+/** SURVEY §2 operator inventory expressed over the driver testdata, each
+  * with its DuckDB oracle. Scale notes are per-query Scaladoc: the same
+  * plans run unchanged on a many-executor cluster because every operator
+  * is declarative (Catalyst handles pushdown/pruning/join strategy) and
+  * no step collects to the driver.
+  */
+object CoreQueries {
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** q01 — §2.4 A1-style multi-aggregate groupBy (TPC-H Q1 shape).
+    * Map-side partial aggregation + 2-key shuffle; exact decimal sums so
+    * results are partition-order independent. */
+  val q01 = QueryDef(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Exact.sumD(col("l_quantity")).as("sum_qty"),
+        Exact.sumD(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) *
+          (dec2(lit(1)) - dec2(col("l_discount")))).cast("double")
+          .as("sum_disc_price"),
+        Exact.avgD(col("l_quantity")).as("avg_qty"),
+        Exact.avgD(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q02 — §2.2 P1/P4/P5 filters + projection. Predicates push to the
+    * parquet scan (verify via PushedFilters in explain). */
+  val q02 = QueryDef(
+    "q02_filter_project",
+    """SELECT event_id, user_id, event_type, value
+      |FROM events
+      |WHERE user_id IS NOT NULL
+      |  AND event_type IN ('view','click','purchase')
+      |  AND value > 0
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull &&
+        col("event_type").isin("view", "click", "purchase") &&
+        col("value") > 0)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  /** q03 — §2.2 P6–P8 time features; weekend via day-name to avoid the
+    * pandas-vs-Spark weekday numbering mismatch (SURVEY ⚠ P8). */
+  val q03 = QueryDef(
+    "q03_time_features",
+    """SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+      |  dayname(ts) AS day_name,
+      |  dayname(ts) IN ('Saturday','Sunday') AS is_weekend,
+      |  COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(
+        TimeFeatures.hourOfDay(col("ts")).as("hour_of_day"),
+        TimeFeatures.dayName(col("ts")).as("day_name"),
+        TimeFeatures.isWeekend(col("ts")).as("is_weekend"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("hour_of_day", "day_name")
+  }
+
+  /** q04 — §2.2 P11 event-weight map + per-user engagement sum. Integer
+    * weights keep the sum exact on both engines. */
+  val q04 = QueryDef(
+    "q04_event_weights",
+    """SELECT user_id,
+      |  CAST(SUM(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+      |    WHEN 'purchase' THEN 10 WHEN 'signup' THEN 3 WHEN 'error' THEN -2
+      |    ELSE 1 END) AS BIGINT) AS total_engagement,
+      |  COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(EventWeights.weight(col("event_type"), EventWeights.testdata))
+          .as("total_engagement"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** q05 — §2.2 P13 right-closed pd.cut buckets; out-of-range → pinned
+    * label so sort order has no engine-specific null placement. */
+  val q05 = QueryDef(
+    "q05_value_buckets",
+    """SELECT COALESCE(CASE WHEN value IS NULL OR value <= 0 THEN NULL
+      |    WHEN value <= 50 THEN 'budget' WHEN value <= 200 THEN 'low'
+      |    WHEN value <= 500 THEN 'mid' WHEN value <= 1000 THEN 'high'
+      |    ELSE 'premium' END, 'out_of_range') AS value_tier,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(coalesce(
+        Buckets.cut(col("value"), 0, Seq(50, 200, 500, 1000),
+          Seq("budget", "low", "mid", "high", "premium")),
+        lit("out_of_range")).as("value_tier"))
+      .agg(count(lit(1)).as("n"), Exact.sumD(col("value")).as("total_value"))
+      .orderBy("value_tier")
+  }
+
+  /** q06 — §2.4 A1/A2 + P15/P24 user summary: counts, distincts, exact
+    * value sums, activity bucket, per-day ratio. One shuffle on user_id;
+    * distincts expand then re-aggregate (Catalyst plans the expand). */
+  val q06 = QueryDef(
+    "q06_user_summary",
+    """SELECT user_id,
+      |  COUNT(ts) AS total_events,
+      |  COUNT(DISTINCT event_type) AS event_types,
+      |  COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value,
+      |  CASE WHEN COUNT(ts) <= 5 THEN 'Low' WHEN COUNT(ts) <= 15 THEN 'Medium'
+      |    WHEN COUNT(ts) <= 30 THEN 'High' ELSE 'Very High' END AS activity_level,
+      |  ROUND(COUNT(ts) / CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE), 2) AS events_per_day
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(col("ts")).as("total_events"),
+        countDistinct(col("event_type")).as("event_types"),
+        countDistinct(to_date(col("ts"))).as("active_days"),
+        Exact.sumD(col("value")).as("total_value"),
+        Exact.avgD(col("value")).as("avg_value"))
+      .withColumn("activity_level", Buckets.activityLevel(col("total_events")))
+      .withColumn("events_per_day",
+        round(col("total_events") / col("active_days").cast("double"), 2))
+      .orderBy("user_id")
+  }
+
+  /** q07 — §2.4 A3 deterministic per-group mode (max count, min value
+    * tie-break). Two-level agg, no per-key sort: skew-safe. */
+  val q07 = QueryDef(
+    "q07_mode_preference",
+    """WITH c AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT user_id, MAX(n) AS mx FROM c GROUP BY 1)
+      |SELECT c.user_id, MIN(c.event_type) AS preferred_event
+      |FROM c JOIN m ON c.user_id = m.user_id AND c.n = m.mx
+      |GROUP BY c.user_id
+      |ORDER BY c.user_id""".stripMargin) { (s, d) =>
+    Analytics.modeDeterministic(
+      Tables.events(s, d), Seq("user_id"), "event_type", "preferred_event")
+      .orderBy("user_id")
+  }
+
+  /** q08 — §2.4 A5/A6 product summary + popularity score. */
+  val q08 = QueryDef(
+    "q08_product_summary",
+    """SELECT l_partkey,
+      |  COUNT(DISTINCT l_orderkey) AS unique_orders,
+      |  COUNT(*) AS total_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  ROUND(0.5 * COUNT(DISTINCT l_orderkey) + 0.3 * COUNT(*)
+      |    + 0.2 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS popularity_score
+      |FROM lineitem
+      |GROUP BY l_partkey
+      |ORDER BY l_partkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("unique_orders"),
+        count(lit(1)).as("total_lines"),
+        Exact.sumD(col("l_quantity")).as("total_qty"),
+        Exact.sumD(col("l_extendedprice")).as("revenue"))
+      .withColumn("popularity_score",
+        round(lit(0.5) * col("unique_orders") + lit(0.3) * col("total_lines")
+          + lit(0.2) * col("total_qty"), 2))
+      .orderBy("l_partkey")
+  }
+
+  /** q09 — §2.4 A7 quartile tiers via ntile over a unique order. The
+    * global window runs on *aggregated* (one row per part) data — fine at
+    * scale; never ntile raw fact rows. */
+  val q09 = QueryDef(
+    "q09_quartile_tiers",
+    """WITH p AS (
+      |  SELECT l_partkey,
+      |    ROUND(0.5 * COUNT(DISTINCT l_orderkey) + 0.3 * COUNT(*)
+      |      + 0.2 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS popularity_score
+      |  FROM lineitem GROUP BY l_partkey),
+      |t AS (
+      |  SELECT l_partkey, popularity_score,
+      |    NTILE(4) OVER (ORDER BY popularity_score, l_partkey) AS q
+      |  FROM p)
+      |SELECT l_partkey, popularity_score,
+      |  CASE q WHEN 1 THEN 'Low' WHEN 2 THEN 'Medium' WHEN 3 THEN 'High'
+      |    ELSE 'Top' END AS popularity_tier
+      |FROM t
+      |ORDER BY l_partkey""".stripMargin) { (s, d) =>
+    val p = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("uo"),
+        count(lit(1)).as("tl"),
+        Exact.sumD(col("l_quantity")).as("tq"))
+      .select(col("l_partkey"),
+        round(lit(0.5) * col("uo") + lit(0.3) * col("tl")
+          + lit(0.2) * col("tq"), 2).as("popularity_score"))
+    Analytics.quartileTier(p, col("popularity_score"), col("l_partkey"),
+      "popularity_tier")
+      .select("l_partkey", "popularity_score", "popularity_tier")
+      .orderBy("l_partkey")
+  }
+
+  /** q10 — §2.4 A9/A10 daily stats with a conditional count folded into
+    * the same aggregation (no extra join, unlike the reference). */
+  val q10 = QueryDef(
+    "q10_daily_stats",
+    """SELECT CAST(ts AS DATE) AS event_date,
+      |  COUNT(DISTINCT user_id) AS dau,
+      |  COUNT(*) AS total_events,
+      |  COUNT(DISTINCT event_type) AS event_types,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_events,
+      |  ROUND(100.0 * CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*), 2) AS click_pct
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(
+        countDistinct(col("user_id")).as("dau"),
+        count(lit(1)).as("total_events"),
+        countDistinct(col("event_type")).as("event_types"),
+        sum(when(col("event_type") === "click", 1).otherwise(0))
+          .as("click_events"))
+      .withColumn("click_pct",
+        round(lit(100.0) * col("click_events") / col("total_events"), 2))
+      .orderBy("event_date")
+  }
+
+  /** q11 — §2.4 A11 + §2.6 W6 engagement share: global total via an empty
+    * window over the already-aggregated (tiny) frame. */
+  val q11 = QueryDef(
+    "q11_engagement_share",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    COUNT(DISTINCT user_id) AS unique_users,
+      |    COUNT(*) AS n_events,
+      |    CAST(SUM(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+      |      WHEN 'purchase' THEN 10 WHEN 'signup' THEN 3 WHEN 'error' THEN -2
+      |      ELSE 1 END) AS BIGINT) AS total_engagement
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, unique_users, n_events, total_engagement,
+      |  ROUND(100.0 * n_events / SUM(n_events) OVER (), 2) AS event_pct
+      |FROM e
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("unique_users"),
+        count(lit(1)).as("n_events"),
+        sum(EventWeights.weight(col("event_type"), EventWeights.testdata))
+          .as("total_engagement"))
+    e.withColumn("event_pct",
+      round(lit(100.0) * col("n_events")
+        / sum(col("n_events")).over(Window.partitionBy()), 2))
+      .orderBy("event_type")
+  }
+
+  /** q12 — §2.4 A12 / §2.6 W4 percent_rank over per-user exact totals. */
+  val q12 = QueryDef(
+    "q12_percent_rank",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, total_value,
+      |  PERCENT_RANK() OVER (ORDER BY total_value) AS value_pct_rank
+      |FROM u
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(Exact.sumD(col("value")).as("total_value"))
+      .withColumn("value_pct_rank",
+        percent_rank().over(Window.orderBy(col("total_value"))))
+      .orderBy("user_id")
+  }
+
+  /** q13 — §2.5 D2 / §2.6 W5 keep-latest-per-key via descending
+    * row_number (the deterministic form; bare dropDuplicates is not). */
+  val q13 = QueryDef(
+    "q13_keep_latest",
+    """WITH r AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_id AS last_event_id,
+      |  event_type AS last_event_type, value AS last_value
+      |FROM r WHERE rn = 1
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  /** q14 — §2.6 W1/W2 per-user sequence + inter-event gaps. Gap math on
+    * whole epoch-seconds (long) so sub-second precision differences
+    * between engines can't leak into the result. */
+  val q14 = QueryDef(
+    "q14_session_stats",
+    """WITH s AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS tsec,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |    tsec - LAG(tsec) OVER (PARTITION BY user_id ORDER BY seq) AS gap
+      |  FROM s)
+      |SELECT user_id, COUNT(*) AS n_events, COUNT(gap) AS n_gaps,
+      |  CAST(MAX(gap) AS BIGINT) AS max_gap_s,
+      |  ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(gap), 2) AS avg_gap_s
+      |FROM g
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val wSeq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"),
+        TimeFeatures.epochSeconds(col("ts")).as("tsec"),
+        row_number().over(wSeq).as("seq"))
+      .withColumn("gap", col("tsec") - lag(col("tsec"), 1)
+        .over(Window.partitionBy(col("user_id")).orderBy(col("seq"))))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("gap")).as("n_gaps"),
+        max(col("gap")).as("max_gap_s"),
+        round(sum(col("gap")).cast("double") / count(col("gap")), 2)
+          .as("avg_gap_s"))
+      .orderBy("user_id")
+  }
+
+  /** q15 — §2.5 D6 top-K with a full deterministic order. */
+  val q15 = QueryDef(
+    "q15_top_users",
+    """SELECT user_id, COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY n_events DESC, user_id ASC
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+      .limit(10)
+  }
+
+  /** q16 — §2.7 J1–J3/J5 star join (TPC-H Q5 shape). Dimensions
+    * (customer/nation/region) broadcast; the lineitem⋈orders fact join
+    * shuffles on orderkey — at 100 TB that is the one unavoidable
+    * shuffle, and AQE handles skew. */
+  val q16 = QueryDef(
+    "q16_region_revenue",
+    """SELECT r_name AS region_name, n_name AS nation_name,
+      |  COUNT(DISTINCT o_orderkey) AS n_orders,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"),
+        col("n_name").as("nation_name"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"),
+        sum(dec2(col("l_extendedprice")) *
+          (dec2(lit(1)) - dec2(col("l_discount")))).cast("double")
+          .as("revenue"))
+      .orderBy("region_name", "nation_name")
+  }
+
+  /** q17 — §2.7 semi/anti joins: per-segment customers with/without
+    * orders. Exercises left_semi and left_anti explicitly. */
+  val q17 = QueryDef(
+    "q17_semi_anti",
+    """WITH flags AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order
+      |  FROM customer)
+      |SELECT c_mktsegment,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CASE WHEN has_order THEN 1 ELSE 0 END) AS BIGINT) AS with_orders,
+      |  CAST(SUM(CASE WHEN has_order THEN 0 ELSE 1 END) AS BIGINT) AS without_orders
+      |FROM flags
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+    val semi = cust.join(ord, col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("with_orders"))
+    val anti = cust.join(ord, col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("without_orders"))
+    cust.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+      .join(semi, Seq("c_mktsegment"), "left")
+      .join(anti, Seq("c_mktsegment"), "left")
+      .na.fill(0, Seq("with_orders", "without_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q18 — §2.7 J4 unionByName with missing columns (pandas concat
+    * semantics: absent column → null). */
+  val q18 = QueryDef(
+    "q18_union_by_name",
+    """SELECT src, COUNT(*) AS n_rows, COUNT(value) AS n_with_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM (
+      |  SELECT 'purchase' AS src, event_id, value
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT 'signup' AS src, event_id, NULL AS value
+      |  FROM events WHERE event_type = 'signup')
+      |GROUP BY src
+      |ORDER BY src""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(lit("purchase").as("src"), col("event_id"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(lit("signup").as("src"), col("event_id"))
+    purchases.unionByName(signups, allowMissingColumns = true)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_rows"), count(col("value")).as("n_with_value"),
+        Exact.sumD(col("value")).as("total_value"))
+      .orderBy("src")
+  }
+
+  /** q19 — §2.2 P27 JSON field extraction from the string `props` column
+    * (regexp form: identical semantics on both engines, no JSON
+    * extension dependency). */
+  val q19 = QueryDef(
+    "q19_json_props",
+    """WITH j AS (
+      |  SELECT TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k
+      |  FROM events)
+      |SELECT k % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS k_sum
+      |FROM j
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+        .cast("int").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+      .orderBy("k_mod")
+  }
+
+  /** q20 — §2.8 T8 batch analog: 30-minute-gap sessionization via a
+    * windowed cumulative sum of session starts. */
+  val q20 = QueryDef(
+    "q20_sessionize",
+    """WITH s AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+      |      WHEN CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+      |        - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800 THEN 1
+      |      ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s2 AS (
+      |  SELECT user_id,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+      |  FROM s)
+      |SELECT user_id,
+      |  CAST(MAX(sess_no) AS BIGINT) AS n_sessions,
+      |  COUNT(*) AS n_events,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(sess_no) AS BIGINT), 2) AS events_per_session
+      |FROM s2
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tsec = TimeFeatures.epochSeconds(col("ts"))
+    val lagSec = TimeFeatures.epochSeconds(lag(col("ts"), 1).over(w))
+    Tables.events(s, d)
+      .withColumn("new_sess",
+        when(lag(col("ts"), 1).over(w).isNull, 1)
+          .when(tsec - lagSec > 1800, 1)
+          .otherwise(0))
+      .withColumn("sess_no", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("sess_no")).as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        round(count(lit(1)).cast("double") / max(col("sess_no")), 2)
+          .as("events_per_session"))
+      .orderBy("user_id")
+  }
+
+  /** q21 — §2.6 frame-spec rolling window: 3-event rolling value sum
+    * (exact decimal, so sliding-accumulator implementations can't
+    * diverge), max per user. */
+  val q21 = QueryDef(
+    "q21_rolling_window",
+    """WITH r AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum,
+      |    COUNT(value) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_n
+      |  FROM events)
+      |SELECT user_id,
+      |  ROUND(MAX(roll_sum), 2) AS max_roll_sum,
+      |  ROUND(MAX(roll_sum / roll_n), 2) AS max_roll_avg
+      |FROM r
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"),
+        sum(dec2(col("value"))).over(w).cast("double").as("roll_sum"),
+        count(col("value")).over(w).as("roll_n"))
+      .groupBy(col("user_id"))
+      .agg(
+        round(max(col("roll_sum")), 2).as("max_roll_sum"),
+        round(max(col("roll_sum") / col("roll_n")), 2).as("max_roll_avg"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
+    q15, q16, q17, q18, q19, q20, q21)
+}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness check.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs
+the matching SQL from oracle_sql.json in DuckDB over the same testdata
+tables, and compares row count, schema (column names sorted), and values.
+
+Dev tool only — the engine itself is pure Scala/Spark.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+
+def canon(rows, cols):
+    """Rows as sorted tuples of canonicalized values, column-name order."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = repr(v)  # full precision
+            vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
+    n_pass = n_fail = n_skip = 0
+    for name in sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir()):
+        got = con.sql(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        if name not in oracles:
+            print(f"  SKIP {name}: no oracle (rows={len(got.fetchall())})")
+            n_skip += 1
+            continue
+        exp = con.sql(oracles[name])
+        gcols, ecols = list(got.columns), list(exp.columns)
+        if sorted(gcols) != sorted(ecols):
+            print(f"  FAIL {name}: columns {sorted(gcols)} != {sorted(ecols)}")
+            n_fail += 1
+            continue
+        grows, erows = got.fetchall(), exp.fetchall()
+        if len(grows) != len(erows):
+            print(f"  FAIL {name}: rows {len(grows)} != {len(erows)}")
+            n_fail += 1
+            continue
+        g, e = canon(grows, gcols), canon(erows, ecols)
+        if g != e:
+            bad = [(a, b) for a, b in zip(g, e) if a != b][:3]
+            print(f"  FAIL {name}: value mismatch, first diffs: {bad}")
+            n_fail += 1
+            continue
+        print(f"  PASS {name} ({len(grows)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} no-oracle")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
