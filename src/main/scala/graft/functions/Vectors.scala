@@ -1,0 +1,79 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector primitives: exact cosine similarity and
+  * hyperplane-LSH bucketing for approximate nearest-neighbor search.
+  *
+  * Determinism: every reduction is a *sequential left fold* in index
+  * order over doubles (`aggregate` in Spark, `list_reduce` in DuckDB),
+  * so dot products and norms are bitwise identical across engines and
+  * across partitionings — IEEE double ops are deterministic once the
+  * order is pinned. Never sum vector components with a commutative
+  * aggregate.
+  *
+  * Scale: all per-row expressions; the ANN path turns the quadratic
+  * all-pairs problem into per-bucket joins (bucket count grows with
+  * data size via `bits`), which is the standard LSH trade — recall for
+  * a bounded join fan-out.
+  */
+object Vectors {
+  /** Cast a float array to double for stable arithmetic. */
+  def toDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm via the same sequential fold. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two double arrays (pre-divided norms can be
+    * cached by callers to avoid recompute inside joins). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random ±1 hyperplane component: sign taken
+    * from the high bit of md5("p:i"). Same construction is embedded as
+    * literals in the DuckDB oracle, so both engines use identical
+    * hyperplanes. */
+  def hyperplaneSign(p: Int, i: Int): Double = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s"$p:$i".getBytes("UTF-8"))
+    if ((d(0) & 0x80) == 0) 1.0 else -1.0
+  }
+
+  /** The ±1 hyperplane for bit `p` over `dim` components. */
+  def hyperplane(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(hyperplaneSign(p, _))
+
+  /** LSH bucket id: `bits` sign-bits of the embedding against fixed
+    * ±1 hyperplanes. 2^bits buckets; callers size `bits` so buckets
+    * stay join-friendly as data grows. */
+  def lshBucket(emb: Column, bits: Int, dim: Int): Column =
+    (0 until bits).map { p =>
+      val plane = array(hyperplane(p, dim).map(lit): _*)
+      when(dot(emb, plane) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** SQL fragment (DuckDB) computing the same bucket for column `e`
+    * (a float list) — used to generate oracle SQL with the identical
+    * hyperplane literals. */
+  def lshBucketSql(e: String, bits: Int, dim: Int): String =
+    (0 until bits).map { p =>
+      val lits = hyperplane(p, dim).map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_reduce(list_transform(range($dim), i -> " +
+        s"CAST($e[i+1] AS DOUBLE) * ($lits)[i+1]), (acc,x) -> acc+x) > 0 " +
+        s"THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** SQL fragment (DuckDB) for the sequential-fold dot product of two
+    * float-list columns, matching [[dot]] bit-for-bit. */
+  def dotSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(range($dim), i -> " +
+      s"CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), " +
+      "(acc,x) -> acc+x)"
+}

@@ -1,0 +1,115 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality rule engine (SURVEY §2.3 V1–V16).
+  *
+  * The reference declares rules as config and dispatches per-record in
+  * Python (`processing/utils/data_quality.py:57-345`; note its
+  * conditional_required is buggy at :435 — we implement the intended
+  * semantics per SURVEY V7). Here a rule is a named, severity-tagged
+  * pass-`Column`: the whole rule set evaluates in ONE projection pass
+  * (no per-rule scans), and batch statistics are ONE aggregation —
+  * at 100 TB that is a single map + a single 1-row reduce.
+  */
+object Rules {
+
+  sealed trait Severity { def weight: Int }
+  case object Critical extends Severity { val weight = 10 }
+  case object Error    extends Severity { val weight = 5 }
+  case object Warning  extends Severity { val weight = 0 }
+
+  /** A named validation rule: `passes` is true for conforming rows.
+    * Null handling follows the reference: `required` fails on null,
+    * every other rule passes nulls (validate-if-present). */
+  final case class Rule(name: String, severity: Severity, passes: Column)
+
+  // --- Predicate vocabulary (V1–V11) ---------------------------------
+
+  /** V1: non-null and non-empty-string. */
+  def required(c: Column): Column = c.isNotNull && c.cast("string") =!= ""
+
+  /** V2: regex + length bounds; null passes. */
+  def format(c: Column, pattern: String, minLen: Int, maxLen: Int): Column =
+    c.isNull || (length(c).between(minLen, maxLen) && c.rlike(pattern))
+
+  /** V3: enum membership; null passes (nullability is V1's job). */
+  def enumIn(c: Column, allowed: Seq[String]): Column =
+    c.isNull || c.isin(allowed: _*)
+
+  /** V4: numeric range; non-castable or out-of-range fails, null passes. */
+  def numericRange(c: Column, min: Double, max: Double): Column =
+    c.isNull || c.cast("double").between(min, max)
+
+  /** V5: parseable timestamp; null passes. */
+  def timestampValid(c: Column): Column =
+    c.isNull || to_timestamp(c.cast("string")).isNotNull
+
+  /** V6: recency window [now − maxDaysOld, now + maxDaysFuture]. */
+  def timestampRange(c: Column, maxDaysOld: Int, maxDaysFuture: Int): Column =
+    c.isNull || c.between(
+      date_sub(current_timestamp(), maxDaysOld),
+      date_add(current_timestamp(), maxDaysFuture))
+
+  /** V7 (intended semantics): `c` required iff `cond` ∈ values. */
+  def conditionalRequired(c: Column, cond: Column,
+                          values: Seq[String]): Column =
+    !coalesce(cond.isin(values: _*), lit(false)) || required(c)
+
+  /** V8: http(s) URL. */
+  def urlValid(c: Column): Column =
+    c.isNull || c.rlike("^https?://[\\w.-]+(:\\d+)?(/\\S*)?$")
+
+  /** V9: email. */
+  def emailValid(c: Column): Column =
+    c.isNull || c.rlike("^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")
+
+  /** V10: ISO-3166 alpha-2 membership (callers pass the code set). */
+  def countryCode(c: Column, iso2: Seq[String]): Column =
+    c.isNull || upper(c).isin(iso2: _*)
+
+  /** V11: string length bounds; null passes. */
+  def stringLength(c: Column, min: Int, max: Int): Column =
+    c.isNull || length(c).between(min, max)
+
+  // --- Evaluation (V12–V14) ------------------------------------------
+
+  /** One projection adding a boolean pass-flag per rule plus `_valid`
+    * (V12: no failed Critical/Error rule). */
+  def evaluate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val flagged = rules.foldLeft(df) { (acc, r) =>
+      acc.withColumn(s"_pass_${r.name}", coalesce(r.passes, lit(false)))
+    }
+    val gating = rules.filter(r => r.severity != Warning)
+    val valid = gating.map(r => col(s"_pass_${r.name}"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    flagged.withColumn("_valid", valid)
+  }
+
+  /** V13+V14: one-row batch statistics — total/valid counts, per-rule
+    * failure counts, validity rate, and the reference's quality score
+    * `max(0, 100 − 10·critical_fails − 5·error_fails)` scaled per-row
+    * (`data_quality.py:541-573` applies it per batch; we keep its
+    * weights). */
+  def batchStats(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val ev = evaluate(df, rules)
+    val perRule = rules.map(r =>
+      sum(when(!col(s"_pass_${r.name}"), 1).otherwise(0))
+        .cast("long").as(s"fail_${r.name}"))
+    val aggs = Seq(
+      count(lit(1)).as("total"),
+      sum(when(col("_valid"), 1).otherwise(0)).cast("long").as("valid")
+    ) ++ perRule
+    ev.agg(aggs.head, aggs.tail: _*)
+      .withColumn("validity_rate",
+        round(col("valid") * lit(100.0) / col("total"), 2))
+  }
+
+  /** V15: the quality gate — true when the batch passes the threshold
+    * (reference default 0.8, `processing/utils/config.py:20`). */
+  def gate(stats: DataFrame, threshold: Double = 0.8): Boolean = {
+    val r = stats.select(col("valid") / col("total")).head().getDouble(0)
+    r >= threshold
+  }
+}

@@ -1,0 +1,385 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+
+/** Training-data curation operators over the `documents` table:
+  * exact + near-duplicate detection (MinHash/LSH, SimHash, n-gram
+  * Jaccard, rolling-hash fingerprints), text statistics, language ID,
+  * token counting. Reference capability anchor: the silver-layer
+  * cleaning/dedup surface (SURVEY §2.5) extended to corpus scale per
+  * BASELINE extension goals (SURVEY §2.9, §7.8).
+  *
+  * Scale design: every pipeline is explode → groupBy(doc) →
+  * band-join. Work per document is O(tokens); the only joins are LSH
+  * band buckets (bounded fan-out by construction) — never an all-pairs
+  * product except in the explicitly-bounded brute-force baselines.
+  */
+object TextQueries {
+  private val B = 4  // LSH bands
+  private val R = 4  // rows (hashes) per band; K = B*R MinHash perms
+  private val K = B * R
+
+  /** Shared oracle CTEs: tokens and shingle lists per document. */
+  private val tokCte =
+    """WITH tok AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t
+      |  FROM documents),
+      |shl AS (
+      |  SELECT doc_id, list_transform(range(len(t)-2),
+      |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS sh
+      |  FROM tok WHERE len(t) >= 3)""".stripMargin
+
+  /** q22 — exact dedup by content hash, keep-first semantics
+    * (SURVEY §2.5 D1). Per-source dup accounting in one hash-groupBy
+    * pass; at 100 TB this is the cheapest dedup (one shuffle on the
+    * 128-bit content hash). */
+  val q22 = QueryDef(
+    "q22_exact_dedup",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(text)) AS n_distinct,
+      |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
+      .orderBy("source")
+  }
+
+  /** q23 — MinHash signatures (K=16 permutations) as salted-md5 string
+    * minima: lexicographic min of fixed-width hex == numeric min, so
+    * the signature is engine-independent with zero hex→int conversion.
+    * One explode + one (doc_id, j) groupBy with map-side combine. */
+  val q23 = QueryDef(
+    "q23_minhash_signature",
+    tokCte +
+      """,
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM shl)
+      |SELECT doc_id, j,
+      |  min(md5(CAST(j AS VARCHAR) || ':' || s)) AS minhash
+      |FROM ex CROSS JOIN range(16) AS r(j)
+      |GROUP BY doc_id, j
+      |ORDER BY doc_id, j""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), Text.shingles3(Text.tokens(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    toks.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("s"),
+        explode(sequence(lit(0), lit(K - 1))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("s"))))
+        .as("minhash"))
+      .orderBy("doc_id", "j")
+  }
+
+  /** q24 — MinHash+LSH near-duplicate pairs: band signatures (B=4,
+    * R=4) → bucket self-join → exact shingle-Jaccard verify ≥ 0.8.
+    * The band join bounds candidate fan-out (the LSH contract); the
+    * quadratic all-pairs product never materializes. Candidate pairs
+    * then join back to distinct-shingle sets for exact verification —
+    * integer set sizes, so the Jaccard division is bit-identical. */
+  val q24 = QueryDef(
+    "q24_lsh_near_dup", {
+      val sigCols = (0 until K)
+        .map(j => s"min(md5('$j:' || s)) AS mh$j").mkString(", ")
+      val bandCase = (0 until B).map { b =>
+        val cat = (0 until R).map(r => s"mh${B * b + r}").mkString(" || ',' || ")
+        s"WHEN $b THEN $cat"
+      }.mkString(" ")
+      tokCte +
+        s""",
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+        |sig AS (SELECT doc_id, $sigCols FROM ex GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b, CASE b $bandCase END AS bsig
+        |  FROM sig CROSS JOIN range($B) AS r(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(sh) AS st FROM shl),
+        |jac AS (
+        |  SELECT c.da, c.db,
+        |    len(list_intersect(sa.st, sb.st)) * 1.0 /
+        |      (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st)))
+        |      AS j
+        |  FROM cand c
+        |  JOIN sets sa ON sa.doc_id = c.da
+        |  JOIN sets sb ON sb.doc_id = c.db)
+        |SELECT da AS doc_a, db AS doc_b, ROUND(j, 4) AS jaccard
+        |FROM jac WHERE j >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), Text.shingles3(Text.tokens(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = toks.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sigAggs = (0 until K).map(j =>
+      min(md5(concat(lit(s"$j:"), col("s")))).as(s"mh$j"))
+    val sig = ex.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val bandStructs = (0 until B).map { b =>
+      val cat = concat_ws(",", (0 until R).map(r => col(s"mh${B * b + r}")): _*)
+      struct(lit(b).as("b"), cat.as("bsig"))
+    }
+    val bands = sig.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.b").as("b"), col("bs.bsig").as("bsig"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val sets = toks.select(col("doc_id"), array_distinct(col("sh")).as("st"))
+    val inter = size(array_intersect(col("sa.st"), col("sb.st")))
+    cand
+      .join(sets.as("sa"), col("sa.doc_id") === col("da"))
+      .join(sets.as("sb"), col("sb.doc_id") === col("db"))
+      .select(col("da"), col("db"),
+        (inter.cast("double") /
+          (size(col("sa.st")) + size(col("sb.st")) - inter)).as("j"))
+      .filter(col("j") >= 0.8)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(col("j"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q25 — brute-force n-gram Jaccard baseline on an explicitly bounded
+    * slice (doc_id < 100): the exactness yardstick the LSH path is
+    * measured against. Top-10 with a full deterministic order. */
+  val q25 = QueryDef(
+    "q25_ngram_jaccard",
+    tokCte +
+      """,
+      |sets AS (SELECT doc_id, list_distinct(sh) AS st FROM shl
+      |         WHERE doc_id < 100)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  ROUND(len(list_intersect(a.st, b.st)) * 1.0 /
+      |    (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))), 4)
+      |    AS jaccard
+      |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      |ORDER BY jaccard DESC, doc_a, doc_b
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    val sets = Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        array_distinct(Text.shingles3(Text.tokens(col("text")))).as("st"))
+      .filter(size(col("st")) > 0)
+    val inter = size(array_intersect(col("a.st"), col("b.st")))
+    sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(inter.cast("double") /
+          (size(col("a.st")) + size(col("b.st")) - inter), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(10)
+  }
+
+  /** q26 — 16-bit SimHash over the token multiset (hex4 of each
+    * token's md5; per-bit ±1 majority vote). Multiset (not set) because
+    * this corpus has a 31-word vocabulary — multiplicities carry the
+    * signal. One explode + one groupBy. */
+  val q26 = QueryDef(
+    "q26_simhash", {
+      val vExpr = (0 until 4).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5(tkn), ${i + 1}, 1)) - 1) " +
+          s"* ${1 << (4 * (3 - i))}").mkString(" + ")
+      val sums = (0 until 16).map(p =>
+        s"SUM(CASE WHEN (v >> $p) & 1 = 1 THEN 1 ELSE -1 END) AS s$p")
+        .mkString(", ")
+      val bits = (0 until 16).map(p =>
+        s"(CASE WHEN s$p > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tkn
+        |  FROM documents),
+        |v AS (SELECT doc_id, $vExpr AS v FROM tok),
+        |b AS (SELECT doc_id, $sums FROM v GROUP BY doc_id)
+        |SELECT doc_id, CAST($bits AS INT) AS simhash
+        |FROM b ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tkn"))
+      .select(col("doc_id"), Text.hex4(md5(col("tkn"))).as("v"))
+    val sums = (0 until 16).map(p =>
+      sum(when(shiftright(col("v"), p).bitwiseAND(lit(1)) === 1, 1)
+        .otherwise(-1)).as(s"s$p"))
+    tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(p =>
+          when(col(s"s$p") > 0, lit(1 << p)).otherwise(lit(0)))
+          .reduce(_ + _).cast("int").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** q27 — SimHash near-dup census: Hamming-distance histogram over all
+    * pairs (bounded 17-row output). The planted near-dups surface at
+    * distance 0. At scale the same signatures band by prefix exactly
+    * like q24 — the histogram here doubles as the recall-tuning
+    * diagnostic for choosing that band width. */
+  val q27 = QueryDef(
+    "q27_simhash_pairs", {
+      val vExpr = (0 until 4).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5(tkn), ${i + 1}, 1)) - 1) " +
+          s"* ${1 << (4 * (3 - i))}").mkString(" + ")
+      val sums = (0 until 16).map(p =>
+        s"SUM(CASE WHEN (v >> $p) & 1 = 1 THEN 1 ELSE -1 END) AS s$p")
+        .mkString(", ")
+      val bits = (0 until 16).map(p =>
+        s"(CASE WHEN s$p > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tkn
+        |  FROM documents),
+        |v AS (SELECT doc_id, $vExpr AS v FROM tok),
+        |b AS (SELECT doc_id, $sums FROM v GROUP BY doc_id),
+        |sh AS (SELECT doc_id, $bits AS sim FROM b)
+        |SELECT CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming,
+        |  COUNT(*) AS n_pairs
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tkn"))
+      .select(col("doc_id"), Text.hex4(md5(col("tkn"))).as("v"))
+    val sums = (0 until 16).map(p =>
+      sum(when(shiftright(col("v"), p).bitwiseAND(lit(1)) === 1, 1)
+        .otherwise(-1)).as(s"s$p"))
+    val sh = tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(p =>
+          when(col(s"s$p") > 0, lit(1 << p)).otherwise(lit(0)))
+          .reduce(_ + _).as("sim"))
+    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(bit_count(col("a.sim").bitwiseXOR(col("b.sim")))
+        .cast("int").as("hamming"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("hamming")
+  }
+
+  /** q28 — rolling-hash document fingerprint: min md5 over character
+    * 8-grams (winnowing-style content signature, robust to token
+    * reordering at the edges), plus distinct-gram count. Pure per-row
+    * expression — no shuffle at all. */
+  val q28 = QueryDef(
+    "q28_rolling_fingerprint",
+    """SELECT doc_id,
+      |  list_aggregate(list_transform(range(length(text) - 7),
+      |    i -> md5(substr(text, i + 1, 8))), 'min') AS fingerprint,
+      |  len(list_distinct(list_transform(range(length(text) - 7),
+      |    i -> md5(substr(text, i + 1, 8))))) AS n_distinct_grams
+      |FROM documents
+      |WHERE length(text) >= 8
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"),
+        array_min(Text.charGrams8(col("text"))).as("fingerprint"),
+        size(array_distinct(Text.charGrams8(col("text"))))
+          .as("n_distinct_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** q29 — per-source text-quality statistics: token totals,
+    * type/token ratio, mean document length. Integer sums (exact), one
+    * divide at the end. */
+  val q29 = QueryDef(
+    "q29_text_stats",
+    """WITH t AS (
+      |  SELECT source, length(text) AS n_chars,
+      |    len(string_split(text, ' ')) AS nt,
+      |    len(list_distinct(string_split(text, ' '))) AS nu
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(nu) AS BIGINT) AS total_unique_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  ROUND(SUM(nt) * 1.0 / COUNT(*), 2) AS avg_tokens,
+      |  ROUND(100.0 * SUM(nu) / SUM(nt), 2) AS ttr_pct
+      |FROM t GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val toks = Text.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("source"), length(col("text")).as("n_chars"),
+        size(toks).as("nt"), size(array_distinct(toks)).as("nu"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        sum(col("nu")).as("total_unique_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        round(sum(col("nt")) * lit(1.0) / count(lit(1)), 2).as("avg_tokens"),
+        round(lit(100.0) * sum(col("nu")) / sum(col("nt")), 2).as("ttr_pct"))
+      .orderBy("source")
+  }
+
+  /** q30 — heuristic language ID (stopword-marker argmax with a pinned
+    * tie-break order) cross-tabulated against the labeled lang. */
+  val q30 = QueryDef(
+    "q30_lang_id", {
+      val scores = Text.langMarkers.map { case (l, m) =>
+        val list = m.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter(t, x -> list_contains($list, x))) AS s_$l"
+      }.mkString(", ")
+      val langs = Text.langMarkers.map(_._1)
+      val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val pick = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+      s"""WITH tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t
+        |  FROM documents),
+        |sc AS (SELECT doc_id, lang, $scores FROM tok),
+        |m AS (SELECT *, $mx AS mx FROM sc),
+        |p AS (SELECT lang,
+        |  CASE WHEN mx = 0 THEN 'und' $pick END AS lang_pred FROM m)
+        |SELECT lang, lang_pred, COUNT(*) AS n
+        |FROM p GROUP BY lang, lang_pred
+        |ORDER BY lang, lang_pred""".stripMargin
+    }) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), Text.langId(Text.tokens(col("text")))
+        .as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  /** q31 — token counting, whitespace vs BPE-ish regex segmentation
+    * ([a-z0-9]+ word pieces), per source. Demonstrates regex token
+    * accounting with exact integer arithmetic. */
+  val q31 = QueryDef(
+    "q31_token_count",
+    """WITH t AS (
+      |  SELECT source,
+      |    len(string_split(text, ' ')) AS ws_tokens,
+      |    len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+      |    list_sum(list_transform(regexp_extract_all(text, '[a-z0-9]+'),
+      |      x -> length(x))) AS re_chars
+      |  FROM documents)
+      |SELECT source,
+      |  CAST(SUM(ws_tokens) AS BIGINT) AS ws_tokens,
+      |  CAST(SUM(re_tokens) AS BIGINT) AS re_tokens,
+      |  CAST(SUM(re_chars) AS BIGINT) AS re_chars
+      |FROM t GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val re = expr("regexp_extract_all(text, '[a-z0-9]+', 0)")
+    Tables.documents(s, d)
+      .select(col("source"),
+        size(Text.tokens(col("text"))).as("ws_tokens"),
+        size(re).as("re_tokens"),
+        aggregate(transform(re, x => length(x)), lit(0), (a, x) => a + x)
+          .as("re_chars"))
+      .groupBy(col("source"))
+      .agg(sum(col("ws_tokens")).as("ws_tokens"),
+        sum(col("re_tokens")).as("re_tokens"),
+        sum(col("re_chars")).as("re_chars"))
+      .orderBy("source")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
+}

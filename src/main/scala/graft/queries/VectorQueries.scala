@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Vectors
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the exactness baseline, a
+  * hyperplane-LSH bucketed ANN as the scale path, and a global
+  * near-pair census.
+  *
+  * Determinism: dot products are sequential left folds in index order
+  * over doubles on both engines ([[Vectors.dot]] / `list_reduce`), so
+  * similarity values are bitwise identical and rank order needs no
+  * tolerance — ties still break on vec_id.
+  *
+  * Scale: brute force is O(Q·N) with the query set broadcast (Q small
+  * by contract); the LSH path replaces N² with per-bucket joins where
+  * the bucket bit-width grows with N. That is the 100 TB design: add
+  * bits, buckets shrink, join stays bounded.
+  */
+object VectorQueries {
+  private val DIM = 64
+  private val BITS = 4 // 16 buckets at test scale; grows with data
+
+  private def normed(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      Vectors.toDouble(col("embedding")).as("e"),
+      Vectors.norm(Vectors.toDouble(col("embedding"))).as("nrm"))
+
+  private val normCte =
+    s"""WITH n AS (
+      |  SELECT vec_id, embedding AS e,
+      |    sqrt(${Vectors.dotSql("embedding", "embedding", DIM)}) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  /** q32 — brute-force cosine top-5 neighbors for a bounded query set
+    * (vec_id < 25). The query side is tiny and broadcast; cost is
+    * linear in N. */
+  val q32 = QueryDef(
+    "q32_knn_cosine",
+    normCte +
+      s""",
+      |q AS (SELECT * FROM n WHERE vec_id < 25),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |    ${Vectors.dotSql("q.e", "n.e", DIM)} / (q.nrm * n.nrm) AS sim
+      |  FROM q JOIN n ON q.vec_id <> n.vec_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, neighbor_id) AS rnk
+      |  FROM s)
+      |SELECT query_id, rnk, neighbor_id, ROUND(sim, 6) AS cosine
+      |FROM r WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    val n = normed(s, d)
+    val q = n.where(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"))
+    val sims = broadcast(q).join(n, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (Vectors.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+          .as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("sim"), 6).as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** q33 — LSH-bucketed ANN: 4 hyperplane sign-bits → 16 buckets →
+    * within-bucket top-3 per query. Same deterministic hyperplanes
+    * (±1 from md5 high bits) embedded as literals in both engines. */
+  val q33 = QueryDef(
+    "q33_ann_lsh", {
+      val bkt = Vectors.lshBucketSql("e", BITS, DIM)
+      normCte +
+        s""",
+        |b AS (SELECT vec_id, e, nrm, $bkt AS bucket FROM n),
+        |q AS (SELECT * FROM b WHERE vec_id < 25),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ${Vectors.dotSql("q.e", "c.e", DIM)} / (q.nrm * c.nrm) AS sim
+        |  FROM q JOIN b c
+        |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM s)
+        |SELECT query_id, rnk, neighbor_id, ROUND(sim, 6) AS cosine
+        |FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin
+    }) { (s, d) =>
+    val b = normed(s, d)
+      .withColumn("bucket", Vectors.lshBucket(col("e"), BITS, DIM))
+    val q = b.where(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("bucket"))
+    val sims = broadcast(q)
+      .join(b, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (Vectors.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+          .as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("sim"), 6).as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** q34 — global most-similar pairs (embedding near-dup census): top
+    * 20 pairs by cosine with a fully deterministic order. Brute-force
+    * here by intent — the LSH route (q33) is the scale path; this is
+    * its recall oracle. */
+  val q34 = QueryDef(
+    "q34_top_sim_pairs",
+    normCte +
+      s""",
+      |s AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    ${Vectors.dotSql("a.e", "b.e", DIM)} / (a.nrm * b.nrm) AS sim
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, ROUND(sim, 6) AS cosine
+      |FROM s
+      |ORDER BY sim DESC, vec_a, vec_b
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val n = normed(s, d)
+    n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (Vectors.dot(col("a.e"), col("b.e"))
+          / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("cosine"))
+      .limit(20)
+  }
+
+  val all: Seq[QueryDef] = Seq(q32, q33, q34)
+}
