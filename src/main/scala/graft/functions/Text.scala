@@ -25,7 +25,13 @@ object Text {
   /** Whitespace tokenizer (the corpus is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word 3-gram shingles; documents with <3 tokens yield no shingles. */
+  /** Word 3-gram shingles; documents with <3 tokens yield no shingles.
+    *
+    * IMPORTANT: pass a *materialized array attribute* (project
+    * `tokens(text)` in its own select first), not `tokens(col)` inline.
+    * Higher-order-function lambdas re-evaluate their body per element,
+    * so an inlined `split` would re-tokenize the whole document for
+    * every shingle — O(tokens²) per row. */
   def shingles3(toks: Column): Column =
     when(size(toks) >= 3,
       transform(sequence(lit(0), size(toks) - 3), i =>

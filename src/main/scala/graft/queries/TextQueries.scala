@@ -68,8 +68,8 @@ object TextQueries {
       |GROUP BY doc_id, j
       |ORDER BY doc_id, j""".stripMargin) { (s, d) =>
     val toks = Tables.documents(s, d)
-      .select(col("doc_id"), Text.shingles3(Text.tokens(col("text"))).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .select(col("doc_id"), Text.shingles3(col("t")).as("sh"))
     toks.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), col("s"),
         explode(sequence(lit(0), lit(K - 1))).as("j"))
@@ -117,13 +117,21 @@ object TextQueries {
         |FROM jac WHERE j >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, d) =>
+    // The shingle table feeds three consumers (signatures + both sides
+    // of the verify join) and the signature table feeds both sides of
+    // the band join. Persisting them keeps each subtree single-compile
+    // and single-execute — at corpus scale you would materialize the
+    // signature table anyway (it is the reusable index).
     val toks = Tables.documents(s, d)
-      .select(col("doc_id"), Text.shingles3(Text.tokens(col("text"))).as("sh"))
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .select(col("doc_id"), Text.shingles3(col("t")).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist()
     val ex = toks.select(col("doc_id"), explode(col("sh")).as("s"))
     val sigAggs = (0 until K).map(j =>
       min(md5(concat(lit(s"$j:"), col("s")))).as(s"mh$j"))
     val sig = ex.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+      .persist()
     val bandStructs = (0 until B).map { b =>
       val cat = concat_ws(",", (0 until R).map(r => col(s"mh${B * b + r}")): _*)
       struct(lit(b).as("b"), cat.as("bsig"))
@@ -169,8 +177,9 @@ object TextQueries {
       |LIMIT 10""".stripMargin) { (s, d) =>
     val sets = Tables.documents(s, d)
       .filter(col("doc_id") < 100)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
       .select(col("doc_id"),
-        array_distinct(Text.shingles3(Text.tokens(col("text")))).as("st"))
+        array_distinct(Text.shingles3(col("t"))).as("st"))
       .filter(size(col("st")) > 0)
     val inter = size(array_intersect(col("a.st"), col("b.st")))
     sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
