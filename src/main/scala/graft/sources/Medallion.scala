@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Medallion-layer IO (SURVEY §2.1).
+  *
+  * Bronze = JSON-lines with ingestion metadata (S2/S3); silver/gold =
+  * snappy parquet partitioned by `date` (S6/S7,
+  * `storage_manager.py:108-146`, `config.py:21-23`). The reference's
+  * hand-rolled S3 listing, per-file GET loop and file-count caps (S1,
+  * S5) are subsumed by Spark's file index + partition discovery; its
+  * file watcher (S13) by the streaming file source.
+  */
+object Medallion {
+
+  /** S2: schema'd JSONL bronze scan. PERMISSIVE mode lands malformed
+    * lines in `_corrupt_record` (the reference's skip-malformed-lines
+    * loop, `storage_manager.py:88-98`); `_source_file`/`_processed_at`
+    * reproduce its ingestion metadata (`:92-95`). */
+  def readBronze(spark: SparkSession, schema: StructType,
+                 paths: String*): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(paths: _*)
+      .withColumn("_source_file", input_file_name())
+      .withColumn("_processed_at", current_timestamp())
+
+  /** Rows that parsed cleanly. */
+  def wellFormed(bronze: DataFrame): DataFrame =
+    bronze.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+
+  /** S6/S7: date-partitioned snappy parquet append — the silver and
+    * gold writer. Callers ensure a `date` column exists. */
+  def writePartitioned(df: DataFrame, tableDir: String): Unit =
+    df.write.mode("append")
+      .option("compression", "snappy")
+      .partitionBy("date")
+      .parquet(tableDir)
+
+  /** S4: silver/gold scan (partition discovery over `date=`). */
+  def readTable(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(tableDir)
+
+  /** S9: one-row run-metadata record appended to a metadata table
+    * (the reference's checkpoint JSON docs,
+    * `storage_manager.py:148-175`). */
+  def writeRunMetadata(spark: SparkSession, metaDir: String,
+                       pipeline: String, records: Long,
+                       validRecords: Long, durationSec: Double): Unit = {
+    import spark.implicits._
+    Seq((pipeline, records, validRecords, durationSec))
+      .toDF("pipeline", "records", "valid_records", "duration_sec")
+      .withColumn("run_at", current_timestamp())
+      .write.mode("append").parquet(metaDir)
+  }
+}

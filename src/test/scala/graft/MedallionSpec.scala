@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.gold.Gold
+import graft.schema.Schemas
+import graft.silver.Silver
+import graft.sources.Medallion
+
+/** End-to-end medallion slice on the FIXTURES.md A1 seeded sample:
+  * bronze JSONL (with one malformed + one invalid row added) → silver
+  * clickstream → gold user summary. Pins the reference's cleaning
+  * semantics: malformed-line skip (S2), required-field drop (P1),
+  * normalization (page_view→view, item_id→product_id), weights (P11),
+  * weekend/hour features, keep-first dedup. */
+class MedallionSpec extends SparkSpec {
+
+  private def seedBronze(): String = {
+    val dir = Files.createTempDirectory("graft_bronze").toFile
+    val f = new java.io.File(dir, "part-0.json")
+    val lines = Seq(
+      """{"event_id":"e1","user_id":"1","event_type":"page_view","item_id":"A","timestamp":"2025-09-05T12:00:00Z","url":"/home","device_type":"mobile"}""",
+      """{"event_id":"e2","user_id":"1","event_type":"click","item_id":"A","timestamp":"2025-09-05T12:00:10Z","url":"/product/A"}""",
+      """{"event_id":"e3","user_id":"2","event_type":"page_view","item_id":"B","timestamp":"2025-09-05T12:01:00Z","url":"/home"}""",
+      """{"event_id":"e4","user_id":"1","event_type":"purchase","item_id":"A","timestamp":"2025-09-05T12:02:00Z","url":"/checkout","price":25.0,"quantity":2}""",
+      """{"event_id":"e5","user_id":null,"event_type":"view","item_id":"C","timestamp":"2025-09-05T12:03:00Z"}""",
+      """{this is not json""")
+    java.nio.file.Files.writeString(f.toPath, lines.mkString("\n"))
+    dir.getAbsolutePath
+  }
+
+  test("bronze scan parses good lines, flags corrupt, adds metadata") {
+    // cache before querying _corrupt_record alone (Spark disallows
+    // corrupt-column-only queries on raw JSON scans)
+    val bronze = Medallion.readBronze(spark, Schemas.clickstream,
+      seedBronze()).cache()
+    assert(bronze.count() == 6)
+    assert(bronze.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(Medallion.wellFormed(bronze).count() == 5)
+    assert(bronze.select("_source_file").head().getString(0)
+      .endsWith("part-0.json"))
+  }
+
+  test("silver clickstream: normalization, cleaning, features") {
+    val silver = Silver.clickstream(
+      Medallion.wellFormed(
+        Medallion.readBronze(spark, Schemas.clickstream, seedBronze())))
+    // e5 dropped (null user_id); 2025-09-05 is a Friday
+    assert(silver.count() == 4)
+    val byId = silver.collect()
+      .map(r => r.getAs[String]("event_id") -> r).toMap
+    assert(byId("e1").getAs[String]("event_type") == "view")
+    assert(byId("e2").getAs[String]("event_type") == "click")
+    assert(byId("e1").getAs[String]("product_id") == "A")
+    assert(byId("e1").getAs[String]("page_url") == "/home")
+    assert(byId("e1").getAs[Int]("hour") == 12)
+    assert(byId("e1").getAs[String]("day_of_week") == "Friday")
+    assert(!byId("e1").getAs[Boolean]("is_weekend"))
+    assert(byId("e1").getAs[Boolean]("is_mobile"))
+    assert(!byId("e2").getAs[Boolean]("is_mobile")) // null device -> false
+    assert(byId("e1").getAs[Int]("event_weight") == 1)
+    assert(byId("e2").getAs[Int]("event_weight") == 2)
+    assert(byId("e4").getAs[Int]("event_weight") == 10)
+    assert(byId("e4").getAs[Boolean]("is_purchase"))
+    assert(byId("e4").getAs[Double]("purchase_value") == 50.0)
+  }
+
+  test("gold user summary over the silver fixture") {
+    val silver = Silver.clickstream(
+      Medallion.wellFormed(
+        Medallion.readBronze(spark, Schemas.clickstream, seedBronze())))
+    val gold = Gold.userSummary(silver)
+    val u1 = gold.filter(col("user_id") === "1").head()
+    assert(u1.getAs[Long]("total_events") == 3)
+    assert(u1.getAs[Long]("products_viewed") == 1)
+    assert(u1.getAs[Long]("total_engagement") == 13) // 1+2+10
+    assert(u1.getAs[String]("preferred_device") == "mobile")
+    val u2 = gold.filter(col("user_id") === "2").head()
+    assert(u2.getAs[Long]("total_events") == 1)
+    assert(u2.getAs[String]("activity_level") == "Low")
+  }
+
+  test("gold daily stats + engagement metrics shapes") {
+    val silver = Silver.clickstream(
+      Medallion.wellFormed(
+        Medallion.readBronze(spark, Schemas.clickstream, seedBronze())))
+    val daily = Gold.dailyStats(silver).head()
+    assert(daily.getAs[Long]("daily_active_users") == 2)
+    assert(daily.getAs[Long]("total_events") == 4)
+    assert(daily.getAs[Long]("mobile_events") == 1)
+    val eng = Gold.engagementMetrics(silver).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("event_pct")).toMap
+    assert(eng("view") == 50.0)
+    assert(eng.values.sum == 100.0)
+  }
+
+  test("partitioned silver write round-trips through the date layout") {
+    val silver = Silver.clickstream(
+      Medallion.wellFormed(
+        Medallion.readBronze(spark, Schemas.clickstream, seedBronze())))
+    val out = Files.createTempDirectory("graft_silver").toString
+    Medallion.writePartitioned(silver, out)
+    assert(new java.io.File(out, "date=2025-09-05").exists())
+    assert(Medallion.readTable(spark, out).count() == 4)
+  }
+}

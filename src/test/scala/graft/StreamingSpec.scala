@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Features
+import graft.streaming.Features.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2025-09-05 12:$min%02d:$sec%02d")
+
+  private val events = Seq(
+    Event("u1", "A", "electronics", "view", 10.0, ts(0)),
+    Event("u1", "B", "books", "view", 5.0, ts(1)),
+    Event("u1", "A", "electronics", "add_to_cart", 10.0, ts(2)),
+    Event("u1", "A", "electronics", "purchase", 10.0, ts(3)),
+    Event("u2", "C", "books", "view", 7.0, ts(1, 30)))
+
+  test("userFeatures stateful session logic (batch-mode semantics)") {
+    val got = Features.userFeatures(events.toDS()).collect()
+      .map(f => f.user_id -> f).toMap
+    val u1 = got("u1")
+    assert(u1.events_in_session == 4)
+    assert(u1.session_duration_s == 180)
+    assert(u1.categories_explored == 2)
+    assert(u1.products_viewed_count == 2)
+    assert(u1.preferred_categories == Seq("electronics", "books"))
+    assert(u1.cart_size == 0) // added then purchased -> removed
+    assert(u1.is_returning_to_product) // last event product A seen before
+    assert(got("u2").events_in_session == 1)
+  }
+
+  test("rollingProductViews windowed aggregation over a MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = Features.rollingProductViews(mem.toDF())
+      .writeStream.format("memory").queryName("rolling")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode holds rows until the watermark passes; advance it
+      mem.addData(Event("u9", "Z", "misc", "view", 1.0,
+        Timestamp.valueOf("2025-09-05 15:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("rolling")
+        .filter(col("product_id") === "A")
+      // product A viewed once at 12:00 -> appears in 12 sliding windows
+      assert(rows.count() == 12)
+      assert(rows.select(max(col("views_last_hour"))).head().getLong(0) == 1)
+    } finally q.stop()
+  }
+
+  test("sessionAggregates groups by 15-min inactivity sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val burst2 = Seq( // second session for u1, 40 min later
+      Event("u1", "D", "misc", "view", 1.0, ts(45)),
+      Event("u1", "D", "misc", "click", 1.0, ts(46)))
+    mem.addData(events ++ burst2: _*)
+    val q = Features.sessionAggregates(mem.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(Event("u9", "Z", "misc", "view", 1.0,
+        Timestamp.valueOf("2025-09-05 16:00:00")))
+      q.processAllAvailable()
+      val u1 = spark.table("sessions").filter(col("user_id") === "u1")
+        .orderBy("session_start").collect()
+      assert(u1.length == 2)
+      assert(u1(0).getAs[Long]("events_in_session") == 4)
+      assert(u1(1).getAs[Long]("events_in_session") == 2)
+    } finally q.stop()
+  }
+
+  test("productStats conversion rates") {
+    val got = Features.productStats(events.toDF())
+      .filter(col("product_id") === "A").head()
+    assert(got.getAs[Long]("view_count") == 1)
+    assert(got.getAs[Long]("purchases") == 1)
+    assert(got.getAs[Double]("conversion_rate") == 100.0)
+  }
+
+  test("bronzeLanding partitions by event-time y/m/d/h") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val out = java.nio.file.Files.createTempDirectory("bronze").toString
+    val cp = java.nio.file.Files.createTempDirectory("cp").toString
+    val q = Features.bronzeLanding(mem.toDF(), out, cp).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(new java.io.File(
+      s"$out/year=2025/month=9/day=5/hour=12").exists())
+    assert(spark.read.json(s"$out/year=*/month=*/day=*/hour=*")
+      .count() == 5)
+  }
+}
