@@ -27,4 +27,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Dozens of distinct query plans → hundreds of Janino-generated
+  // classes. With the JDK-default code cache the JIT stops compiling
+  // mid-run and everything (including Spark's own hot paths) drops to
+  // the interpreter at 20-50× — measured as queries running 10s fresh
+  // but 200s later in the same JVM.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
+  // C1-only JIT: dozens of huge Janino-generated methods clog the C2
+  // compile queue for minutes, during which hot paths run interpreted
+  // at 10-25x (measured: identical queries 10s vs 200s,
+  // nondeterministically). C1 compiles in ms and has no such cliff;
+  // its ~30% lower peak throughput is a far better trade here.
+  "-XX:TieredStopAtLevel=1",
 )

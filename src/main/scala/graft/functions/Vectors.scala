@@ -22,10 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
   /** Cast a float array to double for stable arithmetic. */
-  def toDouble(a: Column): Column = transform(a, _.cast("double"))
+  def toDouble(a: Column): Column = a.cast("array<double>")
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential dot product of two double arrays — a native codegen
+    * Expression ([[org.apache.spark.sql.graft.DotProduct]]); identical
+    * semantics to the HOF fold `aggregate(zip_with(a,b,*),0,+)` but
+    * compiled to a primitive loop. */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.DotProduct(a, b)
+
+  /** The HOF formulation (kept as the executable spec the custom
+    * expression is tested against). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** L2 norm via the same sequential fold. */

@@ -1,0 +1,86 @@
+package graft.ml
+
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Collaborative-filtering recommender (the reference's
+  * recommendation-signal surface, `ingestion/producer/producer.py:84-104`
+  * and the `recommendation_*` event types, realized as actual models —
+  * the reference emits signals but never trains anything).
+  *
+  * Two paths:
+  *  - [[als]]: MLlib ALS matrix factorization on implicit feedback —
+  *    the scale path (block-partitioned factor computation, no driver
+  *    materialization; `recommendForAllUsers` is a blocked cross-join
+  *    top-k, not N×M).
+  *  - [[coOccurrence]]: deterministic item-item "bought-together"
+  *    scores — exact, SQL-expressible (oracle-checkable), and the
+  *    standard cold-start fallback next to ALS.
+  */
+object Recommender {
+
+  /** Implicit-feedback ratings from interaction rows: weight-summed
+    * events per (user, item). */
+  def implicitRatings(df: DataFrame, userCol: String, itemCol: String,
+                      weight: org.apache.spark.sql.Column): DataFrame =
+    df.groupBy(col(userCol).as("user"), col(itemCol).as("item"))
+      .agg(sum(weight).cast("float").as("rating"))
+
+  /** Seeded ALS on implicit feedback. Ranks/iters sized for tests;
+    * at scale only numBlocks/checkpointInterval change. */
+  def als(ratings: DataFrame, rank: Int = 8, maxIter: Int = 5,
+          regParam: Double = 0.1, seed: Long = 42L): ALSModel =
+    new ALS()
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setImplicitPrefs(true)
+      .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
+      .setSeed(seed)
+      .setColdStartStrategy("drop")
+      .fit(ratings)
+
+  /** Top-k recommendations per user as (user, item, score) rows. */
+  def recommendations(model: ALSModel, k: Int): DataFrame =
+    model.recommendForAllUsers(k)
+      .select(col("user"), explode(col("recommendations")).as("r"))
+      .select(col("user"), col("r.item").as("item"),
+        col("r.rating").as("score"))
+
+  /** Reconstruction RMSE on the training interactions (sanity metric;
+    * implicit ALS optimizes confidence-weighted preference, so this is
+    * a smoke-level signal, not a tuned benchmark). */
+  def rmse(model: ALSModel, ratings: DataFrame): Double =
+    new RegressionEvaluator()
+      .setMetricName("rmse").setLabelCol("rating")
+      .setPredictionCol("prediction")
+      .evaluate(model.transform(ratings).na.drop(Seq("prediction")))
+
+  /** Item-item co-occurrence: for each item pair sharing a basket
+    * (user/order), count shared baskets; recommend top-k co-items.
+    * One self-join on the basket key with map-side pre-aggregation.
+    * At 100 TB: cap basket size first (a power user in every basket
+    * pair is the classic quadratic blowup — `maxBasket` bounds it). */
+  def coOccurrence(baskets: DataFrame, basketCol: String, itemCol: String,
+                   maxBasket: Int = 100): DataFrame = {
+    val items = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct()
+    val bounded = items
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("b"))))
+      .filter(col("__n") <= maxBasket)
+      .drop("__n")
+    bounded.as("x").join(bounded.as("y"),
+        col("x.b") === col("y.b") && col("x.i") =!= col("y.i"))
+      .groupBy(col("x.i").as("item"), col("y.i").as("co_item"))
+      .agg(count(lit(1)).as("n_baskets"))
+  }
+
+  /** Top-k co-items per item with deterministic tie-break. */
+  def topCoItems(co: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("n_baskets").desc, col("co_item"))
+    co.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+}

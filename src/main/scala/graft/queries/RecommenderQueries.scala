@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ml.Recommender
+
+/** Recommendation queries over the testdata star schema: orders are
+  * baskets, parts are items.
+  */
+object RecommenderQueries {
+
+  /** q36 — item-item co-occurrence ("bought together"): top-3 co-items
+    * for a bounded item slice, deterministic tie-break. The basket
+    * self-join shuffles on the basket key with distinct pre-reduction;
+    * quadratic blowup is bounded by basket size (orders have few
+    * lines), not by catalog size. */
+  val q36 = QueryDef(
+    "q36_co_occurrence",
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      |co AS (
+      |  SELECT x.i AS item, y.i AS co_item, COUNT(*) AS n_baskets
+      |  FROM items x JOIN items y ON x.b = y.b AND x.i <> y.i
+      |  GROUP BY x.i, y.i),
+      |r AS (
+      |  SELECT item, co_item, n_baskets,
+      |    ROW_NUMBER() OVER (PARTITION BY item
+      |      ORDER BY n_baskets DESC, co_item) AS rnk
+      |  FROM co)
+      |SELECT item, rnk, co_item, n_baskets
+      |FROM r WHERE rnk <= 3 AND item < 50
+      |ORDER BY item, rnk""".stripMargin) { (s, d) =>
+    val co = Recommender.coOccurrence(
+      Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+      maxBasket = Int.MaxValue)
+    Recommender.topCoItems(co, 3)
+      .filter(col("item") < 50)
+      .select(col("item"), col("rnk"), col("co_item"), col("n_baskets"))
+      .orderBy("item", "rnk")
+  }
+
+  /** q37 — basket-size distribution (the co-occurrence cost model:
+    * this histogram is exactly what sizes `maxBasket` at scale). */
+  val q37 = QueryDef(
+    "q37_basket_sizes",
+    """WITH b AS (
+      |  SELECT l_orderkey, COUNT(DISTINCT l_partkey) AS n_items
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT n_items, COUNT(*) AS n_orders
+      |FROM b GROUP BY n_items
+      |ORDER BY n_items""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_partkey")).as("n_items"))
+      .groupBy(col("n_items"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("n_items")
+  }
+
+  val all: Seq[QueryDef] = Seq(q36, q37)
+}

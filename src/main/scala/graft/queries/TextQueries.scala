@@ -22,6 +22,35 @@ object TextQueries {
   private val R = 4  // rows (hashes) per band; K = B*R MinHash perms
   private val K = B * R
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** Tokenized shingle lists per document (tokens materialized in
+    * their own projection — see [[Text.shingles3]] perf note). */
+  private def shingleTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      // one small parquet file reads as ONE input partition; without
+      // this repartition every per-document expression below runs in
+      // a single task (at production scale the many input splits make
+      // it unnecessary, but it must not be the code's assumption)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .select(col("doc_id"), Text.shingles3(col("t")).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Wide MinHash signature table (doc_id, mh0..mh15) as a pure
+    * per-row projection: `array_min(transform(sh, md5(salt:x)))` per
+    * permutation — no explode, no shuffle, no aggregation. This is the
+    * embarrassingly-parallel formulation (each document's signature
+    * depends only on its own shingles), which is exactly what you want
+    * fanned across a 1000-executor cluster. */
+  private def minhashWide(shingles: DataFrame): DataFrame =
+    shingles
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.GraftText.minhash(col("sh"), K)
+          .as("mh"))
+      .select(col("doc_id") +:
+        (0 until K).map(j => element_at(col("mh"), j + 1).as(s"mh$j")): _*)
+
   /** Shared oracle CTEs: tokens and shingle lists per document. */
   private val tokCte =
     """WITH tok AS (
@@ -67,15 +96,10 @@ object TextQueries {
       |FROM ex CROSS JOIN range(16) AS r(j)
       |GROUP BY doc_id, j
       |ORDER BY doc_id, j""".stripMargin) { (s, d) =>
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
-      .select(col("doc_id"), Text.shingles3(col("t")).as("sh"))
-    toks.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), col("s"),
-        explode(sequence(lit(0), lit(K - 1))).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("s"))))
-        .as("minhash"))
+    val stackArgs = (0 until K)
+      .map(j => s"$j, mh$j").mkString(", ")
+    minhashWide(shingleTable(s, d))
+      .selectExpr("doc_id", s"stack($K, $stackArgs) AS (j, minhash)")
       .orderBy("doc_id", "j")
   }
 
@@ -122,16 +146,8 @@ object TextQueries {
     // the band join. Persisting them keeps each subtree single-compile
     // and single-execute — at corpus scale you would materialize the
     // signature table anyway (it is the reusable index).
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
-      .select(col("doc_id"), Text.shingles3(col("t")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist()
-    val ex = toks.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sigAggs = (0 until K).map(j =>
-      min(md5(concat(lit(s"$j:"), col("s")))).as(s"mh$j"))
-    val sig = ex.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-      .persist()
+    val toks = shingleTable(s, d).persist()
+    val sig = minhashWide(toks).persist()
     val bandStructs = (0 until B).map { b =>
       val cat = concat_ws(",", (0 until R).map(r => col(s"mh${B * b + r}")): _*)
       struct(lit(b).as("b"), cat.as("bsig"))
@@ -212,17 +228,12 @@ object TextQueries {
         |SELECT doc_id, CAST($bits AS INT) AS simhash
         |FROM b ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tkn"))
-      .select(col("doc_id"), Text.hex4(md5(col("tkn"))).as("v"))
-    val sums = (0 until 16).map(p =>
-      sum(when(shiftright(col("v"), p).bitwiseAND(lit(1)) === 1, 1)
-        .otherwise(-1)).as(s"s$p"))
-    tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    Tables.documents(s, d)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
       .select(col("doc_id"),
-        (0 until 16).map(p =>
-          when(col(s"s$p") > 0, lit(1 << p)).otherwise(lit(0)))
-          .reduce(_ + _).cast("int").as("simhash"))
+        org.apache.spark.sql.graft.GraftText.simhash16(col("t"))
+          .as("simhash"))
       .orderBy("doc_id")
   }
 
@@ -252,22 +263,27 @@ object TextQueries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin
     }) { (s, d) =>
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tkn"))
-      .select(col("doc_id"), Text.hex4(md5(col("tkn"))).as("v"))
-    val sums = (0 until 16).map(p =>
-      sum(when(shiftright(col("v"), p).bitwiseAND(lit(1)) === 1, 1)
-        .otherwise(-1)).as(s"s$p"))
-    val sh = tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 16).map(p =>
-          when(col(s"s$p") > 0, lit(1 << p)).otherwise(lit(0)))
-          .reduce(_ + _).as("sim"))
-    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+    // Compact-pair formulation: aggregate documents to distinct
+    // (simhash, count) first, then pair the distinct values —
+    // hamming(u,v) gets cu*cv pairs (u<v) and C(cu,2) on the diagonal.
+    // Identical histogram to the all-docs pair join the oracle runs,
+    // at ~count-distinct² instead of n_docs² comparisons.
+    val sh = Tables.documents(s, d)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .select(org.apache.spark.sql.graft.GraftText.simhash16(col("t"))
+        .as("sim"))
+      .groupBy(col("sim")).agg(count(lit(1)).as("cnt"))
+    val off = sh.as("a").join(sh.as("b"), col("a.sim") < col("b.sim"))
       .select(bit_count(col("a.sim").bitwiseXOR(col("b.sim")))
-        .cast("int").as("hamming"))
+        .cast("int").as("hamming"),
+        (col("a.cnt") * col("b.cnt")).as("w"))
+    val diag = sh.select(lit(0).as("hamming"),
+      (col("cnt") * (col("cnt") - 1) / 2).cast("long").as("w"))
+    off.unionByName(diag)
       .groupBy(col("hamming"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum(col("w")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
       .orderBy("hamming")
   }
 
@@ -286,11 +302,13 @@ object TextQueries {
       |WHERE length(text) >= 8
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
+      .repartition(32, col("doc_id"))
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"),
-        array_min(Text.charGrams8(col("text"))).as("fingerprint"),
-        size(array_distinct(Text.charGrams8(col("text"))))
-          .as("n_distinct_grams"))
+        org.apache.spark.sql.graft.GraftText.gram8Fingerprint(col("text"))
+          .as("fp"))
+      .select(col("doc_id"), col("fp.fingerprint").as("fingerprint"),
+        col("fp.n_distinct_grams").as("n_distinct_grams"))
       .orderBy("doc_id")
   }
 

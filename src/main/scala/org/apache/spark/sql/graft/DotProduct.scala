@@ -1,0 +1,82 @@
+// Hosted under org.apache.spark.sql because ExpectsInputTypes /
+// AbstractDataType and the classic Column<->Expression bridge are
+// private[sql]; this is the standard packaging for third-party
+// Catalyst expressions built against Spark internals.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/** Native Catalyst dot-product over two double arrays, with
+  * whole-stage codegen (`doGenCode`).
+  *
+  * Why a custom Expression: `aggregate(zip_with(a,b,*),0,+)` has the
+  * right semantics but higher-order-function lambdas are interpreted
+  * per element with a materialized intermediate array — on an
+  * all-pairs similarity join that interpretation dominated the
+  * benchmark (q34: 272s at sf0.1). This expression compiles to a tight
+  * primitive loop inside the WholeStageCodegen stage: no intermediate
+  * array, no per-element virtual calls.
+  *
+  * Semantics match the sequential left fold exactly: accumulation in
+  * index order over doubles, so results stay bitwise identical to the
+  * DuckDB `list_reduce` oracle (IEEE double ops are deterministic once
+  * the order is pinned). Null arrays propagate null; null *elements*
+  * are treated as 0 (the embedding tables carry none).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        acc += x.getDouble(i) * y.getDouble(i)
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Column API: codegen'd dot product of two `array<double>` columns. */
+  def apply(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

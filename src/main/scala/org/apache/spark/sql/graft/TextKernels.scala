@@ -1,0 +1,201 @@
+// Hosted under org.apache.spark.sql (same reason as DotProduct.scala):
+// the Expression wrappers need private[sql] codegen APIs.
+package org.apache.spark.sql.graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-hash kernels as plain JVM loops.
+  *
+  * Why: the declarative formulations (`array_min(transform(sh,
+  * md5(...)))` etc.) are correct but their lambdas evaluate through the
+  * interpreted expression path *per element*; once a session has run
+  * many distinct expression classes the JIT call sites go megamorphic
+  * and per-element interpretation degrades 20-30× (measured: the same
+  * q23 run went 10s → 129s within one JVM). One Expression call per
+  * row with the loop in ordinary compiled Scala is immune: the hot
+  * loop is monomorphic JIT-compiled code regardless of what else runs.
+  *
+  * Hash values are byte-identical to the declarative forms (md5 of
+  * UTF-8 bytes, lower-hex), so the DuckDB oracles are unchanged.
+  */
+object TextKernels {
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  private def md5Hex(bytes: Array[Byte]): Array[Byte] = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(bytes)
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexChars(d(i) & 0xf).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** K MinHash components: element j = min over shingles of
+    * md5("<j>:" + shingle) as lower-hex. Returns array<string>. */
+  def minhash(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val mins = new Array[Array[Byte]](k)
+    var si = 0
+    while (si < n) {
+      val s = shingles.getUTF8String(si).getBytes
+      var j = 0
+      while (j < k) {
+        val salt = java.lang.Integer.toString(j)
+        val buf = new Array[Byte](salt.length + 1 + s.length)
+        var c = 0
+        while (c < salt.length) { buf(c) = salt.charAt(c).toByte; c += 1 }
+        buf(salt.length) = ':'
+        System.arraycopy(s, 0, buf, salt.length + 1, s.length)
+        val h = md5Hex(buf)
+        if (mins(j) == null || compareHex(h, mins(j)) < 0) mins(j) = h
+        j += 1
+      }
+      si += 1
+    }
+    new GenericArrayData(mins.map(m =>
+      if (m == null) null else UTF8String.fromBytes(m)))
+  }
+
+  private def compareHex(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 32) {
+      if (a(i) != b(i)) return (a(i) & 0xff) - (b(i) & 0xff)
+      i += 1
+    }
+    0
+  }
+
+  /** 16-bit SimHash over the token multiset: per-bit ±1 majority vote
+    * on bits of the first 4 hex chars (= first 2 digest bytes) of each
+    * token's md5. Matches the declarative hex4 formulation exactly. */
+  def simhash16(tokens: ArrayData): Int = {
+    val votes = new Array[Int](16)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val md = mdLocal.get()
+      md.reset()
+      val d = md.digest(tokens.getUTF8String(i).getBytes)
+      val v = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      var p = 0
+      while (p < 16) {
+        if (((v >> p) & 1) == 1) votes(p) += 1 else votes(p) -= 1
+        p += 1
+      }
+      i += 1
+    }
+    var out = 0
+    var p = 0
+    while (p < 16) { if (votes(p) > 0) out |= 1 << p; p += 1 }
+    out
+  }
+
+  /** Rolling char-8-gram fingerprint: (min md5 hex, distinct-gram
+    * count) over all 8-byte substrings. Byte-windows equal char
+    * windows for the ASCII corpus; the declarative form uses substr on
+    * chars — both engines agree because the texts are ASCII. */
+  def charGramFingerprint(text: UTF8String): (UTF8String, Int) = {
+    val bytes = text.getBytes
+    if (bytes.length < 8) return (null, 0)
+    var minHex: Array[Byte] = null
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    while (i + 8 <= bytes.length) {
+      val gram = java.util.Arrays.copyOfRange(bytes, i, i + 8)
+      val h = md5Hex(gram)
+      if (minHex == null || compareHex(h, minHex) < 0) minHex = h
+      distinct.add(new String(h, "US-ASCII"))
+      i += 1
+    }
+    (UTF8String.fromBytes(minHex), distinct.size)
+  }
+}
+
+/** `minhash(shingles, k)`: array<string> of K MinHash components. */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, true)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minhash(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.TextKernels.minhash($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** `simhash16(tokens)`: 16-bit SimHash of the token multiset. */
+case class SimHash16(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_simhash16"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simhash16(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.TextKernels.simhash16($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** `gram8_fingerprint(text)`: struct(fingerprint string,
+  * n_distinct_grams int) over rolling char-8-grams. CodegenFallback:
+  * one kernel call per row, so the fallback costs nothing measurable. */
+case class Gram8Fingerprint(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("fingerprint", StringType),
+    StructField("n_distinct_grams", IntegerType)))
+  override def prettyName: String = "graft_gram8"
+
+  override def nullSafeEval(input: Any): Any = {
+    val (fp, n) = TextKernels.charGramFingerprint(
+      input.asInstanceOf[UTF8String])
+    org.apache.spark.sql.catalyst.InternalRow(fp, n)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+object GraftText {
+  def minhash(shingles: Column, k: Int): Column =
+    ExpressionUtils.column(
+      MinHashSignature(ExpressionUtils.expression(shingles), k))
+  def simhash16(tokens: Column): Column =
+    ExpressionUtils.column(
+      SimHash16(ExpressionUtils.expression(tokens)))
+  def gram8Fingerprint(text: Column): Column =
+    ExpressionUtils.column(
+      Gram8Fingerprint(ExpressionUtils.expression(text)))
+}

@@ -80,6 +80,22 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getDouble(1) == 3.0)
   }
 
+  test("DotProduct expression is bitwise-equal to the HOF fold spec") {
+    val vecs = (0 until 50).map(i =>
+      Array.tabulate(64)(j => ((i * 31 + j * 7) % 97) / 97.0f - 0.5f))
+    val df = vecs.zip(vecs.reverse).toDF("a", "b")
+      .select(
+        Vectors.dot(Vectors.toDouble(col("a")),
+          Vectors.toDouble(col("b"))).as("fast"),
+        Vectors.dotFold(Vectors.toDouble(col("a")),
+          Vectors.toDouble(col("b"))).as("spec"))
+    assert(df.filter(col("fast") =!= col("spec")).count() == 0)
+    // null array propagates null
+    val nr = Seq((Option.empty[Array[Double]], Option(Array(1.0))))
+      .toDF("a", "b").select(Vectors.dot(col("a"), col("b"))).head()
+    assert(nr.isNullAt(0))
+  }
+
   test("Vectors.hyperplane is deterministic and lshBucket in range") {
     assert(Vectors.hyperplane(0, 8) == Vectors.hyperplane(0, 8))
     assert(Vectors.hyperplane(0, 64).forall(v => v == 1.0 || v == -1.0))
