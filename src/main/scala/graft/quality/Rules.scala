@@ -112,4 +112,26 @@ object Rules {
     val r = stats.select(col("valid") / col("total")).head().getDouble(0)
     r >= threshold
   }
+
+  /** V16: validity-rate trend over the last N pipeline runs
+    * (`data_quality.py:592-608`): mean/stddev/min/max of
+    * valid/records, plus a degrading flag when the latest run falls
+    * more than one stddev below the mean. Expects the run-metadata table
+    * written by [[graft.sources.Medallion.writeRunMetadata]]. */
+  def trend(runMeta: DataFrame, lastN: Int = 10): DataFrame = {
+    val recent = runMeta
+      .withColumn("rate", col("valid_records") / col("records"))
+      .orderBy(col("run_at").desc)
+      .limit(lastN)
+    recent.agg(
+      count(lit(1)).as("n_runs"),
+      round(avg(col("rate")), 4).as("mean_rate"),
+      round(coalesce(stddev_samp(col("rate")), lit(0.0)), 4)
+        .as("stddev_rate"),
+      round(min(col("rate")), 4).as("min_rate"),
+      round(max(col("rate")), 4).as("max_rate"),
+      round(max_by(col("rate"), col("run_at")), 4).as("latest_rate"))
+      .withColumn("degrading",
+        col("latest_rate") < col("mean_rate") - col("stddev_rate"))
+  }
 }

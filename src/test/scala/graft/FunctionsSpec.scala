@@ -37,6 +37,19 @@ class FunctionsSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(1, 10, -2, 1))
   }
 
+  test("Dedup: composite keys and deterministic keep-latest") {
+    import graft.functions.Dedup
+    val df = Seq(
+      ("u1", "2025-09-01", "a"), ("u1", "2025-09-01", "b"),
+      ("u1", "2025-09-02", "c"), ("u2", "2025-09-01", "d"))
+      .toDF("k", "day", "v")
+    assert(Dedup.byComposite(df, Seq("k", "day")).count() == 3)
+    val latest = Dedup.keepLatest(df, "k", "day", tieBreak = Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    // u1: latest day 09-02 -> c; tie-break picks max v when days tie
+    assert(latest == Map("u1" -> "c", "u2" -> "d"))
+  }
+
   test("Analytics.modeDeterministic breaks count ties with min value") {
     // u1: a=2,b=2 -> tie -> 'a'; u2: b=2,a=1 -> 'b'
     val df = Seq(

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.functions.{EventWeights, Vectors}
+import graft.multimodal.Media
+import org.apache.spark.sql.graft.TextKernels
+
+/** Property-based coverage of the pure kernels (SURVEY §5 test plan:
+  * bucket totality, weight-map totality, hash determinism/bounds). */
+object KernelProps extends Properties("graft.kernels") {
+
+  private val token: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(12))
+  private val tokenList: Gen[List[String]] =
+    Gen.nonEmptyListOf(token).map(_.take(200))
+
+  private def arr(xs: Seq[String]): GenericArrayData =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+
+  property("minhash: K components, deterministic, each a 32-hex md5") =
+    Prop.forAll(tokenList) { ts =>
+      val a = TextKernels.minhash(arr(ts), 16)
+      val b = TextKernels.minhash(arr(ts), 16)
+      a.numElements() == 16 &&
+        (0 until 16).forall { j =>
+          val x = a.getUTF8String(j).toString
+          x == b.getUTF8String(j).toString &&
+            x.length == 32 && x.forall("0123456789abcdef".contains(_))
+        }
+    }
+
+  property("minhash: adding a shingle never raises any component") =
+    Prop.forAll(tokenList, token) { (ts, extra) =>
+      val base = TextKernels.minhash(arr(ts), 16)
+      val more = TextKernels.minhash(arr(ts :+ extra), 16)
+      (0 until 16).forall { j =>
+        more.getUTF8String(j).toString <= base.getUTF8String(j).toString
+      }
+    }
+
+  property("simhash16: in [0, 65536) and deterministic") =
+    Prop.forAll(tokenList) { ts =>
+      val v = TextKernels.simhash16(arr(ts))
+      v >= 0 && v < 65536 && v == TextKernels.simhash16(arr(ts))
+    }
+
+  property("charGramFingerprint: distinct grams bounded by window count") =
+    Prop.forAll(Gen.alphaNumStr.suchThat(_.length >= 8)) { text =>
+      val (fp, n) = TextKernels.charGramFingerprint(
+        UTF8String.fromString(text))
+      fp != null && n >= 1 && n <= text.length - 7
+    }
+
+  property("event weights: total function with default for unknowns") =
+    Prop.forAll(Gen.alphaStr) { et =>
+      EventWeights.reference.getOrElse(et, 1) match {
+        case w => w >= -2 && w <= 10
+      }
+    }
+
+  property("hyperplanes: deterministic ±1, differ across bits") =
+    Prop.forAll(Gen.choose(0, 15)) { p =>
+      val h = Vectors.hyperplane(p, 64)
+      h == Vectors.hyperplane(p, 64) &&
+        h.forall(v => v == 1.0 || v == -1.0) &&
+        (p == 0 || h != Vectors.hyperplane(0, 64))
+    }
+
+  property("decodeStub: histogram is a distribution over 16 bins") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0, 255))) { bs =>
+      val (hist, mean) = Media.decodeStub(bs.map(_.toByte).toArray)
+      hist.length == 16 &&
+        math.abs(hist.sum - 1.0) < 1e-9 &&
+        mean >= 0.0 && mean <= 255.0
+    }
+}

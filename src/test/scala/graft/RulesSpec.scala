@@ -55,4 +55,21 @@ class RulesSpec extends SparkSpec {
     assert(!Rules.gate(Rules.batchStats(df, rules), 0.8))
     assert(Rules.gate(Rules.batchStats(df, rules), 0.3))
   }
+
+  test("trend (V16): rolling validity-rate stats + degradation flag") {
+    val meta = Seq(
+      ("p", 100L, 95L, 1.0, java.sql.Timestamp.valueOf("2025-09-01 00:00:00")),
+      ("p", 100L, 96L, 1.0, java.sql.Timestamp.valueOf("2025-09-02 00:00:00")),
+      ("p", 100L, 94L, 1.0, java.sql.Timestamp.valueOf("2025-09-03 00:00:00")),
+      ("p", 100L, 50L, 1.0, java.sql.Timestamp.valueOf("2025-09-04 00:00:00")))
+      .toDF("pipeline", "records", "valid_records", "duration_sec", "run_at")
+    val t = Rules.trend(meta, lastN = 10).head()
+    assert(t.getAs[Long]("n_runs") == 4)
+    assert(t.getAs[Double]("latest_rate") == 0.5)
+    assert(t.getAs[Double]("min_rate") == 0.5)
+    assert(t.getAs[Boolean]("degrading"))
+    // stable history: not degrading
+    val stable = Rules.trend(meta.filter(col("valid_records") > 90)).head()
+    assert(!stable.getAs[Boolean]("degrading"))
+  }
 }

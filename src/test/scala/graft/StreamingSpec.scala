@@ -87,6 +87,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.getAs[Double]("conversion_rate") == 100.0)
   }
 
+  test("Monitor listener records per-query progress (T9)") {
+    implicit val sqlCtx = spark.sqlContext
+    val m = graft.streaming.Monitor.attach(spark)
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = mem.toDF().groupBy(col("event_type")).count()
+      .writeStream.format("memory").queryName("mon_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    // listener delivery is async; poll briefly
+    var tries = 0
+    var st = m.snapshot.values.find(_.name == "mon_test")
+    while (st.isEmpty || st.exists(_.totalRows < 5) && tries < 50) {
+      Thread.sleep(100); tries += 1
+      st = m.snapshot.values.find(_.name == "mon_test")
+    }
+    assert(st.exists(_.totalRows == 5))
+    assert(st.exists(_.batches >= 1))
+    spark.streams.removeListener(m)
+  }
+
   test("bronzeLanding partitions by event-time y/m/d/h") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
