@@ -144,5 +144,90 @@ object VectorQueries {
       .limit(20)
   }
 
-  val all: Seq[QueryDef] = Seq(q32, q33, q34)
+  /** q35b-alternative scale path — IVF (inverted-file) ANN: a coarse
+    * quantizer (deterministically sampled centroids, `vec_id % 32 ==
+    * 0`, so the centroid count grows with the table), each vector
+    * assigned to its nearest centroid by cosine, queries probing their
+    * `nprobe`=2 nearest cells. The classic recall/fan-out trade next
+    * to hyperplane LSH (q33): cells adapt to the data distribution
+    * where LSH cuts blindly. Centroids broadcast; assignment is one
+    * linear pass; the probe join touches only 2/C of the table per
+    * query. */
+  val q38 = QueryDef(
+    "q38_ann_ivf", {
+      val dot = Vectors.dotSql("v.e", "c.e", DIM)
+      normCte +
+        s""",
+        |cent AS (SELECT vec_id AS cid, e, nrm FROM n
+        |         WHERE vec_id % 32 = 0),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT v.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |        ${Vectors.dotSql("v.e", "c.e", DIM)} / (v.nrm * c.nrm)
+        |          DESC, c.cid) AS rc
+        |    FROM n v CROSS JOIN cent c)
+        |  WHERE rc = 1),
+        |probe AS (
+        |  SELECT vec_id AS query_id, cid FROM (
+        |    SELECT v.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |        ${Vectors.dotSql("v.e", "c.e", DIM)} / (v.nrm * c.nrm)
+        |          DESC, c.cid) AS rc
+        |    FROM n v CROSS JOIN cent c WHERE v.vec_id < 25)
+        |  WHERE rc <= 2),
+        |s AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    ${Vectors.dotSql("q.e", "x.e", DIM)} / (q.nrm * x.nrm) AS sim
+        |  FROM probe p
+        |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+        |  JOIN n q ON q.vec_id = p.query_id
+        |  JOIN n x ON x.vec_id = a.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM (SELECT DISTINCT query_id, neighbor_id, sim FROM s))
+        |SELECT query_id, rnk, neighbor_id, ROUND(sim, 6) AS cosine
+        |FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin
+    }) { (s, d) =>
+    val n = normed(s, d)
+    val cent = n.filter(col("vec_id") % 32 === 0)
+      .select(col("vec_id").as("cid"), col("e").as("ce"),
+        col("nrm").as("cn"))
+    def nearestCells(vecs: org.apache.spark.sql.DataFrame, keep: Int,
+                     idAs: String) = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy((Vectors.dot(col("e"), col("ce"))
+          / (col("nrm") * col("cn"))).desc, col("cid"))
+      vecs.crossJoin(broadcast(cent))
+        .withColumn("rc", row_number().over(w))
+        .filter(col("rc") <= keep)
+        .select(col("vec_id").as(idAs), col("cid"))
+    }
+    val assign = nearestCells(n, 1, "vec_id")
+    val probe = nearestCells(n.filter(col("vec_id") < 25), 2, "query_id")
+    val sims = probe
+      .join(assign, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+      .join(n.select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .join(n.select(col("vec_id").as("neighbor_id"), col("e"),
+        col("nrm")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Vectors.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+          .as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("sim"), 6).as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  val all: Seq[QueryDef] = Seq(q32, q33, q34, q38)
 }

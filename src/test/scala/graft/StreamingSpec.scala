@@ -108,6 +108,21 @@ class StreamingSpec extends SparkSpec {
     spark.streams.removeListener(m)
   }
 
+  test("fanOutQuery lands user/product/signal sinks per batch (T6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val base = java.nio.file.Files.createTempDirectory("fanout").toString
+    val q = Features.fanOutQuery(mem.toDF(),
+      s"$base/user", s"$base/prod", s"$base/signals", s"$base/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(s"$base/user").count() == 5)
+    // product rollup: one row per product in the batch
+    assert(spark.read.parquet(s"$base/prod").count() == 3)
+    // high-value signals: add_to_cart + purchase
+    assert(spark.read.parquet(s"$base/signals").count() == 2)
+  }
+
   test("bronzeLanding partitions by event-time y/m/d/h") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
