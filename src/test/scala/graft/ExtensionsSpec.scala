@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftFunctions
+
+import graft.functions.Skew
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_* functions callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(dot == 11.0)
+    val sh = spark.sql(
+      "SELECT graft_simhash16(array('a','b','c')) AS s").head().getInt(0)
+    assert(sh >= 0 && sh < 65536)
+    val mh = spark.sql(
+      "SELECT size(graft_minhash(array('x y z'))) AS n").head().getInt(0)
+    assert(mh == 16)
+    val fp = spark.sql(
+      "SELECT graft_gram8_fingerprint('abcdefghij').n_distinct_grams AS n")
+      .head().getInt(0)
+    assert(fp == 3)
+  }
+
+  test("salted aggregation equals direct aggregation on a hot key") {
+    val rows = (1 to 1000).map(i => ("hot", i.toDouble)) ++
+      (1 to 10).map(i => (s"k$i", i.toDouble))
+    val df = rows.toDF("k", "v")
+    val direct = df.groupBy(col("k"))
+      .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    val salted = Skew.saltedSumCount(df, "k", "v", buckets = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    assert(salted == direct)
+  }
+
+  test("salt is deterministic (safe under task retries)") {
+    val df = Seq((1, 2.0), (1, 2.0)).toDF("a", "b")
+      .select(Skew.salt(16, col("a"), col("b")).as("s"))
+    val vals = df.collect().map(_.getInt(0))
+    assert(vals(0) == vals(1) && vals(0) >= 0 && vals(0) < 16)
+  }
+}
