@@ -29,23 +29,44 @@ object Bench {
     // stalls (big Janino classes waiting on C1/C2) inflate a single
     // pass nondeterministically; steady-state latency is the honest
     // per-query number and is what a long-lived cluster session sees.
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A pass that throws is NOT a timing: the query's reported value
+    // becomes -1 and the error surfaces in the JSON "errors" map, so a
+    // regression can never make the bench look faster.
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").replace('\n', ' ').take(160))
+      }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = timeOnce(fn)
-      val b = timeOnce(fn)
-      val dt = math.min(a, b)
+      val (a, ea) = timeOnce(fn)
+      val (b, eb) = timeOnce(fn)
+      // No query may leave cached/persisted state behind to skew its
+      // successors (round-1 lesson: q24's persist survived 30+ queries).
+      spark.catalog.clearCache()
+      val err = ea.orElse(eb)
+      val dt = if (err.isDefined) -1.0 else math.min(a, b)
       System.err.println(
-        f"[bench] $name min=$dt%.1fs (runs $a%.1f/$b%.1f) | ${jvmDiag()}")
-      name -> dt
+        f"[bench] $name min=$dt%.1fs (runs $a%.1f/$b%.1f)" +
+          err.fold("")(m => s" ERR $m") + s" | ${jvmDiag()}")
+      (name, dt, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

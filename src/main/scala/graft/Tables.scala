@@ -23,9 +23,18 @@ object Tables {
     * to a µs timestamp — exactly what DuckDB does on read (it coerces
     * timestamp_ns to µs `timestamp`), so both engines see identical
     * values. The exact ns long stays available as `ts_ns`.
+    *
+    * `spark.sql.legacy.parquet.nanosAsLong=true` must be set when the
+    * session is BUILT (Bench / Verify / SparkSpec all do); a loader must
+    * not mutate shared session conf as a side effect. We fail fast with
+    * a clear message instead.
     */
   private def eventsNs(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"),
+      "events.parquet uses TIMESTAMP(NANOS): build the SparkSession with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true")
     load(spark, dir, "events")
       .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
       .withColumn("ts",

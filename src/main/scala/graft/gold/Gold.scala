@@ -53,7 +53,14 @@ object Gold {
       countDistinct(col("session_id")).as("unique_sessions"),
       sum(col("event_weight")).as("total_engagement"),
       round(avg(col("product_price")), 2).as("avg_price"),
-      first(col("product_category"), ignoreNulls = true).as("category"))
+      // A8 with pinned ordering (SURVEY A8 ⚠): the category of the
+      // LATEST event carrying one, ties broken by event_id — a bare
+      // first(ignoreNulls) would be partition-order nondeterministic.
+      // max_by skips rows whose ordering struct is null, which is how
+      // null categories are ignored.
+      max_by(col("product_category"),
+        when(col("product_category").isNotNull,
+          struct(col("ts"), col("event_id")))).as("category"))
       .withColumn("popularity_score",
         round(lit(0.5) * col("unique_viewers")
           + lit(0.3) * col("total_interactions")

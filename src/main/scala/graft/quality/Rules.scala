@@ -65,8 +65,33 @@ object Rules {
   def emailValid(c: Column): Column =
     c.isNull || c.rlike("^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")
 
-  /** V10: ISO-3166 alpha-2 membership (callers pass the code set). */
-  def countryCode(c: Column, iso2: Seq[String]): Column =
+  /** The ISO-3166-1 alpha-2 code set (public standard, 249 codes; the
+    * reference embeds the same set, `data_quality.py:469-491`). */
+  val iso2Codes: Seq[String] = Seq(
+    "AD", "AE", "AF", "AG", "AI", "AL", "AM", "AO", "AQ", "AR", "AS", "AT",
+    "AU", "AW", "AX", "AZ", "BA", "BB", "BD", "BE", "BF", "BG", "BH", "BI",
+    "BJ", "BL", "BM", "BN", "BO", "BQ", "BR", "BS", "BT", "BV", "BW", "BY",
+    "BZ", "CA", "CC", "CD", "CF", "CG", "CH", "CI", "CK", "CL", "CM", "CN",
+    "CO", "CR", "CU", "CV", "CW", "CX", "CY", "CZ", "DE", "DJ", "DK", "DM",
+    "DO", "DZ", "EC", "EE", "EG", "EH", "ER", "ES", "ET", "FI", "FJ", "FK",
+    "FM", "FO", "FR", "GA", "GB", "GD", "GE", "GF", "GG", "GH", "GI", "GL",
+    "GM", "GN", "GP", "GQ", "GR", "GS", "GT", "GU", "GW", "GY", "HK", "HM",
+    "HN", "HR", "HT", "HU", "ID", "IE", "IL", "IM", "IN", "IO", "IQ", "IR",
+    "IS", "IT", "JE", "JM", "JO", "JP", "KE", "KG", "KH", "KI", "KM", "KN",
+    "KP", "KR", "KW", "KY", "KZ", "LA", "LB", "LC", "LI", "LK", "LR", "LS",
+    "LT", "LU", "LV", "LY", "MA", "MC", "MD", "ME", "MF", "MG", "MH", "MK",
+    "ML", "MM", "MN", "MO", "MP", "MQ", "MR", "MS", "MT", "MU", "MV", "MW",
+    "MX", "MY", "MZ", "NA", "NC", "NE", "NF", "NG", "NI", "NL", "NO", "NP",
+    "NR", "NU", "NZ", "OM", "PA", "PE", "PF", "PG", "PH", "PK", "PL", "PM",
+    "PN", "PR", "PS", "PT", "PW", "PY", "QA", "RE", "RO", "RS", "RU", "RW",
+    "SA", "SB", "SC", "SD", "SE", "SG", "SH", "SI", "SJ", "SK", "SL", "SM",
+    "SN", "SO", "SR", "SS", "ST", "SV", "SX", "SY", "SZ", "TC", "TD", "TF",
+    "TG", "TH", "TJ", "TK", "TL", "TM", "TN", "TO", "TR", "TT", "TV", "TW",
+    "TZ", "UA", "UG", "UM", "US", "UY", "UZ", "VA", "VC", "VE", "VG", "VI",
+    "VN", "VU", "WF", "WS", "YE", "YT", "ZA", "ZM", "ZW")
+
+  /** V10: ISO-3166 alpha-2 membership; defaults to [[iso2Codes]]. */
+  def countryCode(c: Column, iso2: Seq[String] = iso2Codes): Column =
     c.isNull || upper(c).isin(iso2: _*)
 
   /** V11: string length bounds; null passes. */
@@ -87,11 +112,10 @@ object Rules {
     flagged.withColumn("_valid", valid)
   }
 
-  /** V13+V14: one-row batch statistics — total/valid counts, per-rule
-    * failure counts, validity rate, and the reference's quality score
-    * `max(0, 100 − 10·critical_fails − 5·error_fails)` scaled per-row
-    * (`data_quality.py:541-573` applies it per batch; we keep its
-    * weights). */
+  /** V13 (flat form): one-row batch statistics — total/valid counts,
+    * per-rule failure counts, validity rate. The severity-weighted
+    * quality score and recommendation live in [[qualitySummary]] (V14);
+    * the top-10 failure ranking in [[topFailingRules]]. */
   def batchStats(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val ev = evaluate(df, rules)
     val perRule = rules.map(r =>
@@ -104,6 +128,58 @@ object Rules {
     ev.agg(aggs.head, aggs.tail: _*)
       .withColumn("validity_rate",
         round(col("valid") * lit(100.0) / col("total"), 2))
+  }
+
+  /** V13: the top-N failing rules, most failures first (the
+    * reference's `top_failures`, `data_quality.py:536-537`). Rules with
+    * zero failures never appear (matching the reference, whose failure
+    * dict only ever gains keys on a failure); ties break on rule name
+    * for determinism. One aggregation + an unpivot of the 1-row frame —
+    * no extra scan per rule. */
+  def topFailingRules(df: DataFrame, rules: Seq[Rule],
+                      n: Int = 10): DataFrame = {
+    val ev = evaluate(df, rules)
+    val perRule = rules.map(r =>
+      sum(when(!col(s"_pass_${r.name}"), 1).otherwise(0))
+        .cast("long").as(s"fail_${r.name}"))
+    val stackArgs = rules
+      .map(r => s"'${r.name}', fail_${r.name}").mkString(", ")
+    ev.agg(perRule.head, perRule.tail: _*)
+      .selectExpr(s"stack(${rules.size}, $stackArgs) AS (rule_name, n_failed)")
+      .filter(col("n_failed") > 0)
+      .orderBy(col("n_failed").desc, col("rule_name"))
+      .limit(n)
+  }
+
+  /** V14: the reference's headline quality summary
+    * (`data_quality.py:541-573`): failed-check counts by severity, the
+    * quality score `max(0, 100 − (10·critical + 5·error))`, and the
+    * recommendation string. Counts are failed rule INSTANCES
+    * (record × rule), exactly as the reference accumulates them. One
+    * scan, one 1-row reduce. */
+  def qualitySummary(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val ev = evaluate(df, rules)
+    def issues(sel: Severity => Boolean): Column =
+      rules.filter(r => sel(r.severity))
+        .map(r => sum(when(!col(s"_pass_${r.name}"), 1L).otherwise(0L)))
+        .reduceOption(_ + _).getOrElse(lit(0L)).cast("long")
+    ev.agg(
+      issues(_ => true).as("total_validation_issues"),
+      issues(_ == Critical).as("critical_issues"),
+      issues(_ == Error).as("error_issues"))
+      .withColumn("quality_score",
+        greatest(lit(0L), lit(100L) -
+          (col("critical_issues") * Critical.weight +
+            col("error_issues") * Error.weight)))
+      .withColumn("recommendation",
+        when(col("critical_issues") > 0,
+          "CRITICAL: Address critical data quality issues before proceeding")
+          .when(col("error_issues") >
+            col("total_validation_issues") * 0.1,
+            "HIGH: Significant data quality issues detected, review data sources")
+          .when(col("error_issues") > 0,
+            "MEDIUM: Minor data quality issues, monitor and improve data collection")
+          .otherwise("GOOD: Data quality is acceptable"))
   }
 
   /** V15: the quality gate — true when the batch passes the threshold

@@ -54,5 +54,87 @@ object QualityQueries {
     Rules.batchStats(Tables.events(s, d), eventRules)
   }
 
-  val all: Seq[QueryDef] = Seq(q35)
+  /** q39 — V14 headline quality summary over the same event rule set:
+    * failed-check counts by severity, the reference's quality score
+    * `max(0, 100 − (10·critical + 5·error))`, and the recommendation
+    * string (`data_quality.py:541-573`). */
+  val q39 = QueryDef(
+    "q39_quality_summary",
+    """WITH f AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS f_user,
+      |    CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS f_ts,
+      |    CAST(SUM(CASE WHEN event_type IS NOT NULL
+      |      AND event_type NOT IN ('view','click','purchase')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS f_type,
+      |    CAST(SUM(CASE WHEN value IS NOT NULL
+      |      AND (value < 0 OR value > 100)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS f_value,
+      |    CAST(SUM(CASE WHEN props IS NOT NULL AND NOT (
+      |      length(props) BETWEEN 2 AND 64
+      |      AND regexp_matches(props, '^\{.*\}$'))
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS f_props
+      |  FROM events),
+      |s AS (
+      |  SELECT f_user + f_ts + f_type + f_value + f_props
+      |      AS total_validation_issues,
+      |    f_user + f_ts AS critical_issues,
+      |    f_type + f_value AS error_issues
+      |  FROM f)
+      |SELECT total_validation_issues, critical_issues, error_issues,
+      |  GREATEST(0, 100 - (critical_issues * 10 + error_issues * 5))
+      |    AS quality_score,
+      |  CASE
+      |    WHEN critical_issues > 0
+      |      THEN 'CRITICAL: Address critical data quality issues before proceeding'
+      |    WHEN error_issues > total_validation_issues * 0.1
+      |      THEN 'HIGH: Significant data quality issues detected, review data sources'
+      |    WHEN error_issues > 0
+      |      THEN 'MEDIUM: Minor data quality issues, monitor and improve data collection'
+      |    ELSE 'GOOD: Data quality is acceptable'
+      |  END AS recommendation
+      |FROM s""".stripMargin) { (s, d) =>
+    Rules.qualitySummary(Tables.events(s, d), eventRules)
+  }
+
+  /** Rule set giving V10 a real caller: the nation table with a derived
+    * alpha-2 code (first two letters of the name) checked against the
+    * shipped ISO-3166 set — a mixed pass/fail population by design. */
+  def nationRules: Seq[Rule] = Seq(
+    Rule("name_required", Critical, Rules.required(col("n_name"))),
+    Rule("region_range", Error,
+      Rules.numericRange(col("n_regionkey"), 0.0, 3.0)),
+    Rule("country_iso2", Warning,
+      Rules.countryCode(substring(col("n_name"), 1, 2))))
+
+  /** q40 — V13 top-failing-rules ranking (most failures first, rules
+    * with zero failures excluded, `data_quality.py:536-537`). */
+  val q40 = QueryDef(
+    "q40_top_failing_rules", {
+      val iso = Rules.iso2Codes.map(c => s"'$c'").mkString(", ")
+      s"""WITH f AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN n_name IS NULL OR n_name = ''
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS f_name,
+        |    CAST(SUM(CASE WHEN n_regionkey IS NOT NULL
+        |      AND (n_regionkey < 0 OR n_regionkey > 3)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS f_region,
+        |    CAST(SUM(CASE WHEN n_name IS NOT NULL
+        |      AND upper(substr(n_name, 1, 2)) NOT IN ($iso)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS f_cc
+        |  FROM nation)
+        |SELECT rule_name, n_failed FROM (
+        |  SELECT 'name_required' AS rule_name, f_name AS n_failed FROM f
+        |  UNION ALL SELECT 'region_range', f_region FROM f
+        |  UNION ALL SELECT 'country_iso2', f_cc FROM f)
+        |WHERE n_failed > 0
+        |ORDER BY n_failed DESC, rule_name
+        |LIMIT 10""".stripMargin
+    }) { (s, d) =>
+    Rules.topFailingRules(Tables.nation(s, d), nationRules)
+  }
+
+  val all: Seq[QueryDef] = Seq(q35, q39, q40)
 }

@@ -25,7 +25,19 @@ object TextQueries {
   import org.apache.spark.sql.{DataFrame, SparkSession}
 
   /** Tokenized shingle lists per document (tokens materialized in
-    * their own projection — see [[Text.shingles3]] perf note). */
+    * their own projection — see [[Text.shingles3]] perf note).
+    *
+    * The ≥3-token filter runs on `size(t)` BEFORE the shingle
+    * projection, never on `size(sh)` after it: a post-shingle
+    * `filter(size(sh) > 0)` gets pushed below the projections and
+    * Catalyst substitutes the whole shingles3 expression into the
+    * predicate with `split(text)` re-inlined INSIDE the transform
+    * lambda — re-tokenizing the document once per shingle element,
+    * O(tokens²) interpreted per row (measured 10-30× the cost of the
+    * entire rest of the pipeline; this, not hashing, was the round-1
+    * q23/q24 bench bottleneck). The size(t) form pushes down as one
+    * linear `size(split(text, ' ')) >= 3` per row and is equivalent:
+    * sh is non-empty iff the document has ≥3 tokens. */
   private def shingleTable(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       // one small parquet file reads as ONE input partition; without
@@ -34,22 +46,44 @@ object TextQueries {
       // it unnecessary, but it must not be the code's assumption)
       .repartition(32, col("doc_id"))
       .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
       .select(col("doc_id"), Text.shingles3(col("t")).as("sh"))
-      .filter(size(col("sh")) > 0)
 
   /** Wide MinHash signature table (doc_id, mh0..mh15) as a pure
-    * per-row projection: `array_min(transform(sh, md5(salt:x)))` per
-    * permutation — no explode, no shuffle, no aggregation. This is the
-    * embarrassingly-parallel formulation (each document's signature
-    * depends only on its own shingles), which is exactly what you want
-    * fanned across a 1000-executor cluster. */
+    * per-row projection — no explode, no shuffle, no aggregation. This
+    * is the embarrassingly-parallel formulation (each document's
+    * signature depends only on its own shingles), which is exactly what
+    * you want fanned across a 1000-executor cluster.
+    *
+    * Hash family: ONE md5 per shingle + K universal-hash permutations
+    * `(a + j·b) mod 2^32` (a = digest bytes 0–3, b = bytes 4–7 forced
+    * odd) — 16× less hashing than salted-md5-per-permutation, which
+    * keeps the kernel fast even if the JVM degrades to interpreted
+    * execution (the round-1 driver bench pathology, NOTES_r1 #3). */
   private def minhashWide(shingles: DataFrame): DataFrame =
     shingles
       .select(col("doc_id"),
-        org.apache.spark.sql.graft.GraftText.minhash(col("sh"), K)
+        org.apache.spark.sql.graft.GraftText.minhashU32(col("sh"), K)
           .as("mh"))
       .select(col("doc_id") +:
         (0 until K).map(j => element_at(col("mh"), j + 1).as(s"mh$j")): _*)
+
+  /** DuckDB rendering of one unsigned-32 value from 8 hex chars of an
+    * md5 starting at 1-based position `start` (column `hx`). */
+  private def hexU32Sql(start: Int): String =
+    (0 until 8).map { i =>
+      s"CAST(strpos('0123456789abcdef', substr(hx, ${start + i}, 1)) - 1" +
+        s" AS BIGINT) * ${1L << (4 * (7 - i))}"
+    }.mkString("(", " + ", ")")
+
+  /** Shared oracle CTE: per-shingle (a, hb) universal-hash parameters,
+    * mirroring [[org.apache.spark.sql.graft.TextKernels.minhashU32]].
+    * Permutation j of a shingle is `(a + j*hb) % 4294967296`. */
+  private val abCte =
+    s"""ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+      |ab AS (
+      |  SELECT doc_id, ${hexU32Sql(1)} AS a, (${hexU32Sql(9)} | 1) AS hb
+      |  FROM (SELECT doc_id, md5(s) AS hx FROM ex))""".stripMargin
 
   /** Shared oracle CTEs: tokens and shingle lists per document. */
   private val tokCte =
@@ -82,22 +116,23 @@ object TextQueries {
       .orderBy("source")
   }
 
-  /** q23 — MinHash signatures (K=16 permutations) as salted-md5 string
-    * minima: lexicographic min of fixed-width hex == numeric min, so
-    * the signature is engine-independent with zero hex→int conversion.
-    * One explode + one (doc_id, j) groupBy with map-side combine. */
+  /** q23 — MinHash signatures (K=16 permutations) as the minimum of
+    * `(a + j·b) mod 2^32` universal hashes over each document's
+    * shingles (one md5 per shingle). Pure per-row projection — no
+    * explode, no aggregation shuffle; the unsigned-32 values are
+    * engine-independent integers. */
   val q23 = QueryDef(
     "q23_minhash_signature",
-    tokCte +
+    tokCte + ",\n" + abCte +
       """,
-      |ex AS (SELECT doc_id, unnest(sh) AS s FROM shl)
-      |SELECT doc_id, j,
-      |  min(md5(CAST(j AS VARCHAR) || ':' || s)) AS minhash
-      |FROM ex CROSS JOIN range(16) AS r(j)
-      |GROUP BY doc_id, j
+      |sig AS (
+      |  SELECT doc_id, j, min((a + j * hb) % 4294967296) AS minhash
+      |  FROM ab CROSS JOIN range(16) AS r(j)
+      |  GROUP BY doc_id, j)
+      |SELECT doc_id, j, minhash FROM sig
       |ORDER BY doc_id, j""".stripMargin) { (s, d) =>
     val stackArgs = (0 until K)
-      .map(j => s"$j, mh$j").mkString(", ")
+      .map(j => s"${j}L, mh$j").mkString(", ")
     minhashWide(shingleTable(s, d))
       .selectExpr("doc_id", s"stack($K, $stackArgs) AS (j, minhash)")
       .orderBy("doc_id", "j")
@@ -112,15 +147,15 @@ object TextQueries {
   val q24 = QueryDef(
     "q24_lsh_near_dup", {
       val sigCols = (0 until K)
-        .map(j => s"min(md5('$j:' || s)) AS mh$j").mkString(", ")
+        .map(j => s"min((a + $j * hb) % 4294967296) AS mh$j").mkString(", ")
       val bandCase = (0 until B).map { b =>
-        val cat = (0 until R).map(r => s"mh${B * b + r}").mkString(" || ',' || ")
+        val cat = (0 until R).map(r => s"CAST(mh${B * b + r} AS VARCHAR)")
+          .mkString(" || ',' || ")
         s"WHEN $b THEN $cat"
       }.mkString(" ")
-      tokCte +
+      tokCte + ",\n" + abCte +
         s""",
-        |ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
-        |sig AS (SELECT doc_id, $sigCols FROM ex GROUP BY doc_id),
+        |sig AS (SELECT doc_id, $sigCols FROM ab GROUP BY doc_id),
         |bands AS (
         |  SELECT doc_id, b, CASE b $bandCase END AS bsig
         |  FROM sig CROSS JOIN range($B) AS r(b)),
@@ -141,13 +176,15 @@ object TextQueries {
         |FROM jac WHERE j >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, d) =>
-    // The shingle table feeds three consumers (signatures + both sides
-    // of the verify join) and the signature table feeds both sides of
-    // the band join. Persisting them keeps each subtree single-compile
-    // and single-execute — at corpus scale you would materialize the
-    // signature table anyway (it is the reusable index).
-    val toks = shingleTable(s, d).persist()
-    val sig = minhashWide(toks).persist()
+    // Linear broadcast-only plan: the signature/shingle subtrees are
+    // cheap per-row projections (one md5 per shingle), so recomputing
+    // them per join side beats caching — no persist() state, no cache
+    // eviction sensitivity, and every join below broadcasts a small
+    // side (bands ~4 rows/doc of short strings; candidates are bounded
+    // by the LSH band contract). At corpus scale you would materialize
+    // the signature table as a reusable index instead; the plan shape
+    // (band equi-join → bounded candidates → exact verify) is the same.
+    val sig = minhashWide(shingleTable(s, d))
     val bandStructs = (0 until B).map { b =>
       val cat = concat_ws(",", (0 until R).map(r => col(s"mh${B * b + r}")): _*)
       struct(lit(b).as("b"), cat.as("bsig"))
@@ -156,19 +193,22 @@ object TextQueries {
       explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.b").as("b"), col("bs.bsig").as("bsig"))
     val cand = bands.as("x")
-      .join(bands.as("y"),
+      .join(broadcast(bands.as("y")),
         col("x.b") === col("y.b") && col("x.bsig") === col("y.bsig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    val sets = toks.select(col("doc_id"), array_distinct(col("sh")).as("st"))
-    val inter = size(array_intersect(col("sa.st"), col("sb.st")))
-    cand
-      .join(sets.as("sa"), col("sa.doc_id") === col("da"))
-      .join(sets.as("sb"), col("sb.doc_id") === col("db"))
+    val sets = shingleTable(s, d)
+      .select(col("doc_id"), array_distinct(col("sh")).as("st"))
+    val left = sets.join(broadcast(cand), col("doc_id") === col("da"))
+      .select(col("da"), col("db"), col("st").as("sta"))
+    val pairs = sets.join(broadcast(left), col("doc_id") === col("db"))
+      .select(col("da"), col("db"), col("sta"), col("st").as("stb"))
+    val inter = size(array_intersect(col("sta"), col("stb")))
+    pairs
       .select(col("da"), col("db"),
         (inter.cast("double") /
-          (size(col("sa.st")) + size(col("sb.st")) - inter)).as("j"))
+          (size(col("sta")) + size(col("stb")) - inter)).as("j"))
       .filter(col("j") >= 0.8)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         round(col("j"), 4).as("jaccard"))
@@ -191,12 +231,14 @@ object TextQueries {
       |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
       |ORDER BY jaccard DESC, doc_a, doc_b
       |LIMIT 10""".stripMargin) { (s, d) =>
+    // ≥3-token filter BEFORE the shingle projection (same O(tokens²)
+    // pushdown trap as shingleTable — see its doc).
     val sets = Tables.documents(s, d)
       .filter(col("doc_id") < 100)
       .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
         array_distinct(Text.shingles3(col("t"))).as("st"))
-      .filter(size(col("st")) > 0)
     val inter = size(array_intersect(col("a.st"), col("b.st")))
     sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -264,25 +306,24 @@ object TextQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin
     }) { (s, d) =>
     // Compact-pair formulation: aggregate documents to distinct
-    // (simhash, count) first, then pair the distinct values —
-    // hamming(u,v) gets cu*cv pairs (u<v) and C(cu,2) on the diagonal.
-    // Identical histogram to the all-docs pair join the oracle runs,
-    // at ~count-distinct² instead of n_docs² comparisons.
+    // (simhash, count) first — bounded at 65,536 rows by the 16-bit
+    // signature space — then compute the full pair histogram in ONE
+    // kernel call over the collected (sim, cnt) list (hamming(u,v)
+    // weighted cu*cv off-diagonal, C(cu,2) on the diagonal). Identical
+    // histogram to the all-docs pair join the oracle runs, with no
+    // non-equi θ-join (the round-1 plan was a 12.5M-pair
+    // BroadcastNestedLoopJoin); the O(D²) loop is a bounded constant
+    // at any corpus size.
     val sh = Tables.documents(s, d)
       .repartition(32, col("doc_id"))
       .select(col("doc_id"), Text.tokens(col("text")).as("t"))
       .select(org.apache.spark.sql.graft.GraftText.simhash16(col("t"))
         .as("sim"))
       .groupBy(col("sim")).agg(count(lit(1)).as("cnt"))
-    val off = sh.as("a").join(sh.as("b"), col("a.sim") < col("b.sim"))
-      .select(bit_count(col("a.sim").bitwiseXOR(col("b.sim")))
-        .cast("int").as("hamming"),
-        (col("a.cnt") * col("b.cnt")).as("w"))
-    val diag = sh.select(lit(0).as("hamming"),
-      (col("cnt") * (col("cnt") - 1) / 2).cast("long").as("w"))
-    off.unionByName(diag)
-      .groupBy(col("hamming"))
-      .agg(sum(col("w")).as("n_pairs"))
+    sh.agg(collect_list(struct(col("sim"), col("cnt"))).as("sc"))
+      .select(posexplode(
+        org.apache.spark.sql.graft.GraftText.hammingCensus16(col("sc"))))
+      .toDF("hamming", "n_pairs")
       .filter(col("n_pairs") > 0)
       .orderBy("hamming")
   }

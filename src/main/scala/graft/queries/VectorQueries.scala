@@ -118,23 +118,27 @@ object VectorQueries {
       .orderBy("query_id", "rnk")
   }
 
-  /** q34 — global most-similar pairs (embedding near-dup census): top
+  /** q34 — most-similar pairs (embedding near-dup census) over an
+    * explicitly bounded slice (vec_id < 1000, the q25 treatment): top
     * 20 pairs by cosine with a fully deterministic order. Brute-force
-    * here by intent — the LSH route (q33) is the scale path; this is
-    * its recall oracle. */
+    * O(S²·dim) by intent — the LSH route (q33) is the scale path; this
+    * is its recall oracle, and the recall contract is measured on the
+    * bounded sample, never the full corpus (an unbounded all-pairs
+    * census would be a scale-killer at 100×). */
   val q34 = QueryDef(
     "q34_top_sim_pairs",
     normCte +
       s""",
+      |nb AS (SELECT * FROM n WHERE vec_id < 1000),
       |s AS (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |    ${Vectors.dotSql("a.e", "b.e", DIM)} / (a.nrm * b.nrm) AS sim
-      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |  FROM nb a JOIN nb b ON a.vec_id < b.vec_id)
       |SELECT vec_a, vec_b, ROUND(sim, 6) AS cosine
       |FROM s
       |ORDER BY sim DESC, vec_a, vec_b
       |LIMIT 20""".stripMargin) { (s, d) =>
-    val n = normed(s, d)
+    val n = normed(s, d).filter(col("vec_id") < 1000)
     n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (Vectors.dot(col("a.e"), col("b.e"))

@@ -25,20 +25,62 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   type Builder = Seq[Expression] => Expression
 
+  /** Arity guard: SQL builders must reject calls they would otherwise
+    * silently mis-parse (round-1 ADVICE: `graft_minhash(sh, 32)`
+    * returned 16 components without error). */
+  private def arity(name: String, args: Seq[Expression],
+                    allowed: Int*): Unit =
+    if (!allowed.contains(args.length))
+      throw new IllegalArgumentException(
+        s"$name expects ${allowed.mkString(" or ")} argument(s), " +
+          s"got ${args.length}")
+
+  /** Literal-int argument (e.g. the K in minhash(sh, K)). */
+  private def litInt(name: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other =>
+      throw new IllegalArgumentException(
+        s"$name expects a literal int, got ${other.sql}")
+  }
+
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        arity("graft_dot", args, 2); DotProduct(args(0), args(1))
+      }),
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
-      (args: Seq[Expression]) => MinHashSignature(args(0), 16)),
+      (args: Seq[Expression]) => {
+        arity("graft_minhash", args, 1, 2)
+        val k = if (args.length == 2) litInt("graft_minhash", args(1)) else 16
+        MinHashSignature(args(0), k)
+      }),
+    (FunctionIdentifier("graft_minhash_u32"),
+      new ExpressionInfo(classOf[MinHashU32].getName, "graft_minhash_u32"),
+      (args: Seq[Expression]) => {
+        arity("graft_minhash_u32", args, 1, 2)
+        val k = if (args.length == 2) litInt("graft_minhash_u32", args(1))
+                else 16
+        MinHashU32(args(0), k)
+      }),
     (FunctionIdentifier("graft_simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash16"),
-      (args: Seq[Expression]) => SimHash16(args(0))),
+      (args: Seq[Expression]) => {
+        arity("graft_simhash16", args, 1); SimHash16(args(0))
+      }),
+    (FunctionIdentifier("graft_hamming_census16"),
+      new ExpressionInfo(classOf[HammingCensus16].getName,
+        "graft_hamming_census16"),
+      (args: Seq[Expression]) => {
+        arity("graft_hamming_census16", args, 1); HammingCensus16(args(0))
+      }),
     (FunctionIdentifier("graft_gram8_fingerprint"),
       new ExpressionInfo(classOf[Gram8Fingerprint].getName,
         "graft_gram8_fingerprint"),
-      (args: Seq[Expression]) => Gram8Fingerprint(args(0))))
+      (args: Seq[Expression]) => {
+        arity("graft_gram8_fingerprint", args, 1); Gram8Fingerprint(args(0))
+      }))
 
   /** Register into an already-built session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -74,6 +74,62 @@ object TextKernels {
       if (m == null) null else UTF8String.fromBytes(m)))
   }
 
+  /** K MinHash components from ONE md5 per shingle + K universal-hash
+    * permutations: a = digest bytes 0..3 (unsigned), b = bytes 4..7
+    * forced odd, perm_j = (a + j*b) mod 2^32. 16× less hashing than the
+    * salted-md5-per-permutation family — the permutation quality is the
+    * standard (a + j*b) universal family, and the per-shingle cost is
+    * one digest + K adds. Chosen so the kernel stays fast even when the
+    * JVM runs it interpreted (JIT-starvation defense, NOTES_r1 #3).
+    * Returns the K minima as unsigned-32 longs. */
+  def minhashU32(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, -1L) // sentinel: no shingles seen
+    val md = mdLocal.get()
+    var si = 0
+    while (si < n) {
+      md.reset()
+      val d = md.digest(shingles.getUTF8String(si).getBytes)
+      val a = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val b = (((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) | 1L
+      var j = 0
+      while (j < k) {
+        val v = (a + j * b) & 0xffffffffL
+        if (mins(j) == -1L || v < mins(j)) mins(j) = v
+        j += 1
+      }
+      si += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Full Hamming-distance pair census over a distinct-(simhash, count)
+    * table: bins(d) = number of document PAIRS at distance d, counting
+    * cu*cv for u<v and C(cu,2) on the diagonal. The input is bounded by
+    * the 16-bit signature space (≤65,536 rows) by construction, so the
+    * O(D²) loop is a bounded constant (≤2.1G popcount+add, ~seconds)
+    * at ANY corpus size — unlike the θ-join formulation this never
+    * plans a BroadcastNestedLoopJoin. */
+  def hammingCensus16(sims: Array[Int], cnts: Array[Long]): ArrayData = {
+    val bins = new Array[Long](17)
+    val d = sims.length
+    var i = 0
+    while (i < d) {
+      val ci = cnts(i)
+      bins(0) += ci * (ci - 1) / 2
+      var j = i + 1
+      while (j < d) {
+        bins(java.lang.Integer.bitCount(sims(i) ^ sims(j))) += ci * cnts(j)
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(bins)
+  }
+
   private def compareHex(a: Array[Byte], b: Array[Byte]): Int = {
     var i = 0
     while (i < 32) {
@@ -148,6 +204,64 @@ case class MinHashSignature(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** `minhash_u32(shingles, k)`: array<long> of K universal-hash MinHash
+  * components (one md5 per shingle; see [[TextKernels.minhashU32]]). */
+case class MinHashU32(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, false)
+  override def prettyName: String = "graft_minhash_u32"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minhashU32(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.TextKernels.minhashU32($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** `hamming_census16(array<struct<sim,cnt>>)`: 17-bin pair-count
+  * histogram by Hamming distance (see [[TextKernels.hammingCensus16]]).
+  * CodegenFallback: evaluated once per query (single aggregated row). */
+case class HammingCensus16(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, false)
+  override def prettyName: String = "graft_hamming_census16"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(Array(a, b)), _)
+          if a.dataType == IntegerType && b.dataType == LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected array<struct<int,bigint>>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sims = new Array[Int](n)
+    val cnts = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      sims(i) = row.getInt(0)
+      cnts(i) = row.getLong(1)
+      i += 1
+    }
+    TextKernels.hammingCensus16(sims, cnts)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** `simhash16(tokens)`: 16-bit SimHash of the token multiset. */
 case class SimHash16(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -192,6 +306,12 @@ object GraftText {
   def minhash(shingles: Column, k: Int): Column =
     ExpressionUtils.column(
       MinHashSignature(ExpressionUtils.expression(shingles), k))
+  def minhashU32(shingles: Column, k: Int): Column =
+    ExpressionUtils.column(
+      MinHashU32(ExpressionUtils.expression(shingles), k))
+  def hammingCensus16(simCnts: Column): Column =
+    ExpressionUtils.column(
+      HammingCensus16(ExpressionUtils.expression(simCnts)))
   def simhash16(tokens: Column): Column =
     ExpressionUtils.column(
       SimHash16(ExpressionUtils.expression(tokens)))

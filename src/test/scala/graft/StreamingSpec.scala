@@ -99,7 +99,7 @@ class StreamingSpec extends SparkSpec {
     // listener delivery is async; poll briefly
     var tries = 0
     var st = m.snapshot.values.find(_.name == "mon_test")
-    while (st.isEmpty || st.exists(_.totalRows < 5) && tries < 50) {
+    while ((st.isEmpty || st.exists(_.totalRows < 5)) && tries < 50) {
       Thread.sleep(100); tries += 1
       st = m.snapshot.values.find(_.name == "mon_test")
     }
