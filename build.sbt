@@ -26,7 +26,24 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "6g")}",
+  // Pin + pre-touch the heap. First-touch page faults on this VM are
+  // a latency LOTTERY (hypervisor memory state): the same pretouch
+  // measured 1.9s or 2m12s for the same size on the same box minutes
+  // apart, and lazily-faulted pages hit that lottery DURING queries —
+  // the round-1/2 "random mid-bench storms" (multi-second bursts of
+  // 15-24 cores of pure kernel time, a different victim query each
+  // run; NOTES_r2.md). Xms = Xmx stops G1 commit/uncommit churn so no
+  // page is ever re-faulted, and AlwaysPreTouch moves every
+  // first-touch to JVM startup, before q01 ever runs. 6g (not 16g)
+  // because the fault cost is superlinear in committed size when the
+  // host is tight (16g pretouch measured 4m15s/90 CPU-min) and the
+  // whole 40-query bench peaks well under 5g of heap.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "6g")}",
+  "-XX:+AlwaysPreTouch",
+  // Metaspace starts at 21MB and every expansion forces a GC +
+  // remap; hundreds of Janino classloaders cross that often.
+  "-XX:MetaspaceSize=512m",
   // Dozens of distinct query plans → hundreds of Janino-generated
   // classes. With the JDK-default code cache the JIT stops compiling
   // mid-run and everything (including Spark's own hot paths) drops to

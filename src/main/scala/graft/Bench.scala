@@ -10,6 +10,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Shuffle/spill files on tmpfs: this host's virtio disk has
+      // multi-second latency storms (measured: a trivial 0.2s query
+      // taking 13s with one thread stuck in shuffle-file write while
+      // 31 cores idled — NOTES_r2.md). Local-mode shuffle data here is
+      // MBs; on a real cluster spark.local.dir is the admin's NVMe.
+      .config("spark.local.dir", graft.app.JobSession.localScratch)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

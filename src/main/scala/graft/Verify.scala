@@ -16,6 +16,8 @@ object Verify {
       // the default 100-entry generated-class cache; thrash means
       // re-Janino-compiling large classes per query.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // tmpfs scratch — see Bench.scala / NOTES_r2.md (disk stalls)
+      .config("spark.local.dir", graft.app.JobSession.localScratch)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

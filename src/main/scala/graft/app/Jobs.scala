@@ -1,0 +1,265 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gold.Gold
+import graft.quality.Rules
+import graft.schema.Schemas
+import graft.silver.Silver
+import graft.sources.Medallion
+
+/** The reference's three pipeline lifecycles (SURVEY §7.7) as thin CLIs
+  * over the operator library: bronze→silver (`main_pipeline.py:69-199`),
+  * silver→gold (`gold_pipeline.py:352-396`), and the streaming landing
+  * job (`kafka_streams_processor.py:226-253`, file-source analog).
+  *
+  * Each job is compose-and-write only — every transform lives in
+  * [[Silver]]/[[Gold]]/[[graft.streaming.Features]], so the CLIs add no
+  * semantics of their own. The only driver-side values are the
+  * checkpoint metrics the reference also tracks (record counts, quality
+  * score, duration) — scalar aggregates, never row data, so the jobs
+  * run unchanged on a real cluster.
+  */
+object JobSession {
+
+  /** Local-mode scratch dir for shuffle/spill files. Prefers tmpfs
+    * (`/dev/shm`) when present: the dev host's virtio disk exhibits
+    * multi-second write-latency storms that serialize shuffle writes
+    * (NOTES_r2.md); local-mode shuffle data is small. Overridable via
+    * SPARK_GRAFT_LOCAL_DIR. On a cluster this conf is not applied —
+    * executors use the site-configured spark.local.dir. */
+  def localScratch: String =
+    sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-spark-scratch"
+      else System.getProperty("java.io.tmpdir")
+    })
+
+  /** Session with the same conf contract as Bench/Verify (nanosAsLong
+    * must be set at build time — [[graft.Tables]] requires it). */
+  def build(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b = SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.ui.enabled", "false")
+    val s = (if (master.startsWith("local"))
+      b.config("spark.local.dir", localScratch) else b).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** One topic's bronze→silver config (`main_pipeline.py:40-67`). */
+final case class TopicConfig(
+    name: String,
+    bronzePrefix: String,
+    silverTable: String,
+    schema: org.apache.spark.sql.types.StructType,
+    transform: DataFrame => DataFrame)
+
+/** Per-topic outcome, mirroring the reference's result dict
+  * (`main_pipeline.py:130-139`). */
+final case class TopicResult(
+    topic: String,
+    success: Boolean,
+    recordsRead: Long,
+    recordsProcessed: Long,
+    qualityScore: Double,
+    error: Option[String])
+
+object SilverJob {
+
+  /** The reference's three topics (`main_pipeline.py:40-67`). */
+  def topics: Seq[TopicConfig] = Seq(
+    TopicConfig("clickstream", "topics/clickstream-events",
+      "clickstream_silver", Schemas.clickstream, Silver.clickstream),
+    TopicConfig("user", "topics/user-events",
+      "user_events_silver", Schemas.user, Silver.users),
+    TopicConfig("product", "topics/product-events",
+      "product_events_silver", Schemas.product, Silver.products))
+
+  /** Bronze→silver for one topic: JSONL scan → well-formed filter →
+    * silver transform → quality score (processed/raw, the reference's
+    * gate metric `main_pipeline.py:173-179`) → partitioned write →
+    * run-metadata checkpoint. Below-threshold batches are still
+    * written (the reference warns and proceeds); the score lands in
+    * the checkpoint so trend tracking (V16) sees it. */
+  def runTopic(spark: SparkSession, cfg: TopicConfig, bronzeRoot: String,
+               silverRoot: String, metaDir: String,
+               qualityThreshold: Double = 0.8): TopicResult = {
+    val t0 = System.nanoTime()
+    try {
+      val dir = new java.io.File(s"$bronzeRoot/${cfg.bronzePrefix}")
+      if (!dir.exists())
+        return TopicResult(cfg.name, success = false, 0, 0, 0.0,
+          Some(s"No bronze files found for ${cfg.name}"))
+      val bronze = Medallion.readBronze(spark, cfg.schema, dir.toString)
+      val silver = cfg.transform(Medallion.wellFormed(bronze)).cache()
+      try {
+        // One pass over the cached silver result; raw count is a
+        // metadata-only parquet/JSON count on the scan.
+        val raw = bronze.count()
+        val processed = silver.count()
+        if (processed == 0L)
+          return TopicResult(cfg.name, success = false, raw, 0, 0.0,
+            Some(s"No valid records after processing ${cfg.name}"))
+        val score = processed.toDouble / raw
+        if (score < qualityThreshold)
+          System.err.println(
+            f"[silver-job] WARN low data quality for ${cfg.name}: $score%.2f")
+        Medallion.writePartitioned(silver, s"$silverRoot/${cfg.silverTable}")
+        Medallion.writeRunMetadata(spark, metaDir,
+          s"silver:${cfg.name}", raw, processed,
+          (System.nanoTime() - t0) / 1e9)
+        TopicResult(cfg.name, success = true, raw, processed, score, None)
+      } finally silver.unpersist()
+    } catch {
+      case e: Exception =>
+        TopicResult(cfg.name, success = false, 0, 0, 0.0,
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+    }
+  }
+
+  def run(spark: SparkSession, bronzeRoot: String, silverRoot: String,
+          metaDir: String): Seq[TopicResult] =
+    topics.map { cfg =>
+      val r = runTopic(spark, cfg, bronzeRoot, silverRoot, metaDir)
+      System.err.println(s"[silver-job] ${r.topic}: success=${r.success} " +
+        s"read=${r.recordsRead} processed=${r.recordsProcessed} " +
+        f"quality=${r.qualityScore}%.3f${r.error.fold("")(" err=" + _)}")
+      r
+    }
+
+  /** CLI: `SilverJob <bronzeRoot> <silverRoot> <metaDir>`. */
+  def main(args: Array[String]): Unit = {
+    val Array(bronzeRoot, silverRoot, metaDir) = args
+    val spark = JobSession.build("graft-silver-job")
+    val results = run(spark, bronzeRoot, silverRoot, metaDir)
+    val ok = results.count(_.success)
+    System.err.println(s"[silver-job] complete: $ok/${results.size} topics")
+    spark.stop()
+    if (ok == 0) sys.exit(1)
+  }
+}
+
+object GoldJob {
+
+  /** The four reference gold tables (`gold_pipeline.py:376-390`) plus
+    * the J5 star-schema enrichment, keyed by table name. */
+  def tables(clicks: DataFrame, users: Option[DataFrame],
+             products: Option[DataFrame]): Seq[(String, DataFrame)] = {
+    val core = Seq(
+      "user_summary" -> Gold.userSummary(clicks),
+      "product_summary" -> Gold.productSummary(clicks),
+      "daily_stats" -> Gold.dailyStats(clicks),
+      "engagement_metrics" -> Gold.engagementMetrics(clicks))
+    val enriched = for (u <- users; p <- products)
+      yield "enriched_events" -> Gold.enriched(clicks, u, p)
+    core ++ enriched
+  }
+
+  /** Silver→gold: read the silver tables, run the V12-style event rule
+    * gate on clickstream (validity-rate threshold, `Rules.gate` /
+    * `config.py:20`), then write each gold table under a run-date
+    * partition (`gold_pipeline.py:341-350`) + one run-metadata row. */
+  def run(spark: SparkSession, silverRoot: String, goldRoot: String,
+          metaDir: String, gateThreshold: Double = 0.8): Map[String, Boolean] = {
+    val t0 = System.nanoTime()
+    def readIf(table: String): Option[DataFrame] = {
+      val dir = new java.io.File(s"$silverRoot/$table")
+      if (dir.exists()) Some(Medallion.readTable(spark, dir.toString))
+      else None
+    }
+    val clicksOpt = readIf("clickstream_silver")
+    if (clicksOpt.isEmpty) {
+      System.err.println("[gold-job] no clickstream silver data")
+      return Map.empty
+    }
+    val clicks = clicksOpt.get.cache()
+    try {
+      // Quality gate (V15) over the silver batch before building gold.
+      val stats = Rules.batchStats(clicks, goldGateRules)
+      if (!Rules.gate(stats, gateThreshold)) {
+        System.err.println(
+          s"[gold-job] quality gate FAILED (threshold $gateThreshold) — aborting")
+        return tables(clicks, None, None).map(_._1 -> false).toMap
+      }
+      val results = tables(clicks, readIf("user_events_silver"),
+        readIf("product_events_silver")).map { case (name, df) =>
+        val out = df.withColumn("date", current_date())
+        Medallion.writePartitioned(out, s"$goldRoot/$name")
+        name -> true
+      }.toMap
+      Medallion.writeRunMetadata(spark, metaDir, "gold",
+        clicks.count(), clicks.count(), (System.nanoTime() - t0) / 1e9)
+      results
+    } finally clicks.unpersist()
+  }
+
+  /** Gate rules for the silver clickstream frame: the required/enum
+    * core of the reference's event checks (already oracle-checked on
+    * raw events via q35; here they run on silver columns). */
+  def goldGateRules: Seq[Rules.Rule] = Seq(
+    Rules.Rule("user_id_required", Rules.Critical,
+      Rules.required(col("user_id"))),
+    Rules.Rule("ts_required", Rules.Critical,
+      Rules.required(col("ts"))),
+    Rules.Rule("event_type_enum", Rules.Error,
+      Rules.enumIn(col("event_type"), Seq(
+        "view", "click", "add_to_cart", "purchase", "remove_from_cart",
+        "search", "recommendation_clicked"))))
+
+  /** CLI: `GoldJob <silverRoot> <goldRoot> <metaDir>`. */
+  def main(args: Array[String]): Unit = {
+    val Array(silverRoot, goldRoot, metaDir) = args
+    val spark = JobSession.build("graft-gold-job")
+    val results = run(spark, silverRoot, goldRoot, metaDir)
+    val ok = results.values.count(identity)
+    System.err.println(s"[gold-job] complete: $ok/${results.size} tables")
+    spark.stop()
+    if (results.nonEmpty && ok == 0) sys.exit(1)
+  }
+}
+
+object StreamJob {
+
+  /** Streaming landing lifecycle (`kafka_streams_processor.py:226-253`
+    * re-expressed): file-source stream over a bronze JSONL directory
+    * (S13 — the Kafka source is environment-blocked, NOTES_r1 #7; on a
+    * cluster, swap `readStream.format("json")` for `format("kafka")`
+    * and the rest is unchanged) → event-time y/m/d/h partitioned
+    * parquet landing (S12). Trigger.AvailableNow drains what exists
+    * and stops, which is also the reference's batch-of-files loop
+    * semantics. */
+  def run(spark: SparkSession, bronzeDir: String, landingDir: String,
+          checkpointDir: String): Unit = {
+    val stream = spark.readStream
+      .schema(Schemas.clickstream)
+      // the reference's skip-malformed-lines loop (storage_manager
+      // .py:88-98); the batch path keeps them in _corrupt_record
+      // instead (S2) — a landing job just drops them
+      .option("mode", "DROPMALFORMED")
+      .json(bronzeDir)
+    graft.streaming.Features.bronzeLanding(
+        stream.withColumn("ts", Schemas.parseTs(col("timestamp"))),
+        landingDir, checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+  }
+
+  /** CLI: `StreamJob <bronzeDir> <landingDir> <checkpointDir>`. */
+  def main(args: Array[String]): Unit = {
+    val Array(bronzeDir, landingDir, checkpointDir) = args
+    val spark = JobSession.build("graft-stream-job")
+    run(spark, bronzeDir, landingDir, checkpointDir)
+    spark.stop()
+  }
+}

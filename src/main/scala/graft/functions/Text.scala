@@ -75,15 +75,25 @@ object Text {
   def langScore(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(markers)))
 
-  /** Deterministic argmax language: first language (in declaration
-    * order) whose score equals the maximum; 'und' when all scores are
-    * zero. */
-  def langId(toks: Column): Column = {
-    val scores = langMarkers.map { case (l, m) => l -> langScore(toks, m) }
+  /** Deterministic argmax over MATERIALIZED score columns: first
+    * language (in declaration order) whose score equals the maximum;
+    * 'und' when all scores are zero. Pure scalar int comparisons —
+    * callers must project the `langScore`s into attributes first
+    * (one HOF eval each per row); composing this over raw
+    * `langScore(tokens(text))` expressions would re-evaluate every
+    * filter+split per occurrence, interpreted (the measured q30
+    * pathology). */
+  def langPick(scores: Seq[(String, Column)]): Column = {
     val mx = greatest(scores.map(_._2): _*)
     val pick = scores.foldRight(lit("und")) { case ((l, s), acc) =>
       when(s === mx, l).otherwise(acc)
     }
     when(mx > 0, pick).otherwise(lit("und"))
   }
+
+  /** Single-expression language ID (argmax of [[langScore]]s). Only for
+    * small frames / tests: see the [[langPick]] note — in a query,
+    * stage the scores as columns instead. */
+  def langId(toks: Column): Column =
+    langPick(langMarkers.map { case (l, m) => l -> langScore(toks, m) })
 }

@@ -371,10 +371,20 @@ object TextQueries {
       |  ROUND(100.0 * SUM(nu) / SUM(nt), 2) AS ttr_pct
       |FROM t GROUP BY source
       |ORDER BY source""".stripMargin) { (s, d) =>
-    val toks = Text.tokens(col("text"))
+    // Tokenize ONCE into an attribute, then take both sizes from it:
+    // `t` is referenced twice and split() is non-cheap, so Catalyst
+    // keeps the projection boundary (no CollapseProject re-inline) and
+    // the document is tokenized once per row, not once per use. The
+    // repartition parallelizes the single-file scan (NOTES_r1 #5) —
+    // without it this whole per-row stage runs in ONE task (measured:
+    // the round-2 "random 10-30s stall" was exactly this query family
+    // running serial + re-evaluating split per expression occurrence).
     Tables.documents(s, d)
+      .repartition(32, col("doc_id"))
       .select(col("source"), length(col("text")).as("n_chars"),
-        size(toks).as("nt"), size(array_distinct(toks)).as("nu"))
+        Text.tokens(col("text")).as("t"))
+      .select(col("source"), col("n_chars"),
+        size(col("t")).as("nt"), size(array_distinct(col("t"))).as("nu"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -408,9 +418,23 @@ object TextQueries {
         |FROM p GROUP BY lang, lang_pred
         |ORDER BY lang, lang_pred""".stripMargin
     }) { (s, d) =>
+    // Staged projections, mirroring the oracle's CTE chain: tokens →
+    // per-language scores → scalar argmax. A single inlined
+    // `langId(tokens(text))` expression references the token array in
+    // ~10 places and each interpreted HOF occurrence re-evaluates
+    // split(text) (measured at 10-30× the rest of the pipeline); with
+    // the scores materialized as int columns the argmax is pure scalar
+    // codegen and split runs once per row.
     Tables.documents(s, d)
-      .select(col("lang"), Text.langId(Text.tokens(col("text")))
-        .as("lang_pred"))
+      .repartition(32, col("doc_id"))
+      .select(col("lang"), Text.tokens(col("text")).as("t"))
+      .select(col("lang") +: Text.langMarkers.map { case (l, m) =>
+        Text.langScore(col("t"), m).as(s"s_$l")
+      }: _*)
+      .select(col("lang"),
+        Text.langPick(Text.langMarkers.map { case (l, _) =>
+          l -> col(s"s_$l")
+        }).as("lang_pred"))
       .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_pred")
@@ -434,13 +458,17 @@ object TextQueries {
       |  CAST(SUM(re_chars) AS BIGINT) AS re_chars
       |FROM t GROUP BY source
       |ORDER BY source""".stripMargin) { (s, d) =>
-    val re = expr("regexp_extract_all(text, '[a-z0-9]+', 0)")
+    // Materialize the regex token array once (referenced twice below —
+    // same CollapseProject reasoning as q29), and parallelize the scan.
     Tables.documents(s, d)
+      .repartition(32, col("doc_id"))
       .select(col("source"),
         size(Text.tokens(col("text"))).as("ws_tokens"),
-        size(re).as("re_tokens"),
-        aggregate(transform(re, x => length(x)), lit(0), (a, x) => a + x)
-          .as("re_chars"))
+        expr("regexp_extract_all(text, '[a-z0-9]+', 0)").as("re"))
+      .select(col("source"), col("ws_tokens"),
+        size(col("re")).as("re_tokens"),
+        aggregate(transform(col("re"), x => length(x)), lit(0),
+          (a, x) => a + x).as("re_chars"))
       .groupBy(col("source"))
       .agg(sum(col("ws_tokens")).as("ws_tokens"),
         sum(col("re_tokens")).as("re_tokens"),
@@ -448,6 +476,32 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** q41 — per-token corpus analytics via a Generator (SURVEY §2.9:
+    * `explode` is how the reference's per-tag/preference analytics
+    * land in Spark): explode the token array, then one shuffle on the
+    * token key for document frequency + term frequency, top-25 by a
+    * fully-pinned order. The explode fans out ~tokens-per-doc × docs
+    * rows, but it feeds straight into a partial-aggregating groupBy —
+    * no wide row ever materializes, which is the correct 100-TB shape
+    * for vocabulary statistics. */
+  val q41 = QueryDef(
+    "q41_token_explode",
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents)
+      |SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+      |FROM t GROUP BY token
+      |ORDER BY tf DESC, token
+      |LIMIT 25""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(25)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
+    Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41)
 }

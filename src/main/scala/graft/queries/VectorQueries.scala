@@ -233,5 +233,104 @@ object VectorQueries {
       .orderBy("query_id", "rnk")
   }
 
-  val all: Seq[QueryDef] = Seq(q32, q33, q34, q38)
+  /** q42 — embedding-cosine near-duplicate DEDUP (the curation
+    * operator, vs q34's census): drop every vector that is ≥0.45
+    * cosine-similar to ANY lower-id vector; keep the rest. The
+    * drop-if-any-lower-similar rule is deterministic and
+    * order-independent (no greedy chain through dropped docs — a doc
+    * is judged against all lower ids, dropped or not), which is what
+    * makes it expressible in one relational step on both engines.
+    *
+    * Bounded slice (vec_id < 1000) for the exact form; the scale path
+    * swaps the all-pairs candidate join for the q33 LSH buckets
+    * (compare only within a bucket — same keep rule, approximate
+    * recall) and is the documented 100-TB shape. */
+  val q42 = QueryDef(
+    "q42_embed_dedup",
+    normCte +
+      s""",
+      |nb AS (SELECT * FROM n WHERE vec_id < 1000),
+      |d AS (
+      |  SELECT DISTINCT b.vec_id FROM nb a JOIN nb b
+      |  ON a.vec_id < b.vec_id
+      |  AND ${Vectors.dotSql("a.e", "b.e", DIM)} / (a.nrm * b.nrm)
+      |      >= 0.45)
+      |SELECT vec_id FROM nb
+      |WHERE vec_id NOT IN (SELECT vec_id FROM d)
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val nb = normed(s, d).filter(col("vec_id") < 1000)
+    val dups = nb.as("a").join(nb.as("b"),
+      col("a.vec_id") < col("b.vec_id") &&
+        (Vectors.dot(col("a.e"), col("b.e"))
+          / (col("a.nrm") * col("b.nrm"))) >= 0.45)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    nb.select(col("vec_id"))
+      .join(dups, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
+  /** q43 — IVF with a REAL coarse quantizer: MLlib k-means (fixed seed,
+    * k=16) over the embeddings, then the same assign/probe/search flow
+    * as q38. k-means centroids adapt to the data distribution, so cell
+    * sizes stay balanced where q38's sampled stand-ins could skew.
+    * No DuckDB oracle (k-means isn't SQL-reproducible) → the driver
+    * records the weaker rows-only check; determinism within Spark is
+    * still pinned by the fixed seed + unique-key output order.
+    *
+    * Scale: training samples the table (MLlib k-means is iterative on
+    * a cached RDD — train on a bounded sample at 100 TB, which is the
+    * standard IVF recipe), centroids broadcast, assignment linear. */
+  val q43 = QueryDef.noOracle("q43_ann_ivf_kmeans") { (s, d) =>
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vectors => MlVectors}
+    val n = normed(s, d)
+    // unit-normalize so k-means' euclidean objective matches cosine
+    val unit = n.select(col("vec_id"), col("e"), col("nrm"))
+      .withColumn("u", transform(col("e"), x => x / col("nrm")))
+    val toVec = udf((xs: Seq[Double]) => MlVectors.dense(xs.toArray))
+    val train = unit.select(col("vec_id"), toVec(col("u")).as("features"))
+      .cache()
+    val model = new KMeans().setK(16).setSeed(42L).setMaxIter(10)
+      .fit(train)
+    train.unpersist()
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray.toSeq)
+    }.toSeq
+    import s.implicits._
+    val cent = centroids.toDF("cid", "ce")
+      .withColumn("cn", Vectors.norm(col("ce")))
+    def nearestCells(vecs: org.apache.spark.sql.DataFrame, keep: Int,
+                     idAs: String) = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy((Vectors.dot(col("e"), col("ce"))
+          / (col("nrm") * col("cn"))).desc, col("cid"))
+      vecs.crossJoin(broadcast(cent))
+        .withColumn("rc", row_number().over(w))
+        .filter(col("rc") <= keep)
+        .select(col("vec_id").as(idAs), col("cid"))
+    }
+    val assign = nearestCells(n, 1, "vec_id")
+    val probe = nearestCells(n.filter(col("vec_id") < 25), 2, "query_id")
+    val sims = probe
+      .join(assign, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+      .join(n.select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .join(n.select(col("vec_id").as("neighbor_id"), col("e"),
+        col("nrm")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Vectors.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+          .as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("sim"), 6).as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  val all: Seq[QueryDef] = Seq(q32, q33, q34, q38, q42, q43)
 }

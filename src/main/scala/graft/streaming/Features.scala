@@ -70,34 +70,11 @@ object Features {
         GroupStateTimeout.ProcessingTimeTimeout) {
         (userId, evts, state: GroupState[UserSessionState]) =>
           val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.product_id))
-          val init = state.getOption.getOrElse(
-            UserSessionState(Long.MaxValue, 0L, 0, Map.empty, Nil,
-              Set.empty, Set.empty))
-          val s = sorted.foldLeft(init) { (st, e) =>
-            val t = e.ts.getTime
-            // session reset on idle gap (ref resets session_start)
-            val fresh = t - st.lastActivity > SessionIdleMs
-            val base = if (fresh && st.lastActivity > 0)
-              st.copy(sessionStart = t, eventsInSession = 0)
-            else st.copy(sessionStart = math.min(st.sessionStart, t))
-            base.copy(
-              lastActivity = math.max(base.lastActivity, t),
-              eventsInSession = base.eventsInSession + 1,
-              categoryCounts = base.categoryCounts.updatedWith(e.category) {
-                c => Some(c.getOrElse(0) + 1)
-              },
-              recentProducts =
-                (e.product_id :: base.recentProducts).take(MaxRecent),
-              viewedProducts =
-                if (e.event_type == "view")
-                  base.viewedProducts + e.product_id
-                else base.viewedProducts,
-              cartProducts = e.event_type match {
-                case "add_to_cart" => base.cartProducts + e.product_id
-                case "purchase"    => base.cartProducts - e.product_id
-                case _             => base.cartProducts
-              })
-          }
+          // session reset on idle gap (ref resets session_start) — the
+          // per-event transition lives in [[advance]], shared with the
+          // delta form below.
+          val s = sorted.foldLeft(
+            state.getOption.getOrElse(emptySession))(advance)
           state.update(s)
           state.setTimeoutDuration(SessionIdleMs)
           val last = sorted.lastOption
@@ -115,6 +92,84 @@ object Features {
             is_returning_to_product = last.exists(e =>
               s.recentProducts.tail.contains(e.product_id)),
             cart_size = s.cartProducts.size)
+      }
+  }
+
+  /** One delta row per input event, plus a terminal summary row when a
+    * user's session times out idle — the emission contract the
+    * reference's per-message processing loop implies
+    * (`kafka_streams_processor.py:118-178` emits per message) but
+    * mapGroupsWithState can't express (one row per group per batch). */
+  case class FeatureDelta(
+      user_id: String,
+      kind: String, // "event" | "session_closed"
+      events_in_session: Int,
+      categories_explored: Int,
+      cart_size: Int,
+      session_duration_s: Long)
+
+  /** Advance the session state by one event (shared by the
+    * per-batch aggregate form and the per-event delta form). */
+  private def advance(st: UserSessionState, e: Event): UserSessionState = {
+    val t = e.ts.getTime
+    val fresh = t - st.lastActivity > SessionIdleMs
+    val base = if (fresh && st.lastActivity > 0)
+      st.copy(sessionStart = t, eventsInSession = 0)
+    else st.copy(sessionStart = math.min(st.sessionStart, t))
+    base.copy(
+      lastActivity = math.max(base.lastActivity, t),
+      eventsInSession = base.eventsInSession + 1,
+      categoryCounts = base.categoryCounts.updatedWith(e.category) {
+        c => Some(c.getOrElse(0) + 1)
+      },
+      recentProducts = (e.product_id :: base.recentProducts).take(MaxRecent),
+      viewedProducts =
+        if (e.event_type == "view") base.viewedProducts + e.product_id
+        else base.viewedProducts,
+      cartProducts = e.event_type match {
+        case "add_to_cart" => base.cartProducts + e.product_id
+        case "purchase"    => base.cartProducts - e.product_id
+        case _             => base.cartProducts
+      })
+  }
+
+  private val emptySession = UserSessionState(
+    Long.MaxValue, 0L, 0, Map.empty, Nil, Set.empty, Set.empty)
+
+  /** T1+T3 delta form: flatMapGroupsWithState emitting one
+    * [[FeatureDelta]] per EVENT (Append mode) and a `session_closed`
+    * summary when the idle timeout fires, after which state is
+    * removed — the state store holds only live sessions. */
+  def userFeatureDeltas(events: Dataset[Event]): Dataset[FeatureDelta] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSessionState, FeatureDelta](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId, evts, state: GroupState[UserSessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(FeatureDelta(userId, "session_closed",
+              s.eventsInSession, s.categoryCounts.size,
+              s.cartProducts.size,
+              math.max(0L, (s.lastActivity - s.sessionStart) / 1000)))
+          } else {
+            val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.product_id))
+            val init = state.getOption.getOrElse(emptySession)
+            val (finalState, deltas) =
+              sorted.foldLeft((init, Vector.empty[FeatureDelta])) {
+                case ((st, acc), e) =>
+                  val nxt = advance(st, e)
+                  (nxt, acc :+ FeatureDelta(userId, "event",
+                    nxt.eventsInSession, nxt.categoryCounts.size,
+                    nxt.cartProducts.size,
+                    math.max(0L,
+                      (nxt.lastActivity - nxt.sessionStart) / 1000)))
+              }
+            state.update(finalState)
+            state.setTimeoutDuration(SessionIdleMs)
+            deltas.iterator
+          }
       }
   }
 

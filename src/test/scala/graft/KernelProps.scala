@@ -76,4 +76,45 @@ object KernelProps extends Properties("graft.kernels") {
         math.abs(hist.sum - 1.0) < 1e-9 &&
         mean >= 0.0 && mean <= 255.0
     }
+
+  property("minhashU32: K u32 components, deterministic, monotone") =
+    Prop.forAll(tokenList, token) { (ts, extra) =>
+      val a = TextKernels.minhashU32(arr(ts), 16)
+      val b = TextKernels.minhashU32(arr(ts), 16)
+      val more = TextKernels.minhashU32(arr(ts :+ extra), 16)
+      (0 until 16).forall { j =>
+        val x = a.getLong(j)
+        x == b.getLong(j) && x >= 0L && x < (1L << 32) &&
+          more.getLong(j) <= x // adding a shingle never raises a min
+      }
+    }
+
+  property("minhashU32 matches a direct md5 reference model") =
+    Prop.forAll(tokenList) { ts =>
+      val got = TextKernels.minhashU32(arr(ts), 4)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def u32(bs: Array[Byte], off: Int): Long =
+        ((bs(off) & 0xffL) << 24) | ((bs(off + 1) & 0xffL) << 16) |
+          ((bs(off + 2) & 0xffL) << 8) | (bs(off + 3) & 0xffL)
+      val expect = (0 until 4).map { j =>
+        ts.map { s =>
+          md.reset()
+          val d = md.digest(s.getBytes("UTF-8"))
+          (u32(d, 0) + j * (u32(d, 4) | 1L)) & 0xffffffffL
+        }.min
+      }
+      (0 until 4).forall(j => got.getLong(j) == expect(j))
+    }
+
+  property("hammingCensus16: total pairs == C(n,2) over doc counts") =
+    Prop.forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 65535), Gen.choose(1L, 20L)))) { raw =>
+      val sc = raw.toMap.toArray // distinct sims
+      val bins = TextKernels.hammingCensus16(sc.map(_._1), sc.map(_._2))
+      val n = sc.map(_._2).sum
+      val total = (0 to 16).map(bins.getLong).sum
+      total == n * (n - 1) / 2 &&
+        // diagonal lower bound: same-sim pairs all land at distance 0
+        bins.getLong(0) >= sc.map(c => c._2 * (c._2 - 1) / 2).sum
+    }
 }

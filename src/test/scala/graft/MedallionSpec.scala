@@ -97,6 +97,28 @@ class MedallionSpec extends SparkSpec {
     assert(eng.values.sum == 100.0)
   }
 
+  test("A8: product category pick is partition-order independent") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // latest event with a category is e4 ("late"); e5 is later but null
+      ("p1", "u1", "s1", 1, 10.0, Some("early"), ts("2025-09-05 10:00:00"), "e1"),
+      ("p1", "u2", "s2", 1, 10.0, None, ts("2025-09-05 11:00:00"), "e2"),
+      ("p1", "u3", "s3", 1, 10.0, Some("mid"), ts("2025-09-05 12:00:00"), "e3"),
+      ("p1", "u4", "s4", 1, 10.0, Some("late"), ts("2025-09-05 13:00:00"), "e4"),
+      ("p1", "u5", "s5", 1, 10.0, None, ts("2025-09-05 14:00:00"), "e5"))
+    def frame(seq: Seq[(String, String, String, Int, Double,
+        Option[String], java.sql.Timestamp, String)], parts: Int) =
+      seq.toDF("product_id", "user_id", "session_id", "event_weight",
+        "product_price", "product_category", "ts", "event_id")
+        .repartition(parts)
+    val picks = Seq(
+      frame(rows, 1), frame(rows.reverse, 5), frame(rows, 3))
+      .map(df => graft.gold.Gold.productSummary(df)
+        .select("category").head().getString(0))
+    assert(picks.forall(_ == "late"), picks.toString)
+  }
+
   test("partitioned silver write round-trips through the date layout") {
     val silver = Silver.clickstream(
       Medallion.wellFormed(

@@ -72,4 +72,58 @@ class RulesSpec extends SparkSpec {
     val stable = Rules.trend(meta.filter(col("valid_records") > 90)).head()
     assert(!stable.getAs[Boolean]("degrading"))
   }
+
+  test("qualitySummary (V14): severity counts, score, recommendation") {
+    val df = Seq(
+      (Some("u1"), 5.0), (None, 5.0), (None, 99.0), (Some("u4"), 99.0))
+      .toDF("u", "v")
+    val rules = Seq(
+      Rule("u_req", Critical, Rules.required(col("u"))),
+      Rule("v_rng", Error, Rules.numericRange(col("v"), 0, 10)))
+    val s = Rules.qualitySummary(df, rules).head()
+    // 2 critical fails (null u) + 2 error fails (v=99)
+    assert(s.getAs[Long]("total_validation_issues") == 4)
+    assert(s.getAs[Long]("critical_issues") == 2)
+    assert(s.getAs[Long]("error_issues") == 2)
+    // 100 - 2*10 - 2*5 = 70
+    assert(s.getAs[Long]("quality_score") == 70)
+    assert(s.getAs[String]("recommendation").startsWith("CRITICAL"))
+
+    // clean batch: full score, GOOD recommendation
+    val clean = Rules.qualitySummary(
+      Seq((Some("u"), 1.0)).toDF("u", "v"), rules).head()
+    assert(clean.getAs[Long]("quality_score") == 100)
+    assert(clean.getAs[String]("recommendation").startsWith("GOOD"))
+
+    // score floors at 0 (11 critical fails > 100 points)
+    val awful = Rules.qualitySummary(
+      (1 to 11).map(_ => (None: Option[String], 1.0)).toDF("u", "v"),
+      rules).head()
+    assert(awful.getAs[Long]("quality_score") == 0)
+  }
+
+  test("topFailingRules (V13): ranked, zero-fail rules excluded") {
+    val df = Seq(
+      (None, -1.0), (None, -2.0), (Some("u3"), -3.0), (Some("u4"), 5.0))
+      .toDF("u", "v")
+    val rules = Seq(
+      Rule("u_req", Critical, Rules.required(col("u"))),
+      Rule("v_rng", Error, Rules.numericRange(col("v"), 0, 10)),
+      Rule("never_fails", Warning, lit(true)))
+    val top = Rules.topFailingRules(df, rules).collect()
+    assert(top.map(_.getString(0)).toSeq == Seq("v_rng", "u_req"))
+    assert(top.map(_.getLong(1)).toSeq == Seq(3L, 2L))
+    // limit applies
+    assert(Rules.topFailingRules(df, rules, n = 1).count() == 1)
+  }
+
+  test("countryCode (V10): shipped ISO-3166 set, case-insensitive") {
+    val df = Seq(Some("US"), Some("de"), Some("XX"), Some(""), None)
+      .toDF("cc")
+      .select(Rules.countryCode(col("cc")).as("ok"))
+    assert(df.collect().map(_.getBoolean(0)).toSeq ==
+      Seq(true, true, false, false, true))
+    assert(Rules.iso2Codes.size == 249)
+    assert(Rules.iso2Codes.distinct.size == 249)
+  }
 }

@@ -35,6 +35,24 @@ class StreamingSpec extends SparkSpec {
     assert(got("u2").events_in_session == 1)
   }
 
+  test("userFeatureDeltas emits one delta per event (batch-mode semantics)") {
+    // Batch mode, like the userFeatures test: flatMapGroupsWithState
+    // runs on batch Datasets with timeouts never firing. (A MemoryStream
+    // variant starves processAllAvailable: ProcessingTimeTimeout keeps
+    // the trigger loop permanently non-idle.)
+    val rows = Features.userFeatureDeltas(events.toDS()).collect()
+    assert(rows.count(_.kind == "event") == 5)
+    assert(rows.forall(_.kind == "event")) // no timeout → no closures
+    // per-event deltas are monotone through u1's session
+    val u1 = rows.filter(_.user_id == "u1").sortBy(_.events_in_session)
+    assert(u1.map(_.events_in_session).toSeq == Seq(1, 2, 3, 4))
+    // cart add then purchase nets to empty cart in the final delta
+    assert(u1.last.cart_size == 0)
+    assert(u1(2).cart_size == 1) // after add_to_cart, before purchase
+    assert(rows.filter(_.user_id == "u2").map(_.events_in_session)
+      .toSeq == Seq(1))
+  }
+
   test("rollingProductViews windowed aggregation over a MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
