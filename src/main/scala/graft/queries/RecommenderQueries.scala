@@ -58,5 +58,31 @@ object RecommenderQueries {
       .orderBy("n_items")
   }
 
-  val all: Seq[QueryDef] = Seq(q36, q37)
+  /** q45 — implicit-feedback ALS top-5 recommendations for a bounded
+    * customer slice (the reference's collaborative-filtering surface,
+    * `project_structure.txt` recommendation-engine plan). Trains on
+    * order lines as implicit signals (customer × part, weight =
+    * line count). Rows-only check: ALS factorization isn't
+    * SQL-reproducible; the fixed seed pins it within Spark. */
+  val q45 = QueryDef.noOracle("q45_als_recommendations") { (s, d) =>
+    val interactions = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("int").as("user"),
+        col("l_partkey").cast("int").as("item"))
+    val ratings = Recommender.implicitRatings(
+      interactions, "user", "item", lit(1.0))
+    val model = Recommender.als(ratings)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user"))
+      .orderBy(col("score").desc, col("item"))
+    Recommender.recommendations(model, 5)
+      .filter(col("user") < 50)
+      .withColumn("rnk", row_number().over(w))
+      .select(col("user"), col("rnk"), col("item"),
+        round(col("score"), 4).as("score"))
+      .orderBy("user", "rnk")
+  }
+
+  val all: Seq[QueryDef] = Seq(q36, q37, q45)
 }

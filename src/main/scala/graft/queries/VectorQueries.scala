@@ -288,7 +288,12 @@ object VectorQueries {
     val unit = n.select(col("vec_id"), col("e"), col("nrm"))
       .withColumn("u", transform(col("e"), x => x / col("nrm")))
     val toVec = udf((xs: Seq[Double]) => MlVectors.dense(xs.toArray))
-    val train = unit.select(col("vec_id"), toVec(col("u")).as("features"))
+    // Train the quantizer on a deterministic ~1/8 sample — the standard
+    // IVF recipe (centroid quality needs only a representative sample,
+    // never the full table; at 100 TB you'd train on a few million
+    // rows). Assignment below still covers every vector.
+    val train = unit.filter(col("vec_id") % 8 === 0)
+      .select(col("vec_id"), toVec(col("u")).as("features"))
       .cache()
     val model = new KMeans().setK(16).setSeed(42L).setMaxIter(10)
       .fit(train)
