@@ -35,4 +35,23 @@ object Exact {
   def sumProdD(a: Column, b: Column): Column =
     sum((a.cast(DecimalType(28, 2)) * b.cast(DecimalType(28, 2))))
       .cast("double")
+
+  /** Cross-engine HALF_UP rounding of a double quotient to 2 places.
+    *
+    * `round(x, 2)` is NOT engine-portable when the true quotient sits
+    * exactly on a half (e.g. 82/80 = 1.025): Spark rounds the SHORTEST
+    * DECIMAL REPR of the double ("1.025" → 1.03) while DuckDB rounds
+    * the exact binary value (1.02499999999999991… → 1.02). This form —
+    * floor(x·100 + 0.5)/100 — is the same IEEE multiply/add/floor/
+    * divide sequence on both engines, so results are bit-identical.
+    * Oracle-side equivalent: `CAST(FLOOR(x*100 + 0.5) AS BIGINT)/100.0`.
+    * Only valid for non-negative x (floor(+0.5) is HALF-UP toward +∞). */
+  def round2(c: Column): Column = roundP(c, 2)
+
+  /** [[round2]] generalized to `p` places: floor(x·10^p + 0.5)/10^p.
+    * Oracle equivalent: `CAST(FLOOR(x*1e<p> + 0.5) AS BIGINT)/1e<p>`. */
+  def roundP(c: Column, p: Int): Column = {
+    val m = math.pow(10, p)
+    floor(c * m + lit(0.5)).cast("double") / m
+  }
 }

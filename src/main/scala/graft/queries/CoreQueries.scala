@@ -519,7 +519,8 @@ object CoreQueries {
       |SELECT user_id,
       |  CAST(MAX(sess_no) AS BIGINT) AS n_sessions,
       |  COUNT(*) AS n_events,
-      |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(sess_no) AS BIGINT), 2) AS events_per_session
+      |  CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(sess_no) AS BIGINT)
+      |    * 100 + 0.5) AS BIGINT) / 100.0 AS events_per_session
       |FROM s2
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (s, d) =>
@@ -538,7 +539,10 @@ object CoreQueries {
       .agg(
         max(col("sess_no")).as("n_sessions"),
         count(lit(1)).as("n_events"),
-        round(count(lit(1)).cast("double") / max(col("sess_no")), 2)
+        // portable HALF_UP — 85/83-style quotients land on exact
+        // halves and round(x, 2) diverges across engines (Exact.round2)
+        graft.functions.Exact.round2(
+          count(lit(1)).cast("double") / max(col("sess_no")))
           .as("events_per_session"))
       .orderBy("user_id")
   }
@@ -559,7 +563,8 @@ object CoreQueries {
       |  FROM events)
       |SELECT user_id,
       |  ROUND(MAX(roll_sum), 2) AS max_roll_sum,
-      |  ROUND(MAX(roll_sum / roll_n), 2) AS max_roll_avg
+      |  CAST(FLOOR(MAX(roll_sum / roll_n) * 100 + 0.5) AS BIGINT) / 100.0
+      |    AS max_roll_avg
       |FROM r
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (s, d) =>
@@ -572,8 +577,12 @@ object CoreQueries {
         count(col("value")).over(w).as("roll_n"))
       .groupBy(col("user_id"))
       .agg(
+        // roll_sum itself is an exact 2-decimal value (decimal sum cast
+        // to double) — plain round is safe; the QUOTIENT is not
+        // (Exact.round2 doc)
         round(max(col("roll_sum")), 2).as("max_roll_sum"),
-        round(max(col("roll_sum") / col("roll_n")), 2).as("max_roll_avg"))
+        graft.functions.Exact.round2(max(col("roll_sum") / col("roll_n")))
+          .as("max_roll_avg"))
       .orderBy("user_id")
   }
 

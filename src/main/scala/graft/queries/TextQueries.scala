@@ -502,6 +502,84 @@ object TextQueries {
       .limit(25)
   }
 
+  /** q46 — per-document quality scoring (the curation filter:
+    * length + punctuation-ratio + stopword-ratio, reference-style
+    * heuristics): score = 0.4·min(tokens/100, 1) +
+    * 0.3·(1 − min(5·punct_ratio, 1)) + 0.3·min(10·stop_ratio, 1),
+    * bucketed high/medium/low. Bounded slice for the oracle; the
+    * expression is pure per-row projection (one tokenize, staged
+    * columns — no HOF re-eval), so the unbounded form is the actual
+    * corpus-scale filter. Double arithmetic mirrors the oracle's
+    * expression tree exactly, so values are bitwise identical. */
+  val q46 = QueryDef(
+    "q46_doc_quality", {
+      val stop = Text.langMarkers.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 200),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_tokens,
+        |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |      * 1.0 / GREATEST(length(text), 1) AS pr_raw,
+        |    len(list_filter(toks, x -> x IN ($stop)))
+        |      * 1.0 / GREATEST(len(toks), 1) AS sr_raw
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(FLOOR(pr_raw * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS pr,
+        |    CAST(FLOOR(sr_raw * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS sr
+        |  FROM m),
+        |sc AS (
+        |  SELECT doc_id, n_tokens, pr, sr,
+        |    0.4 * LEAST(n_tokens / 100.0, 1.0)
+        |      + 0.3 * (1.0 - LEAST(pr * 5.0, 1.0))
+        |      + 0.3 * LEAST(sr * 10.0, 1.0) AS score
+        |  FROM r)
+        |SELECT doc_id, n_tokens, pr AS punct_ratio, sr AS stop_ratio,
+        |  CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) / 1000000.0
+        |    AS quality_score,
+        |  CASE WHEN score >= 0.7 THEN 'high'
+        |       WHEN score >= 0.4 THEN 'medium'
+        |       ELSE 'low' END AS quality_bucket
+        |FROM sc
+        |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val stopwords = Text.langMarkers.head._2
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        ((length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))) * lit(1.0)
+          / greatest(length(col("text")), lit(1))).as("punct_ratio"),
+        (size(filter(col("toks"), x => x.isInCollection(stopwords)))
+          * lit(1.0) / greatest(size(col("toks")), lit(1)))
+          .as("stop_ratio"))
+      // Exact.roundP throughout: these are quotient-valued doubles and
+      // round(x, 6) diverges across engines on halfway cases (the q20/
+      // q21 lesson — see Exact.round2 doc)
+      .select(col("doc_id"), col("n_tokens"),
+        graft.functions.Exact.roundP(col("punct_ratio"), 6)
+          .as("punct_ratio"),
+        graft.functions.Exact.roundP(col("stop_ratio"), 6)
+          .as("stop_ratio"))
+      .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
+        col("stop_ratio"),
+        (lit(0.4) * least(col("n_tokens") / lit(100.0), lit(1.0))
+          + lit(0.3) * (lit(1.0) - least(col("punct_ratio") * lit(5.0), lit(1.0)))
+          + lit(0.3) * least(col("stop_ratio") * lit(10.0), lit(1.0)))
+          .as("score"))
+      .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
+        col("stop_ratio"),
+        graft.functions.Exact.roundP(col("score"), 6).as("quality_score"),
+        when(col("score") >= 0.7, "high")
+          .when(col("score") >= 0.4, "medium")
+          .otherwise("low").as("quality_bucket"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41)
+    Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46)
 }
