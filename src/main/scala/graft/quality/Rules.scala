@@ -127,7 +127,10 @@ object Rules {
     ) ++ perRule
     ev.agg(aggs.head, aggs.tail: _*)
       .withColumn("validity_rate",
-        round(col("valid") * lit(100.0) / col("total"), 2))
+        // portable HALF_UP: valid/total quotients land on exact halves
+        // and round(x, 2) diverges across engines (Exact.round2 doc)
+        graft.functions.Exact.round2(
+          col("valid") * lit(100.0) / col("total")))
   }
 
   /** V13: the top-N failing rules, most failures first (the

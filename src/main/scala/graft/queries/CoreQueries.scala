@@ -140,7 +140,8 @@ object CoreQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value,
       |  CASE WHEN COUNT(ts) <= 5 THEN 'Low' WHEN COUNT(ts) <= 15 THEN 'Medium'
       |    WHEN COUNT(ts) <= 30 THEN 'High' ELSE 'Very High' END AS activity_level,
-      |  ROUND(COUNT(ts) / CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE), 2) AS events_per_day
+      |  CAST(FLOOR(COUNT(ts) / CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE)
+      |    * 100 + 0.5) AS BIGINT) / 100.0 AS events_per_day
       |FROM events
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (s, d) =>
@@ -154,7 +155,7 @@ object CoreQueries {
         Exact.avgD(col("value")).as("avg_value"))
       .withColumn("activity_level", Buckets.activityLevel(col("total_events")))
       .withColumn("events_per_day",
-        round(col("total_events") / col("active_days").cast("double"), 2))
+        Exact.round2(col("total_events") / col("active_days").cast("double")))
       .orderBy("user_id")
   }
 
@@ -245,7 +246,8 @@ object CoreQueries {
       |  COUNT(*) AS total_events,
       |  COUNT(DISTINCT event_type) AS event_types,
       |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_events,
-      |  ROUND(100.0 * CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*), 2) AS click_pct
+      |  CAST(FLOOR(100.0 * CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*)
+      |    * 100 + 0.5) AS BIGINT) / 100.0 AS click_pct
       |FROM events
       |GROUP BY 1
       |ORDER BY 1""".stripMargin) { (s, d) =>
@@ -258,7 +260,7 @@ object CoreQueries {
         sum(when(col("event_type") === "click", 1).otherwise(0))
           .as("click_events"))
       .withColumn("click_pct",
-        round(lit(100.0) * col("click_events") / col("total_events"), 2))
+        Exact.round2(lit(100.0) * col("click_events") / col("total_events")))
       .orderBy("event_date")
   }
 
@@ -275,7 +277,8 @@ object CoreQueries {
       |      ELSE 1 END) AS BIGINT) AS total_engagement
       |  FROM events GROUP BY 1)
       |SELECT event_type, unique_users, n_events, total_engagement,
-      |  ROUND(100.0 * n_events / SUM(n_events) OVER (), 2) AS event_pct
+      |  CAST(FLOOR(100.0 * n_events / SUM(n_events) OVER ()
+      |    * 100 + 0.5) AS BIGINT) / 100.0 AS event_pct
       |FROM e
       |ORDER BY event_type""".stripMargin) { (s, d) =>
     val e = Tables.events(s, d)
@@ -286,8 +289,8 @@ object CoreQueries {
         sum(EventWeights.weight(col("event_type"), EventWeights.testdata))
           .as("total_engagement"))
     e.withColumn("event_pct",
-      round(lit(100.0) * col("n_events")
-        / sum(col("n_events")).over(Window.partitionBy()), 2))
+      Exact.round2(lit(100.0) * col("n_events")
+        / sum(col("n_events")).over(Window.partitionBy())))
       .orderBy("event_type")
   }
 
@@ -350,7 +353,8 @@ object CoreQueries {
       |  FROM s)
       |SELECT user_id, COUNT(*) AS n_events, COUNT(gap) AS n_gaps,
       |  CAST(MAX(gap) AS BIGINT) AS max_gap_s,
-      |  ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(gap), 2) AS avg_gap_s
+      |  CAST(FLOOR(CAST(SUM(gap) AS DOUBLE) / COUNT(gap)
+      |    * 100 + 0.5) AS BIGINT) / 100.0 AS avg_gap_s
       |FROM g
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (s, d) =>
@@ -367,7 +371,7 @@ object CoreQueries {
         count(lit(1)).as("n_events"),
         count(col("gap")).as("n_gaps"),
         max(col("gap")).as("max_gap_s"),
-        round(sum(col("gap")).cast("double") / count(col("gap")), 2)
+        Exact.round2(sum(col("gap")).cast("double") / count(col("gap")))
           .as("avg_gap_s"))
       .orderBy("user_id")
   }

@@ -46,10 +46,11 @@ object QualityQueries {
       |  CAST(SUM(CASE WHEN props IS NOT NULL AND NOT (
       |    length(props) BETWEEN 2 AND 64 AND regexp_matches(props, '^\{.*\}$'))
       |    THEN 1 ELSE 0 END) AS BIGINT) AS fail_props_format,
-      |  ROUND(SUM(CASE WHEN user_id IS NOT NULL AND ts IS NOT NULL
+      |  CAST(FLOOR(SUM(CASE WHEN user_id IS NOT NULL AND ts IS NOT NULL
       |    AND (event_type IS NULL OR event_type IN ('view','click','purchase'))
       |    AND (value IS NULL OR (value >= 0 AND value <= 100))
-      |    THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2) AS validity_rate
+      |    THEN 1 ELSE 0 END) * 100.0 / COUNT(*) * 100 + 0.5) AS BIGINT)
+      |    / 100.0 AS validity_rate
       |FROM events""".stripMargin) { (s, d) =>
     Rules.batchStats(Tables.events(s, d), eventRules)
   }

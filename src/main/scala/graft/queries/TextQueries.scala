@@ -172,7 +172,8 @@ object TextQueries {
         |  FROM cand c
         |  JOIN sets sa ON sa.doc_id = c.da
         |  JOIN sets sb ON sb.doc_id = c.db)
-        |SELECT da AS doc_a, db AS doc_b, ROUND(j, 4) AS jaccard
+        |SELECT da AS doc_a, db AS doc_b,
+        |  CAST(FLOOR(j * 10000 + 0.5) AS BIGINT) / 10000.0 AS jaccard
         |FROM jac WHERE j >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, d) =>
@@ -211,7 +212,7 @@ object TextQueries {
           (size(col("sta")) + size(col("stb")) - inter)).as("j"))
       .filter(col("j") >= 0.8)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        round(col("j"), 4).as("jaccard"))
+        graft.functions.Exact.roundP(col("j"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -225,9 +226,9 @@ object TextQueries {
       |sets AS (SELECT doc_id, list_distinct(sh) AS st FROM shl
       |         WHERE doc_id < 100)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  ROUND(len(list_intersect(a.st, b.st)) * 1.0 /
-      |    (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))), 4)
-      |    AS jaccard
+      |  CAST(FLOOR(len(list_intersect(a.st, b.st)) * 1.0 /
+      |    (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)))
+      |    * 10000 + 0.5) AS BIGINT) / 10000.0 AS jaccard
       |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
       |ORDER BY jaccard DESC, doc_a, doc_b
       |LIMIT 10""".stripMargin) { (s, d) =>
@@ -242,7 +243,7 @@ object TextQueries {
     val inter = size(array_intersect(col("a.st"), col("b.st")))
     sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(inter.cast("double") /
+        graft.functions.Exact.roundP(inter.cast("double") /
           (size(col("a.st")) + size(col("b.st")) - inter), 4).as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(10)
@@ -367,8 +368,10 @@ object TextQueries {
       |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
       |  CAST(SUM(nu) AS BIGINT) AS total_unique_tokens,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-      |  ROUND(SUM(nt) * 1.0 / COUNT(*), 2) AS avg_tokens,
-      |  ROUND(100.0 * SUM(nu) / SUM(nt), 2) AS ttr_pct
+      |  CAST(FLOOR(SUM(nt) * 1.0 / COUNT(*) * 100 + 0.5) AS BIGINT)
+      |    / 100.0 AS avg_tokens,
+      |  CAST(FLOOR(100.0 * SUM(nu) / SUM(nt) * 100 + 0.5) AS BIGINT)
+      |    / 100.0 AS ttr_pct
       |FROM t GROUP BY source
       |ORDER BY source""".stripMargin) { (s, d) =>
     // Tokenize ONCE into an attribute, then take both sizes from it:
@@ -391,8 +394,10 @@ object TextQueries {
         sum(col("nt")).as("total_tokens"),
         sum(col("nu")).as("total_unique_tokens"),
         sum(col("n_chars")).as("total_chars"),
-        round(sum(col("nt")) * lit(1.0) / count(lit(1)), 2).as("avg_tokens"),
-        round(lit(100.0) * sum(col("nu")) / sum(col("nt")), 2).as("ttr_pct"))
+        graft.functions.Exact.round2(
+          sum(col("nt")) * lit(1.0) / count(lit(1))).as("avg_tokens"),
+        graft.functions.Exact.round2(
+          lit(100.0) * sum(col("nu")) / sum(col("nt"))).as("ttr_pct"))
       .orderBy("source")
   }
 

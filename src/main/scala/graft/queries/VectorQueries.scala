@@ -54,7 +54,7 @@ object VectorQueries {
       |    ROW_NUMBER() OVER (PARTITION BY query_id
       |      ORDER BY sim DESC, neighbor_id) AS rnk
       |  FROM s)
-      |SELECT query_id, rnk, neighbor_id, ROUND(sim, 6) AS cosine
+      |SELECT query_id, rnk, neighbor_id, CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS cosine
       |FROM r WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
     val n = normed(s, d)
@@ -70,7 +70,7 @@ object VectorQueries {
     sims.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        round(col("sim"), 6).as("cosine"))
+        graft.functions.Exact.roundP(col("sim"), 6).as("cosine"))
       .orderBy("query_id", "rnk")
   }
 
@@ -94,7 +94,7 @@ object VectorQueries {
         |    ROW_NUMBER() OVER (PARTITION BY query_id
         |      ORDER BY sim DESC, neighbor_id) AS rnk
         |  FROM s)
-        |SELECT query_id, rnk, neighbor_id, ROUND(sim, 6) AS cosine
+        |SELECT query_id, rnk, neighbor_id, CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS cosine
         |FROM r WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin
     }) { (s, d) =>
@@ -114,7 +114,7 @@ object VectorQueries {
     sims.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        round(col("sim"), 6).as("cosine"))
+        graft.functions.Exact.roundP(col("sim"), 6).as("cosine"))
       .orderBy("query_id", "rnk")
   }
 
@@ -134,7 +134,7 @@ object VectorQueries {
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |    ${Vectors.dotSql("a.e", "b.e", DIM)} / (a.nrm * b.nrm) AS sim
       |  FROM nb a JOIN nb b ON a.vec_id < b.vec_id)
-      |SELECT vec_a, vec_b, ROUND(sim, 6) AS cosine
+      |SELECT vec_a, vec_b, CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS cosine
       |FROM s
       |ORDER BY sim DESC, vec_a, vec_b
       |LIMIT 20""".stripMargin) { (s, d) =>
@@ -144,7 +144,8 @@ object VectorQueries {
         (Vectors.dot(col("a.e"), col("b.e"))
           / (col("a.nrm") * col("b.nrm"))).as("sim"))
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("cosine"))
+      .select(col("vec_a"), col("vec_b"),
+        graft.functions.Exact.roundP(col("sim"), 6).as("cosine"))
       .limit(20)
   }
 
@@ -192,7 +193,7 @@ object VectorQueries {
         |    ROW_NUMBER() OVER (PARTITION BY query_id
         |      ORDER BY sim DESC, neighbor_id) AS rnk
         |  FROM (SELECT DISTINCT query_id, neighbor_id, sim FROM s))
-        |SELECT query_id, rnk, neighbor_id, ROUND(sim, 6) AS cosine
+        |SELECT query_id, rnk, neighbor_id, CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS cosine
         |FROM r WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin
     }) { (s, d) =>
@@ -229,7 +230,7 @@ object VectorQueries {
     sims.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        round(col("sim"), 6).as("cosine"))
+        graft.functions.Exact.roundP(col("sim"), 6).as("cosine"))
       .orderBy("query_id", "rnk")
   }
 
@@ -333,7 +334,7 @@ object VectorQueries {
     sims.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        round(col("sim"), 6).as("cosine"))
+        graft.functions.Exact.roundP(col("sim"), 6).as("cosine"))
       .orderBy("query_id", "rnk")
   }
 
