@@ -9,6 +9,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions",
+        "org.apache.spark.sql.graft.GraftExtensions")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       // Shuffle/spill files on tmpfs: this host's virtio disk has
       // multi-second latency storms (measured: a trivial 0.2s query

@@ -15,6 +15,8 @@ object Verify {
       // 35+ distinct plans × several codegen units each blow through
       // the default 100-entry generated-class cache; thrash means
       // re-Janino-compiling large classes per query.
+      .config("spark.sql.extensions",
+        "org.apache.spark.sql.graft.GraftExtensions")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       // tmpfs scratch — see Bench.scala / NOTES_r2.md (disk stalls)
       .config("spark.local.dir", graft.app.JobSession.localScratch)

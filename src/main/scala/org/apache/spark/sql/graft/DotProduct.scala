@@ -80,3 +80,75 @@ object DotProduct {
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
+
+/** Self dot product (sum of squares): what `graft_dot(x, x)` means,
+  * evaluated with ONE pass over ONE array — the child expression is
+  * computed once instead of twice and each element is read once.
+  * Produced by [[SelfDotRewrite]]; fold order matches [[DotProduct]]
+  * exactly, so rewriting never changes a result bit.
+  */
+case class SelfDot(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_self_dot"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        val v = x.getDouble(i)
+        acc += v * v
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $v = $a.getDouble($i);
+         |    $acc += $v * $v;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SelfDot =
+    copy(child = c)
+}
+
+/** Optimizer rule: `graft_dot(x, x)` → `graft_self_dot(x)` whenever
+  * both sides are semantically the same deterministic expression —
+  * norms (`sqrt(dot(e, e))`) hit this on every vector query. The
+  * standard Catalyst extension shape: a `Rule[LogicalPlan]` injected
+  * via `SparkSessionExtensions.injectOptimizerRule` alongside the
+  * function registrations ([[GraftExtensions]]).
+  */
+object SelfDotRewrite
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case DotProduct(l, r) if l.deterministic && l.semanticEquals(r) =>
+        SelfDot(l)
+    }
+}

@@ -16,10 +16,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    in shared-session tests and notebooks).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach { case (id, info, builder) =>
       ext.injectFunction((id, info, builder))
     }
+    // graft_dot(x, x) → graft_self_dot(x): one array pass, one child
+    // eval; bit-identical fold (SelfDotRewrite doc)
+    ext.injectOptimizerRule(_ => SelfDotRewrite)
+  }
 }
 
 object GraftFunctions {

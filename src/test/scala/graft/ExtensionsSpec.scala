@@ -26,6 +26,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(fp == 3)
   }
 
+  test("SelfDotRewrite: graft_dot(x, x) optimizes to graft_self_dot") {
+    import graft.functions.Vectors
+    // spark.range is a real source — a local Seq would be folded into
+    // a LocalRelation at optimize time, hiding the rewrite
+    val base = spark.range(1, 3)
+      .select(array(col("id").cast("double"),
+        (col("id") * 2).cast("double")).as("e"))
+    val df = base.select(col("e"), Vectors.norm(col("e")).as("nrm"),
+      Vectors.dot(col("e"), col("e")).as("sq"))
+    // the rule (injected via spark.sql.extensions in SparkSpec) rewrote
+    // the self-dot; a dot of distinct columns must NOT be rewritten
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_self_dot"), opt)
+    val rows = df.collect()
+    // e = [1,2] and [2,4]: sums of squares 5 and 20, bit-identical
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(5.0, 20.0))
+    assert(rows.map(_.getDouble(1)).toSeq ==
+      Seq(math.sqrt(5.0), math.sqrt(20.0)))
+    val mixed = base.select(col("e").as("a"),
+      array(lit(3.0), lit(4.0)).as("b"))
+      .select(Vectors.dot(col("a"), col("b")).as("d"))
+    val optMixed = mixed.queryExecution.optimizedPlan.toString
+    assert(!optMixed.contains("graft_self_dot"), optMixed)
+    assert(mixed.collect().map(_.getDouble(0)).toSeq == Seq(11.0, 22.0))
+  }
+
   test("salted aggregation equals direct aggregation on a hot key") {
     val rows = (1 to 1000).map(i => ("hot", i.toDouble)) ++
       (1 to 10).map(i => (s"k$i", i.toDouble))

@@ -17,6 +17,8 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions",
+        "org.apache.spark.sql.graft.GraftExtensions")
       .config("spark.local.dir", graft.app.JobSession.localScratch)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
