@@ -265,3 +265,46 @@ object StreamJob {
     spark.stop()
   }
 }
+
+object IncrementalSilverJob {
+
+  /** S14 — hourly incremental bronze→silver: a file-source stream over
+    * the landing layout with `Trigger.AvailableNow` + a checkpoint, so
+    * each invocation processes ONLY files that arrived since the last
+    * run (the reference's "process the new hour" cron,
+    * `main_pipeline.py` file-cursor semantics, without hand-tracked
+    * cursors — the streaming checkpoint IS the cursor, and it survives
+    * restarts).
+    *
+    * The silver transform runs inside `foreachBatch`: it uses window
+    * functions (session sequence numbers) that a pure streaming plan
+    * disallows, and each micro-batch is a complete file-set, so batch
+    * semantics per increment are exactly right. */
+  def run(spark: SparkSession, landingDir: String, silverDir: String,
+          checkpointDir: String): Unit = {
+    val stream = spark.readStream
+      .schema(Schemas.clickstream)
+      .option("mode", "DROPMALFORMED")
+      .json(landingDir)
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val silver = Silver.clickstream(batch.toDF())
+        if (!silver.isEmpty)
+          Medallion.writePartitioned(silver, silverDir)
+      }
+      .start()
+      .awaitTermination()
+  }
+
+  /** CLI: `IncrementalSilverJob <landingDir> <silverDir> <checkpointDir>`. */
+  def main(args: Array[String]): Unit = {
+    val Array(landingDir, silverDir, checkpointDir) = args
+    val spark = JobSession.build("graft-incremental-silver")
+    run(spark, landingDir, silverDir, checkpointDir)
+    spark.stop()
+  }
+}

@@ -263,4 +263,16 @@ object Features {
       .partitionBy("year", "month", "day", "hour")
       .format("json")
       .option("path", bronzeDir)
+
+  /** Streaming exact dedup (D1 on a stream): drop repeated keys with
+    * the dedup state BOUNDED by the event-time watermark — at-least-
+    * once sources (Kafka replays, file re-lists) become exactly-once
+    * downstream, and state for keys older than the watermark is
+    * dropped instead of growing forever (the unbounded-dict failure
+    * mode the reference's in-memory dedup would hit at scale). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

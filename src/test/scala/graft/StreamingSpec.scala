@@ -53,6 +53,49 @@ class StreamingSpec extends SparkSpec {
       .toSeq == Seq(1))
   }
 
+  test("dedupStream drops replayed keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Features.dedupStream(
+        mem.toDF().withColumn("event_key",
+          concat_ws(":", col("user_id"), col("product_id"), col("ts"))),
+        Seq("event_key"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(events.take(3): _*)
+      q.processAllAvailable()
+      // replay batch 1 (at-least-once source) + two new events
+      mem.addData(events.take(3): _*)
+      mem.addData(events.drop(3): _*)
+      q.processAllAvailable()
+      // 5 distinct keys survive the replay
+      assert(spark.table("dedup_out").count() == 5)
+    } finally q.stop()
+  }
+
+  test("IncrementalSilverJob processes only NEW files per invocation") {
+    val root = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val landing = new java.io.File(s"$root/landing"); landing.mkdirs()
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.writeString(
+        new java.io.File(landing, name).toPath, lines.mkString("\n"))
+    writeFile("h1.json", Seq(
+      """{"event_id":"a1","user_id":"1","event_type":"view","item_id":"A","timestamp":"2025-09-05T12:00:00Z"}""",
+      """{"event_id":"a2","user_id":"2","event_type":"click","item_id":"B","timestamp":"2025-09-05T12:10:00Z"}"""))
+    graft.app.IncrementalSilverJob.run(spark, landing.toString,
+      s"$root/silver", s"$root/ckpt")
+    assert(spark.read.parquet(s"$root/silver").count() == 2)
+    // second hour arrives; re-run processes ONLY the new file
+    writeFile("h2.json", Seq(
+      """{"event_id":"b1","user_id":"1","event_type":"purchase","item_id":"A","timestamp":"2025-09-05T13:00:00Z","price":9.0}"""))
+    graft.app.IncrementalSilverJob.run(spark, landing.toString,
+      s"$root/silver", s"$root/ckpt")
+    val silver = spark.read.parquet(s"$root/silver")
+    assert(silver.count() == 3) // appended 1, not re-landed h1's 2
+    assert(silver.filter(col("event_id") === "b1").count() == 1)
+  }
+
   test("rollingProductViews windowed aggregation over a MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
