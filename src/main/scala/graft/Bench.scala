@@ -33,10 +33,6 @@ object Bench {
         .map(g => s"${g.getName}=${g.getCollectionTime}ms").mkString(" ")
       s"$pools | $gc"
     }
-    // Two timed passes per query, report the min: transient JIT-queue
-    // stalls (big Janino classes waiting on C1/C2) inflate a single
-    // pass nondeterministically; steady-state latency is the honest
-    // per-query number and is what a long-lived cluster session sees.
     // A pass that throws is NOT a timing: the query's reported value
     // becomes -1 and the error surfaces in the JSON "errors" map, so a
     // regression can never make the bench look faster.
@@ -56,9 +52,34 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def renderJson(results: Seq[(String, Double, Option[String])],
+                   done: Boolean): String = {
+      val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
+        .mkString("{", ",", "}")
+      val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
+        .mkString("{", ",", "}")
+      val total = results.collect { case (_, v, None) => v }.sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","complete":$done,"n_queries":${results.size}}"""
+    }
+    // Partial-evidence file, rewritten after EVERY query: a harness
+    // timeout (BENCH_r02 was rc=124 with parsed:null) now leaves a
+    // parseable cumulative JSON on disk instead of nothing. stdout
+    // still carries exactly ONE final JSON line (the driver contract).
+    val partialPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTIAL", "BENCH_partial.json"))
+    // Second pass only when the first is slow: pass 1 includes Janino
+    // codegen + plan compile; for sub-1.5s queries that overhead is the
+    // bulk of the number but re-measuring 46 cheap queries doubles the
+    // harness wall time, which is what got the round-2 run killed.
+    // Slow queries (where warmup is noise and a transient host storm
+    // could fake a regression) still get min-of-2.
+    val rerunThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_SEC", "1.5").toDouble
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Option[String])]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val (a, ea) = timeOnce(fn)
-      val (b, eb) = timeOnce(fn)
+      val (b, eb) =
+        if (ea.isEmpty && a <= rerunThreshold) (a, ea) else timeOnce(fn)
       // No query may leave cached/persisted state behind to skew its
       // successors (round-1 lesson: q24's persist survived 30+ queries).
       spark.catalog.clearCache()
@@ -67,14 +88,15 @@ object Bench {
       System.err.println(
         f"[bench] $name min=$dt%.1fs (runs $a%.1f/$b%.1f)" +
           err.fold("")(m => s" ERR $m") + s" | ${jvmDiag()}")
-      (name, dt, err)
+      acc += ((name, dt, err))
+      try java.nio.file.Files.writeString(
+        partialPath, renderJson(acc.toSeq, done = false) + "\n")
+      catch { case _: Throwable => () } // partial file is best-effort
     }
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val finalJson = renderJson(acc.toSeq, done = true)
+    try java.nio.file.Files.writeString(partialPath, finalJson + "\n")
+    catch { case _: Throwable => () }
+    println(finalJson)
     spark.stop()
   }
 }
