@@ -191,7 +191,11 @@ object GoldJob {
       if (!Rules.gate(stats, gateThreshold)) {
         System.err.println(
           s"[gold-job] quality gate FAILED (threshold $gateThreshold) — aborting")
-        return tables(clicks, None, None).map(_._1 -> false).toMap
+        // Same table list as the success path, so the result-map key
+        // set is identical whether the gate passes or fails (r2
+        // ADVICE item: the old form dropped enriched_events here).
+        return tables(clicks, readIf("user_events_silver"),
+          readIf("product_events_silver")).map(_._1 -> false).toMap
       }
       val results = tables(clicks, readIf("user_events_silver"),
         readIf("product_events_silver")).map { case (name, df) =>

@@ -36,33 +36,25 @@ object Analytics {
       .agg(min(col(valueCol)).as(as))
   }
 
-  /** A12: pandas `rank(pct=True)` = average-rank / count. Differs from
-    * SQL `percent_rank` ((rank-1)/(n-1)); both are exposed — oracle
-    * queries use `percent_rank`, reference-parity paths use this.
-    */
-  def pctRankPandas(orderBy: Column): Column = {
-    val w = Window.orderBy(orderBy)
-    // average rank of ties = (rank + rank + cnt(tie) - 1)/... pandas
-    // 'average' method: mean of the positions; equals
-    // rank() + (count_over_ties - 1)/2
-    val tieCnt = count(lit(1)).over(Window.partitionBy(orderBy))
-    (rank().over(w) + (tieCnt - lit(1)) / lit(2.0)) /
-      count(lit(1)).over(Window.partitionBy())
-  }
+  /** A12: pandas `rank(pct=True)` (average-rank / count; differs from
+    * SQL `percent_rank`) lives in [[Ranks.pctRankPandas]] — distributed,
+    * no global window. */
 
   /** A7: quartile tier via ntile over a fully deterministic order.
     * `pd.qcut` buckets by quantile value (ties share a bucket); engine
     * semantics are pinned to ntile with a unique tie-break column, per
-    * SURVEY §2.4 A7.
+    * SURVEY §2.4 A7. Delegates to [[Ranks.ntileGlobal]]: the old
+    * `ntile(4).over(Window.orderBy(...))` sorted the whole frame in one
+    * task, which grows with the catalog (r2 verdict What's-wrong #4).
     */
   def quartileTier(df: DataFrame, score: Column, tieBreak: Column,
                    as: String,
                    labels: Seq[String] = Seq("Low", "Medium", "High", "Top"))
   : DataFrame = {
-    val t = ntile(4).over(Window.orderBy(score, tieBreak))
+    val tiled = Ranks.ntileGlobal(df, labels.size, score, tieBreak, "__tile")
     val label = labels.zipWithIndex.foldLeft(lit(null).cast("string")) {
-      case (acc, (l, i)) => when(t === i + 1, l).otherwise(acc)
+      case (acc, (l, i)) => when(col("__tile") === i + 1, l).otherwise(acc)
     }
-    df.withColumn(as, label)
+    tiled.withColumn(as, label).drop("__tile")
   }
 }

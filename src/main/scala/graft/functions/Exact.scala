@@ -45,7 +45,11 @@ object Exact {
     * floor(x·100 + 0.5)/100 — is the same IEEE multiply/add/floor/
     * divide sequence on both engines, so results are bit-identical.
     * Oracle-side equivalent: `CAST(FLOOR(x*100 + 0.5) AS BIGINT)/100.0`.
-    * Only valid for non-negative x (floor(+0.5) is HALF-UP toward +∞). */
+    * Halves round toward +∞ on BOTH engines — HALF_UP for x ≥ 0, and
+    * for negative x a half like -1.025 rounds to -1.02 (not -1.03).
+    * Cross-engine equality holds for any sign because the oracle runs
+    * the identical FLOOR formula; only the "HALF_UP" label would be
+    * wrong for negatives (r2 ADVICE item; pinned by ExactSpec). */
   def round2(c: Column): Column = roundP(c, 2)
 
   /** [[round2]] generalized to `p` places: floor(x·10^p + 0.5)/10^p.

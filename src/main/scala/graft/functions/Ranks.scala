@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed analogs of the partition-less `Window.orderBy(...)`
+  * rank family (`percent_rank`, `ntile`, global `row_number`).
+  *
+  * A window with no partition key forces Spark to sort the ENTIRE
+  * frame in one task — the classic single-partition scale-killer: fine
+  * on an aggregated handful of rows, fatal when the frame grows with
+  * the data (per-user totals, per-part scores). These helpers keep the
+  * exact SQL semantics but distribute the sort:
+  *
+  *  1. range-bucket rows by approximate quantiles of the order key —
+  *     the boundaries are a bounded driver-side list (`buckets - 1`
+  *     doubles, sized by the knob, never the data), applied as a pure
+  *     per-row expression;
+  *  2. rank locally per bucket (`Window.partitionBy(__b)` — one hash
+  *     shuffle, parallel per-bucket sorts);
+  *  3. add per-bucket row-count offsets, collected driver-side (at
+  *     most `buckets + 1` rows — bounded by the knob) and applied as
+  *     literal expressions, so the main plan carries no extra join
+  *     and no partition-less window at all.
+  *
+  * Correctness of the split: a bucket is a pure function of the order
+  * VALUE, so a tie group can never straddle buckets and
+  * `local rank + offset = global rank` exactly. Quantile placement
+  * affects only balance, never results. Known limit shared with every
+  * range partitioner: one hot value floods its bucket — acceptable for
+  * rank inputs (aggregated frames), and strictly better than the one
+  * task that a global window uses for ALL values.
+  */
+object Ranks {
+
+  /** Interior quantile boundaries of `orderCol` (cast to double).
+    * Driver-side result is `<= buckets - 1` doubles — bounded by the
+    * knob. Costs one extra aggregation pass over `df` (at cluster
+    * scale you would persist the input or reuse column stats). */
+  private def boundaries(df: DataFrame, orderCol: Column,
+                         buckets: Int): Seq[Double] =
+    if (buckets <= 1) Seq.empty
+    else {
+      val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+      df.select(orderCol.cast("double").as("__v"))
+        .na.drop(Seq("__v"))
+        .stat.approxQuantile("__v", probs, 0.01)
+        .toSeq.distinct.sorted
+    }
+
+  /** Bucket id = number of boundaries strictly below the value (null
+    * orders first, as SQL ASC NULLS FIRST does). Pure per-row, codegen
+    * friendly. */
+  private def bucketOf(orderCol: Column, bounds: Seq[Double]): Column =
+    bounds.foldLeft(when(orderCol.isNull, lit(-1)).otherwise(lit(0))) {
+      (acc, t) =>
+        acc + when(orderCol.cast("double") > lit(t), 1).otherwise(0)
+    }
+
+  /** Core: df + `__pos` (global rank if `tieBreak` empty, else global
+    * row_number over (orderCol, tieBreak)) + `__n` (total rows).
+    * Callers must drop the `__`-prefixed internals.
+    *
+    * Cost: two bounded driver-side prep jobs (quantile boundaries,
+    * per-bucket counts — each result sized by the `buckets` knob,
+    * never the data) + ONE shuffle in the main query (the per-bucket
+    * window). The counts become literal offset expressions, so no
+    * join and no extra window appears in the plan. The input is
+    * computed three times (boundaries, counts, main) — at cluster
+    * scale you persist the aggregated input or reuse column stats;
+    * what can never be bought back is the single task a global
+    * window would use. */
+  private def ranked(df: DataFrame, orderCol: Column,
+                     tieBreak: Seq[Column], buckets: Int): DataFrame = {
+    val withB = df.withColumn("__b", bucketOf(
+      orderCol, boundaries(df, orderCol, buckets)))
+    val counts: Array[(Int, Long)] = withB.groupBy(col("__b"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val prefix = counts.scanLeft(0L)(_ + _._2) // offset of bucket i
+    val offExpr = counts.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, ((bid, _), i)) =>
+        when(col("__b") === bid, lit(prefix(i))).otherwise(acc)
+    }
+    val local = Window.partitionBy(col("__b"))
+      .orderBy(orderCol +: tieBreak: _*)
+    val pos = if (tieBreak.isEmpty) rank() else row_number()
+    withB
+      .withColumn("__pos", offExpr + pos.over(local))
+      .withColumn("__n", lit(total))
+  }
+
+  private val internals = Seq("__b", "__pos", "__n")
+
+  /** SQL `PERCENT_RANK() OVER (ORDER BY orderCol)` = (rank-1)/(n-1),
+    * 0.0 for a single row — distributed. The division is the same
+    * integer-operand double division both engines perform, so values
+    * stay bitwise identical to the single-partition form. */
+  def percentRank(df: DataFrame, orderCol: Column, as: String,
+                  buckets: Int = 32): DataFrame =
+    ranked(df, orderCol, Nil, buckets)
+      .withColumn(as, when(col("__n") > 1,
+        (col("__pos") - 1).cast("double") / (col("__n") - 1))
+        .otherwise(lit(0.0)))
+      .drop(internals: _*)
+
+  /** SQL `NTILE(n) OVER (ORDER BY orderCol, tieBreak)` — distributed.
+    * Standard semantics: with N rows, the first `N % n` tiles get
+    * `floor(N/n) + 1` rows, the rest `floor(N/n)` (what Spark and
+    * DuckDB both implement); `tieBreak` must make the order unique,
+    * exactly as the single-partition form required for determinism. */
+  def ntileGlobal(df: DataFrame, n: Int, orderCol: Column,
+                  tieBreak: Column, as: String,
+                  buckets: Int = 32): DataFrame = {
+    val r = ranked(df, orderCol, Seq(tieBreak), buckets)
+    val q = floor(col("__n") / n)
+    val rem = col("__n") % n
+    val cut = rem * (q + 1)
+    val tile = when(col("__pos") <= cut,
+      floor((col("__pos") - 1) / (q + 1)))
+      .otherwise(rem + floor((col("__pos") - cut - 1) / greatest(q, lit(1L))))
+    r.withColumn(as, (tile + 1).cast("int")).drop(internals: _*)
+  }
+
+  /** pandas `rank(pct=True)` (average rank / count) — distributed.
+    * Average rank of a tie group = rank + (tie_count - 1)/2; the tie
+    * count is a hash-partitioned window on the order value itself, so
+    * no global sort appears here either. */
+  def pctRankPandas(df: DataFrame, orderCol: Column, as: String,
+                    buckets: Int = 32): DataFrame =
+    ranked(df, orderCol, Nil, buckets)
+      .withColumn("__tie",
+        count(lit(1)).over(Window.partitionBy(orderCol)))
+      .withColumn(as,
+        (col("__pos") + (col("__tie") - 1) / lit(2.0)) / col("__n"))
+      .drop("__tie")
+      .drop(internals: _*)
+}

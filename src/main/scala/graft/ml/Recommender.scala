@@ -77,6 +77,45 @@ object Recommender {
       .agg(count(lit(1)).as("n_baskets"))
   }
 
+  /** Cost-based basket cap, derived from the basket-size histogram
+    * (exactly the q37 distribution — that query IS this cost model).
+    * Returns the largest cap C such that the kept pair volume
+    * `Σ_{n ≤ C} cnt(n) · n · (n−1)` stays within `pairBudget` — the
+    * number of rows the co-occurrence self-join emits before its
+    * groupBy. Baskets above the cap are the quadratic blowup the cap
+    * exists to exclude (one power user in 10k baskets costs 10⁸ pairs
+    * alone). When the whole histogram fits the budget the cap equals
+    * the max observed size and nothing is dropped — so at test scale
+    * co-occurrence stays oracle-exact while at 100 TB the same call
+    * bounds the join.
+    *
+    * The histogram collect is bounded by the number of DISTINCT basket
+    * sizes (not baskets), a few hundred rows at any scale. */
+  def maxBasketFromHistogram(baskets: DataFrame, basketCol: String,
+                             itemCol: String,
+                             pairBudget: Long = 100000000L): Int = {
+    val hist = baskets
+      .select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // The cap is a THRESHOLD (every n <= cap is kept), so stop at the
+    // first size that busts the budget — a later size that would fit
+    // on its own cannot be admitted without readmitting this one.
+    var cum = 0L
+    var cap = 1L
+    var stop = false
+    hist.foreach { case (n, cnt) =>
+      if (!stop) {
+        val pairs = cnt * n * (n - 1)
+        if (cum + pairs <= pairBudget) { cum += pairs; cap = math.max(cap, n) }
+        else stop = true
+      }
+    }
+    math.min(cap, Int.MaxValue).toInt
+  }
+
   /** Top-k co-items per item with deterministic tie-break. */
   def topCoItems(co: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("item"))

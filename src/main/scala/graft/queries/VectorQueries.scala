@@ -338,5 +338,44 @@ object VectorQueries {
       .orderBy("query_id", "rnk")
   }
 
-  val all: Seq[QueryDef] = Seq(q32, q33, q34, q38, q42, q43)
+  /** q47 — the q42 keep rule at its 100-TB shape: LSH-bucketed
+    * embedding dedup over the WHOLE table (no bounded slice). Vectors
+    * are compared only within their hyperplane-LSH bucket (the q33
+    * partitioning), so the candidate join is a bucket equi-join whose
+    * per-bucket fan-out is held bounded by growing `bits` with the
+    * corpus — never an all-pairs θ-join. Same deterministic,
+    * order-independent rule as q42: drop a vector iff ANY lower-id
+    * vector in its bucket is ≥ 0.45 cosine-similar (dropped or not),
+    * at the cost of approximate recall across bucket boundaries —
+    * the standard LSH dedup trade. q42 (exact, bounded slice) remains
+    * the recall yardstick for this path, as q34 is for q33. */
+  val q47 = QueryDef(
+    "q47_embed_dedup_lsh", {
+      val bkt = Vectors.lshBucketSql("e", BITS, DIM)
+      normCte +
+        s""",
+        |b AS (SELECT vec_id, e, nrm, $bkt AS bucket FROM n),
+        |d AS (
+        |  SELECT DISTINCT y.vec_id FROM b x JOIN b y
+        |  ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |  AND ${Vectors.dotSql("x.e", "y.e", DIM)} / (x.nrm * y.nrm)
+        |      >= 0.45)
+        |SELECT vec_id FROM b
+        |WHERE vec_id NOT IN (SELECT vec_id FROM d)
+        |ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+    val b = normed(s, d)
+      .withColumn("bucket", Vectors.lshBucket(col("e"), BITS, DIM))
+    val dups = b.as("x").join(b.as("y"),
+      col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id") &&
+        (Vectors.dot(col("x.e"), col("y.e"))
+          / (col("x.nrm") * col("y.nrm"))) >= 0.45)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+    b.select(col("vec_id"))
+      .join(dups, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q32, q33, q34, q38, q42, q43, q47)
 }

@@ -83,8 +83,15 @@ object Silver {
       .withColumn("total_purchases", col("total_purchases").cast("double"))
       .withColumn("total_spent", col("total_spent").cast("double"))
 
+    // D2 keep-latest with a PINNED tie-break: profile snapshots carry
+    // no unique event id, so same-timestamp rows order by a content
+    // hash of the raw record — any stable total order works, it just
+    // must not depend on partition layout (the A8 bug class; r2
+    // verdict What's-wrong #5). MedallionSpec asserts repartition(1)
+    // and repartition(32) produce identical silver.
     val wLatest = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc)
+      .orderBy(col("ts").desc,
+        xxhash64(typed.columns.map(col): _*).desc)
     typed
       .withColumn("value_segment", Buckets.valueSegment(col("total_spent")))
       .withColumn("account_age_days",
@@ -115,8 +122,10 @@ object Silver {
       .withColumn("stock_quantity", col("stock_quantity").cast("int"))
       .filter(col("price") > 0)
 
+    // Same pinned tie-break as `users` — see the comment there.
     val wLatest = Window.partitionBy(col("product_id"))
-      .orderBy(col("ts").desc)
+      .orderBy(col("ts").desc,
+        xxhash64(typed.columns.map(col): _*).desc)
     typed
       .withColumn("category", initcap(trim(col("category"))))
       .withColumn("is_in_stock",

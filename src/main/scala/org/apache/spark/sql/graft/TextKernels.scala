@@ -84,8 +84,14 @@ object TextKernels {
     * Returns the K minima as unsigned-32 longs. */
   def minhashU32(shingles: ArrayData, k: Int): ArrayData = {
     val n = shingles.numElements()
+    // Empty shingle set → EMPTY signature (not a sentinel): a shared
+    // sentinel signature would make every empty document band-collide
+    // with every other as a false near-duplicate. Element access on
+    // the empty array yields SQL NULL band components, which never
+    // equi-join. (r2 ADVICE item.)
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
     val mins = new Array[Long](k)
-    java.util.Arrays.fill(mins, -1L) // sentinel: no shingles seen
+    java.util.Arrays.fill(mins, -1L) // sentinel: no shingles seen yet
     val md = mdLocal.get()
     var si = 0
     while (si < n) {
@@ -205,7 +211,9 @@ case class MinHashSignature(child: Expression, k: Int)
 }
 
 /** `minhash_u32(shingles, k)`: array<long> of K universal-hash MinHash
-  * components (one md5 per shingle; see [[TextKernels.minhashU32]]). */
+  * components (one md5 per shingle; see [[TextKernels.minhashU32]]).
+  * An EMPTY shingle array yields an empty signature array (so empty
+  * documents can never band-collide); null input yields null. */
 case class MinHashU32(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Analytics, Buckets, EventWeights, Text, Vectors}
+import graft.functions.{Analytics, Buckets, EventWeights, Exact, Text, Vectors}
 
 /** Unit coverage for the ⚠-flagged parity semantics in SURVEY §2. */
 class FunctionsSpec extends SparkSpec {
@@ -48,6 +48,21 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(2)).toMap
     // u1: latest day 09-02 -> c; tie-break picks max v when days tie
     assert(latest == Map("u1" -> "c", "u2" -> "d"))
+  }
+
+  test("Exact.roundP: halves round toward +inf on BOTH signs (pinned)") {
+    // 0.25 is an exact binary half: +0.25 → 0.3 (HALF_UP) but
+    // -0.25 → -0.2 (toward +inf, NOT -0.3) — the documented semantics
+    // for negative inputs (cosines can be negative; the oracle runs
+    // the identical FLOOR formula, so parity holds either way).
+    // ±0.35 are NOT binary halves; the pinned values below are simply
+    // what the IEEE multiply/add/floor sequence produces — the same
+    // sequence the oracle runs, so cross-engine parity is by
+    // construction, not by decimal intuition.
+    val got = Seq(0.25, -0.25, 0.35, -0.35).toDF("x")
+      .select(Exact.roundP(col("x"), 1).as("r"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(0.3, -0.2, 0.4, -0.3), got.toString)
   }
 
   test("Analytics.modeDeterministic breaks count ties with min value") {

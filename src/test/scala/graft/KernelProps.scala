@@ -89,6 +89,13 @@ object KernelProps extends Properties("graft.kernels") {
       }
     }
 
+  property("minhashU32: empty shingles → empty signature, never a " +
+    "shared sentinel that would band-collide empty docs") =
+    Prop {
+      TextKernels.minhashU32(new GenericArrayData(Array.empty[Any]), 16)
+        .numElements() == 0
+    }
+
   property("minhashU32 matches a direct md5 reference model") =
     Prop.forAll(tokenList) { ts =>
       val got = TextKernels.minhashU32(arr(ts), 4)

@@ -119,6 +119,35 @@ class MedallionSpec extends SparkSpec {
     assert(picks.forall(_ == "late"), picks.toString)
   }
 
+  test("D2: silver keep-latest tie-break is partition-order independent") {
+    import spark.implicits._
+    // two u1 profile snapshots with IDENTICAL (user_id, ts) but
+    // different content: without the content-hash tie-break the winner
+    // depends on partition layout (the A8 bug class, r2 verdict #5).
+    val userLines = Seq(
+      """{"user_id":"u1","timestamp":"2025-09-05T12:00:00Z","total_spent":10.0}""",
+      """{"user_id":"u1","timestamp":"2025-09-05T12:00:00Z","total_spent":99.0}""",
+      """{"user_id":"u2","timestamp":"2025-09-05T12:00:00Z","total_spent":5.0}""")
+    def usersOf(parts: Int, seq: Seq[String]) =
+      Silver.users(
+        spark.read.schema(Schemas.user).json(seq.toDS).repartition(parts))
+        .select("user_id", "total_spent").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val u1 = usersOf(1, userLines)
+    assert(u1 == usersOf(32, userLines.reverse), u1.toString)
+
+    val productLines = Seq(
+      """{"product_id":"p1","timestamp":"2025-09-05T12:00:00Z","price":3.0,"category":"x"}""",
+      """{"product_id":"p1","timestamp":"2025-09-05T12:00:00Z","price":7.0,"category":"x"}""")
+    def productsOf(parts: Int, seq: Seq[String]) =
+      Silver.products(
+        spark.read.schema(Schemas.product).json(seq.toDS).repartition(parts))
+        .select("product_id", "price").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val p1 = productsOf(1, productLines)
+    assert(p1 == productsOf(32, productLines.reverse), p1.toString)
+  }
+
   test("partitioned silver write round-trips through the date layout") {
     val silver = Silver.clickstream(
       Medallion.wellFormed(

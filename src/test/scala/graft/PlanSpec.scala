@@ -61,6 +61,25 @@ class PlanSpec extends SparkSpec {
     assert(!inLambda, optimized)
   }
 
+  test("no single-partition Window over an unbounded frame (registry)") {
+    // A Window with no partition key sorts its whole input in ONE task.
+    // Allowed only when the frame is bounded by construction: q11's
+    // event-type aggregate (one row per enum value). Anything else is
+    // the r2-verdict scale-killer and fails here (Ranks' distributed
+    // rank family plans no partition-less window at all).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val allowed = Set("q11_engagement_share")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => allowed.contains(n) }
+      .flatMap { case (name, fn) =>
+        fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => name
+        }.distinct
+      }
+    assert(offenders.isEmpty,
+      s"single-partition windows in: ${offenders.mkString(", ")}")
+  }
+
   test("whole-stage codegen covers the pricing aggregation path (q01)") {
     // q01 is the pure-aggregate path (no distinct rewrite, which plans
     // a multi-phase first()-of-partial aggregation outside codegen).

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Ranks
+
+/** Distributed rank family vs the single-partition window reference:
+  * identical results on tie-heavy data, independent of input
+  * partitioning and bucket count (the properties that make the
+  * bucketed rewrite safe to substitute under q09/q12). */
+class RanksSpec extends SparkSpec {
+
+  // tie-heavy, unordered, negative + duplicate values; unique id
+  private lazy val df = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 500).map(i => (i.toLong, (rnd.nextInt(40) - 10).toDouble))
+      .toDF("id", "v")
+      .repartition(7) // deliberately lumpy input partitioning
+  }
+
+  test("percentRank equals percent_rank().over(Window.orderBy)") {
+    val expected = df.withColumn("p",
+      percent_rank().over(Window.orderBy(col("v"))))
+      .select("id", "p").collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    for (buckets <- Seq(1, 4, 32)) {
+      val got = Ranks.percentRank(df, col("v"), "p", buckets)
+        .select("id", "p").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == expected, s"buckets=$buckets")
+    }
+  }
+
+  test("ntileGlobal equals ntile(n).over(Window.orderBy) incl. N % n != 0") {
+    for (n <- Seq(3, 4, 7); take <- Seq(499, 500)) {
+      val d = df.filter(col("id") <= take)
+      val expected = d.withColumn("t",
+        ntile(n).over(Window.orderBy(col("v"), col("id"))))
+        .select("id", "t").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = Ranks.ntileGlobal(d, n, col("v"), col("id"), "t", 8)
+        .select("id", "t").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == expected, s"n=$n take=$take")
+    }
+  }
+
+  test("ntileGlobal with fewer rows than tiles (q = 0 branch)") {
+    val d = df.filter(col("id") <= 3)
+    val got = Ranks.ntileGlobal(d, 4, col("v"), col("id"), "t")
+      .select("id", "t").collect().map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    val expected = d.withColumn("t",
+      ntile(4).over(Window.orderBy(col("v"), col("id"))))
+      .select("id", "t").collect().map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("pctRankPandas: average rank over count, tie-stable") {
+    import spark.implicits._
+    // v=1.0 twice (positions 1,2 -> avg 1.5), v=2.0 once (position 3)
+    val d = Seq((1L, 1.0), (2L, 1.0), (3L, 2.0)).toDF("id", "v")
+    val got = Ranks.pctRankPandas(d, col("v"), "p")
+      .select("id", "p").collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    assert(got == Map(1L -> 0.5, 2L -> 0.5, 3L -> 1.0))
+  }
+
+  test("results are partitioning-independent") {
+    val a = Ranks.percentRank(df.repartition(1), col("v"), "p")
+      .select("id", "p").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(_._1).toSeq
+    val b = Ranks.percentRank(df.repartition(13), col("v"), "p")
+      .select("id", "p").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(_._1).toSeq
+    assert(a == b)
+  }
+}

@@ -41,6 +41,21 @@ class RecommenderSpec extends SparkSpec {
     assert(Recommender.rmse(m1, ratings) < 5.0)
   }
 
+  test("maxBasketFromHistogram: keeps all under budget, caps when it binds") {
+    val baskets = Seq(
+      (100, "A"), (100, "B"), (100, "C"), // size 3 → 6 ordered pairs
+      (101, "A"), (101, "B"),             // size 2 → 2
+      (102, "A"), (102, "B")).toDF("b", "i") // size 2 → 2
+    // generous budget: cap = max observed size, nothing dropped
+    assert(Recommender.maxBasketFromHistogram(baskets, "b", "i") == 3)
+    // budget 4: both size-2 baskets fit (4 pairs); size 3 would bust
+    assert(Recommender.maxBasketFromHistogram(baskets, "b", "i",
+      pairBudget = 4L) == 2)
+    // budget below anything: floor cap of 1 (singleton baskets only)
+    assert(Recommender.maxBasketFromHistogram(baskets, "b", "i",
+      pairBudget = 1L) == 1)
+  }
+
   test("coOccurrence counts shared baskets and caps basket size") {
     val baskets = Seq(
       (100, "A"), (100, "B"), (100, "C"),

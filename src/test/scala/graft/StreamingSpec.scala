@@ -74,6 +74,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream composite keys dedup on the tuple, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // composite key (user_id, product_id): u1×A appears 3 times in the
+    // fixture with DIFFERENT event types — the tuple key must collapse
+    // them to one, while u1×B / u2×C survive as distinct tuples.
+    val q = Features.dedupStream(mem.toDF(), Seq("user_id", "product_id"))
+      .writeStream.format("memory").queryName("dedup_comp_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(events.take(4): _*)
+      q.processAllAvailable()
+      // at-least-once replay of the first batch + the remaining event
+      mem.addData(events.take(4): _*)
+      mem.addData(events.drop(4): _*)
+      q.processAllAvailable()
+      val out = spark.table("dedup_comp_out")
+        .select("user_id", "product_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(out == Seq(("u1", "A"), ("u1", "B"), ("u2", "C")))
+    } finally q.stop()
+  }
+
   test("IncrementalSilverJob processes only NEW files per invocation") {
     val root = java.nio.file.Files.createTempDirectory("graft_inc").toString
     val landing = new java.io.File(s"$root/landing"); landing.mkdirs()
