@@ -366,12 +366,17 @@ object VectorQueries {
     }) { (s, d) =>
     val b = normed(s, d)
       .withColumn("bucket", Vectors.lshBucket(col("e"), BITS, DIM))
-    val dups = b.as("x").join(b.as("y"),
-      col("x.bucket") === col("y.bucket") &&
-        col("x.vec_id") < col("y.vec_id") &&
-        (Vectors.dot(col("x.e"), col("y.e"))
-          / (col("x.nrm") * col("y.nrm"))) >= 0.45)
-      .select(col("y.vec_id").as("vec_id")).distinct()
+    // Native whole-operator path (LshJoin.scala): ONE shuffle + ONE
+    // sort for the within-bucket pair generation, vs two exchanges +
+    // SortMergeJoin for the composed self-join. Same pair semantics
+    // (a_vec_id < b_vec_id by the id sort), so the SQL oracle above is
+    // unchanged. PlanSpec pins the operator's presence in this plan.
+    val pairs = org.apache.spark.sql.graft.LshJoin
+      .bucketPairs(b, "bucket", "vec_id")
+    val dups = pairs
+      .filter((Vectors.dot(col("a_e"), col("b_e"))
+        / (col("a_nrm") * col("b_nrm"))) >= 0.45)
+      .select(col("b_vec_id").as("vec_id")).distinct()
     b.select(col("vec_id"))
       .join(dups, Seq("vec_id"), "left_anti")
       .orderBy("vec_id")

@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft_dot(x, x) → graft_self_dot(x): one array pass, one child
     // eval; bit-identical fold (SelfDotRewrite doc)
     ext.injectOptimizerRule(_ => SelfDotRewrite)
+    // native LSH bucket self-join physical operator (LshJoin.scala)
+    ext.injectPlannerStrategy(_ => LshJoinStrategy)
   }
 }
 

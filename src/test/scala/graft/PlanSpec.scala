@@ -61,6 +61,14 @@ class PlanSpec extends SparkSpec {
     assert(!inLambda, optimized)
   }
 
+  test("q47 runs on the native LshBucketJoin operator") {
+    val plan = graft.queries.VectorQueries.all.find(_.name.startsWith("q47"))
+      .get.run(spark, sf).queryExecution.sparkPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.graft.LshBucketJoinExec => e
+    }.nonEmpty, plan.toString)
+  }
+
   test("no single-partition Window over an unbounded frame (registry)") {
     // A Window with no partition key sorts its whole input in ONE task.
     // Allowed only when the frame is bounded by construction: q11's
