@@ -590,6 +590,75 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** q48 — deterministic stratified sampling (the "domain mixing"
+    * op of a training-data pipeline): per-source keep rates applied by
+    * a pure content hash of the key, so the sample is reproducible
+    * across runs, engines, partitionings and scales — no RNG state,
+    * no seed plumbing, membership decidable per row in isolation
+    * (which is what makes it work as a pushed-down filter on a
+    * 100-TB scan). Keep iff u32(md5(doc_id)) mod 1000 < rate(source);
+    * rates are the mixing weights (src0 50%, src1 25%, rest 10%). */
+  val q48 = QueryDef(
+    "q48_stratified_sample",
+    s"""WITH h AS (
+      |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hx
+      |  FROM documents),
+      |u AS (SELECT doc_id, source, ${hexU32Sql(1)} AS u32 FROM h)
+      |SELECT doc_id, source FROM u
+      |WHERE u32 % 1000 < (CASE source WHEN 'src0' THEN 500
+      |  WHEN 'src1' THEN 250 ELSE 100 END)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val u32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long")
+    val rate = when(col("source") === "src0", 500)
+      .when(col("source") === "src1", 250).otherwise(100)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .filter(u32 % 1000 < rate)
+      .orderBy("doc_id")
+  }
+
+  /** q49 — repetition statistics (the Gopher/C4-style repetition
+    * filters): per-document repeated-token fraction and top-token
+    * dominance. One explode + two-level hash aggregation — partial
+    * counts combine map-side, the only shuffle key is (doc_id, token),
+    * and nothing is quadratic in document length. */
+  val q49 = QueryDef(
+    "q49_repetition_stats",
+    """WITH ex AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+      |st AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS n_unique, CAST(MAX(c) AS BIGINT) AS top_count
+      |  FROM tc GROUP BY 1)
+      |SELECT doc_id, n_tokens, n_unique, top_count,
+      |  CAST(FLOOR(100.0 * (n_tokens - n_unique) / n_tokens * 100 + 0.5)
+      |    AS BIGINT) / 100.0 AS rep_pct,
+      |  CAST(FLOOR(100.0 * top_count / n_tokens * 100 + 0.5)
+      |    AS BIGINT) / 100.0 AS top_pct
+      |FROM st ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_unique"),
+        max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_tokens"), col("n_unique"),
+        col("top_count"),
+        graft.functions.Exact.round2(lit(100.0)
+          * (col("n_tokens") - col("n_unique")) / col("n_tokens"))
+          .as("rep_pct"),
+        graft.functions.Exact.round2(lit(100.0)
+          * col("top_count") / col("n_tokens")).as("top_pct"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46)
+    Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
+      q48, q49)
 }
