@@ -33,15 +33,18 @@ object Bench {
         .map(g => s"${g.getName}=${g.getCollectionTime}ms").mkString(" ")
       s"$pools | $gc"
     }
-    // A pass that throws is NOT a timing: the query's reported value
-    // becomes -1 and the error surfaces in the JSON "errors" map, so a
-    // regression can never make the bench look faster.
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
+    // A pass that throws or exceeds the per-query watchdog is NOT a
+    // timing: the query's reported value becomes -1 and the error
+    // surfaces in the JSON "errors" map, so a regression can never
+    // make the bench look faster, and a hung query can never stall
+    // the remaining 40+ queries' evidence.
+    val queryTimeoutSec = sys.env
+      .getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
+    def timeOnce(name: String,
+                 fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: " +
-            Option(e.getMessage).getOrElse("").replace('\n', ' ').take(160))
+      val err = Watchdog.run(spark, name, queryTimeoutSec) {
+        fn(spark, sfDir).count(): Unit
       }
       ((System.nanoTime() - t0) / 1e9, err)
     }
@@ -77,9 +80,10 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_SEC", "1.5").toDouble
     val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Option[String])]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val (a, ea) = timeOnce(fn)
+      val (a, ea) = timeOnce(name, fn)
       val (b, eb) =
-        if (ea.isEmpty && a <= rerunThreshold) (a, ea) else timeOnce(fn)
+        if (ea.isEmpty && a <= rerunThreshold) (a, ea)
+        else timeOnce(name, fn)
       // No query may leave cached/persisted state behind to skew its
       // successors (round-1 lesson: q24's persist survived 30+ queries).
       spark.catalog.clearCache()

@@ -44,15 +44,24 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Per-query watchdog: one pathological query must never hang the
+    // whole dump (each result parquet is independent evidence; the
+    // oracle map above is already on disk). Generous default — the
+    // goal is hang-prevention, not speed; a host storm must not kill
+    // a healthy query.
+    val timeoutSec = sys.env
+      .getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
+      Watchdog.run(spark, name, timeoutSec) {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        System.err.println(
-          f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } match {
+        case None =>
+          System.err.println(
+            f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        case Some(err) =>
+          System.err.println(s"[verify] $name failed: $err")
       }
     }
     spark.stop()
