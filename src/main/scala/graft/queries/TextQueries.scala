@@ -658,7 +658,80 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** q50 — the corpus-level MinHash+LSH DEDUP materialization: where
+    * q24 reports near-duplicate PAIRS, this answers the pipeline
+    * question — which documents SURVIVE. Same band candidates + exact
+    * shingle-Jaccard verify ≥ 0.8, then the deterministic
+    * order-independent keep rule shared with q42/q47: drop a document
+    * iff ANY lower-id document is a verified near-duplicate (dropped
+    * or not). Candidate generation runs on the native
+    * [[org.apache.spark.sql.graft.LshJoin]] operator over the
+    * composite band key — one shuffle + one sort, capped per-bucket
+    * fan-out. Documents too short to shingle (< 3 tokens) have no
+    * candidates and always survive, on both engines. */
+  val q50 = QueryDef(
+    "q50_text_dedup_lsh", {
+      val sigCols = (0 until K)
+        .map(j => s"min((a + $j * hb) % 4294967296) AS mh$j").mkString(", ")
+      val bandCase = (0 until B).map { b =>
+        val cat = (0 until R).map(r => s"CAST(mh${B * b + r} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"WHEN $b THEN $cat"
+      }.mkString(" ")
+      tokCte + ",\n" + abCte +
+        s""",
+        |sig AS (SELECT doc_id, $sigCols FROM ab GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b, CASE b $bandCase END AS bsig
+        |  FROM sig CROSS JOIN range($B) AS r(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |  FROM bands x JOIN bands y
+        |    ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(sh) AS st FROM shl),
+        |jac AS (
+        |  SELECT c.da, c.db,
+        |    len(list_intersect(sa.st, sb.st)) * 1.0 /
+        |      (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st)))
+        |      AS j
+        |  FROM cand c
+        |  JOIN sets sa ON sa.doc_id = c.da
+        |  JOIN sets sb ON sb.doc_id = c.db),
+        |drops AS (SELECT DISTINCT db FROM jac WHERE j >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT db FROM drops)
+        |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val sig = minhashWide(shingleTable(s, d))
+    val bandStructs = (0 until B).map { b =>
+      val cat = concat_ws(",", (0 until R).map(r => col(s"mh${B * b + r}")): _*)
+      struct(lit(b).as("b"), cat.as("bsig"))
+    }
+    val bands = sig.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"),
+        concat_ws("|", col("bs.b"), col("bs.bsig")).as("bkey"))
+    val cand = org.apache.spark.sql.graft.LshJoin
+      .bucketPairs(bands, "bkey", "doc_id")
+      .select(col("a_doc_id").as("da"), col("b_doc_id").as("db"))
+      .distinct()
+    val sets = shingleTable(s, d)
+      .select(col("doc_id"), array_distinct(col("sh")).as("st"))
+    val left = sets.join(broadcast(cand), col("doc_id") === col("da"))
+      .select(col("da"), col("db"), col("st").as("sta"))
+    val pairs = sets.join(left, col("doc_id") === col("db"))
+      .select(col("da"), col("db"), col("sta"), col("st").as("stb"))
+    val inter = size(array_intersect(col("sta"), col("stb")))
+    val drops = pairs
+      .filter((inter.cast("double")
+        / (size(col("sta")) + size(col("stb")) - inter)) >= 0.8)
+      .select(col("db").as("doc_id")).distinct()
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(drops, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
-      q48, q49)
+      q48, q49, q50)
 }
