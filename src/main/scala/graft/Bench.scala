@@ -79,7 +79,12 @@ object Bench {
     val rerunThreshold =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_SEC", "1.5").toDouble
     val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Option[String])]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // Dev-only subset filter; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       val (a, ea) = timeOnce(name, fn)
       val (b, eb) =
         if (ea.isEmpty && a <= rerunThreshold) (a, ea)

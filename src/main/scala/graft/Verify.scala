@@ -51,7 +51,13 @@ object Verify {
     // a healthy query.
     val timeoutSec = sys.env
       .getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // Dev-only subset filter (comma-separated names); the driver never
+    // sets it, so the full registry runs in a round.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       Watchdog.run(spark, name, timeoutSec) {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -63,6 +69,9 @@ object Verify {
         case Some(err) =>
           System.err.println(s"[verify] $name failed: $err")
       }
+      // No query's persisted state may outlive it (Ranks persists its
+      // rank input; Bench already clears per query).
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

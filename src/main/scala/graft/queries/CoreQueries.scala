@@ -595,7 +595,50 @@ object CoreQueries {
       .orderBy("user_id")
   }
 
+  /** q51 — as-of (point-in-time) join: every event annotated with the
+    * same user's most recent STRICTLY-EARLIER purchase event (the
+    * "state as of" feature the reference's streaming extractor keeps
+    * imperatively, `feature_extraction.py` last-seen state). Built on
+    * [[graft.functions.AsOf.asofJoin]]: one shuffle on user_id + one
+    * sort — no range-join row amplification — vs DuckDB's native
+    * `ASOF LEFT JOIN` as the oracle. The right side is deduped to one
+    * purchase per (user_id, ts) by max event_id on BOTH engines so the
+    * carried payload is deterministic. */
+  val q51 = QueryDef(
+    "q51_asof_last_purchase",
+    """WITH purchases AS (
+      |  SELECT user_id, ts, event_id AS last_purchase_event,
+      |         value AS last_purchase_value
+      |  FROM (SELECT *, row_number() OVER (
+      |          PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |        FROM events WHERE event_type = 'purchase')
+      |  WHERE rn = 1
+      |)
+      |SELECT e.event_id, e.user_id,
+      |       p.last_purchase_event, p.last_purchase_value
+      |FROM events e ASOF LEFT JOIN purchases p
+      |  ON e.user_id = p.user_id AND e.ts > p.ts
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("last_purchase_event"),
+        col("value").as("last_purchase_value"))
+    graft.functions.AsOf.asofJoin(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("last_purchase_event", "last_purchase_value"),
+        strict = true)
+      .select("event_id", "user_id",
+        "last_purchase_event", "last_purchase_value")
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21)
+    q15, q16, q17, q18, q19, q20, q21, q51)
 }
