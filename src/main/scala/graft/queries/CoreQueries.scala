@@ -638,7 +638,34 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** q52 — exact interpolated percentiles per group (the distribution
+    * summary the reference's pandas `describe()`/`quantile` produces,
+    * `gold_pipeline.py` summary stats). Spark's `percentile` is a
+    * single-pass exact aggregate (map-side partial collections merged
+    * on the group key — one shuffle); DuckDB's `quantile_cont` is the
+    * oracle. Both engines interpolate at p·(n−1); the portable floor
+    * rounding absorbs formula low-bit differences. */
+  val q52 = QueryDef(
+    "q52_order_value_quantiles",
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(FLOOR(quantile_cont(o_totalprice, 0.25)*100 + 0.5) AS BIGINT)/100.0 AS p25,
+      |  CAST(FLOOR(quantile_cont(o_totalprice, 0.50)*100 + 0.5) AS BIGINT)/100.0 AS p50,
+      |  CAST(FLOOR(quantile_cont(o_totalprice, 0.75)*100 + 0.5) AS BIGINT)/100.0 AS p75,
+      |  CAST(FLOOR(quantile_cont(o_totalprice, 0.95)*100 + 0.5) AS BIGINT)/100.0 AS p95
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    def q(p: Double, as: String) =
+      Exact.round2(percentile(col("o_totalprice"), lit(p))).as(as)
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        q(0.25, "p25"), q(0.50, "p50"), q(0.75, "p75"), q(0.95, "p95"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q51)
+    q15, q16, q17, q18, q19, q20, q21, q51, q52)
 }
