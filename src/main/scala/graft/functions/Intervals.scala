@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-range (interval) join: all (left, right) pairs with equal
+  * keys and `right.ts ∈ [left.ts + lower, left.ts + upper)`.
+  *
+  * Spark plans a raw inequality join as a broadcast-nested-loop the
+  * moment the equi-side estimate is poor — O(|L|·|R|) at scale. The
+  * scalable shape is bucket-and-filter: time-bucket both sides with
+  * bucket width = the window span, explode each left row to the (at
+  * most two) consecutive buckets its window can touch, equi-join on
+  * (keys, bucket) — a plain shuffle hash join — and apply the exact
+  * range predicate last. Row amplification is ≤2× on the left side,
+  * bounded by construction, regardless of data size; the join itself
+  * is the same keyed shuffle every other join in the engine uses.
+  *
+  * Times are integer microseconds (`unix_micros`) so the bucket
+  * arithmetic is exact; `lower < upper` required. Right columns are
+  * returned under `rightPrefix` to avoid collisions.
+  */
+object Intervals {
+
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                leftTsUs: String, rightTsUs: String,
+                lowerUs: Long, upperUs: Long,
+                rightPrefix: String = "r_"): DataFrame = {
+    require(lowerUs < upperUs, "rangeJoin: need lowerUs < upperUs")
+    val w = upperUs - lowerUs // bucket width = span ⇒ ≤2 buckets touched
+    val r = right.columns.foldLeft(right)((df, c) =>
+      df.withColumnRenamed(c, rightPrefix + c))
+      .withColumn("__rb", floor(col(rightPrefix + rightTsUs) / w))
+    val l = left.withColumn("__lo", col(leftTsUs) + lowerUs)
+      .withColumn("__hi", col(leftTsUs) + upperUs)
+      // window [lo, hi) touches buckets floor(lo/w) .. floor((hi-1)/w)
+      .withColumn("__rb", explode(sequence(
+        floor(col("__lo") / w), floor((col("__hi") - 1) / w))))
+    val on = keys.map(k => l(k) === r(rightPrefix + k))
+      .reduce(_ && _) && l("__rb") === r("__rb") &&
+      r(rightPrefix + rightTsUs) >= l("__lo") &&
+      r(rightPrefix + rightTsUs) < l("__hi")
+    l.join(r, on, "inner").drop("__lo", "__hi").drop(l("__rb"))
+      .drop(r("__rb"))
+  }
+}

@@ -665,7 +665,47 @@ object CoreQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** q53 — bounded range join: for every purchase, the count of the
+    * same user's view/click events in the preceding hour (purchase
+    * attribution — the windowed-context feature the reference's
+    * streaming extractor approximates with rolling state). Built on
+    * [[graft.functions.Intervals.rangeJoin]] (bucket-and-filter
+    * equi-join — a shuffle hash join, never a nested loop); DuckDB
+    * executes the raw inequality join as the oracle. */
+  val q53 = QueryDef(
+    "q53_purchase_attribution",
+    """SELECT p.event_id, p.user_id,
+      |  COUNT(*) FILTER (WHERE e.event_type = 'view') AS n_prior_views,
+      |  COUNT(*) FILTER (WHERE e.event_type = 'click') AS n_prior_clicks
+      |FROM events p LEFT JOIN events e
+      |  ON e.user_id = p.user_id
+      | AND e.event_type IN ('view', 'click')
+      | AND epoch_us(e.ts) >= epoch_us(p.ts) - 3600000000
+      | AND epoch_us(e.ts) < epoch_us(p.ts)
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id, p.user_id
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "us")
+    val context = ev.filter(col("event_type").isin("view", "click"))
+      .select("user_id", "event_type", "us")
+    val pairs = graft.functions.Intervals.rangeJoin(
+      purchases, context, keys = Seq("user_id"),
+      leftTsUs = "us", rightTsUs = "us",
+      lowerUs = -3600L * 1000 * 1000, upperUs = 0L)
+    val counts = pairs.groupBy(col("event_id"))
+      .agg(
+        count(when(col("r_event_type") === "view", 1)).as("n_prior_views"),
+        count(when(col("r_event_type") === "click", 1)).as("n_prior_clicks"))
+    purchases.join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_prior_views"), lit(0L)).as("n_prior_views"),
+        coalesce(col("n_prior_clicks"), lit(0L)).as("n_prior_clicks"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q51, q52)
+    q15, q16, q17, q18, q19, q20, q21, q51, q52, q53)
 }
