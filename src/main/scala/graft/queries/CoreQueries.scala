@@ -705,7 +705,68 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** q54 — hierarchy rollup: revenue at (region, nation), per-region
+    * subtotal, and grand total in ONE pass (`ROLLUP` = grouping-sets
+    * expansion inside the aggregate — Catalyst plans a single shuffle
+    * with an Expand, not three scans). GROUPING() columns disambiguate
+    * subtotal rows from genuine nulls. Dimensions broadcast; the one
+    * shuffle is on the expanded grouping id + keys. */
+  val q54 = QueryDef(
+    "q54_revenue_rollup",
+    """SELECT r_name, n_name,
+      |  CAST(GROUPING(r_name) AS INT) AS g_region,
+      |  CAST(GROUPING(n_name) AS INT) AS g_nation,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM region
+      |  JOIN nation ON n_regionkey = r_regionkey
+      |  JOIN customer ON c_nationkey = n_nationkey
+      |  JOIN orders ON o_custkey = c_custkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY g_region, g_nation, r_name, n_name""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        grouping(col("r_name")).cast("int").as("g_region"),
+        grouping(col("n_name")).cast("int").as("g_nation"),
+        Exact.sumD(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select("r_name", "n_name", "g_region", "g_nation",
+        "revenue", "n_orders")
+      .orderBy("g_region", "g_nation", "r_name", "n_name")
+  }
+
+  /** q55 — pivot (long→wide): daily event counts, one column per
+    * event type. The pivot value list is EXPLICIT, so the plan is a
+    * single groupBy with conditional aggregates — no extra
+    * distinct-values job, no driver-side value discovery at scale.
+    * Oracle: the same conditional aggregation spelled with FILTER. */
+  val q55 = QueryDef(
+    "q55_daily_event_pivot",
+    """SELECT CAST(ts AS DATE) AS day,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type",
+        Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q51, q52, q53)
+    q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55)
 }
