@@ -275,4 +275,31 @@ object Features {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-stream interval join (the q53 attribution window in real
+    * time): each purchase joined to the same user's view events from
+    * the preceding hour. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark provably expires
+    * buffered state — the two requirements for an unbounded-run
+    * stream-stream join (without them state grows forever; the same
+    * per-key discipline as the reference's in-memory context dicts,
+    * but with the engine owning eviction). Inner join: purchases with
+    * no prior views simply emit no rows (the batch q53 keeps them via
+    * its left join; streaming left-outer would also work but delays
+    * emission to the watermark). */
+  def attributionStream(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id"), col("ts").as("p_ts"))
+    val v = views.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"),
+        col("product_id").as("viewed_product"))
+    p.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") < col("p_ts"),
+      "inner")
+      .select(col("purchase_id"), col("user_id"),
+        col("viewed_product"), col("v_ts"))
+  }
 }

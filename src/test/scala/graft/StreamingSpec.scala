@@ -207,6 +207,36 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/signals").count() == 2)
   }
 
+  test("attributionStream joins purchases to prior-hour views only") {
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, user_id, product_id, ts)
+    val pMem = MemoryStream[(Long, String, String, Timestamp)]
+    val vMem = MemoryStream[(Long, String, String, Timestamp)]
+    def df(m: MemoryStream[(Long, String, String, Timestamp)]) =
+      m.toDF().toDF("event_id", "user_id", "product_id", "ts")
+    val q = Features.attributionStream(df(pMem), df(vMem))
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode("append").start()
+    try {
+      vMem.addData(
+        (1L, "u1", "A", ts(0)),  // 12:00 — in [11:10, 12:10)
+        (2L, "u1", "B", ts(9)),  // 12:09 — ON purchase instant: excluded
+        (3L, "u2", "C", ts(5)))  // other user: excluded
+      pMem.addData((10L, "u1", "P", ts(9))) // purchase at 12:09
+      q.processAllAvailable()
+      // view 75 min before a later u1 purchase: outside the hour
+      vMem.addData((4L, "u1", "D",
+        Timestamp.valueOf("2025-09-05 13:00:00")))
+      pMem.addData((11L, "u1", "P2",
+        Timestamp.valueOf("2025-09-05 14:15:00")))
+      q.processAllAvailable()
+      val rows = spark.table("attribution")
+        .select("purchase_id", "viewed_product")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(rows.toSeq == Seq((10L, "A")))
+    } finally q.stop()
+  }
+
   test("bronzeLanding partitions by event-time y/m/d/h") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
