@@ -731,7 +731,42 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** q57 — sliding-window token chunking: fixed 64-token windows at
+    * stride 32 (50% overlap), the document→training-sample splitter of
+    * an LLM data pipeline. Pure per-row computation (split → sequence
+    * of starts → explode → slice): no shuffle at all until the output
+    * sort, embarrassingly parallel at any scale, and the chunk hash
+    * makes the output joinable to exact-dedup (q22-style on
+    * chunk_hash) for cross-document window dedup. */
+  val q57 = QueryDef(
+    "q57_token_chunks",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, greatest(len(toks), 1), 32)) AS start, toks
+      |  FROM t)
+      |SELECT doc_id, CAST(start/32 AS BIGINT) AS chunk_idx,
+      |  len(toks[start+1 : start+64]) AS n_chunk_tokens,
+      |  md5(array_to_string(toks[start+1 : start+64], ' ')) AS chunk_hash
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    val W = 64
+    val S = 32
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          greatest(size(col("toks")) - 1, lit(0)), lit(S))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / S).cast("long").as("chunk_idx"),
+        slice(col("toks"), col("start") + 1, lit(W)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
-      q48, q49, q50)
+      q48, q49, q50, q57)
 }
