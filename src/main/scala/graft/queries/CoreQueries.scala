@@ -766,7 +766,100 @@ object CoreQueries {
       .orderBy("day")
   }
 
+  /** q58 — batch sessionization (gaps-and-islands): assign session
+    * ids by 30-min inactivity gaps (lag + cumulative sum of
+    * session-start markers), then roll up per-user session stats.
+    * Every window partitions by user_id — no global sort anywhere;
+    * this is the batch twin of the streaming `session_window`
+    * aggregation (T8). Gap math on whole epoch-seconds so sub-second
+    * engine precision can't leak (same trick as q14). */
+  val q58 = QueryDef(
+    "q58_sessionization",
+    """WITH s AS (
+      |  SELECT user_id, event_id,
+      |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS tsec
+      |  FROM events),
+      |o AS (
+      |  SELECT user_id, event_id, tsec,
+      |    LAG(tsec) OVER (PARTITION BY user_id
+      |      ORDER BY tsec, event_id) AS prev
+      |  FROM s),
+      |x AS (
+      |  SELECT user_id, tsec,
+      |    SUM(CASE WHEN prev IS NULL OR tsec - prev > 1800
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY tsec, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM o),
+      |sess AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |    MAX(tsec) - MIN(tsec) AS dur_s
+      |  FROM x GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  MAX(n_events) AS max_session_events,
+      |  CAST(FLOOR(CAST(SUM(dur_s) AS DOUBLE) / COUNT(*) * 100 + 0.5)
+      |    AS BIGINT) / 100.0 AS avg_session_dur_s
+      |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsec"), col("event_id"))
+    val base = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        TimeFeatures.epochSeconds(col("ts")).as("tsec"))
+      .withColumn("prev", lag(col("tsec"), 1).over(wOrd))
+      .withColumn("session_id",
+        sum(when(col("prev").isNull ||
+          col("tsec") - col("prev") > 1800, 1).otherwise(0))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+    base.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("tsec")) - min(col("tsec"))).as("dur_s"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        Exact.round2(sum(col("dur_s")).cast("double") / count(lit(1)))
+          .as("avg_session_dur_s"))
+      .orderBy("user_id")
+  }
+
+  /** q60 — unpivot (wide→long melt, the inverse of q55): lineitem
+    * measures melted to (measure, value) rows, then aggregated per
+    * measure. Catalyst plans `unpivot` as an Expand — row fan-out ×4
+    * but a single scan, no join, and partial aggregation keeps the
+    * shuffle at 4 rows per map task. Oracle: the equivalent 4-way
+    * UNION ALL of per-measure aggregates. */
+  val q60 = QueryDef(
+    "q60_measure_melt",
+    """SELECT 'l_quantity' AS measure,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(*) AS n FROM lineitem
+      |UNION ALL
+      |SELECT 'l_extendedprice',
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+      |  COUNT(*) FROM lineitem
+      |UNION ALL
+      |SELECT 'l_discount',
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE),
+      |  COUNT(*) FROM lineitem
+      |UNION ALL
+      |SELECT 'l_tax',
+      |  CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE),
+      |  COUNT(*) FROM lineitem
+      |ORDER BY measure""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .unpivot(
+        ids = Array.empty[Column],
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .groupBy(col("measure"))
+      .agg(Exact.sumD(col("value")).as("total"),
+        count(lit(1)).as("n"))
+      .orderBy("measure")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55)
+    q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60)
 }

@@ -738,18 +738,10 @@ object TextQueries {
     * sort, embarrassingly parallel at any scale, and the chunk hash
     * makes the output joinable to exact-dedup (q22-style on
     * chunk_hash) for cross-document window dedup. */
-  val q57 = QueryDef(
-    "q57_token_chunks",
-    """WITH t AS (
-      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |c AS (
-      |  SELECT doc_id,
-      |    unnest(range(0, greatest(len(toks), 1), 32)) AS start, toks
-      |  FROM t)
-      |SELECT doc_id, CAST(start/32 AS BIGINT) AS chunk_idx,
-      |  len(toks[start+1 : start+64]) AS n_chunk_tokens,
-      |  md5(array_to_string(toks[start+1 : start+64], ' ')) AS chunk_hash
-      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+  /** 64-token windows at stride 32 per document — shared by q57
+    * (materialization) and q59 (cross-document chunk dedup). Pure
+    * per-row computation; no shuffle. */
+  private def chunkTable(s: SparkSession, d: String): DataFrame = {
     val W = 64
     val S = 32
     Tables.documents(s, d)
@@ -763,10 +755,62 @@ object TextQueries {
       .select(col("doc_id"), col("chunk_idx"),
         size(col("chunk")).cast("long").as("n_chunk_tokens"),
         md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
-      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** The q57/q59 chunk CTE mirrored for DuckDB. */
+  private val chunkCte =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, greatest(len(toks), 1), 32)) AS start, toks
+      |  FROM t),
+      |chunks AS (
+      |  SELECT doc_id, CAST(start/32 AS BIGINT) AS chunk_idx,
+      |    len(toks[start+1 : start+64]) AS n_chunk_tokens,
+      |    md5(array_to_string(toks[start+1 : start+64], ' ')) AS chunk_hash
+      |  FROM c)""".stripMargin
+
+  val q57 = QueryDef(
+    "q57_token_chunks",
+    chunkCte +
+      """
+      |SELECT doc_id, chunk_idx, n_chunk_tokens, chunk_hash
+      |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    chunkTable(s, d).orderBy("doc_id", "chunk_idx")
+  }
+
+  /** q59 — cross-document chunk dedup: global exact dedup on the q57
+    * chunk hashes, keeping the first occurrence by (doc_id,
+    * chunk_idx) — the window-level dedup pass (RefinedWeb-style) that
+    * runs AFTER document-level dedup to strip shared spans. One
+    * shuffle on chunk_hash for the keep-first window, one on doc_id
+    * for the per-doc rollup; survival ratio quantifies residual
+    * inter-document redundancy. */
+  val q59 = QueryDef(
+    "q59_chunk_dedup",
+    chunkCte +
+      """,
+      |k AS (
+      |  SELECT doc_id, chunk_hash,
+      |    ROW_NUMBER() OVER (PARTITION BY chunk_hash
+      |      ORDER BY doc_id, chunk_idx) AS rn
+      |  FROM chunks)
+      |SELECT doc_id, COUNT(*) AS n_chunks,
+      |  SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    chunkTable(s, d)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("doc_id")
   }
 
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
-      q48, q49, q50, q57)
+      q48, q49, q50, q57, q59)
 }
