@@ -66,6 +66,32 @@ class AsOfSpec extends SparkSpec {
     assert(run(1) == run(32))
   }
 
+  test("randomized differential: asofJoin == naive per-row max scan") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val strict = trial % 2 == 0
+      val lRows = Seq.tabulate(200)(i =>
+        (i.toLong, s"k${rnd.nextInt(8)}", rnd.nextInt(50).toLong))
+      // duplicate right (key, t) would be ill-defined — dedup in gen
+      val rRows = Seq.fill(150)(
+        (s"k${rnd.nextInt(8)}", rnd.nextInt(50).toLong, rnd.nextDouble()))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val got = AsOf.asofJoin(
+          lRows.toDF("id", "key", "t"), rRows.toDF("key", "rt", "payload"),
+          Seq("key"), "t", "rt", Seq("payload"), strict)
+        .select("id", "payload").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      val naive = lRows.map { case (id, k, t) =>
+        val cands = rRows.filter(r => r._1 == k &&
+          (if (strict) r._2 < t else r._2 <= t))
+        id -> (if (cands.isEmpty) None
+               else Some(cands.maxBy(_._2)._3))
+      }.toMap
+      assert(got == naive, s"trial $trial strict=$strict")
+    }
+  }
+
   test("q51 window partitions by the join key (no global sort)") {
     val df = queries.CoreQueries.q51.run(spark, "/root/testdata/sf0.001")
     val windows = df.queryExecution.optimizedPlan.collect {

@@ -48,6 +48,32 @@ class IntervalsSpec extends SparkSpec {
       !plan.contains("CartesianProduct"))
   }
 
+  test("randomized differential: rangeJoin == naive filtered product") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val (lo, hi) = {
+        val a = rnd.nextInt(200) - 100
+        val b = a + 1 + rnd.nextInt(150)
+        (a.toLong, b.toLong)
+      }
+      val lRows = Seq.tabulate(150)(i =>
+        (i.toLong, s"k${rnd.nextInt(6)}", rnd.nextInt(500).toLong))
+      val rRows = Seq.tabulate(150)(i =>
+        (s"k${rnd.nextInt(6)}", rnd.nextInt(500).toLong, i.toLong))
+      val got = Intervals.rangeJoin(
+          lRows.toDF("id", "key", "us"), rRows.toDF("key", "us", "rid"),
+          Seq("key"), "us", "us", lo, hi)
+        .select("id", "r_rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val naive = (for {
+        (id, lk, lt) <- lRows
+        (rk, rt, rid) <- rRows
+        if lk == rk && rt >= lt + lo && rt < lt + hi
+      } yield (id, rid)).sorted
+      assert(got == naive, s"trial $trial window [$lo,$hi)")
+    }
+  }
+
   test("partition-order independence") {
     val l = (0L until 500L).map(i => (i, s"k${i % 20}", i * 37)).toDF("id", "key", "us")
     val r = (0L until 500L).map(i => (s"k${i % 20}", i * 41)).toDF("key", "us")
