@@ -312,3 +312,59 @@ object IncrementalSilverJob {
     spark.stop()
   }
 }
+
+object CurationJob {
+
+  /** End-to-end LLM-training-data curation over a `documents`-shaped
+    * parquet dir, composed ONLY of the oracle-checked
+    * [[graft.curation.Curation]] stages:
+    *
+    *   exact dedup (q22/q59 keep-first discipline) →
+    *   quality scoring + drop `low` (q46) →
+    *   deterministic stratified sampling (q48) →
+    *   sliding-window chunking (q57) →
+    *   cross-document chunk dedup (q59)
+    *
+    * Writes the surviving chunks as parquet plus a one-row metrics
+    * parquet with per-stage survivor counts (scalar aggregates only —
+    * the same checkpoint style as SilverJob; no row data ever reaches
+    * the driver). Every stage is a projection or one keyed window, so
+    * the composition adds no new shuffle class at 100 TB. */
+  final case class CurationMetrics(
+      docsIn: Long, afterDedup: Long, afterQuality: Long,
+      afterSample: Long, chunksOut: Long, chunksKept: Long)
+
+  def run(spark: SparkSession, docsDir: String, outDir: String,
+          ratesPerMill: Map[String, Int] = Map("src0" -> 500, "src1" -> 250),
+          defaultPerMill: Int = 100): CurationMetrics = {
+    import graft.curation.Curation
+    val docs = spark.read.parquet(docsDir)
+    val deduped = Curation.exactDedup(docs)
+    val scored = Curation.qualityScored(deduped)
+      .filter(col("quality_bucket") =!= "low")
+    val sampled = Curation.stratifiedSample(
+      scored, ratesPerMill, defaultPerMill)
+    val chunked = Curation.chunks(sampled)
+    val kept = Curation.dedupChunks(chunked)
+    kept.write.mode("overwrite").parquet(s"$outDir/chunks")
+    val m = CurationMetrics(
+      docsIn = docs.count(),
+      afterDedup = deduped.count(),
+      afterQuality = scored.count(),
+      afterSample = sampled.count(),
+      chunksOut = chunked.count(),
+      chunksKept = spark.read.parquet(s"$outDir/chunks").count())
+    import spark.implicits._
+    Seq(m).toDS().write.mode("overwrite").parquet(s"$outDir/metrics")
+    m
+  }
+
+  /** CLI: `CurationJob <docsDir> <outDir>`. */
+  def main(args: Array[String]): Unit = {
+    val Array(docsDir, outDir) = args
+    val spark = JobSession.build("graft-curation-job")
+    val m = run(spark, docsDir, outDir)
+    System.err.println(s"[curation] $m")
+    spark.stop()
+  }
+}

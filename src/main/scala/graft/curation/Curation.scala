@@ -1,0 +1,106 @@
+package graft.curation
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Exact, Text}
+
+/** The LLM-training-data curation stages as reusable DataFrame
+  * transforms over a `documents`-shaped frame (`doc_id`, `text`,
+  * `source`, ...). The oracle-checked registry queries (q46 quality,
+  * q48 sampling, q57 chunking, q59 chunk dedup) call these same
+  * functions, so [[graft.app.CurationJob]] — the end-to-end pipeline —
+  * is composed of exactly the semantics the DuckDB gate verifies.
+  *
+  * Every stage is shuffle-minimal by construction: dedup is one keyed
+  * window, scoring/sampling/chunking are pure per-row projections (a
+  * sampling decision is decidable per row in isolation — that is what
+  * lets it push down to a 100-TB scan).
+  */
+object Curation {
+
+  /** First 8 md5 hex digits as an unsigned 32-bit value — the
+    * deterministic, engine-portable "random" driver for sampling. */
+  def contentU32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Exact content dedup, keep-first: one survivor per distinct
+    * `text`, deterministically the lowest `doc_id` (a window on the
+    * content hash — one shuffle; `dropDuplicates` would be
+    * partition-order luck). */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Per-document quality columns (`n_tokens`, `punct_ratio`,
+    * `stop_ratio`, `quality_score`, `quality_bucket`) appended to the
+    * input — the q46 scoring expression: 0.4·min(tokens/100, 1) +
+    * 0.3·(1 − min(5·punct, 1)) + 0.3·min(10·stop, 1). Ratios and the
+    * score go through the portable floor rounding so values are
+    * engine-exact (the q20/q21 lesson). Pure per-row, staged
+    * projections (no HOF re-inline). */
+  def qualityScored(docs: DataFrame): DataFrame = {
+    val stopwords = Text.langMarkers.head._2
+    docs
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("punct_ratio", Exact.roundP(
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))) * lit(1.0)
+          / greatest(length(col("text")), lit(1)), 6))
+      .withColumn("stop_ratio", Exact.roundP(
+        size(filter(col("toks"), x => x.isInCollection(stopwords)))
+          * lit(1.0) / greatest(size(col("toks")), lit(1)), 6))
+      .withColumn("__score",
+        lit(0.4) * least(col("n_tokens") / lit(100.0), lit(1.0))
+          + lit(0.3) * (lit(1.0) - least(col("punct_ratio") * lit(5.0), lit(1.0)))
+          + lit(0.3) * least(col("stop_ratio") * lit(10.0), lit(1.0)))
+      .withColumn("quality_score", Exact.roundP(col("__score"), 6))
+      .withColumn("quality_bucket",
+        when(col("__score") >= 0.7, "high")
+          .when(col("__score") >= 0.4, "medium")
+          .otherwise("low"))
+      .drop("toks", "__score")
+  }
+
+  /** Deterministic stratified sampling (domain mixing): keep iff
+    * u32(md5(doc_id)) mod 1000 < per-mill rate for the row's
+    * `source`. No RNG state, reproducible across runs/engines/
+    * partitionings; pure row-local predicate. */
+  def stratifiedSample(docs: DataFrame, ratesPerMill: Map[String, Int],
+                       defaultPerMill: Int): DataFrame = {
+    val rate = ratesPerMill.foldLeft(lit(defaultPerMill)) {
+      case (acc, (src, r)) => when(col("source") === src, r).otherwise(acc)
+    }
+    docs.filter(contentU32(col("doc_id")) % 1000 < rate)
+  }
+
+  /** Sliding token windows of `window` tokens at `stride`: one row
+    * per (doc, chunk) with a content hash for downstream chunk-level
+    * dedup. Pure per-row fan-out (no shuffle). */
+  def chunks(docs: DataFrame, window: Int = 64,
+             stride: Int = 32): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          greatest(size(col("toks")) - 1, lit(0)), lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_idx"),
+        slice(col("toks"), col("start") + 1, lit(window)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+
+  /** Cross-document chunk dedup, keep-first by (doc_id, chunk_idx):
+    * the q59 window — one shuffle on the chunk hash. */
+  def dedupChunks(chunkDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    chunkDf.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+}

@@ -555,38 +555,14 @@ object TextQueries {
         |FROM sc
         |ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-    val stopwords = Text.langMarkers.head._2
-    Tables.documents(s, d)
-      .filter(col("doc_id") < 200)
-      .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        size(col("toks")).as("n_tokens"),
-        ((length(col("text")) -
-          length(regexp_replace(col("text"), "[.,!?;:]", ""))) * lit(1.0)
-          / greatest(length(col("text")), lit(1))).as("punct_ratio"),
-        (size(filter(col("toks"), x => x.isInCollection(stopwords)))
-          * lit(1.0) / greatest(size(col("toks")), lit(1)))
-          .as("stop_ratio"))
-      // Exact.roundP throughout: these are quotient-valued doubles and
-      // round(x, 6) diverges across engines on halfway cases (the q20/
-      // q21 lesson — see Exact.round2 doc)
-      .select(col("doc_id"), col("n_tokens"),
-        graft.functions.Exact.roundP(col("punct_ratio"), 6)
-          .as("punct_ratio"),
-        graft.functions.Exact.roundP(col("stop_ratio"), 6)
-          .as("stop_ratio"))
-      .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
-        col("stop_ratio"),
-        (lit(0.4) * least(col("n_tokens") / lit(100.0), lit(1.0))
-          + lit(0.3) * (lit(1.0) - least(col("punct_ratio") * lit(5.0), lit(1.0)))
-          + lit(0.3) * least(col("stop_ratio") * lit(10.0), lit(1.0)))
-          .as("score"))
-      .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
-        col("stop_ratio"),
-        graft.functions.Exact.roundP(col("score"), 6).as("quality_score"),
-        when(col("score") >= 0.7, "high")
-          .when(col("score") >= 0.4, "medium")
-          .otherwise("low").as("quality_bucket"))
+    // Shared scoring implementation ([[graft.curation.Curation]] —
+    // Exact.roundP on every quotient, the q20/q21 halfway lesson);
+    // the CurationJob applies the same transform corpus-wide, so the
+    // pipeline stage is exactly what this oracle verifies.
+    graft.curation.Curation
+      .qualityScored(Tables.documents(s, d).filter(col("doc_id") < 200))
+      .select("doc_id", "n_tokens", "punct_ratio", "stop_ratio",
+        "quality_score", "quality_bucket")
       .orderBy("doc_id")
   }
 
@@ -608,13 +584,9 @@ object TextQueries {
       |WHERE u32 % 1000 < (CASE source WHEN 'src0' THEN 500
       |  WHEN 'src1' THEN 250 ELSE 100 END)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val u32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
-      16, 10).cast("long")
-    val rate = when(col("source") === "src0", 500)
-      .when(col("source") === "src1", 250).otherwise(100)
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("source"))
-      .filter(u32 % 1000 < rate)
+    graft.curation.Curation.stratifiedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Map("src0" -> 500, "src1" -> 250), defaultPerMill = 100)
       .orderBy("doc_id")
   }
 
@@ -739,23 +711,10 @@ object TextQueries {
     * makes the output joinable to exact-dedup (q22-style on
     * chunk_hash) for cross-document window dedup. */
   /** 64-token windows at stride 32 per document — shared by q57
-    * (materialization) and q59 (cross-document chunk dedup). Pure
-    * per-row computation; no shuffle. */
-  private def chunkTable(s: SparkSession, d: String): DataFrame = {
-    val W = 64
-    val S = 32
-    Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0),
-          greatest(size(col("toks")) - 1, lit(0)), lit(S))).as("start"))
-      .select(col("doc_id"),
-        (col("start") / S).cast("long").as("chunk_idx"),
-        slice(col("toks"), col("start") + 1, lit(W)).as("chunk"))
-      .select(col("doc_id"), col("chunk_idx"),
-        size(col("chunk")).cast("long").as("n_chunk_tokens"),
-        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
-  }
+    * (materialization) and q59 (cross-document chunk dedup), via the
+    * [[graft.curation.Curation]] module the CurationJob composes. */
+  private def chunkTable(s: SparkSession, d: String): DataFrame =
+    graft.curation.Curation.chunks(Tables.documents(s, d))
 
   /** The q57/q59 chunk CTE mirrored for DuckDB. */
   private val chunkCte =

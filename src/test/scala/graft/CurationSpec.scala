@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.app.CurationJob
+import graft.curation.Curation
+
+/** End-to-end curation pipeline over the sf0.001 documents table:
+  * stage monotonicity, determinism, and output integrity. */
+class CurationSpec extends SparkSpec {
+
+  private val docsDir = "/root/testdata/sf0.001/documents.parquet"
+
+  test("CurationJob composes the oracle-checked stages end to end") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-curation").toString
+    val m = CurationJob.run(spark, docsDir, out)
+    // the funnel only ever narrows, and nothing collapses to zero
+    assert(m.docsIn >= m.afterDedup)
+    assert(m.afterDedup >= m.afterQuality)
+    assert(m.afterQuality >= m.afterSample)
+    assert(m.afterSample > 0)
+    assert(m.chunksOut >= m.chunksKept && m.chunksKept > 0)
+    // chunk output integrity: deduped hashes are globally unique
+    val chunks = spark.read.parquet(s"$out/chunks")
+    assert(chunks.count() == m.chunksKept)
+    assert(chunks.select("chunk_hash").distinct().count() == m.chunksKept)
+    // metrics parquet round-trips
+    val metrics = spark.read.parquet(s"$out/metrics")
+    assert(metrics.count() == 1)
+    // determinism: a second run over the same input is identical
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft-curation2").toString
+    val m2 = CurationJob.run(spark, docsDir, out2)
+    assert(m == m2)
+  }
+
+  test("exactDedup keeps the lowest doc_id per content, any partitioning") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "same text"), (1L, "same text"), (2L, "other"),
+      (9L, "same text"), (4L, "third")).toDF("doc_id", "text")
+    def run(n: Int) = Curation.exactDedup(docs.repartition(n))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(run(1) == Seq(1L, 2L, 4L))
+    assert(run(1) == run(32))
+  }
+
+  test("stratifiedSample is a pure row-local predicate (subset-stable)") {
+    // membership of a doc must not depend on which other rows exist
+    val docs = spark.read.parquet(docsDir)
+    val all = Curation.stratifiedSample(docs,
+      Map("src0" -> 500), 100).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val half = Curation.stratifiedSample(
+      docs.filter(col("doc_id") % 2 === 0),
+      Map("src0" -> 500), 100).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(half == all.filter(_ % 2 == 0))
+  }
+}
