@@ -859,7 +859,72 @@ object CoreQueries {
       .orderBy("measure")
   }
 
+  /** q61 — event-time rolling window via a RANGE frame: for every
+    * event, the count and value-sum of the same user's events in the
+    * preceding hour (exclusive). Mechanically different from q53's
+    * bucket range-join — here ONE keyed window with
+    * `rangeBetween(-3600, -1)` over epoch seconds does it with a
+    * single shuffle and zero row amplification; the right tool when
+    * the "left side" is the same stream as the "right". q53 remains
+    * the tool when the two sides differ. The frame is validated by
+    * DuckDB's native RANGE BETWEEN window. */
+  val q61 = QueryDef(
+    "q61_rolling_time_window",
+    """WITH s AS (
+      |  SELECT event_id, user_id,
+      |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS tsec,
+      |    CAST(value AS DOUBLE) AS v
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  COUNT(*) OVER w AS n_prev_hour,
+      |  CAST(COALESCE(SUM(CAST(v AS DECIMAL(18,6))) OVER w, 0)
+      |    AS DOUBLE) AS sum_prev_hour
+      |FROM s
+      |WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+      |  RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"))
+      .rangeBetween(-3600, -1)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        TimeFeatures.epochSeconds(col("ts")).as("tsec"),
+        col("value").cast("double").as("v"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_prev_hour"),
+        coalesce(sum(col("v").cast(DecimalType(18, 6))).over(w),
+          lit(0).cast(DecimalType(18, 6))).cast("double")
+          .as("sum_prev_hour"))
+      .orderBy("event_id")
+  }
+
+  /** q62 — full cube: revenue by (orderpriority, orderstatus) plus
+    * BOTH one-dimension margins and the grand total in one pass —
+    * `cube` is the 2^n grouping-sets expansion (one Expand + one
+    * shuffle), vs rollup's n+1 prefix sets (q54). */
+  val q62 = QueryDef(
+    "q62_revenue_cube",
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        Exact.sumD(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select("o_orderpriority", "o_orderstatus", "g_prio", "g_status",
+        "revenue", "n_orders")
+      .orderBy("g_prio", "g_status", "o_orderpriority", "o_orderstatus")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60)
+    q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
+    q61, q62)
 }

@@ -88,6 +88,21 @@ class PlanSpec extends SparkSpec {
       s"single-partition windows in: ${offenders.mkString(", ")}")
   }
 
+  test("grouping-sets family plans ONE scan + Expand (q54/q60/q62)") {
+    // rollup/cube/unpivot are Expand-based single-pass plans; the
+    // naive alternative (one scan per grouping set / measure, UNION
+    // ALL — exactly what the DuckDB oracle SQL spells out) reads the
+    // fact table n times. Pin: exactly one parquet scan, an Expand.
+    for (q <- Seq(CoreQueries.q54, CoreQueries.q60, CoreQueries.q62)) {
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("Expand"), s"${q.name}: no Expand\n" + plan)
+      val factScans = plan.linesIterator.count(l =>
+        l.contains("FileScan parquet") &&
+          (l.contains("orders") || l.contains("lineitem")))
+      assert(factScans == 1, s"${q.name}: $factScans fact scans")
+    }
+  }
+
   test("whole-stage codegen covers the pricing aggregation path (q01)") {
     // q01 is the pure-aggregate path (no distinct rewrite, which plans
     // a multi-phase first()-of-partial aggregation outside codegen).
