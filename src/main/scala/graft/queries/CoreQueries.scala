@@ -923,8 +923,43 @@ object CoreQueries {
       .orderBy("g_prio", "g_status", "o_orderpriority", "o_orderstatus")
   }
 
+  /** q63 — time-series gap filling (pandas `resample`/`asfreq`): a
+    * dense per-user daily calendar between each user's first and last
+    * active day, zero-filling silent days — what every
+    * activity/retention series needs before rolling math. The
+    * calendar is `sequence(d0, d1)` exploded per user (fan-out
+    * bounded by the date span, not the data) joined back to the
+    * per-day counts on (user, day) — aggregation and join both keyed,
+    * nothing global. */
+  val q63 = QueryDef(
+    "q63_daily_gap_fill",
+    """WITH d AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+      |      FROM d GROUP BY 1),
+      |cal AS (SELECT user_id,
+      |  CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+      |    AS day FROM b)
+      |SELECT c.user_id, c.day, COALESCE(d.n, 0) AS n_events
+      |FROM cal c LEFT JOIN d ON c.user_id = d.user_id AND c.day = d.day
+      |ORDER BY c.user_id, c.day""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val cal = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("day"))
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("user_id", "day")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
-    q61, q62)
+    q61, q62, q63)
 }
