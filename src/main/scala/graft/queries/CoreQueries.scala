@@ -958,8 +958,82 @@ object CoreQueries {
       .orderBy("user_id", "day")
   }
 
+  /** q64 — cohort retention: users cohorted by first-active day, then
+    * distinct active users per (cohort, day-offset) for the first
+    * week — the retention matrix. Two keyed aggregations + one keyed
+    * join; the distinct-user count shuffles on (cohort, offset) with
+    * partial distinct-aggregation map-side. */
+  val q64 = QueryDef(
+    "q64_cohort_retention",
+    """WITH f AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      |  FROM events GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |r AS (
+      |  SELECT f.cohort_day, (a.day - f.cohort_day) AS day_offset,
+      |    a.user_id
+      |  FROM a JOIN f ON a.user_id = f.user_id)
+      |SELECT cohort_day, day_offset, COUNT(DISTINCT user_id) AS n_active
+      |FROM r WHERE day_offset <= 7
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val active = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    active.join(first, Seq("user_id"))
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long")
+          .as("day_offset"), col("user_id"))
+      .filter(col("day_offset") <= 7)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** q65 — sequential funnel with per-step time bounds: first view →
+    * first click within 24h of it → first purchase within 24h of
+    * that. Each step is one keyed aggregate over events semi-joined
+    * to the previous step's survivors (state flows forward as a
+    * per-user scalar, never a row explosion); the final counts are
+    * three scalars cross-joined into one row. */
+  val q65 = QueryDef(
+    "q65_funnel",
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |    AND e.ts <= v.t_view + INTERVAL 24 HOUR GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |    AND e.ts <= c.t_click + INTERVAL 24 HOUR GROUP BY 1)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+      |  (SELECT COUNT(*) FROM c) AS n_view_click,
+      |  (SELECT COUNT(*) FROM p) AS n_view_click_purchase""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    def step(prev: DataFrame, prevTs: String, evType: String,
+             as: String): DataFrame =
+      ev.filter(col("event_type") === evType)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") > col(prevTs) &&
+          col("ts") <= col(prevTs) + expr("INTERVAL 24 HOUR"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(as))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = step(v, "t_view", "click", "t_click")
+    val p = step(c, "t_click", "purchase", "t_purchase")
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
-    q61, q62, q63)
+    q61, q62, q63, q64, q65)
 }
