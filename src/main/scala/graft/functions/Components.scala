@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components by iterative minimum-label
+  * propagation — the clustering step that turns verified near-duplicate
+  * PAIRS into duplicate GROUPS (keep one per group), the standard final
+  * move of a MinHash/LSH dedup pipeline. The pairwise
+  * drop-if-any-lower-similar rule (q42/q47/q50) under-merges chains
+  * (A~B, B~C, A!~C); components give the transitive closure.
+  *
+  * Each iteration is one keyed join + one min-aggregation: every node
+  * adopts the minimum label among itself and its neighbors. The
+  * fixpoint (min node id per component) is unique, so the result is
+  * deterministic and iteration-order independent; iterations needed =
+  * graph diameter. The driver holds ONE scalar per iteration (the
+  * changed-label count — convergence check), never row data.
+  *
+  * Scale note: plain propagation does O(diameter) rounds; duplicate
+  * clusters are overwhelmingly tiny (pairs/triples — shingle overlap
+  * decays fast), so the diameter is small in practice. For adversarial
+  * long-chain graphs the two-phase large-star/small-star variant
+  * (Kiveris et al., "Connected Components in MapReduce") halves the
+  * diameter per round; same join primitive, same API.
+  */
+object Components {
+
+  /** (id, component) for every node of the undirected edge set, where
+    * `component` is the minimum node id reachable from `id`. Edges
+    * need not be symmetric or dedup'd on input. */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+                          dstCol: String, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // candidate labels: my own + each neighbor's current label
+      val next = sym.join(labels, sym("b") === labels("id"))
+        .select(sym("a").as("id"), col("component"))
+        .union(labels)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

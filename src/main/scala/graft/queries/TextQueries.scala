@@ -641,39 +641,42 @@ object TextQueries {
     * composite band key — one shuffle + one sort, capped per-bucket
     * fan-out. Documents too short to shingle (< 3 tokens) have no
     * candidates and always survive, on both engines. */
-  val q50 = QueryDef(
-    "q50_text_dedup_lsh", {
-      val sigCols = (0 until K)
-        .map(j => s"min((a + $j * hb) % 4294967296) AS mh$j").mkString(", ")
-      val bandCase = (0 until B).map { b =>
-        val cat = (0 until R).map(r => s"CAST(mh${B * b + r} AS VARCHAR)")
-          .mkString(" || ',' || ")
-        s"WHEN $b THEN $cat"
-      }.mkString(" ")
-      tokCte + ",\n" + abCte +
-        s""",
-        |sig AS (SELECT doc_id, $sigCols FROM ab GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, b, CASE b $bandCase END AS bsig
-        |  FROM sig CROSS JOIN range($B) AS r(b)),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-        |  FROM bands x JOIN bands y
-        |    ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
-        |sets AS (SELECT doc_id, list_distinct(sh) AS st FROM shl),
-        |jac AS (
-        |  SELECT c.da, c.db,
-        |    len(list_intersect(sa.st, sb.st)) * 1.0 /
-        |      (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st)))
-        |      AS j
-        |  FROM cand c
-        |  JOIN sets sa ON sa.doc_id = c.da
-        |  JOIN sets sb ON sb.doc_id = c.db),
-        |drops AS (SELECT DISTINCT db FROM jac WHERE j >= 0.8)
-        |SELECT doc_id FROM documents
-        |WHERE doc_id NOT IN (SELECT db FROM drops)
-        |ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
+  /** Oracle CTE chain up to `jac` (da, db, shingle-Jaccard j) — the
+    * band-candidate + exact-verify pipeline shared by q50 and q66. */
+  private def lshJacCteSql: String = {
+    val sigCols = (0 until K)
+      .map(j => s"min((a + $j * hb) % 4294967296) AS mh$j").mkString(", ")
+    val bandCase = (0 until B).map { b =>
+      val cat = (0 until R).map(r => s"CAST(mh${B * b + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"WHEN $b THEN $cat"
+    }.mkString(" ")
+    tokCte + ",\n" + abCte +
+      s""",
+      |sig AS (SELECT doc_id, $sigCols FROM ab GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, b, CASE b $bandCase END AS bsig
+      |  FROM sig CROSS JOIN range($B) AS r(b)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+      |  FROM bands x JOIN bands y
+      |    ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+      |sets AS (SELECT doc_id, list_distinct(sh) AS st FROM shl),
+      |jac AS (
+      |  SELECT c.da, c.db,
+      |    len(list_intersect(sa.st, sb.st)) * 1.0 /
+      |      (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st)))
+      |      AS j
+      |  FROM cand c
+      |  JOIN sets sa ON sa.doc_id = c.da
+      |  JOIN sets sb ON sb.doc_id = c.db)""".stripMargin
+  }
+
+  /** Verified near-duplicate pairs (da < db, shingle-Jaccard ≥ 0.8):
+    * native-operator band candidates + exact verify — the engine-side
+    * twin of [[lshJacCteSql]], shared by q50 (drop rule) and q66
+    * (duplicate-group components). */
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     val sig = minhashWide(shingleTable(s, d))
     val bandStructs = (0 until B).map { b =>
       val cat = concat_ws(",", (0 until R).map(r => col(s"mh${B * b + r}")): _*)
@@ -694,22 +697,58 @@ object TextQueries {
     val pairs = sets.join(left, col("doc_id") === col("db"))
       .select(col("da"), col("db"), col("sta"), col("st").as("stb"))
     val inter = size(array_intersect(col("sta"), col("stb")))
-    val drops = pairs
+    pairs
       .filter((inter.cast("double")
         / (size(col("sta")) + size(col("stb")) - inter)) >= 0.8)
+      .select(col("da"), col("db"))
+  }
+
+  val q50 = QueryDef(
+    "q50_text_dedup_lsh",
+    lshJacCteSql +
+      """,
+      |drops AS (SELECT DISTINCT db FROM jac WHERE j >= 0.8)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (SELECT db FROM drops)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val drops = nearDupPairs(s, d)
       .select(col("db").as("doc_id")).distinct()
     Tables.documents(s, d).select(col("doc_id"))
       .join(drops, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 
-  /** q57 — sliding-window token chunking: fixed 64-token windows at
-    * stride 32 (50% overlap), the document→training-sample splitter of
-    * an LLM data pipeline. Pure per-row computation (split → sequence
-    * of starts → explode → slice): no shuffle at all until the output
-    * sort, embarrassingly parallel at any scale, and the chunk hash
-    * makes the output joinable to exact-dedup (q22-style on
-    * chunk_hash) for cross-document window dedup. */
+  /** q66 — near-duplicate GROUPS: connected components over the
+    * verified near-dup pair graph ([[nearDupPairs]]), labeling every
+    * involved document with the minimum doc_id of its duplicate
+    * cluster — the transitive-closure step (chains A~B~C collapse to
+    * one cluster) a keep-one-per-group dedup needs, which the
+    * pairwise drop rule (q50) under-merges by design. Engine side:
+    * [[graft.functions.Components]] iterative min-label propagation
+    * (one keyed join + min-agg per round, rounds = graph diameter).
+    * Oracle: recursive-CTE reachability with MIN over sources. */
+  val q66 = QueryDef(
+    "q66_dedup_components", {
+      val recursive =
+        lshJacCteSql.replaceFirst("^WITH ", "WITH RECURSIVE ")
+      recursive +
+        """,
+        |prs AS (SELECT da, db FROM jac WHERE j >= 0.8),
+        |sym AS (SELECT da AS a, db AS b FROM prs
+        |        UNION SELECT db, da FROM prs),
+        |reach(src, node) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN sym e ON r.node = e.a)
+        |SELECT node AS doc_id, MIN(src) AS component
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    graft.functions.Components
+      .connectedComponents(nearDupPairs(s, d), "da", "db")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** 64-token windows at stride 32 per document — shared by q57
     * (materialization) and q59 (cross-document chunk dedup), via the
     * [[graft.curation.Curation]] module the CurationJob composes. */
@@ -771,5 +810,5 @@ object TextQueries {
 
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
-      q48, q49, q50, q57, q59)
+      q48, q49, q50, q57, q59, q66)
 }
