@@ -45,6 +45,27 @@ object Medallion {
   def readTable(spark: SparkSession, tableDir: String): DataFrame =
     spark.read.parquet(tableDir)
 
+  /** Idempotent re-run of one (or more) date partitions: DYNAMIC
+    * partition overwrite replaces ONLY the partitions present in `df`,
+    * leaving every other `date=` directory untouched — the
+    * reprocess-one-day upsert a medallion pipeline needs (a plain
+    * `overwrite` would truncate the whole table; `append` would
+    * double-count the re-run day). Session conf is restored after. */
+  def overwritePartitions(df: DataFrame, tableDir: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite")
+      .option("compression", "snappy")
+      .partitionBy("date")
+      .parquet(tableDir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** S9: one-row run-metadata record appended to a metadata table
     * (the reference's checkpoint JSON docs,
     * `storage_manager.py:148-175`). */

@@ -157,4 +157,40 @@ class MedallionSpec extends SparkSpec {
     assert(new java.io.File(out, "date=2025-09-05").exists())
     assert(Medallion.readTable(spark, out).count() == 4)
   }
+
+  test("date filter prunes partitions at the scan (scale contract)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_prune").toString
+    Medallion.writePartitioned(
+      Seq(("a", "2025-09-05"), ("b", "2025-09-06"), ("c", "2025-09-07"))
+        .toDF("v", "date"), out)
+    val read = Medallion.readTable(spark, out)
+      .filter(col("date") === "2025-09-06")
+    val plan = read.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (directory pruning —
+    // at 100 TB this is the difference between one day and a full scan)
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("date"), plan)
+    assert(read.collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
+  test("overwritePartitions replaces only the re-run day (idempotent upsert)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_upsert").toString
+    Medallion.writePartitioned(
+      Seq(("old5", "2025-09-05"), ("old6", "2025-09-06"))
+        .toDF("v", "date"), out)
+    // re-run day 06 with corrected data, twice (idempotency)
+    for (_ <- 1 to 2)
+      Medallion.overwritePartitions(
+        Seq(("new6", "2025-09-06")).toDF("v", "date"), out)
+    // partition discovery types `date=` as DateType on read
+    val got = Medallion.readTable(spark, out)
+      .collect().map(r => r.getString(0) -> r.get(1).toString).sorted.toSeq
+    assert(got == Seq("new6" -> "2025-09-06", "old5" -> "2025-09-05"))
+    // conf restored (dynamic mode must not leak into the session)
+    assert(!spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .contains("dynamic"))
+  }
 }
