@@ -78,6 +78,19 @@ object Curation {
     docs.filter(contentU32(col("doc_id")) % 1000 < rate)
   }
 
+  /** Deterministic per-group QUOTA sampling: exactly `min(n, group
+    * size)` rows per `groupCol` value, chosen by content-hash order —
+    * the fixed-budget counterpart of [[stratifiedSample]]'s rates
+    * (balanced domain mixing with exact per-domain counts). One keyed
+    * window (shuffle on the group column); the hash order makes the
+    * selection reproducible across runs, engines, and partitionings. */
+  def quotaSample(docs: DataFrame, groupCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
   /** Sliding token windows of `window` tokens at `stride`: one row
     * per (doc, chunk) with a content hash for downstream chunk-level
     * dedup. Pure per-row fan-out (no shuffle). */

@@ -808,7 +808,26 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** q67 — deterministic per-source QUOTA sampling
+    * ([[graft.curation.Curation.quotaSample]]): exactly 30 documents
+    * per source by content-hash order — the fixed-budget balanced mix
+    * next to q48's rate-based sampling. */
+  val q67 = QueryDef(
+    "q67_quota_sample",
+    """WITH r AS (
+      |  SELECT doc_id, source, row_number() OVER (
+      |    PARTITION BY source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, source FROM r WHERE rn <= 30
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.curation.Curation.quotaSample(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "source", 30)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
-      q48, q49, q50, q57, q59, q66)
+      q48, q49, q50, q57, q59, q66, q67)
 }
