@@ -36,9 +36,13 @@ object Components {
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Iterative lineage MUST be truncated each round (localCheckpoint,
+    // eager) or the nested union-join logical plan grows exponentially
+    // with the iteration count — the standard discipline for iterative
+    // Spark algorithms (MLlib ALS does the same via checkpointing).
     var labels = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -48,7 +52,7 @@ object Components {
         .union(labels)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).count()
       labels.unpersist()

@@ -29,6 +29,28 @@ class ComponentsSpec extends SparkSpec {
     assert(cc(ring) == (0L until n).map(_ -> 0L).toMap)
   }
 
+  test("randomized differential: components == union-find") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 2) {
+      val n = 30
+      val edges = Seq.fill(25)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // reference: in-memory union-find with min-label roots
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val m = math.min(ra, rb)
+          parent(ra) = m; parent(rb) = m }
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = nodes.map(v => v -> find(v.toInt).toLong).toMap
+      assert(cc(edges) == expect, s"trial $trial")
+    }
+  }
+
   test("deterministic under partitioning") {
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L), (3L, 4L))
     def run(parts: Int) = Components.connectedComponents(
