@@ -339,11 +339,17 @@ object CurationJob {
           defaultPerMill: Int = 100): CurationMetrics = {
     import graft.curation.Curation
     val docs = spark.read.parquet(docsDir)
+    // The per-stage counts below would otherwise re-run the upstream
+    // chain once per metric (the dedup window is the expensive stage —
+    // same recompute tax as Ranks had before persisting). Persist the
+    // two funnel waypoints every consumer shares.
     val deduped = Curation.exactDedup(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = Curation.qualityScored(deduped)
       .filter(col("quality_bucket") =!= "low")
     val sampled = Curation.stratifiedSample(
-      scored, ratesPerMill, defaultPerMill)
+        scored, ratesPerMill, defaultPerMill)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = Curation.chunks(sampled)
     val kept = Curation.dedupChunks(chunked)
     kept.write.mode("overwrite").parquet(s"$outDir/chunks")
@@ -356,6 +362,8 @@ object CurationJob {
       chunksKept = spark.read.parquet(s"$outDir/chunks").count())
     import spark.implicits._
     Seq(m).toDS().write.mode("overwrite").parquet(s"$outDir/metrics")
+    deduped.unpersist()
+    sampled.unpersist()
     m
   }
 
