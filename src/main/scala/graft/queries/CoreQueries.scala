@@ -1032,8 +1032,56 @@ object CoreQueries {
       .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
   }
 
+  /** q68 — snapshot diff (CDC-style drift detection): the keep-latest
+    * purchase state per user as of an earlier cutoff vs now, full
+    * keyed compare classifying each key `added` / `changed` /
+    * `unchanged` — the reprocessing/monitoring primitive for any
+    * slowly-changing keyed state. Both snapshots are one keyed window
+    * each; the compare is a single keyed left join. */
+  val q68 = QueryDef(
+    "q68_snapshot_diff",
+    """WITH pur AS (
+      |  SELECT user_id, ts, event_id, value FROM events
+      |  WHERE event_type = 'purchase'),
+      |h AS (
+      |  SELECT user_id, value AS v FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM pur WHERE ts < TIMESTAMP '2024-01-29') WHERE rn = 1),
+      |f AS (
+      |  SELECT user_id, value AS v FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM pur) WHERE rn = 1)
+      |SELECT f.user_id,
+      |  CASE WHEN h.user_id IS NULL THEN 'added'
+      |       WHEN h.v <> f.v THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM f LEFT JOIN h ON f.user_id = h.user_id
+      |ORDER BY f.user_id""".stripMargin) { (s, d) =>
+    def latest(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("value").as("v"))
+    }
+    val pur = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val h = latest(pur.filter(col("ts") < lit("2024-01-29").cast("timestamp")))
+      .withColumnRenamed("v", "hv").withColumnRenamed("user_id", "h_user")
+    latest(pur)
+      .join(h, col("user_id") === col("h_user"), "left")
+      .select(col("user_id"),
+        when(col("h_user").isNull, "added")
+          .when(col("hv") =!= col("v"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
-    q61, q62, q63, q64, q65)
+    q61, q62, q63, q64, q65, q68)
 }
