@@ -1080,8 +1080,44 @@ object CoreQueries {
       .orderBy("user_id")
   }
 
+  /** q69 — IQR outlier fences (the numeric data-quality screen): per
+    * event type, Tukey's 1.5·IQR fence from exact interpolated
+    * quartiles, then a second pass counting rows outside it. The
+    * 5-row quantile table broadcasts; the fence thresholds go through
+    * the portable rounding so the comparison operands are
+    * engine-identical. */
+  val q69 = QueryDef(
+    "q69_outlier_fence",
+    """WITH q AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR(quantile_cont(value, 0.25)*100 + 0.5) AS BIGINT)/100.0 AS q1,
+      |    CAST(FLOOR(quantile_cont(value, 0.75)*100 + 0.5) AS BIGINT)/100.0 AS q3
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+      |SELECT e.event_type, COUNT(*) AS n,
+      |  COUNT(*) FILTER (WHERE e.value > q.q3 + 1.5*(q.q3 - q.q1))
+      |    AS n_high,
+      |  COUNT(*) FILTER (WHERE e.value < q.q1 - 1.5*(q.q3 - q.q1))
+      |    AS n_low
+      |FROM events e JOIN q ON e.event_type = q.event_type
+      |WHERE e.value IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+    val q = ev.groupBy(col("event_type"))
+      .agg(
+        Exact.round2(percentile(col("value"), lit(0.25))).as("q1"),
+        Exact.round2(percentile(col("value"), lit(0.75))).as("q3"))
+    ev.join(broadcast(q), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("value") >
+          col("q3") + lit(1.5) * (col("q3") - col("q1")), 1)).as("n_high"),
+        count(when(col("value") <
+          col("q1") - lit(1.5) * (col("q3") - col("q1")), 1)).as("n_low"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
-    q61, q62, q63, q64, q65, q68)
+    q61, q62, q63, q64, q65, q68, q69)
 }
