@@ -51,6 +51,24 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  private def ccStar(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponentsStar(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star variant agrees with propagation on chains, rings, random") {
+    val chain = (0L until 9L).map(i => (i + 1, i)) // worst case for propagation
+    assert(ccStar(chain) == cc(chain))
+    val ring = (0L until 12L).map(i => (i, (i + 1) % 12))
+    assert(ccStar(ring) == cc(ring))
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 2) {
+      val edges = Seq.fill(25)(
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2)
+      assert(ccStar(edges) == cc(edges), s"trial $trial")
+    }
+  }
+
   test("deterministic under partitioning") {
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L), (3L, 4L))
     def run(parts: Int) = Components.connectedComponents(
