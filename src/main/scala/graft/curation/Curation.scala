@@ -91,6 +91,17 @@ object Curation {
       .filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** Quality-WEIGHTED sampling (importance mixing): keep a row with
+    * probability `weight` (a [0,1] column — e.g. the quality score),
+    * decided by the content hash so the draw is deterministic and
+    * row-local like [[stratifiedSample]]. Hash uniformity gives
+    * E[kept | weight=w] = w; no RNG state anywhere. The weight column
+    * must be engine-exact (rounded) for oracle parity. */
+  def weightedSample(docs: DataFrame, weightCol: String): DataFrame =
+    docs.filter(
+      (contentU32(col("doc_id")) % 1000000).cast("double") / 1000000.0
+        < col(weightCol))
+
   /** Sliding token windows of `window` tokens at `stride`: one row
     * per (doc, chunk) with a content hash for downstream chunk-level
     * dedup. Pure per-row fan-out (no shuffle). */

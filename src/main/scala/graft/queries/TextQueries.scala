@@ -827,7 +827,64 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** q70 — quality-weighted sampling
+    * ([[graft.curation.Curation.weightedSample]]): keep probability =
+    * the q46 quality score, decided by content hash (deterministic,
+    * row-local, engine-portable) — the importance-mixing move of an
+    * LLM data recipe (upweight high-quality domains without hard
+    * cuts). Output: per-bucket kept/total. */
+  val q70 = QueryDef(
+    "q70_weighted_sample", {
+      val stop = Text.langMarkers.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_tokens,
+        |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |      * 1.0 / GREATEST(length(text), 1) AS pr_raw,
+        |    len(list_filter(toks, x -> x IN ($stop)))
+        |      * 1.0 / GREATEST(len(toks), 1) AS sr_raw
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(FLOOR(pr_raw * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS pr,
+        |    CAST(FLOOR(sr_raw * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS sr
+        |  FROM m),
+        |sc AS (
+        |  SELECT doc_id,
+        |    0.4 * LEAST(n_tokens / 100.0, 1.0)
+        |      + 0.3 * (1.0 - LEAST(pr * 5.0, 1.0))
+        |      + 0.3 * LEAST(sr * 10.0, 1.0) AS score
+        |  FROM r),
+        |w AS (
+        |  SELECT doc_id,
+        |    CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) / 1000000.0
+        |      AS quality_score,
+        |    CASE WHEN score >= 0.7 THEN 'high'
+        |         WHEN score >= 0.4 THEN 'medium'
+        |         ELSE 'low' END AS quality_bucket,
+        |    (${hexU32Sql(1).replace("hx", "hxd")} % 1000000) * 1.0
+        |      / 1000000.0 AS u
+        |  FROM (SELECT sc.*, md5(CAST(doc_id AS VARCHAR)) AS hxd FROM sc))
+        |SELECT quality_bucket, COUNT(*) AS n_docs,
+        |  COUNT(*) FILTER (WHERE u < quality_score) AS n_kept
+        |FROM w GROUP BY quality_bucket ORDER BY quality_bucket""".stripMargin
+    }) { (s, d) =>
+    val scored = graft.curation.Curation
+      .qualityScored(Tables.documents(s, d))
+    val kept = graft.curation.Curation
+      .weightedSample(scored, "quality_score")
+      .select(col("doc_id")).withColumn("kept", lit(1))
+    scored.join(kept, Seq("doc_id"), "left")
+      .groupBy(col("quality_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("kept")).as("n_kept"))
+      .orderBy("quality_bucket")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
-      q48, q49, q50, q57, q59, q66, q67)
+      q48, q49, q50, q57, q59, q66, q67, q70)
 }
