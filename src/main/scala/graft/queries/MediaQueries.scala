@@ -48,5 +48,70 @@ object MediaQueries {
       .orderBy("media_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q44)
+  /** q71 — the deterministic core of the media pipeline, ORACLE-
+    * checked: the byte-level features the codec stub computes (n_bytes,
+    * mean byte, histogram bin, first-frame fingerprint) are pure
+    * functions of the payload, so DuckDB can mirror them exactly over
+    * the same derived ASCII payloads (`ord(substr(...))` = the byte).
+    * This pins the whole pipeline EXCEPT the codec call itself —
+    * schema, kind assignment, per-partition decode iteration, frame
+    * chunk boundaries, rounding — against the independent engine;
+    * q44 remains the rows-only superset with the full stub output. */
+  val q71 = QueryDef(
+    "q71_media_features_oracle",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |    text, length(text) AS n_bytes
+      |  FROM documents WHERE doc_id < 200),
+      |e AS (
+      |  SELECT media_id, text, n_bytes,
+      |    unnest(range(1, n_bytes + 1)) AS i FROM m),
+      |b AS (
+      |  SELECT media_id, ord(substr(text, CAST(i AS INT), 1)) AS byte
+      |  FROM e),
+      |s AS (
+      |  SELECT media_id, COUNT(*) AS n, SUM(byte) AS sb,
+      |    COUNT(*) FILTER (WHERE byte // 16 = 6) AS c6
+      |  FROM b GROUP BY 1)
+      |SELECT m.media_id, m.kind, m.n_bytes,
+      |  CAST(FLOOR(CAST(s.sb AS DOUBLE)/s.n*1e4 + 0.5) AS BIGINT)/1e4
+      |    AS mean_byte,
+      |  CAST(FLOOR(CAST(s.c6 AS DOUBLE)/s.n*1e6 + 0.5) AS BIGINT)/1e6
+      |    AS hist_bin6,
+      |  CASE WHEN m.kind = 'video'
+      |    THEN md5(substr(m.text, 1, greatest(m.n_bytes // 4, 1)))
+      |  END AS frame_fp0
+      |FROM m JOIN s ON m.media_id = s.media_id
+      |ORDER BY m.media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(col("doc_id") < 200)
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        col("text").cast("binary").as("bytes"),
+        lit(640).as("width"), lit(480).as("height"),
+        lit(16000).as("sample_rate"),
+        (col("n_chars") * 10L).as("duration_ms"))
+    val features = Media.extractFeatures(
+        media.as[Media.MediaRow], partitions = 32)
+      .toDF()
+      .select(col("media_id"), col("kind"),
+        col("n_bytes").cast("long").as("n_bytes"),
+        graft.functions.Exact.roundP(col("mean_byte"), 4).as("mean_byte"),
+        graft.functions.Exact.roundP(element_at(col("histogram"), 7), 6)
+          .as("hist_bin6"))
+    val fp = media.select(col("media_id").as("fp_id"),
+      when(col("kind") === "video",
+        md5(col("bytes").substr(lit(1),
+          greatest(expr("length(bytes) div 4"), lit(1)))))
+        .as("frame_fp0"))
+    features.join(fp, col("media_id") === col("fp_id"))
+      .drop("fp_id")
+      .orderBy("media_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q44, q71)
 }
