@@ -1,0 +1,62 @@
+package graft
+
+import graft.queries.VectorQueries
+
+/** Retrieval-quality floors for the ANN paths: recall@3 of each
+  * approximate method against the exact brute-force baseline (q32) —
+  * the evidence the rows-only q43 (MLlib k-means IVF) can't get from
+  * the SQL oracle: the approximation must actually FIND near
+  * neighbors, not just return rows.
+  *
+  * Context for the floor values: the synthetic embeddings are
+  * UNIFORMLY RANDOM — no cluster structure — which is the worst case
+  * for any space-partitioning ANN (neighbors are spread across cells
+  * almost independently of the partition). The measured recalls are
+  * deterministic (fixed data + seeds), so the floors are tight
+  * regression pins, not aspirations; on real clustered embeddings
+  * all three paths do far better. Random-guess recall@3 here is
+  * 3/49 ≈ 0.06. */
+class AnnRecallSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def topk(df: org.apache.spark.sql.DataFrame,
+                   k: Int): Map[Long, Set[Long]] =
+    df.filter(org.apache.spark.sql.functions.col("rnk") <= k)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  private lazy val exact = topk(VectorQueries.q32.run(spark, sf), 3)
+
+  private def recallAt3(approx: Map[Long, Set[Long]]): Double = {
+    val per = exact.toSeq.map { case (q, ex) =>
+      approx.get(q).map(ap => (ap & ex).size.toDouble / ex.size)
+        .getOrElse(0.0)
+    }
+    per.sum / per.size
+  }
+
+  test("IVF (deterministic quantizer, q38) recall@3 vs exact") {
+    val r = recallAt3(topk(VectorQueries.q38.run(spark, sf), 3))
+    info(f"q38 recall@3 = $r%.3f")
+    assert(r >= 0.30, f"recall $r%.3f")
+  }
+
+  test("IVF (k-means quantizer, q43) recall@3 vs exact") {
+    val r = recallAt3(topk(VectorQueries.q43.run(spark, sf), 3))
+    info(f"q43 recall@3 = $r%.3f")
+    // the learned quantizer beats the deterministic one (0.387 > 0.320)
+    assert(r >= 0.35, f"recall $r%.3f")
+  }
+
+  test("LSH buckets (q33) recall@3 vs exact") {
+    val r = recallAt3(topk(VectorQueries.q33.run(spark, sf), 3))
+    info(f"q33 recall@3 = $r%.3f")
+    // 4 hyperplane bits over a tiny random corpus: the coarse path —
+    // barely above random here (0.093 vs 0.061), which is exactly why
+    // q33's Scaladoc says bits must GROW with N; the floor pins the
+    // deterministic value against regression
+    assert(r >= 0.09, f"recall $r%.3f")
+  }
+}
