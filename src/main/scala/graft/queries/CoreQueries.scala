@@ -1116,8 +1116,38 @@ object CoreQueries {
       .orderBy("event_type")
   }
 
+  /** q72 — hopping (sliding) windows in BATCH: 6-hour windows sliding
+    * every 3 hours over event time via Spark's `window()` function —
+    * the batch twin of the streaming T4 rolling aggregate. Each event
+    * lands in exactly width/slide = 2 windows (a bounded, plan-visible
+    * Expand — row fan-out ×2, then one keyed shuffle with partial
+    * aggregation). Window starts are 1970-epoch aligned on both
+    * engines; emitted as epoch seconds so the comparison is
+    * timezone-representation-free. */
+  val q72 = QueryDef(
+    "q72_hopping_windows",
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(EPOCH(ts) / 10800) * 10800 AS BIGINT) AS s0
+      |  FROM events),
+      |x AS (
+      |  SELECT user_id, unnest([s0, s0 - 10800]) AS wstart FROM e)
+      |SELECT wstart AS window_start_s, wstart + 21600 AS window_end_s,
+      |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+      |FROM x GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours", "3 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(
+        col("window.start").cast("long").as("window_start_s"),
+        col("window.end").cast("long").as("window_end_s"),
+        col("n_events"), col("n_users"))
+      .orderBy("window_start_s")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
-    q61, q62, q63, q64, q65, q68, q69)
+    q61, q62, q63, q64, q65, q68, q69, q72)
 }
