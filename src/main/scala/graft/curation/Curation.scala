@@ -127,4 +127,45 @@ object Curation {
     chunkDf.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Blocklist token scrub (the C4-style bad-words filter): appends
+    * `n_tokens`, `n_blocked` (tokens in the blocklist) and
+    * `clean_text` (the document with blocked tokens removed) to the
+    * input. Pure per-row projection — no shuffle, pushes to the scan;
+    * the blocklist is compiled into the plan as an `In` literal set
+    * inside a codegen'd higher-order `filter`, so corpus size is the
+    * only cost driver. */
+  def blocklistScrub(docs: DataFrame, blocklist: Seq[String]): DataFrame =
+    docs
+      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("n_blocked",
+        size(filter(col("__toks"), t => t.isInCollection(blocklist)))
+          .cast("long"))
+      .withColumn("clean_text",
+        array_join(
+          filter(col("__toks"), t => !t.isInCollection(blocklist)), " "))
+      .drop("__toks")
+
+  /** PII redaction over a free-text column: masks email addresses and
+    * US-style phone numbers with typed placeholders and counts the
+    * redactions. Regexes stay in RE2-compatible territory (no
+    * lookaround/backreferences) so the same patterns run on any
+    * engine. Per-row projection — the 100-TB cost is one regex pass
+    * per document. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(emailRe), lit(0)))
+          .cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0)))
+          .cast("long"))
+      .withColumn("redacted_text",
+        regexp_replace(
+          regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
 }

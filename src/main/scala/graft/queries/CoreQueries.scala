@@ -1146,8 +1146,116 @@ object CoreQueries {
       .orderBy("window_start_s")
   }
 
+  /** q74 — Slowly-Changing-Dimension Type-2 history build: per
+    * customer, the order-priority attribute's validity intervals —
+    * dedup to one state per effective date (max orderkey wins),
+    * collapse no-change runs with a lag comparison, then derive
+    * `valid_to` as the next change's `valid_from` (lead) and flag the
+    * open-ended current row. The warehouse upsert pattern (Kimball
+    * SCD2) as pure declarative windows: all three windows share the
+    * customer partition key, so the whole history build is ONE
+    * shuffle on `o_custkey` + sorts — no self-join, no MERGE. */
+  val q74 = QueryDef(
+    "q74_scd2_priority",
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderpriority AS prio, o_orderdate AS eff,
+      |    o_orderkey,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+      |                       ORDER BY o_orderkey DESC) AS rn
+      |  FROM orders),
+      |seq AS (
+      |  SELECT o_custkey, prio, eff,
+      |    LAG(prio) OVER (PARTITION BY o_custkey ORDER BY eff) AS prev
+      |  FROM o WHERE rn = 1),
+      |chg AS (
+      |  SELECT o_custkey, prio, eff FROM seq
+      |  WHERE prev IS NULL OR prio <> prev)
+      |SELECT o_custkey AS custkey, prio AS priority,
+      |  CAST(eff AS DATE) AS valid_from,
+      |  CAST(LEAD(eff) OVER (PARTITION BY o_custkey ORDER BY eff) AS DATE)
+      |    AS valid_to,
+      |  CASE WHEN LEAD(eff) OVER (PARTITION BY o_custkey ORDER BY eff)
+      |         IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM chg ORDER BY custkey, valid_from""".stripMargin) { (s, d) =>
+    val wDay = Window.partitionBy(col("o_custkey"), col("eff"))
+      .orderBy(col("o_orderkey").desc)
+    val wSeq = Window.partitionBy(col("o_custkey")).orderBy(col("eff"))
+    val states = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderpriority").as("prio"),
+        col("o_orderdate").as("eff"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .withColumn("prev", lag(col("prio"), 1).over(wSeq))
+      .filter(col("prev").isNull || col("prio") =!= col("prev"))
+    states
+      .withColumn("nxt", lead(col("eff"), 1).over(wSeq))
+      .select(col("o_custkey").as("custkey"), col("prio").as("priority"),
+        to_date(col("eff")).as("valid_from"),
+        to_date(col("nxt")).as("valid_to"),
+        when(col("nxt").isNull, 1).otherwise(0).as("is_current"))
+      .orderBy("custkey", "valid_from")
+  }
+
+  /** q75 — event-transition matrix (first-order Markov model of user
+    * behavior): per user, the (event → next event) bigram via a lead
+    * window ordered by (ts, event_id), then transition counts and an
+    * EXACT integer per-source probability (`cnt·10⁶ div total` —
+    * portable, no float division). One shuffle on user_id for the
+    * lead, one map-side-combined shuffle on the 5×5 transition key;
+    * the window ships one user's events per task, so the plan holds
+    * at any user count. */
+  val q75 = QueryDef(
+    "q75_event_transitions",
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type AS src, dst, COUNT(*) AS cnt
+      |  FROM s WHERE dst IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, cnt,
+      |  (cnt * 1000000) // SUM(cnt) OVER (PARTITION BY src) AS prob_ppm
+      |FROM c ORDER BY src, dst""".stripMargin) { (s, d) =>
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(wU).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prob_ppm", expr(
+        "(cnt * 1000000) div sum(cnt) over (partition by src)"))
+      .orderBy("src", "dst")
+  }
+
+  /** q78 — heavy-hitter key profiler (the skew diagnostic that feeds
+    * [[graft.functions.Skew]]'s salting decision): top-20 keys by
+    * event count with exact ppm share of total. One map-side-combined
+    * shuffle on the key; the global total is a one-row broadcast. At
+    * 100 TB the same report runs unchanged — the groupBy output is
+    * |keys| rows, and only 20 survive the ordered limit (Spark plans
+    * TakeOrderedAndProject: no global sort materializes). */
+  val q78 = QueryDef(
+    "q78_heavy_hitters",
+    """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+      |t AS (SELECT SUM(cnt) AS total FROM c)
+      |SELECT user_id, cnt,
+      |  (cnt * 1000000) // (SELECT total FROM t) AS share_ppm
+      |FROM c ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin) { (s, d) =>
+    val c = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val t = Tables.events(s, d).agg(count(lit(1)).as("total"))
+    c.crossJoin(broadcast(t))
+      .select(col("user_id"), col("cnt"),
+        expr("(cnt * 1000000) div total").as("share_ppm"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
-    q61, q62, q63, q64, q65, q68, q69, q72)
+    q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78)
 }

@@ -884,7 +884,180 @@ object TextQueries {
       .orderBy("quality_bucket")
   }
 
+  /** q73 — blocklist token scrub
+    * ([[graft.curation.Curation.blocklistScrub]]): the C4-style
+    * bad-words curation filter — count blocklisted tokens per
+    * document, flag documents where they exceed 5% of tokens, report
+    * per-source totals. The scrub itself is a pure per-row projection
+    * (no shuffle); only the 20-group report aggregates. At 100 TB the
+    * per-source report is a map-side-combined single shuffle over ~as
+    * many groups as sources. */
+  val q73 = QueryDef(
+    "q73_blocklist_scrub",
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, source, len(toks) AS n_tokens,
+      |    len(list_filter(toks, x -> x IN ('customer', 'spark')))
+      |      AS n_blocked
+      |  FROM t)
+      |SELECT source, COUNT(*) AS docs,
+      |  SUM(n_blocked) AS blocked_tokens,
+      |  SUM(CASE WHEN n_blocked * 20 > n_tokens THEN 1 ELSE 0 END)
+      |    AS docs_flagged
+      |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    graft.curation.Curation
+      .blocklistScrub(Tables.documents(s, d), Seq("customer", "spark"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_blocked")).as("blocked_tokens"),
+        sum(when(col("n_blocked") * 20 > col("n_tokens"), 1)
+          .otherwise(0)).as("docs_flagged"))
+      .orderBy("source")
+  }
+
+  /** q76 — inverted-index build with CAPPED posting lists: distinct
+    * (token, doc) postings via a per-document `array_distinct` (no
+    * distinct shuffle), then ONE shuffle on the token key where a
+    * row_number window keeps only the first 20 doc_ids per token
+    * BEFORE any list materializes — the bounded-state shape that
+    * survives a 100-TB corpus where a full posting list for a
+    * stopword would be billions of entries. `df` (the true document
+    * frequency) rides the same shuffle as an unordered count window. */
+  val q76 = QueryDef(
+    "q76_inverted_index",
+    """WITH t AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |rk AS (
+      |  SELECT token, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY token) AS df
+      |  FROM t)
+      |SELECT token, MAX(df) AS df,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+      |    AS postings
+      |FROM rk WHERE rn <= 20 GROUP BY token ORDER BY token""".stripMargin) {
+    (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(Text.tokens(col("text")))).as("token"))
+      val wOrd = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+      val wAll = Window.partitionBy(col("token"))
+      t.withColumn("rn", row_number().over(wOrd))
+        .withColumn("df", count(lit(1)).over(wAll))
+        .filter(col("rn") <= 20)
+        .groupBy(col("token"))
+        .agg(max(col("df")).as("df"),
+          array_join(
+            transform(sort_array(collect_list(col("doc_id"))),
+              _.cast("string")), ",").as("postings"))
+        .orderBy("token")
+  }
+
+  /** q77 — TF-IDF-style term weighting, top-3 terms per document.
+    * The cross-engine weight is the EXACT integer
+    * `tf * 1_000_000 div df` (monotone in tf/df; the float
+    * `tf·ln(N/df)` form would hinge on libm `log` ulp agreement
+    * between JVM and DuckDB, which nothing guarantees — SURVEY §6
+    * portability stance). Plan: one explode feeding two partial-agg
+    * groupBys (tf by (doc, token), df by token), a shuffle equi-join
+    * on token (AQE broadcasts the vocab side when small — vocab grows
+    * by Heaps' law, so no unconditional broadcast hint), then a
+    * row_number window per doc. */
+  val q77 = QueryDef(
+    "q77_tfidf_top_terms",
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |    (tf.tf * 1000000) // df.df AS weight
+      |  FROM tf JOIN df USING (token)),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY weight DESC, token) AS rn
+      |  FROM sc)
+      |SELECT doc_id, token, tf, df, weight
+      |FROM rk WHERE rn <= 3
+      |ORDER BY doc_id, weight DESC, token""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    val tf = t.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = t.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("weight").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .withColumn("weight", expr("(tf * 1000000) div df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("weight"))
+      .orderBy(col("doc_id"), col("weight").desc, col("token"))
+  }
+
+  /** q79 — canonical-representative selection per near-duplicate
+    * cluster: the keep rule a production dedup applies AFTER q66's
+    * connected components — keep the richest member (max `n_chars`,
+    * tie → min doc_id) of each duplicate group. Engine: the q66
+    * component labels joined back to document metadata, one
+    * row_number window per component (components are tiny by
+    * construction, so the window state is bounded). Completes the
+    * find-pairs → cluster → canonicalize dedup pipeline. */
+  val q79 = QueryDef(
+    "q79_canonical_docs", {
+      val recursive =
+        lshJacCteSql.replaceFirst("^WITH ", "WITH RECURSIVE ")
+      recursive +
+        """,
+        |prs AS (SELECT da, db FROM jac WHERE j >= 0.8),
+        |sym AS (SELECT da AS a, db AS b FROM prs
+        |        UNION SELECT db, da FROM prs),
+        |reach(src, node) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN sym e ON r.node = e.a),
+        |comp AS (
+        |  SELECT node AS doc_id, MIN(src) AS component
+        |  FROM reach GROUP BY node),
+        |m AS (
+        |  SELECT c.component, c.doc_id, d.n_chars
+        |  FROM comp c JOIN documents d USING (doc_id)),
+        |rk AS (
+        |  SELECT component, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY component
+        |      ORDER BY n_chars DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY component) AS n_members
+        |  FROM m)
+        |SELECT component, doc_id AS canonical_doc, n_chars, n_members
+        |FROM rk WHERE rn = 1 ORDER BY component""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val comp = graft.functions.Components
+      .connectedComponents(nearDupPairs(s, d), "da", "db")
+      .withColumnRenamed("id", "doc_id")
+    val m = comp.join(
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+      Seq("doc_id"))
+    val wOrd = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val wAll = Window.partitionBy(col("component"))
+    m.withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_members", count(lit(1)).over(wAll))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("canonical_doc"),
+        col("n_chars"), col("n_members"))
+      .orderBy("component")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
-      q48, q49, q50, q57, q59, q66, q67, q70)
+      q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79)
 }

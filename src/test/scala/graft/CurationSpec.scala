@@ -58,4 +58,34 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(half == all.filter(_ % 2 == 0))
   }
+
+  test("blocklistScrub counts and removes exactly the blocked tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good spark bad spark good"),
+      (2L, "clean words only"),
+      (3L, "spark")).toDF("doc_id", "text")
+    val out = Curation.blocklistScrub(docs, Seq("spark", "bad"))
+      .select("doc_id", "n_tokens", "n_blocked", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 5L, 3L, "good good"),
+      (2L, 3L, 0L, "clean words only"),
+      (3L, 1L, 1L, "")))
+  }
+
+  test("redactPii masks emails and phones and counts each redaction") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@ex-ample.org or call 555-123-4567 now"),
+      (2L, "two mails x@y.io z@w.co, phone 555 987 6543"),
+      (3L, "no pii here, 12345 is not a phone")).toDF("doc_id", "text")
+    val out = Curation.redactPii(docs)
+      .select("doc_id", "n_emails", "n_phones", "redacted_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L, "mail <EMAIL> or call <PHONE> now"),
+      (2L, 2L, 1L, "two mails <EMAIL> <EMAIL>, phone <PHONE>"),
+      (3L, 0L, 0L, "no pii here, 12345 is not a phone")))
+  }
 }
