@@ -97,6 +97,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningUserFeatures accumulates state across query RESTARTS " +
+      "(transformWithState + RocksDB checkpoint recovery)") {
+    // Trigger.AvailableNow (not processAllAvailable): ProcessingTime
+    // time mode keeps the trigger loop non-idle servicing potential
+    // timer/TTL expirations, so an always-on query never quiesces —
+    // the same starvation the ProcessingTimeTimeout tests dodge by
+    // running batch mode. AvailableNow drains and STOPS, and a second
+    // run over the same checkpoint proves state recovery.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_tws").toString
+    val mem = MemoryStream[Event]
+    // foreachBatch sink: the memory sink refuses checkpoint recovery
+    // ("does not support recovering"), and the restart IS the test
+    val sunk = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Double)]
+    def drain(): Unit = {
+      val q = Features.runningUserFeatures(mem.toDS())
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[Features.UserRunning],
+           _: Long) =>
+            sunk.synchronized {
+              sunk ++= b.collect().map(u =>
+                (u.user_id, u.n_events, u.n_purchases, u.total_value))
+            }
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("update").start()
+      q.awaitTermination()
+    }
+    try {
+      mem.addData(events.take(2): _*) // u1: 2 views
+      drain()
+      mem.addData(events.drop(2): _*) // u1: cart+purchase, u2: view
+      drain()
+      // run 2 only saw 3 events, but totals include run 1's state,
+      // recovered from the RocksDB checkpoint
+      val rows = sunk.toSeq
+      assert(rows.filter(_._1 == "u1").maxBy(_._2) ==
+        (("u1", 4L, 1L, 35.0)))
+      assert(rows.filter(_._1 == "u2").maxBy(_._2) ==
+        (("u2", 1L, 0L, 7.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("IncrementalSilverJob processes only NEW files per invocation") {
     val root = java.nio.file.Files.createTempDirectory("graft_inc").toString
     val landing = new java.io.File(s"$root/landing"); landing.mkdirs()
