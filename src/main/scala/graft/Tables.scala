@@ -52,4 +52,15 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame    = eventsNs(s, d)
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every table as a temp view so the whole engine surface
+    * is reachable from `spark.sql(...)` (with `events` carrying the
+    * same ns→µs normalization as the typed loader). Catalyst plans a
+    * SQL query over these views identically to the DataFrame form —
+    * same pushdown, same join strategies (pinned by SqlSpec). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -66,6 +66,49 @@ object Medallion {
     }
   }
 
+  /** Clustered write: range-partition on `clusterCols` and sort
+    * within each output file so every file covers a DISJOINT key
+    * range. At 100 TB this is what makes point/range predicates on
+    * the cluster key prune at FILE level (and row-group level inside
+    * each file via parquet min/max) instead of scanning the table —
+    * the Z-order-lite layout step of a lakehouse OPTIMIZE.
+    * `numFiles` sizes output files (pick ≈ bytes/128 MB). */
+  def clusteredWrite(df: DataFrame, tableDir: String,
+                     numFiles: Int, clusterCols: String*): Unit = {
+    val cols = clusterCols.map(col)
+    df.repartitionByRange(numFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .parquet(tableDir)
+  }
+
+  /** Small-file compaction: rewrite a table directory to
+    * `targetFiles` outputs (the medallion maintenance job that keeps
+    * streaming/incremental appends from degrading scans — thousands
+    * of KB-sized files turn a 100-TB scan into a metadata storm).
+    * Writes to a temp sibling then swaps, so a crashed compaction
+    * never corrupts the live table. */
+  def compact(spark: SparkSession, tableDir: String,
+              targetFiles: Int): Unit = {
+    val tmp = tableDir + ".compact-tmp"
+    spark.read.parquet(tableDir)
+      .coalesce(targetFiles)
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .parquet(tmp)
+    val dir = new java.io.File(tableDir)
+    val bak = new java.io.File(tableDir + ".compact-old")
+    require(dir.renameTo(bak), s"swap failed for $tableDir")
+    require(new java.io.File(tmp).renameTo(dir),
+      s"swap-in failed for $tableDir")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(bak)
+  }
+
   /** S9: one-row run-metadata record appended to a metadata table
     * (the reference's checkpoint JSON docs,
     * `storage_manager.py:148-175`). */

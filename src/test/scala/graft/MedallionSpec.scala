@@ -193,4 +193,42 @@ class MedallionSpec extends SparkSpec {
     assert(!spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       .contains("dynamic"))
   }
+
+  test("clusteredWrite yields disjoint per-file key ranges") {
+    val out = Files.createTempDirectory("graft_cluster").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    Medallion.clusteredWrite(events, out, 4, "user_id")
+    // each output file must cover a user_id range disjoint from every
+    // other file's — the property file-level pruning relies on
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(ranges.size > 1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 < lo2, ranges)
+      case _ =>
+    }
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(out).count() == events.count())
+  }
+
+  test("compact rewrites many small files into few, same rows") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_compact").toString
+    val df = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    df.repartition(64).write.mode("overwrite").parquet(out)
+    def parts = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts == 64)
+    Medallion.compact(spark, out, 2)
+    assert(parts == 2)
+    assert(spark.read.parquet(out).count() == 1000)
+    assert(spark.read.parquet(out).agg(sum(col("id"))).head.getLong(0)
+      == 500500L)
+    // no leftover temp/backup dirs
+    assert(!new java.io.File(out + ".compact-tmp").exists())
+    assert(!new java.io.File(out + ".compact-old").exists())
+  }
 }
