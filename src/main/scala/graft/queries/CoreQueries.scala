@@ -1254,8 +1254,61 @@ object CoreQueries {
       .limit(20)
   }
 
+  /** q80 — GROUPED as-of join (composite equi-keys + time
+    * inequality): every order annotated with the same customer's
+    * previous order OF THE SAME PRIORITY CLASS — the multi-key
+    * point-in-time lookup ([[graft.functions.AsOf.asofJoin]] with
+    * `keys = (custkey, priority)`); DuckDB mirrors it with a native
+    * two-equality ASOF LEFT JOIN. Same single-shuffle union+window
+    * plan as q51, just a wider partition key — no range-join
+    * amplification at any key cardinality. Right side deduped per
+    * (keys, date) by max orderkey, as the operator contract
+    * requires. */
+  val q80 = QueryDef(
+    "q80_grouped_asof",
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate AS eff,
+      |    o_totalprice,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY o_custkey, o_orderpriority, o_orderdate
+      |      ORDER BY o_orderkey DESC) AS rn
+      |  FROM orders),
+      |rd AS (
+      |  SELECT o_custkey, o_orderpriority, eff,
+      |    CAST(eff AS DATE) AS prev_date, o_totalprice AS prev_price
+      |  FROM r WHERE rn = 1)
+      |SELECT l.o_orderkey, l.o_custkey, l.o_orderpriority AS prio,
+      |  rd.prev_date, rd.prev_price
+      |FROM orders l ASOF LEFT JOIN rd
+      |  ON l.o_custkey = rd.o_custkey
+      | AND l.o_orderpriority = rd.o_orderpriority
+      | AND l.o_orderdate > rd.eff
+      |ORDER BY l.o_orderkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val wDed = Window
+      .partitionBy(col("o_custkey"), col("o_orderpriority"),
+        col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val rd = o.withColumn("rn", row_number().over(wDed))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderpriority"),
+        col("o_orderdate").as("eff"),
+        to_date(col("o_orderdate")).as("prev_date"),
+        col("o_totalprice").as("prev_price"))
+    graft.functions.AsOf.asofJoin(
+      o.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority"), col("o_orderdate")),
+      rd, Seq("o_custkey", "o_orderpriority"),
+      "o_orderdate", "eff", Seq("prev_date", "prev_price"),
+      strict = true)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority").as("prio"),
+        col("prev_date"), col("prev_price"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
-    q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78)
+    q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80)
 }

@@ -919,12 +919,15 @@ object TextQueries {
 
   /** q76 — inverted-index build with CAPPED posting lists: distinct
     * (token, doc) postings via a per-document `array_distinct` (no
-    * distinct shuffle), then ONE shuffle on the token key where a
-    * row_number window keeps only the first 20 doc_ids per token
-    * BEFORE any list materializes — the bounded-state shape that
-    * survives a 100-TB corpus where a full posting list for a
-    * stopword would be billions of entries. `df` (the true document
-    * frequency) rides the same shuffle as an unordered count window. */
+    * distinct shuffle), then a SALT-DECOMPOSED top-20 per token: the
+    * min-20 doc_ids of a set equal the min-20 of its per-salt min-20s,
+    * so the first window partitions on (token, salt32) — a stopword's
+    * postings split across 32 bounded tasks instead of one
+    * corpus-sized sort (the q12-class skew fix) — and the second
+    * window ranks only ≤32·20 survivors per token. The cap bounds
+    * both state and output at ANY corpus size; `df` (true document
+    * frequency) comes from a map-side-combined count, immune to skew
+    * by partial aggregation. */
   val q76 = QueryDef(
     "q76_inverted_index",
     """WITH t AS (
@@ -944,16 +947,21 @@ object TextQueries {
       val t = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(array_distinct(Text.tokens(col("text")))).as("token"))
-      val wOrd = Window.partitionBy(col("token")).orderBy(col("doc_id"))
-      val wAll = Window.partitionBy(col("token"))
-      t.withColumn("rn", row_number().over(wOrd))
-        .withColumn("df", count(lit(1)).over(wAll))
+      val wSalt = Window
+        .partitionBy(col("token"), pmod(col("doc_id"), lit(32)))
+        .orderBy(col("doc_id"))
+      val wTok = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+      val df = t.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      t.withColumn("rs", row_number().over(wSalt))
+        .filter(col("rs") <= 20) // ≤ 32·20 rows/token survive
+        .withColumn("rn", row_number().over(wTok))
         .filter(col("rn") <= 20)
         .groupBy(col("token"))
-        .agg(max(col("df")).as("df"),
-          array_join(
-            transform(sort_array(collect_list(col("doc_id"))),
-              _.cast("string")), ",").as("postings"))
+        .agg(array_join(
+          transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")), ",").as("postings"))
+        .join(df, Seq("token"))
+        .select(col("token"), col("df"), col("postings"))
         .orderBy("token")
   }
 

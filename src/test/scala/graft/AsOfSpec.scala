@@ -92,6 +92,33 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("randomized differential: COMPOSITE keys (the q80 path)") {
+    val rnd = new scala.util.Random(7)
+    for (strict <- Seq(true, false)) {
+      val lRows = Seq.tabulate(200)(i =>
+        (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextInt(3),
+          rnd.nextInt(40).toLong))
+      val rRows = Seq.fill(150)(
+        (s"k${rnd.nextInt(4)}", rnd.nextInt(3), rnd.nextInt(40).toLong,
+          rnd.nextDouble()))
+        .groupBy(r => (r._1, r._2, r._3)).map(_._2.head).toSeq
+      val got = AsOf.asofJoin(
+          lRows.toDF("id", "k1", "k2", "t"),
+          rRows.toDF("k1", "k2", "rt", "payload"),
+          Seq("k1", "k2"), "t", "rt", Seq("payload"), strict)
+        .select("id", "payload").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      val naive = lRows.map { case (id, k1, k2, t) =>
+        val cands = rRows.filter(r => r._1 == k1 && r._2 == k2 &&
+          (if (strict) r._3 < t else r._3 <= t))
+        id -> (if (cands.isEmpty) None
+               else Some(cands.maxBy(_._3)._4))
+      }.toMap
+      assert(got == naive, s"strict=$strict")
+    }
+  }
+
   test("q51 window partitions by the join key (no global sort)") {
     val df = queries.CoreQueries.q51.run(spark, "/root/testdata/sf0.001")
     val windows = df.queryExecution.optimizedPlan.collect {
