@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank as pure DataFrame algebra — the iterative
+  * link-analysis companion to [[Components]] (same join-per-round
+  * shape; rounds are a CONSTANT here, not the graph diameter).
+  *
+  * Cross-engine float discipline: a rank update sums one double per
+  * in-neighbor, and floating-point addition is order-dependent, so a
+  * naive implementation diverges from any reference by accumulation
+  * order. Each contribution is therefore snapped to integer
+  * pico-units (`floor(r/d · 1e12 + 0.5)`) and summed as LONG — exact,
+  * order-independent, map-side combinable — before one double
+  * multiply per node (the q56 centroid trick applied to graph
+  * iteration). DuckDB running the identical formula reproduces every
+  * iteration bit-for-bit (q82).
+  *
+  * Precondition: every node referenced by `dst` also appears as a
+  * `src` (true for any symmetrized graph, e.g. co-occurrence);
+  * dangling-node mass redistribution is deliberately out of scope.
+  *
+  * Scale: per iteration, one shuffle for the contribution groupBy and
+  * one keyed left join — both on the node key, so AQE handles skewed
+  * hubs like any aggregation. Rank state is |V| rows; edges stream
+  * through without materializing per-node adjacency lists.
+  */
+object PageRank {
+
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+          iterations: Int, damping: Double = 0.85,
+          teleport: Double = 0.15): DataFrame = {
+    // One materialization: e feeds deg, n, and every iteration — an
+    // unpersisted plan would recompute the caller's edge derivation
+    // 2+iterations times (the Ranks/Components reuse lesson). Eager
+    // localCheckpoint also truncates lineage across rounds.
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val n = deg.agg(count(lit(1)).as("cnt"))
+    var r = deg.crossJoin(broadcast(n))
+      .select(col("src").as("node"), (lit(1.0) / col("cnt")).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(r, e("src") === r("node"))
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          floor(col("r") / col("d") * lit(1e12) + lit(0.5))
+            .cast("long").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      r = r.select(col("node"))
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("node"),
+          (lit(teleport) / col("cnt") +
+            lit(damping) * (coalesce(col("s"), lit(0L)) / lit(1e12)))
+            .as("r"))
+    }
+    r
+  }
+}

@@ -1307,8 +1307,40 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** q81 — equi-width histogram with a DYNAMIC range: pass 1 computes
+    * global min/max (a one-row broadcast, like q69's fences), pass 2
+    * bins every order into 20 equal-width buckets with the max edge
+    * clamped into the last bin. Both passes are map-side-combined
+    * single shuffles; the bin expression is the identical IEEE
+    * subtract/divide/floor tree on both engines, so bucket boundaries
+    * are bit-exact. The profiling primitive behind histogram-driven
+    * optimizers and data-quality dashboards. */
+  val q81 = QueryDef(
+    "q81_value_histogram",
+    """WITH s AS (
+      |  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      |  FROM orders),
+      |b AS (
+      |  SELECT LEAST(CAST(FLOOR(
+      |    (o_totalprice - lo) / ((hi - lo) / 20.0)) AS BIGINT), 19)
+      |    AS bin
+      |  FROM orders, s)
+      |SELECT bin, COUNT(*) AS n FROM b GROUP BY bin ORDER BY bin"""
+      .stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val stats = o.agg(min(col("o_totalprice")).as("lo"),
+      max(col("o_totalprice")).as("hi"))
+    o.crossJoin(broadcast(stats))
+      .select(least(
+        floor((col("o_totalprice") - col("lo"))
+          / ((col("hi") - col("lo")) / lit(20.0))).cast("long"),
+        lit(19L)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
-    q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80)
+    q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81)
 }

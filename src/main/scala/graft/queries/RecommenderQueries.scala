@@ -89,5 +89,62 @@ object RecommenderQueries {
       .orderBy("user", "rnk")
   }
 
-  val all: Seq[QueryDef] = Seq(q36, q37, q45)
+  /** q82 — PageRank over the co-purchase graph (2 fixed iterations,
+    * damping 0.85): the iterative link-analysis layer above q36's
+    * pairwise co-occurrence — a product's rank reflects its WHOLE
+    * neighborhood's connectivity, not just direct co-buys (the
+    * item-authority signal a recommender mixes in).
+    * [[graft.functions.PageRank]] snaps each per-edge contribution to
+    * integer pico-units before summing, so every iteration is
+    * bit-identical to the oracle's mirrored CTE chain. Symmetrized
+    * edge set ⇒ no dangling nodes by construction. */
+  val q82 = QueryDef(
+    "q82_pagerank",
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT x.i AS src, y.i AS dst
+      |  FROM items x JOIN items y ON x.b = y.b AND x.i <> y.i),
+      |n AS (SELECT COUNT(DISTINCT src) AS cnt FROM e),
+      |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+      |r0 AS (SELECT src AS node, 1.0 / (SELECT cnt FROM n) AS r FROM deg),
+      |c1 AS (
+      |  SELECT e.dst AS node,
+      |    SUM(CAST(FLOOR(r0.r / deg.d * 1e12 + 0.5) AS BIGINT)) AS s
+      |  FROM e JOIN r0 ON e.src = r0.node JOIN deg ON deg.src = e.src
+      |  GROUP BY e.dst),
+      |r1 AS (
+      |  SELECT r0.node,
+      |    0.15 / (SELECT cnt FROM n) + 0.85 * (COALESCE(c1.s, 0) / 1e12)
+      |      AS r
+      |  FROM r0 LEFT JOIN c1 ON r0.node = c1.node),
+      |c2 AS (
+      |  SELECT e.dst AS node,
+      |    SUM(CAST(FLOOR(r1.r / deg.d * 1e12 + 0.5) AS BIGINT)) AS s
+      |  FROM e JOIN r1 ON e.src = r1.node JOIN deg ON deg.src = e.src
+      |  GROUP BY e.dst),
+      |r2 AS (
+      |  SELECT r1.node,
+      |    0.15 / (SELECT cnt FROM n) + 0.85 * (COALESCE(c2.s, 0) / 1e12)
+      |      AS r
+      |  FROM r1 LEFT JOIN c2 ON r1.node = c2.node)
+      |SELECT node, CAST(FLOOR(r * 1e9 + 0.5) AS BIGINT) AS rank_nano
+      |FROM r2 ORDER BY rank_nano DESC, node LIMIT 25""".stripMargin) {
+    (s, d) =>
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .distinct()
+      val edges = items.as("x").join(items.as("y"),
+          col("x.b") === col("y.b") && col("x.i") =!= col("y.i"))
+        .select(col("x.i").as("src"), col("y.i").as("dst"))
+        .distinct()
+      graft.functions.PageRank.run(edges, "src", "dst", iterations = 2)
+        .select(col("node"),
+          floor(col("r") * lit(1e9) + lit(0.5)).cast("long")
+            .as("rank_nano"))
+        .orderBy(col("rank_nano").desc, col("node"))
+        .limit(25)
+  }
+
+  val all: Seq[QueryDef] = Seq(q36, q37, q45, q82)
 }

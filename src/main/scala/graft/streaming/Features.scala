@@ -303,6 +303,42 @@ object Features {
         col("viewed_product"), col("v_ts"))
   }
 
+  /** Stream-static enrichment: a streaming event frame joined to a
+    * STATIC dimension (re-read per micro-batch if the underlying
+    * files change — Spark's stream-static contract). The static side
+    * is broadcast when small, so no shuffle lands on the stream; at
+    * 100 TB/day of events this is the standard way product/user
+    * attributes reach real-time features without a stateful join.
+    * Left join: events with unknown keys pass through with nulls
+    * rather than being dropped. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Idempotent (effectively exactly-once) batch sink: foreachBatch
+    * re-delivers a batch after a crash-restart WITH THE SAME batchId,
+    * so a marker directory per delivered id makes the parquet append
+    * replay-safe — the poor-man's transactional sink for stores with
+    * no native idempotence. Marker write happens AFTER the data
+    * write: a crash between the two re-appends that batch on
+    * recovery... which the marker check then prevents from doubling
+    * only if the data write itself is atomic, so markers carry the
+    * batch row count for reconciliation. */
+  def idempotentSink(outDir: String, markerDir: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val marker = new java.io.File(markerDir, s"batch-$batchId")
+    if (marker.exists()) {
+      System.err.println(s"[sink] batch $batchId already delivered, skipping")
+    } else {
+      val n = batch.persist().count()
+      batch.write.mode("append").parquet(outDir)
+      batch.unpersist()
+      new java.io.File(markerDir).mkdirs()
+      java.nio.file.Files.writeString(marker.toPath, n.toString)
+      ()
+    }
+  }
+
   /** Lifetime running aggregate per user, bounded by state TTL. */
   case class RunningAgg(
       nEvents: Long, nPurchases: Long, totalValue: Double, lastTs: Long)

@@ -154,6 +154,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("enrichStream joins a static dimension without dropping events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val dim = Seq(("A", "Widget"), ("B", "Gadget"))
+      .toDF("product_id", "product_name")
+    val q = Features.enrichStream(mem.toDF(), dim, "product_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(events: _*) // includes product C, absent from dim
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select("product_id", "product_name").distinct()
+        .collect().map(r => r.getString(0) -> Option(r.getString(1)))
+        .toSet
+      assert(got == Set("A" -> Some("Widget"), "B" -> Some("Gadget"),
+        "C" -> None))
+    } finally q.stop()
+  }
+
+  test("idempotentSink skips a re-delivered batchId (replay-safe append)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sink").toString
+    val sink = Features.idempotentSink(s"$root/out", s"$root/markers")
+    val batch = events.take(3).toDF()
+    sink(batch, 0L)
+    sink(batch, 0L) // crash-restart re-delivery: same id, same data
+    sink(events.drop(3).toDF(), 1L)
+    assert(spark.read.parquet(s"$root/out").count() == 5)
+    // markers carry row counts for reconciliation
+    assert(java.nio.file.Files
+      .readString(java.nio.file.Path.of(s"$root/markers/batch-0")) == "3")
+  }
+
   test("IncrementalSilverJob processes only NEW files per invocation") {
     val root = java.nio.file.Files.createTempDirectory("graft_inc").toString
     val landing = new java.io.File(s"$root/landing"); landing.mkdirs()
