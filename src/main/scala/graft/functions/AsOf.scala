@@ -46,6 +46,15 @@ object AsOf {
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
       s"asofJoin: payload ${payload.intersect(leftCols)} collide with left columns")
+    // The implementation claims __t/__p/__tag/__m as working columns;
+    // a caller column with one of those names would be silently
+    // overwritten by withColumn and corrupt the result — fail instead.
+    val reserved = Seq("__t", "__p", "__tag", "__m")
+    val clashes =
+      (leftCols ++ right.columns).distinct.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"asofJoin: column names $clashes are reserved internals; " +
+        "rename them before the join")
     // Side tag order decides same-instant visibility: for strict (>),
     // the left row must sort BEFORE a right row at the same time so its
     // preceding frame excludes it; for non-strict (>=), after.

@@ -60,6 +60,12 @@ object Components {
       iter += 1
     }
     sym.unpersist()
+    // Under-merged labels are WRONG answers, not slow ones — a graph
+    // with diameter > maxIter must fail loudly, never return silently.
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter iterations " +
+        s"($changed labels still changing); raise maxIter or use " +
+        "connectedComponentsStar (O(log^2 n) rounds)")
     labels
   }
 
@@ -120,6 +126,9 @@ object Components {
       e = next
       iter += 1
     }
+    require(changed == 0,
+      s"connectedComponentsStar did not converge in $maxIter " +
+        s"iterations ($changed edge changes in the last round)")
     // converged edge set is a union of stars centered at component
     // minima: label = min(neighbor ∪ self)
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))

@@ -41,7 +41,7 @@ object PageRank {
     val n = deg.agg(count(lit(1)).as("cnt"))
     var r = deg.crossJoin(broadcast(n))
       .select(col("src").as("node"), (lit(1.0) / col("cnt")).as("r"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = e
         .join(r, e("src") === r("node"))
         .join(deg, "src")
@@ -56,6 +56,12 @@ object PageRank {
           (lit(teleport) / col("cnt") +
             lit(damping) * (coalesce(col("s"), lit(0L)) / lit(1e12)))
             .as("r"))
+      // Truncate the rank frame's lineage each round (the Components
+      // discipline) — without this, every iteration nests one more
+      // join+aggregate into the logical plan and a 50-round run pays
+      // quadratic planning time. State is |V| rows; the checkpoint is
+      // an O(|V|) materialization per round, not a replanning.
+      if (i < iterations) r = r.localCheckpoint(true)
     }
     r
   }

@@ -77,6 +77,13 @@ object Ranks {
     // harness mains clearCache() between queries. Measured: q09 went
     // 5.5s → ~2s at sf0.1 (its input is a countDistinct aggregation
     // that used to run 3×).
+    // CACHING CONTRACT (applies to every public entry point below):
+    // if the caller has not already persisted `df`, it is persisted
+    // here and STAYS cached — the returned frame reads it lazily, so
+    // there is no safe point inside this method to unpersist. Callers
+    // that mind session-lifetime cache (outside the Bench/Verify
+    // harness, which clearCache()s between queries) should persist
+    // the input themselves and unpersist after their final action.
     val in =
       if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

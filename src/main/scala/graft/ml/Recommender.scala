@@ -43,7 +43,19 @@ object Recommender {
 
   /** Top-k recommendations per user as (user, item, score) rows. */
   def recommendations(model: ALSModel, k: Int): DataFrame =
-    model.recommendForAllUsers(k)
+    flattenRecs(model.recommendForAllUsers(k))
+
+  /** Top-k recommendations for a BOUNDED user subset — the right call
+    * when serving a slice: `recommendForAllUsers` is a blocked
+    * |U|×|I| scoring pass, while the subset variant scores only the
+    * requested users' factor rows. A 50-user lookup against a 10⁸-user
+    * model must not pay the full cross-scoring. */
+  def recommendationsFor(model: ALSModel, users: DataFrame,
+                         k: Int): DataFrame =
+    flattenRecs(model.recommendForUserSubset(users, k))
+
+  private def flattenRecs(recs: DataFrame): DataFrame =
+    recs
       .select(col("user"), explode(col("recommendations")).as("r"))
       .select(col("user"), col("r.item").as("item"),
         col("r.rating").as("score"))

@@ -1215,7 +1215,8 @@ object CoreQueries {
       |  SELECT event_type AS src, dst, COUNT(*) AS cnt
       |  FROM s WHERE dst IS NOT NULL GROUP BY 1, 2)
       |SELECT src, dst, cnt,
-      |  (cnt * 1000000) // SUM(cnt) OVER (PARTITION BY src) AS prob_ppm
+      |  CAST((cnt * 1000000) // SUM(cnt) OVER (PARTITION BY src)
+      |    AS BIGINT) AS prob_ppm
       |FROM c ORDER BY src, dst""".stripMargin) { (s, d) =>
     val wU = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -1240,9 +1241,10 @@ object CoreQueries {
   val q78 = QueryDef(
     "q78_heavy_hitters",
     """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
-      |t AS (SELECT SUM(cnt) AS total FROM c)
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
       |SELECT user_id, cnt,
-      |  (cnt * 1000000) // (SELECT total FROM t) AS share_ppm
+      |  CAST((cnt * 1000000) // (SELECT total FROM t) AS BIGINT)
+      |    AS share_ppm
       |FROM c ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin) { (s, d) =>
     val c = Tables.events(s, d)
       .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))

@@ -795,7 +795,7 @@ object TextQueries {
       |      ORDER BY doc_id, chunk_idx) AS rn
       |  FROM chunks)
       |SELECT doc_id, COUNT(*) AS n_chunks,
-      |  SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("chunk_hash"))
@@ -903,9 +903,9 @@ object TextQueries {
       |      AS n_blocked
       |  FROM t)
       |SELECT source, COUNT(*) AS docs,
-      |  SUM(n_blocked) AS blocked_tokens,
-      |  SUM(CASE WHEN n_blocked * 20 > n_tokens THEN 1 ELSE 0 END)
-      |    AS docs_flagged
+      |  CAST(SUM(n_blocked) AS BIGINT) AS blocked_tokens,
+      |  CAST(SUM(CASE WHEN n_blocked * 20 > n_tokens THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS docs_flagged
       |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
     graft.curation.Curation
       .blocklistScrub(Tables.documents(s, d), Seq("customer", "spark"))

@@ -390,35 +390,32 @@ object VectorQueries {
     * portable floor formula and summed as a LONG — exact integer
     * arithmetic, partition-order independent, map-side combinable.
     * Shape: posexplode → narrow (label, pos, k) stream → one shuffle
-    * on (label, pos) with partial aggregation → regroup to arrays
-    * (collect_list bounded by DIM per group). */
+    * on (label, pos) with partial aggregation. Output is the EXPLODED
+    * form `(label, pos, n_vecs, centroid_val)` — one row per centroid
+    * element — rather than an `array<double>` column: identical
+    * information, and every cell is a scalar the oracle harness can
+    * sort and hash (array cells are not). Callers wanting the packed
+    * array regroup with `collect_list` over `pos`. */
   val q56 = QueryDef(
     "q56_label_centroids",
     s"""WITH e AS (
       |  SELECT label, t.i AS pos,
       |    CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS k
       |  FROM embeddings
-      |  CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) t),
-      |s AS (SELECT label, pos, SUM(k) AS sk, COUNT(*) AS n
-      |      FROM e GROUP BY 1, 2)
-      |SELECT label, MAX(n) AS n_vecs,
-      |  list(CAST(sk AS DOUBLE)/n/1e6 ORDER BY pos) AS centroid
-      |FROM s GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      |  CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) t)
+      |SELECT label, pos, COUNT(*) AS n_vecs,
+      |  CAST(SUM(k) AS DOUBLE)/COUNT(*)/1e6 AS centroid_val
+      |FROM e GROUP BY 1, 2 ORDER BY label, pos""".stripMargin) { (s, d) =>
     Tables.embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("label"), (col("pos") + 1).as("pos"),
         floor(col("v").cast("double") * 1e6 + lit(0.5)).cast("long").as("k"))
       .groupBy(col("label"), col("pos"))
-      .agg(sum(col("k")).as("sk"), count(lit(1)).as("n"))
-      .groupBy(col("label"))
-      .agg(
-        max(col("n")).as("n_vecs"),
-        transform(
-          array_sort(collect_list(struct(col("pos"),
-            (col("sk").cast("double") / col("n") / 1e6).as("c")))),
-          x => x.getField("c")).as("centroid"))
-      .select("label", "n_vecs", "centroid")
-      .orderBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("k")).cast("double") / count(lit(1)) / 1e6)
+          .as("centroid_val"))
+      .select("label", "pos", "n_vecs", "centroid_val")
+      .orderBy("label", "pos")
   }
 
   val all: Seq[QueryDef] = Seq(q32, q33, q34, q38, q42, q43, q47, q56)

@@ -87,8 +87,14 @@ object Medallion {
     * `targetFiles` outputs (the medallion maintenance job that keeps
     * streaming/incremental appends from degrading scans — thousands
     * of KB-sized files turn a 100-TB scan into a metadata storm).
-    * Writes to a temp sibling then swaps, so a crashed compaction
-    * never corrupts the live table. */
+    * Writes to a temp sibling then swaps via Hadoop `FileSystem`
+    * renames (works on any supported scheme — HDFS, S3A, local — not
+    * just `java.io.File` paths). The two-rename swap is NOT atomic:
+    * a crash between rename-out and rename-in leaves the data intact
+    * but parked at `<table>.compact-old`; on swap-in failure this
+    * method restores the backup itself, and a crashed run is repaired
+    * by renaming `.compact-old` back — no data is ever deleted until
+    * the new files are live. */
   def compact(spark: SparkSession, tableDir: String,
               targetFiles: Int): Unit = {
     val tmp = tableDir + ".compact-tmp"
@@ -97,16 +103,21 @@ object Medallion {
       .write.mode("overwrite")
       .option("compression", "snappy")
       .parquet(tmp)
-    val dir = new java.io.File(tableDir)
-    val bak = new java.io.File(tableDir + ".compact-old")
-    require(dir.renameTo(bak), s"swap failed for $tableDir")
-    require(new java.io.File(tmp).renameTo(dir),
-      s"swap-in failed for $tableDir")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
+    val live = new org.apache.hadoop.fs.Path(tableDir)
+    val bak = new org.apache.hadoop.fs.Path(tableDir + ".compact-old")
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(live, bak), s"swap-out failed for $tableDir")
+    if (!fs.rename(tmpP, live)) {
+      // Restore the original before failing: the live path must never
+      // be left absent when its data still exists.
+      val restored = fs.rename(bak, live)
+      throw new IllegalStateException(
+        s"swap-in failed for $tableDir (original " +
+          s"${if (restored) "restored" else s"left at $bak — restore manually"})")
     }
-    rm(bak)
+    fs.delete(bak, true)
+    ()
   }
 
   /** S9: one-row run-metadata record appended to a metadata table

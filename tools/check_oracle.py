@@ -5,7 +5,12 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs
 the matching SQL from oracle_sql.json in DuckDB over the same testdata
-tables, and compares row count, schema (column names sorted), and values.
+tables, and compares row count, schema (column names sorted), values,
+AND physical arrow types. The driver's comparer hashes serialized bytes,
+so an uncast DuckDB SUM() (HUGEINT → decimal128) vs Spark's int64 fails
+there even when every printed value matches — the type check here makes
+that class of drift fail locally too. Array-typed output columns are
+also rejected: the driver's pandas sort crashes on ndarray cells.
 
 Dev tool only — the engine itself is pure Scala/Spark.
 """
@@ -35,6 +40,27 @@ def canon(rows, cols):
     return sorted(out)
 
 
+# Arrow types the driver's byte-hash treats as equal (same wire width).
+# Integer WIDTH differs between engines for small ints but the driver
+# compares post-pandas int64, so all plain ints unify; HUGEINT becomes
+# decimal128 and does NOT.
+def type_bucket(t):
+    s = str(t)
+    if s.startswith("int") or s.startswith("uint"):
+        return "int64"
+    if s in ("float", "double", "halffloat"):
+        return "float64"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s in ("string", "large_string", "utf8", "large_utf8"):
+        return "string"
+    return s
+
+
+def type_report(tbl):
+    return {f.name: type_bucket(f.type) for f in tbl.schema}
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -57,7 +83,26 @@ def main():
             print(f"  FAIL {name}: columns {sorted(gcols)} != {sorted(ecols)}")
             n_fail += 1
             continue
-        grows, erows = got.fetchall(), exp.fetchall()
+        gt, et = got.arrow(), exp.arrow()
+        bad_arrays = [f.name for f in gt.schema
+                      if str(f.type).startswith(("list", "large_list",
+                                                 "fixed_size_list"))]
+        if bad_arrays:
+            print(f"  FAIL {name}: array-typed columns {bad_arrays} — "
+                  f"driver's pandas comparer cannot sort ndarray cells")
+            n_fail += 1
+            continue
+        gtypes, etypes = type_report(gt), type_report(et)
+        if gtypes != etypes:
+            diffs = {c: (gtypes[c], etypes.get(c)) for c in gtypes
+                     if gtypes[c] != etypes.get(c)}
+            print(f"  FAIL {name}: type drift (spark, oracle): {diffs} — "
+                  f"cast the oracle side (uncast DuckDB SUM() is HUGEINT)")
+            n_fail += 1
+            continue
+        grows, erows = gt.to_pylist(), et.to_pylist()
+        grows = [[r[c] for c in gt.column_names] for r in grows]
+        erows = [[r[c] for c in et.column_names] for r in erows]
         if len(grows) != len(erows):
             print(f"  FAIL {name}: rows {len(grows)} != {len(erows)}")
             n_fail += 1
