@@ -119,6 +119,15 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("reserved internal column names are rejected, not overwritten") {
+    val l = Seq((1L, 10L, "x")).toDF("k", "t", "__tag")
+    val r = Seq((1L, 5L, 2.0)).toDF("k", "rt", "v")
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.asofJoin(l, r, Seq("k"), "t", "rt", Seq("v"))
+    }
+    assert(ex.getMessage.contains("__tag"))
+  }
+
   test("q51 window partitions by the join key (no global sort)") {
     val df = queries.CoreQueries.q51.run(spark, "/root/testdata/sf0.001")
     val windows = df.queryExecution.optimizedPlan.collect {

@@ -76,4 +76,15 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(run(1) == run(32))
   }
+
+  test("non-convergence at maxIter fails loudly, never silently wrong") {
+    // a 10-node chain needs ~9 propagation rounds; maxIter=2 must
+    // throw, not return under-merged labels
+    val chain = (0L until 10L).map(i => (i, i + 1))
+    val ex = intercept[IllegalArgumentException] {
+      Components.connectedComponents(
+        chain.toDF("a", "b"), "a", "b", maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
 }
