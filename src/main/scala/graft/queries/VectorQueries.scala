@@ -270,6 +270,57 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** q43b — the IVF ASSIGNMENT stage under a full oracle: nearest
+    * centroid (argmin exact integer squared distance, ties to the
+    * lower cid) for EVERY vector, against 16 data-derived seed
+    * centroids (`vec_id < 16` — deterministic, so DuckDB can derive
+    * the identical set). This is the q71 treatment applied to q43:
+    * the trained-quantizer run stays rows-only (MLlib k-means is not
+    * SQL-reproducible), but the machinery it rides on — broadcast
+    * centroid cross-join, per-row integer-exact distance, argmin
+    * window — gets a triple-green row here, and KMeansInvariantSpec
+    * pins the same argmin invariant against the REAL trained model.
+    * Each element is snapped to integer micro-units (the q56 trick)
+    * so Σ(diff²) is exact integer arithmetic on both engines.
+    *
+    * Scale: 16 broadcast centroids × linear scan, one per-row argmin
+    * (window partitioned by vec_id over 16 candidates) — no shuffle
+    * grows with the table. */
+  val q43b = QueryDef(
+    "q43b_ivf_assign",
+    s"""WITH e AS (
+      |  SELECT vec_id, t.i AS pos,
+      |    CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS k
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) t),
+      |c AS (SELECT vec_id AS cid, pos, k AS ck FROM e WHERE vec_id < 16),
+      |d AS (
+      |  SELECT e.vec_id, c.cid,
+      |    CAST(SUM((e.k - c.ck)*(e.k - c.ck)) AS BIGINT) AS d2
+      |  FROM e JOIN c ON e.pos = c.pos GROUP BY 1, 2),
+      |r AS (SELECT vec_id, cid, d2,
+      |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |  FROM d)
+      |SELECT vec_id, cid, d2 FROM r WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val ke = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long"))
+        .as("k"))
+    val cent = ke.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("k").as("ck"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("cid"))
+    ke.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        aggregate(zip_with(col("k"), col("ck"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("d2"))
+      .orderBy("vec_id")
+  }
+
   /** q43 — IVF with a REAL coarse quantizer: MLlib k-means (fixed seed,
     * k=16) over the embeddings, then the same assign/probe/search flow
     * as q38. k-means centroids adapt to the data distribution, so cell
@@ -418,5 +469,6 @@ object VectorQueries {
       .orderBy("label", "pos")
   }
 
-  val all: Seq[QueryDef] = Seq(q32, q33, q34, q38, q42, q43, q47, q56)
+  val all: Seq[QueryDef] =
+    Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56)
 }
