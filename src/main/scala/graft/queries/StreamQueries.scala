@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Queries whose Spark side runs the STREAMING code path in batch
+  * mode — Spark executes `mapGroupsWithState` on batch Datasets with
+  * identical group semantics, so the driver's DuckDB oracle becomes a
+  * full correctness gate for the stateful processor itself (T1/T3),
+  * not just for a window-SQL restatement of it.
+  */
+object StreamQueries {
+
+  /** q83 — per-user session features through
+    * [[graft.streaming.Features.userFeatures]] (the T1/T3
+    * mapGroupsWithState processor) run in batch over `events`:
+    * sessionization by 15-min idle gap (last session's duration and
+    * event count), all-time category exploration, viewed-product
+    * count, top-3 preferred categories, last-5 product sequence,
+    * return-to-product flag against the 100-deep recent deque, and
+    * add/remove cart membership. The adapter maps the events table
+    * into the stream's Event shape (props.k → product, k%10 →
+    * category, click → add_to_cart); the oracle mirrors the exact
+    * fold semantics in window SQL — islands for sessions, ordered
+    * row_number caps for the deque, last-action-wins for the cart.
+    * Array outputs are flattened to comma-joined strings so every
+    * cell is hashable (the q56 lesson).
+    *
+    * Scale: one shuffle on user_id (the groupByKey); per-user state is
+    * bounded by the 100-event deque exactly as in the streaming
+    * deployment — this is the same operator either way. */
+  val q83 = QueryDef(
+    "q83_session_features",
+    """WITH base AS (
+      |  SELECT user_id, ts,
+      |    TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
+      |    CASE WHEN event_type = 'click' THEN 'add_to_cart'
+      |         ELSE event_type END AS etype
+      |  FROM events),
+      |e AS (
+      |  SELECT user_id, ts, epoch_ms(ts) AS tms,
+      |    CAST(k AS VARCHAR) AS product_id,
+      |    'c' || CAST(k % 10 AS VARCHAR) AS category, etype,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC)
+      |      AS rn_desc
+      |  FROM base),
+      |g AS (
+      |  SELECT user_id, ts, tms,
+      |    CASE WHEN tms - LAG(tms) OVER (PARTITION BY user_id ORDER BY ts)
+      |      > 900000 THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |si AS (SELECT user_id, tms,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tms) AS sid FROM g),
+      |sm AS (SELECT user_id, tms, sid,
+      |    MAX(sid) OVER (PARTITION BY user_id) AS maxsid FROM si),
+      |sess AS (
+      |  SELECT user_id,
+      |    (MAX(tms) - MIN(tms)) // 1000 AS session_duration_s,
+      |    COUNT(*) AS events_in_session
+      |  FROM sm WHERE sid = maxsid GROUP BY user_id),
+      |agg AS (
+      |  SELECT user_id,
+      |    COUNT(DISTINCT category) AS categories_explored,
+      |    COUNT(DISTINCT CASE WHEN etype = 'view' THEN product_id END)
+      |      AS products_viewed_count
+      |  FROM e GROUP BY user_id),
+      |cats AS (SELECT user_id, category, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      |catsr AS (SELECT user_id, category,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, category)
+      |      AS r
+      |  FROM cats),
+      |pref AS (SELECT user_id, string_agg(category, ',' ORDER BY r)
+      |    AS preferred_categories
+      |  FROM catsr WHERE r <= 3 GROUP BY user_id),
+      |rec AS (SELECT user_id, string_agg(product_id, ',' ORDER BY rn_desc)
+      |    AS recent_products
+      |  FROM e WHERE rn_desc <= 5 GROUP BY user_id),
+      |lastp AS (SELECT user_id, product_id AS last_product
+      |  FROM e WHERE rn_desc = 1),
+      |ret AS (
+      |  SELECT e.user_id, TRUE AS is_returning
+      |  FROM e JOIN lastp ON e.user_id = lastp.user_id
+      |  WHERE e.rn_desc BETWEEN 2 AND 100
+      |    AND e.product_id = lastp.last_product
+      |  GROUP BY e.user_id),
+      |ca AS (SELECT user_id, product_id, etype,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, product_id
+      |      ORDER BY tms DESC) AS r
+      |  FROM e WHERE etype IN ('add_to_cart', 'purchase')),
+      |cart AS (SELECT user_id,
+      |    CAST(COUNT(*) FILTER (WHERE etype = 'add_to_cart') AS BIGINT)
+      |      AS cart_size
+      |  FROM ca WHERE r = 1 GROUP BY user_id)
+      |SELECT s.user_id, s.session_duration_s, s.events_in_session,
+      |  a.categories_explored, a.products_viewed_count,
+      |  p.preferred_categories, rc.recent_products,
+      |  COALESCE(rt.is_returning, FALSE) AS is_returning_to_product,
+      |  COALESCE(c.cart_size, 0) AS cart_size
+      |FROM sess s
+      |JOIN agg a ON s.user_id = a.user_id
+      |JOIN pref p ON s.user_id = p.user_id
+      |JOIN rec rc ON s.user_id = rc.user_id
+      |LEFT JOIN ret rt ON s.user_id = rt.user_id
+      |LEFT JOIN cart c ON s.user_id = c.user_id
+      |ORDER BY s.user_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+    val ev = Tables.events(s, d)
+      .select(
+        col("user_id").cast("string").as("user_id"),
+        k.as("product_id"),
+        concat(lit("c"), (k.cast("long") % 10).cast("string"))
+          .as("category"),
+        when(col("event_type") === "click", lit("add_to_cart"))
+          .otherwise(col("event_type")).as("event_type"),
+        coalesce(col("value").cast("double"), lit(0.0)).as("price"),
+        col("ts"))
+      .as[graft.streaming.Features.Event]
+    graft.streaming.Features.userFeatures(ev)
+      .toDF()
+      .select(
+        col("user_id").cast("long").as("user_id"),
+        col("session_duration_s"),
+        col("events_in_session"),
+        col("categories_explored"),
+        col("products_viewed_count"),
+        array_join(col("preferred_categories"), ",")
+          .as("preferred_categories"),
+        array_join(col("recent_event_sequence"), ",")
+          .as("recent_products"),
+        col("is_returning_to_product"),
+        col("cart_size"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q83)
+}
