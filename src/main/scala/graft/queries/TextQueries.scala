@@ -1065,7 +1065,67 @@ object TextQueries {
       .orderBy("component")
   }
 
+  /** q84 — PII redaction ([[graft.curation.Curation.redactPii]])
+    * under a full oracle. The corpus itself carries no PII (documented
+    * since r3), so the query derives a deterministic PII-bearing
+    * fixture from `documents` IN the query — every doc_id % 3 gains a
+    * synthetic email, every doc_id % 5 a synthetic phone, both
+    * reproducible by DuckDB from the same table — then runs the real
+    * redaction operator over it and reports per-source scrub counts
+    * plus the redacted-text character total (which pins the
+    * replacement itself, not just the match counts). Regexes are
+    * RE2-compatible by design so both engines see identical matches.
+    * Scale: per-row regex projection, one map-side-combined shuffle
+    * over ~|sources| groups. */
+  val q84 = QueryDef(
+    "q84_pii_scrub",
+    """WITH aug AS (
+      |  SELECT doc_id, source,
+      |    text ||
+      |      CASE WHEN doc_id % 3 = 0
+      |        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |        ELSE '' END ||
+      |      CASE WHEN doc_id % 5 = 0
+      |        THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |        ELSE '' END AS text
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    len(regexp_extract_all(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |    len(regexp_extract_all(text,
+      |      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phones,
+      |    length(regexp_replace(regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')) AS rlen
+      |  FROM aug)
+      |SELECT source, COUNT(*) AS docs,
+      |  CAST(SUM(n_emails) AS BIGINT) AS emails_redacted,
+      |  CAST(SUM(n_phones) AS BIGINT) AS phones_redacted,
+      |  CAST(SUM(rlen) AS BIGINT) AS redacted_chars
+      |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val aug = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(""),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call 555-123-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise("")).as("text"))
+    graft.curation.Curation.redactPii(aug)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_emails")).as("emails_redacted"),
+        sum(col("n_phones")).as("phones_redacted"),
+        sum(length(col("redacted_text")).cast("long"))
+          .as("redacted_chars"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
-      q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79)
+      q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84)
 }
