@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, MediaQueries, QualityQueries, QueryDef, RecommenderQueries, StreamQueries, TextQueries, VectorQueries}
+import graft.queries.{CoreQueries, MediaQueries, PipelineQueries, QualityQueries, QueryDef, RecommenderQueries, StreamQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     CoreQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       QualityQueries.all ++ RecommenderQueries.all ++
-      MediaQueries.all ++ StreamQueries.all
+      MediaQueries.all ++ StreamQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The star-join revenue rollup exercises scan→join→agg→sort end-to-end.

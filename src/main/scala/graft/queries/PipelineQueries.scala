@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data pipeline operators beyond the reference's surface
+  * (SURVEY §2.10 extension row): corpus quality gating, benchmark
+  * decontamination, embedding quantization, and deterministic shard
+  * assignment — the curation steps a 100-TB pretraining pipeline runs
+  * between dedup and training. Every query is a full DuckDB oracle
+  * (integer/portable arithmetic throughout).
+  */
+object PipelineQueries {
+
+  /** q85 — Gopher-style document quality gates (Rae et al. 2021,
+    * "Scaling Language Models", table A1 repertoire): word-count
+    * bounds, mean word length, alphabetic-word ratio, minimum
+    * stopword hits. All ratios in exact integer milli/ppm units
+    * (`div`), so both engines agree bit-for-bit. Per-row projection →
+    * one map-side-combined shuffle over |sources| groups; at 100 TB
+    * the gate is a free rider on any scan. */
+  val q85 = QueryDef(
+    "q85_gopher_gates",
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    length(replace(text, ' ', '')) AS n_word_chars,
+      |    len(list_filter(string_split(text, ' '),
+      |      x -> regexp_matches(x, '^[A-Za-z]+$'))) AS n_alpha_words,
+      |    len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the', 'a', 'of', 'to', 'and', 'in'))) AS n_stop
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END AS f_wc,
+      |    CASE WHEN (n_word_chars * 1000) // n_words
+      |      BETWEEN 3000 AND 10000 THEN 0 ELSE 1 END AS f_mwl,
+      |    CASE WHEN (n_alpha_words * 1000000) // n_words >= 800000
+      |      THEN 0 ELSE 1 END AS f_alpha,
+      |    CASE WHEN n_stop >= 2 THEN 0 ELSE 1 END AS f_stop
+      |  FROM w)
+      |SELECT source, COUNT(*) AS docs,
+      |  CAST(SUM(CASE WHEN f_wc + f_mwl + f_alpha + f_stop = 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+      |  CAST(SUM(f_wc) AS BIGINT) AS failed_word_count,
+      |  CAST(SUM(f_mwl) AS BIGINT) AS failed_mean_word_len,
+      |  CAST(SUM(f_alpha) AS BIGINT) AS failed_alpha_ratio,
+      |  CAST(SUM(f_stop) AS BIGINT) AS failed_stopwords
+      |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val w = split(col("text"), " ")
+    val base = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      size(w).cast("long").as("n_words"),
+      length(translate(col("text"), " ", "")).cast("long")
+        .as("n_word_chars"),
+      size(filter(w, x => x.rlike("^[A-Za-z]+$"))).cast("long")
+        .as("n_alpha_words"),
+      size(filter(w, x => x.isin("the", "a", "of", "to", "and", "in")))
+        .cast("long").as("n_stop"))
+    val flagged = base.select(col("source"),
+      when(col("n_words").between(50, 100000), 0L).otherwise(1L)
+        .as("f_wc"),
+      when(expr("(n_word_chars * 1000) div n_words").between(3000, 10000),
+        0L).otherwise(1L).as("f_mwl"),
+      when(expr("(n_alpha_words * 1000000) div n_words") >= 800000, 0L)
+        .otherwise(1L).as("f_alpha"),
+      when(col("n_stop") >= 2, 0L).otherwise(1L).as("f_stop"))
+    flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("f_wc") + col("f_mwl") + col("f_alpha") +
+          col("f_stop") === 0, 1L).otherwise(0L)).as("passed"),
+        sum(col("f_wc")).as("failed_word_count"),
+        sum(col("f_mwl")).as("failed_mean_word_len"),
+        sum(col("f_alpha")).as("failed_alpha_ratio"),
+        sum(col("f_stop")).as("failed_stopwords"))
+      .orderBy("source")
+  }
+
+  /** q86 — benchmark decontamination by n-gram collision (the
+    * standard eval-leakage scrub: hash every word n-gram of the
+    * held-out/benchmark slice, hash-join against the training
+    * corpus's n-grams, flag training docs that collide). The
+    * benchmark slice is the deterministic `doc_id % 97 = 0` cut; n=3
+    * fits this corpus's tiny synthetic vocabulary (production runs
+    * use 8–13 — a knob, same plan). Per-source contaminated-doc and
+    * matching-n-gram counts.
+    *
+    * Scale: n-grams are md5-hashed BEFORE the join, so the shuffle
+    * carries 32-byte keys, never text; the benchmark side is distinct
+    * and typically tiny → broadcast; the train side streams. This is
+    * one hash-join over |corpus n-grams| — the scale-correct shape
+    * (never all-pairs doc comparison). */
+  val q86 = QueryDef(
+    "q86_decontamination",
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w,
+      |    len(string_split(text, ' ')) AS nw
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, source,
+      |    md5(array_to_string(w[i:i+2], ' ')) AS g
+      |  FROM toks
+      |  CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) t
+      |  WHERE i <= nw - 2),
+      |bench AS (
+      |  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+      |train AS (
+      |  SELECT doc_id, source, g FROM grams WHERE doc_id % 97 <> 0),
+      |hits AS (
+      |  SELECT t.doc_id, t.source, COUNT(DISTINCT t.g) AS n_hit
+      |  FROM train t JOIN bench b ON t.g = b.g
+      |  GROUP BY t.doc_id, t.source)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS contaminated_docs,
+      |  CAST(SUM(n_hit) AS BIGINT) AS matching_ngrams
+      |FROM hits GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d).select(
+      col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .withColumn("nw", size(col("w")))
+    // n-gram hashes; sequence(1, nw-2) would run DESCENDING for nw<3,
+    // so guard with an empty array
+    val grams = toks.select(col("doc_id"), col("source"),
+        explode(when(col("nw") >= 3,
+          transform(sequence(lit(1), col("nw") - 2),
+            i => md5(concat_ws(" ", slice(col("w"), i, lit(3))))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+    val bench = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("g")).distinct()
+    val train = grams.filter(col("doc_id") % 97 =!= 0)
+    train.join(bench, Seq("g"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(countDistinct(col("g")).as("n_hit"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("contaminated_docs"),
+        sum(col("n_hit")).as("matching_ngrams"))
+      .orderBy("source")
+  }
+
+  /** q87 — symmetric int8 embedding quantization (per-vector absmax
+    * scale, the standard storage/serving compression for ANN
+    * shards): q_i = round(x_i·127/scale). The rounding is the
+    * portable floor form and the per-vector summaries (sum, L1, max,
+    * min of the quantized codes, micro-unit scale) are pure integer
+    * arithmetic, so the oracle is bit-exact. Row-local projection —
+    * zero shuffles at any corpus size. */
+  val q87 = QueryDef(
+    "q87_int8_quantize",
+    """WITH s AS (
+      |  SELECT vec_id, label,
+      |    list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))) AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT e.vec_id, s.label, s.scale,
+      |    list_transform(e.embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127 / s.scale + 0.5)
+      |        AS BIGINT)) AS qv
+      |  FROM embeddings e JOIN s ON e.vec_id = s.vec_id),
+      |m AS (
+      |  SELECT vec_id, label,
+      |    CAST(FLOOR(scale * 1e6 + 0.5) AS BIGINT) AS scale_micro,
+      |    CAST(list_sum(qv) AS BIGINT) AS sum_q,
+      |    CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT)
+      |      AS sum_abs_q,
+      |    CAST(list_max(qv) AS BIGINT) AS max_q,
+      |    CAST(list_min(qv) AS BIGINT) AS min_q
+      |  FROM q)
+      |SELECT vec_id, label, scale_micro, sum_q, sum_abs_q, max_q, min_q
+      |FROM m ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val scale = array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))
+    val qv = transform(col("embedding"),
+      x => floor(x.cast("double") * 127 / col("scale") + lit(0.5))
+        .cast("long"))
+    Tables.embeddings(s, d)
+      .withColumn("scale", scale)
+      .withColumn("qv", qv)
+      .select(col("vec_id"), col("label"),
+        floor(col("scale") * 1e6 + lit(0.5)).cast("long")
+          .as("scale_micro"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("sum_q"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + abs(x))
+          .as("sum_abs_q"),
+        array_max(col("qv")).as("max_q"),
+        array_min(col("qv")).as("min_q"))
+      .orderBy("vec_id")
+  }
+
+  /** Portable 32-bit hash from the first 8 hex chars of
+    * `md5(CAST(doc_id AS VARCHAR))`, written as arithmetic BOTH
+    * engines evaluate identically (ascii + CASE + integer shifts —
+    * no engine-specific hash builtin). The SAME generated expression
+    * text runs as DuckDB SQL and as a Spark SQL `expr`. */
+  private val hexFoldHash: String = (0 until 8).map { j =>
+    val c = s"ascii(substr(m, ${j + 1}, 1))"
+    s"(CAST($c - 48 - CASE WHEN $c >= 97 THEN 39 ELSE 0 END AS BIGINT)" +
+      s" * CAST(${1L << (4 * j)} AS BIGINT))"
+  }.mkString(" + ")
+
+  /** q88 — deterministic shard assignment (the "shuffle the corpus
+    * into N training shards" step): shard = portable_hash(doc_id) %
+    * 16, reported as a per-shard balance audit (doc count, char
+    * mass, id range). Hash-based assignment needs NO global sort or
+    * row_number — it is a row-local projection, reshuffled only by
+    * the 16-group report (or by the actual shard write, which is a
+    * single partitionBy). The [[hexFoldHash]] expression keeps the
+    * assignment reproducible across engines and across runs. */
+  val q88 = QueryDef(
+    "q88_shard_assign",
+    s"""WITH h AS (
+      |  SELECT doc_id, source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS m
+      |  FROM documents),
+      |v AS (SELECT doc_id, source, n_chars,
+      |  ($hexFoldHash) % 16 AS shard FROM h)
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM v GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("m", md5(col("doc_id").cast("string")))
+      .withColumn("shard", expr(s"($hexFoldHash) % 16"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("shard")
+  }
+
+  val all: Seq[QueryDef] = Seq(q85, q86, q87, q88)
+}
