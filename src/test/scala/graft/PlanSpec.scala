@@ -103,6 +103,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("decontamination broadcasts the benchmark n-gram side (q86)") {
+    val plan = graft.queries.PipelineQueries.q86.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the join key must be the md5 hash, not document text
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("int8 quantization is shuffle-free up to the output sort (q87)") {
+    val plan = graft.queries.PipelineQueries.q87.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    // row-local projection: the only allowed exchange is the final
+    // range partitioning for ORDER BY vec_id
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      exchanges.mkString("\n"))
+  }
+
+  test("shard assignment plans no global sort before the report (q88)") {
+    val plan = graft.queries.PipelineQueries.q88.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    // hash-based sharding must not require a row_number over one
+    // partition: no Window at all in this plan
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("whole-stage codegen covers the pricing aggregation path (q01)") {
     // q01 is the pure-aggregate path (no distinct rewrite, which plans
     // a multi-phase first()-of-partial aggregation outside codegen).
