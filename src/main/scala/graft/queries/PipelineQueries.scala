@@ -228,5 +228,73 @@ object PipelineQueries {
       .orderBy("shard")
   }
 
-  val all: Seq[QueryDef] = Seq(q85, q86, q87, q88)
+  /** q89 — two-phase SALTED aggregation
+    * ([[graft.functions.Skew.saltedSumCount]]): the explicit hot-key
+    * mitigation for aggregations AQE cannot split (one reduce key
+    * dominating a groupBy). The salted plan must produce EXACTLY the
+    * plain groupBy's answer — that algebraic-equivalence contract is
+    * what this query pins against the oracle's ordinary GROUP BY.
+    * Values are snapped to integer cents first so the partial sums
+    * are order-independent. Two map-side-combined shuffles: (key,
+    * salt32) then key — the hot key's work spreads over 32 reducers
+    * in phase one. */
+  val q89 = QueryDef(
+    "q89_salted_agg",
+    """WITH c AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT user_id, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  COUNT(*) AS cnt
+      |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val df = Tables.events(s, d).select(
+      col("user_id"), col("event_id"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    graft.functions.Skew.saltedSumCount(
+        df, "user_id", "cents", buckets = 32, col("event_id"))
+      .orderBy("user_id")
+  }
+
+  /** q90 — incremental gold maintenance equals one-shot
+    * ([[graft.gold.IncrementalGold]]): fold the events table in TWO
+    * increments (event_id parity split) through the versioned
+    * mergeable-partial state, then compare the derived report against
+    * the oracle's single-pass aggregation. This is the algebraic
+    * heart of the incremental path: decimal sums and HLL unions merge
+    * associatively, so two increments must be byte-identical to one —
+    * the driver's hash compare now enforces what IncrementalGoldSpec
+    * asserted only in-JVM. `days_active` compares the HLL estimate to
+    * the oracle's exact distinct: at per-user day cardinalities the
+    * sketch is in exact (sparse) mode, a fact this query deliberately
+    * pins. State goes to a fresh temp dir per invocation (results are
+    * path-independent). */
+  val q90 = QueryDef(
+    "q90_incremental_gold",
+    """SELECT user_id,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_purchases,
+      |  CAST(SUM(CAST(COALESCE(value, 0) AS DECIMAL(28,6))) AS DOUBLE)
+      |    AS total_value,
+      |  CAST(FLOOR(CAST(SUM(CAST(COALESCE(value, 0) AS DECIMAL(28,6)))
+      |      AS DOUBLE) / COUNT(*) * 1e2 + 0.5) AS BIGINT) / 1e2
+      |    AS avg_value,
+      |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_active
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+    (s, d) =>
+      val ev = Tables.events(s, d)
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft-q90-").toString
+      graft.gold.IncrementalGold.run(
+        s, ev.filter(col("event_id") % 2 === 0), stateDir)
+      graft.gold.IncrementalGold.run(
+        s, ev.filter(col("event_id") % 2 =!= 0), stateDir)
+      graft.gold.IncrementalGold.currentReport(s, stateDir)
+        .select(col("user_id"), col("n_events"), col("n_purchases"),
+          col("total_value"), col("avg_value"),
+          col("approx_days_active").as("days_active"))
+        .orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q85, q86, q87, q88, q89, q90)
 }

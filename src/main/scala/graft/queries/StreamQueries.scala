@@ -134,5 +134,60 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q83)
+  /** q91 — the T2 windowed product-stats processor
+    * ([[graft.streaming.Features.productStats]]) run in batch: 1-hour
+    * tumbling `window()` per product with view/cart/purchase counts.
+    * Same adapter mapping as q83 (props.k → product, click →
+    * add_to_cart); the watermark is a batch no-op. The operator's own
+    * `round()`ed rate columns are replaced with exact integer ppm
+    * rates computed FROM its counts (cross-engine `round(double)` is
+    * not bit-portable — the q72/memory lesson), and window starts are
+    * emitted as epoch seconds. One keyed shuffle on (window,
+    * product); map-side combinable at any scale. */
+  val q91 = QueryDef(
+    "q91_product_stats",
+    """WITH base AS (
+      |  SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT)
+      |      AS window_start_s,
+      |    TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)
+      |      AS k,
+      |    CASE WHEN event_type = 'click' THEN 'add_to_cart'
+      |         ELSE event_type END AS etype
+      |  FROM events),
+      |a AS (
+      |  SELECT window_start_s, CAST(k AS VARCHAR) AS product_id,
+      |    CAST(SUM(CASE WHEN etype = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS view_count,
+      |    CAST(SUM(CASE WHEN etype = 'add_to_cart' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cart_adds,
+      |    CAST(SUM(CASE WHEN etype = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS purchases
+      |  FROM base GROUP BY 1, 2)
+      |SELECT window_start_s, product_id, view_count, cart_adds, purchases,
+      |  CAST((purchases * 1000000) // GREATEST(view_count, 1) AS BIGINT)
+      |    AS conv_ppm,
+      |  CAST((cart_adds * 1000000) // GREATEST(view_count, 1) AS BIGINT)
+      |    AS cart_ppm
+      |FROM a ORDER BY window_start_s, product_id""".stripMargin) { (s, d) =>
+    val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+    val ev = Tables.events(s, d).select(
+      k.as("product_id"),
+      when(col("event_type") === "click", lit("add_to_cart"))
+        .otherwise(col("event_type")).as("event_type"),
+      col("ts"))
+    graft.streaming.Features.productStats(ev)
+      .select(
+        unix_timestamp(col("window_start")).as("window_start_s"),
+        col("product_id"),
+        col("view_count").cast("long").as("view_count"),
+        col("cart_adds").cast("long").as("cart_adds"),
+        col("purchases").cast("long").as("purchases"),
+        expr("(purchases * 1000000L) div greatest(view_count, 1)")
+          .as("conv_ppm"),
+        expr("(cart_adds * 1000000L) div greatest(view_count, 1)")
+          .as("cart_ppm"))
+      .orderBy("window_start_s", "product_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q83, q91)
 }
