@@ -296,5 +296,46 @@ object PipelineQueries {
         .orderBy("user_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q85, q86, q87, q88, q89, q90)
+  /** q92 — the S2/S3 JSONL bronze path under a full oracle: derive a
+    * JSON-lines landing from `events` (ids, type, integer cents — ts
+    * stays out so JSON timestamp formatting can't leak precision),
+    * read it back through the REAL
+    * [[graft.sources.Medallion.readBronze]] (PERMISSIVE schema'd scan
+    * with `_corrupt_record`/`_source_file`/`_processed_at`), filter
+    * via [[graft.sources.Medallion.wellFormed]], and aggregate. The
+    * oracle computes the same report straight from the parquet — so a
+    * parse bug, a dropped line, or a mangled value anywhere in the
+    * bronze scan breaks the hash. The corrupt-line branch stays
+    * pinned by MedallionSpec (this landing is all well-formed by
+    * construction). Landing goes to a fresh temp dir per
+    * invocation. */
+  val q92 = QueryDef(
+    "q92_jsonl_bronze",
+    """WITH c AS (
+      |  SELECT event_type, user_id,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-q92-").toString + "/landing"
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        .write.json(dir)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, cents BIGINT")
+      val bronze = graft.sources.Medallion.readBronze(s, schema, dir)
+      graft.sources.Medallion.wellFormed(bronze)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy("event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(q85, q86, q87, q88, q89, q90, q92)
 }

@@ -137,5 +137,70 @@ object QualityQueries {
     Rules.topFailingRules(Tables.nation(s, d), nationRules)
   }
 
-  val all: Seq[QueryDef] = Seq(q35, q39, q40)
+  /** q93 — the V8/V9 url/email validators under a full oracle. The
+    * testdata carries no URL or email columns, so those two rules
+    * only had unit evidence; this query derives a deterministic
+    * fixture from `documents` (valid/malformed/null emails by
+    * doc_id%4, valid/wrong-scheme/null URLs by doc_id%3), runs the
+    * REAL [[Rules.evaluate]] with email_valid gating (Error) and
+    * url_valid advisory (Warning), and reports per-source pass and
+    * validity counts. Null passes (V1's job), malformed fails, and a
+    * failed Warning must NOT invalidate the record — the exact
+    * severity semantics the rules engine promises. Regexes are RE2-
+    * compatible so DuckDB sees identical matches. */
+  val q93 = QueryDef(
+    "q93_url_email_rules",
+    """WITH f AS (
+      |  SELECT source,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN 'user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |      WHEN 1 THEN 'user' || CAST(doc_id AS VARCHAR) || '@bad'
+      |      WHEN 2 THEN NULL ELSE 'not-an-email' END AS email,
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN 'https://example.com/d' || CAST(doc_id AS VARCHAR)
+      |      WHEN 1 THEN 'ftp://files.example.com/x' ELSE NULL END AS url
+      |  FROM documents),
+      |e AS (
+      |  SELECT source,
+      |    (email IS NULL OR regexp_matches(email,
+      |      '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$'))
+      |      AS p_email,
+      |    (url IS NULL OR regexp_matches(url,
+      |      '^https?://[\w.-]+(:\d+)?(/\S*)?$')) AS p_url
+      |  FROM f)
+      |SELECT source, COUNT(*) AS docs,
+      |  CAST(SUM(CASE WHEN p_email THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS email_pass,
+      |  CAST(SUM(CASE WHEN p_url THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS url_pass,
+      |  CAST(SUM(CASE WHEN p_email THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS valid_records
+      |FROM e GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val fixture = Tables.documents(s, d).select(col("source"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("user"), col("doc_id").cast("string"),
+          lit("@example.com")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("user"), col("doc_id").cast("string"), lit("@bad")))
+        .when(col("doc_id") % 4 === 2, lit(null).cast("string"))
+        .otherwise("not-an-email").as("email"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("https://example.com/d"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 3 === 1, lit("ftp://files.example.com/x"))
+        .otherwise(lit(null).cast("string")).as("url"))
+    val rules = Seq(
+      Rule("email_valid", Error, Rules.emailValid(col("email"))),
+      Rule("url_valid", Warning, Rules.urlValid(col("url"))))
+    Rules.evaluate(fixture, rules)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("_pass_email_valid"), 1L).otherwise(0L))
+          .as("email_pass"),
+        sum(when(col("_pass_url_valid"), 1L).otherwise(0L))
+          .as("url_pass"),
+        sum(when(col("_valid"), 1L).otherwise(0L)).as("valid_records"))
+      .orderBy("source")
+  }
+
+  val all: Seq[QueryDef] = Seq(q35, q39, q40, q93)
 }
