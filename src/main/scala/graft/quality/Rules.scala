@@ -42,9 +42,13 @@ object Rules {
   def numericRange(c: Column, min: Double, max: Double): Column =
     c.isNull || c.cast("double").between(min, max)
 
-  /** V5: parseable timestamp; null passes. */
+  /** V5: parseable timestamp; null passes. `try_to_timestamp`, not
+    * `to_timestamp`: under ANSI mode (the Spark 4 default) the latter
+    * THROWS on a malformed string — a validator must classify bad
+    * input, never crash on it (latent until the q95 fixture fed it
+    * actual garbage). */
   def timestampValid(c: Column): Column =
-    c.isNull || to_timestamp(c.cast("string")).isNotNull
+    c.isNull || try_to_timestamp(c.cast("string")).isNotNull
 
   /** V6: recency window [now − maxDaysOld, now + maxDaysFuture]. */
   def timestampRange(c: Column, maxDaysOld: Int, maxDaysFuture: Int): Column =

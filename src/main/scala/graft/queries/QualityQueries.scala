@@ -202,5 +202,63 @@ object QualityQueries {
       .orderBy("source")
   }
 
-  val all: Seq[QueryDef] = Seq(q35, q39, q40, q93)
+  /** q95 — V5 (timestamp-parseable) and V7 (conditional-required)
+    * under a full oracle, on a deterministic fixture: ts strings
+    * cycle valid/garbage/null by doc_id%3, and a contact field that
+    * is only required when status='active' cycles filled/empty/null.
+    * Both rules gate (Error), so `_valid` = both pass — pinning V7's
+    * exact implication semantics (cond not in values ⇒ pass;
+    * required() rejects empty string, not just null) and V5's
+    * null-passes contract. */
+  val q95 = QueryDef(
+    "q95_ts_conditional_rules",
+    """WITH f AS (
+      |  SELECT source,
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN '2024-01-15 10:30:00'
+      |      WHEN 1 THEN 'not-a-timestamp' ELSE NULL END AS ts_str,
+      |    CASE doc_id % 2 WHEN 0 THEN 'active' ELSE 'dormant' END
+      |      AS status,
+      |    CASE doc_id % 5 WHEN 0 THEN 'ok' WHEN 1 THEN '' ELSE NULL END
+      |      AS contact
+      |  FROM documents),
+      |e AS (
+      |  SELECT source,
+      |    (ts_str IS NULL OR TRY_CAST(ts_str AS TIMESTAMP) IS NOT NULL)
+      |      AS p_ts,
+      |    (NOT COALESCE(status IN ('active'), FALSE)
+      |      OR (contact IS NOT NULL AND contact <> '')) AS p_cond
+      |  FROM f)
+      |SELECT source, COUNT(*) AS docs,
+      |  CAST(SUM(CASE WHEN p_ts THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS ts_pass,
+      |  CAST(SUM(CASE WHEN p_cond THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS cond_pass,
+      |  CAST(SUM(CASE WHEN p_ts AND p_cond THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS valid_records
+      |FROM e GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val fixture = Tables.documents(s, d).select(col("source"),
+      when(col("doc_id") % 3 === 0, lit("2024-01-15 10:30:00"))
+        .when(col("doc_id") % 3 === 1, lit("not-a-timestamp"))
+        .otherwise(lit(null).cast("string")).as("ts_str"),
+      when(col("doc_id") % 2 === 0, "active").otherwise("dormant")
+        .as("status"),
+      when(col("doc_id") % 5 === 0, lit("ok"))
+        .when(col("doc_id") % 5 === 1, lit(""))
+        .otherwise(lit(null).cast("string")).as("contact"))
+    val rules = Seq(
+      Rule("ts_valid", Error, Rules.timestampValid(col("ts_str"))),
+      Rule("contact_if_active", Error, Rules.conditionalRequired(
+        col("contact"), col("status"), Seq("active"))))
+    Rules.evaluate(fixture, rules)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("_pass_ts_valid"), 1L).otherwise(0L)).as("ts_pass"),
+        sum(when(col("_pass_contact_if_active"), 1L).otherwise(0L))
+          .as("cond_pass"),
+        sum(when(col("_valid"), 1L).otherwise(0L)).as("valid_records"))
+      .orderBy("source")
+  }
+
+  val all: Seq[QueryDef] = Seq(q35, q39, q40, q93, q95)
 }

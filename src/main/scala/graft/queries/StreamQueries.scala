@@ -189,5 +189,39 @@ object StreamQueries {
       .orderBy("window_start_s", "product_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q83, q91)
+  /** q94 — the T4 sliding-window view counter
+    * ([[graft.streaming.Features.rollingProductViews]]) in batch:
+    * 1-hour windows sliding every 5 minutes, so each view lands in 12
+    * windows (the reference's 1000-deep timestamp deque as a proper
+    * windowed aggregate). The oracle expands the same 12 epoch-aligned
+    * starts per event (`s0 − 300·j, j ∈ [0,12)` — exactly Spark's
+    * window assignment) and re-counts. Bounded ×12 Expand + one keyed
+    * shuffle; window starts emitted as epoch seconds (q72
+    * discipline). */
+  val q94 = QueryDef(
+    "q94_rolling_views",
+    """WITH base AS (
+      |  SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 AS BIGINT) AS s0,
+      |    TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)
+      |      AS k
+      |  FROM events WHERE event_type = 'view'),
+      |x AS (
+      |  SELECT CAST(k AS VARCHAR) AS product_id, s0 - 300 * j AS wstart
+      |  FROM base CROSS JOIN (SELECT unnest(range(0, 12)) AS j) t)
+      |SELECT wstart AS window_start_s, wstart + 3600 AS window_end_s,
+      |  product_id, COUNT(*) AS views_last_hour
+      |FROM x GROUP BY 1, 2, 3
+      |ORDER BY window_start_s, product_id""".stripMargin) { (s, d) =>
+    val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+    val ev = Tables.events(s, d).select(
+      k.as("product_id"), col("event_type"), col("ts"))
+    graft.streaming.Features.rollingProductViews(ev)
+      .select(
+        unix_timestamp(col("window_start")).as("window_start_s"),
+        unix_timestamp(col("window_end")).as("window_end_s"),
+        col("product_id"), col("views_last_hour"))
+      .orderBy("window_start_s", "product_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q83, q91, q94)
 }

@@ -126,4 +126,15 @@ class RulesSpec extends SparkSpec {
     assert(Rules.iso2Codes.size == 249)
     assert(Rules.iso2Codes.distinct.size == 249)
   }
+
+  test("timestampValid classifies garbage instead of throwing (ANSI mode)") {
+    // to_timestamp throws CAST_INVALID_INPUT under ANSI (Spark 4
+    // default); the validator must return false, not crash
+    val got = Seq(Some("2024-01-15 10:30:00"), Some("not-a-timestamp"),
+        None)
+      .toDF("t")
+      .select(Rules.timestampValid(col("t")).as("ok"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(true, false, true))
+  }
 }
