@@ -337,5 +337,41 @@ object PipelineQueries {
         .orderBy("event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q85, q86, q87, q88, q89, q90, q92)
+  /** q96 — the S6/S7 partitioned write + S4 read path under a full
+    * oracle: land events as a `date=`-partitioned snappy silver table
+    * ([[graft.sources.Medallion.writePartitioned]]), read it back
+    * through [[graft.sources.Medallion.readTable]] with a date
+    * predicate (partition pruning — MedallionSpec asserts the
+    * PartitionFilters plan), and aggregate per date. The oracle
+    * computes the same report from the source parquet, so a row lost
+    * or duplicated anywhere in the write→discover→prune→scan cycle
+    * breaks the hash. Dates emitted as strings (partition columns
+    * come back as the partition-discovery type). */
+  val q96 = QueryDef(
+    "q96_partitioned_silver",
+    """WITH c AS (
+      |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+      |    AND DATE '2024-01-14')
+      |SELECT date, COUNT(*) AS n_events,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM c GROUP BY date ORDER BY date""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-q96-").toString + "/silver"
+    val silver = Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+      to_date(col("ts")).cast("string").as("date"))
+    graft.sources.Medallion.writePartitioned(silver, dir)
+    graft.sources.Medallion.readTable(s, dir)
+      .filter(col("date").between("2024-01-08", "2024-01-14"))
+      .groupBy(col("date").cast("string").as("date"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("date")
+  }
+
+  val all: Seq[QueryDef] = Seq(q85, q86, q87, q88, q89, q90, q92, q96)
 }
