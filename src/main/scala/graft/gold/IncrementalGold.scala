@@ -67,10 +67,14 @@ object IncrementalGold {
       hll_sketch_estimate(col("days_sketch")).as("approx_days_active"))
 
   private def latestVersion(spark: SparkSession, stateDir: String): Int = {
-    val dir = new java.io.File(stateDir)
-    if (!dir.exists()) -1
-    else dir.listFiles().filter(_.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toInt)
+    // Hadoop FileSystem, not java.io.File: state dirs live wherever
+    // the tables do (HDFS/S3A in a deployment, local here).
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toInt)
       .foldLeft(-1)(math.max)
   }
 
