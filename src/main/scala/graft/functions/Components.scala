@@ -32,6 +32,7 @@ object Components {
     * need not be symmetric or dedup'd on input. */
   def connectedComponents(edges: DataFrame, srcCol: String,
                           dstCol: String, maxIter: Int = 20): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
@@ -85,6 +86,7 @@ object Components {
   def connectedComponentsStar(edges: DataFrame, srcCol: String,
                               dstCol: String,
                               maxIter: Int = 50): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     def canon(e: DataFrame): DataFrame =
       e.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))

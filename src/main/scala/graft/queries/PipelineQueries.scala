@@ -13,6 +13,30 @@ import graft.Tables
   */
 object PipelineQueries {
 
+  /** Scratch dir for the IO-cycle queries (q90/q92/q96): deletes any
+    * dirs a PREVIOUS invocation of the same query left behind, then
+    * creates a fresh one. The returned frame reads the scratch
+    * lazily, so the CURRENT dir cannot be deleted inside the builder
+    * — clearing predecessors at build time instead bounds tmp usage
+    * to one copy per query (the harness runs queries sequentially;
+    * results are path-independent). */
+  private def freshScratch(tag: String): String = {
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"))
+    val prefix = s"graft-$tag-"
+    val old = tmp.toFile.listFiles()
+    if (old != null) old.filter(_.getName.startsWith(prefix)).foreach {
+      d =>
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        rm(d)
+    }
+    java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+
   /** q85 — Gopher-style document quality gates (Rae et al. 2021,
     * "Scaling Language Models", table A1 repertoire): word-count
     * bounds, mean word length, alphabetic-word ratio, minimum
@@ -98,10 +122,14 @@ object PipelineQueries {
       |    len(string_split(text, ' ')) AS nw
       |  FROM documents),
       |grams AS (
+      |  -- position range bounded by the corpus's actual longest doc,
+      |  -- never a fixed constant (a constant silently truncates
+      |  -- longer corpora AND pays dead cross-join rows)
       |  SELECT doc_id, source,
       |    md5(array_to_string(w[i:i+2], ' ')) AS g
       |  FROM toks
-      |  CROSS JOIN (SELECT unnest(range(1, 100000)) AS i) t
+      |  CROSS JOIN (SELECT unnest(range(1,
+      |    (SELECT MAX(nw) FROM toks) + 1)) AS i) t
       |  WHERE i <= nw - 2),
       |bench AS (
       |  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
@@ -187,39 +215,30 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
-  /** Portable 32-bit hash from the first 8 hex chars of
-    * `md5(CAST(doc_id AS VARCHAR))`, written as arithmetic BOTH
-    * engines evaluate identically (ascii + CASE + integer shifts —
-    * no engine-specific hash builtin). The SAME generated expression
-    * text runs as DuckDB SQL and as a Spark SQL `expr`. */
-  private val hexFoldHash: String = (0 until 8).map { j =>
-    val c = s"ascii(substr(m, ${j + 1}, 1))"
-    s"(CAST($c - 48 - CASE WHEN $c >= 97 THEN 39 ELSE 0 END AS BIGINT)" +
-      s" * CAST(${1L << (4 * j)} AS BIGINT))"
-  }.mkString(" + ")
-
   /** q88 — deterministic shard assignment (the "shuffle the corpus
-    * into N training shards" step): shard = portable_hash(doc_id) %
-    * 16, reported as a per-shard balance audit (doc count, char
-    * mass, id range). Hash-based assignment needs NO global sort or
-    * row_number — it is a row-local projection, reshuffled only by
-    * the 16-group report (or by the actual shard write, which is a
-    * single partitionBy). The [[hexFoldHash]] expression keeps the
-    * assignment reproducible across engines and across runs. */
+    * into N training shards" step): shard = `contentU32(doc_id) % 16`
+    * — the repo's ONE portable md5→u32 construction
+    * ([[graft.curation.Curation.contentU32]] on the Spark side,
+    * [[TextQueries.hexU32Sql]] as its oracle mirror, the same pair
+    * q48/q67/q70 sample with) — reported as a per-shard balance audit
+    * (doc count, char mass, id range). Hash-based assignment needs NO
+    * global sort or row_number — it is a row-local projection,
+    * reshuffled only by the 16-group report (or by the actual shard
+    * write, which is a single partitionBy). */
   val q88 = QueryDef(
     "q88_shard_assign",
     s"""WITH h AS (
-      |  SELECT doc_id, source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS m
+      |  SELECT doc_id, source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hx
       |  FROM documents),
       |v AS (SELECT doc_id, source, n_chars,
-      |  ($hexFoldHash) % 16 AS shard FROM h)
+      |  ${TextQueries.hexU32Sql(1)} % 16 AS shard FROM h)
       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM v GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
-      .withColumn("m", md5(col("doc_id").cast("string")))
-      .withColumn("shard", expr(s"($hexFoldHash) % 16"))
+      .withColumn("shard",
+        graft.curation.Curation.contentU32(col("doc_id")) % 16)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
@@ -283,8 +302,7 @@ object PipelineQueries {
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
     (s, d) =>
       val ev = Tables.events(s, d)
-      val stateDir = java.nio.file.Files
-        .createTempDirectory("graft-q90-").toString
+      val stateDir = freshScratch("q90")
       graft.gold.IncrementalGold.run(
         s, ev.filter(col("event_id") % 2 === 0), stateDir)
       graft.gold.IncrementalGold.run(
@@ -320,8 +338,7 @@ object PipelineQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin) {
     (s, d) =>
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-q92-").toString + "/landing"
+      val dir = freshScratch("q92") + "/landing"
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
           floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
@@ -358,8 +375,7 @@ object PipelineQueries {
       |SELECT date, COUNT(*) AS n_events,
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM c GROUP BY date ORDER BY date""".stripMargin) { (s, d) =>
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-q96-").toString + "/silver"
+    val dir = freshScratch("q96") + "/silver"
     val silver = Tables.events(s, d).select(
       col("event_id"), col("user_id"),
       floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),

@@ -39,16 +39,20 @@ object StreamQueries {
       |         ELSE event_type END AS etype
       |  FROM events),
       |e AS (
+      |  -- order on (epoch_ms, product) EXACTLY as the operator's fold
+      |  -- does (Timestamp.getTime truncates to ms) — ordering by raw
+      |  -- µs ts would diverge on same-millisecond events
       |  SELECT user_id, ts, epoch_ms(ts) AS tms,
       |    CAST(k AS VARCHAR) AS product_id,
       |    'c' || CAST(k % 10 AS VARCHAR) AS category, etype,
-      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC)
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts) DESC, CAST(k AS VARCHAR) DESC)
       |      AS rn_desc
       |  FROM base),
       |g AS (
       |  SELECT user_id, ts, tms,
-      |    CASE WHEN tms - LAG(tms) OVER (PARTITION BY user_id ORDER BY ts)
-      |      > 900000 THEN 1 ELSE 0 END AS brk
+      |    CASE WHEN tms - LAG(tms) OVER (PARTITION BY user_id
+      |      ORDER BY tms, product_id) > 900000 THEN 1 ELSE 0 END AS brk
       |  FROM e),
       |si AS (SELECT user_id, tms,
       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tms) AS sid FROM g),

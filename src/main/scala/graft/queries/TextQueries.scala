@@ -69,8 +69,10 @@ object TextQueries {
         (0 until K).map(j => element_at(col("mh"), j + 1).as(s"mh$j")): _*)
 
   /** DuckDB rendering of one unsigned-32 value from 8 hex chars of an
-    * md5 starting at 1-based position `start` (column `hx`). */
-  private def hexU32Sql(start: Int): String =
+    * md5 starting at 1-based position `start` (column `hx`) — the
+    * oracle-side mirror of [[graft.curation.Curation.contentU32]]
+    * (big-endian, same value). Shared across query registries. */
+  private[queries] def hexU32Sql(start: Int): String =
     (0 until 8).map { i =>
       s"CAST(strpos('0123456789abcdef', substr(hx, ${start + i}, 1)) - 1" +
         s" AS BIGINT) * ${1L << (4 * (7 - i))}"

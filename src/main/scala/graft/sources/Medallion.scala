@@ -107,6 +107,13 @@ object Medallion {
     val bak = new org.apache.hadoop.fs.Path(tableDir + ".compact-old")
     val tmpP = new org.apache.hadoop.fs.Path(tmp)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A stale backup from a crashed earlier run must be cleared first:
+    // renaming onto an existing dir fails on local FS and nests INTO
+    // it on HDFS (then the delete below would eat the live copy). The
+    // stale backup is by definition superseded — the live table it
+    // backed up still exists at `live`.
+    if (fs.exists(bak)) require(fs.delete(bak, true),
+      s"could not clear stale backup $bak")
     require(fs.rename(live, bak), s"swap-out failed for $tableDir")
     if (!fs.rename(tmpP, live)) {
       // Restore the original before failing: the live path must never
