@@ -389,5 +389,35 @@ object PipelineQueries {
       .orderBy("date")
   }
 
-  val all: Seq[QueryDef] = Seq(q85, q86, q87, q88, q89, q90, q92, q96)
+  /** q97 — the S9 run-metadata writer
+    * ([[graft.sources.Medallion.writeRunMetadata]]) under the oracle:
+    * two pipeline runs (event_id-parity halves of `events`) append
+    * their run records to a metadata table; reading it back must
+    * reproduce the per-half record/valid counts the oracle computes
+    * straight from events. `run_at` (current_timestamp) is excluded
+    * from the comparison — wall-clock is the one column that can't be
+    * deterministic. The two driver-side `count()`s per half are the
+    * metadata VALUES being recorded, not a data-plane collect. */
+  val q97 = QueryDef(
+    "q97_run_metadata",
+    """SELECT CASE WHEN event_id % 2 = 0 THEN 'half_even'
+      |            ELSE 'half_odd' END AS pipeline,
+      |  COUNT(*) AS records,
+      |  CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS valid_records
+      |FROM events GROUP BY 1 ORDER BY pipeline""".stripMargin) { (s, d) =>
+    val dir = freshScratch("q97") + "/meta"
+    val ev = Tables.events(s, d)
+    Seq(("half_even", 0), ("half_odd", 1)).foreach { case (name, par) =>
+      val slice = ev.filter(col("event_id") % 2 === par)
+      graft.sources.Medallion.writeRunMetadata(s, dir, name,
+        slice.count(), slice.filter(col("value") > 50).count(), 1.5)
+    }
+    s.read.parquet(dir)
+      .select(col("pipeline"), col("records"), col("valid_records"))
+      .orderBy("pipeline")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97)
 }

@@ -231,4 +231,19 @@ class MedallionSpec extends SparkSpec {
     assert(!new java.io.File(out + ".compact-tmp").exists())
     assert(!new java.io.File(out + ".compact-old").exists())
   }
+
+  test("compact recovers from a stale backup left by a crashed run") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_compact2").toString
+    val df = (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    df.repartition(8).write.mode("overwrite").parquet(out)
+    // simulate a crash between swap-out and cleanup: a stale
+    // .compact-old exists alongside the live table
+    val bak = new java.io.File(out + ".compact-old")
+    assert(bak.mkdir())
+    assert(new java.io.File(bak, "stale.txt").createNewFile())
+    Medallion.compact(spark, out, 1)
+    assert(spark.read.parquet(out).count() == 100)
+    assert(!bak.exists(), "stale backup must be cleared, not nested into")
+  }
 }
