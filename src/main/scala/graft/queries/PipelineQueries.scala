@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -418,6 +419,103 @@ object PipelineQueries {
       .orderBy("pipeline")
   }
 
+  /** q98 — training-sequence packing audit (concat-then-chunk): docs
+    * are packed into fixed-length (L=512 tokens) training sequences
+    * PER SHARD — each shard concatenates its docs in deterministic
+    * doc_id order and chunks every L tokens, exactly how a
+    * tokenize-and-pack job lays out pretraining data. Per-shard
+    * report: docs, tokens, sequences (= ⌈tokens/L⌉), and
+    * boundary-crossing docs (a doc whose span straddles a chunk
+    * edge — the packing-fragmentation metric). Cumulative sums run in
+    * a window PARTITIONED BY shard (never a global single-partition
+    * window): each shard's packing is independent by design, which is
+    * also what makes the layout embarrassingly parallel at 100 TB. */
+  val q98 = QueryDef(
+    "q98_sequence_packing",
+    s"""WITH h AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx,
+      |    len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents),
+      |s AS (SELECT doc_id, n_tokens,
+      |  ${TextQueries.hexU32Sql(1)} % 16 AS shard FROM h),
+      |c AS (
+      |  SELECT shard, doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM s),
+      |b AS (
+      |  SELECT shard, doc_id, n_tokens,
+      |    (cum - n_tokens) // 512 AS first_seq,
+      |    (cum - 1) // 512 AS last_seq
+      |  FROM c)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST((SUM(n_tokens) + 511) // 512 AS BIGINT) AS n_sequences,
+      |  CAST(SUM(CASE WHEN first_seq <> last_seq THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS boundary_docs
+      |FROM b GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (graft.curation.Curation.contentU32(col("doc_id")) % 16)
+          .as("shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("first_seq", expr("(cum - n_tokens) div 512"))
+      .withColumn("last_seq", expr("(cum - 1) div 512"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr("(sum(n_tokens) + 511) div 512").as("n_sequences"),
+        sum(when(col("first_seq") =!= col("last_seq"), 1L)
+          .otherwise(0L)).as("boundary_docs"))
+      .orderBy("shard")
+  }
+
+  /** q99 — unigram rarity score (the CCNet-style LM-quality proxy,
+    * log-free): a document's score is the mean over its token
+    * OCCURRENCES of `N/df(token)` in exact integer ppm — rare-token-
+    * heavy docs score high, boilerplate scores low. No `log`/float
+    * anywhere (libm differs across engines — the q77 lesson), so the
+    * oracle is bit-exact. Shape: explode → one keyed df aggregation →
+    * one token equi-join back → per-doc agg; the corpus total rides a
+    * broadcast one-row frame. Top-20 rarest via
+    * TakeOrderedAndProject. */
+  val q99 = QueryDef(
+    "q99_rarity_score",
+    """WITH tok AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |n AS (SELECT COUNT(*) AS total FROM documents),
+      |df AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+      |sc AS (
+      |  SELECT tok.doc_id, tok.source,
+      |    CAST(SUM((SELECT total FROM n) * 1000000 // df.df) AS BIGINT)
+      |      AS s,
+      |    COUNT(*) AS n_tok
+      |  FROM tok JOIN df ON tok.t = df.t
+      |  GROUP BY tok.doc_id, tok.source)
+      |SELECT doc_id, source, CAST(s // n_tok AS BIGINT) AS rarity_ppm
+      |FROM sc ORDER BY rarity_ppm DESC, doc_id LIMIT 20""".stripMargin) {
+    (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("t"))
+      val dfreq = tok.groupBy(col("t"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val total = Tables.documents(s, d).agg(count(lit(1)).as("total"))
+      tok.join(dfreq, Seq("t"))
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(expr("(total * 1000000) div df")).as("s"),
+          count(lit(1)).as("n_tok"))
+        .select(col("doc_id"), col("source"),
+          expr("s div n_tok").as("rarity_ppm"))
+        .orderBy(col("rarity_ppm").desc, col("doc_id"))
+        .limit(20)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97)
+    Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99)
 }
