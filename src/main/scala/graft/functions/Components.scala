@@ -29,12 +29,17 @@ object Components {
 
   /** (id, component) for every node of the undirected edge set, where
     * `component` is the minimum node id reachable from `id`. Edges
-    * need not be symmetric or dedup'd on input. */
+    * need not be symmetric or dedup'd on input; null-endpoint edges
+    * are dropped (a null node id is not a node), self-loops
+    * contribute their node as a singleton. Both variants share this
+    * contract — ComponentsSpec pins them against each other. */
   def connectedComponents(edges: DataFrame, srcCol: String,
                           dstCol: String, maxIter: Int = 20): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Iterative lineage MUST be truncated each round (localCheckpoint,
@@ -115,10 +120,14 @@ object Components {
         .union(m.select(col("a"), col("m").as("b"))))
     }
 
-    var e = canon(edges.select(col(srcCol).as("a"), col(dstCol).as("b")))
-      .localCheckpoint()
-    val allNodes = e.select(col("a").as("id"))
-      .union(e.select(col("b").as("id"))).distinct().localCheckpoint()
+    // allNodes from the RAW (null-filtered) edge set, BEFORE canon
+    // strips self-loops — a node whose only edge is (n, n) must still
+    // appear as a singleton, matching connectedComponents' contract.
+    val raw = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val allNodes = raw.select(col("a").as("id"))
+      .union(raw.select(col("b").as("id"))).distinct().localCheckpoint()
+    var e = canon(raw).localCheckpoint()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {

@@ -28,14 +28,22 @@ object Intervals {
                 rightPrefix: String = "r_"): DataFrame = {
     require(lowerUs < upperUs, "rangeJoin: need lowerUs < upperUs")
     val w = upperUs - lowerUs // bucket width = span ⇒ ≤2 buckets touched
+    // Floor-division in PURE LONG arithmetic: `x - pmod(x, w)` is the
+    // exact floor multiple, then integer `div`. Column `/` promotes
+    // to double, whose floor goes off by one once |x| reaches 2^53 —
+    // a silently dropped join pair, the worst failure mode.
+    def floorDiv(colName: String): String =
+      s"(`$colName` - pmod(`$colName`, ${w}L)) div ${w}L"
     val r = right.columns.foldLeft(right)((df, c) =>
       df.withColumnRenamed(c, rightPrefix + c))
-      .withColumn("__rb", floor(col(rightPrefix + rightTsUs) / w))
+      .withColumn("__rb", expr(floorDiv(rightPrefix + rightTsUs)))
     val l = left.withColumn("__lo", col(leftTsUs) + lowerUs)
-      .withColumn("__hi", col(leftTsUs) + upperUs)
+      .withColumn("__hi1", col(leftTsUs) + upperUs - 1)
       // window [lo, hi) touches buckets floor(lo/w) .. floor((hi-1)/w)
       .withColumn("__rb", explode(sequence(
-        floor(col("__lo") / w), floor((col("__hi") - 1) / w))))
+        expr(floorDiv("__lo")), expr(floorDiv("__hi1")))))
+      .withColumn("__hi", col(leftTsUs) + upperUs)
+      .drop("__hi1")
     val on = keys.map(k => l(k) === r(rightPrefix + k))
       .reduce(_ && _) && l("__rb") === r("__rb") &&
       r(rightPrefix + rightTsUs) >= l("__lo") &&

@@ -28,9 +28,12 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** `teleport` defaults to `1 - damping` — the pair must sum to 1 or
+    * rank mass is not conserved; pass both only if you know why. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iterations: Int, damping: Double = 0.85,
-          teleport: Double = 0.15): DataFrame = {
+          teleport: Double = Double.NaN): DataFrame = {
+    val tp = if (teleport.isNaN) 1.0 - damping else teleport
     // One materialization: e feeds deg, n, and every iteration — an
     // unpersisted plan would recompute the caller's edge derivation
     // 2+iterations times (the Ranks/Components reuse lesson). Eager
@@ -41,6 +44,10 @@ object PageRank {
     val n = deg.agg(count(lit(1)).as("cnt"))
     var r = deg.crossJoin(broadcast(n))
       .select(col("src").as("node"), (lit(1.0) / col("cnt")).as("r"))
+    // the live checkpointed rank frame, freed when superseded (the
+    // Components discipline) — long runs would otherwise hold every
+    // stale |V|-row snapshot in executor storage
+    var lastCkpt: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val contrib = e
         .join(r, e("src") === r("node"))
@@ -53,7 +60,7 @@ object PageRank {
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(n))
         .select(col("node"),
-          (lit(teleport) / col("cnt") +
+          (lit(tp) / col("cnt") +
             lit(damping) * (coalesce(col("s"), lit(0L)) / lit(1e12)))
             .as("r"))
       // Truncate the rank frame's lineage every 3 rounds (the
@@ -63,7 +70,14 @@ object PageRank {
       // copies, and checkpointing every round would pay one extra
       // eager job per iteration (measured +0.8s on q82's 2 rounds).
       // State is |V| rows per checkpoint.
-      if (i < iterations && i % 3 == 0) r = r.localCheckpoint(true)
+      if (i < iterations && i % 3 == 0) {
+        // eager checkpoint first (it reads the old blocks), THEN free
+        // the superseded snapshot
+        val ck = r.localCheckpoint(true)
+        lastCkpt.foreach(_.unpersist())
+        lastCkpt = Some(ck)
+        r = ck
+      }
     }
     r
   }

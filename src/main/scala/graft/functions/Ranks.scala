@@ -142,14 +142,21 @@ object Ranks {
   /** pandas `rank(pct=True)` (average rank / count) — distributed.
     * Average rank of a tie group = rank + (tie_count - 1)/2; the tie
     * count is a hash-partitioned window on the order value itself, so
-    * no global sort appears here either. */
+    * no global sort appears here either. Null order values get a null
+    * pct and are EXCLUDED from the denominator, exactly as pandas
+    * excludes NaN — ranking them (and counting them in `n`) would
+    * shift every non-null row's pct, not just the null ones. */
   def pctRankPandas(df: DataFrame, orderCol: Column, as: String,
-                    buckets: Int = 32): DataFrame =
-    ranked(df, orderCol, Nil, buckets)
+                    buckets: Int = 32): DataFrame = {
+    val nn = ranked(df.filter(orderCol.isNotNull), orderCol, Nil, buckets)
       .withColumn("__tie",
         count(lit(1)).over(Window.partitionBy(orderCol)))
       .withColumn(as,
         (col("__pos") + (col("__tie") - 1) / lit(2.0)) / col("__n"))
       .drop("__tie")
       .drop(internals: _*)
+    nn.unionByName(
+      df.filter(orderCol.isNull)
+        .withColumn(as, lit(null).cast("double")))
+  }
 }

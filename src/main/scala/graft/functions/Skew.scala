@@ -23,11 +23,15 @@ object Skew {
 
   /** Two-phase salted sum/count aggregation: returns
     * `key, sum_<col>, cnt` with the hot key's work spread over
-    * `buckets` reducers in phase one. */
+    * `buckets` reducers in phase one. Default distributors are ALL
+    * input columns, not the value column alone — a hot key whose rows
+    * share one constant value would hash to a single salt bucket and
+    * get zero mitigation (pass a high-cardinality column like an
+    * event id explicitly when you have one). */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
                      buckets: Int, distributors: Column*): DataFrame = {
     val dist = if (distributors.nonEmpty) distributors
-               else Seq(col(valueCol))
+               else df.columns.toSeq.map(col)
     df.withColumn("__salt", salt(buckets, dist: _*))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))

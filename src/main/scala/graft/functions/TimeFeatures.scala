@@ -33,9 +33,14 @@ object TimeFeatures {
   /** P10: calendar date for daily grouping. */
   def eventDate(ts: Column): Column = to_date(ts)
 
-  /** P18: account age in days (reference `main_pipeline.py:297-300`). */
+  /** P18: account age in days (reference `main_pipeline.py:297-300`).
+    * Floor of ELAPSED days (pandas `(now - created).dt.days`), not
+    * `datediff` — datediff counts calendar-day boundaries crossed, so
+    * an account created at 23:59 would be "1 day old" two minutes
+    * later. */
   def accountAgeDays(createdAt: Column): Column =
-    datediff(current_timestamp(), createdAt)
+    floor((unix_timestamp(current_timestamp()) -
+      unix_timestamp(createdAt)) / 86400).cast("int")
 
   /** Whole seconds since epoch (long). Truncation (not rounding) matches
     * a floor(epoch(ts)) oracle and is stable across sub-second precision

@@ -69,30 +69,47 @@ object Features {
       .mapGroupsWithState[UserSessionState, UserFeatures](
         GroupStateTimeout.ProcessingTimeTimeout) {
         (userId, evts, state: GroupState[UserSessionState]) =>
-          val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.product_id))
-          // session reset on idle gap (ref resets session_start) — the
-          // per-event transition lives in [[advance]], shared with the
-          // delta form below.
-          val s = sorted.foldLeft(
-            state.getOption.getOrElse(emptySession))(advance)
-          state.update(s)
-          state.setTimeoutDuration(SessionIdleMs)
-          val last = sorted.lastOption
-          val topCats = s.categoryCounts.toSeq
-            .sortBy { case (c, n) => (-n, c) }.take(3).map(_._1)
-          UserFeatures(
-            user_id = userId,
-            session_duration_s =
-              math.max(0L, (s.lastActivity - s.sessionStart) / 1000),
-            events_in_session = s.eventsInSession,
-            categories_explored = s.categoryCounts.size,
-            products_viewed_count = s.viewedProducts.size,
-            preferred_categories = topCats,
-            recent_event_sequence = s.recentProducts.take(5),
-            is_returning_to_product = last.exists(e =>
-              s.recentProducts.tail.contains(e.product_id)),
-            cart_size = s.cartProducts.size)
+          if (state.hasTimedOut) {
+            // idle timer fired with no new events: emit a terminal
+            // snapshot and DROP the state — without this the store
+            // keeps one entry per all-time user forever and re-emits
+            // a stale row every 15 minutes per idle user. (Timeouts
+            // never fire in batch execution, so the oracle path q83
+            // is unaffected.)
+            val s = state.get
+            state.remove()
+            mkFeatures(userId, s, last = None)
+          } else {
+            val sorted =
+              evts.toSeq.sortBy(e => (e.ts.getTime, e.product_id))
+            // session reset on idle gap (ref resets session_start) —
+            // the per-event transition lives in [[advance]], shared
+            // with the delta form below.
+            val s = sorted.foldLeft(
+              state.getOption.getOrElse(emptySession))(advance)
+            state.update(s)
+            state.setTimeoutDuration(SessionIdleMs)
+            mkFeatures(userId, s, sorted.lastOption)
+          }
       }
+  }
+
+  private def mkFeatures(userId: String, s: UserSessionState,
+                         last: Option[Event]): UserFeatures = {
+    val topCats = s.categoryCounts.toSeq
+      .sortBy { case (c, n) => (-n, c) }.take(3).map(_._1)
+    UserFeatures(
+      user_id = userId,
+      session_duration_s =
+        math.max(0L, (s.lastActivity - s.sessionStart) / 1000),
+      events_in_session = s.eventsInSession,
+      categories_explored = s.categoryCounts.size,
+      products_viewed_count = s.viewedProducts.size,
+      preferred_categories = topCats,
+      recent_event_sequence = s.recentProducts.take(5),
+      is_returning_to_product = last.exists(e =>
+        s.recentProducts.tail.contains(e.product_id)),
+      cart_size = s.cartProducts.size)
   }
 
   /** One delta row per input event, plus a terminal summary row when a
@@ -227,22 +244,29 @@ object Features {
   /** T6: multi-topic fan-out via foreachBatch — each micro-batch lands
     * user features, product shapes, and high-value signals to their
     * own sinks (parquet dirs here; swap writers for Kafka topics in a
-    * deployment with the kafka connector on the classpath). */
+    * deployment with the kafka connector on the classpath). Guarded
+    * by a per-batchId delivery marker (sibling of the checkpoint, so
+    * it shares the checkpoint's storage): foreachBatch re-delivers a
+    * batch after crash-restart with the SAME id, and a blind
+    * three-way append would double every downstream count. */
   def fanOutQuery(features: DataFrame, userDir: String, prodDir: String,
                   signalsDir: String, checkpointDir: String) =
     features.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.persist()
-        b.write.mode("append").parquet(userDir)
-        b.groupBy(col("product_id"))
-          .agg(count(lit(1)).as("events"))
-          .write.mode("append").parquet(prodDir)
-        b.filter(col("event_type").isin("add_to_cart", "purchase"))
-          .write.mode("append").parquet(signalsDir)
-        b.unpersist()
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        withBatchMarker(batch, checkpointDir + ".markers", batchId,
+          payload = "") {
+          val b = batch.persist()
+          b.write.mode("append").parquet(userDir)
+          b.groupBy(col("product_id"))
+            .agg(count(lit(1)).as("events"))
+            .write.mode("append").parquet(prodDir)
+          b.filter(col("event_type").isin("add_to_cart", "purchase"))
+            .write.mode("append").parquet(signalsDir)
+          b.unpersist()
+          ()
+        }
       }
 
   /** S12: the Kafka→bronze landing query shape (Kafka Connect S3 sink
@@ -315,9 +339,33 @@ object Features {
                    key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Per-batchId delivery marker via Hadoop FileSystem — markers MUST
+    * live on the same durable storage as the checkpoint: a
+    * driver-local `java.io.File` marker is gone when the driver
+    * restarts on another node, which is exactly the crash-replay
+    * scenario the marker exists for. Runs `deliver` only when no
+    * marker exists, then records the marker (with `payload` for
+    * reconciliation). */
+  private def withBatchMarker(batch: DataFrame, markerDir: String,
+                              batchId: Long, payload: String)(
+      deliver: => Unit): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(markerDir)
+    val fs = dir.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
+    if (fs.exists(marker)) {
+      System.err.println(s"[sink] batch $batchId already delivered, skipping")
+    } else {
+      deliver
+      fs.mkdirs(dir)
+      val out = fs.create(marker, true)
+      try out.write(payload.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Idempotent (effectively exactly-once) batch sink: foreachBatch
     * re-delivers a batch after a crash-restart WITH THE SAME batchId,
-    * so a marker directory per delivered id makes the parquet append
+    * so a marker per delivered id makes the parquet append
     * replay-safe — the poor-man's transactional sink for stores with
     * no native idempotence. Marker write happens AFTER the data
     * write: a crash between the two re-appends that batch on
@@ -326,17 +374,12 @@ object Features {
     * batch row count for reconciliation. */
   def idempotentSink(outDir: String, markerDir: String)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
-    val marker = new java.io.File(markerDir, s"batch-$batchId")
-    if (marker.exists()) {
-      System.err.println(s"[sink] batch $batchId already delivered, skipping")
-    } else {
-      val n = batch.persist().count()
+    val n = batch.persist().count()
+    withBatchMarker(batch, markerDir, batchId, payload = n.toString) {
       batch.write.mode("append").parquet(outDir)
-      batch.unpersist()
-      new java.io.File(markerDir).mkdirs()
-      java.nio.file.Files.writeString(marker.toPath, n.toString)
-      ()
     }
+    batch.unpersist()
+    ()
   }
 
   /** Lifetime running aggregate per user, bounded by state TTL. */

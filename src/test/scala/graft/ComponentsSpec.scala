@@ -77,6 +77,15 @@ class ComponentsSpec extends SparkSpec {
     assert(run(1) == run(32))
   }
 
+  test("self-loop singletons survive in BOTH variants (contract parity)") {
+    // a node whose only edge is (n, n) is a singleton component; the
+    // star variant's canon() strips self-loop EDGES but must not
+    // strip the node
+    val edges = Seq((1L, 2L), (5L, 5L))
+    assert(cc(edges) == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+    assert(ccStar(edges) == cc(edges))
+  }
+
   test("non-convergence at maxIter fails loudly, never silently wrong") {
     // a 10-node chain needs ~9 propagation rounds; maxIter=2 must
     // throw, not return under-merged labels

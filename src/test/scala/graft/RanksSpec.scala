@@ -69,6 +69,18 @@ class RanksSpec extends SparkSpec {
     assert(got == Map(1L -> 0.5, 2L -> 0.5, 3L -> 1.0))
   }
 
+  test("pctRankPandas: nulls get null pct and leave the denominator") {
+    import spark.implicits._
+    // pandas: [NaN, 1.0, 2.0].rank(pct=True) -> [NaN, 0.5, 1.0]
+    val d = Seq((1L, Option.empty[Double]), (2L, Some(1.0)),
+      (3L, Some(2.0))).toDF("id", "v")
+    val rows = Ranks.pctRankPandas(d, col("v"), "p")
+      .select("id", "p").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows == Map(1L -> None, 2L -> Some(0.5), 3L -> Some(1.0)))
+  }
+
   test("results are partitioning-independent") {
     val a = Ranks.percentRank(df.repartition(1), col("v"), "p")
       .select("id", "p").collect().map(r => (r.getLong(0), r.getDouble(1)))
