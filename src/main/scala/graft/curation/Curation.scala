@@ -108,7 +108,7 @@ object Curation {
   def chunks(docs: DataFrame, window: Int = 64,
              stride: Int = 32): DataFrame =
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0),
           greatest(size(col("toks")) - 1, lit(0)), lit(stride))).as("start"))
@@ -137,7 +137,7 @@ object Curation {
     * only cost driver. */
   def blocklistScrub(docs: DataFrame, blocklist: Seq[String]): DataFrame =
     docs
-      .withColumn("__toks", split(col("text"), " "))
+      .withColumn("__toks", graft.functions.Text.tokens(col("text")))
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
       .withColumn("n_blocked",
         size(filter(col("__toks"), t => t.isInCollection(blocklist)))
@@ -156,16 +156,22 @@ object Curation {
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val phoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
 
-  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // Counts must agree with what the sequential replacement actually
+    // does: a phone embedded in an email-shaped token (e.g.
+    // "123-456-7890@x.com") is consumed by the email pass, so phones
+    // are counted on the EMAIL-REDACTED text, not the original — a
+    // compliance audit column that reports redactions which never
+    // happened is worse than none.
+    val emailScrubbed = regexp_replace(col(textCol), emailRe, "<EMAIL>")
     docs
       .withColumn("n_emails",
         size(regexp_extract_all(col(textCol), lit(emailRe), lit(0)))
           .cast("long"))
       .withColumn("n_phones",
-        size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0)))
+        size(regexp_extract_all(emailScrubbed, lit(phoneRe), lit(0)))
           .cast("long"))
       .withColumn("redacted_text",
-        regexp_replace(
-          regexp_replace(col(textCol), emailRe, "<EMAIL>"),
-          phoneRe, "<PHONE>"))
+        regexp_replace(emailScrubbed, phoneRe, "<PHONE>"))
+  }
 }

@@ -66,20 +66,32 @@ object IncrementalGold {
         .as("avg_value"),
       hll_sketch_estimate(col("days_sketch")).as("approx_days_active"))
 
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
   private def latestVersion(spark: SparkSession, stateDir: String): Int = {
     // Hadoop FileSystem, not java.io.File: state dirs live wherever
-    // the tables do (HDFS/S3A in a deployment, local here).
-    val p = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the tables do (HDFS/S3A in a deployment, local here). Only a
+    // version carrying the committer's _SUCCESS marker counts — a
+    // run that crashed mid-write leaves a v=N+1 dir with partial (or
+    // zero) files, and reading it would either fail every subsequent
+    // run or silently merge partial state forward.
+    val (fs, p) = fsOf(spark, stateDir)
     if (!fs.exists(p)) -1
-    else fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toInt)
+    else fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("v="))
+      .filter(vp => fs.exists(
+        new org.apache.hadoop.fs.Path(vp, "_SUCCESS")))
+      .map(_.getName.stripPrefix("v=").toInt)
       .foldLeft(-1)(math.max)
   }
 
   /** One incremental run: fold `newBatch` into the state under
-    * `stateDir`, returning the new state version. */
+    * `stateDir`, returning the new state version. A version left by a
+    * crashed run (present but without `_SUCCESS`) is cleared and
+    * rewritten — the previous committed version is never touched. */
   def run(spark: SparkSession, newBatch: DataFrame,
           stateDir: String): Int = {
     val delta = partials(newBatch)
@@ -87,7 +99,13 @@ object IncrementalGold {
     val merged =
       if (v < 0) merge(delta.limit(0), delta)
       else merge(spark.read.parquet(s"$stateDir/v=$v"), delta)
-    merged.write.mode("errorifexists").parquet(s"$stateDir/v=${v + 1}")
+    val (fs, _) = fsOf(spark, stateDir)
+    val target = new org.apache.hadoop.fs.Path(s"$stateDir/v=${v + 1}")
+    // an existing target here is by definition uncommitted (no
+    // _SUCCESS, or latestVersion would have returned it) — retry heals
+    if (fs.exists(target)) require(fs.delete(target, true),
+      s"could not clear uncommitted $target")
+    merged.write.mode("errorifexists").parquet(target.toString)
     v + 1
   }
 

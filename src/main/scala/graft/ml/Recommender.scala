@@ -115,20 +115,29 @@ object Recommender {
     // The cap is a THRESHOLD (every n <= cap is kept), so stop at the
     // first size that busts the budget — a later size that would fit
     // on its own cannot be admitted without readmitting this one.
-    var cum = 0L
+    var cum = BigInt(0)
     var cap = 1L
     var stop = false
     hist.foreach { case (n, cnt) =>
       if (!stop) {
-        val pairs = cnt * n * (n - 1)
-        if (cum + pairs <= pairBudget) { cum += pairs; cap = math.max(cap, n) }
-        else stop = true
+        // BigInt: cnt·n·(n−1) overflows Long exactly when the blowup
+        // is worst (n ~ 10⁶, cnt ~ 10⁸ wraps negative and would ADMIT
+        // the size the cap exists to exclude); this loop is a
+        // driver-side walk over a few hundred histogram rows, so
+        // arbitrary precision costs nothing
+        val pairs = BigInt(cnt) * BigInt(n) * BigInt(n - 1)
+        if (cum + pairs <= BigInt(pairBudget)) {
+          cum += pairs; cap = math.max(cap, n)
+        } else stop = true
       }
     }
     math.min(cap, Int.MaxValue).toInt
   }
 
-  /** Top-k co-items per item with deterministic tie-break. */
+  /** Top-k co-items per item with deterministic tie-break. Output is
+    * `(item, co_item, n_baskets, rnk)` — `rnk` (1-based rank within
+    * the item) is part of the contract, not a leaked scratch
+    * column. */
   def topCoItems(co: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("item"))
       .orderBy(col("n_baskets").desc, col("co_item"))

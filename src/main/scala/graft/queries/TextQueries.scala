@@ -1091,16 +1091,24 @@ object TextQueries {
       |        THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
       |        ELSE '' END AS text
       |  FROM documents),
+      |es AS (
+      |  SELECT doc_id, source, text,
+      |    regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |      '<EMAIL>', 'g') AS email_scrubbed
+      |  FROM aug),
       |r AS (
+      |  -- phones counted on the EMAIL-REDACTED text, mirroring the
+      |  -- operator: a phone inside an email-shaped token is consumed
+      |  -- by the email pass and must not be double-counted
       |  SELECT doc_id, source,
       |    len(regexp_extract_all(text,
       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-      |    len(regexp_extract_all(text,
+      |    len(regexp_extract_all(email_scrubbed,
       |      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phones,
-      |    length(regexp_replace(regexp_replace(text,
-      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    length(regexp_replace(email_scrubbed,
       |      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')) AS rlen
-      |  FROM aug)
+      |  FROM es)
       |SELECT source, COUNT(*) AS docs,
       |  CAST(SUM(n_emails) AS BIGINT) AS emails_redacted,
       |  CAST(SUM(n_phones) AS BIGINT) AS phones_redacted,

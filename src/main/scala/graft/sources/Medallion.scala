@@ -98,9 +98,26 @@ object Medallion {
   def compact(spark: SparkSession, tableDir: String,
               targetFiles: Int): Unit = {
     val tmp = tableDir + ".compact-tmp"
-    spark.read.parquet(tableDir)
-      .coalesce(targetFiles)
-      .write.mode("overwrite")
+    val live0 = new org.apache.hadoop.fs.Path(tableDir)
+    val fs0 =
+      live0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Preserve a partitioned layout: discovery turns `k=v` dirs into
+    // data columns, and a flat rewrite would both lose file-level
+    // pruning and poison the table for the NEXT partitioned append
+    // ("conflicting directory structures"). Partition columns are the
+    // first-level `k=` directory names.
+    val partCols = fs0.listStatus(live0).map(_.getPath.getName)
+      .filter(_.contains("=")).map(_.takeWhile(_ != '=')).distinct.toSeq
+    val df = spark.read.parquet(tableDir)
+    val writer =
+      if (partCols.isEmpty) df.coalesce(targetFiles).write
+      else
+        // hash-cluster on the partition keys so each partition value
+        // lands in one task → one output file per partition dir
+        df.repartition(targetFiles, partCols.map(org.apache.spark.sql
+            .functions.col): _*)
+          .write.partitionBy(partCols: _*)
+    writer.mode("overwrite")
       .option("compression", "snappy")
       .parquet(tmp)
     val live = new org.apache.hadoop.fs.Path(tableDir)

@@ -53,17 +53,21 @@ object TextKernels {
   def minhash(shingles: ArrayData, k: Int): ArrayData = {
     val n = shingles.numElements()
     val mins = new Array[Array[Byte]](k)
+    // hoist the K "<j>:" salt prefixes — rebuilding them per
+    // (shingle, permutation) pair costs n*K string+byte allocations
+    // in the kernel whose whole point is being the JIT-friendly path
+    val salts = Array.tabulate(k) { j =>
+      (java.lang.Integer.toString(j) + ":").getBytes("US-ASCII")
+    }
     var si = 0
     while (si < n) {
       val s = shingles.getUTF8String(si).getBytes
       var j = 0
       while (j < k) {
-        val salt = java.lang.Integer.toString(j)
-        val buf = new Array[Byte](salt.length + 1 + s.length)
-        var c = 0
-        while (c < salt.length) { buf(c) = salt.charAt(c).toByte; c += 1 }
-        buf(salt.length) = ':'
-        System.arraycopy(s, 0, buf, salt.length + 1, s.length)
+        val salt = salts(j)
+        val buf = new Array[Byte](salt.length + s.length)
+        System.arraycopy(salt, 0, buf, 0, salt.length)
+        System.arraycopy(s, 0, buf, salt.length, s.length)
         val h = md5Hex(buf)
         if (mins(j) == null || compareHex(h, mins(j)) < 0) mins(j) = h
         j += 1
@@ -151,9 +155,9 @@ object TextKernels {
   def simhash16(tokens: ArrayData): Int = {
     val votes = new Array[Int](16)
     val n = tokens.numElements()
+    val md = mdLocal.get()
     var i = 0
     while (i < n) {
-      val md = mdLocal.get()
       md.reset()
       val d = md.digest(tokens.getUTF8String(i).getBytes)
       val v = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
@@ -178,13 +182,22 @@ object TextKernels {
     val bytes = text.getBytes
     if (bytes.length < 8) return (null, 0)
     var minHex: Array[Byte] = null
-    val distinct = new java.util.HashSet[String]()
+    // the gram IS 8 bytes: pack it into a primitive long for the
+    // distinct count instead of retaining a 32-char hex String per
+    // window (~50x the input in live objects on a large doc); the
+    // md5 is still computed for the min-fingerprint. Distinct grams
+    // == distinct gram-md5s barring a digest collision, which is
+    // also what the declarative hex form counts.
+    val distinct = new java.util.HashSet[java.lang.Long]()
     var i = 0
     while (i + 8 <= bytes.length) {
       val gram = java.util.Arrays.copyOfRange(bytes, i, i + 8)
       val h = md5Hex(gram)
       if (minHex == null || compareHex(h, minHex) < 0) minHex = h
-      distinct.add(new String(h, "US-ASCII"))
+      var packed = 0L
+      var b = 0
+      while (b < 8) { packed = (packed << 8) | (gram(b) & 0xffL); b += 1 }
+      distinct.add(packed)
       i += 1
     }
     (UTF8String.fromBytes(minHex), distinct.size)

@@ -232,6 +232,31 @@ class MedallionSpec extends SparkSpec {
     assert(!new java.io.File(out + ".compact-old").exists())
   }
 
+  test("compact preserves a date-partitioned layout") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_compact3").toString
+    val df = (1 to 200).map(i =>
+      (i.toLong, s"2024-01-0${i % 3 + 1}")).toDF("id", "date")
+    df.repartition(16).write.mode("overwrite")
+      .partitionBy("date").parquet(out)
+    Medallion.compact(spark, out, 2)
+    // date= dirs survive (flattening would poison the next
+    // partitioned append and lose file pruning)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("date=")).map(_.getName).sorted
+    assert(dirs.toSeq ==
+      Seq("date=2024-01-01", "date=2024-01-02", "date=2024-01-03"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 200)
+    assert(back.agg(sum(col("id"))).head.getLong(0) == 20100L)
+    // and the small files are actually consolidated: one per dir
+    dirs.foreach { dname =>
+      val n = new java.io.File(out, dname).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"$dname has $n files")
+    }
+  }
+
   test("compact recovers from a stale backup left by a crashed run") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_compact2").toString
