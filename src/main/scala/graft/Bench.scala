@@ -48,13 +48,7 @@ object Bench {
       }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
+    def jstr(s: String): String = Json.str(s)
     def renderJson(results: Seq[(String, Double, Option[String])],
                    done: Boolean): String = {
       val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
@@ -62,7 +56,7 @@ object Bench {
       val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
         .mkString("{", ",", "}")
       val total = results.collect { case (_, v, None) => v }.sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","complete":$done,"n_queries":${results.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${Json.str(sfDir)},"complete":$done,"n_queries":${results.size}}"""
     }
     // Partial-evidence file, rewritten after EVERY query: a harness
     // timeout (BENCH_r02 was rc=124 with parsed:null) now leaves a
@@ -86,8 +80,11 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
       val (a, ea) = timeOnce(name, fn)
+      // rerun ONLY when the first pass succeeded and was slow
+      // (min-of-2 vs JIT noise); rerunning an ERRORED pass would burn
+      // a second full watchdog timeout and then discard the result
       val (b, eb) =
-        if (ea.isEmpty && a <= rerunThreshold) (a, ea)
+        if (ea.isDefined || a <= rerunThreshold) (a, ea)
         else timeOnce(name, fn)
       // No query may leave cached/persisted state behind to skew its
       // successors (round-1 lesson: q24's persist survived 30+ queries).

@@ -98,8 +98,14 @@ object SilverJob {
                qualityThreshold: Double = 0.8): TopicResult = {
     val t0 = System.nanoTime()
     try {
-      val dir = new java.io.File(s"$bronzeRoot/${cfg.bronzePrefix}")
-      if (!dir.exists())
+      // Hadoop FS probe, not java.io.File — the roots may be any
+      // supported scheme (hdfs://, s3a://), where a local-File
+      // exists() is always false and the job would silently skip
+      // every topic.
+      val dir = new org.apache.hadoop.fs.Path(
+        s"$bronzeRoot/${cfg.bronzePrefix}")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir))
         return TopicResult(cfg.name, success = false, 0, 0, 0.0,
           Some(s"No bronze files found for ${cfg.name}"))
       val bronze = Medallion.readBronze(spark, cfg.schema, dir.toString)
@@ -116,7 +122,10 @@ object SilverJob {
         if (score < qualityThreshold)
           System.err.println(
             f"[silver-job] WARN low data quality for ${cfg.name}: $score%.2f")
-        Medallion.writePartitioned(silver, s"$silverRoot/${cfg.silverTable}")
+        // overwritePartitions, not append: a cron retry re-running the
+        // job must replace the dates it rebuilds, never double them
+        Medallion.overwritePartitions(
+          silver, s"$silverRoot/${cfg.silverTable}")
         Medallion.writeRunMetadata(spark, metaDir,
           s"silver:${cfg.name}", raw, processed,
           (System.nanoTime() - t0) / 1e9)
@@ -175,8 +184,9 @@ object GoldJob {
           metaDir: String, gateThreshold: Double = 0.8): Map[String, Boolean] = {
     val t0 = System.nanoTime()
     def readIf(table: String): Option[DataFrame] = {
-      val dir = new java.io.File(s"$silverRoot/$table")
-      if (dir.exists()) Some(Medallion.readTable(spark, dir.toString))
+      val dir = new org.apache.hadoop.fs.Path(s"$silverRoot/$table")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) Some(Medallion.readTable(spark, dir.toString))
       else None
     }
     val clicksOpt = readIf("clickstream_silver")
@@ -200,7 +210,8 @@ object GoldJob {
       val results = tables(clicks, readIf("user_events_silver"),
         readIf("product_events_silver")).map { case (name, df) =>
         val out = df.withColumn("date", current_date())
-        Medallion.writePartitioned(out, s"$goldRoot/$name")
+        // replace today's partition on re-run, never append-double it
+        Medallion.overwritePartitions(out, s"$goldRoot/$name")
         name -> true
       }.toMap
       Medallion.writeRunMetadata(spark, metaDir, "gold",
@@ -230,7 +241,9 @@ object GoldJob {
     val ok = results.values.count(identity)
     System.err.println(s"[gold-job] complete: $ok/${results.size} tables")
     spark.stop()
-    if (results.nonEmpty && ok == 0) sys.exit(1)
+    // an empty result map means NOTHING was produced (no silver input)
+    // — that must fail the run, or an orchestrator marks a no-op green
+    if (results.isEmpty || ok == 0) sys.exit(1)
   }
 }
 
@@ -295,10 +308,16 @@ object IncrementalSilverJob {
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
-        val silver = Silver.clickstream(batch.toDF())
-        if (!silver.isEmpty)
-          Medallion.writePartitioned(silver, silverDir)
+          org.apache.spark.sql.Row], batchId: Long) =>
+        // batchId-keyed delivery marker: foreachBatch replays a batch
+        // after a crash between the data write and the checkpoint
+        // commit, and a blind append would duplicate those silver rows
+        graft.streaming.Features.withBatchMarker(batch.toDF(),
+          checkpointDir + ".markers", batchId, payload = "") {
+          val silver = Silver.clickstream(batch.toDF())
+          if (!silver.isEmpty)
+            Medallion.writePartitioned(silver, silverDir)
+        }
       }
       .start()
       .awaitTermination()

@@ -38,9 +38,13 @@ object Rules {
   def enumIn(c: Column, allowed: Seq[String]): Column =
     c.isNull || c.isin(allowed: _*)
 
-  /** V4: numeric range; non-castable or out-of-range fails, null passes. */
+  /** V4: numeric range; non-castable or out-of-range fails, null
+    * passes. `try_cast`, not `cast`: a plain cast THROWS under ANSI
+    * mode (the Spark 4 default) on a non-numeric string — a validator
+    * must classify bad input, never crash on it (the V5 lesson). */
   def numericRange(c: Column, min: Double, max: Double): Column =
-    c.isNull || c.cast("double").between(min, max)
+    c.isNull || c.try_cast(org.apache.spark.sql.types.DoubleType)
+      .between(min, max)
 
   /** V5: parseable timestamp; null passes. `try_to_timestamp`, not
     * `to_timestamp`: under ANSI mode (the Spark 4 default) the latter
@@ -50,11 +54,15 @@ object Rules {
   def timestampValid(c: Column): Column =
     c.isNull || try_to_timestamp(c.cast("string")).isNotNull
 
-  /** V6: recency window [now − maxDaysOld, now + maxDaysFuture]. */
+  /** V6: recency window [now − maxDaysOld, now + maxDaysFuture] —
+    * INTERVAL arithmetic on the timestamp, not date_sub/date_add:
+    * those return DateType (midnight-truncated), which turned
+    * "no future events" (`maxDaysFuture = 0`) into "nothing after
+    * TODAY 00:00", rejecting every valid event earlier today. */
   def timestampRange(c: Column, maxDaysOld: Int, maxDaysFuture: Int): Column =
     c.isNull || c.between(
-      date_sub(current_timestamp(), maxDaysOld),
-      date_add(current_timestamp(), maxDaysFuture))
+      current_timestamp() - expr(s"INTERVAL $maxDaysOld DAYS"),
+      current_timestamp() + expr(s"INTERVAL $maxDaysFuture DAYS"))
 
   /** V7 (intended semantics): `c` required iff `cond` ∈ values. */
   def conditionalRequired(c: Column, cond: Column,

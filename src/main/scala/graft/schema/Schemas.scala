@@ -134,7 +134,12 @@ object Schemas {
 
   /** Timestamp parse policy (SURVEY §7 risk #4): the producers emit
     * both naive-local ISO (`ecommerce_producers.py:117`) and UTC-aware
-    * ISO. `to_timestamp` parses both under UTC session tz; unparseable
-    * → null, matching `pd.to_datetime(errors='coerce')`. */
-  def parseTs(c: Column): Column = to_timestamp(c)
+    * ISO, parsed under the UTC session tz; unparseable → null,
+    * matching `pd.to_datetime(errors='coerce')`. MUST be
+    * `try_to_timestamp`: plain `to_timestamp` THROWS under ANSI mode
+    * (the Spark 4 default), so one garbage timestamp string in a
+    * bronze batch would kill the whole silver job instead of being
+    * coerced to null and filtered (the Rules.timestampValid lesson
+    * applied at the ingestion layer). */
+  def parseTs(c: Column): Column = try_to_timestamp(c)
 }

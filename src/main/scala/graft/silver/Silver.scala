@@ -36,14 +36,27 @@ object Silver {
       .withColumn("event_type", Schemas.normalizeEventType(col("event_type")))
       .drop("item_id", "category", "price", "url")
 
-    val typed = normalized
+    val cleaned = normalized
       .withColumn("ts", Schemas.parseTs(col("timestamp")))
       .na.drop(Seq("user_id", "product_id", "event_type"))
       .filter(col("ts").isNotNull)
       .filter(col("event_type").isin(
         "view", "click", "add_to_cart", "purchase", "remove_from_cart",
         "search", "recommendation_clicked"))
-      .dropDuplicates("event_id")
+
+    // D1 with a PINNED survivor (not dropDuplicates, which keeps a
+    // partition-layout-dependent arbitrary row — the A8 bug class the
+    // users/products transforms already guard against): same-id rows
+    // order by a content hash, and null-id rows pass through untouched
+    // (dropDuplicates would collapse ALL null ids into one survivor).
+    val typed = {
+      val wDedup = Window.partitionBy(col("event_id"))
+        .orderBy(xxhash64(cleaned.columns.map(col): _*).desc)
+      cleaned.filter(col("event_id").isNull).unionByName(
+        cleaned.filter(col("event_id").isNotNull)
+          .withColumn("__rn", row_number().over(wDedup))
+          .filter(col("__rn") === 1).drop("__rn"))
+    }
 
     val wSession = Window.partitionBy(col("session_id"))
       .orderBy(col("ts"), col("event_id"))

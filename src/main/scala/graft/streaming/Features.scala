@@ -346,8 +346,8 @@ object Features {
     * scenario the marker exists for. Runs `deliver` only when no
     * marker exists, then records the marker (with `payload` for
     * reconciliation). */
-  private def withBatchMarker(batch: DataFrame, markerDir: String,
-                              batchId: Long, payload: String)(
+  private[graft] def withBatchMarker(batch: DataFrame, markerDir: String,
+                                     batchId: Long, payload: String)(
       deliver: => Unit): Unit = {
     val dir = new org.apache.hadoop.fs.Path(markerDir)
     val fs = dir.getFileSystem(
