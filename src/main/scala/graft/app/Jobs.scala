@@ -313,10 +313,13 @@ object IncrementalSilverJob {
         // after a crash between the data write and the checkpoint
         // commit, and a blind append would duplicate those silver rows
         graft.streaming.Features.withBatchMarker(batch.toDF(),
-          checkpointDir + ".markers", batchId, payload = "") {
-          val silver = Silver.clickstream(batch.toDF())
-          if (!silver.isEmpty)
-            Medallion.writePartitioned(silver, silverDir)
+          checkpointDir + ".markers", batchId) {
+          val silver = Silver.clickstream(batch.toDF()).persist()
+          val n = silver.count()
+          if (n > 0) Medallion.writePartitioned(silver, silverDir)
+          silver.unpersist()
+          // marker payload = delivered silver row count (reconciliation)
+          n.toString
         }
       }
       .start()

@@ -26,9 +26,20 @@ object Dedup {
     * the timestamp column descending with `tieBreak` columns closing
     * any remaining ties (`main_pipeline.py:302-303,353-354`). */
   def keepLatest(df: DataFrame, key: String, tsCol: String,
-                 tieBreak: Seq[String] = Nil): DataFrame = {
-    val order = col(tsCol).desc +: tieBreak.map(col(_).desc)
-    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+                 tieBreak: Seq[String] = Nil): DataFrame =
+    keepLatestBy(df, Seq(key),
+      col(tsCol).desc +: tieBreak.map(col(_).desc))
+
+  /** D2, general form: one surviving row per composite key, the winner
+    * pinned by an explicit total ordering (callers must order on
+    * columns that make the winner unique — an id tie-break — or the
+    * survivor is partition-dependent, the exact failure dropDuplicates
+    * has). One shuffle on the keys; skew handled by AQE. */
+  def keepLatestBy(df: DataFrame, keys: Seq[String],
+                   order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(!df.columns.contains("__rn"),
+      "keepLatestBy: column __rn is a reserved internal; rename it")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

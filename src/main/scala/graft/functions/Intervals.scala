@@ -27,6 +27,22 @@ object Intervals {
                 lowerUs: Long, upperUs: Long,
                 rightPrefix: String = "r_"): DataFrame = {
     require(lowerUs < upperUs, "rangeJoin: need lowerUs < upperUs")
+    // The implementation claims __lo/__hi/__hi1/__rb as working columns
+    // and maps right columns into the rightPrefix namespace; a caller
+    // column with one of those names would be silently overwritten (or
+    // collide ambiguously) and corrupt the join — fail instead, the
+    // same contract asofJoin enforces (AsOf.scala).
+    val reserved = Seq("__lo", "__hi", "__hi1", "__rb")
+    val clashes = (left.columns ++ right.columns).distinct
+      .filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"rangeJoin: column names $clashes are reserved internals; " +
+        "rename them before the join")
+    val prefixed = right.columns.map(rightPrefix + _).toSet
+    val prefixClashes = left.columns.filter(prefixed.contains)
+    require(prefixClashes.isEmpty,
+      s"rangeJoin: left columns ${prefixClashes.toSeq} collide with " +
+        s"prefixed right columns; pick a different rightPrefix")
     val w = upperUs - lowerUs // bucket width = span ⇒ ≤2 buckets touched
     // Floor-division in PURE LONG arithmetic: `x - pmod(x, w)` is the
     // exact floor multiple, then integer `div`. Column `/` promotes

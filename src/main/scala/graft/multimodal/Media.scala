@@ -74,15 +74,22 @@ object Media {
   }
 
   /** Frame sampling for video-like payloads: split the blob into
-    * `frames` equal chunks and fingerprint each — the real pipeline
-    * shape for frame-level features (chunk boundaries stand in for
-    * decoded frames). Pure Column expression, codegen-friendly. */
+    * `frames` contiguous chunks and fingerprint each — the real
+    * pipeline shape for frame-level features (chunk boundaries stand
+    * in for decoded frames). Chunk f covers bytes
+    * [floor(f·n/frames), floor((f+1)·n/frames)) — the standard integer
+    * chunking, so every byte lands in exactly one chunk (no mid-blob
+    * gaps, no tail drop). The double division inside floor is exact:
+    * f·n ≤ frames·2^31 stays far under 2^53. Pure Column expression,
+    * codegen-friendly. */
   def frameSample(bytesCol: org.apache.spark.sql.Column,
                   frames: Int): org.apache.spark.sql.Column = {
-    val n = length(bytesCol)
-    transform(sequence(lit(0), lit(frames - 1)), f =>
-      md5(substr(bytesCol, (f * (n / frames)) + 1,
-        greatest(n / frames, lit(1)))))
+    val n = length(bytesCol).cast("long")
+    transform(sequence(lit(0), lit(frames - 1)), f => {
+      val start = floor(f.cast("long") * n / frames).cast("int")
+      val end = floor((f + 1).cast("long") * n / frames).cast("int")
+      md5(substr(bytesCol, start + 1, end - start))
+    })
   }
 
   /** Typed-metadata projection + per-kind accounting — the catalog

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.functions.{Analytics, Buckets, EventWeights, Exact, Ranks, TimeFeatures}
+import graft.functions.{Analytics, Buckets, Dedup, EventWeights, Exact, Ranks, TimeFeatures}
 
 /** SURVEY §2 operator inventory expressed over the driver testdata, each
   * with its DuckDB oracle. Scale notes are per-query Scaladoc: the same
@@ -331,11 +331,8 @@ object CoreQueries {
       |  event_type AS last_event_type, value AS last_value
       |FROM r WHERE rn = 1
       |ORDER BY user_id""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    Tables.events(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    Dedup.keepLatest(Tables.events(s, d), "user_id", "ts",
+        tieBreak = Seq("event_id"))
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("event_type").as("last_event_type"),
         col("value").as("last_value"))
@@ -620,11 +617,9 @@ object CoreQueries {
       |  ON e.user_id = p.user_id AND e.ts > p.ts
       |ORDER BY e.event_id""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
-    val w = Window.partitionBy(col("user_id"), col("ts"))
-      .orderBy(col("event_id").desc)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    val purchases = Dedup.keepLatestBy(
+        ev.filter(col("event_type") === "purchase"),
+        Seq("user_id", "ts"), Seq(col("event_id").desc))
       .select(col("user_id"), col("ts"),
         col("event_id").as("last_purchase_event"),
         col("value").as("last_purchase_value"))
@@ -1059,13 +1054,9 @@ object CoreQueries {
       |       ELSE 'unchanged' END AS status
       |FROM f LEFT JOIN h ON f.user_id = h.user_id
       |ORDER BY f.user_id""".stripMargin) { (s, d) =>
-    def latest(df: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      df.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+    def latest(df: DataFrame): DataFrame =
+      Dedup.keepLatest(df, "user_id", "ts", tieBreak = Seq("event_id"))
         .select(col("user_id"), col("value").as("v"))
-    }
     val pur = Tables.events(s, d)
       .filter(col("event_type") === "purchase")
       .select("user_id", "ts", "event_id", "value")
@@ -1177,14 +1168,12 @@ object CoreQueries {
       |  CASE WHEN LEAD(eff) OVER (PARTITION BY o_custkey ORDER BY eff)
       |         IS NULL THEN 1 ELSE 0 END AS is_current
       |FROM chg ORDER BY custkey, valid_from""".stripMargin) { (s, d) =>
-    val wDay = Window.partitionBy(col("o_custkey"), col("eff"))
-      .orderBy(col("o_orderkey").desc)
     val wSeq = Window.partitionBy(col("o_custkey")).orderBy(col("eff"))
-    val states = Tables.orders(s, d)
-      .select(col("o_custkey"), col("o_orderpriority").as("prio"),
-        col("o_orderdate").as("eff"), col("o_orderkey"))
-      .withColumn("rn", row_number().over(wDay))
-      .filter(col("rn") === 1)
+    val states = Dedup.keepLatestBy(
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderpriority").as("prio"),
+            col("o_orderdate").as("eff"), col("o_orderkey")),
+        Seq("o_custkey", "eff"), Seq(col("o_orderkey").desc))
       .withColumn("prev", lag(col("prio"), 1).over(wSeq))
       .filter(col("prev").isNull || col("prio") =!= col("prev"))
     states
@@ -1287,12 +1276,9 @@ object CoreQueries {
       | AND l.o_orderdate > rd.eff
       |ORDER BY l.o_orderkey""".stripMargin) { (s, d) =>
     val o = Tables.orders(s, d)
-    val wDed = Window
-      .partitionBy(col("o_custkey"), col("o_orderpriority"),
-        col("o_orderdate"))
-      .orderBy(col("o_orderkey").desc)
-    val rd = o.withColumn("rn", row_number().over(wDed))
-      .filter(col("rn") === 1)
+    val rd = Dedup.keepLatestBy(o,
+        Seq("o_custkey", "o_orderpriority", "o_orderdate"),
+        Seq(col("o_orderkey").desc))
       .select(col("o_custkey"), col("o_orderpriority"),
         col("o_orderdate").as("eff"),
         to_date(col("o_orderdate")).as("prev_date"),
@@ -1323,9 +1309,9 @@ object CoreQueries {
       |  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
       |  FROM orders),
       |b AS (
-      |  SELECT LEAST(CAST(FLOOR(
+      |  SELECT CASE WHEN hi = lo THEN 0 ELSE LEAST(CAST(FLOOR(
       |    (o_totalprice - lo) / ((hi - lo) / 20.0)) AS BIGINT), 19)
-      |    AS bin
+      |    END AS bin
       |  FROM orders, s)
       |SELECT bin, COUNT(*) AS n FROM b GROUP BY bin ORDER BY bin"""
       .stripMargin) { (s, d) =>
@@ -1333,10 +1319,14 @@ object CoreQueries {
     val stats = o.agg(min(col("o_totalprice")).as("lo"),
       max(col("o_totalprice")).as("hi"))
     o.crossJoin(broadcast(stats))
-      .select(least(
+      // hi == lo (degenerate range, e.g. a filtered-down table) makes
+      // the width 0: Spark's floor(x/0.0)=NaN casts to 0 while DuckDB
+      // ERRORS on CAST(NaN AS BIGINT) — guard both sides identically
+      // so the engines stay defined and equal everywhere
+      .select(when(col("hi") === col("lo"), lit(0L)).otherwise(least(
         floor((col("o_totalprice") - col("lo"))
           / ((col("hi") - col("lo")) / lit(20.0))).cast("long"),
-        lit(19L)).as("bin"))
+        lit(19L))).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
       .orderBy("bin")
   }

@@ -151,7 +151,7 @@ object TextQueries {
       val sigCols = (0 until K)
         .map(j => s"min((a + $j * hb) % 4294967296) AS mh$j").mkString(", ")
       val bandCase = (0 until B).map { b =>
-        val cat = (0 until R).map(r => s"CAST(mh${B * b + r} AS VARCHAR)")
+        val cat = (0 until R).map(r => s"CAST(mh${R * b + r} AS VARCHAR)")
           .mkString(" || ',' || ")
         s"WHEN $b THEN $cat"
       }.mkString(" ")
@@ -194,7 +194,7 @@ object TextQueries {
     // candidates → exact verify) is the same.
     val sig = minhashWide(shingleTable(s, d))
     val bandStructs = (0 until B).map { b =>
-      val cat = concat_ws(",", (0 until R).map(r => col(s"mh${B * b + r}")): _*)
+      val cat = concat_ws(",", (0 until R).map(r => col(s"mh${R * b + r}")): _*)
       struct(lit(b).as("b"), cat.as("bsig"))
     }
     val bands = sig.select(col("doc_id"),
@@ -681,7 +681,7 @@ object TextQueries {
   private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     val sig = minhashWide(shingleTable(s, d))
     val bandStructs = (0 until B).map { b =>
-      val cat = concat_ws(",", (0 until R).map(r => col(s"mh${B * b + r}")): _*)
+      val cat = concat_ws(",", (0 until R).map(r => col(s"mh${R * b + r}")): _*)
       struct(lit(b).as("b"), cat.as("bsig"))
     }
     val bands = sig.select(col("doc_id"),

@@ -37,6 +37,49 @@ object VectorQueries {
       |    sqrt(${Vectors.dotSql("embedding", "embedding", DIM)}) AS nrm
       |  FROM embeddings)""".stripMargin
 
+  /** Shared IVF probe/search stage (q38 sampled centroids, q43 k-means
+    * centroids — ONLY the quantizer differs): assign every vector to
+    * its nearest centroid by cosine, probe each query's 2 nearest
+    * cells, exact cosine against the probed cells' members, top-3 per
+    * query with vec_id tie-breaks. `cent` must carry (cid, ce, cn) and
+    * is broadcast — centroid counts are bounded by construction in
+    * both callers. */
+  private def ivfSearch(n: org.apache.spark.sql.DataFrame,
+                        cent: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def nearestCells(vecs: org.apache.spark.sql.DataFrame, keep: Int,
+                     idAs: String) = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy((Vectors.dot(col("e"), col("ce"))
+          / (col("nrm") * col("cn"))).desc, col("cid"))
+      vecs.crossJoin(broadcast(cent))
+        .withColumn("rc", row_number().over(w))
+        .filter(col("rc") <= keep)
+        .select(col("vec_id").as(idAs), col("cid"))
+    }
+    val assign = nearestCells(n, 1, "vec_id")
+    val probe = nearestCells(n.filter(col("vec_id") < 25), 2, "query_id")
+    val sims = probe
+      .join(assign, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+      .join(n.select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .join(n.select(col("vec_id").as("neighbor_id"), col("e"),
+        col("nrm")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Vectors.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+          .as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        graft.functions.Exact.roundP(col("sim"), 6).as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** q32 — brute-force cosine top-5 neighbors for a bounded query set
     * (vec_id < 25). The query side is tiny and broadcast; cost is
     * linear in N. */
@@ -201,37 +244,7 @@ object VectorQueries {
     val cent = n.filter(col("vec_id") % 32 === 0)
       .select(col("vec_id").as("cid"), col("e").as("ce"),
         col("nrm").as("cn"))
-    def nearestCells(vecs: org.apache.spark.sql.DataFrame, keep: Int,
-                     idAs: String) = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy((Vectors.dot(col("e"), col("ce"))
-          / (col("nrm") * col("cn"))).desc, col("cid"))
-      vecs.crossJoin(broadcast(cent))
-        .withColumn("rc", row_number().over(w))
-        .filter(col("rc") <= keep)
-        .select(col("vec_id").as(idAs), col("cid"))
-    }
-    val assign = nearestCells(n, 1, "vec_id")
-    val probe = nearestCells(n.filter(col("vec_id") < 25), 2, "query_id")
-    val sims = probe
-      .join(assign, Seq("cid"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      .distinct()
-      .join(n.select(col("vec_id").as("query_id"), col("e").as("qe"),
-        col("nrm").as("qn")), Seq("query_id"))
-      .join(n.select(col("vec_id").as("neighbor_id"), col("e"),
-        col("nrm")), Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (Vectors.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
-          .as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        graft.functions.Exact.roundP(col("sim"), 6).as("cosine"))
-      .orderBy("query_id", "rnk")
+    ivfSearch(n, cent)
   }
 
   /** q42 — embedding-cosine near-duplicate DEDUP (the curation
@@ -356,37 +369,7 @@ object VectorQueries {
     import s.implicits._
     val cent = centroids.toDF("cid", "ce")
       .withColumn("cn", Vectors.norm(col("ce")))
-    def nearestCells(vecs: org.apache.spark.sql.DataFrame, keep: Int,
-                     idAs: String) = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy((Vectors.dot(col("e"), col("ce"))
-          / (col("nrm") * col("cn"))).desc, col("cid"))
-      vecs.crossJoin(broadcast(cent))
-        .withColumn("rc", row_number().over(w))
-        .filter(col("rc") <= keep)
-        .select(col("vec_id").as(idAs), col("cid"))
-    }
-    val assign = nearestCells(n, 1, "vec_id")
-    val probe = nearestCells(n.filter(col("vec_id") < 25), 2, "query_id")
-    val sims = probe
-      .join(assign, Seq("cid"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      .distinct()
-      .join(n.select(col("vec_id").as("query_id"), col("e").as("qe"),
-        col("nrm").as("qn")), Seq("query_id"))
-      .join(n.select(col("vec_id").as("neighbor_id"), col("e"),
-        col("nrm")), Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (Vectors.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
-          .as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"),
-        graft.functions.Exact.roundP(col("sim"), 6).as("cosine"))
-      .orderBy("query_id", "rnk")
+    ivfSearch(n, cent)
   }
 
   /** q47 — the q42 keep rule at its 100-TB shape: LSH-bucketed

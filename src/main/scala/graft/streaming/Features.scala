@@ -255,9 +255,13 @@ object Features {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        withBatchMarker(batch, checkpointDir + ".markers", batchId,
-          payload = "") {
+        withBatchMarker(batch, checkpointDir + ".markers", batchId) {
           val b = batch.persist()
+          // marker payload = batch row count: three sequential appends
+          // are the widest non-atomic window in the engine, and a
+          // crash mid-fan-out is only reconcilable if the marker says
+          // how many rows each sink should have gained
+          val n = b.count()
           b.write.mode("append").parquet(userDir)
           b.groupBy(col("product_id"))
             .agg(count(lit(1)).as("events"))
@@ -265,7 +269,7 @@ object Features {
           b.filter(col("event_type").isin("add_to_cart", "purchase"))
             .write.mode("append").parquet(signalsDir)
           b.unpersist()
-          ()
+          n.toString
         }
       }
 
@@ -344,11 +348,13 @@ object Features {
     * driver-local `java.io.File` marker is gone when the driver
     * restarts on another node, which is exactly the crash-replay
     * scenario the marker exists for. Runs `deliver` only when no
-    * marker exists, then records the marker (with `payload` for
-    * reconciliation). */
+    * marker exists, then records the marker with the payload `deliver`
+    * RETURNS (the delivered row count, for reconciliation) — payload
+    * production lives inside the guarded block so the already-
+    * delivered replay path does no batch work at all. */
   private[graft] def withBatchMarker(batch: DataFrame, markerDir: String,
-                                     batchId: Long, payload: String)(
-      deliver: => Unit): Unit = {
+                                     batchId: Long)(
+      deliver: => String): Unit = {
     val dir = new org.apache.hadoop.fs.Path(markerDir)
     val fs = dir.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
@@ -356,7 +362,7 @@ object Features {
     if (fs.exists(marker)) {
       System.err.println(s"[sink] batch $batchId already delivered, skipping")
     } else {
-      deliver
+      val payload = deliver
       fs.mkdirs(dir)
       val out = fs.create(marker, true)
       try out.write(payload.getBytes("UTF-8")) finally out.close()
@@ -374,11 +380,15 @@ object Features {
     * batch row count for reconciliation. */
   def idempotentSink(outDir: String, markerDir: String)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
-    val n = batch.persist().count()
-    withBatchMarker(batch, markerDir, batchId, payload = n.toString) {
-      batch.write.mode("append").parquet(outDir)
+    withBatchMarker(batch, markerDir, batchId) {
+      // persist+count INSIDE the guarded block: a replayed
+      // already-delivered batch skips without scanning its data
+      val b = batch.persist()
+      val n = b.count()
+      b.write.mode("append").parquet(outDir)
+      b.unpersist()
+      n.toString
     }
-    batch.unpersist()
     ()
   }
 

@@ -49,9 +49,15 @@ object TextKernels {
   }
 
   /** K MinHash components: element j = min over shingles of
-    * md5("<j>:" + shingle) as lower-hex. Returns array<string>. */
+    * md5("<j>:" + shingle) as lower-hex. Returns array<string>.
+    * Empty shingle set → EMPTY signature, matching [[minhashU32]]: a
+    * K-null signature concat-banded with null-skipping concat_ws would
+    * give every <shingle-size document the same empty band string and
+    * false-collide them all. Element access on the empty array yields
+    * SQL NULL band components, which never equi-join. */
   def minhash(shingles: ArrayData, k: Int): ArrayData = {
     val n = shingles.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
     val mins = new Array[Array[Byte]](k)
     // hoist the K "<j>:" salt prefixes — rebuilding them per
     // (shingle, permutation) pair costs n*K string+byte allocations

@@ -96,6 +96,13 @@ object KernelProps extends Properties("graft.kernels") {
         .numElements() == 0
     }
 
+  property("minhash (string): empty shingles → empty signature, " +
+    "matching the u32 kernel's no-shared-sentinel contract") =
+    Prop {
+      TextKernels.minhash(new GenericArrayData(Array.empty[Any]), 16)
+        .numElements() == 0
+    }
+
   property("minhashU32 matches a direct md5 reference model") =
     Prop.forAll(tokenList) { ts =>
       val got = TextKernels.minhashU32(arr(ts), 4)

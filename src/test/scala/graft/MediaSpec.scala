@@ -48,4 +48,23 @@ class MediaSpec extends SparkSpec {
     val b = df.collect().map(_.getSeq[String](1)).toSeq
     assert(a == b)
   }
+
+  test("frameSample chunks are contiguous and cover every byte") {
+    // 10 bytes, 4 frames: floor boundaries 0,2,5,7,10 -> chunk
+    // lengths 2,3,2,3 (the old double-truncation formula skipped
+    // interior bytes; this pins the contiguous integer chunking)
+    val payload = "abcdefghij".getBytes("US-ASCII")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(bs: Array[Byte]): String = {
+      md.reset()
+      md.digest(bs).map("%02x".format(_)).mkString
+    }
+    val expect = Seq((0, 2), (2, 5), (5, 7), (7, 10)).map {
+      case (s, e) => hex(payload.slice(s, e))
+    }
+    val got = Seq(payload).toDF("bytes")
+      .select(Media.frameSample(col("bytes"), 4).as("frames"))
+      .head().getSeq[String](0)
+    assert(got == expect)
+  }
 }
