@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Analytics, Buckets}
+import graft.functions.{Analytics, Buckets, Exact}
 
 /** Silver→gold aggregates (SURVEY §2.4 — the reference's
   * `gold_pipeline.py:168-339` as four groupBy plans off one cached
@@ -26,8 +26,14 @@ object Gold {
       countDistinct(col("product_id")).as("products_viewed"),
       countDistinct(col("session_id")).as("total_sessions"),
       sum(col("event_weight")).as("total_engagement"),
-      round(sum(col("product_price")), 2).as("total_value_browsed"),
-      round(avg(col("product_price")), 2).as("avg_price_interest"))
+      // money sums/avgs through the decimal accumulator (Exact.sumD):
+      // a raw double sum is partition-order dependent, so the same
+      // silver input could round differently across runs/retries —
+      // event_weight is an int column, its long sum needs no such care
+      Exact.round2(Exact.sumD(col("product_price")))
+        .as("total_value_browsed"),
+      Exact.round2(Exact.avgD(col("product_price")))
+        .as("avg_price_interest"))
       .withColumn("events_per_session",
         round(col("total_events") /
           greatest(col("total_sessions"), lit(1)).cast("double"), 2))
@@ -52,7 +58,7 @@ object Gold {
       count(lit(1)).as("total_interactions"),
       countDistinct(col("session_id")).as("unique_sessions"),
       sum(col("event_weight")).as("total_engagement"),
-      round(avg(col("product_price")), 2).as("avg_price"),
+      Exact.round2(Exact.avgD(col("product_price"))).as("avg_price"),
       // A8 with pinned ordering (SURVEY A8 ⚠): the category of the
       // LATEST event carrying one, ties broken by event_id — a bare
       // first(ignoreNulls) would be partition-order nondeterministic.

@@ -79,12 +79,17 @@ object IncrementalGold {
     // zero) files, and reading it would either fail every subsequent
     // run or silently merge partial state forward.
     val (fs, p) = fsOf(spark, stateDir)
+    // strict ^v=\d+$ match: a stray `v=5.bak` or `v=old` parked by an
+    // operator must be SKIPPED, not allowed to poison every subsequent
+    // run with a NumberFormatException
+    val versioned = "^v=(\\d+)$".r
     if (!fs.exists(p)) -1
     else fs.listStatus(p).map(_.getPath)
-      .filter(_.getName.startsWith("v="))
-      .filter(vp => fs.exists(
-        new org.apache.hadoop.fs.Path(vp, "_SUCCESS")))
-      .map(_.getName.stripPrefix("v=").toInt)
+      .flatMap(vp => vp.getName match {
+        case versioned(n) if fs.exists(
+          new org.apache.hadoop.fs.Path(vp, "_SUCCESS")) => Some(n.toInt)
+        case _ => None
+      })
       .foldLeft(-1)(math.max)
   }
 

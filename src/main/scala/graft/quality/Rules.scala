@@ -112,6 +112,13 @@ object Rules {
 
   // --- Evaluation (V12–V14) ------------------------------------------
 
+  /** Backtick-quoted column reference: rule names are user data
+    * (spaces, dots, quotes all legal), and a bare `col(s"_pass_$name")`
+    * would parse a dotted name as a struct access. withColumn/alias
+    * write names literally; every read must come through here. */
+  private def passCol(r: Rule): Column =
+    col("`_pass_" + r.name.replace("`", "``") + "`")
+
   /** One projection adding a boolean pass-flag per rule plus `_valid`
     * (V12: no failed Critical/Error rule). */
   def evaluate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
@@ -119,7 +126,7 @@ object Rules {
       acc.withColumn(s"_pass_${r.name}", coalesce(r.passes, lit(false)))
     }
     val gating = rules.filter(r => r.severity != Warning)
-    val valid = gating.map(r => col(s"_pass_${r.name}"))
+    val valid = gating.map(passCol)
       .reduceOption(_ && _).getOrElse(lit(true))
     flagged.withColumn("_valid", valid)
   }
@@ -131,7 +138,7 @@ object Rules {
   def batchStats(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val ev = evaluate(df, rules)
     val perRule = rules.map(r =>
-      sum(when(!col(s"_pass_${r.name}"), 1).otherwise(0))
+      sum(when(!passCol(r), 1).otherwise(0))
         .cast("long").as(s"fail_${r.name}"))
     val aggs = Seq(
       count(lit(1)).as("total"),
@@ -154,13 +161,15 @@ object Rules {
   def topFailingRules(df: DataFrame, rules: Seq[Rule],
                       n: Int = 10): DataFrame = {
     val ev = evaluate(df, rules)
-    val perRule = rules.map(r =>
-      sum(when(!col(s"_pass_${r.name}"), 1).otherwise(0))
-        .cast("long").as(s"fail_${r.name}"))
-    val stackArgs = rules
-      .map(r => s"'${r.name}', fail_${r.name}").mkString(", ")
-    ev.agg(perRule.head, perRule.tail: _*)
-      .selectExpr(s"stack(${rules.size}, $stackArgs) AS (rule_name, n_failed)")
+    // (name, count) pairs built with the Column API — interpolating
+    // rule names into a selectExpr stack() would parse-fail on a name
+    // with a space/hyphen and lets a quote inject arbitrary SQL
+    val pairs = rules.map(r => struct(
+      lit(r.name).as("rule_name"),
+      sum(when(!passCol(r), 1L).otherwise(0L)).as("n_failed")))
+    ev.agg(array(pairs: _*).as("a"))
+      .select(explode(col("a")).as("p"))
+      .select(col("p.rule_name"), col("p.n_failed"))
       .filter(col("n_failed") > 0)
       .orderBy(col("n_failed").desc, col("rule_name"))
       .limit(n)
@@ -176,7 +185,7 @@ object Rules {
     val ev = evaluate(df, rules)
     def issues(sel: Severity => Boolean): Column =
       rules.filter(r => sel(r.severity))
-        .map(r => sum(when(!col(s"_pass_${r.name}"), 1L).otherwise(0L)))
+        .map(r => sum(when(!passCol(r), 1L).otherwise(0L)))
         .reduceOption(_ + _).getOrElse(lit(0L)).cast("long")
     ev.agg(
       issues(_ => true).as("total_validation_issues"),
@@ -198,10 +207,17 @@ object Rules {
   }
 
   /** V15: the quality gate — true when the batch passes the threshold
-    * (reference default 0.8, `processing/utils/config.py:20`). */
+    * (reference default 0.8, `processing/utils/config.py:20`). An
+    * EMPTY batch passes vacuously: zero rows carry no evidence of bad
+    * data, and promoting zero rows is harmless — without the guard the
+    * NULL sum over zero rows would NPE the caller (e.g. a first gold
+    * run before any silver data lands). */
   def gate(stats: DataFrame, threshold: Double = 0.8): Boolean = {
-    val r = stats.select(col("valid") / col("total")).head().getDouble(0)
-    r >= threshold
+    val row = stats.select(
+      coalesce(col("valid"), lit(0L)).cast("double"),
+      col("total").cast("double")).head()
+    val (v, t) = (row.getDouble(0), row.getDouble(1))
+    t == 0.0 || v / t >= threshold
   }
 
   /** V16: validity-rate trend over the last N pipeline runs

@@ -12,6 +12,14 @@ import graft.Tables
   */
 object StreamQueries {
 
+  /** The shared adapter key: `props.k` as a string, NULL when props
+    * carries no `"k"` field. regexp_extract returns EMPTY STRING on a
+    * non-match, which the oracles' TRY_CAST defines as NULL — and
+    * which `cast("long")` would turn into an ANSI NumberFormatException
+    * on the Spark side; nullif aligns both engines on NULL. */
+  private def propsK: org.apache.spark.sql.Column =
+    nullif(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1), lit(""))
+
   /** q83 — per-user session features through
     * [[graft.streaming.Features.userFeatures]] (the T1/T3
     * mapGroupsWithState processor) run in batch over `events`:
@@ -109,7 +117,7 @@ object StreamQueries {
       |LEFT JOIN cart c ON s.user_id = c.user_id
       |ORDER BY s.user_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+    val k = propsK
     val ev = Tables.events(s, d)
       .select(
         col("user_id").cast("string").as("user_id"),
@@ -173,7 +181,7 @@ object StreamQueries {
       |  CAST((cart_adds * 1000000) // GREATEST(view_count, 1) AS BIGINT)
       |    AS cart_ppm
       |FROM a ORDER BY window_start_s, product_id""".stripMargin) { (s, d) =>
-    val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+    val k = propsK
     val ev = Tables.events(s, d).select(
       k.as("product_id"),
       when(col("event_type") === "click", lit("add_to_cart"))
@@ -216,7 +224,7 @@ object StreamQueries {
       |  product_id, COUNT(*) AS views_last_hour
       |FROM x GROUP BY 1, 2, 3
       |ORDER BY window_start_s, product_id""".stripMargin) { (s, d) =>
-    val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+    val k = propsK
     val ev = Tables.events(s, d).select(
       k.as("product_id"), col("event_type"), col("ts"))
     graft.streaming.Features.rollingProductViews(ev)

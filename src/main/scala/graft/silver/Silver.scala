@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Buckets, EventWeights, TimeFeatures}
+import graft.functions.{Buckets, Dedup, EventWeights, TimeFeatures}
 import graft.schema.Schemas
 
 /** Bronze→silver transforms (SURVEY §2.2, §2.5, §2.6 — the reference's
@@ -49,14 +49,10 @@ object Silver {
     // users/products transforms already guard against): same-id rows
     // order by a content hash, and null-id rows pass through untouched
     // (dropDuplicates would collapse ALL null ids into one survivor).
-    val typed = {
-      val wDedup = Window.partitionBy(col("event_id"))
-        .orderBy(xxhash64(cleaned.columns.map(col): _*).desc)
-      cleaned.filter(col("event_id").isNull).unionByName(
-        cleaned.filter(col("event_id").isNotNull)
-          .withColumn("__rn", row_number().over(wDedup))
-          .filter(col("__rn") === 1).drop("__rn"))
-    }
+    val typed = cleaned.filter(col("event_id").isNull).unionByName(
+      Dedup.keepLatestBy(cleaned.filter(col("event_id").isNotNull),
+        Seq("event_id"),
+        Seq(xxhash64(cleaned.columns.map(col): _*).desc)))
 
     val wSession = Window.partitionBy(col("session_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -102,10 +98,7 @@ object Silver {
     // must not depend on partition layout (the A8 bug class; r2
     // verdict What's-wrong #5). MedallionSpec asserts repartition(1)
     // and repartition(32) produce identical silver.
-    val wLatest = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc,
-        xxhash64(typed.columns.map(col): _*).desc)
-    typed
+    val derived = typed
       .withColumn("value_segment", Buckets.valueSegment(col("total_spent")))
       .withColumn("account_age_days",
         TimeFeatures.accountAgeDays(Schemas.parseTs(col("created_at"))))
@@ -115,8 +108,8 @@ object Silver {
       .withColumn("customer_segment",
         Buckets.customerSegment(col("total_purchases"),
           col("avg_order_value")))
-      .withColumn("__rn", row_number().over(wLatest))
-      .filter(col("__rn") === 1).drop("__rn")
+    Dedup.keepLatestBy(derived, Seq("user_id"),
+        Seq(col("ts").desc, xxhash64(typed.columns.map(col): _*).desc))
       .withColumn("date", to_date(col("ts")))
       .withColumn("silver_processed_at", current_timestamp())
   }
@@ -136,10 +129,7 @@ object Silver {
       .filter(col("price") > 0)
 
     // Same pinned tie-break as `users` — see the comment there.
-    val wLatest = Window.partitionBy(col("product_id"))
-      .orderBy(col("ts").desc,
-        xxhash64(typed.columns.map(col): _*).desc)
-    typed
+    val derived = typed
       .withColumn("category", initcap(trim(col("category"))))
       .withColumn("is_in_stock",
         coalesce(col("stock_quantity") > 0, lit(false)))
@@ -148,8 +138,8 @@ object Silver {
           Seq("budget", "mid", "premium", "luxury")))
       .withColumn("rating_category",
         Buckets.ratingCategory(coalesce(col("rating"), col("avg_rating"))))
-      .withColumn("__rn", row_number().over(wLatest))
-      .filter(col("__rn") === 1).drop("__rn")
+    Dedup.keepLatestBy(derived, Seq("product_id"),
+        Seq(col("ts").desc, xxhash64(typed.columns.map(col): _*).desc))
       .withColumn("date", to_date(col("ts")))
       .withColumn("silver_processed_at", current_timestamp())
   }

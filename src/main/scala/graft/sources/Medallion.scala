@@ -105,9 +105,21 @@ object Medallion {
     // data columns, and a flat rewrite would both lose file-level
     // pruning and poison the table for the NEXT partitioned append
     // ("conflicting directory structures"). Partition columns are the
-    // first-level `k=` directory names.
-    val partCols = fs0.listStatus(live0).map(_.getPath.getName)
-      .filter(_.contains("=")).map(_.takeWhile(_ != '=')).distinct.toSeq
+    // full `k=` DIRECTORY CHAIN, one level per column — stopping at
+    // the first level would rewrite date=/hour= with partitionBy(date)
+    // only, silently demoting hour to a data column. Hive layouts are
+    // homogeneous, so following one branch reads the whole scheme.
+    val partCols = {
+      val cols = scala.collection.mutable.ArrayBuffer[String]()
+      var level = fs0.listStatus(live0)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      while (level.nonEmpty) {
+        cols += level.head.getPath.getName.takeWhile(_ != '=')
+        level = fs0.listStatus(level.head.getPath)
+          .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      }
+      cols.toSeq
+    }
     val df = spark.read.parquet(tableDir)
     val writer =
       if (partCols.isEmpty) df.coalesce(targetFiles).write

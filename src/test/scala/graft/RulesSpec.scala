@@ -54,6 +54,23 @@ class RulesSpec extends SparkSpec {
     assert(st.getAs[Long]("fail_v_warn") == 1)
     assert(!Rules.gate(Rules.batchStats(df, rules), 0.8))
     assert(Rules.gate(Rules.batchStats(df, rules), 0.3))
+    // empty batch: vacuous pass, not an NPE (sum over 0 rows is NULL)
+    assert(Rules.gate(Rules.batchStats(df.limit(0), rules), 0.8))
+  }
+
+  test("rule names that are not bare identifiers survive every API") {
+    val df = Seq((Some("u1"), 5.0), (None, 99.0)).toDF("u", "v")
+    val rules = Seq(
+      Rule("user id required", Critical, Rules.required(col("u"))),
+      Rule("value.range 0-10", Error, Rules.numericRange(col("v"), 0, 10)),
+      Rule("don't exceed 50", Warning, col("v") < 50))
+    assert(Rules.evaluate(df, rules).filter(col("_valid")).count() == 1)
+    val top = Rules.topFailingRules(df, rules).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(top == Map("user id required" -> 1L, "value.range 0-10" -> 1L,
+      "don't exceed 50" -> 1L))
+    val qs = Rules.qualitySummary(df, rules).head()
+    assert(qs.getAs[Long]("critical_issues") == 1)
   }
 
   test("trend (V16): rolling validity-rate stats + degradation flag") {
