@@ -11,10 +11,19 @@ import graft.queries.{CoreQueries, MediaQueries, PipelineQueries, QualityQueries
   */
 object SparkEntry {
   /** Registered query inventory (grows per round). */
-  def registry: Seq[QueryDef] =
-    CoreQueries.all ++ TextQueries.all ++ VectorQueries.all ++
-      QualityQueries.all ++ RecommenderQueries.all ++
-      MediaQueries.all ++ StreamQueries.all ++ PipelineQueries.all
+  def registry: Seq[QueryDef] = {
+    val all =
+      CoreQueries.all ++ TextQueries.all ++ VectorQueries.all ++
+        QualityQueries.all ++ RecommenderQueries.all ++
+        MediaQueries.all ++ StreamQueries.all ++ PipelineQueries.all
+    // fail LOUDLY on a name collision: `queries`/`oracleSql` build
+    // Maps, and toMap keeps only the last entry — a copy-pasted name
+    // would silently drop a query from Bench/Verify (one fewer
+    // correctness row, nothing red)
+    val dup = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate query names in registry: ${dup.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The star-join revenue rollup exercises scan→join→agg→sort end-to-end.

@@ -40,13 +40,14 @@ object Gold {
       .withColumn("activity_level",
         Buckets.activityLevel(col("total_events")))
     // A3/A4: per-user modal device and category, deterministic
-    // tie-break, joined back (broadcast: one row per user key subset).
+    // tie-break (modeDeterministic drops null values itself), joined
+    // back on user_id — one row per user on each side, so this is a
+    // plain keyed shuffle join that co-partitions with `base`, not a
+    // broadcast candidate (the mode frame is |users|-sized).
     val dev = Analytics.modeDeterministic(
-      silver.filter(col("device_type").isNotNull),
-      Seq("user_id"), "device_type", "preferred_device")
+      silver, Seq("user_id"), "device_type", "preferred_device")
     val cat = Analytics.modeDeterministic(
-      silver.filter(col("product_category").isNotNull),
-      Seq("user_id"), "product_category", "top_category")
+      silver, Seq("user_id"), "product_category", "top_category")
     base.join(dev, Seq("user_id"), "left")
       .join(cat, Seq("user_id"), "left")
   }

@@ -15,15 +15,14 @@ import graft.multimodal.Media
   */
 object MediaQueries {
 
-  /** q44 — end-to-end media feature extraction: derive (media_id,
-    * kind, bytes, metadata) from documents, run the per-partition
-    * decode pipeline, emit features + a 4-frame fingerprint for the
-    * video-kind rows. Rows-only check (the codec stub isn't
-    * SQL-reproducible); determinism within Spark is pinned by the
-    * stub + unique-key order. */
-  val q44 = QueryDef.noOracle("q44_media_features") { (s, d) =>
-    import s.implicits._
-    val media = Tables.documents(s, d)
+  /** The ONE derived-media fixture both queries run on: q71's oracle
+    * pins a subset of what q44 emits, so the two MUST read the same
+    * frame — a second copy of this derivation would let an edit
+    * desynchronize them silently (q44 would no longer be the superset
+    * the q71 oracle vouches for). */
+  private def mediaFixture(s: org.apache.spark.sql.SparkSession,
+                           d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
       .filter(col("doc_id") < 200)
       .select(
         col("doc_id").as("media_id"),
@@ -33,6 +32,16 @@ object MediaQueries {
         lit(640).as("width"), lit(480).as("height"),
         lit(16000).as("sample_rate"),
         (col("n_chars") * 10L).as("duration_ms"))
+
+  /** q44 — end-to-end media feature extraction: derive (media_id,
+    * kind, bytes, metadata) from documents, run the per-partition
+    * decode pipeline, emit features + a 4-frame fingerprint for the
+    * video-kind rows. Rows-only check (the codec stub isn't
+    * SQL-reproducible); determinism within Spark is pinned by the
+    * stub + unique-key order. */
+  val q44 = QueryDef.noOracle("q44_media_features") { (s, d) =>
+    import s.implicits._
+    val media = mediaFixture(s, d)
     val features = Media.extractFeatures(
       media.as[Media.MediaRow], partitions = 32)
       .toDF()
@@ -85,16 +94,7 @@ object MediaQueries {
       |FROM m JOIN s ON m.media_id = s.media_id
       |ORDER BY m.media_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val media = Tables.documents(s, d)
-      .filter(col("doc_id") < 200)
-      .select(
-        col("doc_id").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-        col("text").cast("binary").as("bytes"),
-        lit(640).as("width"), lit(480).as("height"),
-        lit(16000).as("sample_rate"),
-        (col("n_chars") * 10L).as("duration_ms"))
+    val media = mediaFixture(s, d)
     val features = Media.extractFeatures(
         media.as[Media.MediaRow], partitions = 32)
       .toDF()

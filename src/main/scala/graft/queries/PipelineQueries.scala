@@ -19,12 +19,19 @@ object PipelineQueries {
     * creates a fresh one. The returned frame reads the scratch
     * lazily, so the CURRENT dir cannot be deleted inside the builder
     * — clearing predecessors at build time instead bounds tmp usage
-    * to one copy per query (the harness runs queries sequentially;
-    * results are path-independent). */
+    * to one copy per query (results are path-independent).
+    *
+    * The prefix carries this JVM's PID: queries run sequentially
+    * WITHIN a harness process, but a background Bench sweep and a
+    * foreground Verify loop legitimately run the same query
+    * CONCURRENTLY from two JVMs, and a bare per-query prefix would let
+    * one delete the other's still-lazily-read scratch mid-query.
+    * Another process's leftovers are cleaned by its own next run (or
+    * the OS tmp reaper), never by us. */
   private def freshScratch(tag: String): String = {
     val tmp = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"))
-    val prefix = s"graft-$tag-"
+    val prefix = s"graft-$tag-p${ProcessHandle.current().pid()}-"
     val old = tmp.toFile.listFiles()
     if (old != null) old.filter(_.getName.startsWith(prefix)).foreach {
       d =>
@@ -397,8 +404,11 @@ object PipelineQueries {
     * reproduce the per-half record/valid counts the oracle computes
     * straight from events. `run_at` (current_timestamp) is excluded
     * from the comparison — wall-clock is the one column that can't be
-    * deterministic. The two driver-side `count()`s per half are the
-    * metadata VALUES being recorded, not a data-plane collect. */
+    * deterministic. The one driver-side `collect()` is the 2-row
+    * grouped aggregate whose values BECOME the metadata records, not
+    * a data-plane collect — one scan of events covers both halves
+    * and both counters (four separate per-half `count()` jobs would
+    * scan the table four times for the same numbers). */
   val q97 = QueryDef(
     "q97_run_metadata",
     """SELECT CASE WHEN event_id % 2 = 0 THEN 'half_even'
@@ -408,11 +418,15 @@ object PipelineQueries {
       |    AS valid_records
       |FROM events GROUP BY 1 ORDER BY pipeline""".stripMargin) { (s, d) =>
     val dir = freshScratch("q97") + "/meta"
-    val ev = Tables.events(s, d)
-    Seq(("half_even", 0), ("half_odd", 1)).foreach { case (name, par) =>
-      val slice = ev.filter(col("event_id") % 2 === par)
-      graft.sources.Medallion.writeRunMetadata(s, dir, name,
-        slice.count(), slice.filter(col("value") > 50).count(), 1.5)
+    val stats = Tables.events(s, d)
+      .groupBy((col("event_id") % 2).cast("long").as("par"))
+      .agg(count(lit(1)).as("records"),
+        count(when(col("value") > 50, lit(1))).as("valid"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    Seq(("half_even", 0L), ("half_odd", 1L)).foreach { case (name, par) =>
+      val (n, v) = stats.getOrElse(par, (0L, 0L))
+      graft.sources.Medallion.writeRunMetadata(s, dir, name, n, v, 1.5)
     }
     s.read.parquet(dir)
       .select(col("pipeline"), col("records"), col("valid_records"))

@@ -149,7 +149,12 @@ object RecommenderQueries {
           col("x.b") === col("y.b") && col("x.i") =!= col("y.i"))
         .select(col("x.i").as("src"), col("y.i").as("dst"))
         .distinct()
-      graft.functions.PageRank.run(edges, "src", "dst", iterations = 2)
+      // teleport passed EXPLICITLY as the literal 0.15 the oracle SQL
+      // uses: the default `1.0 - 0.85` is 0.15000000000000002 in IEEE
+      // double — 2 ulps off — and the divergence can flip a floor-
+      // snapped pico-unit contribution on an x.5 boundary as |E| grows
+      graft.functions.PageRank.run(edges, "src", "dst", iterations = 2,
+          damping = 0.85, teleport = 0.15)
         .select(col("node"),
           floor(col("r") * lit(1e9) + lit(0.5)).cast("long")
             .as("rank_nano"))

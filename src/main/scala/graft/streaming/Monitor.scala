@@ -39,6 +39,11 @@ final class Monitor extends StreamingQueryListener {
     })
   }
 
+  // Terminated queries' stats are RETAINED deliberately: the natural
+  // read pattern is `query.awaitTermination(); monitor.snapshot` —
+  // evicting here would race the caller out of its final totals. The
+  // retention bound is therefore the monitor's lifetime: call
+  // `detach()` when done (see below).
   override def onQueryTerminated(
       e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
 
@@ -47,10 +52,20 @@ final class Monitor extends StreamingQueryListener {
     stats.forEach((k, v) => out += (k -> v))
     out.result()
   }
+
+  /** Unregister from the session and drop all retained stats. Without
+    * this a long-lived session attaching a monitor per pipeline run
+    * stacks live listeners — each one processing every progress event
+    * of every stream and holding every query's stats forever. */
+  def detach(spark: SparkSession): Unit = {
+    spark.streams.removeListener(this)
+    stats.clear()
+  }
 }
 
 object Monitor {
-  /** Attach a fresh monitor to the session's streams. */
+  /** Attach a fresh monitor to the session's streams. Pair with
+    * [[Monitor.detach]] when the monitoring scope ends. */
   def attach(spark: SparkSession): Monitor = {
     val m = new Monitor
     spark.streams.addListener(m)
