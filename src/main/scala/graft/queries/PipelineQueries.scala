@@ -530,6 +530,131 @@ object PipelineQueries {
         .limit(20)
   }
 
+  /** q100 — BPE first-merge pair counts (tokenizer training, step 1):
+    * the corpus is collapsed to a (word, frequency) vocabulary FIRST
+    * (one keyed agg — the only corpus-sized shuffle), then adjacent
+    * character pairs are counted per vocabulary word weighted by word
+    * frequency — exactly the statistic a byte-pair-encoding trainer
+    * maximizes to pick its first merge. The expansion stage is
+    * vocabulary-sized, not corpus-sized: at 100 TB the vocab is a few
+    * million rows regardless of corpus size, which is what makes BPE
+    * training feasible as a distributed job. Top-20 pairs via
+    * TakeOrderedAndProject, tie-broken on the pair itself. */
+  val q100 = QueryDef(
+    "q100_bpe_pair_counts",
+    """WITH w AS (
+      |  SELECT t AS word, COUNT(*) AS wc FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      |  WHERE t <> '' GROUP BY t),
+      |e AS (
+      |  SELECT word, wc, unnest(range(1, len(word))) AS i
+      |  FROM w WHERE len(word) >= 2),
+      |p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, wc FROM e)
+      |SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+      |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin) {
+    (s, d) =>
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("wc"))
+        .filter(length(col("word")) >= 2)
+      vocab
+        .select(col("word"), col("wc"),
+          explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+        .select(expr("substring(word, i, 2)").as("pair"), col("wc"))
+        .groupBy(col("pair"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+  }
+
+  /** q101 — rare-bigram novelty score (quality/contamination signal):
+    * per document, the fraction (exact integer ppm) of its word-bigram
+    * occurrences whose corpus document-frequency is <= 2 — boilerplate
+    * and template text scores near zero, genuinely novel text scores
+    * high. Shape: explode bigrams → one keyed df agg → one equi-join
+    * back → per-doc agg; both shuffles key on the bigram/doc_id, no
+    * window, no driver state. The df table is the only intermediate
+    * that grows with corpus diversity, and it is exactly the shape a
+    * bloom-filter or count-min rewrite would compress at 100 TB. */
+  val q101 = QueryDef(
+    "q101_bigram_novelty",
+    """WITH l AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |e AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+      |  FROM l WHERE len(toks) >= 2),
+      |b AS (
+      |  SELECT doc_id,
+      |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS bg
+      |  FROM e),
+      |df AS (SELECT bg, COUNT(DISTINCT doc_id) AS df FROM b GROUP BY bg),
+      |sc AS (
+      |  SELECT b.doc_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(CASE WHEN df.df <= 2 THEN 1 ELSE 0 END) * 1000000
+      |      // COUNT(*) AS BIGINT) AS novel_ppm
+      |  FROM b JOIN df ON b.bg = df.bg GROUP BY b.doc_id)
+      |SELECT doc_id, n_bigrams, novel_ppm
+      |FROM sc ORDER BY novel_ppm DESC, doc_id LIMIT 20""".stripMargin) {
+    (s, d) =>
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+        .select(col("doc_id"),
+          concat(expr("element_at(toks, i)"), lit(" "),
+            expr("element_at(toks, i + 1)")).as("bg"))
+      val dfreq = bg.groupBy(col("bg"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      bg.join(dfreq, Seq("bg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) * 1000000" +
+            " div count(1)").as("novel_ppm"))
+        .orderBy(col("novel_ppm").desc, col("doc_id"))
+        .limit(20)
+  }
+
+  /** q102 — temperature-scaled source mixing weights (the data-mixing
+    * step that decides how much of each source a training run samples):
+    * per-source token counts, then multinomial weights proportional to
+    * n_tokens^(1/2) — the alpha=0.5 upsampling-of-small-sources recipe
+    * — in exact integer ppm. `floor(sqrt(x))` is bit-portable because
+    * IEEE 754 requires sqrt to be correctly rounded in both the JVM
+    * and libm; no other float touches the result. One keyed agg over
+    * the corpus + a broadcast one-row total: at 100 TB this is a
+    * near-free metadata query whose output drives the sampler. */
+  val q102 = QueryDef(
+    "q102_mixing_weights",
+    """WITH s AS (
+      |  SELECT source,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_tokens,
+      |    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w05
+      |  FROM s),
+      |t AS (SELECT CAST(SUM(w05) AS BIGINT) AS tot FROM w)
+      |SELECT source, n_tokens, w05,
+      |  CAST(w05 * 1000000 // (SELECT tot FROM t) AS BIGINT)
+      |    AS weight_ppm
+      |FROM w ORDER BY source""".stripMargin) { (s, d) =>
+    val bySource = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("w05",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = bySource.agg(sum(col("w05")).as("tot"))
+    bySource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("w05"),
+        expr("w05 * 1000000 div tot").as("weight_ppm"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99)
+    Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
+      q100, q101, q102)
 }
