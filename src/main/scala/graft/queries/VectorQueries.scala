@@ -452,6 +452,60 @@ object VectorQueries {
       .orderBy("label", "pos")
   }
 
+  /** q103 — hard-negative mining for contrastive training: for each
+    * query vector, the 5 most-similar vectors with a DIFFERENT label,
+    * excluding near-duplicates (sim >= 0.45, q42's dup threshold) —
+    * the "closest non-match" pairs a contrastive or reranker trainer
+    * wants as negatives. Same exactness contract as q32 (sequential
+    * index-order double folds on both engines, vec_id tie-breaks).
+    * Scale: the query side is bounded and broadcast, so the label
+    * inequality predicate rides a broadcast nested loop over one
+    * corpus scan — O(Q·N) with Q small by contract; at larger Q the
+    * ANN bucket path (q33) replaces the exact scan, same as for
+    * positives. */
+  val q103 = QueryDef(
+    "q103_hard_negatives",
+    s"""WITH nl AS (
+      |  SELECT vec_id, label, embedding AS e,
+      |    sqrt(${Vectors.dotSql("embedding", "embedding", DIM)}) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT * FROM nl WHERE vec_id < 25),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, nl.vec_id AS neg_id,
+      |    ${Vectors.dotSql("q.e", "nl.e", DIM)} / (q.nrm * nl.nrm)
+      |      AS sim
+      |  FROM q JOIN nl ON q.label <> nl.label),
+      |r AS (
+      |  SELECT query_id, neg_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, neg_id) AS rnk
+      |  FROM s WHERE sim < 0.45)
+      |SELECT query_id, rnk, neg_id,
+      |  CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT) / 1000000.0
+      |    AS cosine
+      |FROM r WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    val nl = Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      Vectors.toDouble(col("embedding")).as("e"),
+      Vectors.norm(Vectors.toDouble(col("embedding"))).as("nrm"))
+    val q = nl.where(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("e").as("qe"), col("nrm").as("qn"))
+    val sims = broadcast(q).join(nl, col("qlabel") =!= col("label"))
+      .select(col("query_id"), col("vec_id").as("neg_id"),
+        (Vectors.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+          .as("sim"))
+      .filter(col("sim") < 0.45)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neg_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("neg_id"),
+        graft.functions.Exact.roundP(col("sim"), 6).as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56)
+    Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103)
 }
