@@ -131,6 +131,44 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("BPE pair expansion runs over the vocab, not the corpus (q100)") {
+    // the scale contract: char-pair explode sits ABOVE the (word, freq)
+    // aggregate, so its input is vocabulary-sized (corpus-size-
+    // independent), never one row per corpus token occurrence
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    val plan = graft.queries.PipelineQueries.q100.run(spark, sf)
+      .queryExecution.optimizedPlan
+    val pairGenAboveAgg = plan.collect {
+      case g: Generate if g.find {
+        case _: Aggregate => true; case _ => false
+      }.isDefined => g
+    }
+    assert(pairGenAboveAgg.nonEmpty, plan.toString)
+  }
+
+  test("mixing weights broadcast the one-row total (q102)") {
+    val df = graft.queries.PipelineQueries.q102.run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the total rides a broadcast (nested-loop over ONE row by
+    // construction); a sort-merge join here would shuffle the
+    // per-source aggregate against a single row
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("Broadcast"), plan)
+  }
+
+  test("hard negatives broadcast the bounded query side (q103)") {
+    val df = graft.queries.VectorQueries.all
+      .find(_.name.startsWith("q103")).get.run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // label-inequality join: broadcast nested loop over the bounded
+    // query side is the intended shape; a shuffled cartesian is not
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("Broadcast"), plan)
+  }
+
   test("whole-stage codegen covers the pricing aggregation path (q01)") {
     // q01 is the pure-aggregate path (no distinct rewrite, which plans
     // a multi-phase first()-of-partial aggregation outside codegen).
