@@ -1135,7 +1135,85 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** q104 — maximal duplicated-span extraction (exact substring-level
+    * dedup, the token-window treatment): hash every 8-token window
+    * with its position, keep windows shared by >= 2 documents, then
+    * merge overlapping/adjacent windows per document into maximal
+    * spans (gaps-and-islands: a new island starts when the next
+    * window start jumps past the previous window's coverage). Report
+    * the top-20 docs by duplicated-span token mass — the rows an
+    * exact-substring dedup pass would cut or rewrite.
+    *
+    * Scale shape: one keyed agg on the window hash (the df census),
+    * one equi-join back, then windows PARTITIONED BY doc_id — every
+    * stage keys on hash or doc_id, nothing global. The 8-gram
+    * position stream is the same corpus-sized explode q57/q59 already
+    * run; the island merge input is only the SHARED positions (tiny
+    * after the df filter). */
+  val q104 = QueryDef(
+    "q104_dup_spans",
+    """WITH l AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |e AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+      |  FROM l WHERE len(toks) >= 8),
+      |g AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |    md5(list_aggregate(toks[CAST(i AS INT):CAST(i AS INT) + 7],
+      |      'string_agg', ' ')) AS h
+      |  FROM e),
+      |sh AS (SELECT h FROM g GROUP BY h
+      |  HAVING COUNT(DISTINCT doc_id) >= 2),
+      |p AS (SELECT g.doc_id, g.i FROM g JOIN sh ON g.h = sh.h),
+      |isl AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) > 8
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM p),
+      |isl2 AS (
+      |  SELECT doc_id, i,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM isl),
+      |sp AS (
+      |  SELECT doc_id, island, MIN(i) AS s, MAX(i) + 7 AS e2
+      |  FROM isl2 GROUP BY doc_id, island)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(SUM(e2 - s + 1) AS BIGINT) AS dup_tokens
+      |FROM sp GROUP BY doc_id
+      |ORDER BY dup_tokens DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")) - 7)).as("i"),
+        col("toks"))
+      .select(col("doc_id"), col("i").cast("long").as("i"),
+        md5(array_join(slice(col("toks"), col("i"), lit(8)), " "))
+          .as("h"))
+    val sh = g.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val p = g.join(sh, Seq("h")).select(col("doc_id"), col("i"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val cum = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.withColumn("brk",
+        when(col("i") - lag(col("i"), 1).over(w) > 8, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(cum))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + 7).as("e2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e2") - col("s") + 1).as("dup_tokens"))
+      .orderBy(col("dup_tokens").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
-      q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84)
+      q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
+      q104)
 }
