@@ -39,4 +39,37 @@ object Skew {
       .agg(sum(col("__psum")).as(s"sum_$valueCol"),
         sum(col("__pcnt")).as("cnt"))
   }
+
+  /** Salted equi-join for a skewed BIG side that must meet a small-
+    * but-not-broadcastable right side: the big side's rows are spread
+    * over `buckets` sub-keys by deterministic distributor columns,
+    * and the right side is replicated once per bucket, so a hot join
+    * key fans out over `buckets` reducers instead of one straggler
+    * task. Inner join only (replication would duplicate unmatched
+    * right rows under outer semantics). Result == `big.join(right,
+    * bigKey === rightKey)` row-for-row — q105 pins the equivalence
+    * against a plain-join oracle.
+    *
+    * Distributors default to all big-side columns (the saltedSumCount
+    * caveat applies: pass a unique id column when one exists). Choose
+    * `buckets` ~ the hot key's row count / target partition size;
+    * replication multiplies right-side shuffle volume by `buckets`,
+    * which is the explicit price of de-skewing. */
+  def saltedJoin(big: DataFrame, right: DataFrame, bigKey: String,
+                 rightKey: String, buckets: Int,
+                 distributors: Column*): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val reserved = Seq("__salt")
+    require(!(big.columns ++ right.columns).exists(reserved.contains),
+      "__salt is reserved by saltedJoin")
+    val dist = if (distributors.nonEmpty) distributors
+               else big.columns.toSeq.map(col)
+    val saltedBig = big.withColumn("__salt", salt(buckets, dist: _*))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedBig.join(replicated,
+        saltedBig(bigKey) === replicated(rightKey) &&
+          saltedBig("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
 }

@@ -654,7 +654,32 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** q105 — salted-join equivalence contract (the join-side companion
+    * to q89's salted aggregation): [[graft.functions.Skew.saltedJoin]]
+    * spreads each order row over 8 sub-keys by its unique o_orderkey
+    * and replicates the customer side once per bucket; the oracle runs
+    * the PLAIN join — identical aggregates prove the de-skew transform
+    * is row-preserving. Money sums ride the decimal accumulator
+    * ([[graft.functions.Exact.sumD]]) so partition order can't flip
+    * low bits. */
+  val q105 = QueryDef(
+    "q105_salted_join",
+    """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) {
+    (s, d) =>
+      graft.functions.Skew.saltedJoin(
+          Tables.orders(s, d), Tables.customer(s, d),
+          "o_custkey", "c_custkey", buckets = 8, col("o_orderkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.functions.Exact.sumD(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_nationkey"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
-      q100, q101, q102)
+      q100, q101, q102, q105)
 }

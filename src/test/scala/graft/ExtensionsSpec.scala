@@ -66,6 +66,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("salted join equals plain join on a hot key, row for row") {
+    val big = ((1 to 500).map(i => (7L, i)) ++
+      (1 to 20).map(i => (i.toLong, 1000 + i))).toDF("bk", "payload")
+    val right = (1 to 30).map(i => (i.toLong, s"r$i")).toDF("rk", "attr")
+    val plain = big.join(right, col("bk") === col("rk"))
+      .select(col("bk"), col("payload"), col("attr"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSeq.sorted
+    val salted = Skew
+      .saltedJoin(big, right, "bk", "rk", buckets = 8, col("payload"))
+      .select(col("bk"), col("payload"), col("attr"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSeq.sorted
+    assert(salted == plain)
+    // the hot key's rows really spread over multiple salt buckets
+    val spread = big.filter(col("bk") === 7L)
+      .select(Skew.salt(8, col("payload")).as("s"))
+      .distinct().count()
+    assert(spread > 1, s"hot key landed in $spread bucket(s)")
+  }
+
+  test("saltedJoin rejects reserved __salt columns") {
+    val df = Seq((1L, 0)).toDF("k", "__salt")
+    val other = Seq((1L, "x")).toDF("rk", "attr")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, other, "k", "rk", buckets = 4)
+    }
+  }
+
   test("salt is deterministic (safe under task retries)") {
     val df = Seq((1, 2.0), (1, 2.0)).toDF("a", "b")
       .select(Skew.salt(16, col("a"), col("b")).as("s"))
