@@ -679,7 +679,87 @@ object PipelineQueries {
         .orderBy(col("c_nationkey"))
   }
 
+  /** q106 — padding-waste audit: length-sorted vs arrival-order
+    * batching (batch = 32 docs, padded to the batch max), per shard —
+    * the other half of q98's packing story: packing eliminates
+    * padding by concatenation, sorted batching mitigates it when
+    * documents must stay intact (SFT, eval). Reports per-shard padding
+    * tokens under both layouts and the savings in exact ppm. Windows
+    * are PARTITIONED BY shard (q98's rule: never a global
+    * single-partition sort), so layout is per-shard deterministic and
+    * embarrassingly parallel at scale. */
+  val q106 = QueryDef(
+    "q106_padding_audit",
+    s"""WITH h AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |s AS (SELECT doc_id, n, ${TextQueries.hexU32Sql(1)} % 16 AS shard
+      |  FROM h),
+      |srt AS (
+      |  SELECT shard, n,
+      |    (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY n, doc_id)
+      |      - 1) // 32 AS batch
+      |  FROM s),
+      |sb AS (
+      |  SELECT shard, batch, MAX(n) AS mx, SUM(n) AS tok,
+      |    COUNT(*) AS docs
+      |  FROM srt GROUP BY shard, batch),
+      |sorted_waste AS (
+      |  SELECT shard, CAST(SUM(mx * docs - tok) AS BIGINT) AS pad_sorted,
+      |    CAST(COUNT(*) AS BIGINT) AS n_batches
+      |  FROM sb GROUP BY shard),
+      |arr AS (
+      |  SELECT shard, n,
+      |    (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) - 1)
+      |      // 32 AS batch
+      |  FROM s),
+      |ab2 AS (
+      |  SELECT shard, batch, MAX(n) AS mx, SUM(n) AS tok,
+      |    COUNT(*) AS docs
+      |  FROM arr GROUP BY shard, batch),
+      |arrival_waste AS (
+      |  SELECT shard, CAST(SUM(mx * docs - tok) AS BIGINT) AS pad_arrival
+      |  FROM ab2 GROUP BY shard)
+      |SELECT sw.shard, sw.n_batches, aw.pad_arrival, sw.pad_sorted,
+      |  CAST((aw.pad_arrival - sw.pad_sorted) * 1000000
+      |    // GREATEST(aw.pad_arrival, 1) AS BIGINT) AS savings_ppm
+      |FROM sorted_waste sw JOIN arrival_waste aw ON sw.shard = aw.shard
+      |ORDER BY sw.shard""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        (graft.curation.Curation.contentU32(col("doc_id")) % 16)
+          .as("shard"))
+    def waste(order: Seq[org.apache.spark.sql.Column], padAs: String,
+              withBatches: Boolean) = {
+      val w = Window.partitionBy(col("shard")).orderBy(order: _*)
+      val perBatch = base
+        .withColumn("batch",
+          floor((row_number().over(w) - 1) / 32).cast("long"))
+        .groupBy(col("shard"), col("batch"))
+        .agg(max(col("n")).as("mx"), sum(col("n")).as("tok"),
+          count(lit(1)).as("docs"))
+      val agg0 = perBatch.groupBy(col("shard"))
+      if (withBatches)
+        agg0.agg(sum(col("mx") * col("docs") - col("tok")).as(padAs),
+          count(lit(1)).as("n_batches"))
+      else
+        agg0.agg(sum(col("mx") * col("docs") - col("tok")).as(padAs))
+    }
+    val sorted = waste(Seq(col("n"), col("doc_id")), "pad_sorted",
+      withBatches = true)
+    val arrival = waste(Seq(col("doc_id")), "pad_arrival",
+      withBatches = false)
+    sorted.join(arrival, Seq("shard"))
+      .select(col("shard"), col("n_batches"), col("pad_arrival"),
+        col("pad_sorted"),
+        expr("(pad_arrival - pad_sorted) * 1000000" +
+          " div GREATEST(pad_arrival, 1)").as("savings_ppm"))
+      .orderBy(col("shard"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
-      q100, q101, q102, q105)
+      q100, q101, q102, q105, q106)
 }
