@@ -645,11 +645,16 @@ object TextQueries {
     * candidates and always survive, on both engines. */
   /** Oracle CTE chain up to `jac` (da, db, shingle-Jaccard j) — the
     * band-candidate + exact-verify pipeline shared by q50 and q66. */
-  private def lshJacCteSql: String = {
+  /** Shared band/set oracle CTEs (signatures, per-band keys, shingle
+    * sets) — the common prefix of the pairwise dedup oracles
+    * ([[lshJacCteSql]]) and the bipartite incremental dedup (q107). */
+  private def bandSetsCteSql: String = {
     val sigCols = (0 until K)
       .map(j => s"min((a + $j * hb) % 4294967296) AS mh$j").mkString(", ")
+    // band b covers signature rows [b*R, b*R + R) — written R*b+r to
+    // match the Spark twin; B*b+r only coincides because B == R here
     val bandCase = (0 until B).map { b =>
-      val cat = (0 until R).map(r => s"CAST(mh${B * b + r} AS VARCHAR)")
+      val cat = (0 until R).map(r => s"CAST(mh${R * b + r} AS VARCHAR)")
         .mkString(" || ',' || ")
       s"WHEN $b THEN $cat"
     }.mkString(" ")
@@ -659,11 +664,16 @@ object TextQueries {
       |bands AS (
       |  SELECT doc_id, b, CASE b $bandCase END AS bsig
       |  FROM sig CROSS JOIN range($B) AS r(b)),
+      |sets AS (SELECT doc_id, list_distinct(sh) AS st FROM shl)""".stripMargin
+  }
+
+  private def lshJacCteSql: String =
+    bandSetsCteSql +
+      s""",
       |cand AS (
       |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
       |  FROM bands x JOIN bands y
       |    ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
-      |sets AS (SELECT doc_id, list_distinct(sh) AS st FROM shl),
       |jac AS (
       |  SELECT c.da, c.db,
       |    len(list_intersect(sa.st, sb.st)) * 1.0 /
@@ -672,22 +682,28 @@ object TextQueries {
       |  FROM cand c
       |  JOIN sets sa ON sa.doc_id = c.da
       |  JOIN sets sb ON sb.doc_id = c.db)""".stripMargin
-  }
 
   /** Verified near-duplicate pairs (da < db, shingle-Jaccard ≥ 0.8):
     * native-operator band candidates + exact verify — the engine-side
     * twin of [[lshJacCteSql]], shared by q50 (drop rule) and q66
     * (duplicate-group components). */
-  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+  /** Per-document band keys `(doc_id, bkey)` — the Spark twin of the
+    * oracle's `bands` CTE (bkey = "b|r0,r1,..." collapses the (b,
+    * bsig) equi-join pair into one key column). */
+  private def bandTable(s: SparkSession, d: String): DataFrame = {
     val sig = minhashWide(shingleTable(s, d))
     val bandStructs = (0 until B).map { b =>
       val cat = concat_ws(",", (0 until R).map(r => col(s"mh${R * b + r}")): _*)
       struct(lit(b).as("b"), cat.as("bsig"))
     }
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"),
         concat_ws("|", col("bs.b"), col("bs.bsig")).as("bkey"))
+  }
+
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val bands = bandTable(s, d)
     val cand = org.apache.spark.sql.graft.LshJoin
       .bucketPairs(bands, "bkey", "doc_id")
       .select(col("a_doc_id").as("da"), col("b_doc_id").as("db"))
@@ -1212,8 +1228,91 @@ object TextQueries {
       .limit(20)
   }
 
+  /** q107 — incremental dedup of an incoming batch against an
+    * existing corpus index (the realistic crawl-ingest shape: a new
+    * snapshot is deduped against what's already stored, NOT by
+    * re-deduping the whole corpus): odd doc_ids play the incoming
+    * batch, even doc_ids the index. Two stages, both keyed and
+    * bipartite — never an index self-join: (1) exact content-hash
+    * containment (anti-join on md5); (2) LSH band-key equi-join
+    * incoming×index, shingle-Jaccard >= 0.8 verify on candidates only
+    * (q50's drop rule applied cross-corpus). Per-source funnel:
+    * incoming, exact dups, near dups (excluding exact), kept. At
+    * 100 TB the index side is a stored hash/band table — this query
+    * reads documents for it only because the testdata has no
+    * persisted index. */
+  val q107 = QueryDef(
+    "q107_incremental_dedup",
+    bandSetsCteSql +
+      """,
+      |inc AS (SELECT doc_id, source, md5(text) AS h
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |ih AS (SELECT DISTINCT md5(text) AS h
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |exact AS (SELECT DISTINCT inc.doc_id FROM inc
+      |  JOIN ih ON inc.h = ih.h),
+      |bc AS (
+      |  SELECT DISTINCT x.doc_id AS di, y.doc_id AS dx
+      |  FROM bands x JOIN bands y
+      |    ON x.b = y.b AND x.bsig = y.bsig
+      |  WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0),
+      |bj AS (
+      |  SELECT c.di,
+      |    len(list_intersect(sa.st, sb.st)) * 1.0 /
+      |      (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st)))
+      |      AS j
+      |  FROM bc c
+      |  JOIN sets sa ON sa.doc_id = c.di
+      |  JOIN sets sb ON sb.doc_id = c.dx),
+      |near AS (SELECT DISTINCT di AS doc_id FROM bj WHERE j >= 0.8
+      |  AND di NOT IN (SELECT doc_id FROM exact))
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_incoming,
+      |  CAST(SUM(CASE WHEN inc.doc_id IN (SELECT doc_id FROM exact)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+      |  CAST(SUM(CASE WHEN inc.doc_id IN (SELECT doc_id FROM near)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+      |  CAST(SUM(CASE WHEN inc.doc_id NOT IN (SELECT doc_id FROM exact)
+      |    AND inc.doc_id NOT IN (SELECT doc_id FROM near)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM inc GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val inc = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val ih = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("h")).distinct()
+    val exact = inc.join(ih, Seq("h")).select(col("doc_id")).distinct()
+    val bands = bandTable(s, d)
+    val cand = bands.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("di"), col("bkey"))
+      .join(bands.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("dx"), col("bkey")), Seq("bkey"))
+      .select(col("di"), col("dx")).distinct()
+    val sets = shingleTable(s, d)
+      .select(col("doc_id"), array_distinct(col("sh")).as("st"))
+    val withA = sets.join(cand, col("doc_id") === col("di"))
+      .select(col("di"), col("dx"), col("st").as("sta"))
+    val pairs = sets.join(withA, col("doc_id") === col("dx"))
+      .select(col("di"), col("sta"), col("st").as("stb"))
+    val inter = size(array_intersect(col("sta"), col("stb")))
+    val near = pairs
+      .filter((inter.cast("double")
+        / (size(col("sta")) + size(col("stb")) - inter)) >= 0.8)
+      .select(col("di").as("doc_id")).distinct()
+      .join(exact, Seq("doc_id"), "left_anti")
+    inc
+      .join(exact.withColumn("is_exact", lit(1L)), Seq("doc_id"), "left")
+      .join(near.withColumn("is_near", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(coalesce(col("is_exact"), lit(0L))).as("n_exact_dup"),
+        sum(coalesce(col("is_near"), lit(0L))).as("n_near_dup"),
+        sum(when(col("is_exact").isNull && col("is_near").isNull, 1L)
+          .otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
-      q104)
+      q104, q107)
 }
