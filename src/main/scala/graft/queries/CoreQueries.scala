@@ -1331,8 +1331,51 @@ object CoreQueries {
       .orderBy("bin")
   }
 
+  /** q108 — sequential smoothing as a per-key array fold: integer
+    * exponential moving "average" (alpha = 1/2 via floor-halving:
+    * `s := (s + cents) // 2`) over each user's event values in
+    * (ts, event_id) order. Recurrences don't fit window frames, but
+    * they DO fit a per-key fold: sort_array over the user's
+    * (time-ordered) events then one codegen'd `aggregate` lambda —
+    * exact integer state, so both engines replay the identical
+    * sequence. Scale: one keyed shuffle; the fold is per-user and
+    * user event lists are bounded (the q36 histogram argument). All
+    * values are non-negative cents, so floor and truncating division
+    * agree across engines. */
+  val q108 = QueryDef(
+    "q108_ewm_smoothing",
+    """WITH v AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_id,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL),
+      |l AS (
+      |  SELECT user_id,
+      |    list(cents ORDER BY t, event_id) AS vs,
+      |    COUNT(*) AS n
+      |  FROM v GROUP BY user_id)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+      |  CAST(list_reduce(vs, (acc, x) -> (acc + x) // 2) AS BIGINT)
+      |    AS ewm_cents
+      |FROM l ORDER BY user_id LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("t"), col("event_id"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+          .as("rec"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("rec"))).as("recs"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        expr("aggregate(slice(recs, 2, size(recs) - 1)," +
+          " recs[0].cents, (acc, x) -> (acc + x.cents) div 2)")
+          .as("ewm_cents"))
+      .orderBy(col("user_id"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
-    q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81)
+    q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108)
 }
