@@ -25,15 +25,29 @@ object PipelineQueries {
     * WITHIN a harness process, but a background Bench sweep and a
     * foreground Verify loop legitimately run the same query
     * CONCURRENTLY from two JVMs, and a bare per-query prefix would let
-    * one delete the other's still-lazily-read scratch mid-query.
-    * Another process's leftovers are cleaned by its own next run (or
-    * the OS tmp reaper), never by us. */
+    * one delete the other's still-lazily-read scratch mid-query. A
+    * LIVE process's dirs are therefore never touched by another; dirs
+    * whose embedded PID is dead are fair game for anyone (a finished
+    * JVM never comes back to clean its own, so without this the
+    * scratch would accumulate one copy per invocation until the tmp
+    * reaper runs). */
   private def freshScratch(tag: String): String = {
     val tmp = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"))
-    val prefix = s"graft-$tag-p${ProcessHandle.current().pid()}-"
+    val self = ProcessHandle.current().pid()
+    val prefix = s"graft-$tag-p$self-"
+    val anyPid = s"graft-$tag-p(\\d+)-.*".r
+    def reapable(name: String): Boolean = name match {
+      case _ if name.startsWith(prefix) => true // our own predecessor
+      case anyPid(pid) => // another invocation's leftovers: only if dead
+        val h = java.lang.ProcessHandle.of(pid.toLong)
+        !h.isPresent || !h.get().isAlive
+      case _ => // pre-PID-format leftovers ("graft-<tag>-<random>"):
+        // no live JVM uses that naming anymore, always reapable
+        name.startsWith(s"graft-$tag-")
+    }
     val old = tmp.toFile.listFiles()
-    if (old != null) old.filter(_.getName.startsWith(prefix)).foreach {
+    if (old != null) old.filter(f => reapable(f.getName)).foreach {
       d =>
         def rm(f: java.io.File): Unit = {
           val kids = f.listFiles()

@@ -22,7 +22,7 @@ object TextQueries {
   private val R = 4  // rows (hashes) per band; K = B*R MinHash perms
   private val K = B * R
 
-  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
   /** Tokenized shingle lists per document (tokens materialized in
     * their own projection — see [[Text.shingles3]] perf note).
@@ -60,6 +60,24 @@ object TextQueries {
     * odd) — 16× less hashing than salted-md5-per-permutation, which
     * keeps the kernel fast even if the JVM degrades to interpreted
     * execution (the round-1 driver bench pathology, NOTES_r1 #3). */
+  /** Distinct shingle set per document — the verify-stage side input
+    * shared by q24, [[nearDupPairs]] (q50/q66/q79) and q107; one copy
+    * so the set construction can never desynchronize between the
+    * pairwise and incremental dedup paths. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    shingleTable(s, d)
+      .select(col("doc_id"), array_distinct(col("sh")).as("st"))
+
+  /** Shingle-set Jaccard of two array columns (|a∩b| / |a∪b|). */
+  private def jaccard(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb))
+    inter.cast("double") / (size(sa) + size(sb) - inter)
+  }
+
+  /** Near-duplicate Jaccard threshold (q50's drop rule; also the
+    * oracle literal in every dedup query's SQL). */
+  private val JAC_T = 0.8
+
   private def minhashWide(shingles: DataFrame): DataFrame =
     shingles
       .select(col("doc_id"),
@@ -206,18 +224,15 @@ object TextQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    val sets = shingleTable(s, d)
-      .select(col("doc_id"), array_distinct(col("sh")).as("st"))
+    val sets = shingleSets(s, d)
     val left = sets.join(broadcast(cand), col("doc_id") === col("da"))
       .select(col("da"), col("db"), col("st").as("sta"))
     val pairs = sets.join(left, col("doc_id") === col("db"))
       .select(col("da"), col("db"), col("sta"), col("st").as("stb"))
-    val inter = size(array_intersect(col("sta"), col("stb")))
     pairs
       .select(col("da"), col("db"),
-        (inter.cast("double") /
-          (size(col("sta")) + size(col("stb")) - inter)).as("j"))
-      .filter(col("j") >= 0.8)
+        jaccard(col("sta"), col("stb")).as("j"))
+      .filter(col("j") >= JAC_T)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         graft.functions.Exact.roundP(col("j"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -708,16 +723,13 @@ object TextQueries {
       .bucketPairs(bands, "bkey", "doc_id")
       .select(col("a_doc_id").as("da"), col("b_doc_id").as("db"))
       .distinct()
-    val sets = shingleTable(s, d)
-      .select(col("doc_id"), array_distinct(col("sh")).as("st"))
+    val sets = shingleSets(s, d)
     val left = sets.join(broadcast(cand), col("doc_id") === col("da"))
       .select(col("da"), col("db"), col("st").as("sta"))
     val pairs = sets.join(left, col("doc_id") === col("db"))
       .select(col("da"), col("db"), col("sta"), col("st").as("stb"))
-    val inter = size(array_intersect(col("sta"), col("stb")))
     pairs
-      .filter((inter.cast("double")
-        / (size(col("sta")) + size(col("stb")) - inter)) >= 0.8)
+      .filter(jaccard(col("sta"), col("stb")) >= JAC_T)
       .select(col("da"), col("db"))
   }
 
@@ -1287,16 +1299,13 @@ object TextQueries {
       .join(bands.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id").as("dx"), col("bkey")), Seq("bkey"))
       .select(col("di"), col("dx")).distinct()
-    val sets = shingleTable(s, d)
-      .select(col("doc_id"), array_distinct(col("sh")).as("st"))
+    val sets = shingleSets(s, d)
     val withA = sets.join(cand, col("doc_id") === col("di"))
       .select(col("di"), col("dx"), col("st").as("sta"))
     val pairs = sets.join(withA, col("doc_id") === col("dx"))
       .select(col("di"), col("sta"), col("st").as("stb"))
-    val inter = size(array_intersect(col("sta"), col("stb")))
     val near = pairs
-      .filter((inter.cast("double")
-        / (size(col("sta")) + size(col("stb")) - inter)) >= 0.8)
+      .filter(jaccard(col("sta"), col("stb")) >= JAC_T)
       .select(col("di").as("doc_id")).distinct()
       .join(exact, Seq("doc_id"), "left_anti")
     inc
