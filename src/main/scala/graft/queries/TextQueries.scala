@@ -1320,8 +1320,63 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** q109 — shingle containment census (ASYMMETRIC overlap,
+    * |A∩B| / min|set|, in exact integer ppm) over the LSH band
+    * candidates: the quote-detection metric — a document wholly
+    * embedded in a longer one scores containment 1.0 while its
+    * symmetric Jaccard can sit far below any dedup threshold, so a
+    * Jaccard-only pipeline keeps the pair. Reported next to Jaccard
+    * for the top-20 candidates; candidates come from the same band
+    * join as q24 (never all-pairs), so the census rides the existing
+    * LSH machinery at no extra shuffle. */
+  val q109 = QueryDef(
+    "q109_containment",
+    bandSetsCteSql +
+      s""",
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+      |  FROM bands x JOIN bands y
+      |    ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+      |m AS (
+      |  SELECT c.da, c.db,
+      |    len(list_intersect(sa.st, sb.st)) AS inter,
+      |    len(sa.st) AS la, len(sb.st) AS lb
+      |  FROM cand c
+      |  JOIN sets sa ON sa.doc_id = c.da
+      |  JOIN sets sb ON sb.doc_id = c.db)
+      |SELECT da AS doc_a, db AS doc_b,
+      |  CAST(inter * 1000000 // LEAST(la, lb) AS BIGINT) AS cont_ppm,
+      |  CAST(FLOOR(inter * 1.0 / (la + lb - inter) * 1000000 + 0.5)
+      |    AS BIGINT) / 1000000.0 AS jaccard
+      |FROM m ORDER BY cont_ppm DESC, doc_a, doc_b
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val bands = bandTable(s, d)
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val sets = shingleSets(s, d)
+    val withA = sets.join(broadcast(cand), col("doc_id") === col("da"))
+      .select(col("da"), col("db"), col("st").as("sta"))
+    val m = sets.join(withA, col("doc_id") === col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        size(array_intersect(col("sta"), col("st"))).cast("long")
+          .as("inter"),
+        size(col("sta")).cast("long").as("la"),
+        size(col("st")).cast("long").as("lb"))
+    m.select(col("doc_a"), col("doc_b"),
+        expr("inter * 1000000 div LEAST(la, lb)").as("cont_ppm"),
+        graft.functions.Exact.roundP(
+          col("inter").cast("double")
+            / (col("la") + col("lb") - col("inter")), 6).as("jaccard"))
+      .orderBy(col("cont_ppm").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
-      q104, q107)
+      q104, q107, q109)
 }
