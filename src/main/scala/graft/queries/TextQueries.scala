@@ -1211,6 +1211,11 @@ object TextQueries {
       |FROM sp GROUP BY doc_id
       |ORDER BY dup_tokens DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // the positioned gram table feeds BOTH the df census and the
+    // join-back probe: persist it rather than tokenize+md5 the corpus
+    // twice (the Ranks multi-consumer rule; at 100 TB this is the
+    // gram index you would materialize once anyway). Bench/Verify
+    // clearCache between queries bounds the retention.
     val g = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 8)
@@ -1220,6 +1225,7 @@ object TextQueries {
       .select(col("doc_id"), col("i").cast("long").as("i"),
         md5(array_join(slice(col("toks"), col("i"), lit(8)), " "))
           .as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = g.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
