@@ -169,6 +169,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Broadcast"), plan)
   }
 
+  test("dup-span extraction reads the gram table from cache (q104)") {
+    val df = TextQueries.all.find(_.name.startsWith("q104")).get
+      .run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the positioned gram table feeds census + probe: the second
+    // consumer must hit the persisted copy, not re-tokenize the corpus
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    spark.catalog.clearCache()
+  }
+
+  test("incremental dedup and containment join only on keys (q107/q109)") {
+    for (q <- Seq("q107", "q109").map(p =>
+        TextQueries.all.find(_.name.startsWith(p)).get)) {
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"${q.name}\n" + plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"${q.name}\n" + plan)
+    }
+  }
+
   test("whole-stage codegen covers the pricing aggregation path (q01)") {
     // q01 is the pure-aggregate path (no distinct rewrite, which plans
     // a multi-phase first()-of-partial aggregation outside codegen).
