@@ -1381,8 +1381,45 @@ object TextQueries {
       .limit(20)
   }
 
+  /** q110 — cross-source overlap matrix: verified near-dup pairs
+    * ([[nearDupPairs]], q50's machinery) labeled with their documents'
+    * sources and counted per unordered source pair — the provenance
+    * view of duplication ("which feeds copy from each other") that
+    * decides dedup PRIORITY at corpus scale: a pair of sources with
+    * heavy mutual overlap gets a preferred-source keep rule, not a
+    * doc-by-doc coin flip. Costs two broadcast-able id→source lookups
+    * on top of the pair table. */
+  val q110 = QueryDef(
+    "q110_source_overlap",
+    lshJacCteSql +
+      """,
+      |prs AS (SELECT da, db FROM jac WHERE j >= 0.8),
+      |lab AS (
+      |  SELECT x.source AS sa, y.source AS sb
+      |  FROM prs p
+      |  JOIN documents x ON x.doc_id = p.da
+      |  JOIN documents y ON y.doc_id = p.db)
+      |SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM lab GROUP BY 1, 2
+      |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin) {
+    (s, d) =>
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+      val lab = nearDupPairs(s, d)
+        .join(ids.withColumnRenamed("source", "sa"),
+          col("doc_id") === col("da")).drop("doc_id")
+        .join(ids.withColumnRenamed("source", "sb"),
+          col("doc_id") === col("db")).drop("doc_id")
+      lab.select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
-      q104, q107, q109)
+      q104, q107, q109, q110)
 }
