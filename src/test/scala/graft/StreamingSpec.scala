@@ -280,7 +280,11 @@ class StreamingSpec extends SparkSpec {
     }
     assert(st.exists(_.totalRows == 5))
     assert(st.exists(_.batches >= 1))
-    spark.streams.removeListener(m)
+    // detach unregisters AND drops retained stats — the monitor's
+    // whole lifecycle contract (stacking live listeners per pipeline
+    // run is the leak this API exists to prevent)
+    m.detach(spark)
+    assert(m.snapshot.isEmpty)
   }
 
   test("fanOutQuery lands user/product/signal sinks per batch (T6)") {
