@@ -82,10 +82,14 @@ object Bench {
       val (a, ea) = timeOnce(name, fn)
       // rerun ONLY when the first pass succeeded and was slow
       // (min-of-2 vs JIT noise); rerunning an ERRORED pass would burn
-      // a second full watchdog timeout and then discard the result
+      // a second full watchdog timeout and then discard the result.
+      // Clear the cache BETWEEN passes too: a query that persists an
+      // intermediate (q104's gram table, Ranks' input) would otherwise
+      // serve pass 2 from pass 1's cache and min() would report a
+      // warm-cache number that hides the build cost.
       val (b, eb) =
         if (ea.isDefined || a <= rerunThreshold) (a, ea)
-        else timeOnce(name, fn)
+        else { spark.catalog.clearCache(); timeOnce(name, fn) }
       // No query may leave cached/persisted state behind to skew its
       // successors (round-1 lesson: q24's persist survived 30+ queries).
       spark.catalog.clearCache()

@@ -37,17 +37,27 @@ object PipelineQueries {
     val self = ProcessHandle.current().pid()
     val prefix = s"graft-$tag-p$self-"
     val anyPid = s"graft-$tag-p(\\d+)-.*".r
-    def reapable(name: String): Boolean = name match {
-      case _ if name.startsWith(prefix) => true // our own predecessor
-      case anyPid(pid) => // another invocation's leftovers: only if dead
+    val hourMs = 3600L * 1000
+    def reapable(f: java.io.File): Boolean = f.getName match {
+      case n if n.startsWith(prefix) => true // our own predecessor
+      case anyPid(pid) =>
+        // another invocation's leftovers. PID liveness is only as good
+        // as the local PID namespace (a sibling across a shared /tmp
+        // bind-mount looks dead; a recycled PID looks alive), so the
+        // age guard covers both edges: never touch a dir younger than
+        // an hour even if its PID looks dead (no single query runs
+        // that long), and always reap one older than a day even if a
+        // recycled PID looks alive.
         val h = java.lang.ProcessHandle.of(pid.toLong)
-        !h.isPresent || !h.get().isAlive
-      case _ => // pre-PID-format leftovers ("graft-<tag>-<random>"):
+        val age = System.currentTimeMillis() - f.lastModified()
+        val looksDead = !h.isPresent || !h.get().isAlive
+        (looksDead && age > hourMs) || age > 24 * hourMs
+      case n => // pre-PID-format leftovers ("graft-<tag>-<random>"):
         // no live JVM uses that naming anymore, always reapable
-        name.startsWith(s"graft-$tag-")
+        n.startsWith(s"graft-$tag-")
     }
     val old = tmp.toFile.listFiles()
-    if (old != null) old.filter(f => reapable(f.getName)).foreach {
+    if (old != null) old.filter(reapable).foreach {
       d =>
         def rm(f: java.io.File): Unit = {
           val kids = f.listFiles()

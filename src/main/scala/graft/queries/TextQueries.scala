@@ -49,24 +49,21 @@ object TextQueries {
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), Text.shingles3(col("t")).as("sh"))
 
-  /** Wide MinHash signature table (doc_id, mh0..mh15) as a pure
-    * per-row projection — no explode, no shuffle, no aggregation. This
-    * is the embarrassingly-parallel formulation (each document's
-    * signature depends only on its own shingles), which is exactly what
-    * you want fanned across a 1000-executor cluster.
-    *
-    * Hash family: ONE md5 per shingle + K universal-hash permutations
-    * `(a + j·b) mod 2^32` (a = digest bytes 0–3, b = bytes 4–7 forced
-    * odd) — 16× less hashing than salted-md5-per-permutation, which
-    * keeps the kernel fast even if the JVM degrades to interpreted
-    * execution (the round-1 driver bench pathology, NOTES_r1 #3). */
   /** Distinct shingle set per document — the verify-stage side input
-    * shared by q24, [[nearDupPairs]] (q50/q66/q79) and q107; one copy
-    * so the set construction can never desynchronize between the
-    * pairwise and incremental dedup paths. */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    * shared by q24, [[nearDupPairs]] (q50/q66/q79/q110), q107 and
+    * q109; one copy so the set construction can never desynchronize
+    * between the pairwise and incremental dedup paths. */
+  private def shingleSets(shl: DataFrame): DataFrame =
+    shl.select(col("doc_id"), array_distinct(col("sh")).as("st"))
+
+  /** The shingle frame persisted for multi-consumer queries: every
+    * dedup query reads it at least twice (signatures + verify sets),
+    * and recomputing means tokenizing the corpus once per consumer
+    * (the q104/Ranks multi-consumer rule). Retention is bounded by the
+    * harness clearCache-between-queries contract. */
+  private def persistedShingles(s: SparkSession, d: String): DataFrame =
     shingleTable(s, d)
-      .select(col("doc_id"), array_distinct(col("sh")).as("st"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Shingle-set Jaccard of two array columns (|a∩b| / |a∪b|). */
   private def jaccard(sa: Column, sb: Column): Column = {
@@ -78,6 +75,17 @@ object TextQueries {
     * oracle literal in every dedup query's SQL). */
   private val JAC_T = 0.8
 
+  /** Wide MinHash signature table (doc_id, mh0..mh15) as a pure
+    * per-row projection — no explode, no shuffle, no aggregation. This
+    * is the embarrassingly-parallel formulation (each document's
+    * signature depends only on its own shingles), which is exactly what
+    * you want fanned across a 1000-executor cluster.
+    *
+    * Hash family: ONE md5 per shingle + K universal-hash permutations
+    * `(a + j·b) mod 2^32` (a = digest bytes 0–3, b = bytes 4–7 forced
+    * odd) — 16× less hashing than salted-md5-per-permutation, which
+    * keeps the kernel fast even if the JVM degrades to interpreted
+    * execution (the round-1 driver bench pathology, NOTES_r1 #3). */
   private def minhashWide(shingles: DataFrame): DataFrame =
     shingles
       .select(col("doc_id"),
@@ -197,39 +205,19 @@ object TextQueries {
         |FROM jac WHERE j >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, d) =>
-    // The signature/shingle subtrees are cheap per-row projections
-    // (one md5 per shingle), so recomputing them per join side beats
-    // caching — no persist() state, no cache eviction sensitivity.
-    // Broadcast discipline (r2 verdict What's-wrong #3): `bands` is
-    // 4 rows per DOCUMENT — dataset-sized, never broadcast; its
-    // self-join shuffles on the (b, bsig) equi-key (AQE still picks a
-    // broadcast when the run-time size is genuinely small). Only
-    // `cand` — bounded by the LSH band contract — carries a hint. The
-    // second verify join shuffles too: its left side carries the
-    // candidate pairs' shingle-set arrays, which grow with the corpus.
-    // At corpus scale you would materialize the signature table as a
-    // reusable index instead; the plan shape (band equi-join → bounded
-    // candidates → exact verify) is the same.
-    val sig = minhashWide(shingleTable(s, d))
-    val bandStructs = (0 until B).map { b =>
-      val cat = concat_ws(",", (0 until R).map(r => col(s"mh${R * b + r}")): _*)
-      struct(lit(b).as("b"), cat.as("bsig"))
-    }
-    val bands = sig.select(col("doc_id"),
-      explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.b").as("b"), col("bs.bsig").as("bsig"))
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.b") === col("y.b") && col("x.bsig") === col("y.bsig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .distinct()
-    val sets = shingleSets(s, d)
-    val left = sets.join(broadcast(cand), col("doc_id") === col("da"))
-      .select(col("da"), col("db"), col("st").as("sta"))
-    val pairs = sets.join(left, col("doc_id") === col("db"))
-      .select(col("da"), col("db"), col("sta"), col("st").as("stb"))
-    pairs
+    // ONE persisted shingle pass feeds signatures AND verify sets
+    // (the q104/Ranks multi-consumer rule; retention bounded by the
+    // harness clearCache contract). Broadcast discipline (r2 verdict
+    // What's-wrong #3): `bands` is 4 rows per DOCUMENT —
+    // dataset-sized, never broadcast; its self-join shuffles on the
+    // band key (AQE still picks a broadcast when the run-time size is
+    // genuinely small). Only `cand` — bounded by the LSH band
+    // contract — carries a hint (inside pairSets). q24 keeps the
+    // plain-join candidate path as the independent cross-check of the
+    // native LshJoin operator nearDupPairs uses.
+    val shl = persistedShingles(s, d)
+    val cand = selfBandPairs(bandTable(shl))
+    pairSets(cand, shingleSets(shl))
       .select(col("da"), col("db"),
         jaccard(col("sta"), col("stb")).as("j"))
       .filter(col("j") >= JAC_T)
@@ -705,8 +693,8 @@ object TextQueries {
   /** Per-document band keys `(doc_id, bkey)` — the Spark twin of the
     * oracle's `bands` CTE (bkey = "b|r0,r1,..." collapses the (b,
     * bsig) equi-join pair into one key column). */
-  private def bandTable(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashWide(shingleTable(s, d))
+  private def bandTable(shl: DataFrame): DataFrame = {
+    val sig = minhashWide(shl)
     val bandStructs = (0 until B).map { b =>
       val cat = concat_ws(",", (0 until R).map(r => col(s"mh${R * b + r}")): _*)
       struct(lit(b).as("b"), cat.as("bsig"))
@@ -717,18 +705,36 @@ object TextQueries {
         concat_ws("|", col("bs.b"), col("bs.bsig")).as("bkey"))
   }
 
+
+  /** Band-bucket candidate pairs (da < db, distinct) via a plain bkey
+    * self-join — the declarative twin of the native
+    * `LshJoin.bucketPairs` path [[nearDupPairs]] uses (q24/q109 keep
+    * this form as the native operator's independent cross-check). */
+  private def selfBandPairs(bands: DataFrame): DataFrame =
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+
+  /** Attach both sides' shingle sets to (da, db) candidates —
+    * `(da, db, sta, stb)`, the verify stage's input. `cand` is
+    * bounded by the LSH band contract, hence the broadcast hint. */
+  private def pairSets(cand: DataFrame, sets: DataFrame): DataFrame =
+    sets.join(broadcast(cand), col("doc_id") === col("da"))
+      .select(col("da"), col("db"), col("st").as("sta"))
+      .join(sets.select(col("doc_id"), col("st").as("stb")),
+        col("doc_id") === col("db"))
+      .select(col("da"), col("db"), col("sta"), col("stb"))
+
   private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val bands = bandTable(s, d)
+    val shl = persistedShingles(s, d)
     val cand = org.apache.spark.sql.graft.LshJoin
-      .bucketPairs(bands, "bkey", "doc_id")
+      .bucketPairs(bandTable(shl), "bkey", "doc_id")
       .select(col("a_doc_id").as("da"), col("b_doc_id").as("db"))
       .distinct()
-    val sets = shingleSets(s, d)
-    val left = sets.join(broadcast(cand), col("doc_id") === col("da"))
-      .select(col("da"), col("db"), col("st").as("sta"))
-    val pairs = sets.join(left, col("doc_id") === col("db"))
-      .select(col("da"), col("db"), col("sta"), col("st").as("stb"))
-    pairs
+    pairSets(cand, shingleSets(shl))
       .filter(jaccard(col("sta"), col("stb")) >= JAC_T)
       .select(col("da"), col("db"))
   }
@@ -1299,20 +1305,16 @@ object TextQueries {
     val ih = docs.filter(col("doc_id") % 2 === 0)
       .select(md5(col("text")).as("h")).distinct()
     val exact = inc.join(ih, Seq("h")).select(col("doc_id")).distinct()
-    val bands = bandTable(s, d)
+    val shl = persistedShingles(s, d)
+    val bands = bandTable(shl)
     val cand = bands.filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id").as("di"), col("bkey"))
+      .select(col("doc_id").as("da"), col("bkey"))
       .join(bands.filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id").as("dx"), col("bkey")), Seq("bkey"))
-      .select(col("di"), col("dx")).distinct()
-    val sets = shingleSets(s, d)
-    val withA = sets.join(cand, col("doc_id") === col("di"))
-      .select(col("di"), col("dx"), col("st").as("sta"))
-    val pairs = sets.join(withA, col("doc_id") === col("dx"))
-      .select(col("di"), col("sta"), col("st").as("stb"))
-    val near = pairs
+        .select(col("doc_id").as("db"), col("bkey")), Seq("bkey"))
+      .select(col("da"), col("db")).distinct()
+    val near = pairSets(cand, shingleSets(shl))
       .filter(jaccard(col("sta"), col("stb")) >= JAC_T)
-      .select(col("di").as("doc_id")).distinct()
+      .select(col("da").as("doc_id")).distinct()
       .join(exact, Seq("doc_id"), "left_anti")
     inc
       .join(exact.withColumn("is_exact", lit(1L)), Seq("doc_id"), "left")
@@ -1356,22 +1358,14 @@ object TextQueries {
       |    AS BIGINT) / 1000000.0 AS jaccard
       |FROM m ORDER BY cont_ppm DESC, doc_a, doc_b
       |LIMIT 20""".stripMargin) { (s, d) =>
-    val bands = bandTable(s, d)
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .distinct()
-    val sets = shingleSets(s, d)
-    val withA = sets.join(broadcast(cand), col("doc_id") === col("da"))
-      .select(col("da"), col("db"), col("st").as("sta"))
-    val m = sets.join(withA, col("doc_id") === col("db"))
+    val shl = persistedShingles(s, d)
+    val cand = selfBandPairs(bandTable(shl))
+    val m = pairSets(cand, shingleSets(shl))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        size(array_intersect(col("sta"), col("st"))).cast("long")
+        size(array_intersect(col("sta"), col("stb"))).cast("long")
           .as("inter"),
         size(col("sta")).cast("long").as("la"),
-        size(col("st")).cast("long").as("lb"))
+        size(col("stb")).cast("long").as("lb"))
     m.select(col("doc_a"), col("doc_b"),
         expr("inter * 1000000 div LEAST(la, lb)").as("cont_ppm"),
         graft.functions.Exact.roundP(

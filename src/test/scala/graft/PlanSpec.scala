@@ -172,13 +172,15 @@ class PlanSpec extends SparkSpec {
   test("dup-span extraction reads the gram table from cache (q104)") {
     val df = TextQueries.all.find(_.name.startsWith("q104")).get
       .run(spark, sf)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    // the positioned gram table feeds census + probe: the second
-    // consumer must hit the persisted copy, not re-tokenize the corpus
-    assert(plan.contains("InMemoryTableScan"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
-    spark.catalog.clearCache()
+    try {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // the positioned gram table feeds census + probe: the second
+      // consumer must hit the persisted copy, not re-tokenize the
+      // corpus
+      assert(plan.contains("InMemoryTableScan"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    } finally spark.catalog.clearCache() // never leak the gram cache
   }
 
   test("incremental dedup and containment join only on keys (q107/q109)") {

@@ -10,10 +10,17 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracle key maps to a registered query") {
-    val qs = SparkEntry.queries.keySet
-    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
-    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  test("only the three declared rows-only queries lack an oracle") {
+    // the driver records a weaker rows-only check for these, each with
+    // a separately oracle-checked deterministic core (q43b/q71/RMSE
+    // spec); ANY other query registered without an oracle is a
+    // coverage regression, not a design decision
+    val declared = Set("q43_ann_ivf_kmeans", "q44_media_features",
+      "q45_als_recommendations")
+    val noOracle = SparkEntry.queries.keySet
+      .diff(SparkEntry.oracleSql.keySet)
+    assert(noOracle == declared, s"undeclared rows-only: " +
+      s"${noOracle.diff(declared)}; missing: ${declared.diff(noOracle)}")
   }
 
   test("registry names are unique and well-formed") {
