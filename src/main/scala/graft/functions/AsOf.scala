@@ -76,7 +76,7 @@ object AsOf {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r.select(l.columns.map(c =>
+    l.unionByName(r.select(l.columns.toIndexedSeq.map(c =>
         if (r.columns.contains(c)) col(c) else lit(null).as(c)): _*))
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       // left rows only; right-only rows (tag side with null left cols)

@@ -52,7 +52,7 @@ object Silver {
     val typed = cleaned.filter(col("event_id").isNull).unionByName(
       Dedup.keepLatestBy(cleaned.filter(col("event_id").isNotNull),
         Seq("event_id"),
-        Seq(xxhash64(cleaned.columns.map(col): _*).desc)))
+        Seq(xxhash64(cleaned.columns.toIndexedSeq.map(col): _*).desc)))
 
     val wSession = Window.partitionBy(col("session_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -109,7 +109,7 @@ object Silver {
         Buckets.customerSegment(col("total_purchases"),
           col("avg_order_value")))
     Dedup.keepLatestBy(derived, Seq("user_id"),
-        Seq(col("ts").desc, xxhash64(typed.columns.map(col): _*).desc))
+        Seq(col("ts").desc, xxhash64(typed.columns.toIndexedSeq.map(col): _*).desc))
       .withColumn("date", to_date(col("ts")))
       .withColumn("silver_processed_at", current_timestamp())
   }
@@ -139,7 +139,7 @@ object Silver {
       .withColumn("rating_category",
         Buckets.ratingCategory(coalesce(col("rating"), col("avg_rating"))))
     Dedup.keepLatestBy(derived, Seq("product_id"),
-        Seq(col("ts").desc, xxhash64(typed.columns.map(col): _*).desc))
+        Seq(col("ts").desc, xxhash64(typed.columns.toIndexedSeq.map(col): _*).desc))
       .withColumn("date", to_date(col("ts")))
       .withColumn("silver_processed_at", current_timestamp())
   }

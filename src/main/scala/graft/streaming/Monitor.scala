@@ -13,10 +13,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * counts, and last observed rate, with zero touch on the data path.
   */
 final class Monitor extends StreamingQueryListener {
-
-  final case class QueryStats(
-      name: String, batches: Long, totalRows: Long,
-      lastRowsPerSec: Double)
+  import Monitor.QueryStats
 
   private val stats = new ConcurrentHashMap[String, QueryStats]()
 
@@ -64,6 +61,10 @@ final class Monitor extends StreamingQueryListener {
 }
 
 object Monitor {
+  final case class QueryStats(
+      name: String, batches: Long, totalRows: Long,
+      lastRowsPerSec: Double)
+
   /** Attach a fresh monitor to the session's streams. Pair with
     * [[Monitor.detach]] when the monitoring scope ends. */
   def attach(spark: SparkSession): Monitor = {
