@@ -442,8 +442,13 @@ object PipelineQueries {
       |    AS valid_records
       |FROM events GROUP BY 1 ORDER BY pipeline""".stripMargin) { (s, d) =>
     val dir = freshScratch("q97") + "/meta"
+    // parity via the same CASE shape as the oracle: a NULL or
+    // negative-odd event_id lands in half_odd on both sides (a bare
+    // `% 2` group-key would emit a null/-1 key here — NPE on getLong
+    // or a silently dropped group)
     val stats = Tables.events(s, d)
-      .groupBy((col("event_id") % 2).cast("long").as("par"))
+      .groupBy(when(col("event_id") % 2 === 0, 0L).otherwise(1L)
+        .as("par"))
       .agg(count(lit(1)).as("records"),
         count(when(col("value") > 50, lit(1))).as("valid"))
       .collect()
@@ -623,6 +628,10 @@ object PipelineQueries {
       |SELECT doc_id, n_bigrams, novel_ppm
       |FROM sc ORDER BY novel_ppm DESC, doc_id LIMIT 20""".stripMargin) {
     (s, d) =>
+      // bg feeds the df census AND the join-back probe: persist it
+      // (the q104 multi-consumer rule) instead of tokenizing and
+      // exploding the corpus once per consumer. Harness clearCache
+      // bounds retention.
       val bg = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 2)
@@ -631,6 +640,7 @@ object PipelineQueries {
         .select(col("doc_id"),
           concat(expr("element_at(toks, i)"), lit(" "),
             expr("element_at(toks, i + 1)")).as("bg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfreq = bg.groupBy(col("bg"))
         .agg(countDistinct(col("doc_id")).as("df"))
       bg.join(dfreq, Seq("bg"))
@@ -750,11 +760,14 @@ object PipelineQueries {
       |    // GREATEST(aw.pad_arrival, 1) AS BIGINT) AS savings_ppm
       |FROM sorted_waste sw JOIN arrival_waste aw ON sw.shard = aw.shard
       |ORDER BY sw.shard""".stripMargin) { (s, d) =>
+    // both layout branches (sorted, arrival) fold over this frame:
+    // persist so the scan+tokenize runs once (q104 rule)
     val base = Tables.documents(s, d)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n"),
         (graft.curation.Curation.contentU32(col("doc_id")) % 16)
           .as("shard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def waste(order: Seq[org.apache.spark.sql.Column], padAs: String,
               withBatches: Boolean) = {
       val w = Window.partitionBy(col("shard")).orderBy(order: _*)

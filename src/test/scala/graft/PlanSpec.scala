@@ -15,6 +15,18 @@ class PlanSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  // Plan-shape assertions are only meaningful against an EMPTY cache:
+  // builders that persist (q24/q50/.../q104 via persistedShingles)
+  // register CacheManager entries eagerly, and a leaked entry lets a
+  // later test inspect a cache-substituted plan — its assertion keeps
+  // passing even if the regression it pins returns. Clear around
+  // every test (other suites in the shared JVM persist too).
+  override protected def withFixture(test: NoArgTest) = {
+    spark.catalog.clearCache()
+    try super.withFixture(test)
+    finally spark.catalog.clearCache()
+  }
+
   test("filter + projection push down to the parquet scan (q02)") {
     val plan = CoreQueries.q02.run(spark, sf)
       .queryExecution.executedPlan.toString
