@@ -18,28 +18,40 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by
-    * default. We read it as an exact ns long (`nanosAsLong`) and truncate
-    * to a µs timestamp — exactly what DuckDB does on read (it coerces
-    * timestamp_ns to µs `timestamp`), so both engines see identical
-    * values. The exact ns long stays available as `ts_ns`.
+  /** `events.ts` normalization. Two generator layouts exist:
     *
-    * `spark.sql.legacy.parquet.nanosAsLong=true` must be set when the
-    * session is BUILT (Bench / Verify / SparkSpec all do); a loader must
-    * not mutate shared session conf as a side effect. We fail fast with
-    * a clear message instead.
+    *  - TIMESTAMP(NANOS) (early testdata): Spark rejects it by default;
+    *    with `spark.sql.legacy.parquet.nanosAsLong=true` it reads as an
+    *    exact ns long, which we truncate to a µs timestamp — exactly
+    *    what DuckDB does on read (it coerces timestamp_ns to µs
+    *    `timestamp`), so both engines see identical values.
+    *  - `timestamp[us]` (current testdata): arrives as TIMESTAMP_NTZ;
+    *    DuckDB reads the same file as its (ntz) `TIMESTAMP`. We cast to
+    *    the session-local TimestampType — an identity on the epoch
+    *    because every harness session pins timeZone=UTC — so every
+    *    downstream query sees one `ts` type regardless of layout.
+    *
+    * Either way the exact epoch-ns long stays available as `ts_ns`
+    * (µs-aligned in the second layout). The branch keys on the READ
+    * schema, not on session conf: a loader must not mutate shared conf,
+    * and `nanosAsLong=true` is harmless when the column is already µs.
     */
   private def eventsNs(spark: SparkSession, dir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-        .contains("true"),
-      "events.parquet uses TIMESTAMP(NANOS): build the SparkSession with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true")
-    load(spark, dir, "events")
-      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read under nanosAsLong
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType | _: TimestampType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — expected TIMESTAMP " +
+            "or a nanosAsLong-read ns long")
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -1374,8 +1374,44 @@ object CoreQueries {
       .limit(20)
   }
 
+  /** q111 — bloom-filtered fact↔dim join (§2.7 join family, scale row):
+    * the explicit form of Spark's `InjectRuntimeFilter`. The urgent-
+    * orders dim folds its keys into ONE bloom bitset (a bounded binary
+    * cell — see [[org.apache.spark.sql.graft.GraftBloom]]); the bitset
+    * screens lineitem BEFORE the join shuffle, so ~4/5 of the fact
+    * never enters the exchange. Bloom false positives are removed by
+    * the real join, making the result EXACTLY the plain join — which is
+    * the oracle: DuckDB runs the unfiltered join and the hashes must
+    * match. Plan pinned by PlanSpec (might_contain on the fact scan
+    * side). */
+  val q111 = QueryDef(
+    "q111_bloom_join",
+    """SELECT l_returnflag,
+      |  COUNT(*) AS n_lines,
+      |  COUNT(DISTINCT o_orderkey) AS n_orders,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    org.apache.spark.sql.graft.GraftBloom
+      .bloomFilteredJoin(Tables.lineitem(s, d), dim, "l_orderkey", "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(dec2(col("l_extendedprice")) *
+          (dec2(lit(1)) - dec2(col("l_discount")))).cast("double")
+          .as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
-    q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108)
+    q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
+    q111)
 }
