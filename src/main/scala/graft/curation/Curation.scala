@@ -147,6 +147,43 @@ object Curation {
           filter(col("__toks"), t => !t.isInCollection(blocklist)), " "))
       .drop("__toks")
 
+  /** URL canonicalization (the C4/CommonCrawl-style dedup-prep step —
+    * crawls see the same page under case-varied hosts, default ports,
+    * fragments, and shuffled/tracking query params):
+    *
+    *  1. strip the `#fragment`;
+    *  2. lowercase `scheme://authority` (path case is preserved —
+    *     paths are case-sensitive per RFC 3986, hosts are not);
+    *  3. normalize an empty path to `/`;
+    *  4. drop the scheme-default port (`http…:80`, `https…:443`);
+    *  5. drop `utm_*` tracking params, sort the rest byte-wise.
+    *
+    * Pure per-row projection (regex + array ops, all codegen'd) — at
+    * 100 TB this rides the scan for free and feeds [[exactDedup]] on
+    * the canonical form. Regexes stay RE2-compatible so the DuckDB
+    * oracle (q117) mirrors them verbatim; relative URLs pass through
+    * steps 2–4 unchanged (the regexes simply don't match). */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val base = regexp_replace(noFrag, "\\?.*$", "")
+    val lowered = concat(
+      lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)", 1)),
+      regexp_replace(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]+", ""))
+    // empty path -> '/' BEFORE the port strip, so a pathless
+    // 'http://h:80' still matches the ':80/' form below
+    val slashed = when(lowered.rlike("^[a-z][a-z0-9+.-]*://[^/]+$"),
+      concat(lowered, lit("/"))).otherwise(lowered)
+    val noPort = regexp_replace(
+      regexp_replace(slashed, "^(http://[^/:]+):80/", "$1/"),
+      "^(https://[^/:]+):443/", "$1/")
+    val params = filter(split(query, "&"),
+      p => p =!= "" && !p.startsWith("utm_"))
+    val sortedQ = array_join(sort_array(params), "&")
+    when(sortedQ === "", noPort)
+      .otherwise(concat(noPort, lit("?"), sortedQ))
+  }
+
   /** PII redaction over a free-text column: masks email addresses and
     * US-style phone numbers with typed placeholders and counts the
     * redactions. Regexes stay in RE2-compatible territory (no

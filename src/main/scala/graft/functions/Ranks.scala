@@ -139,6 +139,49 @@ object Ranks {
     r.withColumn(as, (tile + 1).cast("int")).drop(internals: _*)
   }
 
+  /** SQL `SUM(valueCol) OVER (ORDER BY orderCol, tieBreak ROWS
+    * UNBOUNDED PRECEDING)` — the distributed global running total
+    * (coverage curves, cumulative-share reports). Same bucket split as
+    * the rank family, with per-bucket SUM offsets instead of counts:
+    * the offsets are a bounded driver-side list (`<= buckets + 1`
+    * longs), applied as literal expressions, so the plan carries ONE
+    * hash shuffle (the per-bucket window) and no partition-less
+    * window.
+    *
+    * `valueCol` is cast to long (integer cumulative sums are the
+    * portable form — float running totals are order-sensitive by
+    * construction); `tieBreak` must make (orderCol, tieBreak) unique,
+    * exactly as the ROWS-frame window form requires for determinism.
+    * Ascending NULLS FIRST order-key semantics (Spark's default); for
+    * a descending curve pass the negated key. */
+  def prefixSum(df: DataFrame, orderCol: Column, tieBreak: Column,
+                valueCol: Column, as: String,
+                buckets: Int = 32): DataFrame = {
+    // caching contract identical to ranked() above: the input feeds
+    // three consumers (boundaries, bucket sums, the output)
+    val in =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val withB = in
+      .withColumn("__b", bucketOf(orderCol, boundaries(in, orderCol, buckets)))
+      .withColumn("__v", valueCol.cast("long"))
+    val sums: Array[(Int, Long)] = withB.groupBy(col("__b"))
+      .agg(coalesce(sum(col("__v")), lit(0L)).as("s")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val prefix = sums.scanLeft(0L)(_ + _._2) // value mass before bucket i
+    val offExpr = sums.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, ((bid, _), i)) =>
+        when(col("__b") === bid, lit(prefix(i))).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__b"))
+      .orderBy(orderCol, tieBreak)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .withColumn(as, offExpr + coalesce(sum(col("__v")).over(w), lit(0L)))
+      .drop("__b", "__v")
+  }
+
   /** pandas `rank(pct=True)` (average rank / count) — distributed.
     * Average rank of a tie group = rank + (tie_count - 1)/2; the tie
     * count is a hash-partitioned window on the order value itself, so

@@ -796,7 +796,254 @@ object PipelineQueries {
       .orderBy(col("shard"))
   }
 
+  /** q116 — vocabulary coverage curve (the "how many tokens cover X %
+    * of the corpus" tokenizer-sizing statistic): global running total
+    * of term occurrences in frequency order, via the DISTRIBUTED
+    * prefix sum ([[graft.functions.Ranks.prefixSum]] — per-bucket
+    * windows plus literal bucket offsets, never the single-partition
+    * `SUM OVER (ORDER BY …)` the SQL form implies). Coverage in exact
+    * integer ppm of total occurrences; top-20 terms shown. The vocab
+    * frame is term-count-sized, so at 100 TB this is a few million
+    * rows regardless of corpus size — but still far too big for one
+    * window task, which is the point of the bucketed rewrite. */
+  val q116 = QueryDef(
+    "q116_vocab_coverage",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |v AS (SELECT t, COUNT(*) AS cnt FROM tok WHERE t <> '' GROUP BY t),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v),
+      |c AS (
+      |  SELECT t, cnt,
+      |    SUM(cnt) OVER (ORDER BY cnt DESC, t ROWS UNBOUNDED PRECEDING)
+      |      AS cum
+      |  FROM v)
+      |SELECT t AS token, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(cum AS BIGINT) AS cum_cnt,
+      |  CAST(cum * 1000000 // (SELECT total FROM tot) AS BIGINT)
+      |    AS cov_ppm
+      |FROM c ORDER BY cnt DESC, token LIMIT 20""".stripMargin) { (s, d) =>
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    // descending frequency curve = ascending on the negated key
+    val withCum = graft.functions.Ranks.prefixSum(
+      vocab, negate(col("cnt")), col("t"), col("cnt"), "cum_cnt")
+    val tot = vocab.agg(sum(col("cnt")).as("total"))
+    withCum.crossJoin(broadcast(tot))
+      .select(col("t").as("token"), col("cnt"), col("cum_cnt"),
+        expr("cum_cnt * 1000000 div total").as("cov_ppm"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+  }
+
+  /** q117 — URL canonicalization census
+    * ([[graft.curation.Curation.canonicalUrl]] — the C4-style crawl
+    * dedup-prep step) over a deterministic in-query URL fixture (the
+    * q84 PII treatment: testdata has no URL column, so one is derived
+    * from `events` with case-varied hosts, default ports, shuffled
+    * params, `utm_*` tracking noise, and fragments). Grouping by the
+    * canonical form must merge every variant; the oracle re-derives
+    * the same canonicalization in DuckDB SQL step by step (its
+    * `regexp_replace` is first-match-only — every pattern here can
+    * match at most once, so the engines agree). Canonicalize is a pure
+    * per-row projection; the census is one keyed agg. */
+  val q117 = QueryDef(
+    "q117_url_canonical",
+    """WITH r AS (
+      |  SELECT
+      |    (CASE WHEN event_id % 3 = 0 THEN 'HTTP://Shop.Example.COM'
+      |          WHEN event_id % 3 = 1 THEN 'http://shop.example.com:80'
+      |          ELSE 'http://shop.example.com' END)
+      |    || (CASE WHEN event_id % 5 = 0 THEN ''
+      |             ELSE '/item/' || CAST(user_id % 50 AS VARCHAR) END)
+      |    || (CASE WHEN event_id % 2 = 0
+      |             THEN '?utm_src=mail&b=' || CAST(user_id % 5 AS VARCHAR)
+      |                  || '&a=' || CAST(event_id % 7 AS VARCHAR)
+      |             ELSE '?a=' || CAST(event_id % 7 AS VARCHAR)
+      |                  || '&b=' || CAST(user_id % 5 AS VARCHAR) END)
+      |    || (CASE WHEN event_id % 4 = 0 THEN '#top' ELSE '' END) AS raw
+      |  FROM events),
+      |s1 AS (SELECT raw, regexp_replace(raw, '#.*', '') AS nofrag FROM r),
+      |s2 AS (
+      |  SELECT raw,
+      |    regexp_extract(nofrag, '\?(.*)$', 1) AS q,
+      |    regexp_replace(nofrag, '\?.*$', '') AS base
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT raw, q,
+      |    lower(regexp_extract(base,
+      |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)', 1))
+      |      || regexp_replace(base,
+      |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/]+', '') AS lowered
+      |  FROM s2),
+      |s4 AS (
+      |  SELECT raw, q,
+      |    CASE WHEN regexp_matches(lowered, '^[a-z][a-z0-9+.-]*://[^/]+$')
+      |         THEN lowered || '/' ELSE lowered END AS slashed
+      |  FROM s3),
+      |s5 AS (
+      |  SELECT raw, q,
+      |    regexp_replace(regexp_replace(slashed,
+      |      '^(http://[^/:]+):80/', '\1/'),
+      |      '^(https://[^/:]+):443/', '\1/') AS noport
+      |  FROM s4),
+      |s6 AS (
+      |  SELECT raw, noport,
+      |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+      |      p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS sq
+      |  FROM s5),
+      |c AS (
+      |  SELECT raw, CASE WHEN sq = '' THEN noport
+      |              ELSE noport || '?' || sq END AS url
+      |  FROM s6)
+      |SELECT url, COUNT(*) AS n_hits,
+      |  CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_variants
+      |FROM c GROUP BY url ORDER BY n_hits DESC, url
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val raw = concat(
+      when(col("event_id") % 3 === 0, lit("HTTP://Shop.Example.COM"))
+        .when(col("event_id") % 3 === 1, lit("http://shop.example.com:80"))
+        .otherwise(lit("http://shop.example.com")),
+      when(col("event_id") % 5 === 0, lit(""))
+        .otherwise(concat(lit("/item/"),
+          (col("user_id") % 50).cast("string"))),
+      when(col("event_id") % 2 === 0,
+        concat(lit("?utm_src=mail&b="), (col("user_id") % 5).cast("string"),
+          lit("&a="), (col("event_id") % 7).cast("string")))
+        .otherwise(concat(lit("?a="), (col("event_id") % 7).cast("string"),
+          lit("&b="), (col("user_id") % 5).cast("string"))),
+      when(col("event_id") % 4 === 0, lit("#top")).otherwise(lit("")))
+    Tables.events(s, d)
+      .select(raw.as("raw"))
+      .select(col("raw"),
+        graft.curation.Curation.canonicalUrl(col("raw")).as("url"))
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("raw")).as("n_variants"))
+      .orderBy(col("n_hits").desc, col("url"))
+      .limit(20)
+  }
+
+  /** q118 — CSV bronze round-trip (the delimited-landing sibling of
+    * q92's JSONL cycle): land integer-safe event columns as
+    * header'd CSV, read back through the REAL
+    * [[graft.sources.Medallion.readCsvBronze]] (PERMISSIVE schema'd
+    * scan) → [[graft.sources.Medallion.wellFormed]], aggregate per
+    * cohort; the oracle computes the identical report straight from
+    * the parquet, so any row lost/mangled in the CSV write→parse
+    * cycle breaks the hash. Only integer columns cross the CSV
+    * boundary (float text formatting is the classic round-trip
+    * trap). Scratch is per-invocation, reaped like q92's. */
+  val q118 = QueryDef(
+    "q118_csv_bronze",
+    """WITH c AS (
+      |  SELECT user_id % 10 AS cohort,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT cohort, COUNT(*) AS n_events,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(MIN(cents) AS BIGINT) AS min_cents,
+      |  CAST(MAX(cents) AS BIGINT) AS max_cents
+      |FROM c GROUP BY cohort ORDER BY cohort""".stripMargin) { (s, d) =>
+    val dir = freshScratch("q118") + "/landing"
+    Tables.events(s, d)
+      .select(col("event_id"), (col("user_id") % 10).as("cohort"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .write.option("header", "true").csv(dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, cohort BIGINT, cents BIGINT")
+    val bronze = graft.sources.Medallion.readCsvBronze(s, schema, dir)
+    graft.sources.Medallion.wellFormed(bronze)
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .orderBy("cohort")
+  }
+
+  /** q119 — Z-order locality audit ([[graft.functions.ZOrder]]): every
+    * 64-value range of the interleaved key must be an 8×8 TILE in
+    * (x, y) space — the property that makes `OPTIMIZE ZORDER BY`
+    * file layouts prunable on BOTH dimensions. Per-tile bounding boxes
+    * (bbox_area ≤ 64 by construction vs 64×8 for a single-column
+    * sort's slabs) are what a layout job's file min/max stats would
+    * record. The encoding is pure shift/and arithmetic on both
+    * engines — [[graft.functions.ZOrder.interleaveSql]] emits the
+    * oracle's copy from the same definition. */
+  val q119 = QueryDef(
+    "q119_zorder_tiles",
+    s"""WITH z AS (
+      |  SELECT
+      |    ${graft.functions.ZOrder.interleaveSql(
+            "o_custkey % 64", "o_orderkey % 64", 6)} AS zv,
+      |    o_custkey % 64 AS x, o_orderkey % 64 AS y
+      |  FROM orders)
+      |SELECT zv // 64 AS tile, COUNT(*) AS n_rows,
+      |  CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+      |  CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max,
+      |  CAST((MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS BIGINT)
+      |    AS bbox_area
+      |FROM z GROUP BY tile ORDER BY tile""".stripMargin) { (s, d) =>
+    val x = (col("o_custkey") % 64).cast("long")
+    val y = (col("o_orderkey") % 64).cast("long")
+    Tables.orders(s, d)
+      .select(graft.functions.ZOrder.interleave(x, y, 6).as("zv"),
+        x.as("x"), y.as("y"))
+      .select(expr("zv div 64").as("tile"), col("x"), col("y"))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .withColumn("bbox_area",
+        (col("x_max") - col("x_min") + 1) * (col("y_max") - col("y_min") + 1))
+      .orderBy(col("tile"))
+  }
+
+  /** q120 — OOV-rate audit for a truncated vocabulary (the
+    * tokenizer-coverage complement of q116): fix the top-500 terms by
+    * (frequency, term) — a deterministic ordered limit — and report
+    * per-source token occurrences falling outside it, in exact integer
+    * ppm. The vocab side is bounded by the knob → broadcast; the probe
+    * side streams (one scan + one keyed agg). The token frame feeds
+    * both the vocab census and the probe, so it is persisted (the q104
+    * multi-consumer rule). */
+  val q120 = QueryDef(
+    "q120_oov_rate",
+    """WITH tok AS (
+      |  SELECT source, t FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS t
+      |    FROM documents)
+      |  WHERE t <> ''),
+      |v AS (
+      |  SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t
+      |  ORDER BY cnt DESC, t LIMIT 500),
+      |j AS (
+      |  SELECT tok.source,
+      |    CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM tok LEFT JOIN v ON tok.t = v.t)
+      |SELECT source, COUNT(*) AS n_tokens,
+      |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+      |  CAST(SUM(oov) * 1000000 // COUNT(*) AS BIGINT) AS oov_ppm
+      |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(500)
+      .select(col("t"), lit(1).as("iv"))
+    tok.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000 div n_tokens").as("oov_ppm"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
-      q100, q101, q102, q105, q106)
+      q100, q101, q102, q105, q106, q116, q117, q118, q119, q120)
 }

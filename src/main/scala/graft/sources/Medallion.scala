@@ -29,6 +29,24 @@ object Medallion {
       .withColumn("_source_file", input_file_name())
       .withColumn("_processed_at", current_timestamp())
 
+  /** [[readBronze]]'s delimited-landing sibling: schema'd CSV scan
+    * with the same PERMISSIVE + `_corrupt_record` + provenance
+    * treatment (header expected, as the standard export tools write).
+    * CSV is the other ubiquitous interchange landing format; the
+    * malformed-line contract is identical to the JSONL path so
+    * [[wellFormed]] applies unchanged. Oracle-checked end-to-end by
+    * q118 (write → scan → aggregate vs the source parquet). */
+  def readCsvBronze(spark: SparkSession, schema: StructType,
+                    paths: String*): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("header", "true")
+      .csv(paths: _*)
+      .withColumn("_source_file", input_file_name())
+      .withColumn("_processed_at", current_timestamp())
+
   /** Rows that parsed cleanly. */
   def wellFormed(bronze: DataFrame): DataFrame =
     bronze.filter(col("_corrupt_record").isNull).drop("_corrupt_record")

@@ -74,6 +74,29 @@ class CurationSpec extends SparkSpec {
       (3L, 1L, 1L, "")))
   }
 
+  test("canonicalUrl: case, default port, fragment, param order, utm") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTP://Ex.COM:80/Path?b=2&a=1#frag",
+      "http://ex.com/Path?a=1&b=2",
+      "https://Ex.com:443?utm_src=x",
+      "https://ex.com/",
+      "http://ex.com:8080/p?x=1", // non-default port is kept
+      "no-scheme/relative?b=1&a=2#f", // relative passes through 2-4
+      "http://ex.com/CaseSensitivePath")
+    val got = urls.toDF("u")
+      .select(Curation.canonicalUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "http://ex.com/Path?a=1&b=2",
+      "http://ex.com/Path?a=1&b=2",
+      "https://ex.com/",
+      "https://ex.com/",
+      "http://ex.com:8080/p?x=1",
+      "no-scheme/relative?a=2&b=1",
+      "http://ex.com/CaseSensitivePath"))
+  }
+
   test("redactPii masks emails and phones and counts each redaction") {
     import spark.implicits._
     val docs = Seq(

@@ -43,6 +43,28 @@ class MedallionSpec extends SparkSpec {
       .endsWith("part-0.json"))
   }
 
+  test("csv bronze: clean lines parse, malformed lines quarantine") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "part-0.csv").toPath,
+      Seq("event_id,cohort,cents",
+        "1,2,300",
+        "not,a,number", // BIGINT parse failure -> corrupt
+        "2,7,-50").mkString("\n"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, cohort BIGINT, cents BIGINT")
+    val bronze = Medallion.readCsvBronze(
+      spark, schema, dir.getAbsolutePath).cache()
+    assert(bronze.count() == 3)
+    assert(bronze.filter(col("_corrupt_record").isNotNull).count() == 1)
+    val good = Medallion.wellFormed(bronze)
+      .select("event_id", "cohort", "cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(good.toSeq == Seq((1L, 2L, 300L), (2L, 7L, -50L)))
+    assert(bronze.select("_source_file").head().getString(0)
+      .endsWith("part-0.csv"))
+  }
+
   test("silver clickstream: normalization, cleaning, features") {
     val silver = Silver.clickstream(
       Medallion.wellFormed(

@@ -81,6 +81,44 @@ class RanksSpec extends SparkSpec {
     assert(rows == Map(1L -> None, 2L -> Some(0.5), 3L -> Some(1.0)))
   }
 
+  test("prefixSum equals SUM over the global ROWS window") {
+    import spark.implicits._
+    // tie-heavy order key, independent value column
+    val rnd = new scala.util.Random(11)
+    val d = (1 to 400)
+      .map(i => (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(50).toLong))
+      .toDF("id", "v", "w")
+      .repartition(5)
+    val expected = d.withColumn("c",
+      sum(col("w")).over(Window.orderBy(col("v"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "c").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (buckets <- Seq(1, 4, 32)) {
+      val got = Ranks.prefixSum(d, col("v"), col("id"), col("w"), "c",
+        buckets)
+        .select("id", "c").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"buckets=$buckets")
+    }
+  }
+
+  test("prefixSum on a descending (negated) key matches ORDER BY DESC") {
+    import spark.implicits._
+    val d = Seq((1L, 5L, 10L), (2L, 5L, 20L), (3L, 9L, 1L), (4L, 2L, 7L))
+      .toDF("id", "v", "w")
+    val expected = d.withColumn("c",
+      sum(col("w")).over(Window.orderBy(col("v").desc, col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "c").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Ranks.prefixSum(d, negate(col("v")), col("id"), col("w"),
+      "c", 4)
+      .select("id", "c").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("results are partitioning-independent") {
     val a = Ranks.percentRank(df.repartition(1), col("v"), "p")
       .select("id", "p").collect().map(r => (r.getLong(0), r.getDouble(1)))
