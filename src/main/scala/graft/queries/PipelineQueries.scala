@@ -1043,7 +1043,30 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** q121 — sketch heavy hitters ([[graft.functions.Freq]], the
+    * Misra–Gries mergeable summary): the approximate counterpart of
+    * q78's exact profile. The exact form's cost at 100 TB is a
+    * keyspace-sized shuffle; the sketch ships at most k counters per
+    * partition through one single-group typed aggregate. Capacity
+    * k=4096 exceeds this table's user keyspace, so the summary is in
+    * its EXACT regime (no eviction ever fires) and the oracle's plain
+    * GROUP BY ... HAVING matches bit-for-bit — the same
+    * exact-at-test-scale / bounded-at-scale treatment as q36/q90;
+    * FreqSpec pins the undersized error bound the production sizing
+    * relies on. */
+  val q121 = QueryDef(
+    "q121_sketch_heavy_hitters",
+    """SELECT user_id, CAST(cnt AS BIGINT) AS cnt FROM (
+      |  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
+      |WHERE cnt >= 80 ORDER BY user_id""".stripMargin) { (s, d) =>
+    graft.functions.Freq.heavyHitters(
+        Tables.events(s, d), col("user_id"), k = 4096, threshold = 80L)
+      .select(col("key").as("user_id"), col("est").as("cnt"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
-      q100, q101, q102, q105, q106, q116, q117, q118, q119, q120)
+      q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
+      q121)
 }
