@@ -205,6 +205,53 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("prefix-sum offsets are literals, not a join (q116)") {
+    val df = graft.queries.PipelineQueries.q116.run(spark, sf)
+    try {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // bucket offsets fold into literal expressions; the only join in
+      // the plan is the broadcast of the one-row corpus total — a
+      // shuffled join would mean the offsets became a data-plane frame
+      assert(!plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("ShuffledHashJoin"), plan)
+      assert(plan.contains("Broadcast"), plan)
+    } finally spark.catalog.clearCache() // prefixSum persists its input
+  }
+
+  test("canonical-URL census is projection + one agg — no join, no window (q117)") {
+    val plan = graft.queries.PipelineQueries.q117.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("z-order tiles plan no join and no window (q119)") {
+    val plan = graft.queries.PipelineQueries.q119.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("OOV probe broadcasts the bounded vocab side (q120)") {
+    val df = graft.queries.PipelineQueries.q120.run(spark, sf)
+    try {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("SortMergeJoin"), plan)
+    } finally spark.catalog.clearCache() // q120 persists the token frame
+  }
+
+  test("sketch heavy hitters run as a typed imperative aggregate (q121)") {
+    val plan = graft.queries.PipelineQueries.q121.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the MG summary buffers through ObjectHashAggregate — a
+    // SortAggregate fallback would re-sort every partition's rows
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
+
   test("whole-stage codegen covers the pricing aggregation path (q01)") {
     // q01 is the pure-aggregate path (no distinct rewrite, which plans
     // a multi-phase first()-of-partial aggregation outside codegen).
