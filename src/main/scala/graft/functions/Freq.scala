@@ -77,14 +77,20 @@ object Freq {
       ExpressionEncoder[Map[Long, Long]]()
   }
 
-  /** Heavy hitters of `key` with stored count >= `threshold`, as rows
-    * (`key`, `est`). One single-group aggregation (partial summary per
-    * partition, one merge) + a bounded explode. */
+  /** Heavy hitters of `key` (an integral column — string/float keys
+    * should be hashed to a long first, e.g. via
+    * [[graft.curation.Curation.contentU32]]) with stored count >=
+    * `threshold`, as rows (`key`, `est`). One single-group aggregation
+    * (partial summary per partition, one merge) + a bounded explode.
+    * The null filter runs on the TRY_CAST key, so values that are
+    * non-null but not long-castable are dropped rather than throwing
+    * under ANSI mode or crashing the non-nullable aggregator input. */
   def heavyHitters(df: DataFrame, key: Column, k: Int,
-                   threshold: Long): DataFrame =
-    df.filter(key.isNotNull)
-      .agg(udaf(new MGAgg(k), Encoders.scalaLong)(key.cast("long"))
-        .as("__summary"))
+                   threshold: Long): DataFrame = {
+    val kl = key.try_cast("long")
+    df.filter(kl.isNotNull)
+      .agg(udaf(new MGAgg(k), Encoders.scalaLong)(kl).as("__summary"))
       .select(explode(col("__summary")).as(Seq("key", "est")))
       .filter(col("est") >= threshold)
+  }
 }

@@ -68,37 +68,44 @@ object Ranks {
     * join and no extra window appears in the plan. The input is
     * persisted (it feeds all three consumers) — what can never be
     * bought back is the single task a global window would use. */
-  private def ranked(df: DataFrame, orderCol: Column,
-                     tieBreak: Seq[Column], buckets: Int): DataFrame = {
-    // The input feeds three consumers (quantile boundaries, bucket
-    // counts, the ranked output) — persist it rather than recompute
-    // it per consumer. Rank inputs are aggregated frames (one row per
-    // group), so the cache is small relative to the data; both
-    // harness mains clearCache() between queries. Measured: q09 went
-    // 5.5s → ~2s at sf0.1 (its input is a countDistinct aggregation
-    // that used to run 3×).
-    // CACHING CONTRACT (applies to every public entry point below):
-    // if the caller has not already persisted `df`, it is persisted
-    // here and STAYS cached — the returned frame reads it lazily, so
-    // there is no safe point inside this method to unpersist. Callers
-    // that mind session-lifetime cache (outside the Bench/Verify
-    // harness, which clearCache()s between queries) should persist
-    // the input themselves and unpersist after their final action.
-    val in =
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
-    val withB = in.withColumn("__b", bucketOf(
-      orderCol, boundaries(in, orderCol, buckets)))
-    val counts: Array[(Int, Long)] = withB.groupBy(col("__b"))
-      .agg(count(lit(1)).as("c")).collect()
+  /** Persist-if-uncached. CACHING CONTRACT (applies to every public
+    * entry point below): if the caller has not already persisted `df`,
+    * it is persisted here and STAYS cached — the returned frame reads
+    * it lazily, so there is no safe point inside to unpersist. Callers
+    * that mind session-lifetime cache (outside the Bench/Verify
+    * harness, which clearCache()s between queries) should persist the
+    * input themselves and unpersist after their final action. The
+    * input feeds three consumers (quantile boundaries, bucket
+    * offsets, the output) — measured: q09 went 5.5s → ~2s at sf0.1. */
+  private def cached(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+
+  /** Shared offset scaffold: per-bucket aggregate `agg` (a long) is
+    * collected driver-side (bounded by the `buckets` knob), prefix-
+    * scanned, and folded into a literal when-chain on `__b` — so the
+    * main plan carries no join and no extra window. Returns the offset
+    * expression and the grand total. */
+  private def bucketOffsets(withB: DataFrame,
+                            agg: Column): (Column, Long) = {
+    val rows: Array[(Int, Long)] = withB.groupBy(col("__b"))
+      .agg(agg.as("c")).collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val total = counts.map(_._2).sum
-    val prefix = counts.scanLeft(0L)(_ + _._2) // offset of bucket i
-    val offExpr = counts.zipWithIndex.foldLeft(lit(0L)) {
+    val prefix = rows.scanLeft(0L)(_ + _._2) // mass before bucket i
+    val offExpr = rows.zipWithIndex.foldLeft(lit(0L)) {
       case (acc, ((bid, _), i)) =>
         when(col("__b") === bid, lit(prefix(i))).otherwise(acc)
     }
+    (offExpr, prefix.last)
+  }
+
+  private def ranked(df: DataFrame, orderCol: Column,
+                     tieBreak: Seq[Column], buckets: Int): DataFrame = {
+    val in = cached(df)
+    val withB = in.withColumn("__b", bucketOf(
+      orderCol, boundaries(in, orderCol, buckets)))
+    val (offExpr, total) = bucketOffsets(withB, count(lit(1)))
     val local = Window.partitionBy(col("__b"))
       .orderBy(orderCol +: tieBreak: _*)
     val pos = if (tieBreak.isEmpty) rank() else row_number()
@@ -153,32 +160,33 @@ object Ranks {
     * construction); `tieBreak` must make (orderCol, tieBreak) unique,
     * exactly as the ROWS-frame window form requires for determinism.
     * Ascending NULLS FIRST order-key semantics (Spark's default); for
-    * a descending curve pass the negated key. */
+    * a descending curve pass the negated key. NULL values follow SQL:
+    * a frame that has seen only NULL values sums to NULL (a NULL value
+    * contributes nothing once a non-null appears). */
   def prefixSum(df: DataFrame, orderCol: Column, tieBreak: Column,
                 valueCol: Column, as: String,
                 buckets: Int = 32): DataFrame = {
-    // caching contract identical to ranked() above: the input feeds
-    // three consumers (boundaries, bucket sums, the output)
-    val in =
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
+    val in = cached(df)
     val withB = in
       .withColumn("__b", bucketOf(orderCol, boundaries(in, orderCol, buckets)))
       .withColumn("__v", valueCol.cast("long"))
-    val sums: Array[(Int, Long)] = withB.groupBy(col("__b"))
-      .agg(coalesce(sum(col("__v")), lit(0L)).as("s")).collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val prefix = sums.scanLeft(0L)(_ + _._2) // value mass before bucket i
-    val offExpr = sums.zipWithIndex.foldLeft(lit(0L)) {
-      case (acc, ((bid, _), i)) =>
-        when(col("__b") === bid, lit(prefix(i))).otherwise(acc)
-    }
+    // an all-null bucket contributes 0 to later buckets' offsets
+    val (offExpr, _) =
+      bucketOffsets(withB, coalesce(sum(col("__v")), lit(0L)))
+    // SQL: SUM over a frame is NULL iff the frame holds no non-null
+    // value. The frame here is GLOBAL, so a row whose local bucket
+    // prefix is all-null still gets the offset when any EARLIER bucket
+    // held a value — track prior non-null counts the same literal way.
+    val (priorNonNull, _) = bucketOffsets(withB, count(col("__v")))
     val w = Window.partitionBy(col("__b"))
       .orderBy(orderCol, tieBreak)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localSum = sum(col("__v")).over(w)
     withB
-      .withColumn(as, offExpr + coalesce(sum(col("__v")).over(w), lit(0L)))
+      .withColumn(as,
+        when(localSum.isNotNull, offExpr + localSum)
+          .when(priorNonNull > 0, offExpr)
+          .otherwise(lit(null).cast("long")))
       .drop("__b", "__v")
   }
 

@@ -69,6 +69,12 @@ object PipelineQueries {
     java.nio.file.Files.createTempDirectory(prefix).toString
   }
 
+  /** Half-up integer cents — the ONE rounding convention every
+    * money-crossing IO query uses on both engines (q89/q92/q96/q118).
+    * A second variant anywhere would hash-mismatch its oracle. */
+  private val centsSql = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+  private def centsCol = floor(col("value") * 100 + lit(0.5)).cast("long")
+
   /** q85 — Gopher-style document quality gates (Rae et al. 2021,
     * "Scaling Language Models", table A1 repertoire): word-count
     * bounds, mean word length, alphabetic-word ratio, minimum
@@ -291,16 +297,16 @@ object PipelineQueries {
     * in phase one. */
   val q89 = QueryDef(
     "q89_salted_agg",
-    """WITH c AS (
+    s"""WITH c AS (
       |  SELECT user_id,
-      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |    $centsSql AS cents
       |  FROM events)
       |SELECT user_id, CAST(SUM(cents) AS BIGINT) AS sum_cents,
       |  COUNT(*) AS cnt
       |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
     val df = Tables.events(s, d).select(
       col("user_id"), col("event_id"),
-      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      centsCol.as("cents"))
     graft.functions.Skew.saltedSumCount(
         df, "user_id", "cents", buckets = 32, col("event_id"))
       .orderBy("user_id")
@@ -361,9 +367,9 @@ object PipelineQueries {
     * invocation. */
   val q92 = QueryDef(
     "q92_jsonl_bronze",
-    """WITH c AS (
+    s"""WITH c AS (
       |  SELECT event_type, user_id,
-      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |    $centsSql AS cents
       |  FROM events)
       |SELECT event_type, COUNT(*) AS n_events,
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -373,7 +379,7 @@ object PipelineQueries {
       val dir = freshScratch("q92") + "/landing"
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
-          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+          centsCol.as("cents"))
         .write.json(dir)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "event_id BIGINT, user_id BIGINT, event_type STRING, cents BIGINT")
@@ -398,9 +404,9 @@ object PipelineQueries {
     * come back as the partition-discovery type). */
   val q96 = QueryDef(
     "q96_partitioned_silver",
-    """WITH c AS (
+    s"""WITH c AS (
       |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
-      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |    $centsSql AS cents
       |  FROM events
       |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
       |    AND DATE '2024-01-14')
@@ -410,7 +416,7 @@ object PipelineQueries {
     val dir = freshScratch("q96") + "/silver"
     val silver = Tables.events(s, d).select(
       col("event_id"), col("user_id"),
-      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+      centsCol.as("cents"),
       to_date(col("ts")).cast("string").as("date"))
     graft.sources.Medallion.writePartitioned(silver, dir)
     graft.sources.Medallion.readTable(s, dir)
@@ -937,9 +943,9 @@ object PipelineQueries {
     * trap). Scratch is per-invocation, reaped like q92's. */
   val q118 = QueryDef(
     "q118_csv_bronze",
-    """WITH c AS (
+    s"""WITH c AS (
       |  SELECT user_id % 10 AS cohort,
-      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |    $centsSql AS cents
       |  FROM events)
       |SELECT cohort, COUNT(*) AS n_events,
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
@@ -949,7 +955,7 @@ object PipelineQueries {
     val dir = freshScratch("q118") + "/landing"
     Tables.events(s, d)
       .select(col("event_id"), (col("user_id") % 10).as("cohort"),
-        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        centsCol.as("cents"))
       .write.option("header", "true").csv(dir)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "event_id BIGINT, cohort BIGINT, cents BIGINT")

@@ -15,37 +15,41 @@ import org.apache.spark.sql.types.StructType
   */
 object Medallion {
 
+  /** The bronze CONTRACT, shared by every landing format: PERMISSIVE
+    * parse with malformed lines quarantined in `_corrupt_record`, plus
+    * `_source_file`/`_processed_at` provenance. Kept in one place so
+    * the formats can never diverge (renaming the corrupt column in one
+    * reader but not the other would silently break [[wellFormed]]). */
+  private def bronzeScan(spark: SparkSession, schema: StructType,
+                         format: String, opts: Map[String, String],
+                         paths: Seq[String]): DataFrame = {
+    val reader = spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .options(opts)
+      .format(format)
+    reader.load(paths: _*)
+      .withColumn("_source_file", input_file_name())
+      .withColumn("_processed_at", current_timestamp())
+  }
+
   /** S2: schema'd JSONL bronze scan. PERMISSIVE mode lands malformed
     * lines in `_corrupt_record` (the reference's skip-malformed-lines
     * loop, `storage_manager.py:88-98`); `_source_file`/`_processed_at`
     * reproduce its ingestion metadata (`:92-95`). */
   def readBronze(spark: SparkSession, schema: StructType,
                  paths: String*): DataFrame =
-    spark.read
-      .schema(schema.add("_corrupt_record", "string"))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(paths: _*)
-      .withColumn("_source_file", input_file_name())
-      .withColumn("_processed_at", current_timestamp())
+    bronzeScan(spark, schema, "json", Map.empty, paths)
 
-  /** [[readBronze]]'s delimited-landing sibling: schema'd CSV scan
-    * with the same PERMISSIVE + `_corrupt_record` + provenance
-    * treatment (header expected, as the standard export tools write).
-    * CSV is the other ubiquitous interchange landing format; the
-    * malformed-line contract is identical to the JSONL path so
-    * [[wellFormed]] applies unchanged. Oracle-checked end-to-end by
-    * q118 (write → scan → aggregate vs the source parquet). */
+  /** [[readBronze]]'s delimited-landing sibling: the same bronze
+    * contract over header'd CSV (the other ubiquitous interchange
+    * landing format), so [[wellFormed]] applies unchanged.
+    * Oracle-checked end-to-end by q118 (write → scan → aggregate vs
+    * the source parquet). */
   def readCsvBronze(spark: SparkSession, schema: StructType,
                     paths: String*): DataFrame =
-    spark.read
-      .schema(schema.add("_corrupt_record", "string"))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .option("header", "true")
-      .csv(paths: _*)
-      .withColumn("_source_file", input_file_name())
-      .withColumn("_processed_at", current_timestamp())
+    bronzeScan(spark, schema, "csv", Map("header" -> "true"), paths)
 
   /** Rows that parsed cleanly. */
   def wellFormed(bronze: DataFrame): DataFrame =

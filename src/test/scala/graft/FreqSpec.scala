@@ -58,6 +58,14 @@ class FreqSpec extends SparkSpec {
     assert(got == exact.filter(_._2 >= 100L))
   }
 
+  test("non-castable keys are dropped, not crashed on (ANSI-safe)") {
+    import spark.implicits._
+    val d = Seq("12", "twelve", "12", "7", null).toDF("key")
+    val got = Freq.heavyHitters(d, col("key"), 8, 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(12L -> 2L, 7L -> 1L))
+  }
+
   test("null keys are ignored") {
     import spark.implicits._
     val d = Seq(Some(1L), None, Some(1L), Some(2L), None)

@@ -103,6 +103,30 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("prefixSum NULL values follow SQL window semantics") {
+    import spark.implicits._
+    // leading all-null prefix -> NULL cum; later all-null LOCAL bucket
+    // prefixes must still see earlier buckets' mass via the offset
+    val d = Seq(
+      (1L, 0L, Option.empty[Long]), (2L, 0L, None), (3L, 1L, Some(5L)),
+      (4L, 2L, None), (5L, 3L, None), (6L, 3L, Some(2L)),
+      (7L, 4L, None)).toDF("id", "v", "w")
+    val expected = d.withColumn("c",
+      sum(col("w")).over(Window.orderBy(col("v"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "c").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    for (buckets <- Seq(1, 3, 7)) {
+      val got = Ranks.prefixSum(d, col("v"), col("id"), col("w"), "c",
+        buckets)
+        .select("id", "c").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(got == expected, s"buckets=$buckets")
+    }
+  }
+
   test("prefixSum on a descending (negated) key matches ORDER BY DESC") {
     import spark.implicits._
     val d = Seq((1L, 5L, 10L), (2L, 5L, 20L), (3L, 9L, 1L), (4L, 2L, 7L))
