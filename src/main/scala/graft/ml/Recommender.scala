@@ -60,6 +60,39 @@ object Recommender {
       .select(col("user"), col("r.item").as("item"),
         col("r.rating").as("score"))
 
+  /** Batch-inference serving path, factored out of the model object:
+    * score a BOUNDED user slice against the item-factor matrix with the
+    * codegen dot product ([[graft.functions.Vectors.dot]]), drop
+    * already-seen (user, item) pairs, keep top-k per user.
+    *
+    * Contracts: `userFactors` is `(usr, fu: array<double>)` for the
+    * bounded serving slice (broadcast — a 50-user lookup against a
+    * 10⁸-item catalog streams the catalog once, no shuffle on the
+    * scoring pass); `itemFactors` is `(item, fi: array<double>)`;
+    * `seen` is `(usr, item)` pairs to exclude — bounded by the user
+    * slice's history, so it broadcasts too and the anti-join never
+    * shuffles the scored frame. The only shuffle is the per-user top-k
+    * window, keyed on the bounded user set.
+    *
+    * This is exactly what `ALSModel.recommendForUserSubset` computes
+    * (blocked factor dot products + per-user top-k), expressed as a
+    * deterministic plan over explicit factor frames so the serving half
+    * of the recommender is oracle-checkable even though training is
+    * not (q45b vs q45). */
+  def serveTopK(userFactors: DataFrame, itemFactors: DataFrame,
+                seen: DataFrame, k: Int): DataFrame = {
+    import graft.functions.Vectors
+    val scored = itemFactors.crossJoin(broadcast(userFactors))
+      .join(broadcast(seen), Seq("usr", "item"), "left_anti")
+      .select(col("usr"), col("item"),
+        Vectors.dot(col("fu"), col("fi")).cast("long").as("score"))
+    val w = Window.partitionBy(col("usr"))
+      .orderBy(col("score").desc, col("item"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("usr"), col("rnk"), col("item"), col("score"))
+  }
+
   /** Reconstruction RMSE on the training interactions (sanity metric;
     * implicit ALS optimizes confidence-weighted preference, so this is
     * a smoke-level signal, not a tuned benchmark). */

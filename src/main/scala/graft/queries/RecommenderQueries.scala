@@ -100,6 +100,84 @@ object RecommenderQueries {
       .orderBy("user", "rnk")
   }
 
+  /** Deterministic "trained" factor column: component f of the rank-8
+    * factor vector for `id` is `(id·a + f·b) mod m − ⌊m/2⌋` as a
+    * double — small signed integers, so every dot product below is an
+    * exact integer-valued double on both engines (the q84/q117 fixture
+    * treatment: derive the fixture IN the query, reproducibly, from
+    * the shared tables). */
+  private val RANK = 8
+  private def factorArr(id: org.apache.spark.sql.Column,
+                        a: Int, b: Int, m: Int) =
+    transform(sequence(lit(0), lit(RANK - 1)),
+      f => ((id * a + f * b) % m - lit(m / 2)).cast("double"))
+  private def factorSql(id: String, a: Int, b: Int, m: Int) =
+    s"list_transform(range($RANK), f -> " +
+      s"CAST(($id * $a + f * $b) % $m - ${m / 2} AS DOUBLE))"
+
+  /** q45b — the ALS *serving* path under a full oracle (q45 covers
+    * training, which is iterative float and legitimately rows-only;
+    * scoring is deterministic and checked here end-to-end). Small
+    * user/item factor matrices are derived in-query from the order
+    * data, then [[Recommender.serveTopK]] runs the real batch-inference
+    * plan: broadcast user slice × item catalog, codegen dot-product
+    * scores, already-purchased anti-join, per-user top-5. DuckDB
+    * mirrors the factor construction and the sequential-fold dot
+    * product exactly ([[graft.functions.Vectors.dotSql]] semantics).
+    * Reference anchor: the recommendation-signal surface
+    * (`ingestion/producer/producer.py:84-104`, `recommended_products`
+    * in `ecommerce_producers.py:145`).
+    * Scale: item side streams (no shuffle — user slice and its
+    * purchase history broadcast); only the per-user top-k window
+    * shuffles, keyed on the bounded slice. */
+  val q45b = QueryDef(
+    "q45b_als_serving",
+    s"""WITH u AS (
+      |  SELECT DISTINCT o_custkey AS usr FROM orders WHERE o_custkey < 50),
+      |i AS (
+      |  SELECT DISTINCT l_partkey AS item FROM lineitem
+      |  WHERE l_partkey < 200),
+      |uf AS (
+      |  SELECT usr, ${factorSql("usr", 31, 17, 21)} AS fu FROM u),
+      |itf AS (
+      |  SELECT item, ${factorSql("item", 13, 7, 23)} AS fi FROM i),
+      |seen AS (
+      |  SELECT DISTINCT o_custkey AS usr, l_partkey AS item
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE o_custkey < 50 AND l_partkey < 200),
+      |s AS (
+      |  SELECT uf.usr, itf.item,
+      |    CAST(list_reduce(list_transform(range($RANK),
+      |      f -> fu[f+1] * fi[f+1]), (acc, x) -> acc + x) AS BIGINT)
+      |      AS score
+      |  FROM uf CROSS JOIN itf
+      |  WHERE NOT EXISTS (SELECT 1 FROM seen
+      |    WHERE seen.usr = uf.usr AND seen.item = itf.item)),
+      |r AS (
+      |  SELECT usr, item, score,
+      |    ROW_NUMBER() OVER (PARTITION BY usr
+      |      ORDER BY score DESC, item) AS rnk
+      |  FROM s)
+      |SELECT usr, rnk, item, score
+      |FROM r WHERE rnk <= 5
+      |ORDER BY usr, rnk""".stripMargin) { (s, d) =>
+    val users = Tables.orders(s, d).filter(col("o_custkey") < 50)
+      .select(col("o_custkey").as("usr")).distinct()
+    val items = Tables.lineitem(s, d).filter(col("l_partkey") < 200)
+      .select(col("l_partkey").as("item")).distinct()
+    val uf = users.select(col("usr"),
+      factorArr(col("usr"), 31, 17, 21).as("fu"))
+    val itf = items.select(col("item"),
+      factorArr(col("item"), 13, 7, 23).as("fi"))
+    val seen = Tables.orders(s, d).filter(col("o_custkey") < 50)
+      .join(Tables.lineitem(s, d).filter(col("l_partkey") < 200),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("usr"), col("l_partkey").as("item"))
+      .distinct()
+    Recommender.serveTopK(uf, itf, seen, 5)
+      .orderBy("usr", "rnk")
+  }
+
   /** q82 — PageRank over the co-purchase graph (2 fixed iterations,
     * damping 0.85): the iterative link-analysis layer above q36's
     * pairwise co-occurrence — a product's rank reflects its WHOLE
@@ -162,5 +240,5 @@ object RecommenderQueries {
         .limit(25)
   }
 
-  val all: Seq[QueryDef] = Seq(q36, q37, q45, q82)
+  val all: Seq[QueryDef] = Seq(q36, q37, q45, q45b, q82)
 }

@@ -56,6 +56,24 @@ class RecommenderSpec extends SparkSpec {
       pairBudget = 1L) == 1)
   }
 
+  test("serveTopK scores via dot product, drops seen pairs, caps at k") {
+    val uf = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("usr", "fu")
+    val itf = Seq((10L, Seq(3.0, 0.0)), (11L, Seq(2.0, 0.0)),
+      (12L, Seq(0.0, 5.0)), (13L, Seq(1.0, 1.0))).toDF("item", "fi")
+    val seen = Seq((1L, 10L)).toDF("usr", "item")
+    val out = Recommender.serveTopK(uf, itf, seen, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3)))
+    // user 1: item 10 (score 3) is seen and excluded; top-2 of the
+    // rest is 11 (2) then 13 (1)
+    assert(out.filter(_._1 == 1L).sortBy(_._2).toSeq ==
+      Seq((1L, 1, 11L, 2L), (1L, 2, 13L, 1L)))
+    // user 2: 12 (5) then 13 (1); k=2 drops the zero-score tail
+    assert(out.filter(_._1 == 2L).sortBy(_._2).toSeq ==
+      Seq((2L, 1, 12L, 5L), (2L, 2, 13L, 1L)))
+  }
+
   test("coOccurrence counts shared baskets and caps basket size") {
     val baskets = Seq(
       (100, "A"), (100, "B"), (100, "C"),
