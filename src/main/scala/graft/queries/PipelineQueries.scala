@@ -364,13 +364,17 @@ object PipelineQueries {
     * bronze scan breaks the hash. The corrupt-line branch stays
     * pinned by MedallionSpec (this landing is all well-formed by
     * construction). Landing goes to a fresh temp dir per
-    * invocation. */
+    * invocation. The landed set is the deterministic quarter-slice
+    * `event_id % 4 = 0` (both engines apply it): the contract is the
+    * write→parse round-trip, not the volume, and landing the full
+    * table made this the single most expensive bench row (7.4 s in
+    * the r4 suite) for no extra evidence. */
   val q92 = QueryDef(
     "q92_jsonl_bronze",
     s"""WITH c AS (
       |  SELECT event_type, user_id,
       |    $centsSql AS cents
-      |  FROM events)
+      |  FROM events WHERE event_id % 4 = 0)
       |SELECT event_type, COUNT(*) AS n_events,
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
@@ -378,6 +382,7 @@ object PipelineQueries {
     (s, d) =>
       val dir = freshScratch("q92") + "/landing"
       Tables.events(s, d)
+        .filter(col("event_id") % 4 === 0)
         .select(col("event_id"), col("user_id"), col("event_type"),
           centsCol.as("cents"))
         .write.json(dir)
