@@ -82,6 +82,18 @@ object Ranks {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else df
 
+  /** Explicit cache-release hook for the persist-if-uncached contract
+    * above. `cached` persists the CALLER'S input frame in place
+    * (`persist` mutates and returns the same Dataset), so calling this
+    * on the frame passed to percentRank / ntileGlobal / prefixSum /
+    * pctRankPandas — after the final action on their result — releases
+    * every block this module pinned. No-op when nothing is cached, so
+    * it is always safe in a `finally`. Blocking, so a long-lived
+    * session gets deterministic release rather than eventual GC. */
+  def release(df: DataFrame): Unit =
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      df.unpersist(blocking = true)
+
   /** Shared offset scaffold: per-bucket aggregate `agg` (a long) is
     * collected driver-side (bounded by the `buckets` knob), prefix-
     * scanned, and folded into a literal when-chain on `__b` — so the

@@ -143,6 +143,34 @@ class RanksSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("release() frees the input cache the rank family pinned") {
+    import org.apache.spark.storage.StorageLevel
+    // other tests share this session: assert on the DELTA of cached
+    // RDDs, not on an empty cache
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    import spark.implicits._
+    // genuinely fresh plans: a select over the shared `df` would
+    // sameResult its cached entry and release() would evict that
+    val in = (1 to 200).map(i => (i.toLong, (i % 7).toDouble))
+      .toDF("id", "v")
+    val out = Ranks.percentRank(in, col("v"), "p")
+    out.count()
+    // the persist-if-uncached contract pinned the CALLER's frame
+    assert(in.storageLevel != StorageLevel.NONE)
+    Ranks.release(in)
+    assert(in.storageLevel == StorageLevel.NONE)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before)
+    Ranks.release(in) // idempotent no-op on an uncached frame
+    // prefixSum shares the same contract + hook
+    val in2 = (1 to 300).map(i => (i.toLong, (i % 5).toDouble))
+      .toDF("id", "v")
+    Ranks.prefixSum(in2, col("v"), col("id"), col("id"), "c").count()
+    assert(in2.storageLevel != StorageLevel.NONE)
+    Ranks.release(in2)
+    assert(in2.storageLevel == StorageLevel.NONE)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before)
+  }
+
   test("results are partitioning-independent") {
     val a = Ranks.percentRank(df.repartition(1), col("v"), "p")
       .select("id", "p").collect().map(r => (r.getLong(0), r.getDouble(1)))
