@@ -852,8 +852,9 @@ object PipelineQueries {
     * ([[graft.curation.Curation.canonicalUrl]] — the C4-style crawl
     * dedup-prep step) over a deterministic in-query URL fixture (the
     * q84 PII treatment: testdata has no URL column, so one is derived
-    * from `events` with case-varied hosts, default ports, shuffled
-    * params, `utm_*` tracking noise, and fragments). Grouping by the
+    * from `events` with case-varied hosts, default ports — including
+    * userinfo`@` and bracketed-IPv6 authorities — shuffled params,
+    * `utm_*` tracking noise, and fragments). Grouping by the
     * canonical form must merge every variant; the oracle re-derives
     * the same canonicalization in DuckDB SQL step by step (its
     * `regexp_replace` is first-match-only — every pattern here can
@@ -863,8 +864,10 @@ object PipelineQueries {
     "q117_url_canonical",
     """WITH r AS (
       |  SELECT
-      |    (CASE WHEN event_id % 3 = 0 THEN 'HTTP://Shop.Example.COM'
-      |          WHEN event_id % 3 = 1 THEN 'http://shop.example.com:80'
+      |    (CASE WHEN event_id % 7 = 0 THEN 'HTTP://Shop.Example.COM'
+      |          WHEN event_id % 7 = 1 THEN 'http://shop.example.com:80'
+      |          WHEN event_id % 7 = 2 THEN 'http://u:p@shop.example.com:80'
+      |          WHEN event_id % 7 = 3 THEN 'http://[2001:DB8::1]:80'
       |          ELSE 'http://shop.example.com' END)
       |    || (CASE WHEN event_id % 5 = 0 THEN ''
       |             ELSE '/item/' || CAST(user_id % 50 AS VARCHAR) END)
@@ -896,8 +899,8 @@ object PipelineQueries {
       |s5 AS (
       |  SELECT raw, q,
       |    regexp_replace(regexp_replace(slashed,
-      |      '^(http://[^/:]+):80/', '\1/'),
-      |      '^(https://[^/:]+):443/', '\1/') AS noport
+      |      '^(http://@AUTH@):80/', '\1/'),
+      |      '^(https://@AUTH@):443/', '\1/') AS noport
       |  FROM s4),
       |s6 AS (
       |  SELECT raw, noport,
@@ -911,10 +914,15 @@ object PipelineQueries {
       |SELECT url, COUNT(*) AS n_hits,
       |  CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_variants
       |FROM c GROUP BY url ORDER BY n_hits DESC, url
-      |LIMIT 20""".stripMargin) { (s, d) =>
+      |LIMIT 20""".stripMargin
+      .replace("@AUTH@", graft.curation.Curation.urlAuthorityPat)) {
+    (s, d) =>
     val raw = concat(
-      when(col("event_id") % 3 === 0, lit("HTTP://Shop.Example.COM"))
-        .when(col("event_id") % 3 === 1, lit("http://shop.example.com:80"))
+      when(col("event_id") % 7 === 0, lit("HTTP://Shop.Example.COM"))
+        .when(col("event_id") % 7 === 1, lit("http://shop.example.com:80"))
+        .when(col("event_id") % 7 === 2,
+          lit("http://u:p@shop.example.com:80"))
+        .when(col("event_id") % 7 === 3, lit("http://[2001:DB8::1]:80"))
         .otherwise(lit("http://shop.example.com")),
       when(col("event_id") % 5 === 0, lit(""))
         .otherwise(concat(lit("/item/"),
@@ -1076,8 +1084,33 @@ object PipelineQueries {
       .orderBy("user_id")
   }
 
+  /** q122 — GROUPED sketch heavy hitters
+    * ([[graft.functions.Freq.heavyHittersBy]]): the q121 summary under
+    * `groupBy` — per-event-type heavy users, the per-topic/per-source
+    * skew profile production wants (reference anchor: the per-topic
+    * counter shape, `kafka_streams_processor.py:70-77`). State is
+    * `groups × k` counters regardless of keyspace; k=4096 exceeds the
+    * per-type user keyspace here, so every group's summary is in its
+    * EXACT regime and the oracle's grouped GROUP BY ... HAVING matches
+    * bit-for-bit. FreqSpec pins the per-group undersized bound. */
+  val q122 = QueryDef(
+    "q122_grouped_heavy_hitters",
+    """WITH c AS (
+      |  SELECT event_type, user_id, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, user_id, CAST(cnt AS BIGINT) AS cnt
+      |FROM c WHERE cnt >= 20
+      |ORDER BY event_type, user_id""".stripMargin) { (s, d) =>
+    graft.functions.Freq.heavyHittersBy(
+        Tables.events(s, d), Seq(col("event_type")), col("user_id"),
+        k = 4096, threshold = 20L)
+      .select(col("event_type"), col("key").as("user_id"),
+        col("est").as("cnt"))
+      .orderBy("event_type", "user_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
-      q121)
+      q121, q122)
 }

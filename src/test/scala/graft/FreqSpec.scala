@@ -58,6 +58,64 @@ class FreqSpec extends SparkSpec {
     assert(got == exact.filter(_._2 >= 100L))
   }
 
+  test("guaranteedRecall: no true heavy hitter is dropped undersized") {
+    val n = skewed.count()
+    val truth = exact
+    for (k <- Seq(4, 8, 16); threshold <- Seq(30L, 100L, 300L)) {
+      val got = Freq.heavyHitters(skewed, col("key"), k, threshold,
+        guaranteedRecall = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // recall holds above the sketch resolution n/(k+1): every key
+      // with TRUE count >= threshold is present (below the resolution
+      // no size-k sketch can promise anything — the documented
+      // sizing contract)
+      if (threshold > n / (k + 1))
+        truth.filter(_._2 >= threshold).keys.foreach { key =>
+          assert(got.contains(key),
+            s"k=$k t=$threshold lost true heavy hitter $key")
+        }
+      // precision band: nothing below threshold - n/(k+1) survives
+      got.foreach { case (key, est) =>
+        assert(est >= threshold - n / (k + 1),
+          s"k=$k t=$threshold key=$key below the widened cut")
+      }
+    }
+  }
+
+  test("heavyHittersBy: per-group exact regime equals grouped counts") {
+    import spark.implicits._
+    // two groups with different skew; keyspace 1..40 per group
+    val grouped = skewed.withColumn("g", lit("a"))
+      .unionByName((1 to 20).flatMap(i => Seq.fill(i)(i.toLong))
+        .toDF("key").withColumn("g", lit("b")))
+    val got = Freq.heavyHittersBy(grouped, Seq(col("g")), col("key"),
+      k = 64, threshold = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val want = grouped.groupBy("g", "key").count()
+      .filter(col("count") >= 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == want)
+    // per-group error bound: group b's n is ITS OWN item count, so an
+    // undersized run of group b alone matches the grouped run's b slice
+    val bAlone = Freq.heavyHitters(grouped.filter(col("g") === "b")
+      .select("key"), col("key"), k = 6, threshold = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bGrouped = Freq.heavyHittersBy(grouped, Seq(col("g")), col("key"),
+      k = 6, threshold = 1L)
+      .filter(col("g") === "b")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(bGrouped.keySet.nonEmpty && bGrouped.size <= 6)
+    // both are valid MG summaries of the same stream: same n bound
+    val nB = grouped.filter(col("g") === "b").count()
+    val truthB = grouped.filter(col("g") === "b").groupBy("key").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (bAlone.toSeq ++ bGrouped.toSeq).foreach { case (key, est) =>
+      assert(est <= truthB(key) && truthB(key) - est <= nB / 7)
+    }
+  }
+
   test("non-castable keys are dropped, not crashed on (ANSI-safe)") {
     import spark.implicits._
     val d = Seq("12", "twelve", "12", "7", null).toDF("key")
