@@ -155,14 +155,27 @@ object Curation {
     *  2. lowercase `scheme://authority` (path case is preserved —
     *     paths are case-sensitive per RFC 3986, hosts are not);
     *  3. normalize an empty path to `/`;
-    *  4. drop the scheme-default port (`http…:80`, `https…:443`);
+    *  4. drop the scheme-default port (`http…:80`, `https…:443`) —
+    *     including behind a userinfo (`u:p@host:80`) or a bracketed
+    *     IPv6 literal (`[::1]:80`), via [[urlAuthorityPat]];
     *  5. drop `utm_*` tracking params, sort the rest byte-wise.
     *
     * Pure per-row projection (regex + array ops, all codegen'd) — at
     * 100 TB this rides the scan for free and feeds [[exactDedup]] on
     * the canonical form. Regexes stay RE2-compatible so the DuckDB
     * oracle (q117) mirrors them verbatim; relative URLs pass through
-    * steps 2–4 unchanged (the regexes simply don't match). */
+    * steps 2–4 unchanged (the regexes simply don't match). Known
+    * lowering caveat: step 2 lowercases the whole authority including
+    * any userinfo, which is case-sensitive per RFC 3986 — acceptable
+    * for dedup-prep (crawl corpora don't carry credentialed URLs). */
+  /** Authority sub-pattern for the default-port strip: optional
+    * userinfo (`user:pass@` — may itself contain ':'), then either a
+    * bracketed IPv6 literal or a reg-name/IPv4 host (no ':' / '/').
+    * RE2-safe (alternation + non-capturing groups only); embedded
+    * verbatim in the q117 oracle SQL so both engines strip
+    * identically. */
+  val urlAuthorityPat: String = "(?:[^/@]*@)?(?:\\[[^\\]/]+\\]|[^/:@]+)"
+
   def canonicalUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*", "")
     val query = regexp_extract(noFrag, "\\?(.*)$", 1)
@@ -175,8 +188,8 @@ object Curation {
     val slashed = when(lowered.rlike("^[a-z][a-z0-9+.-]*://[^/]+$"),
       concat(lowered, lit("/"))).otherwise(lowered)
     val noPort = regexp_replace(
-      regexp_replace(slashed, "^(http://[^/:]+):80/", "$1/"),
-      "^(https://[^/:]+):443/", "$1/")
+      regexp_replace(slashed, s"^(http://$urlAuthorityPat):80/", "$1/"),
+      s"^(https://$urlAuthorityPat):443/", "$1/")
     val params = filter(split(query, "&"),
       p => p =!= "" && !p.startsWith("utm_"))
     val sortedQ = array_join(sort_array(params), "&")

@@ -19,7 +19,18 @@ object Medallion {
     * parse with malformed lines quarantined in `_corrupt_record`, plus
     * `_source_file`/`_processed_at` provenance. Kept in one place so
     * the formats can never diverge (renaming the corrupt column in one
-    * reader but not the other would silently break [[wellFormed]]). */
+    * reader but not the other would silently break [[wellFormed]]).
+    *
+    * CALLER CAVEAT (Spark's documented PERMISSIVE restriction, not
+    * ours): a query whose only referenced column after pruning is the
+    * corrupt-record column — e.g. `wellFormed(bronze).count()` or a
+    * bare corrupt-line count straight off the scan — throws
+    * `AnalysisException` ("referenced columns only include the
+    * internal corrupt record column"), because the parser would have
+    * to re-parse rows just to know they failed. Either reference a
+    * data column too, or cache/materialize the frame first
+    * (`bronze.cache()` before filtering is the form Spark's own docs
+    * prescribe and what MedallionSpec/q92/q118 do). */
   private def bronzeScan(spark: SparkSession, schema: StructType,
                          format: String, opts: Map[String, String],
                          paths: Seq[String]): DataFrame = {

@@ -83,7 +83,10 @@ class CurationSpec extends SparkSpec {
       "https://ex.com/",
       "http://ex.com:8080/p?x=1", // non-default port is kept
       "no-scheme/relative?b=1&a=2#f", // relative passes through 2-4
-      "http://ex.com/CaseSensitivePath")
+      "http://ex.com/CaseSensitivePath",
+      "http://[2001:DB8::1]:80/x", // IPv6 literal: port still strips
+      "http://u:p@Ex.com:80/x", // userinfo: port still strips
+      "http://u:p@ex.com:8080/x") // userinfo + non-default port kept
     val got = urls.toDF("u")
       .select(Curation.canonicalUrl(col("u")).as("c"))
       .as[String].collect().toSeq
@@ -94,7 +97,10 @@ class CurationSpec extends SparkSpec {
       "https://ex.com/",
       "http://ex.com:8080/p?x=1",
       "no-scheme/relative?a=2&b=1",
-      "http://ex.com/CaseSensitivePath"))
+      "http://ex.com/CaseSensitivePath",
+      "http://[2001:db8::1]/x",
+      "http://u:p@ex.com/x",
+      "http://u:p@ex.com:8080/x"))
   }
 
   test("redactPii masks emails and phones and counts each redaction") {
