@@ -1109,8 +1109,44 @@ object PipelineQueries {
       .orderBy("event_type", "user_id")
   }
 
+  /** q123 — per-source length quantiles via the mergeable quantile
+    * sketch ([[graft.functions.Quant]] — deterministic MRL buffer
+    * compaction, the sketch-family counterpart of q121/q122's
+    * Misra–Gries): p25/p50/p75/p90 of `n_chars` per source as a
+    * group-by-able AGGREGATE (partial sketches per partition, one
+    * merge at the exchange — `approxQuantile` is an action and can't
+    * do this; a full sort per group is what it replaces at 100 TB).
+    * k=4096 exceeds every per-source count here, so each sketch is in
+    * its EXACT regime and the oracle's rank-selection window — the
+    * same `max(1, ⌈p·n/10⁶⌉)` integer rank rule the sketch computes —
+    * matches bit-for-bit; QuantSpec pins the oversized error bound
+    * production relies on. */
+  val q123 = QueryDef(
+    "q123_quantile_sketch",
+    """WITH o AS (
+      |  SELECT source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |SELECT source,
+      |  CAST(MAX(CASE WHEN rn = GREATEST(1, (250000 * n + 999999)
+      |    // 1000000) THEN n_chars END) AS BIGINT) AS q_250000,
+      |  CAST(MAX(CASE WHEN rn = GREATEST(1, (500000 * n + 999999)
+      |    // 1000000) THEN n_chars END) AS BIGINT) AS q_500000,
+      |  CAST(MAX(CASE WHEN rn = GREATEST(1, (750000 * n + 999999)
+      |    // 1000000) THEN n_chars END) AS BIGINT) AS q_750000,
+      |  CAST(MAX(CASE WHEN rn = GREATEST(1, (900000 * n + 999999)
+      |    // 1000000) THEN n_chars END) AS BIGINT) AS q_900000
+      |FROM o GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    graft.functions.Quant.quantilesBy(
+        Tables.documents(s, d), Seq(col("source")), col("n_chars"),
+        k = 4096, probesPpm = Seq(250000L, 500000L, 750000L, 900000L))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
-      q121, q122)
+      q121, q122, q123)
 }

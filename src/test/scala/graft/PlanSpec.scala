@@ -100,6 +100,55 @@ class PlanSpec extends SparkSpec {
       s"single-partition windows in: ${offenders.mkString(", ")}")
   }
 
+  test("no CartesianProduct; BNLJ only on the bounded-side allowlist (registry)") {
+    // The negative sweep over EVERY registered query (r4-verdict ask):
+    // a shuffled CartesianProduct is never acceptable, and a
+    // BroadcastNestedLoopJoin is acceptable ONLY where the broadcast
+    // side is bounded by construction and the non-equi/cross shape is
+    // the documented design. Each allowlist entry names its bound; a
+    // NEW query planning a nested loop fails here until its bound is
+    // reviewed and added.
+    // CartesianProduct allowance: ONLY MLlib's ALS blocked scoring —
+    // recommendForUserSubset IS a block-cross top-k by algorithm
+    // design (factor blocks × factor blocks), not a planning accident.
+    val cartAllowed = Set("q45_als_recommendations")
+    val bnljAllowed = Map(
+      "q25_ngram_jaccard" -> "bounded yardstick slice (doc_id < 100)",
+      "q32_knn_cosine" -> "broadcast query slice (vec_id < 25)",
+      "q33_ann_lsh" -> "probe-bucket slice, bounded by band contract",
+      "q34_top_sim_pairs" -> "bounded near-pair census side",
+      "q38_ann_ivf" -> "broadcast centroid table (sampled, bounded)",
+      "q42_embed_dedup" -> "bounded exact-recall yardstick slice",
+      "q43_ann_ivf_kmeans" -> "broadcast k-means centroids (k bounded)",
+      "q43b_ivf_assign" -> "broadcast k-means centroids (k bounded)",
+      "q45b_als_serving" -> "broadcast user-slice factor matrix (<50)",
+      "q52_order_value_quantiles" -> "one-row quantile-boundary frame",
+      "q65_funnel" -> "one-row step-count frames",
+      "q69_outlier_fence" -> "one-row IQR fence frame",
+      "q78_heavy_hitters" -> "one-row global total",
+      "q81_value_histogram" -> "one-row min/max frame",
+      "q82_pagerank" -> "one-row node-count frame",
+      "q99_rarity_score" -> "one-row corpus total",
+      "q102_mixing_weights" -> "one-row corpus total",
+      "q103_hard_negatives" -> "broadcast bounded query side",
+      "q110_source_overlap" -> "verified near-dup pairs, LSH-bounded",
+      "q116_vocab_coverage" -> "one-row corpus total",
+      "q120_oov_rate" -> "broadcast top-500 vocabulary")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val cart =
+          if (plan.contains("CartesianProduct") && !cartAllowed(name))
+            Seq(s"$name: CartesianProduct") else Nil
+        val bnlj =
+          if (plan.contains("BroadcastNestedLoopJoin") &&
+            !bnljAllowed.contains(name))
+            Seq(s"$name: unreviewed BroadcastNestedLoopJoin") else Nil
+        cart ++ bnlj
+      }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("grouping-sets family plans ONE scan + Expand (q54/q60/q62)") {
     // rollup/cube/unpivot are Expand-based single-pass plans; the
     // naive alternative (one scan per grouping set / measure, UNION
