@@ -74,6 +74,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sketch aggregates run under Structured Streaming (complete mode)") {
+    // the typed MG / quantile aggregates are plain udafs, so the same
+    // summaries that profile a 100-TB batch also maintain themselves
+    // incrementally over a stream — partials per micro-batch, merged
+    // into the state store; exact regime ⇒ batch-identical answers
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val sdf = mem.toDF().toDF("g", "v")
+    val hh = graft.functions.Freq.heavyHittersBy(
+      sdf, Seq(col("g")), col("v"), k = 64, threshold = 2L)
+    val qu = graft.functions.Quant.quantilesBy(
+      sdf, Seq(col("g")), col("v"), k = 64, probesPpm = Seq(500000L))
+    val q1 = hh.writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    val q2 = qu.writeStream.format("memory").queryName("qs_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(("a", 1L), ("a", 1L), ("a", 2L), ("b", 5L))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      mem.addData(("a", 1L), ("a", 3L), ("b", 7L), ("b", 9L))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val heavy = spark.table("mg_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // a: 1→3, 2→1(below threshold), 3→1(below); b: all singletons
+      assert(heavy == Map(("a", 1L) -> 3L))
+      val med = spark.table("qs_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // medians over the full stream: a = [1,1,1,2,3] → 1 (rank 3),
+      // b = [5,7,9] → 7 (rank 2)
+      assert(med == Map("a" -> 1L, "b" -> 7L))
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("dedupStream composite keys dedup on the tuple, replay-safe") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
