@@ -1145,8 +1145,39 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** q124 — cross-source distinct-user overlap via theta sketches
+    * ([[graft.functions.Theta]] — the set-operable distinct-count
+    * summary): per-event-type user sketches (one keyed aggregation,
+    * ≤ 2^lgK hashes per partial), then pairwise INTERSECTION
+    * estimates on the |types|-row sketch frame. HLL (q90's mergeable
+    * distinct state) cannot intersect — inclusion–exclusion compounds
+    * error and goes negative on small overlaps; theta is the shape a
+    * source-merge/dedup decision reads at 100 TB. lgK=12 exceeds the
+    * per-type user keyspace here, so every sketch retains all hashes
+    * (theta = 1) and the intersection estimates are EXACT — the
+    * oracle recomputes them as plain distinct-join counts. ThetaSpec
+    * pins the oversized confidence bounds. */
+  val q124 = QueryDef(
+    "q124_theta_overlap",
+    """WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
+      |SELECT a.event_type AS src_a, b.event_type AS src_b,
+      |  COUNT(*) AS n_common
+      |FROM u a JOIN u b ON a.user_id = b.user_id
+      |  AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    val sk = graft.functions.Theta.sketchBy(
+      Tables.events(s, d), Seq(col("event_type")), col("user_id"))
+    sk.as("x").join(sk.as("y"),
+        col("x.event_type") < col("y.event_type"))
+      .select(col("x.event_type").as("src_a"),
+        col("y.event_type").as("src_b"),
+        graft.functions.Theta.intersectEstimate(
+          col("x.theta"), col("y.theta")).as("n_common"))
+      .orderBy("src_a", "src_b")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
-      q121, q122, q123)
+      q121, q122, q123, q124)
 }

@@ -133,7 +133,8 @@ class PlanSpec extends SparkSpec {
       "q103_hard_negatives" -> "broadcast bounded query side",
       "q110_source_overlap" -> "verified near-dup pairs, LSH-bounded",
       "q116_vocab_coverage" -> "one-row corpus total",
-      "q120_oov_rate" -> "broadcast top-500 vocabulary")
+      "q120_oov_rate" -> "broadcast top-500 vocabulary",
+      "q124_theta_overlap" -> "per-source sketch frame (|event types| rows)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
