@@ -197,6 +197,31 @@ object Curation {
       .otherwise(concat(noPort, lit("?"), sortedQ))
   }
 
+  /** Content-defined chunk list of a text column —
+    * `array<struct<h: md5 hash, l: length>>`. A cut falls wherever
+    * [[contentU32]] of the character 8-gram at that offset ≡ 0 mod
+    * `modulus`, so boundaries follow the CONTENT: an edit changes only
+    * the chunks it touches, while fixed-stride chunking
+    * ([[chunks]]/q57) shifts every downstream chunk (the storage-dedup
+    * property — Muthitacharoen et al., "A low-bandwidth network file
+    * system", SOSP 2001). Expected chunk length = `modulus`;
+    * production sizes it up (2^11 ≈ 2 KB chunks) — the boundary rule
+    * stays content-local at any scale. ONE md5 per candidate offset,
+    * all inside per-row HOF expressions (no shuffle); texts shorter
+    * than 8 chars yield one whole-text chunk. */
+  def cdcChunks(text: Column, modulus: Int = 64): Column = {
+    val L = length(text).cast("int")
+    val candidates = when(L >= 9, sequence(lit(1), L - 8))
+      .otherwise(array().cast("array<int>"))
+    val cs = filter(candidates,
+      i => contentU32(text.substr(i + 1, lit(8))) % modulus === 0)
+    val starts = concat(array(lit(0)), cs)
+    val ends = concat(cs, array(L))
+    zip_with(starts, ends, (st, en) => struct(
+      md5(text.substr(st + 1, en - st)).as("h"),
+      (en - st).as("l")))
+  }
+
   /** PII redaction over a free-text column: masks email addresses and
     * US-style phone numbers with typed placeholders and counts the
     * redactions. Regexes stay in RE2-compatible territory (no

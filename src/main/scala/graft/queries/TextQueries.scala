@@ -1412,8 +1412,73 @@ object TextQueries {
         .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
   }
 
+  /** q125 — content-defined chunking (CDC) census: the
+    * variable-boundary sibling of q57/q59's fixed-stride chunks. A cut
+    * falls wherever the rolling content hash
+    * ([[graft.curation.Curation.contentU32]] of the character 8-gram
+    * at that offset) ≡ 0 mod 64, so boundaries follow the CONTENT —
+    * insert one sentence and only the chunks around the edit change,
+    * while fixed-stride chunking shifts every downstream chunk (the
+    * storage-dedup property, Muthitacharoen et al. LBFS "A
+    * low-bandwidth network file system", SOSP 2001, and the shape
+    * modern corpus chunk-dedup wants for crawl re-snapshots). Per
+    * source: chunk count, distinct chunk hashes, total chunk chars
+    * (must equal total text chars — the partition property), and the
+    * duplicated-chunk ratio in exact ppm.
+    *
+    * Expression shape: ONE md5 per candidate offset inside a single
+    * HOF filter (no re-inlined subexpressions — the q23 lambda trap),
+    * then a zip_with over (starts, ends) and one explode; one keyed
+    * shuffle for the census. The expected chunk length is the modulus
+    * (64), the knob production sizes upward (e.g. 2^11 for ~2 KB
+    * chunks) — boundaries stay content-local at any scale. */
+  val q125 = QueryDef(
+    "q125_cdc_chunks", {
+      val u32 = hexU32Sql(1).replace("hx", "md5(substr(text, i + 1, 8))")
+      s"""WITH c AS (
+        |  SELECT doc_id, source, text, length(text) AS L
+        |  FROM documents WHERE length(text) >= 8),
+        |cu AS (
+        |  SELECT doc_id, source, text, L,
+        |    list_filter(range(1, greatest(L - 7, 1)),
+        |      i -> ($u32) % 64 = 0) AS cs
+        |  FROM c),
+        |ch AS (
+        |  SELECT doc_id, source, text,
+        |    list_prepend(0, cs) AS starts,
+        |    list_concat(cs, [L]) AS ends
+        |  FROM cu),
+        |ex AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(starts) + 1),
+        |      j -> {'h': md5(substr(text, starts[j] + 1,
+        |                     ends[j] - starts[j])),
+        |            'l': ends[j] - starts[j]})) AS ck
+        |  FROM ch)
+        |SELECT source,
+        |  COUNT(*) AS n_chunks,
+        |  CAST(COUNT(DISTINCT ck.h) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(ck.l) AS BIGINT) AS total_chars,
+        |  CAST(((COUNT(*) - COUNT(DISTINCT ck.h)) * 1000000)
+        |    // COUNT(*) AS BIGINT) AS dup_ppm
+        |FROM ex GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    Tables.documents(s, d)
+      .repartition(32, col("doc_id"))
+      .filter(length(col("text")) >= 8)
+      .select(col("source"),
+        explode(graft.curation.Curation.cdcChunks(col("text"))).as("ck"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("ck.h")).as("n_distinct"),
+        sum(col("ck.l")).cast("long").as("total_chars"),
+        expr("((count(1) - count(distinct ck.h)) * 1000000L)" +
+          " div count(1)").as("dup_ppm"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
-      q104, q107, q109, q110)
+      q104, q107, q109, q110, q125)
 }

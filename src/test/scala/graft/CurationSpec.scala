@@ -103,6 +103,35 @@ class CurationSpec extends SparkSpec {
       "http://u:p@ex.com:8080/x"))
   }
 
+  test("cdcChunks: boundaries are content-defined (edit locality)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def word() = ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(3))
+    val base = Seq.fill(400)(word()).mkString("")
+    val appended = base + Seq.fill(100)(word()).mkString("")
+    val prepended = Seq.fill(100)(word()).mkString("") + base
+    def chunksOf(s: String): Seq[String] =
+      Seq(s).toDF("text")
+        .select(Curation.cdcChunks(col("text")).as("c"))
+        .head().getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    val cb = chunksOf(base)
+    assert(cb.size > 3, s"degenerate fixture: ${cb.size} chunks")
+    // partition property: chunk lengths cover the text exactly
+    val lens = Seq(base).toDF("text")
+      .select(Curation.cdcChunks(col("text")).as("c"))
+      .head().getSeq[org.apache.spark.sql.Row](0).map(_.getInt(1))
+    assert(lens.sum == base.length && lens.forall(_ > 0))
+    // appending text disturbs nothing before the last boundary
+    assert(chunksOf(appended).startsWith(cb.init))
+    // prepending text re-aligns after the junction: every base chunk
+    // except (at most) the first survives with an identical hash —
+    // exactly what fixed-stride chunking cannot do
+    val cp = chunksOf(prepended).toSet
+    assert(cb.tail.forall(cp.contains))
+    // short text: one whole-text chunk
+    assert(chunksOf("tiny").size == 1)
+  }
+
   test("redactPii masks emails and phones and counts each redaction") {
     import spark.implicits._
     val docs = Seq(
