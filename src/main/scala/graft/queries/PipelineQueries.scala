@@ -1176,8 +1176,58 @@ object PipelineQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** q126 — token-budget-constrained selection (the "take the best N
+    * tokens per source" step of corpus mixing: a mixture recipe like
+    * q102's gives each source a token budget; this op decides WHICH
+    * documents spend it): per source, documents are ranked by quality
+    * (here richness = n_chars desc, doc_id tie-break) and kept while
+    * the running token total stays within the budget — the greedy
+    * prefix rule. The running total is a PER-SOURCE keyed window
+    * (partitioned, bounded state — scale-safe, unlike a global
+    * cumulative sort; the global-curve case is what
+    * [[graft.functions.Ranks.prefixSum]]/q116 handles). Report:
+    * per-source kept/dropped counts and exact kept-token totals,
+    * which must never exceed the budget. */
+  val q126 = QueryDef(
+    "q126_token_budget",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    len(string_split(text, ' ')) AS n_tokens, n_chars
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT source,
+      |  CAST(COUNT(CASE WHEN cum <= 5000 THEN 1 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(COUNT(CASE WHEN cum > 5000 THEN 1 END) AS BIGINT)
+      |    AS n_dropped,
+      |  CAST(COALESCE(SUM(CASE WHEN cum <= 5000 THEN n_tokens END), 0)
+      |    AS BIGINT) AS kept_tokens
+      |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val budget = 5000L
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .groupBy(col("source"))
+      .agg(
+        count(when(col("cum") <= budget, 1)).as("n_kept"),
+        count(when(col("cum") > budget, 1)).as("n_dropped"),
+        coalesce(sum(when(col("cum") <= budget, col("n_tokens"))),
+          lit(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
-      q121, q122, q123, q124)
+      q121, q122, q123, q124, q126)
 }

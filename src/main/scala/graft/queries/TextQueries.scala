@@ -1477,8 +1477,80 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** q127 — leakage-free train/eval split: the assignment unit is the
+    * near-duplicate GROUP (q66's connected components), not the
+    * document — a doc-level hash split leaks eval content into
+    * training whenever a near-duplicate pair straddles the cut, which
+    * is exactly what benchmark decontamination (q86) exists to catch
+    * after the fact. Here the split hash runs on the component label
+    * (singletons = own doc_id), so straddling is impossible BY
+    * CONSTRUCTION — and the query REPORTS the straddle count instead
+    * of asserting it, making the oracle prove the zero. Split rule is
+    * the q88 portable hash pair (contentU32 / hexU32Sql), 80/20.
+    * Scale: components + one left join + keyed census; the leak audit
+    * joins the verified pair list against the split on doc keys. */
+  val q127 = QueryDef(
+    "q127_leakage_free_split", {
+      val recursive =
+        lshJacCteSql.replaceFirst("^WITH ", "WITH RECURSIVE ")
+      recursive +
+        s""",
+        |prs AS (SELECT da, db FROM jac WHERE j >= 0.8),
+        |sym AS (SELECT da AS a, db AS b FROM prs
+        |        UNION SELECT db, da FROM prs),
+        |reach(src, node) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN sym e ON r.node = e.a),
+        |comp AS (
+        |  SELECT node AS doc_id, MIN(src) AS component
+        |  FROM reach GROUP BY node),
+        |g AS (
+        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS gk
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |h AS (SELECT doc_id, gk, md5(CAST(gk AS VARCHAR)) AS hx FROM g),
+        |sp AS (
+        |  SELECT doc_id, gk,
+        |    CASE WHEN ${hexU32Sql(1)} % 10 < 8 THEN 'train'
+        |         ELSE 'eval' END AS split
+        |  FROM h),
+        |lk AS (
+        |  SELECT COUNT(*) AS leak_pairs
+        |  FROM prs p JOIN sp x ON p.da = x.doc_id
+        |              JOIN sp y ON p.db = y.doc_id
+        |  WHERE x.split <> y.split)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT gk) AS BIGINT) AS n_groups,
+        |  (SELECT CAST(leak_pairs AS BIGINT) FROM lk) AS leak_pairs
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin
+    }) { (s, d) =>
+    val ndp = nearDupPairs(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val comp = graft.functions.Components
+      .connectedComponents(ndp, "da", "db")
+      .withColumnRenamed("id", "doc_id")
+    val grouped = Tables.documents(s, d).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("gk"))
+    val splitDf = grouped.withColumn("split",
+      when(graft.curation.Curation.contentU32(col("gk")) % 10 < 8,
+        "train").otherwise("eval"))
+    val leak = ndp
+      .join(splitDf.select(col("doc_id").as("da"),
+        col("split").as("sa")), Seq("da"))
+      .join(splitDf.select(col("doc_id").as("db"),
+        col("split").as("sb")), Seq("db"))
+      .agg(count(when(col("sa") =!= col("sb"), 1)).as("leak_pairs"))
+    splitDf.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("gk")).as("n_groups"))
+      .crossJoin(broadcast(leak))
+      .orderBy("split")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
-      q104, q107, q109, q110, q125)
+      q104, q107, q109, q110, q125, q127)
 }

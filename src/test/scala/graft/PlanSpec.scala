@@ -134,7 +134,8 @@ class PlanSpec extends SparkSpec {
       "q110_source_overlap" -> "verified near-dup pairs, LSH-bounded",
       "q116_vocab_coverage" -> "one-row corpus total",
       "q120_oov_rate" -> "broadcast top-500 vocabulary",
-      "q124_theta_overlap" -> "per-source sketch frame (|event types| rows)")
+      "q124_theta_overlap" -> "per-source sketch frame (|event types| rows)",
+      "q127_leakage_free_split" -> "one-row leakage-count frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
