@@ -116,7 +116,7 @@ object Freq {
       if (guaranteedRecall)
         lit(threshold) - floor(col("__s._2") / (k + 1)).cast("long")
       else lit(threshold)
-    val groupNames = agged.columns.dropRight(1).map(col)
+    val groupNames = agged.columns.dropRight(1).toSeq.map(col)
     agged
       .select(groupNames :+ col("__s._2").as("__n")
         :+ explode(col("__s._1")).as(Seq("key", "est")): _*)

@@ -137,7 +137,7 @@ object Quant {
     val agged = df.filter(vl.isNotNull)
       .groupBy(group: _*)
       .agg(udaf(new QAgg(k, probesPpm), Encoders.scalaLong)(vl).as("__q"))
-    val groupNames = agged.columns.dropRight(1).map(col)
+    val groupNames = agged.columns.dropRight(1).toSeq.map(col)
     agged.select(groupNames ++ probesPpm.zipWithIndex.map {
       case (p, i) => element_at(col("__q"), i + 1).as(s"q_$p")
     }: _*)

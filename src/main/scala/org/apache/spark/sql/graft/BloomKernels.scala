@@ -60,7 +60,7 @@ object GraftBloom {
       numBits: Long): Option[Array[Byte]] =
     Option(
       dim.agg(bloomAgg(col(dimKey), expectedItems, numBits))
-        .head.getAs[Array[Byte]](0))
+        .head().getAs[Array[Byte]](0))
 
   /** Inner equi-join of `fact` to `dim`, with the fact side pre-screened
     * by a bloom over the dim keys. Row-identical to
