@@ -1549,8 +1549,61 @@ object TextQueries {
       .orderBy("split")
   }
 
+  /** q128 — edit-distance verification over the LSH candidate frame:
+    * the CHARACTER-level second opinion next to the token-shingle
+    * Jaccard verify (q24/q50). Levenshtein is order-sensitive where
+    * shingle sets are not — a doc whose sentences were reshuffled
+    * keeps high Jaccard but loses edit similarity, and a doc with
+    * per-word typos keeps edit similarity while its 3-gram shingles
+    * collapse — so production dedup reads both signals. Similarity is
+    * reported as exact integer ppm of `1 − lev/max(len)`; both
+    * engines compute the same classic DP distance, so the oracle is
+    * bit-exact. Cost discipline: the O(|a|·|b|) DP runs ONLY on LSH
+    * band candidates (never all pairs) — the same bounded-verify
+    * contract every dedup stage here follows. */
+  val q128 = QueryDef(
+    "q128_edit_distance_verify",
+    bandSetsCteSql +
+      """,
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+      |  FROM bands x JOIN bands y
+      |    ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+      |p AS (
+      |  SELECT c.da, c.db, ta.text AS xa, tb.text AS xb
+      |  FROM cand c JOIN documents ta ON ta.doc_id = c.da
+      |              JOIN documents tb ON tb.doc_id = c.db),
+      |m AS (
+      |  SELECT da, db, levenshtein(xa, xb) AS lv,
+      |    greatest(length(xa), length(xb)) AS mx
+      |  FROM p)
+      |SELECT da, db, CAST(lv AS BIGINT) AS lev,
+      |  CAST(((mx - lv) * 1000000) // mx AS BIGINT) AS sim_ppm
+      |FROM m ORDER BY sim_ppm DESC, da, db LIMIT 25""".stripMargin) {
+    (s, d) =>
+      val shl = persistedShingles(s, d)
+      val cand = org.apache.spark.sql.graft.LshJoin
+        .bucketPairs(bandTable(shl), "bkey", "doc_id")
+        .select(col("a_doc_id").as("da"), col("b_doc_id").as("db"))
+        .distinct()
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      cand
+        .join(docs.select(col("doc_id").as("da"), col("text").as("xa")),
+          Seq("da"))
+        .join(docs.select(col("doc_id").as("db"), col("text").as("xb")),
+          Seq("db"))
+        .select(col("da"), col("db"),
+          levenshtein(col("xa"), col("xb")).cast("long").as("lev"),
+          greatest(length(col("xa")), length(col("xb"))).cast("long")
+            .as("mx"))
+        .select(col("da"), col("db"), col("lev"),
+          expr("((mx - lev) * 1000000L) div mx").as("sim_ppm"))
+        .orderBy(col("sim_ppm").desc, col("da"), col("db"))
+        .limit(25)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
-      q104, q107, q109, q110, q125, q127)
+      q104, q107, q109, q110, q125, q127, q128)
 }
