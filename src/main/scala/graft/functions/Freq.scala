@@ -111,10 +111,13 @@ object Freq {
       .groupBy(group: _*)
       .agg(udaf(new MGAgg(k), Encoders.scalaLong)(kl).as("__s"))
     // integer cut: est and threshold are longs, so est >= t − n/(k+1)
-    // (real-valued) is exactly est >= t − ⌊n/(k+1)⌋
+    // (real-valued) is exactly est >= t − ⌊n/(k+1)⌋. The cut reads the
+    // selected __n column (NOT __s._2, which the select below projects
+    // away — filtering on it would lean on the analyzer's
+    // missing-attribute resolution through the Project/Generate).
     val cut =
       if (guaranteedRecall)
-        lit(threshold) - floor(col("__s._2") / (k + 1)).cast("long")
+        lit(threshold) - floor(col("__n") / (k + 1)).cast("long")
       else lit(threshold)
     val groupNames = agged.columns.dropRight(1).toSeq.map(col)
     agged

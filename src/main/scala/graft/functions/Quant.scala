@@ -137,6 +137,14 @@ object Quant {
     val agged = df.filter(vl.isNotNull)
       .groupBy(group: _*)
       .agg(udaf(new QAgg(k, probesPpm), Encoders.scalaLong)(vl).as("__q"))
+      // With group = Nil over an input that is empty after the filter,
+      // groupBy().agg still emits ONE global row whose sketch is empty
+      // (finish returns Seq.empty); element_at on it would throw under
+      // ANSI mode. Dropping it here keeps the documented contract —
+      // empty groups (including the empty global profile) never reach
+      // the output — and is a no-op for grouped inputs, where a group
+      // only exists if at least one row reduced into its sketch.
+      .filter(size(col("__q")) === probesPpm.size)
     val groupNames = agged.columns.dropRight(1).toSeq.map(col)
     agged.select(groupNames ++ probesPpm.zipWithIndex.map {
       case (p, i) => element_at(col("__q"), i + 1).as(s"q_$p")

@@ -87,9 +87,14 @@ object Ranks {
     * (`persist` mutates and returns the same Dataset), so calling this
     * on the frame passed to percentRank / ntileGlobal / prefixSum /
     * pctRankPandas — after the final action on their result — releases
-    * every block this module pinned. No-op when nothing is cached, so
-    * it is always safe in a `finally`. Blocking, so a long-lived
-    * session gets deterministic release rather than eventual GC. */
+    * the blocks this module pinned. NOTE: the release is UNCONDITIONAL
+    * — if the caller persisted the frame BEFORE calling the rank
+    * function (so `cached` pinned nothing), this still unpersists the
+    * caller's own cache; callers managing their own persist lifecycle
+    * should unpersist directly instead of calling this. No-op when
+    * nothing is cached, so it is always safe in a `finally`. Blocking,
+    * so a long-lived session gets deterministic release rather than
+    * eventual GC. */
   def release(df: DataFrame): Unit =
     if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
       df.unpersist(blocking = true)

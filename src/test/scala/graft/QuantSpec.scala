@@ -96,6 +96,17 @@ class QuantSpec extends SparkSpec {
       "b" -> exactQuantile(bs.map(_._1), 500000L)))
   }
 
+  test("quantilesBy: empty global profile yields no rows, not an ANSI throw") {
+    import spark.implicits._
+    // all values garbage → empty after the try_cast filter; with
+    // group = Nil the agg still emits one global row whose sketch is
+    // empty — the guard must drop it instead of letting element_at
+    // throw INVALID_ARRAY_INDEX under ANSI mode
+    val df = Seq("junk", null, "nope").toDF("v")
+    assert(Quant.quantilesBy(df, Nil, col("v"),
+      k = 16, probesPpm = Seq(500000L)).count() == 0L)
+  }
+
   test("quantilesBy is partitioning-independent in the exact regime") {
     import spark.implicits._
     def run(parts: Int) = Quant.quantilesBy(
