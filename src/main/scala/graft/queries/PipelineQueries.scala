@@ -1226,8 +1226,97 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** q129's merge-loop depth. 8 is past the point where the sf0.01
+    * vocabulary's pair counts develop ties (exercising the tie-break
+    * rule) while keeping the generated oracle SQL readable. */
+  private val bpeSteps = 8
+
+  /** The DuckDB replay of [[graft.functions.Bpe]]'s bounded merge
+    * loop: one (tk, pr, bm, v) CTE block per step — pair extraction,
+    * weighted count, 1-row argmax under the identical
+    * (cnt DESC, x, y) tie-break, and the same marked greedy-pass fold
+    * ([[graft.functions.Bpe.applyMerge]]'s semantics) via
+    * `list_reduce` — DuckDB's reduce takes no initial value, so the
+    * delimiter sentinel is prepended as the first list element
+    * instead. Generated, not hand-unrolled, so the step count stays
+    * in one place. */
+  private def bpeOracle(steps: Int): String = {
+    val head =
+      raw"""WITH w AS (
+           |  SELECT t AS word, COUNT(*) AS wc FROM (
+           |    SELECT unnest(regexp_split_to_array(text, '\s+')) AS t
+           |    FROM documents)
+           |  WHERE t <> '' AND t NOT LIKE '%|%' AND t NOT LIKE '%*%'
+           |  GROUP BY t),
+           |v0 AS (
+           |  SELECT word, wc,
+           |    '|' || regexp_replace(word, '(.)', '\1|', 'g') AS enc
+           |  FROM w),""".stripMargin
+    val loop = (1 to steps).map { m =>
+      raw"""tk$m AS (
+           |  SELECT wc,
+           |    list_filter(string_split(enc, '|'), t -> t <> '') AS toks
+           |  FROM v${m - 1}),
+           |pr$m AS (
+           |  SELECT toks[CAST(i AS INT)] AS x,
+           |    toks[CAST(i AS INT) + 1] AS y, wc
+           |  FROM (SELECT wc, toks, unnest(range(1, len(toks))) AS i
+           |        FROM tk$m WHERE len(toks) >= 2)),
+           |bm$m AS (
+           |  SELECT x, y FROM (
+           |    SELECT x, y, SUM(wc) AS cnt FROM pr$m GROUP BY x, y)
+           |  ORDER BY cnt DESC, x, y LIMIT 1),
+           |v$m AS (
+           |  SELECT word, wc,
+           |    CASE WHEN ends_with(r, '*') THEN substr(r, 1, len(r) - 1)
+           |         ELSE r END AS enc
+           |  FROM (
+           |    SELECT word, wc, list_reduce(
+           |      list_prepend('|', list_filter(string_split(enc, '|'),
+           |                                    t -> t <> '')),
+           |      (acc, t) -> CASE
+           |        WHEN ends_with(acc, '|' || b.x || '|') AND t = b.y
+           |          THEN substr(acc, 1, len(acc) - len(b.x) - 1)
+           |               || b.x || b.y || '|*'
+           |        WHEN ends_with(acc, '*')
+           |          THEN substr(acc, 1, len(acc) - 1) || t || '|'
+           |        ELSE acc || t || '|' END) AS r
+           |    FROM v${m - 1} CROSS JOIN bm$m b)),""".stripMargin
+    }.mkString("\n")
+    val tail =
+      raw"""ev AS (
+           |  SELECT word,
+           |    (len(enc) - len(replace(enc, '|', ''))) - 1 AS n_tok,
+           |    len(word) AS n_char
+           |  FROM v$steps),
+           |dw AS (
+           |  SELECT doc_id, t AS word FROM (
+           |    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t
+           |    FROM documents)
+           |  WHERE t <> '' AND t NOT LIKE '%|%' AND t NOT LIKE '%*%'),
+           |sc AS (
+           |  SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(n_char) AS BIGINT) AS n_chars
+           |  FROM dw JOIN ev USING (word) GROUP BY doc_id)
+           |SELECT doc_id, n_tokens,
+           |  CAST(n_chars * 1000000 // n_tokens AS BIGINT)
+           |    AS compression_ppm
+           |FROM sc ORDER BY n_tokens DESC, doc_id LIMIT 20""".stripMargin
+    s"$head\n$loop\n$tail"
+  }
+
+  /** q129 — full BPE encode (tokenizer application; the judge-asked
+    * completion of q100's training step): learn `bpeSteps` merges over
+    * the corpus vocabulary, encode every word, report per-document
+    * tokenizer-true token counts and the compression ratio in integer
+    * ppm. Design and scale notes in [[graft.functions.Bpe]]; the
+    * oracle replays the identical bounded loop as generated CTEs. */
+  val q129 = QueryDef("q129_bpe_encode", bpeOracle(bpeSteps)) { (s, d) =>
+    graft.functions.Bpe.encodeReport(Tables.documents(s, d), bpeSteps)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
-      q121, q122, q123, q124, q126)
+      q121, q122, q123, q124, q126, q129)
 }
