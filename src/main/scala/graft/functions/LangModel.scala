@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Count-based bigram language-model scoring — the classic statistical
+  * quality-filter signal (CCNet/KenLM-style perplexity filtering, here
+  * from exact corpus counts instead of a trained binary model): train
+  * bigram counts with add-one smoothing on one slice, score another
+  * slice's documents by per-token negative log-likelihood.
+  *
+  * NLL(doc) = Σ over its bigrams of ln(c(x)+V) − ln(c(xy)+1), where
+  * c(x) is the training context count, c(xy) the training bigram
+  * count, and V the training vocabulary size — add-one smoothing
+  * P(y|x) = (c(xy)+1)/(c(x)+V), degrading to uniform 1/V on unseen
+  * contexts.
+  *
+  * Portability (the q77 concern: JVM `Math.log` vs DuckDB libm agree
+  * to ~1 ulp, not bit-for-bit): every ln is taken of an INTEGER-valued
+  * double and immediately floor-quantized to the milli-nat grid
+  * ([[mnat]]); all downstream arithmetic — per-bigram difference,
+  * per-doc sum, integer div for the mean — is exact on longs. A grid
+  * flip needs 1000·ln(k) within ~2e-12 of an integer for some count
+  * value k actually present; with a few 10⁴ distinct counts per corpus
+  * that is ~1e-7 aggregate risk (vs compounding per-row float error in
+  * the naive form). ln(1) = 0 exactly on both engines, covering the
+  * unseen-bigram floor.
+  *
+  * Scale shape (the q101 contract): tokenize once, persist the
+  * (doc, x, y) bigram frame for its three consumers (bigram census,
+  * context census, eval probe); both censuses are map-side-combined
+  * keyed aggs; the probe is two equi-joins on the bigram/context key
+  * (AQE broadcasts the count side while the vocabulary is small — it
+  * grows by Heaps' law, so no unconditional hint); V rides a broadcast
+  * one-row cross join. No window, no driver state. At 100 TB the count
+  * tables are the only intermediates growing with corpus diversity —
+  * the same count-min/bloom compression candidates as q101's df table.
+  */
+object LangModel {
+
+  /** floor(1000·ln(k)) as a long — the milli-nat quantizer. `k` must
+    * be an integer-valued positive column. */
+  def mnat(k: Column): Column =
+    floor(log(k.cast("double")) * 1000).cast("long")
+
+  /** Per-document NLL scores for documents matching `isEval`, from a
+    * bigram LM trained on the complement. `docs` must carry `doc_id`
+    * and a string `text`; tokens are whitespace-split (the q101/q102
+    * treatment). Output: (doc_id, n_bigrams, nll_mnat, avg_mnat), one
+    * row per eval document with ≥ 2 tokens, unordered. */
+  def bigramNllScores(docs: DataFrame, isEval: Column): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      split(col("text"), " ").as("toks"), isEval.as("__eval"))
+    val bg = toks
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("__eval"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+      .select(col("doc_id"), col("__eval"),
+        expr("element_at(toks, i)").as("x"),
+        expr("element_at(toks, i + 1)").as("y"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val train = bg.filter(!col("__eval"))
+    val cxy = train.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("cxy"))
+    val cx = train.groupBy(col("x")).agg(count(lit(1)).as("cx"))
+    val v = toks.filter(!col("__eval"))
+      .select(explode(col("toks")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    bg.filter(col("__eval"))
+      .join(cxy, Seq("x", "y"), "left")
+      .join(cx, Seq("x"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        (mnat(coalesce(col("cx"), lit(0L)) + col("v"))
+          - mnat(coalesce(col("cxy"), lit(0L)) + 1)).as("mnat"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("mnat")).as("nll_mnat"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_mnat"),
+        expr("nll_mnat div n_bigrams").as("avg_mnat"))
+  }
+}

@@ -1315,8 +1315,57 @@ object PipelineQueries {
     graft.functions.Bpe.encodeReport(Tables.documents(s, d), bpeSteps)
   }
 
+  /** q130 — count-based bigram-LM perplexity scoring
+    * ([[graft.functions.LangModel]] — design, portability, and scale
+    * notes there): train bigram counts with add-one smoothing on the
+    * deterministic 80% slice `doc_id % 5 != 0`, score each HELD-OUT
+    * document's per-token NLL in integer milli-nats. Boilerplate
+    * scores low (its bigrams saturate the training counts); garbled or
+    * off-distribution text scores high — the classic statistical
+    * quality filter next to q85's Gopher gates and q99's rarity. */
+  val q130 = QueryDef(
+    "q130_lm_perplexity",
+    """WITH l AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |e AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+      |  FROM l WHERE len(toks) >= 2),
+      |b AS (
+      |  SELECT doc_id, toks[CAST(i AS INT)] AS x,
+      |    toks[CAST(i AS INT) + 1] AS y
+      |  FROM e),
+      |tb AS (SELECT x, y FROM b WHERE doc_id % 5 <> 0),
+      |cxy AS (SELECT x, y, COUNT(*) AS cxy FROM tb GROUP BY 1, 2),
+      |cx AS (SELECT x, COUNT(*) AS cx FROM tb GROUP BY 1),
+      |v AS (
+      |  SELECT COUNT(DISTINCT t) AS v FROM (
+      |    SELECT unnest(toks) AS t FROM l WHERE doc_id % 5 <> 0)),
+      |s AS (
+      |  SELECT b.doc_id,
+      |    CAST(FLOOR(LN(CAST(COALESCE(cx.cx, 0) + (SELECT v FROM v)
+      |      AS DOUBLE)) * 1000) AS BIGINT)
+      |    - CAST(FLOOR(LN(CAST(COALESCE(cxy.cxy, 0) + 1 AS DOUBLE))
+      |      * 1000) AS BIGINT) AS mnat
+      |  FROM b
+      |  LEFT JOIN cxy ON b.x = cxy.x AND b.y = cxy.y
+      |  LEFT JOIN cx ON b.x = cx.x
+      |  WHERE b.doc_id % 5 = 0),
+      |sc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(mnat) AS BIGINT) AS nll_mnat
+      |  FROM s GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, nll_mnat,
+      |  CAST(nll_mnat // n_bigrams AS BIGINT) AS avg_mnat
+      |FROM sc ORDER BY avg_mnat DESC, doc_id LIMIT 20""".stripMargin) {
+    (s, d) =>
+      graft.functions.LangModel
+        .bigramNllScores(Tables.documents(s, d), col("doc_id") % 5 === 0)
+        .orderBy(col("avg_mnat").desc, col("doc_id"))
+        .limit(20)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
-      q121, q122, q123, q124, q126, q129)
+      q121, q122, q123, q124, q126, q129, q130)
 }
