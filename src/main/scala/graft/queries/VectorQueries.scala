@@ -299,22 +299,33 @@ object VectorQueries {
     * Scale: 16 broadcast centroids × linear scan, one per-row argmin
     * (window partitioned by vec_id over 16 candidates) — no shuffle
     * grows with the table. */
-  val q43b = QueryDef(
-    "q43b_ivf_assign",
-    s"""WITH e AS (
+  /** Shared oracle CTE block: integer micro-unit argmin assignment of
+    * every vector to its nearest seed centroid (`vec_id < 16`),
+    * yielding `asg(vec_id, cid, d2)`. Mirrors [[seedAssign]]. */
+  private val seedAssignCteSql =
+    s"""WITH se AS (
       |  SELECT vec_id, t.i AS pos,
       |    CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS k
       |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) t),
-      |c AS (SELECT vec_id AS cid, pos, k AS ck FROM e WHERE vec_id < 16),
-      |d AS (
-      |  SELECT e.vec_id, c.cid,
-      |    CAST(SUM((e.k - c.ck)*(e.k - c.ck)) AS BIGINT) AS d2
-      |  FROM e JOIN c ON e.pos = c.pos GROUP BY 1, 2),
-      |r AS (SELECT vec_id, cid, d2,
-      |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-      |  FROM d)
-      |SELECT vec_id, cid, d2 FROM r WHERE rn = 1
-      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      |sc AS (SELECT vec_id AS cid, pos, k AS ck FROM se WHERE vec_id < 16),
+      |sd AS (
+      |  SELECT se.vec_id, sc.cid,
+      |    CAST(SUM((se.k - sc.ck)*(se.k - sc.ck)) AS BIGINT) AS d2
+      |  FROM se JOIN sc ON se.pos = sc.pos GROUP BY 1, 2),
+      |asg AS (
+      |  SELECT vec_id, cid, d2 FROM (
+      |    SELECT vec_id, cid, d2,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM sd)
+      |  WHERE rn = 1)""".stripMargin
+
+  /** Engine side of [[seedAssignCteSql]]: 16 broadcast seed centroids
+    * (each element snapped to integer micro-units, the q56 trick, so
+    * Σ(diff²) is exact integer arithmetic on both engines) × linear
+    * scan, per-row argmin window over 16 candidates — no shuffle grows
+    * with the table. Returns (vec_id, cid, d2). */
+  private def seedAssign(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
     val ke = Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long"))
@@ -331,7 +342,15 @@ object VectorQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"), col("d2"))
-      .orderBy("vec_id")
+  }
+
+  val q43b = QueryDef(
+    "q43b_ivf_assign",
+    seedAssignCteSql +
+      """
+      |SELECT vec_id, cid, d2 FROM asg
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    seedAssign(s, d).orderBy("vec_id")
   }
 
   /** q43 — IVF with a REAL coarse quantizer: MLlib k-means (fixed seed,
@@ -506,6 +525,72 @@ object VectorQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** q131 — SemDeDup-style embedding-cluster dedup (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): cluster the embeddings with a
+    * coarse quantizer, then apply the q42 drop rule ONLY within each
+    * cluster — drop a vector iff ANY lower-id vector in its cluster is
+    * ≥ 0.45 cosine-similar. The semantic complement to MinHash/LSH
+    * text dedup (q50): paraphrases share no shingles but land on
+    * near-identical embeddings, so they fall in the same cluster and
+    * get caught here.
+    *
+    * Quantizer: the deterministic 16 seed centroids in integer
+    * micro-units ([[seedAssignCteSql]] — the q43b machinery), which
+    * keeps the whole pipeline oracle-expressible; the production
+    * quantizer is q43's trained k-means, and SemDedupSpec pins this
+    * path's drop recall against the q42 exact yardstick. Same
+    * deterministic, order-independent keep rule as q42/q47 (a vector
+    * is judged against ALL lower ids in its cluster, dropped or not).
+    *
+    * Scale: assignment is a broadcast-centroid linear scan; the
+    * candidate join is an EQUI-join on cid, so pair volume is
+    * Σ_c |c|² — bounded by growing k with the corpus (k-means cells
+    * stay ~constant-size), never the corpus-wide N² of q42's bounded
+    * yardstick. This is exactly the SemDeDup paper's cost argument. */
+  val q131 = QueryDef(
+    "q131_semdedup",
+    seedAssignCteSql +
+      s""",
+      |n AS (
+      |  SELECT vec_id, embedding AS e,
+      |    sqrt(${Vectors.dotSql("embedding", "embedding", DIM)}) AS nrm
+      |  FROM embeddings),
+      |m AS (SELECT n.vec_id, asg.cid, n.e, n.nrm
+      |      FROM n JOIN asg ON n.vec_id = asg.vec_id),
+      |dup AS (
+      |  SELECT DISTINCT y.vec_id FROM m x JOIN m y
+      |  ON x.cid = y.cid AND x.vec_id < y.vec_id
+      |  AND ${Vectors.dotSql("x.e", "y.e", DIM)} / (x.nrm * y.nrm)
+      |      >= 0.45)
+      |SELECT vec_id, cid FROM m
+      |WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    semDedupKeep(
+        normed(s, d).join(
+          seedAssign(s, d).select(col("vec_id"), col("cid")),
+          Seq("vec_id")))
+      .orderBy("vec_id")
+  }
+
+  /** q131's drop rule over an assigned frame `(vec_id, cid, e, nrm)`:
+    * keep a vector unless ANY lower-id vector in its cluster is
+    * ≥ 0.45 cosine-similar. Factored out so SemDedupSpec can drive it
+    * with constructed clusters (true near-identical pairs, which the
+    * uniform-random testdata lacks). Returns kept (vec_id, cid),
+    * unordered. */
+  private[graft] def semDedupKeep(
+      m: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dups = m.as("x").join(m.as("y"),
+      col("x.cid") === col("y.cid") &&
+        col("x.vec_id") < col("y.vec_id") &&
+        (Vectors.dot(col("x.e"), col("y.e"))
+          / (col("x.nrm") * col("y.nrm"))) >= 0.45)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+    m.select(col("vec_id"), col("cid"))
+      .join(dups, Seq("vec_id"), "left_anti")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103)
+    Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131)
 }

@@ -136,7 +136,8 @@ class PlanSpec extends SparkSpec {
       "q120_oov_rate" -> "broadcast top-500 vocabulary",
       "q124_theta_overlap" -> "per-source sketch frame (|event types| rows)",
       "q127_leakage_free_split" -> "one-row leakage-count frame",
-      "q130_lm_perplexity" -> "one-row vocabulary-size frame")
+      "q130_lm_perplexity" -> "one-row vocabulary-size frame",
+      "q131_semdedup" -> "broadcast seed-centroid table (16 rows)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
