@@ -50,6 +50,8 @@ object Theta {
       SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
     def update(x: Long): Unit = union.update(x)
     def mergeIn(o: ThetaBuf): Unit = union.union(o.result())
+    def mergeInBytes(b: Array[Byte]): Unit =
+      union.union(Sketches.wrapSketch(Memory.wrap(b)))
     def result(): CompactSketch = union.getResult
     @throws[IOException]
     private def writeObject(out: ObjectOutputStream): Unit = {
@@ -92,6 +94,30 @@ object Theta {
       .groupBy(group: _*)
       .agg(udaf(new SketchAgg(lgK), Encoders.scalaLong)(kl).as("theta"))
   }
+
+  private class UnionAgg(lgK: Int)
+      extends Aggregator[Array[Byte], ThetaBuf, Array[Byte]] {
+    def zero: ThetaBuf = new ThetaBuf(lgK)
+    def reduce(b: ThetaBuf, a: Array[Byte]): ThetaBuf = {
+      b.mergeInBytes(a); b
+    }
+    def merge(a: ThetaBuf, b: ThetaBuf): ThetaBuf = { a.mergeIn(b); a }
+    def finish(b: ThetaBuf): Array[Byte] = b.result().toByteArray
+    def bufferEncoder: org.apache.spark.sql.Encoder[ThetaBuf] =
+      Encoders.javaSerialization[ThetaBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      Encoders.BINARY
+  }
+
+  /** Aggregate UNION of a sketch column (compact sketch bytes in,
+    * compact sketch bytes out) — the second-level merge that makes a
+    * per-source sketch table incrementally maintainable: union the
+    * stored sketches instead of rescanning sources (q132's running
+    * prior-union; also the partition-merge a streaming sink applies).
+    * Union of exact-regime inputs whose combined distinct count stays
+    * below 2^lgK is itself exact. */
+  def unionSketches(sketch: Column, lgK: Int = 12): Column =
+    udaf(new UnionAgg(lgK), Encoders.BINARY)(sketch)
 
   /** Distinct-count estimate of a sketch column, rounded to long
     * (exact-regime estimates are integral by construction). */

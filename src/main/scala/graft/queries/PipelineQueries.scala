@@ -1176,6 +1176,67 @@ object PipelineQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** q132 — incremental new-content audit via theta a-not-b (the
+    * crawl-ops question q124's pairwise overlaps don't answer: "how
+    * much NEW distinct content does each source add over everything
+    * already ingested?"): sources processed in deterministic name
+    * order; for each, `n_new` = |sketch(source) \ union(all earlier
+    * sources' sketches)| — the q107 incremental-dedup pattern applied
+    * to SKETCHES, where the stored state is one compact sketch per
+    * source instead of a content-hash index. Keys are the portable
+    * md5→u32 content hash (q88's construction), so both engines count
+    * distinct over identical 32-bit keys (hash collisions are
+    * mirrored, not drift).
+    *
+    * Scale: the corpus is touched ONCE (one keyed sketch aggregation,
+    * ≤ 2^lgK hashes per partial); the running prior-union runs on the
+    * |sources|-row sketch frame via [[graft.functions.Theta
+    * .unionSketches]] — in production the union sketch is maintained
+    * incrementally (union the NEW source's sketch in, one a-not-b per
+    * arrival, never a rescan). lgK=14 keeps every per-source sketch
+    * AND the running union in the exact regime at both test SFs
+    * (4,992 distinct contents at sf0.1 < 2^14), so the oracle's plain
+    * distinct-anti-join counts match bit-for-bit; oversized, the
+    * a-not-b keeps theta-bounded error (ThetaSpec pins the union
+    * path). */
+  val q132 = QueryDef(
+    "q132_theta_incremental",
+    s"""WITH h AS (SELECT source, md5(text) AS hx FROM documents),
+      |k AS (SELECT source, ${TextQueries.hexU32Sql(1)} AS key FROM h),
+      |d AS (SELECT DISTINCT source, key FROM k),
+      |per AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct
+      |  FROM d GROUP BY source),
+      |nw AS (
+      |  SELECT dd.source, CAST(COUNT(*) AS BIGINT) AS n_new
+      |  FROM d dd
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM d e
+      |    WHERE e.key = dd.key AND e.source < dd.source)
+      |  GROUP BY dd.source)
+      |SELECT p.source, p.n_distinct,
+      |  CAST(COALESCE(nw.n_new, 0) AS BIGINT) AS n_new
+      |FROM per p LEFT JOIN nw ON p.source = nw.source
+      |ORDER BY p.source""".stripMargin) { (s, d) =>
+    import graft.functions.Theta
+    val lgK = 14
+    val sk = Theta.sketchBy(
+      Tables.documents(s, d).select(col("source"),
+        graft.curation.Curation.contentU32(col("text")).as("key")),
+      Seq(col("source")), col("key"), lgK)
+    val prior = sk.as("a").join(sk.as("b"),
+        col("b.source") < col("a.source"))
+      .groupBy(col("a.source"))
+      .agg(Theta.unionSketches(col("b.theta"), lgK).as("prior"))
+    sk.join(prior, Seq("source"), "left")
+      .select(col("source"),
+        Theta.estimate(col("theta")).as("n_distinct"),
+        when(col("prior").isNull, Theta.estimate(col("theta")))
+          .otherwise(Theta.aNotBEstimate(col("theta"), col("prior")))
+          .as("n_new"))
+      .orderBy("source")
+  }
+
   /** q126 — token-budget-constrained selection (the "take the best N
     * tokens per source" step of corpus mixing: a mixture recipe like
     * q102's gives each source a token budget; this op decides WHICH
@@ -1367,5 +1428,5 @@ object PipelineQueries {
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
-      q121, q122, q123, q124, q126, q129, q130)
+      q121, q122, q123, q124, q126, q129, q130, q132)
 }

@@ -137,7 +137,8 @@ class PlanSpec extends SparkSpec {
       "q124_theta_overlap" -> "per-source sketch frame (|event types| rows)",
       "q127_leakage_free_split" -> "one-row leakage-count frame",
       "q130_lm_perplexity" -> "one-row vocabulary-size frame",
-      "q131_semdedup" -> "broadcast seed-centroid table (16 rows)")
+      "q131_semdedup" -> "broadcast seed-centroid table (16 rows)",
+      "q132_theta_incremental" -> "per-source sketch frame (|sources| rows)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString

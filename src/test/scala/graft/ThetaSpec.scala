@@ -57,6 +57,34 @@ class ThetaSpec extends SparkSpec {
     assert(got == 1L)
   }
 
+  test("incremental union path: running a-not-b equals exact new-key counts") {
+    import spark.implicits._
+    // three "sources" arriving in name order with engineered overlap:
+    // s1 = 0..599, s2 = 300..899 (300 new), s3 = 0..1199 (300 new)
+    val d = ((0 until 600).map(i => ("s1", i.toLong))
+      ++ (300 until 900).map(i => ("s2", i.toLong))
+      ++ (0 until 1200).map(i => ("s3", i.toLong)))
+      .toDF("g", "v").repartition(5)
+    val sk = Theta.sketchBy(d, Seq(col("g")), col("v"))
+    val prior = sk.as("a").join(sk.as("b"), col("b.g") < col("a.g"))
+      .groupBy(col("a.g"))
+      .agg(Theta.unionSketches(col("b.theta")).as("prior"))
+    val got = sk.join(prior, Seq("g"), "left")
+      .select(col("g"),
+        when(col("prior").isNull, Theta.estimate(col("theta")))
+          .otherwise(Theta.aNotBEstimate(col("theta"), col("prior")))
+          .as("n_new"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("s1" -> 600L, "s2" -> 300L, "s3" -> 300L))
+  }
+
+  test("unionSketches of exact sketches equals the union's distinct count") {
+    val u = Theta.sketchBy(df, Seq(col("g")), col("v"))
+      .agg(Theta.unionSketches(col("theta")).as("u"))
+      .select(Theta.estimate(col("u"))).head().getLong(0)
+    assert(u == 1500L) // 0..1499 across both groups
+  }
+
   test("oversized: true count within the sketch's confidence bounds") {
     import spark.implicits._
     // 50k distinct into a 2^6 = 64-entry sketch: heavy sampling
