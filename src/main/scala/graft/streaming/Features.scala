@@ -456,4 +456,66 @@ object Features {
         ttl.map(_ => TimeMode.ProcessingTime()).getOrElse(TimeMode.None()),
         OutputMode.Update())
   }
+
+  /** Per-group streaming sketch profile emitted per micro-batch. */
+  case class GroupProfile(g: String, n: Long, median: Long,
+      top_key: Long, top_est: Long)
+
+  /** UPDATE-mode sketch maintenance (the q121/q123 sketch family as
+    * dashboard state, vs StreamingSpec's complete-mode re-aggregation):
+    * each group's Misra–Gries and MRL quantile sketches live in the
+    * checkpointed state store; a micro-batch folds only ITS rows into
+    * the stored summaries and emits the group's refreshed profile —
+    * one row per ACTIVE group per batch, never a whole-table re-emit.
+    * Because both sketches are mergeable and the fold order is
+    * immaterial in the exact regime, the last emission per group
+    * equals the one-shot batch aggregate over the full history —
+    * the delta-merge contract StreamingSpec pins.
+    *
+    * Scale: state per group is the k-bounded sketch pair (not the
+    * keyspace), update mode writes only touched groups, and the store
+    * shards by group key across executors — the always-on profiling
+    * sidecar a 100-TB ingest runs next to its landing query. */
+  class RunningSketchProcessor(k: Int)
+      extends StatefulProcessor[String, (String, Long), GroupProfile] {
+    import graft.functions.{Freq, Quant}
+    @transient private var mg: ValueState[Freq.MGSummary] = _
+    @transient private var qs: ValueState[Quant.QuantileSketch] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val h = getHandle
+      mg = h.getValueState[Freq.MGSummary]("mg",
+        org.apache.spark.sql.Encoders.javaSerialization[Freq.MGSummary],
+        TTLConfig.NONE)
+      qs = h.getValueState[Quant.QuantileSketch]("qs",
+        org.apache.spark.sql.Encoders
+          .javaSerialization[Quant.QuantileSketch],
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long)],
+        tv: TimerValues): Iterator[GroupProfile] = {
+      val m = if (mg.exists()) mg.get() else new Freq.MGSummary(k)
+      val q = if (qs.exists()) qs.get() else new Quant.QuantileSketch(k)
+      rows.foreach { case (_, v) => m.update(v); q.update(v) }
+      mg.update(m); qs.update(q)
+      // deterministic top counter: max estimate, ties to the lower key
+      val (tk, te) =
+        if (m.counts.isEmpty) (-1L, 0L)
+        else m.counts.toSeq.maxBy { case (kk, c) => (c, -kk) }
+      Iterator.single(GroupProfile(key, q.n, q.query(500000L), tk, te))
+    }
+  }
+
+  /** [[RunningSketchProcessor]] over a (group, value) stream. Requires
+    * the RocksDB state store provider (Spark 4's transformWithState
+    * contract). */
+  def runningGroupSketches(ds: Dataset[(String, Long)],
+      k: Int = 64): Dataset[GroupProfile] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new RunningSketchProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

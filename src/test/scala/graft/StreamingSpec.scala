@@ -107,6 +107,52 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("update-mode sketch state: per-batch deltas merge to the batch answer") {
+    // the q121/q123 sketches as per-group STATE-STORE state
+    // (transformWithState), vs the complete-mode re-aggregation above:
+    // each batch emits only touched groups' refreshed profiles, and
+    // the LAST emission per group must equal the one-shot aggregate
+    // over the full history (sketch merge associativity, exact regime)
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(String, Long)]
+    val q = Features.runningGroupSketches(mem.toDS())
+      .writeStream.format("memory").queryName("sketch_updates")
+      .outputMode("update").start()
+    try {
+      mem.addData(("a", 1L), ("a", 1L), ("a", 2L), ("b", 5L))
+      q.processAllAvailable()
+      val afterB1 = spark.table("sketch_updates").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      // batch-1 deltas: a = [1,1,2] (median 1, top 1×2), b = [5]
+      assert(afterB1("a") == ((3L, 1L, 1L, 2L)))
+      assert(afterB1("b") == ((1L, 5L, 5L, 1L)))
+      mem.addData(("a", 1L), ("a", 3L), ("b", 7L), ("b", 9L))
+      q.processAllAvailable()
+      val rows = spark.table("sketch_updates").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      // update mode: exactly one emission per active group per batch
+      assert(rows.length == 4)
+      val fin = rows.groupBy(_._1).view
+        .mapValues(_.maxBy(_._2)).toMap // n is monotone → last delta
+      // full-history answers: a = [1,1,2,1,3] → n=5, median 1, top 1×3;
+      // b = [5,7,9] → n=3, median 7, singleton tie → lowest key 5
+      assert(fin("a") == (("a", 5L, 1L, 1L, 3L)))
+      assert(fin("b") == (("b", 3L, 7L, 5L, 1L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("dedupStream composite keys dedup on the tuple, replay-safe") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
