@@ -1409,9 +1409,57 @@ object CoreQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q133 — top-k per group as a BOUNDED-STATE aggregate
+    * ([[graft.functions.TopK]] — design and shuffle accounting there):
+    * top-3 spenders per nation. q15's window idiom answers this by
+    * shuffling + sorting every per-customer row into its nation
+    * partition; the typed aggregate ships at most k rows per nation
+    * per partition and merges buffers — the 100-TB shape for "top N
+    * per group" when groups are few and inputs are huge. EXACT (not a
+    * sketch): per-partial top-k under a total order loses nothing.
+    * Spend is snapped to integer cents (q89's rule) so sums are
+    * order-independent; ties break to the lower custkey inside the
+    * aggregate — the same (value desc, key) pin the oracle's window
+    * spells out. */
+  val q133 = QueryDef(
+    "q133_topk_aggregate",
+    """WITH c AS (
+      |  SELECT o_custkey,
+      |    CAST(FLOOR(CAST(o_totalprice AS DOUBLE)*100 + 0.5) AS BIGINT)
+      |      AS cents
+      |  FROM orders),
+      |s AS (
+      |  SELECT cu.c_nationkey, c.o_custkey AS custkey,
+      |    CAST(SUM(c.cents) AS BIGINT) AS spend_cents
+      |  FROM c JOIN customer cu ON c.o_custkey = cu.c_custkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT c_nationkey, custkey, spend_cents,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |      ORDER BY spend_cents DESC, custkey) AS rnk
+      |  FROM s)
+      |SELECT c_nationkey, rnk, custkey, spend_cents
+      |FROM r WHERE rnk <= 3
+      |ORDER BY c_nationkey, rnk""".stripMargin) { (s, d) =>
+    val spend = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice").cast("double") * 100 + lit(0.5))
+          .cast("long").as("cents"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("o_custkey"))
+      .agg(sum(col("cents")).as("spend_cents"))
+    graft.functions.TopK.perGroup(spend, Seq(col("c_nationkey")),
+        col("spend_cents"), col("o_custkey"), k = 3)
+      .select(col("c_nationkey"), col("rnk"), col("id").as("custkey"),
+        col("ord").as("spend_cents"))
+      .orderBy(col("c_nationkey"), col("rnk"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
     q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
-    q111)
+    q111, q133)
 }

@@ -306,6 +306,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"), plan)
   }
 
+  test("top-k aggregate plans bounded buffers, not a window sort (q133)") {
+    // the operator's reason to exist: no Window (no per-group full
+    // sort), the typed buffer rides ObjectHashAggregate with a partial
+    // (map-side) phase so the exchange carries <= k rows per group per
+    // partition
+    val plan = CoreQueries.q133.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("whole-stage codegen covers the pricing aggregation path (q01)") {
     // q01 is the pure-aggregate path (no distinct rewrite, which plans
     // a multi-phase first()-of-partial aggregation outside codegen).
