@@ -84,4 +84,31 @@ object Vectors {
     s"list_reduce(list_transform(range($dim), i -> " +
       s"CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), " +
       "(acc,x) -> acc+x)"
+
+  /** Rademacher (±1) random projection of an integer micro-unit
+    * vector `k` (array<long>) onto `dOut` rows of the deterministic
+    * [[hyperplane]] matrix: element j = Σ_i sign(j,i)·k_i — EXACT
+    * integer arithmetic, so both engines agree bit-for-bit with no
+    * float accumulation anywhere (the q56/q43b snapping rule applied
+    * to dimensionality reduction). E[‖y_a−y_b‖²] = dOut·‖x_a−x_b‖²
+    * (Achlioptas, "Database-friendly random projections", PODS 2001 —
+    * the JL guarantee without Gaussians), so distances are preserved
+    * up to the 1/√dOut scale the caller applies (or cancels in
+    * ratios). Row-local; no shuffle. */
+  def rademacherProject(k: Column, dOut: Int, dim: Int): Column =
+    array((0 until dOut).map { j =>
+      val sgns = array(hyperplane(j, dim).map(s => lit(s.toLong)): _*)
+      aggregate(zip_with(k, sgns, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+
+  /** DuckDB `VALUES` rows `(j, [±1,…])` carrying the identical
+    * [[hyperplane]] sign matrix as literals (the [[lshBucketSql]]
+    * treatment), for the q134 oracle's per-dimension join. */
+  def rademacherValuesSql(dOut: Int, dim: Int): String =
+    (0 until dOut).map { j =>
+      val lits = hyperplane(j, dim)
+        .map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]")
+      s"($j, $lits)"
+    }.mkString(", ")
 }

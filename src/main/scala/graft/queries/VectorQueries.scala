@@ -591,6 +591,45 @@ object VectorQueries {
       .join(dups, Seq("vec_id"), "left_anti")
   }
 
+  /** q134 — Rademacher random projection (Johnson–Lindenstrauss
+    * dimensionality reduction, [[Vectors.rademacherProject]]): every
+    * embedding projected 64 → 16 dims against the deterministic ±1
+    * sign matrix, in exact integer micro-units. The standard
+    * cost-reduction step BEFORE large-scale ANN/dedup — downstream
+    * dot products cost dOut/dim of the original — with the JL
+    * distance-preservation guarantee (RandomProjectionSpec measures
+    * the distortion distribution against the exact 64-dim distances).
+    *
+    * Scale: a row-local codegen projection (16 integer folds per
+    * row), NO shuffle except the output sort — the q87/q119 class of
+    * pure-projection operators. Output exploded to (vec_id, dim, val)
+    * scalar rows (the q56 rule: every cell sortable/hashable). */
+  val q134 = QueryDef(
+    "q134_random_projection",
+    s"""WITH s(j, sgns) AS (
+      |  VALUES ${Vectors.rademacherValuesSql(16, DIM)}),
+      |p AS (
+      |  SELECT vec_id, s.j AS dim,
+      |    CAST(list_reduce(list_transform(range($DIM), i ->
+      |      CAST(FLOOR(CAST(embedding[i+1] AS DOUBLE)*1e6 + 0.5)
+      |        AS BIGINT) * sgns[i+1]),
+      |      (acc, x) -> acc + x) AS BIGINT) AS val
+      |  FROM embeddings CROSS JOIN s)
+      |SELECT vec_id, dim, val FROM p
+      |ORDER BY vec_id, dim""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        Vectors.rademacherProject(
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")),
+          16, DIM).as("proj"))
+      .select(col("vec_id"),
+        posexplode(col("proj")).as(Seq("dim", "val")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("val"))
+      .orderBy("vec_id", "dim")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131)
+    Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131, q134)
 }
