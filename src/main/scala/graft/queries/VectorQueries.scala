@@ -630,6 +630,80 @@ object VectorQueries {
       .orderBy("vec_id", "dim")
   }
 
+  /** q135 — kNN in the PROJECTED space (q134's payoff query): unit-
+    * normalize, snap to integer micro-units, project 64 → 16 dims
+    * against the deterministic ±1 matrix, then exact top-3 neighbors
+    * per bounded query by INTEGER squared L2 distance. On unit
+    * vectors ‖a−b‖² = 2−2·cos, so projected-L2 ranking approximates
+    * cosine ranking at a quarter of the per-pair cost — valid when
+    * neighbor gaps exceed the √(2/dOut) JL distortion, i.e. on REAL
+    * clustered embeddings. On this corpus's uniformly random vectors
+    * the gaps are near-ties below ε and recall@3 sits at chance —
+    * RandomProjectionSpec pins both regimes (chance here, 30/30
+    * planted-neighbor recovery where gaps are distinguishable; the
+    * q33-in-AnnRecallSpec precedent). Every arithmetic step after the one
+    * div/sqrt normalization (both correctly-rounded single IEEE ops,
+    * hence engine-identical) is exact integer, so the oracle matches
+    * bit-for-bit with no rounding columns at all.
+    *
+    * Scale: projection is row-local; the scan side carries 16 longs
+    * instead of 64 doubles through the broadcast probe join —
+    * bandwidth and FLOPs both ÷4. The same bounded-query contract as
+    * q32; at larger Q the LSH/IVF bucket paths apply on TOP of the
+    * projected vectors (that composition is the production shape). */
+  val q135 = QueryDef(
+    "q135_projected_knn", {
+      val dot = Vectors.dotSql("e", "e", DIM)
+      s"""WITH n AS (
+        |  SELECT vec_id, embedding AS e, sqrt($dot) AS nrm
+        |  FROM embeddings),
+        |kv AS (
+        |  SELECT vec_id, list_transform(range($DIM), i ->
+        |    CAST(FLOOR(CAST(e[i+1] AS DOUBLE)/nrm*1e6 + 0.5) AS BIGINT))
+        |    AS k
+        |  FROM n),
+        |s(j, sgns) AS (VALUES ${Vectors.rademacherValuesSql(16, DIM)}),
+        |y AS (
+        |  SELECT vec_id, s.j,
+        |    CAST(list_reduce(list_transform(range($DIM), i ->
+        |      k[i+1]*sgns[i+1]), (acc, x) -> acc + x) AS BIGINT) AS v
+        |  FROM kv CROSS JOIN s),
+        |d AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(SUM((a.v - b.v)*(a.v - b.v)) AS BIGINT) AS d2
+        |  FROM y a JOIN y b ON a.j = b.j AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 25 GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, neighbor_id, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY d2, neighbor_id) AS rnk
+        |  FROM d)
+        |SELECT query_id, rnk, neighbor_id, d2
+        |FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin
+    }) { (s, d) =>
+    val y = normed(s, d)
+      .select(col("vec_id"),
+        Vectors.rademacherProject(
+          transform(col("e"),
+            x => floor(x / col("nrm") * 1e6 + lit(0.5)).cast("long")),
+          16, DIM).as("y"))
+    val q = y.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("y").as("qy"))
+    val d2 = broadcast(q).join(y, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("qy"), col("y"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    d2.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("d2"))
+      .orderBy("query_id", "rnk")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131, q134)
+    Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131,
+      q134, q135)
 }
