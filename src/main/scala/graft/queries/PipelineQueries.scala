@@ -473,6 +473,44 @@ object PipelineQueries {
       .orderBy("pipeline")
   }
 
+  /** q136 — ORC write→prune→scan cycle (the S6/S4 contract on Spark's
+    * second built-in columnar format, beside q96's parquet and q118's
+    * CSV): land documents as a `source=`-partitioned ORC silver table,
+    * read it back with a partition predicate, and aggregate doc
+    * counts, char mass, whitespace token counts, and id extrema per
+    * source. The oracle computes the identical report from the SOURCE
+    * parquet, so any row, string, or integer mutated anywhere in the
+    * ORC write→discover→prune→scan cycle breaks the hash — format
+    * fidelity proven by value equality, not by trusting the reader.
+    * Scale: ORC rides the same datasource V2 machinery as parquet
+    * (partition pruning, predicate pushdown, vectorized read), so the
+    * q96 plan arguments carry over unchanged. */
+  val q136 = QueryDef(
+    "q136_orc_silver",
+    """WITH f AS (
+      |  SELECT source, doc_id, n_chars,
+      |    len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents WHERE source < 'src2')
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val dir = freshScratch("q136") + "/orc"
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars"), col("source"))
+      .write.format("orc").partitionBy("source").save(dir)
+    s.read.format("orc").load(dir)
+      .filter(col("source") < "src2")
+      .groupBy(col("source").cast("string").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("source")
+  }
+
   /** q98 — training-sequence packing audit (concat-then-chunk): docs
     * are packed into fixed-length (L=512 tokens) training sequences
     * PER SHARD — each shard concatenates its docs in deterministic
@@ -1428,5 +1466,5 @@ object PipelineQueries {
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
-      q121, q122, q123, q124, q126, q129, q130, q132)
+      q121, q122, q123, q124, q126, q129, q130, q132, q136)
 }

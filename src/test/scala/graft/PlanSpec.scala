@@ -318,6 +318,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("ORC cycle prunes partitions at the scan (q136)") {
+    val plan = graft.queries.PipelineQueries.q136.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan orc"), plan)
+    // the source predicate must land in PartitionFilters, not a
+    // post-scan Filter over all partitions
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("source"), plan)
+  }
+
   test("whole-stage codegen covers the pricing aggregation path (q01)") {
     // q01 is the pure-aggregate path (no distinct rewrite, which plans
     // a multi-phase first()-of-partial aggregation outside codegen).
