@@ -1184,8 +1184,10 @@ object TextQueries {
     * position stream is the same corpus-sized explode q57/q59 already
     * run; the island merge input is only the SHARED positions (tiny
     * after the df filter). */
-  val q104 = QueryDef(
-    "q104_dup_spans",
+  /** Shared oracle CTE chain for q104/q137: positioned 8-gram table →
+    * shared-gram filter → gaps-and-islands merge, ending at
+    * `sp(doc_id, island, s, e2)` (token-position spans, inclusive). */
+  private val dupSpanCteSql =
     """WITH l AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |e AS (
@@ -1211,17 +1213,18 @@ object TextQueries {
       |  FROM isl),
       |sp AS (
       |  SELECT doc_id, island, MIN(i) AS s, MAX(i) + 7 AS e2
-      |  FROM isl2 GROUP BY doc_id, island)
-      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
-      |  CAST(SUM(e2 - s + 1) AS BIGINT) AS dup_tokens
-      |FROM sp GROUP BY doc_id
-      |ORDER BY dup_tokens DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      |  FROM isl2 GROUP BY doc_id, island)""".stripMargin
+
+  /** Engine side of [[dupSpanCteSql]]: maximal duplicated spans
+    * (doc_id, s, e2) in token positions. The positioned gram table
+    * feeds BOTH the df census and the join-back probe: persisted
+    * rather than tokenize+md5 the corpus twice (the Ranks
+    * multi-consumer rule; at 100 TB this is the gram index you would
+    * materialize once anyway — Bench/Verify clearCache between
+    * queries bounds retention). Every stage keys on hash or doc_id. */
+  private def dupSpans(s: org.apache.spark.sql.SparkSession,
+                       d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // the positioned gram table feeds BOTH the df census and the
-    // join-back probe: persist it rather than tokenize+md5 the corpus
-    // twice (the Ranks multi-consumer rule; at 100 TB this is the
-    // gram index you would materialize once anyway). Bench/Verify
-    // clearCache between queries bounds the retention.
     val g = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 8)
@@ -1245,11 +1248,70 @@ object TextQueries {
       .withColumn("island", sum(col("brk")).over(cum))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("i")).as("s"), (max(col("i")) + 7).as("e2"))
+      .select(col("doc_id"), col("s"), col("e2"))
+  }
+
+  val q104 = QueryDef(
+    "q104_dup_spans",
+    dupSpanCteSql +
+      """
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(SUM(e2 - s + 1) AS BIGINT) AS dup_tokens
+      |FROM sp GROUP BY doc_id
+      |ORDER BY dup_tokens DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+    dupSpans(s, d)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e2") - col("s") + 1).as("dup_tokens"))
       .orderBy(col("dup_tokens").desc, col("doc_id"))
       .limit(20)
+  }
+
+  /** q137 — duplicated-span REMOVAL census (the cut step completing
+    * q104's find step — Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499: cut exact
+    * duplicated substrings above a length floor out of the corpus):
+    * spans of ≥ 16 tokens are cut from EVERY occurrence (the paper's
+    * rule — the span survives nowhere; sub-floor spans are left
+    * alone to avoid shredding fluent text). Per-source audit: total
+    * tokens, removed tokens, docs touched, and removal ppm — the
+    * budget numbers a dedup pass reports before committing the
+    * rewrite. Same scale shape as q104 (the span frame) plus one
+    * left join back to per-doc token counts and a keyed census. */
+  val q137 = QueryDef(
+    "q137_span_removal",
+    dupSpanCteSql +
+      """,
+      |cut AS (
+      |  SELECT doc_id, CAST(SUM(e2 - s + 1) AS BIGINT) AS cut_tokens
+      |  FROM sp WHERE e2 - s + 1 >= 16 GROUP BY doc_id),
+      |tok AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT source,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(COALESCE(SUM(cut_tokens), 0) AS BIGINT) AS removed_tokens,
+      |  CAST(COUNT(cut_tokens) AS BIGINT) AS docs_touched,
+      |  CAST(COALESCE(SUM(cut_tokens), 0) * 1000000 // SUM(n_tokens)
+      |    AS BIGINT) AS removal_ppm
+      |FROM tok LEFT JOIN cut USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val cut = dupSpans(s, d)
+      .filter(col("e2") - col("s") + 1 >= 16)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("e2") - col("s") + 1).as("cut_tokens"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(cut, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("total_tokens"),
+        coalesce(sum(col("cut_tokens")), lit(0L)).as("removed_tokens"),
+        count(col("cut_tokens")).as("docs_touched"),
+        expr("coalesce(sum(cut_tokens), 0) * 1000000" +
+          " div sum(n_tokens)").as("removal_ppm"))
+      .orderBy("source")
   }
 
   /** q107 — incremental dedup of an incoming batch against an
@@ -1605,5 +1667,5 @@ object TextQueries {
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
-      q104, q107, q109, q110, q125, q127, q128)
+      q104, q107, q109, q110, q125, q127, q128, q137)
 }
