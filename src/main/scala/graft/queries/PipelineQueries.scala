@@ -1463,8 +1463,105 @@ object PipelineQueries {
         .limit(20)
   }
 
+  /** q138 — quality-filter calibration curve (the report a filtering
+    * run reads before picking a perplexity cutoff): held-out docs
+    * bucketed into quintiles by their q130 bigram-LM score via the
+    * DISTRIBUTED ntile ([[graft.functions.Ranks.ntileGlobal]] — no
+    * single-partition window), then each quintile's q85 Gopher-gate
+    * pass rate in exact ppm. If the two signals agree, low-perplexity
+    * quintiles pass the rule gates more often — the cross-validation
+    * between a learned-ish score and hand rules that decides where
+    * the cutoff goes. Composition query by design: LangModel scorer +
+    * Ranks ntile + gate flags, three already-green kernels joined on
+    * doc_id. */
+  val q138 = QueryDef(
+    "q138_filter_calibration",
+    """WITH l AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |e AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+      |  FROM l WHERE len(toks) >= 2),
+      |b AS (
+      |  SELECT doc_id, toks[CAST(i AS INT)] AS x,
+      |    toks[CAST(i AS INT) + 1] AS y
+      |  FROM e),
+      |tb AS (SELECT x, y FROM b WHERE doc_id % 5 <> 0),
+      |cxy AS (SELECT x, y, COUNT(*) AS cxy FROM tb GROUP BY 1, 2),
+      |cx AS (SELECT x, COUNT(*) AS cx FROM tb GROUP BY 1),
+      |v AS (
+      |  SELECT COUNT(DISTINCT t) AS v FROM (
+      |    SELECT unnest(toks) AS t FROM l WHERE doc_id % 5 <> 0)),
+      |s2 AS (
+      |  SELECT b.doc_id,
+      |    CAST(FLOOR(LN(CAST(COALESCE(cx.cx, 0) + (SELECT v FROM v)
+      |      AS DOUBLE)) * 1000) AS BIGINT)
+      |    - CAST(FLOOR(LN(CAST(COALESCE(cxy.cxy, 0) + 1 AS DOUBLE))
+      |      * 1000) AS BIGINT) AS mnat
+      |  FROM b
+      |  LEFT JOIN cxy ON b.x = cxy.x AND b.y = cxy.y
+      |  LEFT JOIN cx ON b.x = cx.x
+      |  WHERE b.doc_id % 5 = 0),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(mnat) // COUNT(*) AS BIGINT) AS avg_mnat
+      |  FROM s2 GROUP BY doc_id),
+      |w2 AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    length(replace(text, ' ', '')) AS n_word_chars,
+      |    len(list_filter(string_split(text, ' '),
+      |      x -> regexp_matches(x, '^[A-Za-z]+$'))) AS n_alpha_words,
+      |    len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the', 'a', 'of', 'to', 'and', 'in'))) AS n_stop
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |pass AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n_words BETWEEN 50 AND 100000
+      |      AND (n_word_chars * 1000) // n_words BETWEEN 3000 AND 10000
+      |      AND (n_alpha_words * 1000000) // n_words >= 800000
+      |      AND n_stop >= 2 THEN 1 ELSE 0 END AS p
+      |  FROM w2),
+      |nt AS (
+      |  SELECT doc_id, avg_mnat,
+      |    NTILE(5) OVER (ORDER BY avg_mnat, doc_id) AS tile
+      |  FROM scored)
+      |SELECT CAST(tile AS BIGINT) AS tile,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(avg_mnat) // COUNT(*) AS BIGINT) AS mean_mnat,
+      |  CAST(SUM(p) * 1000000 // COUNT(*) AS BIGINT) AS pass_ppm
+      |FROM nt JOIN pass USING (doc_id)
+      |GROUP BY tile ORDER BY tile""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val scored = graft.functions.LangModel
+      .bigramNllScores(docs, col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("avg_mnat"))
+    val tiled = graft.functions.Ranks.ntileGlobal(
+      scored, 5, col("avg_mnat"), col("doc_id"), "tile")
+    val w = split(col("text"), " ")
+    val gateBase = docs.filter(col("doc_id") % 5 === 0).select(
+      col("doc_id"),
+      size(w).cast("long").as("n_words"),
+      length(translate(col("text"), " ", "")).cast("long")
+        .as("n_word_chars"),
+      size(filter(w, x => x.rlike("^[A-Za-z]+$"))).cast("long")
+        .as("n_alpha_words"),
+      size(filter(w, x => x.isin("the", "a", "of", "to", "and", "in")))
+        .cast("long").as("n_stop"))
+    val pass = gateBase.select(col("doc_id"),
+      when(col("n_words").between(50, 100000) &&
+        expr("(n_word_chars * 1000) div n_words").between(3000, 10000) &&
+        expr("(n_alpha_words * 1000000) div n_words") >= 800000 &&
+        col("n_stop") >= 2, 1L).otherwise(0L).as("p"))
+    tiled.join(pass, Seq("doc_id"))
+      .groupBy(col("tile").cast("long").as("tile"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(avg_mnat) div count(1)").as("mean_mnat"),
+        expr("sum(p) * 1000000 div count(1)").as("pass_ppm"))
+      .orderBy("tile")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
-      q121, q122, q123, q124, q126, q129, q130, q132, q136)
+      q121, q122, q123, q124, q126, q129, q130, q132, q136, q138)
 }

@@ -139,7 +139,8 @@ class PlanSpec extends SparkSpec {
       "q130_lm_perplexity" -> "one-row vocabulary-size frame",
       "q131_semdedup" -> "broadcast seed-centroid table (16 rows)",
       "q132_theta_incremental" -> "per-source sketch frame (|sources| rows)",
-      "q135_projected_knn" -> "broadcast query slice (vec_id < 25)")
+      "q135_projected_knn" -> "broadcast query slice (vec_id < 25)",
+      "q138_filter_calibration" -> "one-row vocabulary-size frame (via q130 kernel)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
