@@ -25,6 +25,24 @@ object Curation {
   def contentU32(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** Aggressive text normalization for dedup keying (the C4/RefinedWeb
+    * "fuzzy exact" recipe): lowercase, strip every character outside
+    * `[a-z0-9 ]`, collapse whitespace runs, trim. Dedup on the
+    * normalized hash catches trivially-reformatted copies (case,
+    * punctuation, spacing) that byte-exact hashing misses, at zero
+    * semantic risk to the KEPT text — normalization feeds only the
+    * key, never the stored document. Pure per-row projection; both
+    * regex patterns are RE2-safe and replace-all on both engines
+    * (the q117/q84 mirroring rule). Oracle twin: [[normalizeTextSql]]. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** DuckDB fragment computing [[normalizeText]] for expression `e`. */
+  def normalizeTextSql(e: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($e), " +
+      "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
   /** Exact content dedup, keep-first: one survivor per distinct
     * `text`, deterministically the lowest `doc_id` (a window on the
     * content hash — one shuffle; `dropDuplicates` would be

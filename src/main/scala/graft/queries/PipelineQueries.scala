@@ -1463,6 +1463,42 @@ object PipelineQueries {
         .limit(20)
   }
 
+  /** q139 — deterministic per-group reservoir sample (the "give me k
+    * representative docs per source" inspection/eval draw): k=5 docs
+    * per source with the SMALLEST md5→u32 priority of their doc_id
+    * (q88's portable hash construction) via [[graft.functions.TopK]]
+    * in bottom-k mode. Hash-priority bottom-k IS a uniform reservoir
+    * (each subset of size k equally likely under a random-oracle
+    * hash), but unlike `TABLESAMPLE`/rand() it is reproducible across
+    * runs, engines, and partitionings — the property an eval draw or
+    * a debugging slice actually needs. State: k rows per source per
+    * partition over the exchange (TopK's contract), never a sort of
+    * the corpus. */
+  val q139 = QueryDef(
+    "q139_reservoir_sample",
+    s"""WITH h AS (
+      |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+      |  FROM documents),
+      |v AS (SELECT source, doc_id, ${TextQueries.hexU32Sql(1)} AS pri
+      |  FROM h),
+      |r AS (
+      |  SELECT source, doc_id, pri,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY pri, doc_id) AS rnk
+      |  FROM v)
+      |SELECT source, rnk, doc_id, pri
+      |FROM r WHERE rnk <= 5
+      |ORDER BY source, rnk""".stripMargin) { (s, d) =>
+    graft.functions.TopK.perGroup(
+        Tables.documents(s, d).select(col("source"), col("doc_id"),
+          graft.curation.Curation.contentU32(col("doc_id")).as("pri")),
+        Seq(col("source")), col("pri"), col("doc_id"), k = 5,
+        largest = false)
+      .select(col("source"), col("rnk"), col("id").as("doc_id"),
+        col("ord").as("pri"))
+      .orderBy("source", "rnk")
+  }
+
   /** q138 — quality-filter calibration curve (the report a filtering
     * run reads before picking a perplexity cutoff): held-out docs
     * bucketed into quintiles by their q130 bigram-LM score via the
@@ -1563,5 +1599,5 @@ object PipelineQueries {
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
-      q121, q122, q123, q124, q126, q129, q130, q132, q136, q138)
+      q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139)
 }

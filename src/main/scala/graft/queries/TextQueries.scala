@@ -1184,6 +1184,42 @@ object TextQueries {
     * position stream is the same corpus-sized explode q57/q59 already
     * run; the island merge input is only the SHARED positions (tiny
     * after the df filter). */
+  /** q140 — normalization-revealed dedup gain
+    * ([[graft.curation.Curation.normalizeText]] — the C4/RefinedWeb
+    * "fuzzy exact" key): per source, distinct byte-exact content
+    * hashes vs distinct NORMALIZED-content hashes; the gap is the
+    * count of trivially-reformatted duplicates (case / punctuation /
+    * spacing copies) that byte-exact dedup (q22) misses and the
+    * normalized key catches. The report a curation run reads to
+    * decide whether the normalized pass pays for itself before the
+    * expensive near-dup stages. Two per-row hash projections + one
+    * keyed agg — a free rider on any scan at 100 TB. */
+  val q140 = QueryDef(
+    "q140_norm_dedup_gain",
+    s"""WITH h AS (
+      |  SELECT source, md5(text) AS raw_h,
+      |    md5(${graft.curation.Curation.normalizeTextSql("text")})
+      |      AS norm_h
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT raw_h) AS raw_distinct,
+      |  COUNT(DISTINCT norm_h) AS norm_distinct,
+      |  CAST(COUNT(DISTINCT raw_h) - COUNT(DISTINCT norm_h) AS BIGINT)
+      |    AS revealed_dups
+      |FROM h GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), md5(col("text")).as("raw_h"),
+        md5(graft.curation.Curation.normalizeText(col("text")))
+          .as("norm_h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_h")).as("raw_distinct"),
+        countDistinct(col("norm_h")).as("norm_distinct"),
+        (countDistinct(col("raw_h")) - countDistinct(col("norm_h")))
+          .as("revealed_dups"))
+      .orderBy("source")
+  }
+
   /** Shared oracle CTE chain for q104/q137: positioned 8-gram table →
     * shared-gram filter → gaps-and-islands merge, ending at
     * `sp(doc_id, island, s, e2)` (token-position spans, inclusive). */
@@ -1667,5 +1703,5 @@ object TextQueries {
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
-      q104, q107, q109, q110, q125, q127, q128, q137)
+      q104, q107, q109, q110, q125, q127, q128, q137, q140)
 }

@@ -74,6 +74,21 @@ class CurationSpec extends SparkSpec {
       (3L, 1L, 1L, "")))
   }
 
+  test("normalizeText: case, punctuation, whitespace collapse, trim") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "  HELLO world.  "),
+      (4L, "hello worlds")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        Curation.normalizeText(col("text")).as("n"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // 1/2/3 collapse to one normalized key; 4 stays distinct
+    assert(out == Seq((1L, "hello world"), (2L, "hello world"),
+      (3L, "hello world"), (4L, "hello worlds")))
+  }
+
   test("canonicalUrl: case, default port, fragment, param order, utm") {
     import spark.implicits._
     val urls = Seq(
