@@ -1410,12 +1410,10 @@ object CoreQueries {
   }
 
   /** q133 — top-k per group as a BOUNDED-STATE aggregate
-    * ([[graft.functions.TopK]] — design and shuffle accounting there):
-    * top-3 spenders per nation. q15's window idiom answers this by
-    * shuffling + sorting every per-customer row into its nation
-    * partition; the typed aggregate ships at most k rows per nation
-    * per partition and merges buffers — the 100-TB shape for "top N
-    * per group" when groups are few and inputs are huge. EXACT (not a
+    * ([[graft.functions.TopK]] — design, shuffle accounting, and the
+    * honest comparison against Spark 4's own InferWindowGroupLimit
+    * rewrite there): top-3 spenders per nation, shipping at most k
+    * rows per nation per partition and merging buffers. EXACT (not a
     * sketch): per-partial top-k under a total order loses nothing.
     * Spend is snapped to integer cents (q89's rule) so sums are
     * order-independent; ties break to the lower custkey inside the
