@@ -44,30 +44,14 @@ object LangModel {
   def mnat(k: Column): Column =
     floor(log(k.cast("double")) * 1000).cast("long")
 
-  /** Per-document NLL scores for documents matching `isEval`, from a
-    * bigram LM trained on the complement. `docs` must carry `doc_id`
-    * and a string `text`; tokens are whitespace-split (the q101/q102
-    * treatment). Output: (doc_id, n_bigrams, nll_mnat, avg_mnat), one
-    * row per eval document with ≥ 2 tokens, unordered. */
-  def bigramNllScores(docs: DataFrame, isEval: Column): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      split(col("text"), " ").as("toks"), isEval.as("__eval"))
-    val bg = toks
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("__eval"), col("toks"),
-        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
-      .select(col("doc_id"), col("__eval"),
-        expr("element_at(toks, i)").as("x"),
-        expr("element_at(toks, i + 1)").as("y"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val train = bg.filter(!col("__eval"))
-    val cxy = train.groupBy(col("x"), col("y"))
-      .agg(count(lit(1)).as("cxy"))
-    val cx = train.groupBy(col("x")).agg(count(lit(1)).as("cx"))
-    val v = toks.filter(!col("__eval"))
-      .select(explode(col("toks")).as("t"))
-      .agg(countDistinct(col("t")).as("v"))
-    bg.filter(col("__eval"))
+  /** The scoring pass alone, against SUPPLIED model tables: `evalBg`
+    * (doc_id, x, y), `cxy` (x, y, cxy), `cx` (x, cx), and a one-row
+    * `v` (v) — the seam that lets q141 score with INCREMENTALLY
+    * MERGED count tables and prove equality to the one-shot model.
+    * Output: (doc_id, n_bigrams, nll_mnat, avg_mnat), unordered. */
+  def scoreWith(evalBg: DataFrame, cxy: DataFrame, cx: DataFrame,
+                v: DataFrame): DataFrame =
+    evalBg
       .join(cxy, Seq("x", "y"), "left")
       .join(cx, Seq("x"), "left")
       .crossJoin(broadcast(v))
@@ -79,5 +63,35 @@ object LangModel {
         sum(col("mnat")).as("nll_mnat"))
       .select(col("doc_id"), col("n_bigrams"), col("nll_mnat"),
         expr("nll_mnat div n_bigrams").as("avg_mnat"))
+
+  /** The tokenize-once bigram frame (doc_id, __eval, x, y),
+    * persisted for its multiple consumers. */
+  def bigramFrame(docs: DataFrame, isEval: Column): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"),
+        isEval.as("__eval"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("__eval"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+      .select(col("doc_id"), col("__eval"),
+        expr("element_at(toks, i)").as("x"),
+        expr("element_at(toks, i + 1)").as("y"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Per-document NLL scores for documents matching `isEval`, from a
+    * bigram LM trained on the complement. `docs` must carry `doc_id`
+    * and a string `text`; tokens are whitespace-split (the q101/q102
+    * treatment). Output: (doc_id, n_bigrams, nll_mnat, avg_mnat), one
+    * row per eval document with ≥ 2 tokens, unordered. */
+  def bigramNllScores(docs: DataFrame, isEval: Column): DataFrame = {
+    val bg = bigramFrame(docs, isEval)
+    val train = bg.filter(!col("__eval"))
+    val cxy = train.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("cxy"))
+    val cx = train.groupBy(col("x")).agg(count(lit(1)).as("cx"))
+    val v = docs.filter(!isEval)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    scoreWith(bg.filter(col("__eval")).select("doc_id", "x", "y"),
+      cxy, cx, v)
   }
 }

@@ -1422,8 +1422,10 @@ object PipelineQueries {
     * scores low (its bigrams saturate the training counts); garbled or
     * off-distribution text scores high — the classic statistical
     * quality filter next to q85's Gopher gates and q99's rarity. */
-  val q130 = QueryDef(
-    "q130_lm_perplexity",
+  /** Shared oracle for q130 (one-shot training) and q141 (incremental
+    * count-table merge): the two engine paths must produce the SAME
+    * scores, so they share one DuckDB truth. */
+  private val lmPerplexityOracleSql =
     """WITH l AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |e AS (
@@ -1455,10 +1457,56 @@ object PipelineQueries {
       |  FROM s GROUP BY doc_id)
       |SELECT doc_id, n_bigrams, nll_mnat,
       |  CAST(nll_mnat // n_bigrams AS BIGINT) AS avg_mnat
-      |FROM sc ORDER BY avg_mnat DESC, doc_id LIMIT 20""".stripMargin) {
+      |FROM sc ORDER BY avg_mnat DESC, doc_id LIMIT 20""".stripMargin
+
+  val q130 = QueryDef("q130_lm_perplexity", lmPerplexityOracleSql) {
     (s, d) =>
       graft.functions.LangModel
         .bigramNllScores(Tables.documents(s, d), col("doc_id") % 5 === 0)
+        .orderBy(col("avg_mnat").desc, col("doc_id"))
+        .limit(20)
+  }
+
+  /** q141 — incremental LM maintenance (the q90/q107 incremental
+    * pattern applied to q130's count tables: a crawl arrives in
+    * batches, and the stored bigram/context/vocab tables are MERGED,
+    * never retrained from scratch): the training slice is split into
+    * two parity "batches", each batch's count tables are built
+    * independently, merged via full-outer-join coalesced sums (and
+    * vocab via distinct union), and the HELD-OUT docs are scored with
+    * the merged model ([[graft.functions.LangModel.scoreWith]]). The
+    * oracle is VERBATIM q130's one-shot-training SQL — count merge is
+    * exact (counts are a monoid), so the incremental path must hash-
+    * match the one-shot model bit-for-bit. At 100 TB this is the
+    * difference between touching one day's crawl and re-reading the
+    * corpus: the stored tables are the only state, every merge is a
+    * keyed join. */
+  val q141 = QueryDef("q141_incremental_lm", lmPerplexityOracleSql) {
+    (s, d) =>
+      import graft.functions.LangModel
+      val docs = Tables.documents(s, d)
+      val isEval = col("doc_id") % 5 === 0
+      val bg = LangModel.bigramFrame(docs, isEval)
+      val train = bg.filter(!col("__eval"))
+      def cxyOf(p: Int) = train.filter(col("doc_id") % 2 === p)
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as(s"c$p"))
+      def cxOf(p: Int) = train.filter(col("doc_id") % 2 === p)
+        .groupBy(col("x")).agg(count(lit(1)).as(s"c$p"))
+      val cxy = cxyOf(0).join(cxyOf(1), Seq("x", "y"), "full_outer")
+        .select(col("x"), col("y"),
+          (coalesce(col("c0"), lit(0L)) + coalesce(col("c1"), lit(0L)))
+            .as("cxy"))
+      val cx = cxOf(0).join(cxOf(1), Seq("x"), "full_outer")
+        .select(col("x"),
+          (coalesce(col("c0"), lit(0L)) + coalesce(col("c1"), lit(0L)))
+            .as("cx"))
+      def vocabOf(p: Int) = docs.filter(!isEval && col("doc_id") % 2 === p)
+        .select(explode(split(col("text"), " ")).as("t")).distinct()
+      val v = vocabOf(0).union(vocabOf(1)).distinct()
+        .agg(count(lit(1)).as("v"))
+      LangModel.scoreWith(
+          bg.filter(col("__eval")).select("doc_id", "x", "y"),
+          cxy, cx, v)
         .orderBy(col("avg_mnat").desc, col("doc_id"))
         .limit(20)
   }
@@ -1599,5 +1647,6 @@ object PipelineQueries {
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
-      q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139)
+      q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
+      q141)
 }

@@ -518,4 +518,48 @@ object Features {
       .transformWithState(new RunningSketchProcessor(k),
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** One emitted top-k row (per group per rank per micro-batch). */
+  case class TopKRow(g: String, rnk: Long, id: Long, ord: Long)
+
+  /** Streaming top-k leaderboard — the claim in
+    * [[graft.functions.TopK]]'s doc made executable: window functions
+    * cannot run on a stream, but the k-bounded mergeable buffer CAN
+    * live in the state store. Each micro-batch folds its (value, id)
+    * rows into the group's stored [[graft.functions.TopK.TopKBuf]]
+    * and emits the refreshed top-k (largest value first, ties to the
+    * lower id — the q133 order); after any prefix of batches the
+    * emission equals the batch-mode top-k over everything seen, by
+    * the same merge associativity TopKSpec pins. State per group is k
+    * pairs of longs. */
+  class RunningTopKProcessor(k: Int)
+      extends StatefulProcessor[String, (String, Long, Long), TopKRow] {
+    import graft.functions.TopK.TopKBuf
+    @transient private var st: ValueState[TopKBuf] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TopKBuf]("topk",
+        org.apache.spark.sql.Encoders.javaSerialization[TopKBuf],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Long)],
+        tv: TimerValues): Iterator[TopKRow] = {
+      val buf = if (st.exists()) st.get() else new TopKBuf(k)
+      rows.foreach { case (_, v, id) => buf.insert((-v, id)) }
+      st.update(buf)
+      buf.set.toSeq.zipWithIndex.map { case ((negOrd, id), i) =>
+        TopKRow(key, i + 1L, id, -negOrd)
+      }.iterator
+    }
+  }
+
+  /** [[RunningTopKProcessor]] over a (group, value, id) stream. */
+  def runningTopK(ds: Dataset[(String, Long, Long)],
+      k: Int): Dataset[TopKRow] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new RunningTopKProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -140,7 +140,8 @@ class PlanSpec extends SparkSpec {
       "q131_semdedup" -> "broadcast seed-centroid table (16 rows)",
       "q132_theta_incremental" -> "per-source sketch frame (|sources| rows)",
       "q135_projected_knn" -> "broadcast query slice (vec_id < 25)",
-      "q138_filter_calibration" -> "one-row vocabulary-size frame (via q130 kernel)")
+      "q138_filter_calibration" -> "one-row vocabulary-size frame (via q130 kernel)",
+      "q141_incremental_lm" -> "one-row merged-vocabulary frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString

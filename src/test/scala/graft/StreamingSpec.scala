@@ -153,6 +153,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming top-k leaderboard: state-store buffers equal batch top-k") {
+    // windows can't run on streams; the TopK buffer as
+    // transformWithState state can — after each batch the emission
+    // must equal batch-mode top-k over everything seen so far
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Features.runningTopK(mem.toDS(), k = 2)
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode("update").start()
+    def emissions(): Seq[(String, Long, Long, Long)] =
+      spark.table("topk_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sorted.toSeq
+    val batch1 = Seq(("a", 1L, 2L, 30L), ("a", 2L, 1L, 10L),
+      ("b", 1L, 9L, 5L))
+    // batch 2 displaces a's rank-2 and extends b; ties on ord=5
+    // break to the lower id (4 beats 9)
+    val batch2 = Seq(("a", 1L, 2L, 30L), ("a", 2L, 3L, 20L),
+      ("b", 1L, 8L, 7L), ("b", 2L, 4L, 5L))
+    try {
+      mem.addData(("a", 10L, 1L), ("a", 30L, 2L), ("b", 5L, 9L))
+      q.processAllAvailable()
+      assert(emissions() == batch1.sorted)
+      mem.addData(("a", 20L, 3L), ("b", 7L, 8L), ("b", 5L, 4L))
+      q.processAllAvailable()
+      // update mode: the sink accumulates one emission set per batch
+      assert(emissions() == (batch1 ++ batch2).sorted)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("dedupStream composite keys dedup on the tuple, replay-safe") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
