@@ -1414,14 +1414,6 @@ object PipelineQueries {
     graft.functions.Bpe.encodeReport(Tables.documents(s, d), bpeSteps)
   }
 
-  /** q130 — count-based bigram-LM perplexity scoring
-    * ([[graft.functions.LangModel]] — design, portability, and scale
-    * notes there): train bigram counts with add-one smoothing on the
-    * deterministic 80% slice `doc_id % 5 != 0`, score each HELD-OUT
-    * document's per-token NLL in integer milli-nats. Boilerplate
-    * scores low (its bigrams saturate the training counts); garbled or
-    * off-distribution text scores high — the classic statistical
-    * quality filter next to q85's Gopher gates and q99's rarity. */
   /** Shared oracle for q130 (one-shot training) and q141 (incremental
     * count-table merge): the two engine paths must produce the SAME
     * scores, so they share one DuckDB truth. */
@@ -1459,6 +1451,14 @@ object PipelineQueries {
       |  CAST(nll_mnat // n_bigrams AS BIGINT) AS avg_mnat
       |FROM sc ORDER BY avg_mnat DESC, doc_id LIMIT 20""".stripMargin
 
+  /** q130 — count-based bigram-LM perplexity scoring
+    * ([[graft.functions.LangModel]] — design, portability, and scale
+    * notes there): train bigram counts with add-one smoothing on the
+    * deterministic 80% slice `doc_id % 5 != 0`, score each HELD-OUT
+    * document's per-token NLL in integer milli-nats. Boilerplate
+    * scores low (its bigrams saturate the training counts); garbled or
+    * off-distribution text scores high — the classic statistical
+    * quality filter next to q85's Gopher gates and q99's rarity. */
   val q130 = QueryDef("q130_lm_perplexity", lmPerplexityOracleSql) {
     (s, d) =>
       graft.functions.LangModel

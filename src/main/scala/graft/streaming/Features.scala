@@ -531,7 +531,21 @@ object Features {
     * lower id — the q133 order); after any prefix of batches the
     * emission equals the batch-mode top-k over everything seen, by
     * the same merge associativity TopKSpec pins. State per group is k
-    * pairs of longs. */
+    * pairs of longs.
+    *
+    * Contracts (inherited from [[graft.functions.TopK]], restated
+    * here because the stream lifetime widens them): ids must be
+    * unique per group ACROSS THE WHOLE STREAM — rows are immutable
+    * events, not score updates (a later row with the same id ranks
+    * alongside the earlier one, exactly as batch top-k over both rows
+    * would; a latest-score-per-id leaderboard needs max-per-id state
+    * upstream of this buffer). `ord = Long.MinValue` is
+    * unrepresentable under the largest-first negation (same caveat as
+    * TopKAgg); real order keys never touch it. Changing `k` across a
+    * checkpointed restart is handled: a deserialized buffer built
+    * with a different k is re-keyed to the current k on its group's
+    * next input batch (widening takes effect immediately; narrowing
+    * evicts deterministically). */
   class RunningTopKProcessor(k: Int)
       extends StatefulProcessor[String, (String, Long, Long), TopKRow] {
     import graft.functions.TopK.TopKBuf
@@ -545,7 +559,16 @@ object Features {
     override def handleInputRows(key: String,
         rows: Iterator[(String, Long, Long)],
         tv: TimerValues): Iterator[TopKRow] = {
-      val buf = if (st.exists()) st.get() else new TopKBuf(k)
+      val stored = if (st.exists()) Some(st.get()) else None
+      // k lives inside the serialized buffer: after a restart with a
+      // different k, rebuild the buffer at the current width instead
+      // of silently keeping each group's old bound
+      val buf = stored match {
+        case Some(b) if b.k == k => b
+        case Some(b) =>
+          val nb = new TopKBuf(k); b.set.foreach(nb.insert); nb
+        case None => new TopKBuf(k)
+      }
       rows.foreach { case (_, v, id) => buf.insert((-v, id)) }
       st.update(buf)
       buf.set.toSeq.zipWithIndex.map { case ((negOrd, id), i) =>
