@@ -1511,6 +1511,70 @@ object PipelineQueries {
         .limit(20)
   }
 
+  /** q143 — population-stability-index drift monitor (the standard
+    * "has this source's distribution shifted between snapshots"
+    * check a crawl pipeline runs before retraining): per source, the
+    * `n_chars` distribution of the even-doc_id half (baseline) vs the
+    * odd half (current) over 10 fixed-width buckets, scored as
+    * Σ_buckets (p−q)·(ln p − ln q) — PSI. Integer port: shares in
+    * exact ppm (`div`), each ln taken of an integer ppm value and
+    * floor-quantized to the milli-nat grid (the q130 portability
+    * argument — libm risk localized to per-distinct-integer
+    * quantization), +1 inside the ln guarding empty buckets; the
+    * score's unit is ppm·milli-nats (PSI × 10⁹ up to quantization),
+    * monotone in drift and bit-portable. Shape: one row-local bucket
+    * projection, two keyed census aggs, a full-outer bucket join, one
+    * keyed sum — a free rider on any scan at 100 TB. */
+  val q143 = QueryDef(
+    "q143_psi_drift",
+    """WITH b AS (
+      |  SELECT source, doc_id % 2 AS half,
+      |    LEAST(n_chars // 200, 9) AS bkt
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, half, bkt, COUNT(*) AS c
+      |  FROM b GROUP BY 1, 2, 3),
+      |t AS (SELECT source, half, SUM(c) AS n FROM c GROUP BY 1, 2),
+      |p AS (
+      |  SELECT c.source, c.bkt, c.half,
+      |    CAST(c.c * 1000000 // t.n AS BIGINT) AS ppm
+      |  FROM c JOIN t ON c.source = t.source AND c.half = t.half),
+      |p0 AS (SELECT source, bkt, ppm FROM p WHERE half = 0),
+      |p1 AS (SELECT source, bkt, ppm FROM p WHERE half = 1),
+      |j AS (
+      |  SELECT COALESCE(p0.source, p1.source) AS source,
+      |    COALESCE(p0.ppm, 0) AS pa, COALESCE(p1.ppm, 0) AS pb
+      |  FROM p0 FULL OUTER JOIN p1
+      |    ON p0.source = p1.source AND p0.bkt = p1.bkt)
+      |SELECT source,
+      |  CAST(SUM((pa - pb) *
+      |    (CAST(FLOOR(LN(CAST(pa + 1 AS DOUBLE)) * 1000) AS BIGINT)
+      |     - CAST(FLOOR(LN(CAST(pb + 1 AS DOUBLE)) * 1000) AS BIGINT)))
+      |    AS BIGINT) AS psi_unit
+      |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    import graft.functions.LangModel.mnat
+    val b = Tables.documents(s, d).select(col("source"),
+      (col("doc_id") % 2).as("half"),
+      least(expr("n_chars div 200"), lit(9L)).as("bkt"))
+    val c = b.groupBy(col("source"), col("half"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val t = c.groupBy(col("source"), col("half"))
+      .agg(sum(col("c")).as("n"))
+    val p = c.join(t, Seq("source", "half"))
+      .select(col("source"), col("half"), col("bkt"),
+        expr("c * 1000000 div n").as("ppm"))
+    def halfP(h: Int, as: String) = p.filter(col("half") === h)
+      .select(col("source"), col("bkt"), col("ppm").as(as))
+    halfP(0, "pa").join(halfP(1, "pb"), Seq("source", "bkt"),
+        "full_outer")
+      .select(col("source"), coalesce(col("pa"), lit(0L)).as("pa"),
+        coalesce(col("pb"), lit(0L)).as("pb"))
+      .groupBy(col("source"))
+      .agg(sum((col("pa") - col("pb")) *
+        (mnat(col("pa") + 1) - mnat(col("pb") + 1))).as("psi_unit"))
+      .orderBy("source")
+  }
+
   /** q139 — deterministic per-group reservoir sample (the "give me k
     * representative docs per source" inspection/eval draw): k=5 docs
     * per source with the SMALLEST md5→u32 priority of their doc_id
@@ -1648,5 +1712,5 @@ object PipelineQueries {
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
-      q141)
+      q141, q143)
 }

@@ -260,5 +260,69 @@ object QualityQueries {
       .orderBy("source")
   }
 
-  val all: Seq[QueryDef] = Seq(q35, q39, q40, q93, q95)
+  /** q142 — robust outlier detection per source (median/MAD, the
+    * monitoring-grade replacement for q69's IQR fences when tails are
+    * heavy): per-source median of `n_chars`, median absolute
+    * deviation around it, and the count of documents beyond 3·MAD —
+    * all integer-exact. Both medians ride the mergeable quantile
+    * sketch ([[graft.functions.Quant]], exact regime at these group
+    * sizes — the q123 contract), so the whole statistic is two
+    * sketch aggregations + two keyed joins: no per-group sort, and
+    * the same plan maintains itself under streaming. The oracle
+    * recomputes both medians with the identical integer rank rule
+    * (`max(1, ⌈n/2⌉)` over the sorted multiset), making the sketch's
+    * exact-regime claim the thing being checked. */
+  val q142 = QueryDef(
+    "q142_mad_outliers",
+    """WITH o AS (
+      |  SELECT source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM documents),
+      |med AS (
+      |  SELECT source,
+      |    CAST(MAX(CASE WHEN rn = GREATEST(1, (500000 * n + 999999)
+      |      // 1000000) THEN n_chars END) AS BIGINT) AS med
+      |  FROM o GROUP BY source),
+      |dev AS (
+      |  SELECT d.source, ABS(d.n_chars - m.med) AS dv, m.med
+      |  FROM documents d JOIN med m ON d.source = m.source),
+      |o2 AS (
+      |  SELECT source, dv, med,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY dv) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM dev),
+      |mad AS (
+      |  SELECT source, MAX(med) AS med,
+      |    CAST(MAX(CASE WHEN rn = GREATEST(1, (500000 * n + 999999)
+      |      // 1000000) THEN dv END) AS BIGINT) AS mad
+      |  FROM o2 GROUP BY source)
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MAX(m.med) AS med, MAX(m.mad) AS mad,
+      |  CAST(SUM(CASE WHEN ABS(d.n_chars - m.med) > 3 * m.mad
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM documents d JOIN mad m ON d.source = m.source
+      |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
+    import graft.functions.Quant
+    val docs = Tables.documents(s, d)
+    val med = Quant.quantilesBy(docs, Seq(col("source")), col("n_chars"),
+        k = 4096, probesPpm = Seq(500000L))
+      .select(col("source"), col("q_500000").as("med"))
+    val dev = docs.join(med, Seq("source"))
+      .select(col("source"), col("n_chars"), col("med"),
+        abs(col("n_chars") - col("med")).as("dv"))
+    val mad = Quant.quantilesBy(dev, Seq(col("source")), col("dv"),
+        k = 4096, probesPpm = Seq(500000L))
+      .select(col("source"), col("q_500000").as("mad"))
+    dev.join(mad, Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("dv") > col("mad") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("source")
+  }
+
+  val all: Seq[QueryDef] = Seq(q35, q39, q40, q93, q95, q142)
 }
