@@ -113,5 +113,54 @@ object MediaQueries {
       .orderBy("media_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q44, q71)
+  /** q144 — frame-sampling MANIFEST (the pre-decode work plan a
+    * distributed video pipeline computes BEFORE touching any codec:
+    * which timestamps/byte ranges each decode task will seek to):
+    * for every video-kind row, sample one frame per 2 s of duration
+    * capped at 8 frames, emitting (media_id, frame_idx, ts_ms,
+    * byte_off) — timestamps uniform by integer division, byte offsets
+    * proportional into the payload. All integer arithmetic, so the
+    * oracle mirrors it exactly; no codec involved by design (the
+    * stub boundary stays in q44/q71). Scale: pure explode+projection
+    * over the media table — the manifest is what the decode stage
+    * `mapPartitions` over, so its determinism IS the reproducibility
+    * of the whole extraction run. */
+  val q144 = QueryDef(
+    "q144_frame_manifest",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, length(text) AS n_bytes,
+      |    n_chars * 10 AS duration_ms
+      |  FROM documents
+      |  WHERE doc_id < 200 AND doc_id % 3 + 1 = 3),
+      |n AS (
+      |  SELECT media_id, n_bytes, duration_ms,
+      |    LEAST(duration_ms // 2000 + 1, 8) AS n_frames
+      |  FROM m),
+      |f AS (
+      |  SELECT media_id, n_bytes, duration_ms, n_frames,
+      |    unnest(range(0, n_frames)) AS frame_idx
+      |  FROM n)
+      |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(frame_idx * duration_ms // n_frames AS BIGINT) AS ts_ms,
+      |  CAST((frame_idx * duration_ms // n_frames) * n_bytes
+      |    // GREATEST(duration_ms, 1) AS BIGINT) AS byte_off
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+    mediaFixture(s, d)
+      .filter(col("kind") === "video")
+      .select(col("media_id"),
+        length(col("bytes")).cast("long").as("n_bytes"),
+        col("duration_ms"))
+      .withColumn("n_frames",
+        least(expr("duration_ms div 2000") + 1, lit(8L)))
+      .select(col("media_id"), col("n_bytes"), col("duration_ms"),
+        col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        expr("frame_idx * duration_ms div n_frames").as("ts_ms"),
+        expr("(frame_idx * duration_ms div n_frames) * n_bytes" +
+          " div greatest(duration_ms, 1)").as("byte_off"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val all: Seq[QueryDef] = Seq(q44, q71, q144)
 }
