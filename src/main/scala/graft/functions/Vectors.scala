@@ -94,13 +94,22 @@ object Vectors {
     * (Achlioptas, "Database-friendly random projections", PODS 2001 —
     * the JL guarantee without Gaussians), so distances are preserved
     * up to the 1/√dOut scale the caller applies (or cancels in
-    * ratios). Row-local; no shuffle. */
-  def rademacherProject(k: Column, dOut: Int, dim: Int): Column =
+    * ratios). Row-local; no shuffle.
+    *
+    * Execution: each output element rides the codegen [[dot]]
+    * expression over the micro-unit values cast to double — every
+    * product (±k_i, |k_i| ≤ 1e6·dim headroom) and partial sum stays
+    * an integer far below 2^53, so the double arithmetic is EXACT and
+    * the final cast back to long is lossless. The interpreted-HOF
+    * fold this replaced cost ~1 ms/row (16 lambdas × 64 elements with
+    * materialized intermediates — the q34 lesson, again). */
+  def rademacherProject(k: Column, dOut: Int, dim: Int): Column = {
+    val kd = k.cast("array<double>")
     array((0 until dOut).map { j =>
-      val sgns = array(hyperplane(j, dim).map(s => lit(s.toLong)): _*)
-      aggregate(zip_with(k, sgns, (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x)
+      val sgns = array(hyperplane(j, dim).map(lit): _*)
+      dot(kd, sgns).cast("long")
     }: _*)
+  }
 
   /** DuckDB `VALUES` rows `(j, [±1,…])` carrying the identical
     * [[hyperplane]] sign matrix as literals (the [[lshBucketSql]]
