@@ -1647,6 +1647,74 @@ object TextQueries {
       .orderBy("split")
   }
 
+  /** q145 — group-aware K-FOLD assignment (q127's two-way split
+    * generalized to cross-validation folds): the assignment unit is
+    * again the q66 near-dup component, folded 5 ways by the portable
+    * content hash of the group key, so near-duplicate documents can
+    * never straddle folds — the property that makes k-fold eval
+    * numbers honest on a deduplicated-ish corpus. Per-fold census
+    * plus the oracle-proven zero straddle count. Same scale shape as
+    * q127 (components + one left join + keyed census); fold counts
+    * are hash-balanced, not exact-equal, by design (exact balancing
+    * would need a global sort). */
+  val q145 = QueryDef(
+    "q145_kfold_split", {
+      val recursive =
+        lshJacCteSql.replaceFirst("^WITH ", "WITH RECURSIVE ")
+      recursive +
+        s""",
+        |prs AS (SELECT da, db FROM jac WHERE j >= 0.8),
+        |sym AS (SELECT da AS a, db AS b FROM prs
+        |        UNION SELECT db, da FROM prs),
+        |reach(src, node) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN sym e ON r.node = e.a),
+        |comp AS (
+        |  SELECT node AS doc_id, MIN(src) AS component
+        |  FROM reach GROUP BY node),
+        |g AS (
+        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS gk
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |h AS (SELECT doc_id, gk, md5(CAST(gk AS VARCHAR)) AS hx FROM g),
+        |sp AS (
+        |  SELECT doc_id, gk,
+        |    CAST(${hexU32Sql(1)} % 5 AS BIGINT) AS fold
+        |  FROM h),
+        |lk AS (
+        |  SELECT COUNT(*) AS leak_pairs
+        |  FROM prs p JOIN sp x ON p.da = x.doc_id
+        |              JOIN sp y ON p.db = y.doc_id
+        |  WHERE x.fold <> y.fold)
+        |SELECT fold, COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT gk) AS BIGINT) AS n_groups,
+        |  (SELECT CAST(leak_pairs AS BIGINT) FROM lk) AS leak_pairs
+        |FROM sp GROUP BY fold ORDER BY fold""".stripMargin
+    }) { (s, d) =>
+    val ndp = nearDupPairs(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val comp = graft.functions.Components
+      .connectedComponents(ndp, "da", "db")
+      .withColumnRenamed("id", "doc_id")
+    val folded = Tables.documents(s, d).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("gk"))
+      .withColumn("fold",
+        graft.curation.Curation.contentU32(col("gk")) % 5)
+    val leak = ndp
+      .join(folded.select(col("doc_id").as("da"), col("fold").as("fa")),
+        Seq("da"))
+      .join(folded.select(col("doc_id").as("db"), col("fold").as("fb")),
+        Seq("db"))
+      .agg(count(when(col("fa") =!= col("fb"), 1)).as("leak_pairs"))
+    folded.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("gk")).as("n_groups"))
+      .crossJoin(broadcast(leak))
+      .orderBy("fold")
+  }
+
   /** q128 — edit-distance verification over the LSH candidate frame:
     * the CHARACTER-level second opinion next to the token-shingle
     * Jaccard verify (q24/q50). Levenshtein is order-sensitive where
@@ -1703,5 +1771,5 @@ object TextQueries {
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
-      q104, q107, q109, q110, q125, q127, q128, q137, q140)
+      q104, q107, q109, q110, q125, q127, q128, q137, q140, q145)
 }

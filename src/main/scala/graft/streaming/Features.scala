@@ -459,7 +459,7 @@ object Features {
 
   /** Per-group streaming sketch profile emitted per micro-batch. */
   case class GroupProfile(g: String, n: Long, median: Long,
-      top_key: Long, top_est: Long)
+      top_key: Long, top_est: Long, n_distinct: Long)
 
   /** UPDATE-mode sketch maintenance (the q121/q123 sketch family as
     * dashboard state, vs StreamingSpec's complete-mode re-aggregation):
@@ -478,9 +478,10 @@ object Features {
     * sidecar a 100-TB ingest runs next to its landing query. */
   class RunningSketchProcessor(k: Int)
       extends StatefulProcessor[String, (String, Long), GroupProfile] {
-    import graft.functions.{Freq, Quant}
+    import graft.functions.{Freq, Quant, Theta}
     @transient private var mg: ValueState[Freq.MGSummary] = _
     @transient private var qs: ValueState[Quant.QuantileSketch] = _
+    @transient private var th: ValueState[Theta.ThetaBuf] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       val h = getHandle
@@ -491,6 +492,9 @@ object Features {
         org.apache.spark.sql.Encoders
           .javaSerialization[Quant.QuantileSketch],
         TTLConfig.NONE)
+      th = h.getValueState[Theta.ThetaBuf]("th",
+        org.apache.spark.sql.Encoders.javaSerialization[Theta.ThetaBuf],
+        TTLConfig.NONE)
     }
 
     override def handleInputRows(key: String,
@@ -498,13 +502,18 @@ object Features {
         tv: TimerValues): Iterator[GroupProfile] = {
       val m = if (mg.exists()) mg.get() else new Freq.MGSummary(k)
       val q = if (qs.exists()) qs.get() else new Quant.QuantileSketch(k)
-      rows.foreach { case (_, v) => m.update(v); q.update(v) }
-      mg.update(m); qs.update(q)
+      // lgK=12 default: the distinct-count member of the profile (the
+      // full sketch-family triple — heavy keys, quantiles, distincts —
+      // as one state row per group)
+      val t = if (th.exists()) th.get() else new Theta.ThetaBuf(12)
+      rows.foreach { case (_, v) => m.update(v); q.update(v); t.update(v) }
+      mg.update(m); qs.update(q); th.update(t)
       // deterministic top counter: max estimate, ties to the lower key
       val (tk, te) =
         if (m.counts.isEmpty) (-1L, 0L)
         else m.counts.toSeq.maxBy { case (kk, c) => (c, -kk) }
-      Iterator.single(GroupProfile(key, q.n, q.query(500000L), tk, te))
+      Iterator.single(GroupProfile(key, q.n, q.query(500000L), tk, te,
+        math.round(t.result().getEstimate)))
     }
   }
 

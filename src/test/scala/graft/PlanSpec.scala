@@ -141,7 +141,8 @@ class PlanSpec extends SparkSpec {
       "q132_theta_incremental" -> "per-source sketch frame (|sources| rows)",
       "q135_projected_knn" -> "broadcast query slice (vec_id < 25)",
       "q138_filter_calibration" -> "one-row vocabulary-size frame (via q130 kernel)",
-      "q141_incremental_lm" -> "one-row merged-vocabulary frame")
+      "q141_incremental_lm" -> "one-row merged-vocabulary frame",
+      "q145_kfold_split" -> "one-row leakage-count frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString

@@ -127,23 +127,25 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val afterB1 = spark.table("sketch_updates").collect()
         .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
-          r.getLong(3), r.getLong(4)))).toMap
-      // batch-1 deltas: a = [1,1,2] (median 1, top 1×2), b = [5]
-      assert(afterB1("a") == ((3L, 1L, 1L, 2L)))
-      assert(afterB1("b") == ((1L, 5L, 5L, 1L)))
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      // batch-1 deltas: a = [1,1,2] (median 1, top 1×2, 2 distinct),
+      // b = [5]
+      assert(afterB1("a") == ((3L, 1L, 1L, 2L, 2L)))
+      assert(afterB1("b") == ((1L, 5L, 5L, 1L, 1L)))
       mem.addData(("a", 1L), ("a", 3L), ("b", 7L), ("b", 9L))
       q.processAllAvailable()
       val rows = spark.table("sketch_updates").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-          r.getLong(3), r.getLong(4)))
+          r.getLong(3), r.getLong(4), r.getLong(5)))
       // update mode: exactly one emission per active group per batch
       assert(rows.length == 4)
       val fin = rows.groupBy(_._1).view
         .mapValues(_.maxBy(_._2)).toMap // n is monotone → last delta
-      // full-history answers: a = [1,1,2,1,3] → n=5, median 1, top 1×3;
-      // b = [5,7,9] → n=3, median 7, singleton tie → lowest key 5
-      assert(fin("a") == (("a", 5L, 1L, 1L, 3L)))
-      assert(fin("b") == (("b", 3L, 7L, 5L, 1L)))
+      // full-history answers: a = [1,1,2,1,3] → n=5, median 1, top
+      // 1×3, 3 distinct; b = [5,7,9] → n=3, median 7, singleton tie →
+      // lowest key 5, 3 distinct
+      assert(fin("a") == (("a", 5L, 1L, 1L, 3L, 3L)))
+      assert(fin("b") == (("b", 3L, 7L, 5L, 1L, 3L)))
     } finally {
       q.stop()
       prev match {
