@@ -1020,6 +1020,42 @@ object PipelineQueries {
       .orderBy("cohort")
   }
 
+  /** q146 — gzip-compressed JSONL bronze cycle (the wire format crawl
+    * dumps actually arrive in — WARC-adjacent pipelines land `.gz`
+    * line files, and both Spark and the oracle must read them
+    * transparently): write an events slice as gzip JSONL, read it
+    * back through the bronze scan, aggregate; the oracle computes the
+    * identical report from the source parquet, so a row or value lost
+    * to compression, line framing, or codec handling breaks the hash.
+    * Scale note: gzip is NOT splittable — one task per .gz file — so
+    * the writer's partition count (here Spark's default; in
+    * production the landing cadence) IS the read parallelism knob;
+    * the scan parallelizes across files, never within one. */
+  val q146 = QueryDef(
+    "q146_gz_bronze",
+    s"""WITH c AS (
+      |  SELECT user_id % 10 AS cohort,
+      |    $centsSql AS cents
+      |  FROM events)
+      |SELECT cohort, COUNT(*) AS n_events,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(MAX(cents) AS BIGINT) AS max_cents
+      |FROM c GROUP BY cohort ORDER BY cohort""".stripMargin) { (s, d) =>
+    val dir = freshScratch("q146") + "/landing"
+    Tables.events(s, d)
+      .select(col("event_id"), (col("user_id") % 10).as("cohort"),
+        centsCol.as("cents"))
+      .write.option("compression", "gzip").json(dir)
+    s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, cohort BIGINT, cents BIGINT"))
+      .json(dir)
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"),
+        max(col("cents")).as("max_cents"))
+      .orderBy("cohort")
+  }
+
   /** q119 — Z-order locality audit ([[graft.functions.ZOrder]]): every
     * 64-value range of the interleaved key must be an 8×8 TILE in
     * (x, y) space — the property that makes `OPTIMIZE ZORDER BY`
@@ -1712,5 +1748,5 @@ object PipelineQueries {
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
-      q141, q143)
+      q141, q143, q146)
 }
