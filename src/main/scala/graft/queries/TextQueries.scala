@@ -1768,8 +1768,32 @@ object TextQueries {
         .limit(25)
   }
 
+  /** Fixed literal query-term set for the BM25 family (q147 here,
+    * q151's hybrid re-rank in [[VectorQueries]]). Bounded by contract —
+    * the query side of a retrieval probe, never corpus-derived. */
+  private[queries] val bmTerms = Seq("spark", "vector", "customer")
+
+  /** q147 — Okapi BM25 document ranking for a bounded query-term set
+    * (design, integer port, and scale notes in
+    * [[graft.functions.Retrieval]]): the lexical retrieval probe a
+    * curation run uses to pull topic slices out of the corpus, top-20
+    * docs by summed term score with doc_id tie-breaks. Completes the
+    * q76 inverted-index / q77 TF-IDF retrieval surface with the
+    * ranking function production search actually uses. */
+  val q147 = QueryDef(
+    "q147_bm25_rank",
+    graft.functions.Retrieval.bm25CteSql(bmTerms) +
+      """
+        |SELECT doc_id, n_terms, score_u
+        |FROM bm ORDER BY score_u DESC, doc_id LIMIT 20""".stripMargin) {
+    (s, d) =>
+      graft.functions.Retrieval.bm25(Tables.documents(s, d), bmTerms)
+        .orderBy(col("score_u").desc, col("doc_id"))
+        .limit(20)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
-      q104, q107, q109, q110, q125, q127, q128, q137, q140, q145)
+      q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147)
 }

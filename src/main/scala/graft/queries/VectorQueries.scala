@@ -703,7 +703,67 @@ object VectorQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** q151 — hybrid lexical+vector retrieval (the standard two-stage
+    * production shape: cheap BM25 candidate generation, exact
+    * embedding re-rank — BM25 bounds the expensive vector stage to 50
+    * candidates regardless of corpus size): q147's integer BM25 over
+    * [[TextQueries.bmTerms]] selects the top-50 docs, each candidate's
+    * embedding (vec_id aligned with doc_id in the testdata) is scored
+    * by exact cosine against the query vector (vec_id 0, broadcast
+    * one-row), and the top-10 re-ranked results come back with both
+    * scores. Determinism: the candidate cut is fully ordered by
+    * (score_u, doc_id); cosines are sequential-fold dot products (the
+    * q32 argument) with vec_id tie-breaks. The global rank window is
+    * bounded at 50 rows by the candidate LIMIT — reviewed in
+    * PlanSpec's single-partition-window allowlist. */
+  val q151 = QueryDef(
+    "q151_hybrid_retrieval",
+    graft.functions.Retrieval.bm25CteSql(TextQueries.bmTerms) +
+      s""",
+      |cand AS (
+      |  SELECT doc_id, score_u FROM bm
+      |  ORDER BY score_u DESC, doc_id LIMIT 50),
+      |n AS (
+      |  SELECT vec_id, embedding AS e,
+      |    sqrt(${Vectors.dotSql("embedding", "embedding", DIM)}) AS nrm
+      |  FROM embeddings),
+      |qv AS (SELECT * FROM n WHERE vec_id = 0),
+      |sc AS (
+      |  SELECT cand.doc_id, cand.score_u,
+      |    ${Vectors.dotSql("qv.e", "n.e", DIM)} / (qv.nrm * n.nrm) AS sim
+      |  FROM cand
+      |  JOIN n ON cand.doc_id = n.vec_id
+      |  CROSS JOIN qv
+      |  WHERE cand.doc_id <> 0),
+      |r AS (
+      |  SELECT doc_id, score_u, sim,
+      |    ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rnk
+      |  FROM sc)
+      |SELECT rnk, doc_id, score_u AS bm25_u,
+      |  CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS cosine
+      |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin) { (s, d) =>
+    val cand = graft.functions.Retrieval
+      .bm25(Tables.documents(s, d), TextQueries.bmTerms)
+      .orderBy(col("score_u").desc, col("doc_id"))
+      .limit(50)
+    val n = normed(s, d)
+    val qv = n.where(col("vec_id") === 0)
+      .select(col("e").as("qe"), col("nrm").as("qn"))
+    val sc = cand.filter(col("doc_id") =!= 0)
+      .join(n, col("doc_id") === col("vec_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("doc_id"), col("score_u"),
+        (Vectors.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+          .as("sim"))
+    val w = Window.orderBy(col("sim").desc, col("doc_id"))
+    sc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("rnk"), col("doc_id"), col("score_u").as("bm25_u"),
+        graft.functions.Exact.roundP(col("sim"), 6).as("cosine"))
+      .orderBy("rnk")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131,
-      q134, q135)
+      q134, q135, q151)
 }

@@ -84,11 +84,13 @@ class PlanSpec extends SparkSpec {
   test("no single-partition Window over an unbounded frame (registry)") {
     // A Window with no partition key sorts its whole input in ONE task.
     // Allowed only when the frame is bounded by construction: q11's
-    // event-type aggregate (one row per enum value). Anything else is
+    // event-type aggregate (one row per enum value), and q151's
+    // re-rank window (input bounded at 50 rows by the BM25 candidate
+    // LIMIT — the two-stage retrieval contract). Anything else is
     // the r2-verdict scale-killer and fails here (Ranks' distributed
     // rank family plans no partition-less window at all).
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    val allowed = Set("q11_engagement_share")
+    val allowed = Set("q11_engagement_share", "q151_hybrid_retrieval")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => allowed.contains(n) }
       .flatMap { case (name, fn) =>
@@ -142,7 +144,11 @@ class PlanSpec extends SparkSpec {
       "q135_projected_knn" -> "broadcast query slice (vec_id < 25)",
       "q138_filter_calibration" -> "one-row vocabulary-size frame (via q130 kernel)",
       "q141_incremental_lm" -> "one-row merged-vocabulary frame",
-      "q145_kfold_split" -> "one-row leakage-count frame")
+      "q145_kfold_split" -> "one-row leakage-count frame",
+      "q147_bm25_rank" -> "one-row corpus-length frame",
+      "q148_nb_classifier" -> "one-row token-total and doc-prior frames",
+      "q151_hybrid_retrieval" ->
+        "one-row corpus-length + one-row query-vector frames")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
