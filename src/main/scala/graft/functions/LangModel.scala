@@ -44,6 +44,68 @@ object LangModel {
   def mnat(k: Column): Column =
     floor(log(k.cast("double")) * 1000).cast("long")
 
+  /** [[mnat]] as DuckDB SQL over an integer-valued expression — the
+    * oracle-side half of the quantizer contract. */
+  def mnatSql(e: String): String =
+    s"CAST(FLOOR(LN(CAST(($e) AS DOUBLE)) * 1000) AS BIGINT)"
+
+  /** Binary multinomial Naive Bayes with add-one smoothing — the
+    * fastText-style document classifier whose TRAINING is itself
+    * oracle-expressible (pure count arithmetic), unlike the
+    * gradient-trained models (q43/q45) that stay rows-only: trains on
+    * the `!isEval` slice, scores each eval document's log-likelihood
+    * ratio in milli-nats.
+    *
+    * llr(doc) = [mnat(d0) − mnat(d1)]                       (prior)
+    *          + Σ_tokens [mnat(c_t0+1) − mnat(n0+V)]
+    *                    − [mnat(c_t1+1) − mnat(n1+V)]        (evidence)
+    * where c_tc = training count of token t under class c, n_c = total
+    * training tokens of class c, d_c = training docs of class c, V =
+    * training vocabulary size. pred = 0 iff llr ≥ 0 (tie → class 0,
+    * deterministic). Every ln rides the [[mnat]] grid — the q130
+    * portability argument; all sums are exact on longs.
+    *
+    * Precondition: both classes non-empty in the training slice
+    * (mnat(0) is undefined).
+    *
+    * Scale shape: tokenize once (persisted for the train/eval
+    * consumers); the class-conditional count table is ONE keyed agg
+    * (vocabulary-sized, the q130/q101 count-table compression
+    * candidate); totals and priors ride broadcast one-row frames; the
+    * eval probe is one equi-join on token. No window, no driver
+    * state.
+    *
+    * Output: (doc_id, label, llr_mnat, pred), one row per eval doc,
+    * unordered. */
+  def nbLlr(docs: DataFrame, label: Column, isEval: Column): DataFrame = {
+    def cnt(l: Int, as: String) =
+      sum(when(col("label") === l, 1L).otherwise(0L)).as(as)
+    val base = docs.select(col("doc_id"), label.cast("long").as("label"),
+      isEval.as("__eval"), col("text"))
+    val tok = base.select(col("doc_id"), col("label"), col("__eval"),
+        explode(split(col("text"), " ")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tr = tok.filter(!col("__eval"))
+    val cw = tr.groupBy(col("t")).agg(cnt(0, "c0"), cnt(1, "c1"))
+    val tot = tr.agg(cnt(0, "n0"), cnt(1, "n1"),
+      countDistinct(col("t")).as("v"))
+    val dc = base.filter(!col("__eval")).agg(cnt(0, "d0"), cnt(1, "d1"))
+    tok.filter(col("__eval"))
+      .join(cw, Seq("t"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("label"),
+        ((mnat(coalesce(col("c0"), lit(0L)) + 1)
+          - mnat(col("n0") + col("v")))
+          - (mnat(coalesce(col("c1"), lit(0L)) + 1)
+            - mnat(col("n1") + col("v")))).as("td"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("td")).as("std"))
+      .crossJoin(broadcast(dc))
+      .select(col("doc_id"), col("label"),
+        (col("std") + mnat(col("d0")) - mnat(col("d1"))).as("llr_mnat"))
+      .withColumn("pred", when(col("llr_mnat") >= 0, 0L).otherwise(1L))
+  }
+
   /** The scoring pass alone, against SUPPLIED model tables: `evalBg`
     * (doc_id, x, y), `cxy` (x, y, cxy), `cx` (x, cx), and a one-row
     * `v` (v) — the seam that lets q141 score with INCREMENTALLY

@@ -1744,9 +1744,132 @@ object PipelineQueries {
       .orderBy("tile")
   }
 
+  /** q148 — Naive Bayes source classifier, training AND serving
+    * oracle-checked ([[graft.functions.LangModel.nbLlr]] — design,
+    * portability, and scale notes there): binary labels from the
+    * source-id parity, trained on the q130 slice (doc_id % 5 ≠ 0),
+    * held-out docs scored and the per-(label, pred) confusion census
+    * reported with exact summed llr. On word-soup testdata accuracy
+    * sits at chance — the mechanics, not the separability, are what
+    * the oracle pins (the spec fixtures pin catch semantics on
+    * separable text). `sum_llr`, not mean: llr is signed, and signed
+    * integer division is floor in DuckDB but truncation in Spark —
+    * sums stay exact. */
+  val q148 = QueryDef(
+    "q148_nb_classifier", {
+      import graft.functions.LangModel.mnatSql
+      s"""WITH lab AS (
+         |  SELECT doc_id,
+         |    CAST(CAST(substr(source, 4) AS INT) % 2 AS BIGINT) AS label,
+         |    text
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, label, unnest(string_split(text, ' ')) AS t
+         |  FROM lab),
+         |tr AS (SELECT * FROM tok WHERE doc_id % 5 <> 0),
+         |cw AS (
+         |  SELECT t,
+         |    CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c0,
+         |    CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c1
+         |  FROM tr GROUP BY t),
+         |tot AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n0,
+         |    CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1,
+         |    CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+         |  FROM tr),
+         |dc AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS d0,
+         |    CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS d1
+         |  FROM lab WHERE doc_id % 5 <> 0),
+         |ev AS (
+         |  SELECT tok.doc_id, tok.label,
+         |    (${mnatSql("COALESCE(cw.c0, 0) + 1")}
+         |      - ${mnatSql("tot.n0 + tot.v")})
+         |    - (${mnatSql("COALESCE(cw.c1, 0) + 1")}
+         |      - ${mnatSql("tot.n1 + tot.v")}) AS td
+         |  FROM tok LEFT JOIN cw USING (t) CROSS JOIN tot
+         |  WHERE tok.doc_id % 5 = 0),
+         |sc AS (
+         |  SELECT ev.doc_id, ev.label,
+         |    CAST(SUM(ev.td) AS BIGINT)
+         |      + (SELECT ${mnatSql("d0")} - ${mnatSql("d1")} FROM dc)
+         |      AS llr
+         |  FROM ev GROUP BY 1, 2)
+         |SELECT label,
+         |  CAST(CASE WHEN llr >= 0 THEN 0 ELSE 1 END AS BIGINT) AS pred,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(llr) AS BIGINT) AS sum_llr
+         |FROM sc GROUP BY 1, 2 ORDER BY label, pred""".stripMargin
+    }) { (s, d) =>
+    graft.functions.LangModel.nbLlr(
+        Tables.documents(s, d),
+        expr("CAST(substring(source, 4, 8) AS INT) % 2"),
+        col("doc_id") % 5 === 0)
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("llr_mnat")).as("sum_llr"))
+      .orderBy("label", "pred")
+  }
+
+  /** q149 — temperature-mixing epoch plan (completes q102, which
+    * stops at normalized weights: the number a training run actually
+    * consumes is the per-source REPEAT FACTOR): re-allocate the
+    * corpus's own total token budget by the √-temperature weights and
+    * report, per source, the target token count and the epoch factor
+    * in exact ppm — epochs_ppm > 10⁶ marks sources the sampler
+    * repeats (up-sampled tail), < 10⁶ sources it subsamples. Integer
+    * throughout: targets by `div` on the weight share, epochs by ppm
+    * `div` on the source's actual tokens; floor(sqrt) is bit-portable
+    * (IEEE 754 requires correctly-rounded sqrt — the q102 argument).
+    * Shape: one keyed census + a broadcast one-row total, the same
+    * near-free metadata query as q102 at 100 TB. */
+  val q149 = QueryDef(
+    "q149_mixing_epochs",
+    """WITH s AS (
+      |  SELECT source,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_tokens,
+      |    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w05
+      |  FROM s),
+      |t AS (
+      |  SELECT CAST(SUM(w05) AS BIGINT) AS tot_w,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS budget
+      |  FROM w),
+      |p AS (
+      |  SELECT source, n_tokens,
+      |    CAST((SELECT budget FROM t) * w05 // (SELECT tot_w FROM t)
+      |      AS BIGINT) AS target_tokens
+      |  FROM w)
+      |SELECT source, n_tokens, target_tokens,
+      |  CAST(target_tokens * 1000000 // n_tokens AS BIGINT) AS epochs_ppm
+      |FROM p ORDER BY source""".stripMargin) { (s, d) =>
+    val bySource = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("w05",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = bySource.agg(sum(col("w05")).as("tot_w"),
+      sum(col("n_tokens")).as("budget"))
+    bySource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        expr("budget * w05 div tot_w").as("target_tokens"))
+      .select(col("source"), col("n_tokens"), col("target_tokens"),
+        expr("target_tokens * 1000000 div n_tokens").as("epochs_ppm"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
-      q141, q143, q146)
+      q141, q143, q146, q148, q149)
 }

@@ -61,4 +61,47 @@ class LangModelSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(ids == Set(10L, 15L)) // no train rows, no 1-token doc row
   }
+
+  // --- Naive Bayes classifier (q148's kernel) ---
+
+  // Separable fixture: class 0 says alpha, class 1 says beta.
+  // Training counts: c(alpha)=(3,0), c(beta)=(0,3); n0=n1=3, V=2,
+  // d0=d1=1 (prior term 0). Per-token evidence:
+  //   alpha: [mn(4)−mn(5)] − [mn(1)−mn(5)] = mn(4) = 1386
+  //   beta:  −1386;   OOV: 0
+  private val nbDocs = Seq(
+    (1L, 0L, "alpha alpha alpha"),
+    (2L, 1L, "beta beta beta"),
+    (10L, 0L, "alpha alpha"),
+    (11L, 1L, "beta"),
+    (12L, 0L, "gamma")
+  ).toDF("doc_id", "label", "text")
+
+  test("NB: hand-computed llr and catch/tie semantics on the fixture") {
+    val out = LangModel
+      .nbLlr(nbDocs, col("label"), col("doc_id") >= 10)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    def mn(k: Long): Long = math.floor(math.log(k.toDouble) * 1000).toLong
+    assert(out(10L) == ((2 * mn(4), 0L)))   // 2772, class 0
+    assert(out(11L) == ((-mn(4), 1L)))      // -1386, class 1
+    assert(out(12L) == ((0L, 0L)))          // OOV doc: tie -> class 0
+    assert(out.size == 3)                   // training docs: no rows
+  }
+
+  test("NB: held-out labels never leak into the evidence") {
+    // Flipping an EVAL doc's label must not change its llr (labels of
+    // eval rows are pass-through metadata, not model input).
+    val flipped = Seq(
+      (1L, 0L, "alpha alpha alpha"),
+      (2L, 1L, "beta beta beta"),
+      (10L, 1L, "alpha alpha")
+    ).toDF("doc_id", "label", "text")
+    val llr = LangModel
+      .nbLlr(flipped, col("label"), col("doc_id") >= 10)
+      .select("llr_mnat").as[Long].collect()
+    def mn(k: Long): Long = math.floor(math.log(k.toDouble) * 1000).toLong
+    assert(llr.toSeq == Seq(2 * mn(4)))
+  }
 }
