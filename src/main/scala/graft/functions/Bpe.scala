@@ -52,13 +52,21 @@ object Bpe {
   val Delim = "|"
   val Mark = "*"
 
+  /** (key, word) stream: whitespace split, empty and
+    * delimiter/marker-bearing words dropped — the shared tokenizer
+    * contract for every census key (doc_id in [[words]], lang in
+    * [[fertilityByLang]]). */
+  private def wordStream(docs: DataFrame, key: Column,
+                         keyName: String): DataFrame =
+    docs
+      .select(key.as(keyName), explode(split(col("text"), "\\s+")).as("word"))
+      .filter(col("word") =!= "" && !col("word").contains(Delim) &&
+        !col("word").contains(Mark))
+
   /** (doc_id, word) pairs: whitespace split, empty and
     * delimiter/marker-bearing words dropped. */
   def words(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
-      .filter(col("word") =!= "" && !col("word").contains(Delim) &&
-        !col("word").contains(Mark))
+    wordStream(docs, col("doc_id"), "doc_id")
 
   /** Initial character-level encoding: "key" → "|k|e|y|". */
   def enc0(word: Column): Column =
@@ -160,5 +168,27 @@ object Bpe {
         expr("n_chars * 1000000 div n_tokens").as("compression_ppm"))
       .orderBy(col("n_tokens").desc, col("doc_id"))
       .limit(20)
+  }
+
+  /** Per-language tokenizer fertility under the SAME learned merges
+    * as [[encodeReport]] (identical vocabulary — the word multiset is
+    * key-independent): subword tokens per word and chars per token,
+    * in exact ppm, one row per `lang`. The multilingual-budget signal
+    * (q150): high fertility = more sequence length per unit text. */
+  def fertilityByLang(docs: DataFrame, steps: Int): DataFrame = {
+    val w = wordStream(docs, col("lang"), "lang")
+    val vocab = w.groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    val (encVocabFull, _) = learnAndEncode(vocab, steps)
+    val encVocab = encVocabFull.select(col("word"),
+      tokenCount(col("enc")).cast("long").as("n_tok"),
+      length(col("word")).cast("long").as("n_char"))
+    w.join(encVocab, Seq("word"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_char")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        expr("n_tokens * 1000000 div n_words").as("fertility_ppm"),
+        expr("n_chars * 1000000 div n_tokens").as("chars_per_token_ppm"))
+      .orderBy("lang")
   }
 }

@@ -1418,27 +1418,32 @@ object PipelineQueries {
            |        ELSE acc || t || '|' END) AS r
            |    FROM v${m - 1} CROSS JOIN bm$m b)),""".stripMargin
     }.mkString("\n")
-    val tail =
+    val ev =
       raw"""ev AS (
            |  SELECT word,
            |    (len(enc) - len(replace(enc, '|', ''))) - 1 AS n_tok,
            |    len(word) AS n_char
-           |  FROM v$steps),
-           |dw AS (
-           |  SELECT doc_id, t AS word FROM (
-           |    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t
-           |    FROM documents)
-           |  WHERE t <> '' AND t NOT LIKE '%|%' AND t NOT LIKE '%*%'),
-           |sc AS (
-           |  SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
-           |    CAST(SUM(n_char) AS BIGINT) AS n_chars
-           |  FROM dw JOIN ev USING (word) GROUP BY doc_id)
-           |SELECT doc_id, n_tokens,
-           |  CAST(n_chars * 1000000 // n_tokens AS BIGINT)
-           |    AS compression_ppm
-           |FROM sc ORDER BY n_tokens DESC, doc_id LIMIT 20""".stripMargin
-    s"$head\n$loop\n$tail"
+           |  FROM v$steps)""".stripMargin
+    s"$head\n$loop\n$ev"
   }
+
+  /** q129's tail over the shared merge-loop core: per-document token
+    * counts and compression. */
+  private def bpeDocTail: String =
+    raw""",
+         |dw AS (
+         |  SELECT doc_id, t AS word FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t
+         |    FROM documents)
+         |  WHERE t <> '' AND t NOT LIKE '%|%' AND t NOT LIKE '%*%'),
+         |sc AS (
+         |  SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(n_char) AS BIGINT) AS n_chars
+         |  FROM dw JOIN ev USING (word) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  CAST(n_chars * 1000000 // n_tokens AS BIGINT)
+         |    AS compression_ppm
+         |FROM sc ORDER BY n_tokens DESC, doc_id LIMIT 20""".stripMargin
 
   /** q129 — full BPE encode (tokenizer application; the judge-asked
     * completion of q100's training step): learn `bpeSteps` merges over
@@ -1446,8 +1451,43 @@ object PipelineQueries {
     * tokenizer-true token counts and the compression ratio in integer
     * ppm. Design and scale notes in [[graft.functions.Bpe]]; the
     * oracle replays the identical bounded loop as generated CTEs. */
-  val q129 = QueryDef("q129_bpe_encode", bpeOracle(bpeSteps)) { (s, d) =>
-    graft.functions.Bpe.encodeReport(Tables.documents(s, d), bpeSteps)
+  val q129 = QueryDef("q129_bpe_encode", bpeOracle(bpeSteps) + bpeDocTail) {
+    (s, d) =>
+      graft.functions.Bpe.encodeReport(Tables.documents(s, d), bpeSteps)
+  }
+
+  /** q150 — tokenizer fertility by language (the multilingual-budget
+    * report run before fixing a tokenizer: fertility = subword tokens
+    * per word; a language whose fertility runs high pays more sequence
+    * length per unit text, the classic under-served-language signal —
+    * cf. the per-language plots in the BPE literature): the SAME
+    * learned merge list as q129 (identical vocabulary, identical
+    * loop), with the census keyed by the `lang` column instead of
+    * doc_id. Exact ppm ratios; the oracle replays the shared
+    * merge-loop CTE core with a per-lang tail. Scale: the merge loop
+    * runs on the vocabulary (corpus-size-independent, the q100/q129
+    * contract); the per-lang census is one keyed agg over the word
+    * stream joined to the |vocab|-sized encode table. */
+  val q150 = QueryDef(
+    "q150_lang_fertility",
+    bpeOracle(bpeSteps) +
+      raw""",
+           |dwl AS (
+           |  SELECT lang, t AS word FROM (
+           |    SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS t
+           |    FROM documents)
+           |  WHERE t <> '' AND t NOT LIKE '%|%' AND t NOT LIKE '%*%'),
+           |fr AS (
+           |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+           |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(n_char) AS BIGINT) AS n_chars
+           |  FROM dwl JOIN ev USING (word) GROUP BY lang)
+           |SELECT lang, n_words, n_tokens,
+           |  CAST(n_tokens * 1000000 // n_words AS BIGINT) AS fertility_ppm,
+           |  CAST(n_chars * 1000000 // n_tokens AS BIGINT)
+           |    AS chars_per_token_ppm
+           |FROM fr ORDER BY lang""".stripMargin) { (s, d) =>
+    graft.functions.Bpe.fertilityByLang(Tables.documents(s, d), bpeSteps)
   }
 
   /** Shared oracle for q130 (one-shot training) and q141 (incremental
@@ -1871,5 +1911,5 @@ object PipelineQueries {
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
-      q141, q143, q146, q148, q149)
+      q141, q143, q146, q148, q149, q150)
 }
