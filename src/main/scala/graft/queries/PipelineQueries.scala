@@ -1907,9 +1907,57 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** q152 — count-min point-frequency estimates over the event
+    * stream ([[graft.functions.Cm]] — design and the
+    * groupBy-IS-the-sketch argument there): a 4×32 matrix over
+    * `user_id` traffic, probed for the bounded key slice, with the
+    * TRUE count and the overcount in the pinned answer. The oracle
+    * rebuilds the identical matrix from the shared md5-u32 bucket
+    * construction, so the ESTIMATES (collisions included) are
+    * oracle-checked — not just an exact regime. CmSpec pins the
+    * overestimate-only contract and the ε-bound on random data. */
+  val q152 = QueryDef(
+    "q152_countmin", {
+      val u32 = TextQueries.hexU32Sql(1)
+      s"""WITH k AS (SELECT user_id AS key FROM events),
+         |ex AS (SELECT key, unnest([0, 1, 2, 3]) AS d FROM k),
+         |hxx AS (
+         |  SELECT key, d,
+         |    md5(CAST(d AS VARCHAR) || ':' || CAST(key AS VARCHAR)) AS hx
+         |  FROM ex),
+         |bk AS (SELECT d, $u32 % 32 AS bucket FROM hxx),
+         |cells AS (
+         |  SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM bk GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT key, CAST(COUNT(*) AS BIGINT) AS true_cnt
+         |  FROM k WHERE key < 10 GROUP BY 1),
+         |pb AS (SELECT key, true_cnt, unnest([0, 1, 2, 3]) AS d FROM truth),
+         |pbh AS (
+         |  SELECT key, true_cnt, d,
+         |    md5(CAST(d AS VARCHAR) || ':' || CAST(key AS VARCHAR)) AS hx
+         |  FROM pb),
+         |pbb AS (SELECT key, true_cnt, d, $u32 % 32 AS bucket FROM pbh),
+         |est AS (
+         |  SELECT pbb.key, pbb.true_cnt, CAST(MIN(cells.c) AS BIGINT) AS est
+         |  FROM pbb JOIN cells USING (d, bucket) GROUP BY 1, 2)
+         |SELECT key, true_cnt, est, est - true_cnt AS overcount
+         |FROM est ORDER BY key""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.Cm
+    val keys = Tables.events(s, d).select(col("user_id").as("key"))
+    val cells = Cm.sketch(keys, col("key"), 4, 32)
+    val truth = keys.filter(col("key") < 10)
+      .groupBy(col("key")).agg(count(lit(1)).as("true_cnt"))
+    Cm.estimate(cells, truth, 4, 32)
+      .select(col("key"), col("true_cnt"), col("est"),
+        (col("est") - col("true_cnt")).as("overcount"))
+      .orderBy("key")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
-      q141, q143, q146, q148, q149, q150)
+      q141, q143, q146, q148, q149, q150, q152)
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cm
+
+/** Count-min sketch (q152's kernel): the overestimate-only contract,
+  * the collision error bound on skewed random data, merge-by-union
+  * (the groupBy-sum form is trivially mergeable — pinned so a future
+  * rewrite into buffered form keeps it), and min-row exactness in the
+  * wide-matrix regime. */
+class CmSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // Deterministic skewed stream: key k appears (k % 13) + 1 times,
+  // k in 0..199 -> n = 200 avg 7 = 1400 items over 200 distinct keys.
+  private val stream = (0L until 200L)
+    .flatMap(k => Seq.fill((k % 13).toInt + 1)(k))
+  private val df = stream.toDF("key")
+  private val truth = stream.groupBy(identity).map {
+    case (k, v) => k -> v.size.toLong
+  }
+
+  test("estimates never understate, and min-over-rows bounds the error") {
+    val d = 4; val w = 32
+    val cells = Cm.sketch(df, col("key"), d, w)
+    val probes = truth.toSeq.toDF("key", "true_cnt")
+    val est = Cm.estimate(cells, probes, d, w)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(est.size == 200)
+    est.foreach { case (k, (t, e)) =>
+      assert(e >= t, s"understated key $k: est $e < true $t")
+    }
+    // expected overcount per row is ~(n - t)/w; the min over d rows
+    // sits well under it — pin 3n/w as a loose deterministic ceiling
+    val n = stream.size
+    val worst = est.values.map { case (t, e) => e - t }.max
+    assert(worst <= 3L * n / w, s"worst overcount $worst > ${3L * n / w}")
+  }
+
+  test("sketch of a union equals cell-wise sum of the part sketches") {
+    val d = 2; val w = 16
+    val (a, b) = stream.splitAt(700)
+    val merged = Cm.sketch(a.toDF("key"), col("key"), d, w)
+      .unionByName(Cm.sketch(b.toDF("key"), col("key"), d, w))
+      .groupBy(col("d"), col("bucket")).agg(sum(col("c")).as("c"))
+    val whole = Cm.sketch(df, col("key"), d, w)
+    assert(merged.join(whole, Seq("d", "bucket"))
+      .filter(merged("c") =!= whole("c")).isEmpty)
+    assert(merged.count() == whole.count())
+  }
+
+  test("wide-matrix regime: estimates are exact") {
+    // 200 keys across 4096 buckets x 4 rows: some single row may
+    // collide, but the min over 4 independent rows is collision-free
+    // on this fixed fixture - exactness holds and is deterministic.
+    val cells = Cm.sketch(df, col("key"), 4, 4096)
+    val probes = truth.toSeq.toDF("key", "true_cnt")
+    val bad = Cm.estimate(cells, probes, 4, 4096)
+      .filter(col("est") =!= col("true_cnt")).count()
+    assert(bad == 0)
+  }
+}
