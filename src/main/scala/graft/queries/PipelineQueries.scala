@@ -1955,9 +1955,88 @@ object PipelineQueries {
       .orderBy("key")
   }
 
+  /** q153 — day-over-day event-mix drift (q143's PSI with a TEMPORAL
+    * baseline: each day's event-type share vector against the
+    * previous day's — the alert a streaming ingest dashboard
+    * actually fires on): shares in exact ppm, the q143 milli-nat PSI
+    * form, one row per day that has a predecessor. The drift pair is
+    * built with EQUI-joins only: the prior-day side is the share
+    * frame re-keyed by `day + 1` (never a non-equi `a.day = b.day−1`
+    * predicate, which would plan a nested loop), the day domain is a
+    * semi-join against the shifted day list, and the share domain is
+    * a distinct union so event types present on only one side
+    * contribute their full mass. At 100 TB the shapes are three keyed
+    * censuses over (day, type) — days × types rows, trivially
+    * bounded. */
+  val q153 = QueryDef(
+    "q153_daily_mix_drift", {
+      import graft.functions.LangModel.mnatSql
+      s"""WITH e AS (
+         |  SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+         |c AS (
+         |  SELECT day, event_type, COUNT(*) AS c FROM e GROUP BY 1, 2),
+         |t AS (SELECT day, SUM(c) AS n FROM c GROUP BY 1),
+         |p AS (
+         |  SELECT c.day, c.event_type,
+         |    CAST(c.c * 1000000 // t.n AS BIGINT) AS ppm
+         |  FROM c JOIN t USING (day)),
+         |days AS (
+         |  SELECT day FROM t
+         |  WHERE day IN (SELECT day + 1 FROM t)),
+         |pa AS (SELECT * FROM p WHERE day IN (SELECT day FROM days)),
+         |pb AS (
+         |  SELECT day + 1 AS day, event_type, ppm FROM p
+         |  WHERE day + 1 IN (SELECT day FROM days)),
+         |dom AS (
+         |  SELECT day, event_type FROM pa
+         |  UNION
+         |  SELECT day, event_type FROM pb),
+         |j AS (
+         |  SELECT dom.day,
+         |    COALESCE(pa.ppm, 0) AS pav, COALESCE(pb.ppm, 0) AS pbv
+         |  FROM dom
+         |  LEFT JOIN pa ON pa.day = dom.day
+         |    AND pa.event_type = dom.event_type
+         |  LEFT JOIN pb ON pb.day = dom.day
+         |    AND pb.event_type = dom.event_type)
+         |SELECT day,
+         |  CAST(SUM((pav - pbv) *
+         |    (${mnatSql("pav + 1")} - ${mnatSql("pbv + 1")})) AS BIGINT)
+         |    AS psi_unit
+         |FROM j GROUP BY day ORDER BY day""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.LangModel.mnat
+    val e = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+    val c = e.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val t = c.groupBy(col("day")).agg(sum(col("c")).as("n"))
+    val p = c.join(t, Seq("day"))
+      .select(col("day"), col("event_type"),
+        expr("c * 1000000 div n").as("ppm"))
+    val days = t.select(col("day"))
+      .join(t.select(date_add(col("day"), 1).as("day")), Seq("day"),
+        "left_semi")
+    val pa = p.join(days, Seq("day"), "left_semi")
+      .withColumnRenamed("ppm", "pav")
+    val pb = p.select(date_add(col("day"), 1).as("day"),
+        col("event_type"), col("ppm").as("pbv"))
+      .join(days, Seq("day"), "left_semi")
+    val dom = pa.select(col("day"), col("event_type"))
+      .union(pb.select(col("day"), col("event_type"))).distinct()
+    dom.join(pa, Seq("day", "event_type"), "left")
+      .join(pb, Seq("day", "event_type"), "left")
+      .select(col("day"), coalesce(col("pav"), lit(0L)).as("pav"),
+        coalesce(col("pbv"), lit(0L)).as("pbv"))
+      .groupBy(col("day"))
+      .agg(sum((col("pav") - col("pbv")) *
+        (mnat(col("pav") + 1) - mnat(col("pbv") + 1))).as("psi_unit"))
+      .orderBy("day")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
-      q141, q143, q146, q148, q149, q150, q152)
+      q141, q143, q146, q148, q149, q150, q152, q153)
 }
