@@ -324,5 +324,87 @@ object QualityQueries {
       .orderBy("source")
   }
 
-  val all: Seq[QueryDef] = Seq(q35, q39, q40, q93, q95, q142)
+  /** q154 — per-source corpus datacard (the "datasheets for
+    * datasets" summary a curation run publishes with each drop:
+    * volume, mean length, language share, rule-gate pass rate, and
+    * exact-dup health, one row per source): every ratio in exact ppm,
+    * the gate predicate is q85/q138's Gopher-style rule, uniqueness
+    * is the singleton share of the per-source md5(text) census.
+    * Shape: one row-local projection feeding two keyed censuses (the
+    * hash census collapses to ≤1 row per distinct text per source
+    * map-side) joined on source — at 100 TB a free rider on the
+    * silver scan, output |sources| rows. */
+  val q154 = QueryDef(
+    "q154_corpus_datacard",
+    """WITH b AS (
+      |  SELECT source, md5(text) AS h,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    length(replace(text, ' ', '')) AS n_word_chars,
+      |    len(list_filter(string_split(text, ' '),
+      |      x -> regexp_matches(x, '^[A-Za-z]+$'))) AS n_alpha_words,
+      |    len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the', 'a', 'of', 'to', 'and', 'in'))) AS n_stop
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, h, is_en, n_words,
+      |    CASE WHEN n_words BETWEEN 50 AND 100000
+      |      AND (n_word_chars * 1000) // n_words BETWEEN 3000 AND 10000
+      |      AND (n_alpha_words * 1000000) // n_words >= 800000
+      |      AND n_stop >= 2 THEN 1 ELSE 0 END AS gate
+      |  FROM b),
+      |dup AS (
+      |  SELECT source,
+      |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS uniq_docs FROM (
+      |      SELECT source, h, COUNT(*) AS c FROM g GROUP BY 1, 2)
+      |  GROUP BY source),
+      |a AS (
+      |  SELECT source, COUNT(*) AS n_docs, SUM(n_words) AS n_tokens,
+      |    SUM(is_en) AS en_docs, SUM(gate) AS gate_docs
+      |  FROM g GROUP BY source)
+      |SELECT a.source, CAST(a.n_docs AS BIGINT) AS n_docs,
+      |  CAST(a.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(a.n_tokens // a.n_docs AS BIGINT) AS mean_doc_tokens,
+      |  CAST(a.en_docs * 1000000 // a.n_docs AS BIGINT) AS en_ppm,
+      |  CAST(a.gate_docs * 1000000 // a.n_docs AS BIGINT)
+      |    AS gate_pass_ppm,
+      |  CAST(dup.uniq_docs * 1000000 // a.n_docs AS BIGINT) AS uniq_ppm
+      |FROM a JOIN dup USING (source) ORDER BY a.source""".stripMargin) {
+    (s, d) =>
+      val w = split(col("text"), " ")
+      val base = Tables.documents(s, d).select(col("source"),
+        md5(col("text")).as("h"),
+        (col("lang") === "en").cast("long").as("is_en"),
+        size(w).cast("long").as("n_words"),
+        length(translate(col("text"), " ", "")).cast("long")
+          .as("n_word_chars"),
+        size(filter(w, x => x.rlike("^[A-Za-z]+$"))).cast("long")
+          .as("n_alpha_words"),
+        size(filter(w, x => x.isin("the", "a", "of", "to", "and", "in")))
+          .cast("long").as("n_stop"))
+      val g = base.select(col("source"), col("h"), col("is_en"),
+        col("n_words"),
+        when(col("n_words").between(50, 100000) &&
+          expr("(n_word_chars * 1000) div n_words").between(3000, 10000) &&
+          expr("(n_alpha_words * 1000000) div n_words") >= 800000 &&
+          col("n_stop") >= 2, 1L).otherwise(0L).as("gate"))
+      val dup = g.groupBy(col("source"), col("h"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(when(col("c") === 1, 1L).otherwise(0L)).as("uniq_docs"))
+      g.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_tokens"),
+          sum(col("is_en")).as("en_docs"),
+          sum(col("gate")).as("gate_docs"))
+        .join(dup, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("n_tokens div n_docs").as("mean_doc_tokens"),
+          expr("en_docs * 1000000 div n_docs").as("en_ppm"),
+          expr("gate_docs * 1000000 div n_docs").as("gate_pass_ppm"),
+          expr("uniq_docs * 1000000 div n_docs").as("uniq_ppm"))
+        .orderBy("source")
+  }
+
+  val all: Seq[QueryDef] = Seq(q35, q39, q40, q93, q95, q142, q154)
 }
