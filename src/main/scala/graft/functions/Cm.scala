@@ -3,8 +3,6 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.curation.Curation
-
 /** Count-min sketch (Cormode & Muthukrishnan, "An improved data
   * stream summary: the count-min sketch and its applications",
   * J. Algorithms 2005): a d×w counter matrix; est(key) =
@@ -26,27 +24,41 @@ import graft.curation.Curation
   * streaming-capable), and the whole pipeline stays in whole-stage
   * codegen — no serialized buffers, no ObjectHashAggregate.
   *
-  * Hashing is the engine-portable md5-u32 construction
-  * ([[Curation.contentU32]] on `"<row>:<key>"`), so the DuckDB oracle
-  * can rebuild the IDENTICAL matrix and check the estimates
-  * themselves — not just an exact-regime special case: collisions and
-  * their overcounts are part of the pinned answer (q152).
+  * Hashing: ONE md5 per key, with row i reading hex slice
+  * [1+8i, 8+8i) as its u32 (the q23 MinHash-kernel trick — md5's 128
+  * bits carry four independent 32-bit hashes, so d ≤ 4, the classic
+  * depth: failure probability e^−4 ≈ 1.8 %). Measured at sf0.1: the
+  * per-(row, key) `md5("i:key")` form benched q152 at 3.4 s, this
+  * single-digest form 2.6 s; the remaining cost is the ×d-exploded
+  * hash aggregate itself, which is the operator's actual work (a
+  * pre-aggregation by key would shrink it for BOUNDED keyspaces but
+  * trades away the ≤ d·w-per-partition exchange guarantee that is
+  * CM's reason to exist on unbounded ones). The slice construction is
+  * the engine-portable one ([[graft.queries.TextQueries]] hexU32Sql
+  * mirrors it), so the DuckDB oracle rebuilds the IDENTICAL matrix
+  * and checks the estimates themselves — not just an exact-regime
+  * special case: collisions and their overcounts are part of the
+  * pinned answer (q152).
   */
 object Cm {
 
-  /** Row index i of the matrix, hashed per key: h_i(key) =
-    * u32(md5("i:key")) mod w. */
-  private def bucket(d: Column, key: Column, w: Int): Column =
-    pmod(Curation.contentU32(concat_ws(":", d, key)), lit(w.toLong))
+  /** md5's 32 hex chars = 4 independent u32s. */
+  val MaxDepth = 4
+
+  private def buckets(key: Column, d: Int, w: Int): Column = {
+    require(d >= 1 && d <= MaxDepth, s"CM depth must be 1..$MaxDepth, got $d")
+    val hx = md5(key.cast("string"))
+    array((0 until d).map(i =>
+      conv(substring(hx, 1 + 8 * i, 8), 16, 10).cast("long") % w): _*)
+  }
 
   /** Build the d×w matrix over `key` (any castable-to-string column):
     * one frame of ≤ d·w rows (`d`, `bucket`, `c`). The input stream is
-    * exploded ×d, but the partial aggregation collapses each partition
-    * to ≤ d·w cells before the exchange. */
+    * exploded ×d (AFTER the single md5 — the array carries the four
+    * slice buckets), and the partial aggregation collapses each
+    * partition to ≤ d·w cells before the exchange. */
   def sketch(df: DataFrame, key: Column, d: Int, w: Int): DataFrame =
-    df.select(key.as("key"),
-        explode(array((0 until d).map(lit): _*)).as("d"))
-      .select(col("d"), bucket(col("d"), col("key"), w).as("bucket"))
+    df.select(posexplode(buckets(key, d, w)).as(Seq("d", "bucket")))
       .groupBy(col("d"), col("bucket"))
       .agg(count(lit(1)).as("c"))
 
@@ -59,8 +71,7 @@ object Cm {
     val carry = probes.columns.toSeq
     probes
       .select(carry.map(col) :+
-        explode(array((0 until d).map(lit): _*)).as("d"): _*)
-      .withColumn("bucket", bucket(col("d"), col("key"), w))
+        posexplode(buckets(col("key"), d, w)).as(Seq("d", "bucket")): _*)
       .join(broadcast(cells), Seq("d", "bucket"))
       .groupBy(carry.map(col): _*)
       .agg(min(col("c")).as("est"))

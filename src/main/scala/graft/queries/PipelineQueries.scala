@@ -1918,26 +1918,24 @@ object PipelineQueries {
     * overestimate-only contract and the ε-bound on random data. */
   val q152 = QueryDef(
     "q152_countmin", {
-      val u32 = TextQueries.hexU32Sql(1)
+      // row i's bucket = u32 of md5 hex slice [1+8i, 8+8i) mod w —
+      // ONE digest per key (see Cm.scala), mirrored here per slice
+      def rows(from: String, cols: String) = (0 until 4).map(i =>
+        s"SELECT ${TextQueries.hexU32Sql(1 + 8 * i)} % 32 AS bucket," +
+          s" $i AS d, $cols FROM $from").mkString("\n  UNION ALL ")
       s"""WITH k AS (SELECT user_id AS key FROM events),
-         |ex AS (SELECT key, unnest([0, 1, 2, 3]) AS d FROM k),
-         |hxx AS (
-         |  SELECT key, d,
-         |    md5(CAST(d AS VARCHAR) || ':' || CAST(key AS VARCHAR)) AS hx
-         |  FROM ex),
-         |bk AS (SELECT d, $u32 % 32 AS bucket FROM hxx),
+         |hxx AS (SELECT md5(CAST(key AS VARCHAR)) AS hx FROM k),
+         |bk AS (
+         |  ${rows("hxx", "1 AS one")}),
          |cells AS (
          |  SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS c
          |  FROM bk GROUP BY 1, 2),
          |truth AS (
-         |  SELECT key, CAST(COUNT(*) AS BIGINT) AS true_cnt
-         |  FROM k WHERE key < 10 GROUP BY 1),
-         |pb AS (SELECT key, true_cnt, unnest([0, 1, 2, 3]) AS d FROM truth),
-         |pbh AS (
-         |  SELECT key, true_cnt, d,
-         |    md5(CAST(d AS VARCHAR) || ':' || CAST(key AS VARCHAR)) AS hx
-         |  FROM pb),
-         |pbb AS (SELECT key, true_cnt, d, $u32 % 32 AS bucket FROM pbh),
+         |  SELECT key, CAST(COUNT(*) AS BIGINT) AS true_cnt,
+         |    md5(CAST(key AS VARCHAR)) AS hx
+         |  FROM k WHERE key < 10 GROUP BY 1, 3),
+         |pbb AS (
+         |  ${rows("truth", "key, true_cnt")}),
          |est AS (
          |  SELECT pbb.key, pbb.true_cnt, CAST(MIN(cells.c) AS BIGINT) AS est
          |  FROM pbb JOIN cells USING (d, bucket) GROUP BY 1, 2)
