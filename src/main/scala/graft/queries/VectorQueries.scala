@@ -716,8 +716,10 @@ object VectorQueries {
     * q32 argument) with vec_id tie-breaks. The global rank window is
     * bounded at 50 rows by the candidate LIMIT — reviewed in
     * PlanSpec's single-partition-window allowlist. */
-  val q151 = QueryDef(
-    "q151_hybrid_retrieval",
+  /** Shared oracle CTE chain for the two-stage retrieval family
+    * (q151 list, q155 eval): ends at `r(doc_id, score_u, sim, rnk)` —
+    * the re-ranked hybrid result. */
+  private val hybridCteSql =
     graft.functions.Retrieval.bm25CteSql(TextQueries.bmTerms) +
       s""",
       |cand AS (
@@ -738,10 +740,12 @@ object VectorQueries {
       |r AS (
       |  SELECT doc_id, score_u, sim,
       |    ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rnk
-      |  FROM sc)
-      |SELECT rnk, doc_id, score_u AS bm25_u,
-      |  CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS cosine
-      |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin) { (s, d) =>
+      |  FROM sc)""".stripMargin
+
+  /** Engine half of the shared stage: the re-ranked hybrid frame
+    * (doc_id, score_u, sim, rnk). */
+  private def hybridRanked(s: org.apache.spark.sql.SparkSession,
+                           d: String): org.apache.spark.sql.DataFrame = {
     val cand = graft.functions.Retrieval
       .bm25(Tables.documents(s, d), TextQueries.bmTerms)
       .orderBy(col("score_u").desc, col("doc_id"))
@@ -757,13 +761,82 @@ object VectorQueries {
           .as("sim"))
     val w = Window.orderBy(col("sim").desc, col("doc_id"))
     sc.withColumn("rnk", row_number().over(w))
+  }
+
+  val q151 = QueryDef(
+    "q151_hybrid_retrieval",
+    hybridCteSql +
+      """
+      |SELECT rnk, doc_id, score_u AS bm25_u,
+      |  CAST(FLOOR(sim * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS cosine
+      |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin) { (s, d) =>
+    hybridRanked(s, d)
       .filter(col("rnk") <= 10)
       .select(col("rnk"), col("doc_id"), col("score_u").as("bm25_u"),
         graft.functions.Exact.roundP(col("sim"), 6).as("cosine"))
       .orderBy("rnk")
   }
 
+  /** q155 — retrieval evaluation as a query (the recall@k / MRR
+    * report a retrieval stack publishes with every index build,
+    * scored against the EXACT neighbor list): q151's hybrid top-10
+    * vs the exact cosine top-10 for the same query vector. Both
+    * "exact" cuts are `ORDER BY ... LIMIT` TakeOrderedAndProject
+    * plans — no corpus-sized window anywhere. Output: one row —
+    * overlap count, recall in exact ppm, the hybrid rank of the true
+    * nearest neighbor (0 = missed), and MRR in ppm. Deterministic:
+    * sims are sequential-fold dot products; every cut is fully
+    * ordered with vec_id tie-breaks. */
+  val q155 = QueryDef(
+    "q155_retrieval_eval",
+    hybridCteSql +
+      s""",
+      |hy AS (SELECT rnk, doc_id FROM r WHERE rnk <= 10),
+      |ex10 AS (
+      |  SELECT n.vec_id,
+      |    ${Vectors.dotSql("qv.e", "n.e", DIM)} / (qv.nrm * n.nrm) AS sim
+      |  FROM n CROSS JOIN qv
+      |  WHERE n.vec_id <> 0
+      |  ORDER BY sim DESC, n.vec_id LIMIT 10),
+      |ex1 AS (SELECT vec_id FROM ex10 ORDER BY sim DESC, vec_id LIMIT 1),
+      |ov AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap
+      |  FROM hy JOIN ex10 ON hy.doc_id = ex10.vec_id),
+      |br AS (
+      |  SELECT CAST(COALESCE(MIN(hy.rnk), 0) AS BIGINT) AS best_rank
+      |  FROM hy JOIN ex1 ON hy.doc_id = ex1.vec_id)
+      |SELECT n_overlap,
+      |  CAST(n_overlap * 100000 AS BIGINT) AS recall_ppm,
+      |  best_rank,
+      |  CAST(CASE WHEN best_rank > 0 THEN 1000000 // best_rank
+      |    ELSE 0 END AS BIGINT) AS mrr_ppm
+      |FROM ov CROSS JOIN br""".stripMargin) { (s, d) =>
+    val hy = hybridRanked(s, d).filter(col("rnk") <= 10)
+      .select(col("rnk"), col("doc_id"))
+    val n = normed(s, d)
+    val qv = n.where(col("vec_id") === 0)
+      .select(col("e").as("qe"), col("nrm").as("qn"))
+    val exact = n.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        (Vectors.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+          .as("sim"))
+    val ex10 = exact.orderBy(col("sim").desc, col("vec_id")).limit(10)
+    val ex1 = ex10.orderBy(col("sim").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"))
+    val ov = hy.join(ex10, hy("doc_id") === ex10("vec_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    val br = hy.join(ex1, hy("doc_id") === ex1("vec_id"))
+      .agg(coalesce(min(col("rnk")), lit(0)).cast("long").as("best_rank"))
+    ov.crossJoin(br)
+      .select(col("n_overlap"),
+        (col("n_overlap") * 100000).as("recall_ppm"),
+        col("best_rank"),
+        when(col("best_rank") > 0, expr("1000000 div best_rank"))
+          .otherwise(0L).as("mrr_ppm"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131,
-      q134, q135, q151)
+      q134, q135, q151, q155)
 }

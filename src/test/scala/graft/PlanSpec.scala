@@ -90,7 +90,8 @@ class PlanSpec extends SparkSpec {
     // the r2-verdict scale-killer and fails here (Ranks' distributed
     // rank family plans no partition-less window at all).
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    val allowed = Set("q11_engagement_share", "q151_hybrid_retrieval")
+    val allowed = Set("q11_engagement_share", "q151_hybrid_retrieval",
+      "q155_retrieval_eval") // q155 inherits q151's 50-row re-rank window
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => allowed.contains(n) }
       .flatMap { case (name, fn) =>
@@ -147,6 +148,9 @@ class PlanSpec extends SparkSpec {
       "q145_kfold_split" -> "one-row leakage-count frame",
       "q147_bm25_rank" -> "one-row corpus-length frame",
       "q148_nb_classifier" -> "one-row token-total and doc-prior frames",
+      "q149_mixing_epochs" -> "one-row corpus total (the q102 shape)",
+      "q155_retrieval_eval" ->
+        "broadcast query vector + one-row metric frames",
       "q151_hybrid_retrieval" ->
         "one-row corpus-length + one-row query-vector frames")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
