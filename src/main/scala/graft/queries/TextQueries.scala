@@ -1792,8 +1792,48 @@ object TextQueries {
         .limit(20)
   }
 
+  /** q156 — NEAR-DUP-aware benchmark decontamination (the fuzzy
+    * complement to q86: exact 8-gram collision catches verbatim
+    * leakage, this catches lightly-edited copies of benchmark items —
+    * the contamination mode that actually survives format
+    * conversions): the held-out "benchmark" slice is doc_id % 10 = 0;
+    * a training document is contaminated iff it has a VERIFIED
+    * near-dup pair (band candidates → shingle-Jaccard ≥ 0.8, the
+    * q50/q66 machinery) with any benchmark document, in either pair
+    * direction. Per-source contaminated census. Scale: inherits the
+    * LSH contract — candidates from bounded band buckets, never an
+    * all-pairs doc comparison; the census is one keyed join + agg. */
+  val q156 = QueryDef(
+    "q156_lsh_decontamination",
+    lshJacCteSql +
+      """,
+      |prs AS (SELECT da, db FROM jac WHERE j >= 0.8),
+      |cont AS (
+      |  SELECT DISTINCT t FROM (
+      |    SELECT da AS t FROM prs WHERE db % 10 = 0 AND da % 10 <> 0
+      |    UNION ALL
+      |    SELECT db AS t FROM prs WHERE da % 10 = 0 AND db % 10 <> 0))
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS contaminated_docs
+      |FROM documents JOIN cont ON doc_id = t
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val prs = nearDupPairs(s, d)
+    val cont = prs
+      .filter(col("db") % 10 === 0 && col("da") % 10 =!= 0)
+      .select(col("da").as("t"))
+      .union(prs
+        .filter(col("da") % 10 === 0 && col("db") % 10 =!= 0)
+        .select(col("db").as("t")))
+      .distinct()
+    Tables.documents(s, d)
+      .join(cont, col("doc_id") === col("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("contaminated_docs"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
-      q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147)
+      q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
+      q156)
 }
