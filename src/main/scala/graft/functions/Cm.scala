@@ -64,16 +64,21 @@ object Cm {
 
   /** Point estimates for a probe frame carrying a `key` column: joins
     * each probe key's d cells against the (broadcast, ≤ d·w row)
-    * matrix and takes the row-wise min. Pass-through of every other
-    * probe column; adds `est`. */
+    * matrix and takes the row-wise min. The join is LEFT with a
+    * 0-coalesce: `cells` only materializes touched cells, and a probe
+    * key with an untouched cell has true estimate 0 — an inner join
+    * would silently min over its REMAINING cells and overstate (the
+    * q157 dimension-probe case: most dimension keys never occur in
+    * the fact stream). Pass-through of every other probe column; adds
+    * `est`. */
   def estimate(cells: DataFrame, probes: DataFrame, d: Int,
                w: Int): DataFrame = {
     val carry = probes.columns.toSeq
     probes
       .select(carry.map(col) :+
         posexplode(buckets(col("key"), d, w)).as(Seq("d", "bucket")): _*)
-      .join(broadcast(cells), Seq("d", "bucket"))
+      .join(broadcast(cells), Seq("d", "bucket"), "left")
       .groupBy(carry.map(col): _*)
-      .agg(min(col("c")).as("est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 }

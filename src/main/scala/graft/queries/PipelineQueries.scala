@@ -2032,9 +2032,53 @@ object PipelineQueries {
       .orderBy("day")
   }
 
+  /** q157 — sketch-driven adaptive skew salting (the q89/q105
+    * equivalence-contract family, with the hot-key DECISION made by a
+    * sketch instead of a human): the fact side's key frequencies ride
+    * a count-min matrix ([[graft.functions.Cm]], ≤ d·w rows); the
+    * enumerable DIMENSION keys are probed against it (CM stores no
+    * keys — probing the dim side is how a plan discovers fact-side
+    * heat at 100 TB without a keyspace-sized census); keys whose
+    * estimate clears the threshold take the salted join
+    * ([[graft.functions.Skew.saltedJoin]], 8-way fan-out), the rest
+    * the plain join; union, aggregate. The oracle is the PLAIN join —
+    * the contract is that the sketch's routing decisions (false-hot
+    * included: CM overestimates route a cold key to the salted path,
+    * which costs fan-out but never correctness) are row-preserving.
+    * Money-free integer aggregate: event `value` in exact cents. */
+  val q157 = QueryDef(
+    "q157_cm_salted_join",
+    s"""SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM($centsSql) AS BIGINT) AS value_cents
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.functions.{Cm, Skew}
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      centsCol.as("cents"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val cells = Cm.sketch(ev, col("user_id"), 4, 64)
+    val hotKeys = Cm
+      .estimate(cells, cust.select(col("c_custkey").as("key")), 4, 64)
+      .filter(col("est") >= 70)
+      .select(col("key"))
+    val evHot = ev.join(broadcast(hotKeys),
+      col("user_id") === col("key"), "left_semi")
+    val evCold = ev.join(broadcast(hotKeys),
+      col("user_id") === col("key"), "left_anti")
+    val jHot = Skew.saltedJoin(evHot, cust, "user_id", "c_custkey", 8,
+      col("event_id"))
+    val jCold = evCold.join(cust, col("user_id") === col("c_custkey"))
+    jHot.select(col("c_nationkey"), col("cents"))
+      .unionByName(jCold.select(col("c_nationkey"), col("cents")))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+      .orderBy("c_nationkey")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
-      q141, q143, q146, q148, q149, q150, q152, q153)
+      q141, q143, q146, q148, q149, q150, q152, q153, q157)
 }

@@ -52,6 +52,18 @@ class CmSpec extends SparkSpec {
     assert(merged.count() == whole.count())
   }
 
+  test("unseen probe keys estimate 0 when any of their cells is untouched") {
+    // 200 keys over 4096 buckets leave most cells empty: a probe key
+    // outside the stream almost surely owns an untouched cell, and
+    // the LEFT-join estimate must return 0 for it — an inner join
+    // would min over only its populated cells and overstate.
+    val cells = Cm.sketch(df, col("key"), 4, 4096)
+    val unseen = (1000L until 1100L).toDF("key")
+    val ests = Cm.estimate(cells, unseen, 4, 4096)
+      .select("est").as[Long].collect()
+    assert(ests.count(_ == 0L) >= 95, s"nonzero unseen ests: ${ests.count(_ != 0)}")
+  }
+
   test("wide-matrix regime: estimates are exact") {
     // 200 keys across 4096 buckets x 4 rows: some single row may
     // collide, but the min over 4 independent rows is collision-free
