@@ -107,6 +107,35 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("count-min matrix maintains itself under a stream (complete mode)") {
+    // Cm's groupBy-IS-the-sketch design pays off here for free: the
+    // cell matrix is a plain streaming aggregation, so the stream's
+    // matrix after N batches equals the batch sketch of their union —
+    // and any estimate taken from it inherits that equality.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = graft.functions.Cm.sketch(mem.toDF().toDF("key"),
+        org.apache.spark.sql.functions.col("key"), 4, 32)
+      .writeStream.format("memory").queryName("cm_stream")
+      .outputMode("complete").start()
+    val batch1 = Seq(1L, 1L, 2L, 3L)
+    val batch2 = Seq(1L, 4L, 4L, 5L, 5L)
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cm_stream").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val whole = graft.functions.Cm.sketch(
+          (batch1 ++ batch2).toDF("key"),
+          org.apache.spark.sql.functions.col("key"), 4, 32)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(streamed == whole)
+    } finally q.stop()
+  }
+
   test("update-mode sketch state: per-batch deltas merge to the batch answer") {
     // the q121/q123 sketches as per-group STATE-STORE state
     // (transformWithState), vs the complete-mode re-aggregation above:
