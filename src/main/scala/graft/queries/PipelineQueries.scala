@@ -2076,9 +2076,93 @@ object PipelineQueries {
       .orderBy("c_nationkey")
   }
 
+  /** q158 — schema-evolution merge cycle (the bronze reality every
+    * long-lived pipeline hits: yesterday's files lack the column
+    * added today): batch 1 lands WITHOUT `cents`, batch 2 WITH it;
+    * the read-back uses `mergeSchema` and the report separates legacy
+    * rows (null cents) from evolved ones. The oracle computes the
+    * identical split from the source parquet, so a row or value lost
+    * in the union-of-schemas read breaks the hash. Scale note:
+    * mergeSchema unions footers across ALL files (a per-file driver
+    * cost at 100 TB) — production pins the evolved schema from a
+    * catalog instead; the cycle here proves the fallback path's
+    * semantics, nullability included. */
+  val q158 = QueryDef(
+    "q158_schema_evolution",
+    s"""WITH c AS (
+       |  SELECT user_id % 10 AS cohort,
+       |    CASE WHEN event_id % 2 = 0 THEN NULL ELSE $centsSql END
+       |      AS cents
+       |  FROM events)
+       |SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_legacy,
+       |  CAST(SUM(COALESCE(cents, 0)) AS BIGINT) AS sum_cents
+       |FROM c GROUP BY cohort ORDER BY cohort""".stripMargin) { (s, d) =>
+    val dir = freshScratch("q158") + "/land"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), (col("user_id") % 10).as("cohort"),
+        centsCol.as("cents"))
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("cohort"))
+      .write.parquet(s"$dir/b1")
+    ev.filter(col("event_id") % 2 =!= 0)
+      .write.parquet(s"$dir/b2")
+    s.read.option("mergeSchema", "true").parquet(s"$dir/b1", s"$dir/b2")
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("cents").isNull, 1L).otherwise(0L)).as("n_legacy"),
+        sum(coalesce(col("cents"), lit(0L))).as("sum_cents"))
+      .orderBy("cohort")
+  }
+
+  /** q159 — compliance-delete (right-to-be-forgotten) rewrite cycle:
+    * land a partitioned silver copy, apply an erasure list (user_id %
+    * 17 = 0) as a broadcast anti-join REWRITE, then report from the
+    * REWRITTEN files — per-cohort census plus `deleted_present`
+    * measured from the new files (the audit a DPO actually wants:
+    * proof the rewrite removed every listed key, not a promise). The
+    * oracle applies the same filter to the source parquet and pins
+    * `deleted_present` at 0. Scale: the anti-join broadcasts the
+    * erasure list (bounded by request volume); the rewrite touches
+    * every file once — at 100 TB this is why silver partitions on a
+    * user-correlated key, so the rewrite prunes to affected
+    * partitions. */
+  val q159 = QueryDef(
+    "q159_compliance_delete",
+    s"""WITH keep AS (
+       |  SELECT user_id, user_id % 10 AS cohort, $centsSql AS cents
+       |  FROM events WHERE user_id % 17 <> 0)
+       |SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       |  CAST(0 AS BIGINT) AS deleted_present
+       |FROM keep GROUP BY cohort ORDER BY cohort""".stripMargin) {
+    (s, d) =>
+    val base = freshScratch("q159")
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        (col("user_id") % 10).as("cohort"), centsCol.as("cents"))
+      .write.partitionBy("cohort").parquet(s"$base/silver")
+    val silver = s.read.parquet(s"$base/silver")
+    val erase = silver.select(col("user_id")).distinct()
+      .filter(col("user_id") % 17 === 0)
+    silver.join(broadcast(erase), Seq("user_id"), "left_anti")
+      .write.partitionBy("cohort").parquet(s"$base/silver_v2")
+    val v2 = s.read.parquet(s"$base/silver_v2")
+    val audit = v2.join(broadcast(erase), Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("deleted_present"))
+    v2.groupBy(col("cohort").cast("long").as("cohort"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_cents"))
+      .crossJoin(broadcast(audit))
+      .orderBy("cohort")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
-      q141, q143, q146, q148, q149, q150, q152, q153, q157)
+      q141, q143, q146, q148, q149, q150, q152, q153, q157, q158, q159)
 }

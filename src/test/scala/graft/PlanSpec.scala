@@ -151,6 +151,7 @@ class PlanSpec extends SparkSpec {
       "q149_mixing_epochs" -> "one-row corpus total (the q102 shape)",
       "q155_retrieval_eval" ->
         "broadcast query vector + one-row metric frames",
+      "q159_compliance_delete" -> "one-row erasure-audit frame",
       "q151_hybrid_retrieval" ->
         "one-row corpus-length + one-row query-vector frames")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
