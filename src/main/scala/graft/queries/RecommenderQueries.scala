@@ -240,5 +240,64 @@ object RecommenderQueries {
         .limit(25)
   }
 
-  val all: Seq[QueryDef] = Seq(q36, q37, q45, q45b, q82)
+  /** q161 — deterministic negative sampling (the missing ingredient
+    * between q45's positive-pair training and a real implicit-
+    * feedback trainer: every (user, item) batch needs k non-
+    * interacted negatives per positive user): for the bounded user
+    * slice (c_custkey < 10, the q32/q45b query-side contract), take
+    * the full catalog minus the user's purchased set (broadcast
+    * user-slice × catalog, then an anti-join on the interaction
+    * pairs), and keep the k = 5 candidates with the SMALLEST
+    * md5→u32 priority of "user:item" — the q139 hash-reservoir rule:
+    * a uniform draw that is reproducible across runs, engines, and
+    * partitionings, which is what makes training batches
+    * regenerable instead of stored. State: k rows per user per
+    * partition over the exchange ([[graft.functions.TopK]]); the
+    * candidate volume is |slice| × |catalog|, bounded by the slice
+    * contract. */
+  val q161 = QueryDef(
+    "q161_negative_sampling",
+    s"""WITH purchased AS (
+       |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |u AS (SELECT c_custkey AS c FROM customer WHERE c_custkey < 10),
+       |cand AS (SELECT u.c, part.p_partkey AS p FROM u CROSS JOIN part),
+       |neg AS (
+       |  SELECT cand.c, cand.p FROM cand
+       |  ANTI JOIN purchased USING (c, p)),
+       |h AS (
+       |  SELECT c, p,
+       |    md5(CAST(c AS VARCHAR) || ':' || CAST(p AS VARCHAR)) AS hx
+       |  FROM neg),
+       |v AS (SELECT c, p, ${TextQueries.hexU32Sql(1)} AS pri FROM h),
+       |r AS (
+       |  SELECT c, p, pri,
+       |    ROW_NUMBER() OVER (PARTITION BY c ORDER BY pri, p) AS rnk
+       |  FROM v)
+       |SELECT c AS c_custkey, rnk, p AS p_partkey, pri
+       |FROM r WHERE rnk <= 5 ORDER BY c_custkey, rnk""".stripMargin) {
+    (s, d) =>
+    import graft.curation.Curation
+    val purchased = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey").as("c"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey").as("p")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("c"), col("p")).distinct()
+    val u = Tables.customer(s, d).select(col("c_custkey").as("c"))
+      .filter(col("c") < 10)
+    val cand = broadcast(u)
+      .crossJoin(Tables.part(s, d).select(col("p_partkey").as("p")))
+    val neg = cand.join(purchased, Seq("c", "p"), "left_anti")
+      .withColumn("pri",
+        Curation.contentU32(concat_ws(":", col("c"), col("p"))))
+    graft.functions.TopK
+      .perGroup(neg, Seq(col("c")), col("pri"), col("p"), 5,
+        largest = false)
+      .select(col("c").as("c_custkey"), col("rnk"),
+        col("id").as("p_partkey"), col("ord").as("pri"))
+      .orderBy("c_custkey", "rnk")
+  }
+
+  val all: Seq[QueryDef] = Seq(q36, q37, q45, q45b, q82, q161)
 }

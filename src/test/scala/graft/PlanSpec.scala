@@ -152,6 +152,8 @@ class PlanSpec extends SparkSpec {
       "q155_retrieval_eval" ->
         "broadcast query vector + one-row metric frames",
       "q159_compliance_delete" -> "one-row erasure-audit frame",
+      "q161_negative_sampling" ->
+        "broadcast bounded user slice x catalog (query-side contract)",
       "q151_hybrid_retrieval" ->
         "one-row corpus-length + one-row query-vector frames")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
