@@ -2160,9 +2160,48 @@ object PipelineQueries {
       .orderBy("cohort")
   }
 
+  /** q160 — per-column data profile (the first query an engineer
+    * runs on an unfamiliar table, and the nightly ingest health
+    * report: null rate and distinct cardinality per column): ONE
+    * scan computes every column's null count and exact distinct
+    * count (Spark plans the multi-distinct via Expand — one pass,
+    * ×|columns| row expansion, map-side partials), then a `stack`
+    * unpivot turns the 1-row aggregate into one row per column. The
+    * `ts` distinct count relies on the µs-truncation contract
+    * (Tables.events matches DuckDB's ns→µs read truncation).
+    * Integer-only output — min/max are omitted because their values
+    * would be type-heterogeneous (double/string formatting is the
+    * cross-engine trap the ppm convention exists to avoid). */
+  val q160 = QueryDef(
+    "q160_column_profile", {
+      val cols =
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      cols.map(c =>
+        s"""SELECT '$c' AS column_name,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM events""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    }) { (s, d) =>
+    val cols =
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+      countDistinct(col(c)).as(s"dist_$c")))
+    val stackArgs = cols
+      .map(c => s"'$c', null_$c, dist_$c").mkString(", ")
+    Tables.events(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackArgs)" +
+        " as (column_name, n_null, n_distinct)"))
+      .orderBy("column_name")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
-      q141, q143, q146, q148, q149, q150, q152, q153, q157, q158, q159)
+      q141, q143, q146, q148, q149, q150, q152, q153, q157, q158, q159,
+      q160)
 }
