@@ -145,6 +145,17 @@ object Ranks {
         .otherwise(lit(0.0)))
       .drop(internals: _*)
 
+  /** SQL `ROW_NUMBER() OVER (ORDER BY orderCol, tieBreak)` —
+    * distributed (the q163 Gini rank; any Σ f(i)·x_i order statistic).
+    * `tieBreak` must make the order unique, exactly as the
+    * single-partition form requires for determinism. Output column
+    * `as` is the 1-based global position, long. */
+  def rowNumberGlobal(df: DataFrame, orderCol: Column, tieBreak: Column,
+                      as: String, buckets: Int = 32): DataFrame =
+    ranked(df, orderCol, Seq(tieBreak), buckets)
+      .withColumn(as, col("__pos").cast("long"))
+      .drop(internals: _*)
+
   /** SQL `NTILE(n) OVER (ORDER BY orderCol, tieBreak)` — distributed.
     * Standard semantics: with N rows, the first `N % n` tiles get
     * `floor(N/n) + 1` rows, the rest `floor(N/n)` (what Spark and

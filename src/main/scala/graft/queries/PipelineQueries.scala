@@ -2198,10 +2198,100 @@ object PipelineQueries {
       .orderBy("column_name")
   }
 
+  /** q162 — per-source unigram entropy (the corpus-diversity signal
+    * next to q49's repetition and q99's rarity: a templated or
+    * spam-heavy source has LOW token entropy; a diverse one tracks
+    * the corpus ceiling): H = Σ p·ln(1/p) over each source's token
+    * distribution, with p in exact ppm and every ln on the milli-nat
+    * grid — ln(1/p) = mnat(10⁶) − mnat(max(ppm, 1)), the max(·,1)
+    * guarding tokens whose share rounds to 0 ppm at extreme corpus
+    * sizes (ln 0 is undefined; the guard costs < 1 ppm·mnat of mass
+    * and is applied identically on both engines). Unit: ppm·milli-
+    * nats (nats × 10⁹ up to quantization). Shape: one keyed census
+    * per (source, token), one per-source total, one equi-join back,
+    * one keyed sum — the q143 family. */
+  val q162 = QueryDef(
+    "q162_source_entropy", {
+      import graft.functions.LangModel.mnatSql
+      s"""WITH t AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, token, COUNT(*) AS c FROM t GROUP BY 1, 2),
+         |n AS (
+         |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS vocab
+         |  FROM c GROUP BY 1),
+         |p AS (
+         |  SELECT c.source, n.n_tokens, n.vocab,
+         |    CAST(c.c * 1000000 // n.n_tokens AS BIGINT) AS ppm
+         |  FROM c JOIN n USING (source))
+         |SELECT source, n_tokens, vocab,
+         |  CAST(SUM(ppm * (${mnatSql("1000000")}
+         |    - ${mnatSql("GREATEST(ppm, 1)")})) AS BIGINT)
+         |    AS entropy_unit
+         |FROM p GROUP BY source, n_tokens, vocab
+         |ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.LangModel.mnat
+    val t = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.functions.Text.tokens(col("text"))).as("token"))
+    val c = t.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val n = c.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
+    c.join(n, Seq("source"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        expr("c * 1000000 div n_tokens").as("ppm"))
+      .groupBy(col("source"), col("n_tokens"), col("vocab"))
+      .agg(sum(col("ppm") *
+        (mnat(lit(1000000L)) - mnat(greatest(col("ppm"), lit(1L)))))
+        .as("entropy_unit"))
+      .orderBy("source")
+  }
+
+  /** q163 — Gini coefficient of per-user engagement (the activity-
+    * concentration number an abuse/ops review reads: 0 = uniform,
+    * →1 = a few users generate everything): over per-user event
+    * counts x sorted ascending with the DISTRIBUTED global row
+    * number ([[graft.functions.Ranks.rowNumberGlobal]] — no
+    * single-partition window), G = (2·Σ i·x_i − (n+1)·Σx)/(n·Σx) in
+    * exact ppm. The numerator is non-negative for the ascending
+    * order, so the one integer division stays in positive-operand
+    * territory (the cross-engine `div` contract). One keyed census +
+    * the rank family's bucketed shuffle + a one-row reduce. */
+  val q163 = QueryDef(
+    "q163_engagement_gini",
+    """WITH uc AS (
+      |  SELECT user_id, COUNT(*) AS x FROM events GROUP BY 1),
+      |r AS (
+      |  SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i
+      |  FROM uc),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(i * x) AS BIGINT) AS six
+      |  FROM r)
+      |SELECT n AS n_users, sx AS total_events,
+      |  CAST(((2 * six - (n + 1) * sx) * 1000000) // (n * sx) AS BIGINT)
+      |    AS gini_ppm
+      |FROM g""".stripMargin) { (s, d) =>
+    val uc = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    val rk = graft.functions.Ranks
+      .rowNumberGlobal(uc, col("x"), col("user_id"), "i")
+    rk.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("n").as("n_users"), col("sx").as("total_events"),
+        expr("((2 * six - (n + 1) * sx) * 1000000) div (n * sx)")
+          .as("gini_ppm"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
       q141, q143, q146, q148, q149, q150, q152, q153, q157, q158, q159,
-      q160)
+      q160, q162, q163)
 }
