@@ -59,6 +59,19 @@ class RanksSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("rowNumberGlobal equals row_number().over(Window.orderBy)") {
+    val expected = df.withColumn("i",
+      row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select("id", "i").collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    for (buckets <- Seq(1, 4, 32)) {
+      val got = Ranks.rowNumberGlobal(df, col("v"), col("id"), "i", buckets)
+        .select("id", "i").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"buckets=$buckets")
+    }
+  }
+
   test("pctRankPandas: average rank over count, tie-stable") {
     import spark.implicits._
     // v=1.0 twice (positions 1,2 -> avg 1.5), v=2.0 once (position 3)
