@@ -267,4 +267,87 @@ object Curation {
       .withColumn("redacted_text",
         regexp_replace(emailScrubbed, phoneRe, "<PHONE>"))
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03):
+    * hash every `k`-token gram, and in each sliding window of `w`
+    * consecutive gram hashes select the minimum, rightmost position on
+    * ties. Returns the DISTINCT selected `(doc_id, source, fh, fi)`
+    * rows — `fh` the 32-hex md5 of the winning gram, `fi` its 1-based
+    * token position.
+    *
+    * Guarantees (WinnowSpec pins both): every window of `w` grams
+    * contributes at least one fingerprint, so any substring of
+    * ≥ w+k−1 tokens shared between two documents shares at least one
+    * fingerprint; expected density ≈ 2/(w+1) of the gram count.
+    *
+    * The rightmost-tie argmin is encoded as the plain string MIN of
+    * `md5hex ∥ lpad(10⁹ − i)` — lexicographic min = (min hash, then
+    * max position) identically in Spark and the DuckDB oracle, with
+    * no reliance on struct-ordering or argmin window semantics.
+    *
+    * Scale: one corpus explode (O(tokens) rows), one per-doc window
+    * (never global), output ~2/(w+1) the gram volume. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5,
+                         w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k,w >= 1, got k=$k w=$w")
+    val t = split(col("text"), " ")
+    docs
+      .filter(size(t) >= k)
+      .select(col("doc_id"), col("source"), t.as("t"))
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), size(col("t")) - (k - 1))).as("i"),
+        col("t"))
+      .select(col("doc_id"), col("source"), col("i").cast("long").as("i"),
+        md5(array_join(slice(col("t"), col("i"), lit(k)), " ")).as("h"))
+      .select(col("doc_id"), col("source"), col("i"),
+        min(concat(col("h"),
+          lpad((lit(1000000000L) - col("i")).cast("string"), 10, "0")))
+          .over(Window.partitionBy(col("doc_id")).orderBy(col("i"))
+            .rowsBetween(-(w - 1), 0)).as("wkey"))
+      .filter(col("i") >= w)
+      .select(col("doc_id"), col("source"), col("wkey"))
+      .distinct()
+      .select(col("doc_id"), col("source"),
+        substring(col("wkey"), 1, 32).as("fh"),
+        (lit(1000000000L) -
+          substring(col("wkey"), 33, 10).cast("long")).as("fi"))
+  }
+
+  /** Boilerplate segment marking (the CCNet/RefinedWeb paragraph-dedup
+    * step, Wenzek et al. 2019 §4.1, on non-overlapping `width`-token
+    * segments — the paragraph stand-in for newline-free corpora): a
+    * segment is boilerplate when its hash appears in ≥ `minDocs`
+    * DISTINCT documents. Returns one row per segment:
+    * `(doc_id, source, h, seg_len, rem)` with `rem` 1 on boilerplate.
+    *
+    * Scale: segmentation is row-local (slice expressions — the corpus
+    * is exploded into ~n/width segments, never into tokens); the
+    * census is one keyed agg on the 32-byte hash; the mark-back one
+    * equi-join. Same 100-TB shape as exact dedup. */
+  def boilerplateSegments(docs: DataFrame, width: Int = 10,
+                          minDocs: Int = 2): DataFrame = {
+    require(width >= 1 && minDocs >= 2,
+      s"need width >= 1, minDocs >= 2, got width=$width minDocs=$minDocs")
+    val t = split(col("text"), " ")
+    val segs = docs
+      .filter(size(t) >= 1)
+      .select(col("doc_id"), col("source"), t.as("t"),
+        size(t).cast("long").as("n"))
+      .select(col("doc_id"), col("source"), col("n"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"(n + ${width - 1}) div $width") - 1),
+          j => array_join(slice(col("t"),
+            (j * width + 1).cast("int"), lit(width)), " "))))
+      .select(col("doc_id"), col("source"), md5(col("col")).as("h"),
+        least(lit(width.toLong),
+          col("n") - col("pos") * width.toLong).as("seg_len"))
+      .persist()
+    val boiler = segs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"), lit(1L).as("rem"))
+    segs.join(boiler, Seq("h"), "left_outer")
+      .select(col("doc_id"), col("source"), col("h"), col("seg_len"),
+        coalesce(col("rem"), lit(0L)).as("rem"))
+  }
 }

@@ -1831,9 +1831,174 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** q164 — winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS document-fingerprinting scheme): hash every
+    * 5-token gram, then in each sliding window of w=4 consecutive gram
+    * hashes select the minimum (rightmost position on ties); the
+    * distinct selected (hash, position) pairs are the document's
+    * fingerprints. The guarantee that q125's content-defined chunking
+    * and plain 0-mod-p sampling LACK: every shared substring of
+    * ≥ w+k−1 = 8 tokens is caught by at least one shared fingerprint,
+    * while expected density stays ≈ 2/(w+1) — bounded index size WITH
+    * a detection floor. Report per source: gram volume, fingerprint
+    * count, realized density, and fingerprints shared across ≥2 docs.
+    *
+    * Portability: the rightmost-tie argmin is encoded as the plain
+    * string MIN of `md5hex ∥ zero-padded(10⁹ − pos)` — lexicographic
+    * min = (min hash, then max pos) identically in both engines, no
+    * argmin/struct-ordering semantics relied on. Docs with 5–7 tokens
+    * produce grams but no full window (density slightly under the
+    * asymptote) — counted, documented, identical on both sides.
+    *
+    * Scale: the gram stream is q104's corpus explode; the window is
+    * PARTITIONED BY doc_id (bounded by doc length, never global); the
+    * shared census keys on the 32-byte hash. Fingerprint selection is
+    * embarrassingly parallel — the 100-TB shape is one pass + one
+    * keyed agg over an output ~2/(w+1) the gram volume. */
+  val q164 = QueryDef(
+    "q164_winnow_fingerprints",
+    """WITH l AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      |e AS (
+      |  SELECT doc_id, source, t, unnest(range(1, len(t) - 3)) AS i
+      |  FROM l),
+      |g AS (
+      |  SELECT doc_id, source, CAST(i AS BIGINT) AS i,
+      |    md5(array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 4], ' '))
+      |      AS h
+      |  FROM e),
+      |k AS (
+      |  SELECT doc_id, source, i,
+      |    h || lpad(CAST(1000000000 - i AS VARCHAR), 10, '0') AS key
+      |  FROM g),
+      |w AS (
+      |  SELECT doc_id, source, i,
+      |    MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wkey
+      |  FROM k),
+      |f AS (
+      |  SELECT DISTINCT doc_id, source, substr(wkey, 1, 32) AS fh,
+      |    1000000000 - CAST(substr(wkey, 33, 10) AS BIGINT) AS fi
+      |  FROM w WHERE i >= 4),
+      |sh AS (
+      |  SELECT fh FROM f GROUP BY fh
+      |  HAVING COUNT(DISTINCT doc_id) >= 2),
+      |gs AS (
+      |  -- gram volume is row-local (len - 4 per doc): the census never
+      |  -- consumes the exploded stream
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(t) - 4) AS BIGINT) AS n_grams
+      |  FROM l GROUP BY source),
+      |fs AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fp
+      |  FROM f GROUP BY source),
+      |ss AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+      |  FROM f JOIN sh USING (fh) GROUP BY source)
+      |SELECT gs.source, n_docs, n_grams, n_fp,
+      |  CAST(n_fp * 1000000 // n_grams AS BIGINT) AS density_ppm,
+      |  CAST(COALESCE(n_shared_fp, 0) AS BIGINT) AS n_shared_fp
+      |FROM gs JOIN fs USING (source) LEFT JOIN ss USING (source)
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val t = split(col("text"), " ")
+    // gram volume is row-local (len − 4 per doc): the per-source census
+    // reads the doc table, never the exploded stream — the stream has
+    // exactly one consumer (the window) and needs no persist
+    val gs = Tables.documents(s, d)
+      .filter(size(t) >= 5)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(t) - 4).cast("long").as("n_grams"))
+    // fingerprints feed three consumers → persist
+    val f = graft.curation.Curation
+      .winnowFingerprints(Tables.documents(s, d), k = 5, w = 4)
+      .drop("fi")
+      .persist()
+    val sh = f.groupBy(col("fh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("fh"))
+    val fs = f.groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
+    val ss = f.join(sh, Seq("fh"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_shared_fp"))
+    gs.join(fs, Seq("source"))
+      .join(ss, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("n_grams"), col("n_fp"),
+        expr("n_fp * 1000000L div n_grams").as("density_ppm"),
+        coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"))
+      .orderBy("source")
+  }
+
+  /** q165 — boilerplate segment removal (the CCNet/RefinedWeb
+    * paragraph-dedup step, Wenzek et al. 2019 §4.1: hash every
+    * paragraph, drop paragraphs repeated across documents — headers,
+    * footers, nav chrome — while KEEPING the rest of the document;
+    * the surgical complement to q22's whole-doc dedup and q137's
+    * span cut): segments are non-overlapping 10-token windows (this
+    * corpus has no newlines — the segmenter is the paragraph-boundary
+    * stand-in, same plan shape), a segment is boilerplate when its
+    * hash appears in ≥ 2 DISTINCT documents, and the report is the
+    * per-source retention a curation run reads before enabling the
+    * pass: segment/token volumes, removed mass, retention ppm.
+    *
+    * Scale: segmentation is row-local (one slice expression per doc —
+    * the corpus is never exploded into tokens, only into ~n/10
+    * segments); the census is one keyed agg on the 32-byte hash; the
+    * mark-back is one equi-join. Identical 100-TB shape to exact
+    * dedup, with the hash space ~10× the doc count. */
+  val q165 = QueryDef(
+    "q165_boilerplate_removal",
+    """WITH l AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+      |e AS (
+      |  SELECT doc_id, source, t, n,
+      |    unnest(range(0, (n + 9) // 10)) AS j
+      |  FROM l),
+      |s AS (
+      |  SELECT doc_id, source,
+      |    md5(array_to_string(
+      |      t[CAST(j * 10 + 1 AS INT):CAST(j * 10 + 10 AS INT)], ' '))
+      |      AS h,
+      |    LEAST(10, n - j * 10) AS seg_len
+      |  FROM e),
+      |b AS (
+      |  SELECT h FROM s GROUP BY h
+      |  HAVING COUNT(DISTINCT doc_id) >= 2),
+      |m AS (
+      |  SELECT s.doc_id, s.source, s.seg_len,
+      |    CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS rem
+      |  FROM s LEFT JOIN b ON s.h = b.h)
+      |SELECT source,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+      |  CAST(SUM(rem) AS BIGINT) AS n_boiler_segments,
+      |  CAST(SUM(seg_len) AS BIGINT) AS tokens_total,
+      |  CAST(SUM(rem * seg_len) AS BIGINT) AS tokens_removed,
+      |  CAST((SUM(seg_len) - SUM(rem * seg_len)) * 1000000
+      |    // SUM(seg_len) AS BIGINT) AS retention_ppm
+      |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    graft.curation.Curation
+      .boilerplateSegments(Tables.documents(s, d), width = 10,
+        minDocs = 2)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_segments"),
+        sum(col("rem")).as("n_boiler_segments"),
+        sum(col("seg_len")).as("tokens_total"),
+        sum(col("rem") * col("seg_len")).as("tokens_removed"))
+      .select(col("source"), col("n_docs"), col("n_segments"),
+        col("n_boiler_segments"), col("tokens_total"),
+        col("tokens_removed"),
+        expr("(tokens_total - tokens_removed) * 1000000L" +
+          " div tokens_total").as("retention_ppm"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
-      q156)
+      q156, q164, q165)
 }

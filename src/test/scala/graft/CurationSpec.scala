@@ -161,4 +161,28 @@ class CurationSpec extends SparkSpec {
       (2L, 2L, 1L, "two mails <EMAIL> <EMAIL>, phone <PHONE>"),
       (3L, 0L, 0L, "no pii here, 12345 is not a phone")))
   }
+
+  test("boilerplateSegments marks cross-doc repeats, keeps the rest") {
+    import spark.implicits._
+    val header = (1 to 10).map(i => s"h$i").mkString(" ") // one segment
+    val docs = Seq(
+      // header + 13 unique tokens -> segments of len 10, 10, 3
+      (1L, s"$header ${(1 to 13).map(i => s"a$i").mkString(" ")}"),
+      // header + 5 unique tokens -> segments of len 10, 5
+      (2L, s"$header ${(1 to 5).map(i => s"b$i").mkString(" ")}"),
+      // the header text TWICE in one doc only: within-doc repetition
+      // must NOT mark (the rule is >= 2 DISTINCT documents)
+      (3L, ((1 to 10) ++ (1 to 10)).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+    val rows = Curation.boilerplateSegments(docs, width = 10, minDocs = 2)
+      .select("doc_id", "seg_len", "rem").as[(Long, Long, Long)]
+      .collect().toSeq.sorted
+    // doc 1: header removed, the 13-token remainder (10+3) kept
+    assert(rows.filter(_._1 == 1L) == Seq((1L, 3L, 0L), (1L, 10L, 0L),
+      (1L, 10L, 1L)))
+    // doc 2: header removed, 5-token tail kept
+    assert(rows.filter(_._1 == 2L) == Seq((2L, 5L, 0L), (2L, 10L, 1L)))
+    // doc 3: identical segment twice within ONE doc — nothing marked
+    assert(rows.filter(_._1 == 3L) == Seq((3L, 10L, 0L), (3L, 10L, 0L)))
+  }
 }
