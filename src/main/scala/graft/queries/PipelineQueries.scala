@@ -2288,10 +2288,225 @@ object PipelineQueries {
           .as("gini_ppm"))
   }
 
+  /** q166 — half-life-decayed engagement score (the recency weighting
+    * recommender features and training-data freshness sampling both
+    * read; Ebbinghaus-style decay without floats): weight(event) =
+    * type_weight × ⌊1000 / 2^⌊age_days/7⌋⌋ — a 7-day half-life on the
+    * milli grid, quantized to POWERS OF TWO so 2^k is exactly
+    * representable and both engines' `pow → cast → div` chain is
+    * bit-identical (the exponent is capped at 30: beyond ~30
+    * half-lives the weight is 0 milli anyway, and the cap keeps the
+    * double exact). The reference day is the corpus max — a broadcast
+    * one-row frame, the q102 pattern — so the query is deterministic
+    * on any snapshot. Top-20 users by decayed score, full tie-break
+    * chain. One scan + one keyed agg + TakeOrderedAndProject. */
+  val q166 = QueryDef(
+    "q166_decayed_engagement",
+    """WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS ref FROM events),
+      |a AS (
+      |  SELECT user_id,
+      |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+      |      WHEN 'purchase' THEN 10 WHEN 'signup' THEN 3
+      |      WHEN 'error' THEN -2 ELSE 1 END
+      |      * (1000 // CAST(POW(2, LEAST(
+      |          date_diff('day', CAST(ts AS DATE), ref) // 7, 30))
+      |          AS BIGINT)) AS dw
+      |  FROM events, mx)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(dw) AS BIGINT) AS decayed_milli
+      |FROM a GROUP BY user_id
+      |ORDER BY decayed_milli DESC, user_id LIMIT 20""".stripMargin) {
+    (s, d) =>
+      val ev = Tables.events(s, d)
+      val ref = ev.agg(max(to_date(col("ts"))).as("ref"))
+      ev.crossJoin(broadcast(ref))
+        .select(col("user_id"),
+          (graft.functions.EventWeights.weight(col("event_type"),
+            graft.functions.EventWeights.testdata).cast("long") *
+            expr("1000 div CAST(pow(2, LEAST(" +
+              "datediff(ref, CAST(ts AS DATE)) div 7, 30)) AS BIGINT)"))
+            .as("dw"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("dw")).as("decayed_milli"))
+        .orderBy(col("decayed_milli").desc, col("user_id"))
+        .limit(20)
+  }
+
+  /** q167 — zone-map pruning effectiveness (the MEASUREMENT behind
+    * q119's z-order layout: how many 256-row blocks would a file-stats
+    * reader actually skip for a 2-D range predicate, natural order vs
+    * z-order?): rows are binned into blocks by their global row number
+    * under each layout ([[graft.functions.Ranks.rowNumberGlobal]] —
+    * no single-partition window), each block records its (x, y)
+    * min/max exactly as parquet footer stats would, and a block is
+    * SCANNED when its bounding box overlaps the query rectangle
+    * x,y ∈ [8,15] (an 1/64 tile of the 64×64 key space). The z-order
+    * layout bounds both dimensions per block, so its scan count is a
+    * small multiple of the tile count; the natural layout's x/y are
+    * independent of position, so nearly every block overlaps — the
+    * quantified case for running the q119 layout job at 100 TB.
+    * Two rank passes + two keyed min/max aggs + a one-row reduce. */
+  val q167 = QueryDef(
+    "q167_zonemap_pruning",
+    s"""WITH b AS (
+      |  SELECT o_custkey % 64 AS x, o_orderkey % 64 AS y,
+      |    ${graft.functions.ZOrder.interleaveSql(
+             "o_custkey % 64", "o_orderkey % 64", 6)} AS zv,
+      |    o_orderkey AS ok
+      |  FROM orders),
+      |n AS (
+      |  SELECT x, y,
+      |    (ROW_NUMBER() OVER (ORDER BY ok) - 1) // 256 AS blk
+      |  FROM b),
+      |z AS (
+      |  SELECT x, y,
+      |    (ROW_NUMBER() OVER (ORDER BY zv, ok) - 1) // 256 AS blk
+      |  FROM b),
+      |ns AS (
+      |  SELECT blk, MIN(x) AS x0, MAX(x) AS x1,
+      |    MIN(y) AS y0, MAX(y) AS y1
+      |  FROM n GROUP BY blk),
+      |zs AS (
+      |  SELECT blk, MIN(x) AS x0, MAX(x) AS x1,
+      |    MIN(y) AS y0, MAX(y) AS y1
+      |  FROM z GROUP BY blk),
+      |na AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |    CAST(SUM(CASE WHEN x1 >= 8 AND x0 <= 15
+      |      AND y1 >= 8 AND y0 <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS scan_natural
+      |  FROM ns),
+      |za AS (
+      |  SELECT CAST(SUM(CASE WHEN x1 >= 8 AND x0 <= 15
+      |      AND y1 >= 8 AND y0 <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS scan_zorder
+      |  FROM zs)
+      |SELECT n_blocks, scan_natural, scan_zorder
+      |FROM na, za""".stripMargin) { (s, d) =>
+    val x = (col("o_custkey") % 64).cast("long")
+    val y = (col("o_orderkey") % 64).cast("long")
+    val b = Tables.orders(s, d)
+      .select(x.as("x"), y.as("y"),
+        graft.functions.ZOrder.interleave(x, y, 6).as("zv"),
+        col("o_orderkey").as("ok"))
+    def blockStats(ordCol: String): org.apache.spark.sql.DataFrame =
+      graft.functions.Ranks
+        .rowNumberGlobal(b, col(ordCol), col("ok"), "rn")
+        .select(col("x"), col("y"), expr("(rn - 1) div 256").as("blk"))
+        .groupBy(col("blk"))
+        .agg(min(col("x")).as("x0"), max(col("x")).as("x1"),
+          min(col("y")).as("y0"), max(col("y")).as("y1"))
+    val overlap = col("x1") >= 8 && col("x0") <= 15 &&
+      col("y1") >= 8 && col("y0") <= 15
+    val na = blockStats("ok")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(overlap, 1L).otherwise(0L)).as("scan_natural"))
+    val za = blockStats("zv")
+      .agg(sum(when(overlap, 1L).otherwise(0L)).as("scan_zorder"))
+    na.crossJoin(broadcast(za))
+      .select(col("n_blocks"), col("scan_natural"), col("scan_zorder"))
+  }
+
+  /** q168 — end-to-end curation funnel (the per-stage survivor report
+    * every corpus datacard leads with, and the number that decides
+    * where cleaning budget goes): docs and tokens surviving each
+    * cumulative stage — all → lang=en → Gopher gates (q85's four
+    * rules, kept in lockstep) → exact dedup (q22's keep-min-doc_id,
+    * applied among gate survivors, which is NOT the same set q22
+    * dedups — dedup-after-filter is the production order since
+    * filtering can break ties differently). One scan computes every
+    * per-doc flag; dedup adds one keyed min + one equi-join back;
+    * the four stage rows are an unpivot of a single aggregate row. */
+  val q168 = QueryDef(
+    "q168_curation_funnel",
+    """WITH w AS (
+      |  SELECT doc_id, lang, md5(text) AS h,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    length(replace(text, ' ', '')) AS n_word_chars,
+      |    len(list_filter(string_split(text, ' '),
+      |      x -> regexp_matches(x, '^[A-Za-z]+$'))) AS n_alpha_words,
+      |    len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the', 'a', 'of', 'to', 'and', 'in'))) AS n_stop
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, h, n_words,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS in1,
+      |    CASE WHEN lang = 'en'
+      |      AND n_words BETWEEN 50 AND 100000
+      |      AND (n_word_chars * 1000) // n_words BETWEEN 3000 AND 10000
+      |      AND (n_alpha_words * 1000000) // n_words >= 800000
+      |      AND n_stop >= 2 THEN 1 ELSE 0 END AS in2
+      |  FROM w),
+      |mn AS (
+      |  SELECT h, MIN(doc_id) AS keeper FROM f WHERE in2 = 1
+      |  GROUP BY h),
+      |g AS (
+      |  SELECT f.n_words, f.in1, f.in2,
+      |    CASE WHEN f.in2 = 1 AND f.doc_id = mn.keeper
+      |      THEN 1 ELSE 0 END AS in3
+      |  FROM f LEFT JOIN mn ON f.h = mn.h),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS d0,
+      |    CAST(SUM(n_words) AS BIGINT) AS t0,
+      |    CAST(SUM(in1) AS BIGINT) AS d1,
+      |    CAST(SUM(in1 * n_words) AS BIGINT) AS t1,
+      |    CAST(SUM(in2) AS BIGINT) AS d2,
+      |    CAST(SUM(in2 * n_words) AS BIGINT) AS t2,
+      |    CAST(SUM(in3) AS BIGINT) AS d3,
+      |    CAST(SUM(in3 * n_words) AS BIGINT) AS t3
+      |  FROM g)
+      |SELECT * FROM (
+      |  SELECT 0 AS stage, 'all' AS name, d0 AS n_docs, t0 AS n_tokens
+      |  FROM agg
+      |  UNION ALL SELECT 1, 'lang_en', d1, t1 FROM agg
+      |  UNION ALL SELECT 2, 'gopher_gates', d2, t2 FROM agg
+      |  UNION ALL SELECT 3, 'exact_dedup', d3, t3 FROM agg)
+      |ORDER BY stage""".stripMargin) { (s, d) =>
+    // gate arithmetic kept in lockstep with q85 (same thresholds, same
+    // integer units); funnel semantics are cumulative
+    val wr = split(col("text"), " ")
+    val w = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), md5(col("text")).as("h"),
+      size(wr).cast("long").as("n_words"),
+      length(translate(col("text"), " ", "")).cast("long")
+        .as("n_word_chars"),
+      size(filter(wr, x => x.rlike("^[A-Za-z]+$"))).cast("long")
+        .as("n_alpha_words"),
+      size(filter(wr, x => x.isin("the", "a", "of", "to", "and", "in")))
+        .cast("long").as("n_stop"))
+    val f = w.select(col("doc_id"), col("h"), col("n_words"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("in1"),
+      when(col("lang") === "en" &&
+        col("n_words").between(50, 100000) &&
+        expr("(n_word_chars * 1000) div n_words").between(3000, 10000) &&
+        expr("(n_alpha_words * 1000000) div n_words") >= 800000 &&
+        col("n_stop") >= 2, 1L).otherwise(0L).as("in2"))
+    val mn = f.filter(col("in2") === 1)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val g = f.join(mn, Seq("h"), "left_outer")
+      .select(col("n_words"), col("in1"), col("in2"),
+        when(col("in2") === 1 && col("doc_id") === col("keeper"), 1L)
+          .otherwise(0L).as("in3"))
+    g.agg(count(lit(1)).as("d0"), sum(col("n_words")).as("t0"),
+        sum(col("in1")).as("d1"),
+        sum(col("in1") * col("n_words")).as("t1"),
+        sum(col("in2")).as("d2"),
+        sum(col("in2") * col("n_words")).as("t2"),
+        sum(col("in3")).as("d3"),
+        sum(col("in3") * col("n_words")).as("t3"))
+      .select(expr("stack(4, " +
+        "0, 'all', d0, t0, " +
+        "1, 'lang_en', d1, t1, " +
+        "2, 'gopher_gates', d2, t2, " +
+        "3, 'exact_dedup', d3, t3) AS (stage, name, n_docs, n_tokens)"))
+      .orderBy("stage")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
       q141, q143, q146, q148, q149, q150, q152, q153, q157, q158, q159,
-      q160, q162, q163)
+      q160, q162, q163, q166, q167, q168)
 }

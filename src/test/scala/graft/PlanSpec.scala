@@ -155,7 +155,9 @@ class PlanSpec extends SparkSpec {
       "q161_negative_sampling" ->
         "broadcast bounded user slice x catalog (query-side contract)",
       "q151_hybrid_retrieval" ->
-        "one-row corpus-length + one-row query-vector frames")
+        "one-row corpus-length + one-row query-vector frames",
+      "q166_decayed_engagement" -> "one-row reference-day frame",
+      "q167_zonemap_pruning" -> "one-row block-scan-count frames")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
