@@ -2503,10 +2503,129 @@ object PipelineQueries {
       .orderBy("stage")
   }
 
+  /** q170 — winsorized (5 %-clipped) robust value statistics (the
+    * outlier treatment a feature pipeline applies before any
+    * mean-based aggregate; the rank-defined complement to q69's IQR
+    * fence and q142's median/MAD): the clip bounds are the EXACT
+    * values at ranks ⌈n·5 %⌉ and n − ⌊n·5 %⌋ + 1 of the
+    * (value, event_id) order — [[graft.functions.Ranks.rowNumberGlobal]]
+    * again, no single-partition window — and the winsorized sum rides
+    * the decimal accumulator ([[graft.functions.Exact.sumD]]) so
+    * partition order can't flip low bits. Both boundary values come
+    * out of ONE filtered pass over the ranked frame (one row matches
+    * each boundary rank; the min/max-of-case trick folds them into a
+    * one-row frame), then one broadcast + one clip scan. */
+  val q170 = QueryDef(
+    "q170_winsorized_stats",
+    """WITH r AS (
+      |  SELECT value,
+      |    ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn
+      |  FROM events),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+      |b AS (
+      |  SELECT MAX(n) AS n_rows,
+      |    MIN(CASE WHEN rn = GREATEST(1, (n * 5) // 100)
+      |      THEN value END) AS lo,
+      |    MAX(CASE WHEN rn = n - (n * 5) // 100 + 1
+      |      THEN value END) AS hi
+      |  FROM r, n
+      |  WHERE rn = GREATEST(1, (n * 5) // 100)
+      |    OR rn = n - (n * 5) // 100 + 1),
+      |c AS (
+      |  SELECT n_rows, lo, hi,
+      |    CASE WHEN value < lo THEN lo
+      |         WHEN value > hi THEN hi ELSE value END AS cv,
+      |    CASE WHEN value < lo THEN 1 ELSE 0 END AS cl,
+      |    CASE WHEN value > hi THEN 1 ELSE 0 END AS ch
+      |  FROM events, b)
+      |SELECT n_rows, lo, hi,
+      |  CAST(SUM(cl) AS BIGINT) AS clipped_low,
+      |  CAST(SUM(ch) AS BIGINT) AS clipped_high,
+      |  CAST(SUM(CAST(cv AS DECIMAL(28, 2))) AS DOUBLE)
+      |    AS winsorized_sum
+      |FROM c GROUP BY n_rows, lo, hi""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+    val n = ev.agg(count(lit(1)).as("n"))
+    val loRank = greatest(lit(1L), expr("(n * 5) div 100"))
+    val hiRank = expr("n - (n * 5) div 100 + 1")
+    val bounds = graft.functions.Ranks
+      .rowNumberGlobal(ev, col("value"), col("event_id"), "rn")
+      .crossJoin(broadcast(n))
+      .filter(col("rn") === loRank || col("rn") === hiRank)
+      .agg(max(col("n")).as("n_rows"),
+        min(when(col("rn") === loRank, col("value"))).as("lo"),
+        max(when(col("rn") === hiRank, col("value"))).as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .select(col("n_rows"), col("lo"), col("hi"),
+        when(col("value") < col("lo"), col("lo"))
+          .when(col("value") > col("hi"), col("hi"))
+          .otherwise(col("value")).as("cv"),
+        when(col("value") < col("lo"), 1L).otherwise(0L).as("cl"),
+        when(col("value") > col("hi"), 1L).otherwise(0L).as("ch"))
+      .groupBy(col("n_rows"), col("lo"), col("hi"))
+      .agg(sum(col("cl")).as("clipped_low"),
+        sum(col("ch")).as("clipped_high"),
+        graft.functions.Exact.sumD(col("cv")).as("winsorized_sum"))
+  }
+
+  /** q171 — self-join size estimation by count-min inner product (the
+    * AGMS/CM F₂ estimator a cost-based planner consults before
+    * choosing a join strategy — the "how skewed is this key, really"
+    * number, Cormode & Muthukrishnan §4.2): the true self-join size of
+    * `events` on `user_id` is F₂ = Σ_k c(k)², and the CM estimate is
+    * min over rows d of Σ_b cell(d,b)² — an OVERESTIMATE by the same
+    * collision argument as point queries (colliding keys' cross terms
+    * only add). The oracle rebuilds the IDENTICAL d×w matrix (the
+    * q152 md5-slice contract) so the estimate itself is pinned, not
+    * just the exact value; the overestimate inequality is therefore
+    * oracle-proven, and the reported inflation ppm is the planner's
+    * actual error at this w.
+    *
+    * Scale: the exact side is one keyed census; the sketch side is
+    * the q152 bounded exchange (≤ d·w rows per partition) — at 100 TB
+    * the sketch is what you can afford to keep per stream; F₂ falls
+    * out of the matrix you already have. */
+  val q171 = QueryDef(
+    "q171_cm_joinsize", {
+      def rows(from: String) = (0 until 4).map(i =>
+        s"SELECT ${TextQueries.hexU32Sql(1 + 8 * i)} % 256 AS bucket," +
+          s" $i AS d FROM $from").mkString("\n  UNION ALL ")
+      s"""WITH k AS (SELECT user_id AS key FROM events),
+         |hxx AS (SELECT md5(CAST(key AS VARCHAR)) AS hx FROM k),
+         |bk AS (
+         |  ${rows("hxx")}),
+         |cells AS (
+         |  SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM bk GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2 FROM (
+         |    SELECT CAST(COUNT(*) AS BIGINT) AS c FROM k GROUP BY key)),
+         |es AS (
+         |  SELECT CAST(MIN(s) AS BIGINT) AS cm_f2 FROM (
+         |    SELECT d, SUM(c * c) AS s FROM cells GROUP BY d))
+         |SELECT exact_f2, cm_f2,
+         |  CAST((cm_f2 - exact_f2) * 1000000 // exact_f2 AS BIGINT)
+         |    AS inflation_ppm
+         |FROM ex, es""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.Cm
+    val keys = Tables.events(s, d).select(col("user_id").as("key"))
+    val exact = keys.groupBy(col("key"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact_f2"))
+    val est = Cm.sketch(keys, col("key"), 4, 256)
+      .groupBy(col("d")).agg(sum(col("c") * col("c")).as("s"))
+      .agg(min(col("s")).as("cm_f2"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_f2"), col("cm_f2"),
+        expr("(cm_f2 - exact_f2) * 1000000 div exact_f2")
+          .as("inflation_ppm"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
       q141, q143, q146, q148, q149, q150, q152, q153, q157, q158, q159,
-      q160, q162, q163, q166, q167, q168)
+      q160, q162, q163, q166, q167, q168, q170, q171)
 }

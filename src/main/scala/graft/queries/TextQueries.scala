@@ -1855,8 +1855,12 @@ object TextQueries {
     * shared census keys on the 32-byte hash. Fingerprint selection is
     * embarrassingly parallel — the 100-TB shape is one pass + one
     * keyed agg over an output ~2/(w+1) the gram volume. */
-  val q164 = QueryDef(
-    "q164_winnow_fingerprints",
+  /** Shared oracle CTE chain for q164/q169: tokenized doc table `l` →
+    * positioned 5-gram table `g` → packed winnow key `k` → sliding
+    * window min `w` → distinct fingerprint table
+    * `f(doc_id, source, fh, fi)`. Mirrors
+    * [[graft.curation.Curation.winnowFingerprints]] (k=5, w=4). */
+  private val winnowCteSql =
     """WITH l AS (
       |  SELECT doc_id, source, string_split(text, ' ') AS t
       |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
@@ -1880,7 +1884,11 @@ object TextQueries {
       |f AS (
       |  SELECT DISTINCT doc_id, source, substr(wkey, 1, 32) AS fh,
       |    1000000000 - CAST(substr(wkey, 33, 10) AS BIGINT) AS fi
-      |  FROM w WHERE i >= 4),
+      |  FROM w WHERE i >= 4)""".stripMargin
+
+  val q164 = QueryDef(
+    "q164_winnow_fingerprints",
+    winnowCteSql + """,
       |sh AS (
       |  SELECT fh FROM f GROUP BY fh
       |  HAVING COUNT(DISTINCT doc_id) >= 2),
@@ -1996,9 +2004,76 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** q169 — incoming-batch overlap check against a fingerprint index
+    * (the MOSS serving shape, and the crawl-ops question behind it:
+    * "how much of this new batch is already in the corpus?"): the
+    * stored index is the winnow fingerprint set of the existing corpus
+    * (doc_id % 10 ≠ 0), the incoming batch (doc_id % 10 = 0 — the q156
+    * slice convention) is fingerprinted the same way, and an incoming
+    * doc matches when it shares fingerprints with the index — flagged
+    * at ≥ 2 shared (one shared hash can be a single common 5-gram;
+    * two selected ones indicate a ≥ 8-token overlap elsewhere too).
+    * Winnowing's guarantee makes the NEGATIVE direction strong: an
+    * incoming doc sharing NO fingerprint shares no 8-token substring
+    * with any indexed doc.
+    *
+    * Scale: the index is |corpus|·density rows of 32-byte hashes —
+    * the thing a crawl pipeline materializes once and equi-joins
+    * every batch against; the probe is one hash join + one keyed agg,
+    * incremental by construction (the q107 pattern on fingerprints). */
+  val q169 = QueryDef(
+    "q169_fingerprint_index",
+    winnowCteSql + """,
+      |idx AS (SELECT DISTINCT fh FROM f WHERE doc_id % 10 <> 0),
+      |inc AS (SELECT doc_id, source, fh FROM f WHERE doc_id % 10 = 0),
+      |m AS (
+      |  SELECT i.doc_id, i.source, COUNT(DISTINCT i.fh) AS shared
+      |  FROM inc i JOIN idx USING (fh) GROUP BY 1, 2),
+      |base AS (
+      |  SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+      |    AS n_incoming
+      |  FROM inc GROUP BY 1),
+      |ms AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_matched,
+      |    CAST(SUM(CASE WHEN shared >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_flagged,
+      |    CAST(SUM(shared) AS BIGINT) AS total_shared
+      |  FROM m GROUP BY 1)
+      |SELECT base.source, n_incoming,
+      |  CAST(COALESCE(n_matched, 0) AS BIGINT) AS n_matched,
+      |  CAST(COALESCE(n_flagged, 0) AS BIGINT) AS n_flagged,
+      |  CAST(COALESCE(total_shared, 0) AS BIGINT) AS total_shared
+      |FROM base LEFT JOIN ms USING (source)
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    // one fingerprint pass over the whole corpus, split AFTER (persist:
+    // the index and probe sides are two consumers of the same frame)
+    val fp = graft.curation.Curation
+      .winnowFingerprints(Tables.documents(s, d), k = 5, w = 4)
+      .persist()
+    val idx = fp.filter(col("doc_id") % 10 =!= 0)
+      .select(col("fh")).distinct()
+    val inc = fp.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("source"), col("fh"))
+    val m = inc.join(idx, Seq("fh"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(countDistinct(col("fh")).as("shared"))
+    val base = inc.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_incoming"))
+    val ms = m.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(when(col("shared") >= 2, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("shared")).as("total_shared"))
+    base.join(ms, Seq("source"), "left_outer")
+      .select(col("source"), col("n_incoming"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("total_shared"), lit(0L)).as("total_shared"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
-      q156, q164, q165)
+      q156, q164, q165, q169)
 }

@@ -74,4 +74,21 @@ class CmSpec extends SparkSpec {
       .filter(col("est") =!= col("true_cnt")).count()
     assert(bad == 0)
   }
+
+  test("F2 inner-product estimate overestimates, tightens with width (q171)") {
+    // self-join size: per row d, sum-of-cell-squares >= sum of c(k)^2
+    // ((a+b)^2 >= a^2 + b^2 for counts), so the min over rows still
+    // overestimates. Unlike POINT estimates (exact when each key has
+    // one clean cell in SOME row), F2 exactness would need one row
+    // with zero collisions across ALL keys — a birthday-bound event
+    // even at w >> keys — so the wide regime is pinned to a 1% ceiling
+    // on this deterministic fixture, not equality.
+    val exact = truth.values.map(c => c * c).sum
+    def f2(w: Int): Long = Cm.sketch(df, col("key"), 4, w)
+      .groupBy(col("d")).agg(sum(col("c") * col("c")).as("s"))
+      .agg(min(col("s"))).collect()(0).getLong(0)
+    assert(f2(32) >= exact)
+    assert(f2(256) >= exact && f2(256) <= f2(32))
+    assert(f2(4096) >= exact && f2(4096) - exact <= exact / 100)
+  }
 }

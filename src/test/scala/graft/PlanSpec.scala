@@ -157,7 +157,9 @@ class PlanSpec extends SparkSpec {
       "q151_hybrid_retrieval" ->
         "one-row corpus-length + one-row query-vector frames",
       "q166_decayed_engagement" -> "one-row reference-day frame",
-      "q167_zonemap_pruning" -> "one-row block-scan-count frames")
+      "q167_zonemap_pruning" -> "one-row block-scan-count frames",
+      "q170_winsorized_stats" -> "one-row count + clip-bound frames",
+      "q171_cm_joinsize" -> "one-row exact-F2 + sketch-F2 frames")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
