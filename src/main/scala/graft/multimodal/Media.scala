@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed per-partition.
   *
   * The Spark-side mechanics are real and tested — schema, partition
-  * sizing, batch iteration shape, deterministic feature output. The
-  * codec step itself is a clearly-marked STUB (`decodeStub`): this
-  * container ships no image/audio libraries, so it computes a
-  * deterministic byte-level feature instead of a real decode. Swapping
-  * in a real decoder changes only the function body, not the pipeline.
+  * sizing, batch iteration shape, deterministic feature output. Real
+  * pure-JVM codecs (24-bit BMP, PCM16 WAV, binary PPM) live in
+  * [[Codec]] and drive the oracle-checked q44 decode path;
+  * `decodeStub` below remains as the cheap byte-level feature
+  * extractor (oracle-checked via q71) for payloads with no known
+  * container format.
   *
   * Scale notes: media blobs are large — the pipeline repartitions by
   * blob id so decode parallelism is independent of upstream file

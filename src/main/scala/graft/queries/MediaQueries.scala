@@ -33,27 +33,101 @@ object MediaQueries {
         lit(16000).as("sample_rate"),
         (col("n_chars") * 10L).as("duration_ms"))
 
-  /** q44 — end-to-end media feature extraction: derive (media_id,
-    * kind, bytes, metadata) from documents, run the per-partition
-    * decode pipeline, emit features + a 4-frame fingerprint for the
-    * video-kind rows. Rows-only check (the codec stub isn't
-    * SQL-reproducible); determinism within Spark is pinned by the
-    * stub + unique-key order. */
-  val q44 = QueryDef.noOracle("q44_media_features") { (s, d) =>
+  /** Deterministic media payload for q44: a REAL container file per
+    * row — image → 24-bit BMP, audio → PCM16 WAV, video → binary PPM —
+    * whose pixel/sample values follow integer formulas of (media_id,
+    * position), so an independent engine can compute the expected
+    * decoded statistics WITHOUT parsing the containers. Encode here,
+    * decode with [[graft.multimodal.Codec]]'s parsers inside the
+    * query: header layout, row padding, bottom-up BMP order, RIFF
+    * chunk walking are all on the verified path. */
+  private[queries] def blobFor(id: Long, kind: String): Array[Byte] =
+    kind match {
+      case "audio" =>
+        val n = (256 + id % 101).toInt
+        val s = Array.tabulate(n)(i =>
+          (((id * 31 + i.toLong * 17) % 4096) - 2048).toShort)
+        graft.multimodal.Codec.encodeWav(16000, s)
+      case k =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + id % 7).toInt
+        val g = Array.tabulate(w * h)(i =>
+          ((id * 7919 + i.toLong * 104729) % 256).toByte)
+        if (k == "image") graft.multimodal.Codec.encodeBmp(w, h, g)
+        else graft.multimodal.Codec.encodePpm(w, h, g)
+    }
+
+  /** q44 — end-to-end media feature extraction with REAL pure-JVM
+    * codecs (round-6 verdict item 2; formerly the rows-only stub):
+    * build one genuine container file per row (BMP/WAV/PPM), then
+    * decode it with the independent parsers in `Codec` inside a
+    * repartitioned `mapPartitions` (the production decode shape:
+    * parallelism decoupled from input layout, codec init amortized
+    * per partition) and emit exact integer statistics — count, sum,
+    * extrema, and a position-weighted checksum that makes element
+    * ORDER part of the contract (a row-order bug in the BMP path
+    * can't hide). The oracle recomputes the same stats from the
+    * generating formulas, so encode→decode must round-trip the
+    * actual byte layout to match; the golden-byte fixtures in
+    * MediaSpec break encode/decode symmetry. Scale: per-blob work
+    * only, no shuffle beyond the decode repartition. */
+  val q44 = QueryDef(
+    "q44_media_features",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+      |    256 + doc_id % 101 AS ns
+      |  FROM documents WHERE doc_id < 200),
+      |u AS (
+      |  SELECT media_id, kind,
+      |    CASE WHEN kind = 'audio' THEN ns ELSE w * h END AS n_units
+      |  FROM m),
+      |e AS (
+      |  SELECT media_id, kind, n_units,
+      |    unnest(range(0, n_units)) AS i
+      |  FROM u),
+      |v AS (
+      |  SELECT media_id, kind, n_units, i,
+      |    CASE WHEN kind = 'audio'
+      |      THEN (media_id * 31 + i * 17) % 4096 - 2048
+      |      ELSE (media_id * 7919 + i * 104729) % 256 END AS val
+      |  FROM e)
+      |SELECT media_id, kind, CAST(n_units AS BIGINT) AS n_units,
+      |  CAST(SUM(val) AS BIGINT) AS sum_v,
+      |  CAST(MIN(val) AS BIGINT) AS min_v,
+      |  CAST(MAX(val) AS BIGINT) AS max_v,
+      |  CAST((SUM((i + 1) * val) % 1000003 + 1000003) % 1000003 AS BIGINT)
+      |    AS checksum
+      |FROM v GROUP BY 1, 2, 3
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val media = mediaFixture(s, d)
-    val features = Media.extractFeatures(
-      media.as[Media.MediaRow], partitions = 32)
-      .toDF()
-      .select(col("media_id"), col("kind"), col("n_bytes"),
-        round(col("mean_byte"), 4).as("mean_byte"),
-        round(element_at(col("histogram"), 7), 6).as("hist_bin6"))
-    val frames = media.filter(col("kind") === "video")
-      .select(col("media_id"),
-        Media.frameSample(col("bytes"), 4).as("frame_fps"))
-    features.join(frames, Seq("media_id"), "left")
-      .withColumn("frame_fp0", element_at(col("frame_fps"), 1))
-      .drop("frame_fps")
+    val blobUdf = udf((id: Long, kind: String) => blobFor(id, kind))
+    Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"))
+      .withColumn("bytes", blobUdf(col("media_id"), col("kind")))
+      .select("media_id", "kind", "bytes")
+      .as[(Long, String, Array[Byte])]
+      .repartition(32, col("media_id"))
+      .mapPartitions { rows =>
+        // real decode, once-per-partition init shape
+        rows.map { case (id, kind, bytes) =>
+          val vals: Iterator[Int] = kind match {
+            case "audio" =>
+              graft.multimodal.Codec.decodeWav(bytes)._2.iterator.map(_.toInt)
+            case "image" =>
+              graft.multimodal.Codec.decodeBmp(bytes)._3.iterator.map(_ & 0xff)
+            case _ =>
+              graft.multimodal.Codec.decodePpm(bytes)._3.iterator.map(_ & 0xff)
+          }
+          val (n, sum, mn, mx, ck) = graft.multimodal.Codec.stats(vals)
+          (id, kind, n, sum, mn, mx, ck)
+        }
+      }
+      .toDF("media_id", "kind", "n_units", "sum_v", "min_v", "max_v",
+        "checksum")
       .orderBy("media_id")
   }
 

@@ -49,6 +49,87 @@ class MediaSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // ---- pure-JVM codecs (Codec.scala) ------------------------------
+
+  test("decodeBmp golden bytes: hand-written 2x2 BMP, independent of encoder") {
+    // Built by hand from the public BITMAPINFOHEADER spec — NOT via
+    // encodeBmp — so an encode/decode bug pair can't cancel out.
+    // 2x2 gray pixels top-down: 10,20 / 30,40. Stored bottom-up,
+    // BGR, rows padded to 4 bytes (6 data + 2 pad).
+    val b = java.nio.ByteBuffer.allocate(70)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(70).putShort(0).putShort(0)
+      .putInt(54)
+    b.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24)
+      .putInt(0).putInt(16).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // bottom row first: pixels 30,40 then pad
+    Seq(30, 30, 30, 40, 40, 40, 0, 0, 10, 10, 10, 20, 20, 20, 0, 0)
+      .foreach(v => b.put(v.toByte))
+    val (w, h, gray) = graft.multimodal.Codec.decodeBmp(b.array())
+    assert((w, h) == (2, 2))
+    assert(gray.map(_ & 0xff).toSeq == Seq(10, 20, 30, 40)) // top-down
+  }
+
+  test("BMP encode/decode round-trips odd widths (row padding)") {
+    for (w <- Seq(1, 2, 3, 5); h <- Seq(1, 3)) {
+      val gray = Array.tabulate(w * h)(i => ((i * 37 + 5) % 256).toByte)
+      val (w2, h2, out) = graft.multimodal.Codec.decodeBmp(
+        graft.multimodal.Codec.encodeBmp(w, h, gray))
+      assert((w2, h2) == (w, h) && out.sameElements(gray), s"w=$w h=$h")
+    }
+  }
+
+  test("WAV encode/decode round-trips PCM16 incl. negatives; skips extra chunks") {
+    val samples = Array.tabulate(300)(i => ((i * 173) % 4096 - 2048).toShort)
+    val enc = graft.multimodal.Codec.encodeWav(16000, samples)
+    val (rate, dec) = graft.multimodal.Codec.decodeWav(enc)
+    assert(rate == 16000 && dec.sameElements(samples))
+    // splice a LIST chunk between fmt and data: chunk walker must skip it
+    val listChunk = "LIST".getBytes ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
+    val spliced = enc.slice(0, 36) ++ listChunk ++ enc.drop(36)
+    // fix RIFF size field
+    val bb = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val (rate2, dec2) = graft.multimodal.Codec.decodeWav(spliced)
+    assert(rate2 == 16000 && dec2.sameElements(samples))
+  }
+
+  test("PPM encode/decode round-trips; header comments tolerated") {
+    val gray = Array.tabulate(12)(i => (i * 20).toByte)
+    val enc = graft.multimodal.Codec.encodePpm(4, 3, gray)
+    val (w, h, dec) = graft.multimodal.Codec.decodePpm(enc)
+    assert((w, h) == (4, 3) && dec.sameElements(gray))
+    val withComment = ("P6\n# a netpbm comment\n4 3\n255\n").getBytes("US-ASCII") ++
+      enc.drop("P6\n4 3\n255\n".length)
+    val (w2, h2, dec2) = graft.multimodal.Codec.decodePpm(withComment)
+    assert((w2, h2) == (4, 3) && dec2.sameElements(gray))
+  }
+
+  test("stats checksum is order-sensitive (catches row-order decode bugs)") {
+    val xs = Array(1, 2, 3, 4, 5)
+    val fwd = graft.multimodal.Codec.stats(xs.iterator)
+    val rev = graft.multimodal.Codec.stats(xs.reverse.iterator)
+    assert(fwd._1 == rev._1 && fwd._2 == rev._2) // same n, sum
+    assert(fwd._5 != rev._5)                     // different checksum
+    // negative values normalize into [0, 1000003)
+    val neg = graft.multimodal.Codec.stats(Array(-2048, -1).iterator)
+    assert(neg._5 >= 0 && neg._5 < 1000003)
+  }
+
+  test("codec parsers reject unsupported variants loudly") {
+    intercept[IllegalArgumentException] {
+      graft.multimodal.Codec.decodeBmp("notabmp".getBytes ++ new Array[Byte](64))
+    }
+    intercept[IllegalArgumentException] {
+      graft.multimodal.Codec.decodeWav(new Array[Byte](64))
+    }
+    intercept[IllegalArgumentException] {
+      graft.multimodal.Codec.decodePpm("P5 1 1 255 x".getBytes)
+    }
+  }
+
   test("frameSample chunks are contiguous and cover every byte") {
     // 10 bytes, 4 frames: floor boundaries 0,2,5,7,10 -> chunk
     // lengths 2,3,2,3 (the old double-truncation formula skipped
