@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed suffix-prefix ranks via prefix doubling (Manber–Myers),
+  * the backbone of exact substring deduplication over a corpus (the
+  * suffix-array dedup of Lee et al., "Deduplicating Training Data
+  * Makes Language Models Better" — the true form that the bounded
+  * dup-span queries q104/q137 approximate).
+  *
+  * Semantics: after `ranks(docs, L)`, two character positions carry
+  * the SAME rank iff the length-L prefixes of their suffixes
+  * (truncated at their document's end) are EQUAL as strings.
+  * Documents are never concatenated — position (doc, i) pairs keep
+  * doc identity, so no phantom substrings span document boundaries.
+  *
+  * Cost shape. The base step ranks b-character blocks directly by
+  * positional packing in base (maxCode+2) — b auto-sized from the
+  * observed alphabet so the packed key fits a long (ASCII → b = 8) —
+  * which removes log₂ b doubling rounds outright; the remaining
+  * log₂ (L/b) rounds each do:
+  *   1. self-join on (doc, i+k) — ONE hash shuffle — pairing each
+  *      position's rank with its k-successor's (0 past doc end);
+  *   2. relabel each distinct (r, r₂) class. Dedup needs only
+  *      EQUALITY-preserving labels, so the label is `min(pos)` over
+  *      the class (pos = global 1-based character offset) computed as
+  *      ONE hash-partitioned window — classes partition positions, so
+  *      minima over disjoint sets are automatically distinct, and no
+  *      global sort or join-back shuffle appears at all. With
+  *      `ordered = true` the label is instead the distributed dense
+  *      rank ([[Ranks.rowNumberGlobal]] + join-back) and rank ORDER
+  *      equals lexicographic prefix order — the suffix-ARRAY variant
+  *      (both the base packing and the pair key are order-preserving).
+  * Every stage keys on data columns (doc, i, packed rank) and the
+  * shuffled payload is 8-byte longs, never gram strings — the reason
+  * this survives 100 TB where the naive substring group-by (the
+  * oracle's shape) shuffles |corpus|·L bytes. Each round ends in an
+  * EAGER localCheckpoint (the Components discipline) — without it the
+  * nested self-join lineage grows exponentially with round count and
+  * Catalyst analysis alone dominates the wall clock.
+  *
+  * Rank packing: pair keys are r·2³¹ + r₂, exact in a long for up to
+  * 2³¹ positions (~2 G chars per job slice). Beyond that, shard the
+  * corpus or swap the packed long for a two-column sort key — the
+  * relabeling is value-pure either way.
+  */
+object SuffixRanks {
+
+  private val M = 1L << 31
+
+  private def powL(base: Long, e: Int): Long = {
+    var v = 1L; var i = 0
+    while (i < e) { v *= base; i += 1 }
+    v
+  }
+
+  /** `docs`: one row per document — (doc long, text string). Returns
+    * (doc, i, r) — one row per character position, i 0-based — with
+    * the equal-rank ⟺ equal-L-prefix property above. The result is an
+    * eager localCheckpoint (materialized, lineage-free); callers
+    * outside a clearCache() harness should `unpersist()` it after
+    * their final action to release the checkpoint blocks. */
+  def ranks(docs: DataFrame, L: Int, ordered: Boolean = false,
+            buckets: Int = 32): DataFrame = {
+    require(L >= 2 && (L & (L - 1)) == 0, s"L must be a power of two, got $L")
+    val base = docs.select(col("doc").cast("long").as("doc"),
+        col("text"), length(col("text")).cast("long").as("len"))
+      .filter(col("len") > 0)
+    // Global 1-based position id (the class-representative pool):
+    // doc-offset prefix sum + in-doc index. One row per doc; the
+    // prefix sum distributes via Ranks.
+    val lens = base.select(col("doc"), col("len"))
+    val off = Ranks.prefixSum(lens, col("doc"), col("doc"), col("len"), "cum")
+      .select(col("doc"), (col("cum") - col("len")).as("off"))
+    val chars = base.join(off, Seq("doc"))
+      .select(col("doc"), col("text"), col("len"), col("off"),
+        explode(sequence(lit(0L), col("len") - 1)).as("i"))
+    // alphabet probe: one scan; digits are code+1 so the off-end
+    // sentinel 0 sorts below every real character
+    val maxCode = chars
+      .agg(max(expr("ascii(substr(text, cast(i as int) + 1, 1))")))
+      .head().getInt(0)
+    val radix = maxCode.toLong + 2
+    // largest power-of-two block with radix^b <= 2^62, capped at L
+    var b = 1
+    while (b * 2 <= L && BigInt(radix).pow(b * 2) <= (BigInt(1) << 62))
+      b *= 2
+    val key0 = (0 until b).map { j =>
+      when(col("i") + j < col("len"),
+        (expr(s"ascii(substr(text, cast(i as int) + ${j + 1}, 1))") + 1)
+          .cast("long"))
+        .otherwise(0L) * lit(powL(radix, b - 1 - j))
+    }.reduce(_ + _)
+    val keyed = base.join(off, Seq("doc"))
+      .select(col("doc"), col("text"), col("len"),
+        explode(sequence(lit(0L), col("len") - 1)).as("i"),
+        col("off"))
+      .select(col("doc"), col("i"), (col("off") + col("i") + 1).as("pos"),
+        key0.as("key"))
+      .localCheckpoint() // eager: truncate lineage at the source
+    val n = keyed.count()
+    require(n < M, s"$n positions exceeds the packed-rank capacity $M; shard the corpus")
+    // Relabel = ONE hash-partitioned window per step (min(pos) over
+    // the key class) for the dedup variant — no global sort, no
+    // join-back shuffle. The ordered variant pays the extra dense-rank
+    // machinery (distinct + distributed row number + join) to make
+    // label ORDER lexicographic.
+    def relabel(frame: DataFrame): DataFrame =
+      if (ordered)
+        frame.join(
+          Ranks.rowNumberGlobal(frame.select("key").distinct(),
+            col("key"), col("key"), "nr", buckets), Seq("key"))
+          .select(col("doc"), col("i"), col("pos"), col("nr").as("r"))
+      else frame
+        .withColumn("nr", min(col("pos")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("key"))))
+        .select(col("doc"), col("i"), col("pos"), col("nr").as("r"))
+    var p = relabel(keyed).localCheckpoint()
+    keyed.unpersist()
+    var k = b
+    while (k < L) {
+      val shifted = p.select(col("doc"), (col("i") - k).as("i"),
+        col("r").as("r2"))
+      val paired = p.join(shifted, Seq("doc", "i"), "left")
+        .withColumn("key", col("r") * M + coalesce(col("r2"), lit(0L)))
+      val next = relabel(paired).localCheckpoint()
+      p.unpersist()
+      p = next
+      k *= 2
+    }
+    p.select(col("doc"), col("i"), col("r"))
+  }
+}

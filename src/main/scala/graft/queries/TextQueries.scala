@@ -2071,9 +2071,67 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** q172 — EXACT substring deduplication census via distributed
+    * suffix-prefix ranks ([[graft.functions.SuffixRanks]], prefix
+    * doubling): for every full 64-char window position in the corpus,
+    * decide whether that exact 64-gram occurs anywhere else (any doc,
+    * any offset), and report the per-source duplication density. This
+    * is the true suffix-array dedup of Lee et al. that q104/q137's
+    * bounded spans approximate: the rank table makes "same 64-prefix"
+    * a GROUP-BY key, so the census is one keyed aggregation — no
+    * gram-string shuffle (the packed longs shuffled per round are 8
+    * bytes vs 64-byte grams), no all-pairs anything.
+    *
+    * The oracle materializes every 64-gram string and groups on it —
+    * correct and simple for an independent engine, but the very shape
+    * (shuffling |corpus|·64 bytes of gram text) that the rank table
+    * exists to avoid at 100 TB. Six doubling rounds, each one keyed
+    * join + one distributed dense-rank; lineage stays one round deep
+    * (per-round persist/release). */
+  val q172 = QueryDef(
+    "q172_suffix_dedup",
+    """WITH d AS (
+      |  SELECT doc_id, source, text, length(text) AS len FROM documents),
+      |e AS (
+      |  SELECT doc_id, source, text,
+      |    unnest(range(1, len - 62)) AS i
+      |  FROM d WHERE len >= 64),
+      |p AS (
+      |  SELECT doc_id, source, substr(text, CAST(i AS INT), 64) AS g
+      |  FROM e),
+      |c AS (
+      |  SELECT g, COUNT(*) AS cnt FROM p GROUP BY g)
+      |SELECT p.source, COUNT(*) AS n_pos64,
+      |  CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_pos,
+      |  CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) * 1000000
+      |    // COUNT(*) AS BIGINT) AS dup_ppm
+      |FROM p JOIN c USING (g)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        col("text"), length(col("text")).as("len"))
+    val r = graft.functions.SuffixRanks.ranks(
+      docs.select(col("doc_id").as("doc"), col("text")), L = 64)
+    val full = r
+      .join(docs.select(col("doc_id").as("doc"), col("source"),
+        col("len")), Seq("doc"))
+      .filter(col("i") + 64 <= col("len"))
+    // class size via ONE keyed window (hash-partitioned on the rank,
+    // never a global sort) instead of a groupBy + join-back
+    full
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("r"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pos64"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_pos"))
+      .withColumn("dup_ppm", expr("n_dup_pos * 1000000 div n_pos64"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
-      q156, q164, q165, q169)
+      q156, q164, q165, q169, q172)
 }
