@@ -2129,9 +2129,63 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** q173 — Aho–Corasick blocklist matching
+    * ([[graft.functions.AhoCorasick]]): the automaton is built ONCE
+    * driver-side from the bounded pattern vocabulary, broadcast, and
+    * every document is scanned in ONE pass regardless of |patterns| —
+    * vs q73's per-pattern form whose cost grows with the blocklist.
+    * Matching is substring-level and overlap-inclusive ("park" is
+    * found inside "spark" via the fail-chain output links — both
+    * patterns appear below precisely to exercise that path). The
+    * oracle counts the same occurrences positionally (every i where
+    * substr(text, i, len(pat)) = pat), the exact overlap-inclusive
+    * semantics. Census: per (source, pattern) documents matched and
+    * total occurrences. At 100 TB: pure map-side scan + one
+    * map-side-combined aggregation over |sources|·|patterns| groups;
+    * the AhoCorasickSpec records the measured one-pass-vs-per-pattern
+    * comparison at sf0.1. */
+  val q173 = QueryDef(
+    "q173_aho_corasick",
+    """WITH pats AS (
+      |  SELECT * FROM (VALUES ('customer'), ('spark'), ('park'),
+      |    ('value part'), ('data')) AS p(pattern)),
+      |d AS (
+      |  SELECT doc_id, source, text, length(text) AS len FROM documents),
+      |e AS (
+      |  SELECT doc_id, source, text, len, pattern,
+      |    length(pattern) AS plen
+      |  FROM d, pats WHERE len >= length(pattern)),
+      |pos AS (
+      |  SELECT doc_id, source, pattern, plen, text,
+      |    unnest(range(1, len - plen + 2)) AS i
+      |  FROM e),
+      |m AS (
+      |  SELECT doc_id, source, pattern FROM pos
+      |  WHERE substr(text, CAST(i AS INT), CAST(plen AS INT)) = pattern)
+      |SELECT source, pattern,
+      |  COUNT(DISTINCT doc_id) AS docs_matched,
+      |  COUNT(*) AS occurrences
+      |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val pats = Seq("customer", "spark", "park", "value part", "data")
+    val ac = graft.functions.AhoCorasick.build(pats)
+    val bc = s.sparkContext.broadcast(ac)
+    val countsUdf = udf((text: String) => bc.value.countMatches(text))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        posexplode(countsUdf(col("text"))).as(Seq("pid", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(col("doc_id"), col("source"),
+        element_at(lit(pats.toArray), col("pid") + 1).as("pattern"),
+        col("cnt"))
+      .groupBy(col("source"), col("pattern"))
+      .agg(countDistinct(col("doc_id")).as("docs_matched"),
+        sum(col("cnt")).as("occurrences"))
+      .orderBy("source", "pattern")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
-      q156, q164, q165, q169, q172)
+      q156, q164, q165, q169, q172, q173)
 }
