@@ -836,7 +836,74 @@ object VectorQueries {
           .otherwise(0L).as("mrr_ppm"))
   }
 
+  /** q174 — IVF quantizer drift monitor
+    * ([[graft.ml.IvfMonitor.driftCensus]]): the operational "has the
+    * quantizer drifted enough to retrain?" check. Stored quantizer =
+    * the q43b seed centroids (vec_id < 16); fresh slice = every 5th
+    * vector (the newly-arrived data stand-in). One exact-integer
+    * Lloyd step: assign fresh to stored cells, recompute each cell's
+    * centroid as the element-wise integer mean of its fresh members
+    * (empty cells keep the stored centroid), re-assign, and report
+    * per stored cell the membership, the shifted count/fraction, and
+    * the quantization error before vs after. All micro-unit integer
+    * arithmetic (the q56/q43b trick) so DuckDB reproduces every
+    * value; KMeansInvariantSpec pins the shift semantics on
+    * constructed drift fixtures. Scale: two broadcast-centroid
+    * argmin passes + one (cid, pos)-keyed mean — nothing sorts or
+    * pairs the data globally. */
+  val q174 = QueryDef(
+    "q174_ivf_drift",
+    s"""WITH se AS (
+      |  SELECT vec_id, t.i AS pos,
+      |    CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE)*1e6 + 0.5) AS BIGINT) AS k
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) t),
+      |sc AS (SELECT vec_id AS cid, pos, k AS ck FROM se WHERE vec_id < 16),
+      |fr AS (SELECT vec_id, pos, k FROM se WHERE vec_id % 5 = 0),
+      |d0 AS (
+      |  SELECT fr.vec_id, sc.cid,
+      |    CAST(SUM((fr.k - sc.ck)*(fr.k - sc.ck)) AS BIGINT) AS d2
+      |  FROM fr JOIN sc ON fr.pos = sc.pos GROUP BY 1, 2),
+      |a0 AS (
+      |  SELECT vec_id, cid, d2 FROM (
+      |    SELECT vec_id, cid, d2,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM d0) WHERE rn = 1),
+      |nm AS (
+      |  SELECT a0.cid, fr.pos,
+      |    CAST(FLOOR(CAST(SUM(fr.k) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mk
+      |  FROM fr JOIN a0 ON fr.vec_id = a0.vec_id GROUP BY 1, 2),
+      |nc AS (
+      |  SELECT sc.cid, sc.pos, COALESCE(nm.mk, sc.ck) AS ck
+      |  FROM sc LEFT JOIN nm ON sc.cid = nm.cid AND sc.pos = nm.pos),
+      |d1 AS (
+      |  SELECT fr.vec_id, nc.cid,
+      |    CAST(SUM((fr.k - nc.ck)*(fr.k - nc.ck)) AS BIGINT) AS d2
+      |  FROM fr JOIN nc ON fr.pos = nc.pos GROUP BY 1, 2),
+      |a1 AS (
+      |  SELECT vec_id, cid, d2 FROM (
+      |    SELECT vec_id, cid, d2,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM d1) WHERE rn = 1)
+      |SELECT a0.cid, COUNT(*) AS n_members,
+      |  CAST(SUM(CASE WHEN a1.cid <> a0.cid THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_shifted,
+      |  CAST(SUM(CASE WHEN a1.cid <> a0.cid THEN 1 ELSE 0 END) * 1000000
+      |    // COUNT(*) AS BIGINT) AS shift_ppm,
+      |  CAST(SUM(a0.d2) AS BIGINT) AS d2_stored,
+      |  CAST(SUM(a1.d2) AS BIGINT) AS d2_new
+      |FROM a0 JOIN a1 USING (vec_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ke = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long"))
+        .as("k"))
+    val stored = ke.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("k").as("ck"))
+    val fresh = ke.filter(col("vec_id") % 5 === 0)
+    graft.ml.IvfMonitor.driftCensus(fresh, stored)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131,
-      q134, q135, q151, q155)
+      q134, q135, q151, q155, q174)
 }
