@@ -323,7 +323,16 @@ object Curation {
     * Scale: segmentation is row-local (slice expressions — the corpus
     * is exploded into ~n/width segments, never into tokens); the
     * census is one keyed agg on the 32-byte hash; the mark-back one
-    * equi-join. Same 100-TB shape as exact dedup. */
+    * equi-join. Same 100-TB shape as exact dedup.
+    *
+    * CACHING CONTRACT (the [[graft.functions.Ranks]] discipline): the
+    * internal segment frame feeds both the census and the mark-back,
+    * so it is persisted here and STAYS cached — there is no safe
+    * point inside to unpersist (the returned frame reads it lazily).
+    * Inside the Bench/Verify harness the per-query clearCache()
+    * releases it; long-lived callers should call
+    * [[releaseBoilerplate]] on the RETURNED frame after their final
+    * action. */
   def boilerplateSegments(docs: DataFrame, width: Int = 10,
                           minDocs: Int = 2): DataFrame = {
     require(width >= 1 && minDocs >= 2,
@@ -346,8 +355,23 @@ object Curation {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("h"), lit(1L).as("rem"))
+    pinnedSegs.add(segs)
     segs.join(boiler, Seq("h"), "left_outer")
       .select(col("doc_id"), col("source"), col("h"), col("seg_len"),
         coalesce(col("rem"), lit(0L)).as("rem"))
+  }
+
+  /** Frames [[boilerplateSegments]] pinned (see its caching contract). */
+  private val pinnedSegs =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  /** Release every segment frame [[boilerplateSegments]] has pinned so
+    * far. Call after the final action on the returned frame(s); later
+    * actions on those frames recompute the segments instead of
+    * reading cache (correct, just slower). No-op when nothing is
+    * pinned — always safe in a `finally`. */
+  def releaseBoilerplate(): Unit = {
+    var f = pinnedSegs.poll()
+    while (f != null) { f.unpersist(blocking = true); f = pinnedSegs.poll() }
   }
 }

@@ -2526,11 +2526,11 @@ object PipelineQueries {
       |  SELECT MAX(n) AS n_rows,
       |    MIN(CASE WHEN rn = GREATEST(1, (n * 5) // 100)
       |      THEN value END) AS lo,
-      |    MAX(CASE WHEN rn = n - (n * 5) // 100 + 1
+      |    MAX(CASE WHEN rn = LEAST(n, n - (n * 5) // 100 + 1)
       |      THEN value END) AS hi
       |  FROM r, n
       |  WHERE rn = GREATEST(1, (n * 5) // 100)
-      |    OR rn = n - (n * 5) // 100 + 1),
+      |    OR rn = LEAST(n, n - (n * 5) // 100 + 1)),
       |c AS (
       |  SELECT n_rows, lo, hi,
       |    CASE WHEN value < lo THEN lo
@@ -2547,7 +2547,11 @@ object PipelineQueries {
     val ev = Tables.events(s, d).select(col("event_id"), col("value"))
     val n = ev.agg(count(lit(1)).as("n"))
     val loRank = greatest(lit(1L), expr("(n * 5) div 100"))
-    val hiRank = expr("n - (n * 5) div 100 + 1")
+    // LEAST clamp: at n < 20 the raw hi rank is n + 1 (matches no
+    // row) and high-side clipping would silently turn off while the
+    // low side clips at the minimum (round-6 ADVICE) — clamp to the
+    // maximum value instead, symmetric with the GREATEST on lo
+    val hiRank = least(col("n"), expr("n - (n * 5) div 100 + 1"))
     val bounds = graft.functions.Ranks
       .rowNumberGlobal(ev, col("value"), col("event_id"), "rn")
       .crossJoin(broadcast(n))
@@ -2604,7 +2608,7 @@ object PipelineQueries {
          |  SELECT CAST(MIN(s) AS BIGINT) AS cm_f2 FROM (
          |    SELECT d, SUM(c * c) AS s FROM cells GROUP BY d))
          |SELECT exact_f2, cm_f2,
-         |  CAST((cm_f2 - exact_f2) * 1000000 // exact_f2 AS BIGINT)
+         |  CAST((cm_f2 - exact_f2) // (exact_f2 // 1000000 + 1) AS BIGINT)
          |    AS inflation_ppm
          |FROM ex, es""".stripMargin
     }) { (s, d) =>
@@ -2618,7 +2622,13 @@ object PipelineQueries {
       .agg(min(col("s")).as("cm_f2"))
     exact.crossJoin(broadcast(est))
       .select(col("exact_f2"), col("cm_f2"),
-        expr("(cm_f2 - exact_f2) * 1000000 div exact_f2")
+        // divide-first form: (cm-exact)*1e6 wraps BIGINT once F2
+        // passes ~9.2e12 (a few million rows on a skewed key) and
+        // Spark (non-ANSI) wraps where DuckDB raises — pre-dividing
+        // the denominator keeps every intermediate in range at any
+        // scale; the +1 makes it total and only perturbs the ppm by
+        // <1 part in 1e6 (round-6 ADVICE)
+        expr("(cm_f2 - exact_f2) div (exact_f2 div 1000000 + 1)")
           .as("inflation_ppm"))
   }
 

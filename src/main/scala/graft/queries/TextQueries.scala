@@ -1904,10 +1904,14 @@ object TextQueries {
       |ss AS (
       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shared_fp
       |  FROM f JOIN sh USING (fh) GROUP BY source)
-      |SELECT gs.source, n_docs, n_grams, n_fp,
-      |  CAST(n_fp * 1000000 // n_grams AS BIGINT) AS density_ppm,
+      |SELECT gs.source, n_docs, n_grams,
+      |  CAST(COALESCE(n_fp, 0) AS BIGINT) AS n_fp,
+      |  CAST(COALESCE(n_fp, 0) * 1000000 // n_grams AS BIGINT)
+      |    AS density_ppm,
       |  CAST(COALESCE(n_shared_fp, 0) AS BIGINT) AS n_shared_fp
-      |FROM gs JOIN fs USING (source) LEFT JOIN ss USING (source)
+      |-- LEFT joins: a source whose docs all bear 5-7 tokens has grams
+      |-- but zero fingerprints (i >= w) and must still appear, n_fp 0
+      |FROM gs LEFT JOIN fs USING (source) LEFT JOIN ss USING (source)
       |ORDER BY source""".stripMargin) { (s, d) =>
     val t = split(col("text"), " ")
     // gram volume is row-local (len − 4 per doc): the per-source census
@@ -1929,10 +1933,15 @@ object TextQueries {
     val fs = f.groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
     val ss = f.join(sh, Seq("fh"))
       .groupBy(col("source")).agg(count(lit(1)).as("n_shared_fp"))
-    gs.join(fs, Seq("source"))
+    // LEFT joins: a source whose docs all bear 5-7 tokens has grams
+    // but zero fingerprints (the i >= w cut) and must still appear in
+    // the census with n_fp = 0 (round-6 ADVICE)
+    gs.join(fs, Seq("source"), "left_outer")
       .join(ss, Seq("source"), "left_outer")
-      .select(col("source"), col("n_docs"), col("n_grams"), col("n_fp"),
-        expr("n_fp * 1000000L div n_grams").as("density_ppm"),
+      .select(col("source"), col("n_docs"), col("n_grams"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        expr("coalesce(n_fp, 0L) * 1000000L div n_grams")
+          .as("density_ppm"),
         coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"))
       .orderBy("source")
   }
