@@ -5,12 +5,38 @@ import org.apache.spark.sql.functions._
 
 /** Skew-mitigation helpers for hot keys at scale.
   *
-  * AQE's skew-join splitting handles most cases at runtime; salting is
-  * the explicit tool when one reduce key dominates an AGGREGATION
-  * (AQE cannot split a single aggregation key). The two-phase shape:
-  * salt the key → partial aggregate on (key, salt) → final aggregate
-  * on key. Works for any algebraic aggregate (sum/count/min/max);
-  * distinct-style aggregates need the sketch route
+  * ADJUDICATION vs Spark 4's built-ins (measured in ExtensionsSpec's
+  * `adjudication:` cases — task-level shuffle bytes on a 200k-row hot
+  * key, recorded in the spec output):
+  *
+  *  - JOIN skew: AQE's OptimizeSkewedJoin splits the hot partition
+  *    natively (plan shows `skew=true`; wall time ≈ the manual salt's).
+  *    [[saltedJoin]] remains for paths AQE cannot touch: shuffle-free
+  *    SMJ over bucketed/co-partitioned inputs (no exchange to split),
+  *    joins whose output must keep hash partitioning for a downstream
+  *    consumer, AQE-off deployments, and PROACTIVE routing where the
+  *    skew profile is known ahead of runtime stats (q157's
+  *    sketch-driven split).
+  *  - Algebraic aggregation (sum/count/min/max): map-side partial
+  *    aggregation already collapses a hot key to one row per map
+  *    partition — measured 3.6KB crossing the exchange for a 2.4MB hot
+  *    key. [[saltedSumCount]] is belt-and-braces on modern Spark; keep
+  *    it for engines/paths without partial aggregation.
+  *  - Rank-limit windows (top-K per key): Spark 4's WindowGroupLimit
+  *    (SPARK-37099) prunes each map partition to K rows per key BEFORE
+  *    the exchange — the classic manual-salt territory (q76's salted
+  *    top-K) is also handled natively now.
+  *  - Large-state aggregation (collect_list-class, where the partial
+  *    state IS the data): neither AQE nor salting fixes the FINAL
+  *    landing — the whole per-key payload inherently converges on one
+  *    task. Two-phase salting bounds phase one's sort/buffer (measured
+  *    224KB vs 862KB max-task). At scale, restructure the consumer
+  *    (partitioned writes, windowed chunks) instead of materializing
+  *    hot lists.
+  *
+  * The two-phase shape: salt the key → partial aggregate on
+  * (key, salt) → final aggregate on key. Works for any algebraic
+  * aggregate; distinct-style aggregates need the sketch route
   * (`approx_count_distinct`) instead.
   */
 object Skew {
