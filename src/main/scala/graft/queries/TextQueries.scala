@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Text
+import graft.functions.{LangModel, Text}
 
 /** Training-data curation operators over the `documents` table:
   * exact + near-duplicate detection (MinHash/LSH, SimHash, n-gram
@@ -172,26 +172,34 @@ object TextQueries {
     * quadratic all-pairs product never materializes. Candidate pairs
     * then join back to distinct-shingle sets for exact verification —
     * integer set sizes, so the Jaccard division is bit-identical. */
+  /** Shared oracle CTE block: LSH band candidates + distinct shingle
+    * sets (`cand(da, db)`, `sets(doc_id, st)`) — the q24 pipeline up
+    * to the verify stage, reused verbatim by q176's threshold sweep. */
+  private def lshCandSql: String = {
+    val sigCols = (0 until K)
+      .map(j => s"min((a + $j * hb) % 4294967296) AS mh$j").mkString(", ")
+    val bandCase = (0 until B).map { b =>
+      val cat = (0 until R).map(r => s"CAST(mh${R * b + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"WHEN $b THEN $cat"
+    }.mkString(" ")
+    tokCte + ",\n" + abCte +
+      s""",
+      |sig AS (SELECT doc_id, $sigCols FROM ab GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, b, CASE b $bandCase END AS bsig
+      |  FROM sig CROSS JOIN range($B) AS r(b)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+      |  FROM bands x JOIN bands y
+      |    ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+      |sets AS (SELECT doc_id, list_distinct(sh) AS st FROM shl)""".stripMargin
+  }
+
   val q24 = QueryDef(
-    "q24_lsh_near_dup", {
-      val sigCols = (0 until K)
-        .map(j => s"min((a + $j * hb) % 4294967296) AS mh$j").mkString(", ")
-      val bandCase = (0 until B).map { b =>
-        val cat = (0 until R).map(r => s"CAST(mh${R * b + r} AS VARCHAR)")
-          .mkString(" || ',' || ")
-        s"WHEN $b THEN $cat"
-      }.mkString(" ")
-      tokCte + ",\n" + abCte +
-        s""",
-        |sig AS (SELECT doc_id, $sigCols FROM ab GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, b, CASE b $bandCase END AS bsig
-        |  FROM sig CROSS JOIN range($B) AS r(b)),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-        |  FROM bands x JOIN bands y
-        |    ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
-        |sets AS (SELECT doc_id, list_distinct(sh) AS st FROM shl),
+    "q24_lsh_near_dup",
+    lshCandSql +
+      s""",
         |jac AS (
         |  SELECT c.da, c.db,
         |    len(list_intersect(sa.st, sb.st)) * 1.0 /
@@ -203,8 +211,7 @@ object TextQueries {
         |SELECT da AS doc_a, db AS doc_b,
         |  CAST(FLOOR(j * 10000 + 0.5) AS BIGINT) / 10000.0 AS jaccard
         |FROM jac WHERE j >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin
-    }) { (s, d) =>
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     // ONE persisted shingle pass feeds signatures AND verify sets
     // (the q104/Ranks multi-consumer rule; retention bounded by the
     // harness clearCache contract). Broadcast discipline (r2 verdict
@@ -2192,9 +2199,86 @@ object TextQueries {
       .orderBy("source", "pattern")
   }
 
+  /** q175 — skip-gram collocation mining with PMI scoring (the
+    * word2vec/SGNS training-pair extraction stage, Mikolov et al.
+    * 2013, plus the classic collocation statistic): ordered token
+    * pairs within a ±2 window per document, counted corpus-wide, PMI
+    * on the integer milli-nat grid (the q130 portability contract):
+    *
+    *   pmi_milli = mnat(c_pair) + 2·mnat(N) − mnat(P) − mnat(c₁) − mnat(c₂)
+    *
+    * computed as the SAME sum of floor(1000·ln k) terms on both
+    * engines (floors of sums never mix with sums of floors). Top 20
+    * pairs with count ≥ 5, fully ordered by (pmi, pair).
+    *
+    * Scale shape: pair generation is the SuffixRanks shift trick —
+    * the context side is the token frame re-keyed to (doc, i+1) and
+    * (doc, i+2), then ONE equi-join on (doc, j) — never a per-doc
+    * quadratic join+filter; unigram/pair counts are keyed censuses
+    * (vocab- and vocab²-bounded); N and P ride broadcast one-row
+    * frames; the final cut is a TakeOrdered top-20. */
+  val q175 = QueryDef(
+    "q175_skipgram_pmi",
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |p AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t),
+      |w AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |    toks[CAST(i AS INT)] AS w
+      |  FROM p),
+      |pr AS (
+      |  SELECT a.w AS w1, b.w AS w2
+      |  FROM w a JOIN w b
+      |    ON a.doc_id = b.doc_id AND b.i - a.i IN (1, 2)),
+      |pc AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_pair
+      |  FROM pr GROUP BY 1, 2),
+      |uc AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1),
+      |tot AS (
+      |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM pr) AS p)
+      |SELECT w1, w2, c_pair,
+      |  ${LangModel.mnatSql("c_pair")} + 2 * ${LangModel.mnatSql("n")}
+      |    - ${LangModel.mnatSql("p")} - ${LangModel.mnatSql("u1.c")}
+      |    - ${LangModel.mnatSql("u2.c")} AS pmi_milli
+      |FROM pc JOIN uc u1 ON pc.w1 = u1.w
+      |  JOIN uc u2 ON pc.w2 = u2.w CROSS JOIN tot
+      |WHERE c_pair >= 5
+      |ORDER BY pmi_milli DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+    import graft.functions.LangModel.mnat
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id").as("doc"),
+        posexplode(split(col("text"), " ")).as(Seq("i0", "w")))
+      .select(col("doc"), (col("i0") + 1).cast("long").as("i"), col("w"))
+    // context side re-keyed to (doc, i+1)/(doc, i+2): ONE equi-join,
+    // never a per-doc quadratic join+filter
+    val ctx = toks.select(col("doc"), explode(array(col("i") + 1,
+        col("i") + 2)).as("i"), col("w").as("w2"))
+    val pairs = toks.withColumnRenamed("w", "w1")
+      .join(ctx, Seq("doc", "i"))
+      .select(col("w1"), col("w2"))
+      .persist() // feeds the pair census AND the total
+    val pc = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_pair"))
+    val uc = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("n"))
+      .crossJoin(pairs.agg(count(lit(1)).as("p")))
+    pc.filter(col("c_pair") >= 5)
+      .join(uc.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uc.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c_pair"),
+        (mnat(col("c_pair")) + lit(2) * mnat(col("n")) - mnat(col("p"))
+          - mnat(col("c1")) - mnat(col("c2"))).as("pmi_milli"))
+      .orderBy(col("pmi_milli").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
-      q156, q164, q165, q169, q172, q173)
+      q156, q164, q165, q169, q172, q173, q175)
 }
