@@ -2252,10 +2252,12 @@ object TextQueries {
       .select(col("doc_id").as("doc"),
         posexplode(split(col("text"), " ")).as(Seq("i0", "w")))
       .select(col("doc"), (col("i0") + 1).cast("long").as("i"), col("w"))
-    // context side re-keyed to (doc, i+1)/(doc, i+2): ONE equi-join,
-    // never a per-doc quadratic join+filter
-    val ctx = toks.select(col("doc"), explode(array(col("i") + 1,
-        col("i") + 2)).as("i"), col("w").as("w2"))
+    // context side re-keyed to (doc, i-1)/(doc, i-2), so the row
+    // joined at key i carries the token from i+1/i+2 (the LATER
+    // token = w2): ONE equi-join, never a per-doc quadratic
+    // join+filter
+    val ctx = toks.select(col("doc"), explode(array(col("i") - 1,
+        col("i") - 2)).as("i"), col("w").as("w2"))
     val pairs = toks.withColumnRenamed("w", "w1")
       .join(ctx, Seq("doc", "i"))
       .select(col("w1"), col("w2"))
@@ -2276,9 +2278,81 @@ object TextQueries {
       .limit(20)
   }
 
+  /** q176 — dedup threshold sensitivity sweep (the knob-tuning
+    * report a curation run consults before fixing the near-dup τ):
+    * every verified LSH candidate pair is scored ONCE (exact shingle
+    * intersection/union counts) and then counted against five
+    * Jaccard thresholds in one conditional-aggregation pass — pairs
+    * kept and documents flagged per τ. Threshold comparisons are
+    * pure integer (`inter·100 ≥ τ·union`), so no float-boundary
+    * drift between engines. Candidates come from the q24 band
+    * contract (B=4, R=4 tuned for τ≈0.8): for LOWER τ the report is
+    * explicitly "among LSH candidates" — the recall caveat a real
+    * run re-tunes bands for, stated rather than hidden.
+    *
+    * Scale: one band self-join (the bounded-candidate contract), one
+    * verify join, then a 5×-explode of the PAIR frame (candidates,
+    * not corpus) into two keyed censuses. */
+  val q176 = QueryDef(
+    "q176_dedup_thresholds",
+    lshCandSql +
+      s""",
+      |jc AS (
+      |  SELECT c.da, c.db,
+      |    len(list_intersect(sa.st, sb.st)) AS inter,
+      |    len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st))
+      |      AS uni
+      |  FROM cand c
+      |  JOIN sets sa ON sa.doc_id = c.da
+      |  JOIN sets sb ON sb.doc_id = c.db),
+      |th AS (SELECT unnest([50, 60, 70, 80, 90]) AS threshold_pct),
+      |m AS (
+      |  SELECT threshold_pct, da, db FROM jc CROSS JOIN th
+      |  WHERE inter * 100 >= threshold_pct * uni),
+      |pairs AS (
+      |  SELECT threshold_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |  FROM m GROUP BY 1),
+      |docs AS (
+      |  SELECT threshold_pct, CAST(COUNT(*) AS BIGINT) AS n_docs_flagged
+      |  FROM (SELECT threshold_pct, da AS doc FROM m
+      |        UNION SELECT threshold_pct, db FROM m)
+      |  GROUP BY 1)
+      |SELECT th.threshold_pct AS threshold_pct,
+      |  COALESCE(n_pairs, 0) AS n_pairs,
+      |  COALESCE(n_docs_flagged, 0) AS n_docs_flagged
+      |FROM th LEFT JOIN pairs USING (threshold_pct)
+      |  LEFT JOIN docs USING (threshold_pct)
+      |ORDER BY threshold_pct""".stripMargin) { (s, d) =>
+    val shl = persistedShingles(s, d)
+    val cand = selfBandPairs(bandTable(shl))
+    val inter = size(array_intersect(col("sta"), col("stb")))
+    val jc = pairSets(cand, shingleSets(shl))
+      .select(col("da"), col("db"), inter.as("inter"),
+        (size(col("sta")) + size(col("stb")) - inter).as("uni"))
+    val m = jc
+      .select(col("da"), col("db"), col("inter"), col("uni"),
+        explode(lit(Array(50, 60, 70, 80, 90))).as("threshold_pct"))
+      .filter(col("inter") * 100 >= col("threshold_pct") * col("uni"))
+    val pairsC = m.groupBy(col("threshold_pct"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docsC = m.select(col("threshold_pct"), col("da").as("doc"))
+      .union(m.select(col("threshold_pct"), col("db").as("doc")))
+      .distinct()
+      .groupBy(col("threshold_pct"))
+      .agg(count(lit(1)).as("n_docs_flagged"))
+    val th = s.range(5).select((col("id") * 10 + 50).cast("int")
+      .as("threshold_pct"))
+    th.join(pairsC, Seq("threshold_pct"), "left_outer")
+      .join(docsC, Seq("threshold_pct"), "left_outer")
+      .select(col("threshold_pct"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_flagged"), lit(0L)).as("n_docs_flagged"))
+      .orderBy("threshold_pct")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
-      q156, q164, q165, q169, q172, q173, q175)
+      q156, q164, q165, q169, q172, q173, q175, q176)
 }
