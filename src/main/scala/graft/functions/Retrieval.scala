@@ -70,6 +70,83 @@ object Retrieval {
       .agg(count(lit(1)).as("n_terms"), sum(col("s")).as("score_u"))
   }
 
+  /** Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty,
+    * SIGIR 2001) — the language-model complement to [[bm25]]:
+    *
+    *   score(q, d) = Σ_w ln( (tf(w,d) + μ·p(w|C)) / (dl + μ) )
+    *
+    * with p(w|C) = ctf(w)/|C|. Multiplying the log argument through
+    * by |C| makes every ln argument an INTEGER:
+    *
+    *   score_milli = Σ_w [ mnat(tf·|C| + μ·ctf) − mnat(|C|) − mnat(dl + μ) ]
+    *
+    * so the whole score rides the milli-nat grid — same portability
+    * contract as bm25, no float crosses the engine boundary. Unlike
+    * bm25, EVERY document scores EVERY query term (smoothing gives
+    * absent terms probability mass — that is the model's point), so
+    * the per-doc frame is a bounded |terms|-way broadcast cross join,
+    * with tf left-joined (absent → 0). Query terms must occur in the
+    * corpus (ctf ≥ 1) or their smoothed mass is ln 0 — enforced.
+    *
+    * Overflow headroom: tf·|C| ≤ 10³·10¹³ at 100 TB — inside a long.
+    * Output: (doc_id, n_hit, score_milli), one row per document. */
+  def dirichletQL(docs: DataFrame, terms: Seq[String],
+                  mu: Long = 1000L): DataFrame = {
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val csize = dl.agg(sum(col("dl")).as("c"))
+    val tok = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val ctf = tok.groupBy(col("token")).agg(count(lit(1)).as("ctf"))
+    dl.crossJoin(broadcast(ctf))
+      .join(tf, Seq("doc_id", "token"), "left_outer")
+      .withColumn("tf0", coalesce(col("tf"), lit(0L)))
+      .crossJoin(broadcast(csize))
+      .withColumn("ts",
+        LangModel.mnat(col("tf0") * col("c") + lit(mu) * col("ctf"))
+          - LangModel.mnat(col("c"))
+          - LangModel.mnat(col("dl") + mu))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("tf0") > 0, 1L).otherwise(0L)).as("n_hit"),
+        sum(col("ts")).as("score_milli"))
+  }
+
+  /** DuckDB CTE chain mirroring [[dirichletQL]] bit-for-bit, ending
+    * in `ql(doc_id, n_hit, score_milli)`. Starts with `WITH`. */
+  def dirichletQLCteSql(terms: Seq[String], mu: Long = 1000L): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    def mn(e: String) = LangModel.mnatSql(e)
+    s"""WITH qdl AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |qc AS (SELECT CAST(SUM(dl) AS BIGINT) AS c FROM qdl),
+       |qtok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |qtf AS (
+       |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM qtok WHERE token IN ($inList) GROUP BY 1, 2),
+       |qctf AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS ctf
+       |  FROM qtok WHERE token IN ($inList) GROUP BY 1),
+       |qsc AS (
+       |  SELECT qdl.doc_id,
+       |    CASE WHEN qtf.tf IS NULL THEN 0 ELSE 1 END AS hit,
+       |    ${mn(s"COALESCE(qtf.tf, 0) * qc.c + $mu * qctf.ctf")}
+       |      - ${mn("qc.c")} - ${mn(s"qdl.dl + $mu")} AS ts
+       |  FROM qdl CROSS JOIN qctf
+       |  LEFT JOIN qtf ON qtf.doc_id = qdl.doc_id AND qtf.token = qctf.token
+       |  CROSS JOIN qc),
+       |ql AS (
+       |  SELECT doc_id, CAST(SUM(hit) AS BIGINT) AS n_hit,
+       |    CAST(SUM(ts) AS BIGINT) AS score_milli
+       |  FROM qsc GROUP BY doc_id)""".stripMargin
+  }
+
   /** DuckDB CTE chain mirroring [[bm25]] bit-for-bit, ending in
     * `bm(doc_id, n_terms, score_u)`. Starts with `WITH` — callers
     * append their SELECT (and further CTEs after a comma). */

@@ -63,6 +63,21 @@ object SuffixRanks {
     * their final action to release the checkpoint blocks. */
   def ranks(docs: DataFrame, L: Int, ordered: Boolean = false,
             buckets: Int = 32): DataFrame = {
+    val levels = rankLevels(docs, L, ordered, buckets)
+    levels.init.foreach(_._2.unpersist()) // single-level callers keep only L
+    levels.last._2.select(col("doc"), col("i"), col("r"))
+  }
+
+  /** Every intermediate rank level the doubling pass produces on its
+    * way to L — `(k, frame)` for k = b, 2b, …, L, each frame
+    * (doc, i, pos, r) CHECKPOINTED with the equal-rank ⟺
+    * equal-k-prefix property. The levels come FREE from the single
+    * prefix-doubling run (the loop passes through each k), which is
+    * what makes a duplication-length SPECTRUM one run instead of
+    * log L separate ones. All frames stay live; callers unpersist
+    * the ones they drop. */
+  def rankLevels(docs: DataFrame, L: Int, ordered: Boolean = false,
+                 buckets: Int = 32): Seq[(Int, DataFrame)] = {
     require(L >= 2 && (L & (L - 1)) == 0, s"L must be a power of two, got $L")
     // BYTE-level positions: `substr` on a STRING column is O(i) (it
     // must scan for UTF-8 char boundaries), which makes per-position
@@ -134,16 +149,17 @@ object SuffixRanks {
     var p = relabel(keyed).localCheckpoint()
     keyed.unpersist()
     var k = b
+    val levels = scala.collection.mutable.ArrayBuffer(k -> p)
     while (k < L) {
       val shifted = p.select(col("doc"), (col("i") - k).as("i"),
         col("r").as("r2"))
       val paired = p.join(shifted, Seq("doc", "i"), "left")
         .withColumn("key", col("r") * M + coalesce(col("r2"), lit(0L)))
       val next = relabel(paired).localCheckpoint()
-      p.unpersist()
       p = next
       k *= 2
+      levels += k -> p
     }
-    p.select(col("doc"), col("i"), col("r"))
+    levels.toSeq
   }
 }

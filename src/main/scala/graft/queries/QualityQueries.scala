@@ -406,5 +406,63 @@ object QualityQueries {
         .orderBy("source")
   }
 
-  val all: Seq[QueryDef] = Seq(q35, q39, q40, q93, q95, q142, q154)
+  /** q180 — Benford first-significant-digit forensics (Benford 1938;
+    * the fraud/synthetic-data screen an ingest pipeline runs on any
+    * monetary column): census of the first significant digit of
+    * `l_extendedprice` against the Benford expectation
+    * log₁₀(1 + 1/d). Digit extraction is integer-portable: prices
+    * snap to exact CENTS (BIGINT), and the first digit of an integer
+    * is `c div 10^(len(str(c)) − 1)` — integer-to-string rendering is
+    * identical across engines, no float formatting or libm log in
+    * the data path (the expectation table is nine literal ppm
+    * constants). Deviation in ppm per digit plus the row-wise
+    * absolute deviation — the "does this feed look fabricated"
+    * number. Scale: one projection + one 9-group census. */
+  val q180 = QueryDef(
+    "q180_benford_digits", {
+      val benford = Seq(301029, 176091, 124938, 96910, 79181,
+        66946, 57991, 51152, 45757)
+      val benfordCase = benford.zipWithIndex
+        .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }.mkString(" ")
+      s"""WITH c AS (
+        |  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |d AS (
+        |  SELECT cents // CAST(POW(10, LENGTH(CAST(cents AS VARCHAR)) - 1)
+        |    AS BIGINT) AS digit
+        |  FROM c),
+        |g AS (
+        |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+        |SELECT digit, n,
+        |  CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+        |  CAST(CASE digit $benfordCase END AS BIGINT) AS benford_ppm,
+        |  CAST(ABS(n * 1000000 // total - CASE digit $benfordCase END)
+        |    AS BIGINT) AS dev_ppm
+        |FROM g CROSS JOIN t
+        |ORDER BY digit""".stripMargin
+    }) { (s, d) =>
+    val benford = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    val benfordCol = benford.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (p, i)) => when(col("digit") === (i + 1), lit(p)).otherwise(acc)
+    }
+    val g = graft.Tables.lineitem(s, d)
+      .filter(col("l_extendedprice") > 0)
+      .select(floor(col("l_extendedprice") * 100 + lit(0.5))
+        .cast("long").as("cents"))
+      .select((col("cents") / pow(lit(10),
+        length(col("cents").cast("string")) - 1).cast("long"))
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val t = g.agg(sum(col("n")).as("total"))
+    g.crossJoin(broadcast(t))
+      .withColumn("share_ppm", expr("n * 1000000 div total"))
+      .withColumn("benford_ppm", benfordCol)
+      .withColumn("dev_ppm", abs(col("share_ppm") - col("benford_ppm")))
+      .select("digit", "n", "share_ppm", "benford_ppm", "dev_ppm")
+      .orderBy("digit")
+  }
+
+  val all: Seq[QueryDef] = Seq(q35, q39, q40, q93, q95, q142, q154, q180)
 }

@@ -2350,9 +2350,82 @@ object TextQueries {
       .orderBy("threshold_pct")
   }
 
+  /** q177 — Dirichlet-smoothed query-likelihood ranking (Zhai &
+    * Lafferty 2001; [[graft.functions.Retrieval.dirichletQL]]), the
+    * language-model retrieval complement to q147's BM25 over the SAME
+    * query terms — a real stack ships both and picks per workload.
+    * Every document scores every term (smoothing gives absent terms
+    * mass — the model's point), all on the integer milli-nat grid.
+    * Top 20 by (score, doc_id). Scale: |terms|-bounded broadcast
+    * cross join + one term-filtered keyed agg; no window. */
+  val q177 = QueryDef(
+    "q177_ql_retrieval",
+    graft.functions.Retrieval.dirichletQLCteSql(bmTerms) +
+      """
+        |SELECT doc_id, n_hit, score_milli
+        |FROM ql ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin) {
+    (s, d) =>
+      graft.functions.Retrieval.dirichletQL(Tables.documents(s, d), bmTerms)
+        .orderBy(col("score_milli").desc, col("doc_id"))
+        .limit(20)
+  }
+
+  /** q178 — duplication-length SPECTRUM from the suffix-rank levels
+    * ([[graft.functions.SuffixRanks.rankLevels]]): what fraction of
+    * the corpus is exactly duplicated at gram lengths 8/16/32/64 —
+    * the curve a dedup run reads to pick its span length (too short
+    * → everything "duplicates"; too long → real near-copies slip).
+    * The four levels come FREE from ONE prefix-doubling run (the
+    * loop passes through each k), so the whole spectrum costs one
+    * q172 plus four keyed censuses — where the oracle's naive form
+    * materializes and groups four full gram tables. */
+  val q178 = QueryDef(
+    "q178_dup_spectrum", {
+      val ks = Seq(8, 16, 32, 64)
+      val ctes = ks.map { k =>
+        s"""e$k AS (
+           |  SELECT text, unnest(range(1, len - ${k - 2})) AS i
+           |  FROM d WHERE len >= $k),
+           |p$k AS (
+           |  SELECT substr(text, CAST(i AS INT), $k) AS g FROM e$k),
+           |c$k AS (SELECT g, COUNT(*) AS cnt FROM p$k GROUP BY g),
+           |s$k AS (
+           |  SELECT $k AS k, CAST(SUM(cnt) AS BIGINT) AS n_pos,
+           |    CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+           |      AS n_dup
+           |  FROM c$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS len FROM documents),
+         |$ctes
+         |SELECT k, n_pos, n_dup,
+         |  n_dup * 1000000 // n_pos AS dup_ppm
+         |FROM (${ks.map(k => s"SELECT * FROM s$k").mkString(" UNION ALL ")})
+         |ORDER BY k""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").as("doc"), col("text"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("len"))
+    val lenF = docs.select(col("doc"), col("len"))
+    val levels = graft.functions.SuffixRanks.rankLevels(
+      docs.select(col("doc"), col("text")), L = 64)
+    val perLevel = levels.map { case (k, f) =>
+      f.join(lenF, Seq("doc"))
+        .filter(col("i") + k <= col("len"))
+        .withColumn("cnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("r"))))
+        .agg(count(lit(1)).as("n_pos"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .select(lit(k).as("k"), col("n_pos"), col("n_dup"))
+    }
+    perLevel.reduce(_ union _)
+      .withColumn("dup_ppm", expr("n_dup * 1000000 div n_pos"))
+      .orderBy("k")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
-      q156, q164, q165, q169, q172, q173, q175, q176)
+      q156, q164, q165, q169, q172, q173, q175, q176, q177, q178)
 }

@@ -903,7 +903,71 @@ object VectorQueries {
     graft.ml.IvfMonitor.driftCensus(fresh, stored)
   }
 
+  /** q179 — per-group embedding DIVERSITY via the centroid identity:
+    * the mean pairwise dot product over a group is a quadratic
+    * quantity computed in LINEAR work, because
+    *
+    *   Σ_{i≠j} vᵢ·vⱼ = ‖Σv‖² − Σ‖vᵢ‖²
+    *
+    * — no pair join EVER (the difference between feasible and not at
+    * 100 TB: a diversity probe over billions of embeddings is two
+    * keyed sums). Low mean pairwise dot = diverse group; high = the
+    * group is semantically collapsed (the SemDeDup q131 signal at
+    * population level). Elements snap to MILLI-unit integers (coarser
+    * than q43b's micro-units: the squared centroid sums grow with
+    * n²·u², and milli keeps ‖Σv‖² within long range up to ~10⁶-member
+    * groups; beyond that, carry the two sums in DECIMAL). The final
+    * mean uses floor(double division) of exact-integer operands —
+    * bit-identical on both engines.
+    *
+    * Groups: vec_id % 10 — the shard stand-in. */
+  val q179 = QueryDef(
+    "q179_embedding_diversity",
+    s"""WITH se AS (
+      |  SELECT vec_id, vec_id % 10 AS grp, t.i AS pos,
+      |    CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE)*1000 + 0.5) AS BIGINT) AS k
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) t),
+      |cent AS (
+      |  SELECT grp, pos, CAST(SUM(k) AS BIGINT) AS sv
+      |  FROM se GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT grp, CAST(SUM(sv * sv) AS BIGINT) AS s2 FROM cent GROUP BY 1),
+      |vn AS (
+      |  SELECT grp, vec_id, CAST(SUM(k * k) AS BIGINT) AS n2
+      |  FROM se GROUP BY 1, 2),
+      |gn AS (
+      |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(n2) AS BIGINT) AS sn
+      |  FROM vn GROUP BY 1)
+      |SELECT gn.grp, n,
+      |  CAST(s2 - sn AS BIGINT) AS pair_dot_sum,
+      |  CAST(n * (n - 1) AS BIGINT) AS n_pairs,
+      |  CAST(FLOOR(CAST(s2 - sn AS DOUBLE) / (n * (n - 1))) AS BIGINT)
+      |    AS mean_pair_dot_u
+      |FROM gn JOIN c2 ON gn.grp = c2.grp
+      |ORDER BY gn.grp""".stripMargin) { (s, d) =>
+    val se = Tables.embeddings(s, d).select(col("vec_id"),
+      (col("vec_id") % 10).as("grp"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long"))
+        .as("k"))
+    val withNorm = se.select(col("grp"), col("vec_id"), col("k"),
+      aggregate(col("k"), lit(0L), (acc, x) => acc + x * x).as("n2"))
+    val gn = withNorm.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("n2")).as("sn"))
+    val cent = se.select(col("grp"), posexplode(col("k")).as(Seq("pos", "v")))
+      .groupBy(col("grp"), col("pos")).agg(sum(col("v")).as("sv"))
+    val c2 = cent.groupBy(col("grp")).agg(sum(col("sv") * col("sv")).as("s2"))
+    gn.join(c2, Seq("grp"))
+      .select(col("grp"), col("n"),
+        (col("s2") - col("sn")).as("pair_dot_sum"),
+        (col("n") * (col("n") - 1)).as("n_pairs"),
+        floor((col("s2") - col("sn")).cast("double") /
+          (col("n") * (col("n") - 1))).cast("long").as("mean_pair_dot_u"))
+      .orderBy("grp")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131,
-      q134, q135, q151, q155, q174)
+      q134, q135, q151, q155, q174, q179)
 }
