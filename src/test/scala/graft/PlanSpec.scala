@@ -159,7 +159,11 @@ class PlanSpec extends SparkSpec {
       "q166_decayed_engagement" -> "one-row reference-day frame",
       "q167_zonemap_pruning" -> "one-row block-scan-count frames",
       "q170_winsorized_stats" -> "one-row count + clip-bound frames",
-      "q171_cm_joinsize" -> "one-row exact-F2 + sketch-F2 frames")
+      "q171_cm_joinsize" -> "one-row exact-F2 + sketch-F2 frames",
+      "q174_ivf_drift" -> "broadcast centroid tables (k = 16, both passes)",
+      "q175_skipgram_pmi" -> "one-row token/pair-total frame",
+      "q177_ql_retrieval" -> "broadcast |terms| ctf frame + one-row corpus total",
+      "q180_benford_digits" -> "one-row digit-census total")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
