@@ -1455,9 +1455,128 @@ object CoreQueries {
       .orderBy(col("c_nationkey"), col("rnk"))
   }
 
+  /** q182 — first-order Markov next-event model: train/eval split and
+    * accuracy census (the q75 transition matrix turned into an
+    * evaluated PREDICTOR — the simplest next-action baseline a
+    * recommender is judged against): transitions whose target falls
+    * before Jan 22 train the model (argmax next per prev, ties to the
+    * lexicographically smallest next — deterministic), later
+    * transitions evaluate it; per-prev accuracy in exact ppm. Pairs
+    * are user-keyed lead() windows (never partition-less); the model
+    * is a |types|² frame, broadcast. A prev unseen in training scores
+    * no prediction and is excluded identically on both engines (inner
+    * join). */
+  val q182 = QueryDef(
+    "q182_markov_eval",
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type FROM events),
+      |b AS (
+      |  SELECT event_type AS prev,
+      |    LEAD(event_type) OVER w AS next,
+      |    LEAD(CAST(ts AS DATE)) OVER w AS nday
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |bb AS (SELECT prev, next, nday FROM b WHERE next IS NOT NULL),
+      |tr AS (
+      |  SELECT prev, next, COUNT(*) AS c FROM bb
+      |  WHERE nday < DATE '2024-01-22' GROUP BY 1, 2),
+      |md AS (
+      |  SELECT prev, next AS predicted FROM (
+      |    SELECT prev, next,
+      |      ROW_NUMBER() OVER (PARTITION BY prev ORDER BY c DESC, next)
+      |        AS rn
+      |    FROM tr) WHERE rn = 1),
+      |ev AS (
+      |  SELECT prev, next FROM bb WHERE nday >= DATE '2024-01-22')
+      |SELECT ev.prev AS prev_type, md.predicted,
+      |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+      |  CAST(SUM(CASE WHEN ev.next = md.predicted THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_correct,
+      |  CAST(SUM(CASE WHEN ev.next = md.predicted THEN 1 ELSE 0 END)
+      |    * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
+      |FROM ev JOIN md ON ev.prev = md.prev
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val bb = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("prev"))
+      .withColumn("next", lead(col("prev"), 1).over(w))
+      .withColumn("nday", lead(col("ts").cast("date"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .select(col("prev"), col("next"), col("nday"))
+    val tr = bb.filter(col("nday") < lit("2024-01-22").cast("date"))
+      .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("c"))
+    val md = tr
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("prev"))
+          .orderBy(col("c").desc, col("next"))))
+      .filter(col("rn") === 1)
+      .select(col("prev"), col("next").as("predicted"))
+    bb.filter(col("nday") >= lit("2024-01-22").cast("date"))
+      .join(broadcast(md), Seq("prev"))
+      .groupBy(col("prev").as("prev_type"), col("predicted"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("next") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_ppm", expr("n_correct * 1000000 div n_eval"))
+      .orderBy("prev_type")
+  }
+
+  /** q183 — per-type daily activity TREND via exact-integer OLS (the
+    * drift detector a monitoring stack fits on every metric series):
+    * daily event counts per type regressed on the day index,
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *
+    * with every moment an exact integer sum (two keyed aggs) and only
+    * the final ratio taken as floor(1000·num/den) on doubles — exact
+    * integer operands, identical IEEE754 division on both engines, so
+    * negative slopes need no div-vs-floor care. Scale: the series
+    * frame is |types|·|days| rows; the whole query is two
+    * map-side-combined censuses. */
+  val q183 = QueryDef(
+    "q183_daily_trend",
+    """WITH s AS (
+      |  SELECT event_type, CAST(ts AS DATE) - DATE '2024-01-01' AS x,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM s GROUP BY 1)
+      |SELECT event_type, n,
+      |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+      |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+      |  CAST(FLOOR(1000.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx))
+      |    AS BIGINT) AS slope_milli
+      |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+    val series = Tables.events(s, d)
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"))
+      .groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("y"))
+    series.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+        floor(lit(1000.0) *
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+          .cast("long").as("slope_milli"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
     q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
-    q111, q133)
+    q111, q133, q182, q183)
 }

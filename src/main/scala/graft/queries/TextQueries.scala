@@ -2423,9 +2423,43 @@ object TextQueries {
       .orderBy("k")
   }
 
+  /** q181 — SUFFIX ARRAY construction, oracle-checked (the
+    * `ordered = true` face of [[graft.functions.SuffixRanks]] that
+    * q172/q178 don't exercise): dense lexicographic rank of every
+    * suffix's truncated 64-prefix over a bounded corpus slice
+    * (doc_id < 50 — the slice bounds the oracle's full-sort cost, the
+    * engine runs the same distributed path at any size). The ordered
+    * relabel keeps the rank ORDER equal to binary string order —
+    * including the truncation rule (a shorter prefix sorts before its
+    * extensions, the packing sentinel 0 < every real byte) — so
+    * DuckDB's DENSE_RANK() OVER (ORDER BY prefix) reproduces every
+    * value. This is the index form consumed by LCP/interval queries;
+    * the dedup variants are its equality-only projection. */
+  val q181 = QueryDef(
+    "q181_suffix_array",
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len FROM documents
+      |  WHERE doc_id < 50),
+      |e AS (
+      |  SELECT doc_id, text, unnest(range(0, len)) AS i FROM d),
+      |p AS (
+      |  SELECT doc_id AS doc, CAST(i AS BIGINT) AS i,
+      |    substr(text, CAST(i + 1 AS INT), 64) AS pfx
+      |  FROM e)
+      |SELECT doc, i,
+      |  CAST(DENSE_RANK() OVER (ORDER BY pfx) AS BIGINT) AS sa_rank
+      |FROM p ORDER BY doc, i""".stripMargin) { (s, d) =>
+    graft.functions.SuffixRanks.ranks(
+      Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id").as("doc"), col("text")),
+      L = 64, ordered = true)
+      .select(col("doc"), col("i"), col("r").as("sa_rank"))
+      .orderBy("doc", "i")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
-      q156, q164, q165, q169, q172, q173, q175, q176, q177, q178)
+      q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181)
 }
