@@ -2457,9 +2457,113 @@ object TextQueries {
       .orderBy("doc", "i")
   }
 
+  /** q184 — Zipf exponent census per source (the corpus-health power
+    * law: natural text has token-frequency slope ≈ −1 on log-log;
+    * synthetic/templated corpora deviate — a generation-artifact
+    * detector): regress mnat(freq) on mnat(rank) over each source's
+    * top-100 tokens with the exact-integer OLS of q183 — both
+    * variables already live on the milli-nat grid, so the whole fit
+    * is integer sums with one final IEEE754 ratio. Ranks are
+    * (freq desc, token) row_numbers — deterministic ties — from a
+    * source-keyed window over the vocab-sized count table. Scale:
+    * count table ≈ |sources|·|vocab|; everything after is bounded at
+    * 100 rows per source. */
+  val q184 = QueryDef(
+    "q184_zipf_exponent", {
+      import graft.functions.LangModel.mnatSql
+      s"""WITH t AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM t GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, f,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY f DESC, token)
+        |      AS rk
+        |  FROM c),
+        |g AS (
+        |  SELECT source, ${mnatSql("rk")} AS x, ${mnatSql("f")} AS y
+        |  FROM r WHERE rk <= 100),
+        |m AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM g GROUP BY 1)
+        |SELECT source, n,
+        |  CAST(FLOOR(1000.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx))
+        |    AS BIGINT) AS zipf_milli
+        |FROM m ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.LangModel.mnat
+    val c = Tables.documents(s, d)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("f"))
+    val g = c
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("f").desc, col("token"))))
+      .filter(col("rk") <= 100)
+      .select(col("source"), mnat(col("rk")).as("x"), mnat(col("f")).as("y"))
+    g.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n"),
+        floor(lit(1000.0) *
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+          .cast("long").as("zipf_milli"))
+      .orderBy("source")
+  }
+
+  /** q185 — duplicate-cluster SIZE distribution (the census a dedup
+    * run reads to predict its row savings and to spot pathological
+    * mega-clusters before the canonical-doc pass): histogram of q66's
+    * verified near-dup component sizes — how many clusters of 2, of
+    * 3, … — plus the docs-removable count (size − 1 per cluster,
+    * summed). Rides the SAME verified-pair components as q66/q79
+    * (bounded LSH candidates → min-label propagation), then two tiny
+    * keyed censuses over the |clusters|-sized frame. */
+  val q185 = QueryDef(
+    "q185_cluster_sizes", {
+      val recursive =
+        lshJacCteSql.replaceFirst("^WITH ", "WITH RECURSIVE ")
+      recursive +
+        """,
+        |prs AS (SELECT da, db FROM jac WHERE j >= 0.8),
+        |sym AS (SELECT da AS a, db AS b FROM prs
+        |        UNION SELECT db, da FROM prs),
+        |reach(src, node) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN sym e ON r.node = e.a),
+        |comp AS (
+        |  SELECT node AS doc_id, MIN(src) AS component
+        |  FROM reach GROUP BY node),
+        |sizes AS (
+        |  SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM comp GROUP BY 1)
+        |SELECT sz AS cluster_size,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(COUNT(*) * (sz - 1) AS BIGINT) AS docs_removable
+        |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin
+    }) { (s, d) =>
+    graft.functions.Components
+      .connectedComponents(nearDupPairs(s, d), "da", "db")
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("docs_removable",
+        col("n_clusters") * (col("cluster_size") - 1))
+      .orderBy("cluster_size")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
-      q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181)
+      q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181,
+      q184, q185)
 }
