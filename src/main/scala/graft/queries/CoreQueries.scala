@@ -1146,8 +1146,9 @@ object CoreQueries {
     * SCD2) as pure declarative windows: all three windows share the
     * customer partition key, so the whole history build is ONE
     * shuffle on `o_custkey` + sorts — no self-join, no MERGE. */
-  val q74 = QueryDef(
-    "q74_scd2_priority",
+  /** Full-rebuild SCD2 oracle SQL — shared by q74 (direct build) and
+    * q186 (incremental merge: the merge must equal the rebuild). */
+  private val scd2RebuildSql =
     """WITH o AS (
       |  SELECT o_custkey, o_orderpriority AS prio, o_orderdate AS eff,
       |    o_orderkey,
@@ -1167,21 +1168,33 @@ object CoreQueries {
       |    AS valid_to,
       |  CASE WHEN LEAD(eff) OVER (PARTITION BY o_custkey ORDER BY eff)
       |         IS NULL THEN 1 ELSE 0 END AS is_current
-      |FROM chg ORDER BY custkey, valid_from""".stripMargin) { (s, d) =>
+      |FROM chg ORDER BY custkey, valid_from""".stripMargin
+
+  /** Collapse per-(custkey, eff) states into SCD2 rows: drop states
+    * equal to their predecessor, then valid_from/valid_to/is_current
+    * via custkey-keyed windows. Input: (o_custkey, prio, eff). Shared
+    * by q74 (full build) and q186 (affected-key rebuild). */
+  private def scd2Collapse(states: DataFrame): DataFrame = {
     val wSeq = Window.partitionBy(col("o_custkey")).orderBy(col("eff"))
-    val states = Dedup.keepLatestBy(
-        Tables.orders(s, d)
-          .select(col("o_custkey"), col("o_orderpriority").as("prio"),
-            col("o_orderdate").as("eff"), col("o_orderkey")),
-        Seq("o_custkey", "eff"), Seq(col("o_orderkey").desc))
+    states
       .withColumn("prev", lag(col("prio"), 1).over(wSeq))
       .filter(col("prev").isNull || col("prio") =!= col("prev"))
-    states
       .withColumn("nxt", lead(col("eff"), 1).over(wSeq))
       .select(col("o_custkey").as("custkey"), col("prio").as("priority"),
         to_date(col("eff")).as("valid_from"),
         to_date(col("nxt")).as("valid_to"),
         when(col("nxt").isNull, 1).otherwise(0).as("is_current"))
+  }
+
+  private def scd2States(orders: DataFrame): DataFrame =
+    Dedup.keepLatestBy(
+      orders.select(col("o_custkey"), col("o_orderpriority").as("prio"),
+        col("o_orderdate").as("eff"), col("o_orderkey")),
+      Seq("o_custkey", "eff"), Seq(col("o_orderkey").desc))
+      .select(col("o_custkey"), col("prio"), col("eff"))
+
+  val q74 = QueryDef("q74_scd2_priority", scd2RebuildSql) { (s, d) =>
+    scd2Collapse(scd2States(Tables.orders(s, d)))
       .orderBy("custkey", "valid_from")
   }
 
@@ -1574,9 +1587,45 @@ object CoreQueries {
       .orderBy("event_type")
   }
 
+  /** q186 — INCREMENTAL SCD2 merge (the lakehouse MERGE pattern q74
+    * only builds from scratch): the "stored" dimension is the SCD2
+    * built from orders before 1997; the "batch" is everything after.
+    * The merge touches ONLY affected customers — stored rows for
+    * untouched keys pass through verbatim (anti-join), affected keys
+    * re-collapse their stored change-states plus the batch's new
+    * states (collapse composes: the stored states are already
+    * alternating, so re-collapsing drops exactly the batch states
+    * equal to the customer's current stored value, and closes the
+    * stored open row when the batch supersedes it).
+    *
+    * The ORACLE IS THE FULL REBUILD — q74's SQL verbatim — so the
+    * driver proves merge ≡ rebuild row-for-row, the invariant that
+    * makes incremental maintenance trustworthy. Scale: the rebuild
+    * work is proportional to the AFFECTED slice (batch keys), not the
+    * dimension — the entire point of the merge at 100 TB. */
+  val q186 = QueryDef("q186_scd2_merge", scd2RebuildSql) { (s, d) =>
+    val cutoff = lit("1997-01-01").cast("date")
+    val orders = Tables.orders(s, d)
+    val stored = scd2Collapse(scd2States(
+      orders.filter(col("o_orderdate") < cutoff)))
+      .localCheckpoint() // the "stored table" stand-in: materialized
+    val batchStates = scd2States(orders.filter(col("o_orderdate") >= cutoff))
+    val affected = batchStates.select(col("o_custkey")).distinct()
+    val rebuiltAffected = scd2Collapse(
+      stored.join(affected, stored("custkey") === affected("o_custkey"))
+        .select(col("custkey").as("o_custkey"),
+          col("priority").as("prio"),
+          col("valid_from").cast("timestamp").as("eff"))
+        .unionByName(batchStates))
+    val untouched = stored.join(affected,
+      stored("custkey") === affected("o_custkey"), "left_anti")
+    untouched.unionByName(rebuiltAffected)
+      .orderBy("custkey", "valid_from")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
     q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
-    q111, q133, q182, q183)
+    q111, q133, q182, q183, q186)
 }
