@@ -1623,9 +1623,126 @@ object CoreQueries {
       .orderBy("custkey", "valid_from")
   }
 
+  /** q187 — inter-event BURSTINESS per event type (index of
+    * dispersion D = Var/Mean of the inter-arrival gaps; D ≈ 1 is
+    * Poisson, D ≫ 1 is bursty — the traffic-shape diagnostic behind
+    * capacity planning and bot detection): per (user, type)
+    * consecutive gaps in integer MINUTES (µs epoch diff, integer
+    * division — minutes keep Σg² within exact-double range at any
+    * realistic volume), three exact integer moments per type, and
+    *
+    *   D_milli = floor(1000·(n·Σg² − (Σg)²) / ((n−1)·Σg))
+    *
+    * as one identical IEEE754 expression on both engines. User-keyed
+    * lag window + one map-side-combined census. */
+  val q187 = QueryDef(
+    "q187_burstiness",
+    """WITH g AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) - LAG(epoch_us(ts)) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+      |      // 60000000 AS gap
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |    CAST(SUM(gap) AS BIGINT) AS sg,
+      |    CAST(SUM(gap * gap) AS BIGINT) AS sgg
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n_gaps, sg, sgg,
+      |  CAST(FLOOR(1000.0 * (n_gaps * sgg - sg * sg)
+      |    / ((n_gaps - 1) * sg)) AS BIGINT) AS dispersion_milli
+      |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        col("ts"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap",
+        expr("(us - lag(us) over (partition by user_id, event_type " +
+          "order by ts, event_id)) div 60000000"))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sg"),
+        sum(col("gap") * col("gap")).as("sgg"))
+      .select(col("event_type"), col("n_gaps"), col("sg"), col("sgg"),
+        floor(lit(1000.0) *
+          (col("n_gaps") * col("sgg") - col("sg") * col("sg")) /
+          ((col("n_gaps") - 1) * col("sg"))).cast("long")
+          .as("dispersion_milli"))
+      .orderBy("event_type")
+  }
+
+  /** q188 — Bloom-filter FALSE-POSITIVE audit (the q152/q171
+    * sketch-accuracy treatment applied to membership): build a
+    * PORTABLE bloom over the urgent-order keys — bit positions are
+    * the four md5 hex-slice u32s mod m = 16384, the exact Cm.sketch
+    * hashing contract, so DuckDB rebuilds the identical bitset — then
+    * probe every NON-member key and measure the observed FP rate.
+    * q111 trusts the bloom-screened join because the real join
+    * removes false positives; this query measures what that screen
+    * actually costs in passed-through rows, the number a 100-TB plan
+    * uses to size m. Census: members, bits set, probes, false
+    * positives, fp ppm — one row, all exact integers. Scale: the
+    * bitset frame is ≤ m rows (broadcast); probing is one keyed join
+    * of the ×4-exploded probe stream against it. */
+  val q188 = QueryDef(
+    "q188_bloom_fp_audit", {
+      val m = 16384
+      def slices(from: String, cols: String) = (0 until 4).map(i =>
+        s"SELECT $cols ${TextQueries.hexU32Sql(1 + 8 * i)} % $m AS bit" +
+          s" FROM $from").mkString("\n  UNION ALL ")
+      s"""WITH u AS (
+         |  SELECT o_orderkey AS key FROM orders
+         |  WHERE o_orderpriority = '1-URGENT'),
+         |hu AS (SELECT md5(CAST(key AS VARCHAR)) AS hx FROM u),
+         |ub AS (
+         |  ${slices("hu", "")}),
+         |bs AS (SELECT DISTINCT bit FROM ub),
+         |p AS (
+         |  SELECT o_orderkey AS key FROM orders
+         |  WHERE o_orderpriority <> '1-URGENT'),
+         |hp AS (SELECT key, md5(CAST(key AS VARCHAR)) AS hx FROM p),
+         |pb AS (
+         |  ${slices("hp", "key,")}),
+         |mt AS (
+         |  SELECT pb.key, COUNT(*) AS hits
+         |  FROM pb JOIN bs USING (bit) GROUP BY 1),
+         |fp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_fp FROM mt
+         |       WHERE hits = 4),
+         |c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members FROM u),
+         |c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bits_set FROM bs),
+         |c3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM p)
+         |SELECT n_members, n_bits_set, n_probes, n_fp,
+         |  CAST(n_fp * 1000000 // n_probes AS BIGINT) AS fp_ppm
+         |FROM c1, c2, c3, fp""".stripMargin
+    }) { (s, d) =>
+    val m = 16384
+    def bits(key: org.apache.spark.sql.Column) = {
+      val hx = md5(key.cast("string"))
+      array((0 until 4).map(i =>
+        conv(substring(hx, 1 + 8 * i, 8), 16, 10).cast("long") % m): _*)
+    }
+    val orders = Tables.orders(s, d)
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("key"))
+    val bitsSet = urgent.select(explode(bits(col("key"))).as("bit"))
+      .distinct()
+    val probes = orders.filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_orderkey").as("key"))
+    val nFp = probes
+      .select(col("key"), explode(bits(col("key"))).as("bit"))
+      .join(broadcast(bitsSet), Seq("bit"))
+      .groupBy(col("key")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === 4)
+      .agg(count(lit(1)).as("n_fp"))
+    urgent.agg(count(lit(1)).as("n_members"))
+      .crossJoin(bitsSet.agg(count(lit(1)).as("n_bits_set")))
+      .crossJoin(probes.agg(count(lit(1)).as("n_probes")))
+      .crossJoin(nFp)
+      .withColumn("fp_ppm", expr("n_fp * 1000000 div n_probes"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
     q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
-    q111, q133, q182, q183, q186)
+    q111, q133, q182, q183, q186, q187, q188)
 }
