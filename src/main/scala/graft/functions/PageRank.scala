@@ -29,10 +29,21 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   /** `teleport` defaults to `1 - damping` — the pair must sum to 1 or
-    * rank mass is not conserved; pass both only if you know why. */
+    * rank mass is not conserved; pass both only if you know why.
+    *
+    * `seeds`: optional (node, w) frame for PERSONALIZED PageRank
+    * (Haveliwala 2002): the teleport mass lands on the seed
+    * distribution instead of uniformly — ranks become "importance as
+    * seen from the seed set" (topic-sensitive ranking, trusted-page
+    * propagation, related-item scoring from a context set). Weights
+    * must sum to 1; nodes absent from `seeds` get teleport 0. The
+    * initial rank IS the seed distribution, matching the standard PPR
+    * formulation. The seed frame joins on the node key (broadcast
+    * when small) — no new shuffle shape. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iterations: Int, damping: Double = 0.85,
-          teleport: Double = Double.NaN): DataFrame = {
+          teleport: Double = Double.NaN,
+          seeds: Option[DataFrame] = None): DataFrame = {
     val tp = if (teleport.isNaN) 1.0 - damping else teleport
     // One materialization: e feeds deg, n, and every iteration — an
     // unpersisted plan would recompute the caller's edge derivation
@@ -42,8 +53,23 @@ object PageRank {
       .localCheckpoint(true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val n = deg.agg(count(lit(1)).as("cnt"))
-    var r = deg.crossJoin(broadcast(n))
-      .select(col("src").as("node"), (lit(1.0) / col("cnt")).as("r"))
+    val seedW = seeds.map(_.select(col("node"), col("w"))
+      .localCheckpoint(true))
+    // teleport landing per node: tp·w(node) personalized, tp/|V| not
+    def teleportTerm(frame: DataFrame): DataFrame = seedW match {
+      case Some(sw) => frame.join(broadcast(sw), Seq("node"), "left")
+        .withColumn("__tp", lit(tp) * coalesce(col("w"), lit(0.0)))
+        .drop("w")
+      case None => frame.crossJoin(broadcast(n))
+        .withColumn("__tp", lit(tp) / col("cnt")).drop("cnt")
+    }
+    var r = seedW match {
+      case Some(sw) => deg.select(col("src").as("node"))
+        .join(broadcast(sw), Seq("node"), "left")
+        .select(col("node"), coalesce(col("w"), lit(0.0)).as("r"))
+      case None => deg.crossJoin(broadcast(n))
+        .select(col("src").as("node"), (lit(1.0) / col("cnt")).as("r"))
+    }
     // the live checkpointed rank frame, freed when superseded (the
     // Components discipline) — long runs would otherwise hold every
     // stale |V|-row snapshot in executor storage
@@ -56,11 +82,10 @@ object PageRank {
           floor(col("r") / col("d") * lit(1e12) + lit(0.5))
             .cast("long").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      r = r.select(col("node"))
-        .join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(n))
+      r = teleportTerm(r.select(col("node"))
+        .join(contrib, Seq("node"), "left"))
         .select(col("node"),
-          (lit(tp) / col("cnt") +
+          (col("__tp") +
             lit(damping) * (coalesce(col("s"), lit(0L)) / lit(1e12)))
             .as("r"))
       // Truncate the rank frame's lineage every 3 rounds (the

@@ -240,6 +240,77 @@ object RecommenderQueries {
         .limit(25)
   }
 
+  /** q189 — PERSONALIZED PageRank (Haveliwala 2002; the
+    * related-items scorer a recommender runs from a context set —
+    * "important as seen FROM these products", vs q82's global
+    * importance): the teleport mass lands on the seed distribution
+    * (every 20th part, uniform weights) and the walk starts there;
+    * same basket co-occurrence graph, same pico-unit integer
+    * contribution discipline, so DuckDB's unrolled two iterations
+    * reproduce every rank bit-for-bit. Non-seed-reachable nodes decay
+    * to zero — the personalization working as designed. Scale: adds
+    * ONE broadcast left join per iteration to q82's shape. */
+  val q189 = QueryDef(
+    "q189_personalized_pagerank",
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT x.i AS src, y.i AS dst
+      |  FROM items x JOIN items y ON x.b = y.b AND x.i <> y.i),
+      |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+      |sn AS (SELECT COUNT(*) AS scnt FROM deg WHERE src % 20 = 0),
+      |sw AS (
+      |  SELECT src AS node, 1.0 / (SELECT scnt FROM sn) AS w
+      |  FROM deg WHERE src % 20 = 0),
+      |r0 AS (
+      |  SELECT deg.src AS node, COALESCE(sw.w, 0.0) AS r
+      |  FROM deg LEFT JOIN sw ON deg.src = sw.node),
+      |c1 AS (
+      |  SELECT e.dst AS node,
+      |    SUM(CAST(FLOOR(r0.r / deg.d * 1e12 + 0.5) AS BIGINT)) AS s
+      |  FROM e JOIN r0 ON e.src = r0.node JOIN deg ON deg.src = e.src
+      |  GROUP BY e.dst),
+      |r1 AS (
+      |  SELECT r0.node,
+      |    0.15 * COALESCE(sw.w, 0.0) + 0.85 * (COALESCE(c1.s, 0) / 1e12)
+      |      AS r
+      |  FROM r0 LEFT JOIN c1 ON r0.node = c1.node
+      |    LEFT JOIN sw ON r0.node = sw.node),
+      |c2 AS (
+      |  SELECT e.dst AS node,
+      |    SUM(CAST(FLOOR(r1.r / deg.d * 1e12 + 0.5) AS BIGINT)) AS s
+      |  FROM e JOIN r1 ON e.src = r1.node JOIN deg ON deg.src = e.src
+      |  GROUP BY e.dst),
+      |r2 AS (
+      |  SELECT r1.node,
+      |    0.15 * COALESCE(sw.w, 0.0) + 0.85 * (COALESCE(c2.s, 0) / 1e12)
+      |      AS r
+      |  FROM r1 LEFT JOIN c2 ON r1.node = c2.node
+      |    LEFT JOIN sw ON r1.node = sw.node)
+      |SELECT node, CAST(FLOOR(r * 1e9 + 0.5) AS BIGINT) AS rank_nano
+      |FROM r2 ORDER BY rank_nano DESC, node LIMIT 25""".stripMargin) {
+    (s, d) =>
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .distinct()
+      val edges = items.as("x").join(items.as("y"),
+          col("x.b") === col("y.b") && col("x.i") =!= col("y.i"))
+        .select(col("x.i").as("src"), col("y.i").as("dst"))
+        .distinct()
+      val srcs = edges.select(col("src")).distinct()
+      val seedBase = srcs.filter(col("src") % 20 === 0)
+      val scnt = seedBase.agg(count(lit(1)).as("scnt"))
+      val seeds = seedBase.crossJoin(broadcast(scnt))
+        .select(col("src").as("node"), (lit(1.0) / col("scnt")).as("w"))
+      graft.functions.PageRank.run(edges, "src", "dst", iterations = 2,
+          damping = 0.85, teleport = 0.15, seeds = Some(seeds))
+        .select(col("node"),
+          floor(col("r") * lit(1e9) + lit(0.5)).cast("long")
+            .as("rank_nano"))
+        .orderBy(col("rank_nano").desc, col("node"))
+        .limit(25)
+  }
+
   /** q161 — deterministic negative sampling (the missing ingredient
     * between q45's positive-pair training and a real implicit-
     * feedback trainer: every (user, item) batch needs k non-
@@ -299,5 +370,5 @@ object RecommenderQueries {
       .orderBy("c_custkey", "rnk")
   }
 
-  val all: Seq[QueryDef] = Seq(q36, q37, q45, q45b, q82, q161)
+  val all: Seq[QueryDef] = Seq(q36, q37, q45, q45b, q82, q161, q189)
 }
