@@ -1795,10 +1795,11 @@ object PipelineQueries {
     * separable text). `sum_llr`, not mean: llr is signed, and signed
     * integer division is floor in DuckDB but truncation in Spark —
     * sums stay exact. */
-  val q148 = QueryDef(
-    "q148_nb_classifier", {
-      import graft.functions.LangModel.mnatSql
-      s"""WITH lab AS (
+  /** Shared oracle CTE chain for the NB classifier (q148 census,
+    * q191 calibration): ends in `sc(doc_id, label, llr)`. */
+  private def nbCteSql: String = {
+    import graft.functions.LangModel.mnatSql
+    s"""WITH lab AS (
          |  SELECT doc_id,
          |    CAST(CAST(substr(source, 4) AS INT) % 2 AS BIGINT) AS label,
          |    text
@@ -1842,13 +1843,18 @@ object PipelineQueries {
          |    CAST(SUM(ev.td) AS BIGINT)
          |      + (SELECT ${mnatSql("d0")} - ${mnatSql("d1")} FROM dc)
          |      AS llr
-         |  FROM ev GROUP BY 1, 2)
-         |SELECT label,
-         |  CAST(CASE WHEN llr >= 0 THEN 0 ELSE 1 END AS BIGINT) AS pred,
-         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(llr) AS BIGINT) AS sum_llr
-         |FROM sc GROUP BY 1, 2 ORDER BY label, pred""".stripMargin
-    }) { (s, d) =>
+         |  FROM ev GROUP BY 1, 2)""".stripMargin
+  }
+
+  val q148 = QueryDef(
+    "q148_nb_classifier",
+    nbCteSql +
+      """
+        |SELECT label,
+        |  CAST(CASE WHEN llr >= 0 THEN 0 ELSE 1 END AS BIGINT) AS pred,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(llr) AS BIGINT) AS sum_llr
+        |FROM sc GROUP BY 1, 2 ORDER BY label, pred""".stripMargin) { (s, d) =>
     graft.functions.LangModel.nbLlr(
         Tables.documents(s, d),
         expr("CAST(substring(source, 4, 8) AS INT) % 2"),
@@ -1856,6 +1862,52 @@ object PipelineQueries {
       .groupBy(col("label"), col("pred"))
       .agg(count(lit(1)).as("n_docs"), sum(col("llr_mnat")).as("sum_llr"))
       .orderBy("label", "pred")
+  }
+
+  /** q191 — classifier CALIBRATION curve (the reliability diagram
+    * for q148's NB source classifier, as a query): eval documents
+    * bucketed into confidence quintiles by |llr| (the distributed
+    * ntile — no single-partition sort), accuracy and mean confidence
+    * per bucket in exact integers. A well-calibrated classifier's
+    * accuracy RISES with the bucket; flat or inverted curves mean the
+    * llr magnitudes are lies — the check that gates using confidence
+    * thresholds downstream (e.g. q138's filter calibration). Shares
+    * q148's oracle CTE chain verbatim. */
+  val q191 = QueryDef(
+    "q191_nb_calibration",
+    nbCteSql +
+      """
+        |, cal AS (
+        |  SELECT doc_id, label,
+        |    CASE WHEN llr >= 0 THEN 0 ELSE 1 END AS pred,
+        |    ABS(llr) AS conf
+        |  FROM sc),
+        |nt AS (
+        |  SELECT *, NTILE(5) OVER (ORDER BY conf, doc_id) AS bucket
+        |  FROM cal)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN label = pred THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  CAST(SUM(CASE WHEN label = pred THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS acc_ppm,
+        |  CAST(SUM(conf) // COUNT(*) AS BIGINT) AS mean_conf_mnat
+        |FROM nt GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+    val scored = graft.functions.LangModel.nbLlr(
+        Tables.documents(s, d),
+        expr("CAST(substring(source, 4, 8) AS INT) % 2"),
+        col("doc_id") % 5 === 0)
+      .withColumn("conf", abs(col("llr_mnat")))
+    graft.functions.Ranks
+      .ntileGlobal(scored, 5, col("conf"), col("doc_id"), "bucket")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label") === col("pred"), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(col("conf")).as("__sc"))
+      .withColumn("acc_ppm", expr("n_correct * 1000000 div n_docs"))
+      .withColumn("mean_conf_mnat", expr("__sc div n_docs"))
+      .drop("__sc")
+      .orderBy("bucket")
   }
 
   /** q149 — temperature-mixing epoch plan (completes q102, which
@@ -2636,6 +2688,6 @@ object PipelineQueries {
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
-      q141, q143, q146, q148, q149, q150, q152, q153, q157, q158, q159,
+      q141, q143, q146, q148, q149, q150, q152, q153, q157, q158, q159, q191,
       q160, q162, q163, q166, q167, q168, q170, q171)
 }

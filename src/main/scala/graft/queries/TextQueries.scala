@@ -2560,10 +2560,66 @@ object TextQueries {
       .orderBy("cluster_size")
   }
 
+  /** q190 — banded SimHash near-dup SEARCH with the pigeonhole recall
+    * guarantee made into an oracle check: split the 16-bit signature
+    * into four 4-bit bands; Hamming distance ≤ 3 means at most 3 bits
+    * differ, so at least ONE band is untouched (pigeonhole) and the
+    * band self-join finds the pair. The engine reports the ≤3-radius
+    * pair census from the BANDED path only; the oracle computes it
+    * from the FULL pair join — equality proves the banding lost
+    * nothing at radius 3, the claim that makes banded search safe to
+    * deploy. Scale note: at 16 bits the 4-bit band buckets are dense
+    * (the oracle-affordable demo size); production uses a 64-bit
+    * simhash with 16-bit bands — the identical plan with 2⁴⁸× sparser
+    * buckets. */
+  val q190 = QueryDef(
+    "q190_simhash_bands", {
+      val vExpr = (0 until 4).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5(tkn), ${i + 1}, 1)) - 1) " +
+          s"* ${1 << (4 * (3 - i))}").mkString(" + ")
+      val sums = (0 until 16).map(p =>
+        s"SUM(CASE WHEN (v >> $p) & 1 = 1 THEN 1 ELSE -1 END) AS s$p")
+        .mkString(", ")
+      val bits = (0 until 16).map(p =>
+        s"(CASE WHEN s$p > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tkn
+        |  FROM documents),
+        |v AS (SELECT doc_id, $vExpr AS v FROM tok),
+        |b AS (SELECT doc_id, $sums FROM v GROUP BY doc_id),
+        |sh AS (SELECT doc_id, $bits AS sim FROM b)
+        |SELECT CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.GraftText.simhash16(col("t")).as("sim"))
+    val bands = sh.select(col("doc_id"), col("sim"),
+      explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bkey", expr("shiftright(sim, b * 4) & 15"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("x.sim").as("sa"),
+        col("y.doc_id").as("db"), col("y.sim").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+      .filter(col("hamming") <= 3)
+      .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy("hamming")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
       q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181,
-      q184, q185)
+      q184, q185, q190)
 }
