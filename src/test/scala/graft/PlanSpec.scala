@@ -163,7 +163,9 @@ class PlanSpec extends SparkSpec {
       "q174_ivf_drift" -> "broadcast centroid tables (k = 16, both passes)",
       "q175_skipgram_pmi" -> "one-row token/pair-total frame",
       "q177_ql_retrieval" -> "broadcast |terms| ctf frame + one-row corpus total",
-      "q180_benford_digits" -> "one-row digit-census total")
+      "q180_benford_digits" -> "one-row digit-census total",
+      "q188_bloom_fp_audit" -> "one-row member/bits/probe/fp census frames",
+      "q191_nb_calibration" -> "one-row token-total and doc-prior frames (the q148 kernel)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
