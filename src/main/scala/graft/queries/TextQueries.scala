@@ -2616,10 +2616,73 @@ object TextQueries {
       .orderBy("hamming")
   }
 
+  /** q192 — Pareto FRONTIER (skyline) of quality vs cost: the
+    * documents no other document beats on BOTH axes (maximize
+    * stopword permille — the naturalness proxy — while minimizing
+    * token cost); the skyline operator relational engines lack
+    * natively, as the curation shortlist "best quality at every
+    * budget". Weak dominance: b dominates a iff b is ≥ on quality,
+    * ≤ on cost, and strictly better on one. Quality is QUANTIZED to
+    * permille, which (a) makes the group frame ≤ 1001 rows so the
+    * exclusive running-min window over it is bounded by construction
+    * (the allowlisted single-partition window — the DATA never sorts
+    * globally, only the group census), and (b) makes dominance pure
+    * integer on both engines. A doc survives iff its cost equals its
+    * quality group's minimum AND beats the running minimum of every
+    * strictly-better group. The oracle is the O(n²) NOT EXISTS
+    * definition — shape-independent evidence the window decomposition
+    * implements the textbook semantics. */
+  val q192 = QueryDef(
+    "q192_pareto_frontier", {
+      val stop = Text.langMarkers.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, x -> x IN ($stop))) AS BIGINT)
+        |      AS ns
+        |  FROM t WHERE len(toks) > 0),
+        |d AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(ns * 1000 // n_tokens AS BIGINT) AS quality_permille
+        |  FROM m)
+        |SELECT a.doc_id, a.quality_permille, a.n_tokens
+        |FROM d a WHERE NOT EXISTS (
+        |  SELECT 1 FROM d b
+        |  WHERE b.quality_permille >= a.quality_permille
+        |    AND b.n_tokens <= a.n_tokens
+        |    AND (b.quality_permille > a.quality_permille
+        |         OR b.n_tokens < a.n_tokens))
+        |ORDER BY a.quality_permille DESC, a.n_tokens, a.doc_id""".stripMargin
+    }) { (s, d) =>
+    val stop = Text.langMarkers.head._2
+    val dd = Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"), t => t.isInCollection(stop)))
+          .cast("long").as("ns"))
+      .withColumn("quality_permille",
+        expr("ns * 1000 div n_tokens"))
+    val gf = dd.groupBy(col("quality_permille"))
+      .agg(min(col("n_tokens")).as("gmin"))
+    // exclusive running min over the <=1001-row quality-group frame
+    // (bounded by the permille quantization — allowlisted window)
+    val wq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality_permille").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val m1 = gf.withColumn("m1", min(col("gmin")).over(wq))
+    dd.join(m1, Seq("quality_permille"))
+      .filter(col("n_tokens") === col("gmin") &&
+        (col("m1").isNull || col("gmin") < col("m1")))
+      .select(col("doc_id"), col("quality_permille"), col("n_tokens"))
+      .orderBy(col("quality_permille").desc, col("n_tokens"), col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
       q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181,
-      q184, q185, q190)
+      q184, q185, q190, q192)
 }

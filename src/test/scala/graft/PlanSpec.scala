@@ -91,7 +91,11 @@ class PlanSpec extends SparkSpec {
     // rank family plans no partition-less window at all).
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val allowed = Set("q11_engagement_share", "q151_hybrid_retrieval",
-      "q155_retrieval_eval") // q155 inherits q151's 50-row re-rank window
+      "q155_retrieval_eval", // q155 inherits q151's 50-row re-rank window
+      // q192's exclusive running min runs over the quality-GROUP
+      // census, bounded at 1001 rows by the permille quantization —
+      // the data itself never sorts globally
+      "q192_pareto_frontier")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => allowed.contains(n) }
       .flatMap { case (name, fn) =>
