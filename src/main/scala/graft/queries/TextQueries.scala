@@ -2679,10 +2679,83 @@ object TextQueries {
       .orderBy(col("quality_permille").desc, col("n_tokens"), col("doc_id"))
   }
 
+  /** q193 — reciprocal rank FUSION (Cormack et al., SIGIR 2009) of
+    * three lexical rankers over the same query — BM25 (q147), the
+    * Dirichlet query likelihood (q177), and raw matched-term
+    * frequency: RRF(d) = Σ_lists 1/(60 + rank_d), the standard
+    * score-free fusion that beats its inputs without calibration.
+    * Integer port: contribution = 10⁶ div (60 + rank) — exact on both
+    * engines. Each list is cut to its top 20 by a TakeOrdered LIMIT
+    * and THEN ranked (a ≤20-row re-rank window, the allowlisted q151
+    * shape — rank-then-filter in the oracle is the same set under the
+    * deterministic total order). Top 10 fused with the list-coverage
+    * count. Scale: three bounded lists, one 60-row union, one keyed
+    * sum. */
+  val q193 = QueryDef(
+    "q193_rrf_fusion", {
+      val ql = graft.functions.Retrieval.dirichletQLCteSql(bmTerms)
+        .replaceFirst("^WITH ", "")
+      val inList = bmTerms.map(t => s"'$t'").mkString(", ")
+      graft.functions.Retrieval.bm25CteSql(bmTerms) + ",\n" + ql +
+        s""",
+        |tfc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf_total
+        |  FROM btok WHERE token IN ($inList) GROUP BY 1),
+        |r1 AS (
+        |  SELECT doc_id, rk FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER
+        |      (ORDER BY score_u DESC, doc_id) AS rk FROM bm)
+        |  WHERE rk <= 20),
+        |r2 AS (
+        |  SELECT doc_id, rk FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER
+        |      (ORDER BY score_milli DESC, doc_id) AS rk FROM ql)
+        |  WHERE rk <= 20),
+        |r3 AS (
+        |  SELECT doc_id, rk FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER
+        |      (ORDER BY tf_total DESC, doc_id) AS rk FROM tfc)
+        |  WHERE rk <= 20),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(1000000 // (60 + rk)) AS BIGINT) AS rrf_u,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lists
+        |  FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |        UNION ALL SELECT * FROM r3)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_lists, rrf_u
+        |FROM f ORDER BY rrf_u DESC, doc_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    def top20(scored: org.apache.spark.sql.DataFrame,
+              scoreCol: String): org.apache.spark.sql.DataFrame = {
+      val cut = scored.orderBy(col(scoreCol).desc, col("doc_id")).limit(20)
+      cut.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col(scoreCol).desc, col("doc_id"))))
+        .select(col("doc_id"), col("rk"))
+    }
+    val r1 = top20(graft.functions.Retrieval.bm25(docs, bmTerms), "score_u")
+    val r2 = top20(graft.functions.Retrieval.dirichletQL(docs, bmTerms),
+      "score_milli")
+    val tfc = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .filter(col("token").isin(bmTerms: _*))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("tf_total"))
+    val r3 = top20(tfc, "tf_total")
+    r1.unionByName(r2).unionByName(r3)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lists"),
+        sum(expr("1000000 div (60 + rk)")).as("rrf_u"))
+      .select(col("doc_id"), col("n_lists"), col("rrf_u"))
+      .orderBy(col("rrf_u").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
       q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181,
-      q184, q185, q190, q192)
+      q184, q185, q190, q192, q193)
 }

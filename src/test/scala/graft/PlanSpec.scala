@@ -95,7 +95,10 @@ class PlanSpec extends SparkSpec {
       // q192's exclusive running min runs over the quality-GROUP
       // census, bounded at 1001 rows by the permille quantization —
       // the data itself never sorts globally
-      "q192_pareto_frontier")
+      "q192_pareto_frontier",
+      // q193's three re-rank windows each run over a 20-row
+      // LIMIT-bounded list (the q151 contract)
+      "q193_rrf_fusion")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => allowed.contains(n) }
       .flatMap { case (name, fn) =>
