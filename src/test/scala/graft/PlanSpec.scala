@@ -172,7 +172,8 @@ class PlanSpec extends SparkSpec {
       "q177_ql_retrieval" -> "broadcast |terms| ctf frame + one-row corpus total",
       "q180_benford_digits" -> "one-row digit-census total",
       "q188_bloom_fp_audit" -> "one-row member/bits/probe/fp census frames",
-      "q191_nb_calibration" -> "one-row token-total and doc-prior frames (the q148 kernel)")
+      "q191_nb_calibration" -> "one-row token-total and doc-prior frames (the q148 kernel)",
+      "q193_rrf_fusion" -> "one-row corpus totals via the bm25/QL kernels")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
