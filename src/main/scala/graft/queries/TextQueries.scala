@@ -2101,9 +2101,9 @@ object TextQueries {
     * The oracle materializes every 64-gram string and groups on it —
     * correct and simple for an independent engine, but the very shape
     * (shuffling |corpus|·64 bytes of gram text) that the rank table
-    * exists to avoid at 100 TB. Six doubling rounds, each one keyed
-    * join + one distributed dense-rank; lineage stays one round deep
-    * (per-round persist/release). */
+    * exists to avoid at 100 TB. A radix-packed base step plus three
+    * doubling rounds, each one keyed join + one keyed window relabel;
+    * lineage stays one round deep (eager per-round checkpoints). */
   val q172 = QueryDef(
     "q172_suffix_dedup",
     """WITH d AS (
