@@ -1740,9 +1740,87 @@ object CoreQueries {
       .withColumn("fp_ppm", expr("n_fp * 1000000 div n_probes"))
   }
 
+  /** q194 — LINEAR time-series interpolation (pandas
+    * `interpolate(method='linear')` — the imputation step q63's
+    * zero-fill deliberately avoids): per user, interior missing
+    * calendar days get `⌊va + (vb−va)·(x−a)/(b−a)⌋` between their
+    * nearest known neighbors; leading/trailing gaps stay unfilled (no
+    * extrapolation, the pandas contract). Neighbors come from FOUR
+    * ignore-null window functions over ONE user-keyed ordering (prev
+    * value/day from the preceding frame, next from the following) —
+    * one shuffle, no self-join; the oracle derives the same neighbors
+    * by correlated min/max subqueries, so the window decomposition is
+    * checked against the definition, not against itself. Integer
+    * cents with one exact-operand IEEE754 division. */
+  val q194 = QueryDef(
+    "q194_linear_interpolation",
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS DATE) - DATE '2024-01-01' AS d,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+      |  FROM events WHERE value IS NOT NULL),
+      |k AS (
+      |  SELECT user_id, d, CAST(SUM(c) AS BIGINT) AS cents
+      |  FROM e GROUP BY 1, 2),
+      |b AS (
+      |  SELECT user_id, MIN(d) AS dmin, MAX(d) AS dmax FROM k GROUP BY 1),
+      |cal AS (
+      |  SELECT user_id, unnest(range(dmin, dmax + 1)) AS d FROM b),
+      |miss AS (
+      |  SELECT cal.user_id, cal.d FROM cal
+      |  LEFT JOIN k ON cal.user_id = k.user_id AND cal.d = k.d
+      |  WHERE k.d IS NULL),
+      |pv AS (
+      |  SELECT m.user_id, m.d,
+      |    (SELECT MAX(k2.d) FROM k k2
+      |     WHERE k2.user_id = m.user_id AND k2.d < m.d) AS pd,
+      |    (SELECT MIN(k3.d) FROM k k3
+      |     WHERE k3.user_id = m.user_id AND k3.d > m.d) AS nd
+      |  FROM miss m),
+      |j AS (
+      |  SELECT pv.user_id, pv.d, pv.pd, pv.nd,
+      |    ka.cents AS va, kb.cents AS vb
+      |  FROM pv
+      |  JOIN k ka ON ka.user_id = pv.user_id AND ka.d = pv.pd
+      |  JOIN k kb ON kb.user_id = pv.user_id AND kb.d = pv.nd)
+      |SELECT user_id, CAST(d AS BIGINT) AS day_idx,
+      |  CAST(pd AS BIGINT) AS prev_day, CAST(nd AS BIGINT) AS next_day,
+      |  CAST(FLOOR(va + CAST((vb - va) * (d - pd) AS DOUBLE) / (nd - pd))
+      |    AS BIGINT) AS interp_cents
+      |FROM j ORDER BY user_id, day_idx""".stripMargin) { (s, d) =>
+    val k = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("d"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .groupBy(col("user_id"), col("d")).agg(sum(col("c")).as("cents"))
+    val cal = k.groupBy(col("user_id"))
+      .agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+      .select(col("user_id"),
+        explode(sequence(col("dmin"), col("dmax"))).as("d"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+    cal.join(k, Seq("user_id", "d"), "left_outer")
+      .withColumn("va", last(col("cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(when(col("cents").isNotNull, col("d")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("vb", first(col("cents"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(when(col("cents").isNotNull, col("d")),
+        ignoreNulls = true).over(wNext))
+      .filter(col("cents").isNull && col("pd").isNotNull &&
+        col("nd").isNotNull)
+      .select(col("user_id"), col("d").as("day_idx"),
+        col("pd").as("prev_day"), col("nd").as("next_day"),
+        floor(col("va") +
+          ((col("vb") - col("va")) * (col("d") - col("pd"))).cast("double") /
+            (col("nd") - col("pd"))).cast("long").as("interp_cents"))
+      .orderBy("user_id", "day_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
     q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
-    q111, q133, q182, q183, q186, q187, q188)
+    q111, q133, q182, q183, q186, q187, q188, q194)
 }
