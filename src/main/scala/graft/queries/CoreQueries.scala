@@ -1818,9 +1818,76 @@ object CoreQueries {
       .orderBy("user_id", "day_idx")
   }
 
+  /** q195 — cohort retention DECAY fit (the one-number summary of
+    * q64's retention matrix a growth dashboard actually tracks):
+    * per cohort, ln(active users) regressed on the day offset over
+    * offsets 1–7 — exponential decay appears as a straight line on
+    * the milli-nat grid, so the exact-integer OLS of q183/q184 fits
+    * it with one final IEEE754 ratio. decay_milli ≈ −1000·λ per day;
+    * cohorts need ≥ 4 retention points to fit (deterministic floor).
+    * Scale: rides q64's keyed census; the fit frame is |cohorts|·7
+    * rows. */
+  val q195 = QueryDef(
+    "q195_retention_decay", {
+      import graft.functions.LangModel.mnatSql
+      s"""WITH f AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (
+        |  SELECT f.cohort_day, (a.day - f.cohort_day) AS day_offset,
+        |    a.user_id
+        |  FROM a JOIN f ON a.user_id = f.user_id),
+        |c AS (
+        |  SELECT cohort_day, day_offset,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        |  FROM r WHERE day_offset BETWEEN 1 AND 7 GROUP BY 1, 2),
+        |g AS (
+        |  SELECT cohort_day, CAST(day_offset AS BIGINT) AS x,
+        |    ${mnatSql("n_active")} AS y
+        |  FROM c),
+        |m AS (
+        |  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM g GROUP BY 1 HAVING COUNT(*) >= 4)
+        |SELECT CAST(cohort_day AS DATE) AS cohort_day, n,
+        |  CAST(FLOOR(1000.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx))
+        |    AS BIGINT) AS decay_milli
+        |FROM m ORDER BY cohort_day""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.LangModel.mnat
+    val ev = Tables.events(s, d)
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val c = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .join(first, Seq("user_id"))
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long")
+          .as("day_offset"), col("user_id"))
+      .filter(col("day_offset").between(1, 7))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    c.select(col("cohort_day"), col("day_offset").as("x"),
+        mnat(col("n_active")).as("y"))
+      .groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") >= 4)
+      .select(col("cohort_day"), col("n"),
+        floor(lit(1000.0) *
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+          .cast("long").as("decay_milli"))
+      .orderBy("cohort_day")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
     q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
-    q111, q133, q182, q183, q186, q187, q188, q194)
+    q111, q133, q182, q183, q186, q187, q188, q194, q195)
 }
