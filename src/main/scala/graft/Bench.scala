@@ -1,6 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Per-query cleanup: clearCache frees catalog-tracked persists,
+    * but localCheckpoint blocks are RDD-level persists the catalog
+    * never sees — SuffixRanks pins those and releases them here. No
+    * query may leave ANY executor-storage state to skew successors. */
+  def releaseAll(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    graft.functions.Checkpoints.releaseAll()
+    graft.curation.Curation.releaseBoilerplate()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -194,10 +204,10 @@ object Bench {
       // warm-cache number that hides the build cost.
       val (b, eb) =
         if (ea.isDefined || a <= rerunThreshold) (a, ea)
-        else { spark.catalog.clearCache(); timeOnce(name, fn, inflateFor(name)) }
+        else { Bench.releaseAll(spark); timeOnce(name, fn, inflateFor(name)) }
       // No query may leave cached/persisted state behind to skew its
       // successors (round-1 lesson: q24's persist survived 30+ queries).
-      spark.catalog.clearCache()
+      Bench.releaseAll(spark)
       val err = ea.orElse(eb)
       var dt = if (err.isDefined) -1.0 else math.min(a, b)
       val prior = priorBench.get(name)
@@ -210,7 +220,7 @@ object Bench {
             f"exceeds ${stormFactor}%.1fx: backing off ${stormBackoffSec}s, re-running")
         Thread.sleep(stormBackoffSec * 1000)
         val (c, ec) = timeOnce(name, fn, inflateFor(name))
-        spark.catalog.clearCache()
+        Bench.releaseAll(spark)
         if (ec.isEmpty && c < dt) {
           System.err.println(
             f"[bench][storm] $name discarding stormy $dt%.1fs, recording min-of-3 $c%.1fs")
@@ -231,7 +241,7 @@ object Bench {
               f"backing off ${escalateBackoffSec}s for a final pass")
           Thread.sleep(escalateBackoffSec * 1000)
           val (d, ed) = timeOnce(name, fn)
-          spark.catalog.clearCache()
+          Bench.releaseAll(spark)
           if (ed.isEmpty && d < dt) {
             System.err.println(
               f"[bench][storm] $name escalation recovered: recording $d%.1fs")

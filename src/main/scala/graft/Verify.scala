@@ -59,8 +59,9 @@ object Verify {
           System.err.println(s"[verify] $name failed: $err")
       }
       // No query's persisted state may outlive it (Ranks persists its
-      // rank input; Bench already clears per query).
-      spark.catalog.clearCache()
+      // rank input; SuffixRanks pins RDD-level checkpoint blocks the
+      // catalog cache never sees; Bench clears the same way per query).
+      Bench.releaseAll(spark)
     }
     spark.stop()
   }

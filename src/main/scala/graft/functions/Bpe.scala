@@ -119,8 +119,8 @@ object Bpe {
     * crawled; with it, every step compiles the same small class. */
   def learnAndEncode(vocab: DataFrame,
                      steps: Int): (DataFrame, Seq[(String, String)]) = {
-    var cur = vocab.select(col("word"), col("wc"),
-      enc0(col("word")).as("enc")).localCheckpoint()
+    var cur = Checkpoints.pin(vocab.select(col("word"), col("wc"),
+      enc0(col("word")).as("enc")).localCheckpoint())
     val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (acc.size < steps && !exhausted) {
@@ -138,8 +138,10 @@ object Bpe {
         case Some(r) =>
           val (x, y) = (r.getString(0), r.getString(1))
           acc += ((x, y))
-          cur = cur.select(col("word"), col("wc"),
-            applyMerge(col("enc"), x, y).as("enc")).localCheckpoint()
+          val next = Checkpoints.pin(cur.select(col("word"), col("wc"),
+            applyMerge(col("enc"), x, y).as("enc")).localCheckpoint())
+          Checkpoints.free(cur) // superseded pass: RDD-level free
+          cur = next
         case None => exhausted = true
       }
     }

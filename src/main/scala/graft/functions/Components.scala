@@ -46,22 +46,24 @@ object Components {
     // eager) or the nested union-join logical plan grows exponentially
     // with the iteration count — the standard discipline for iterative
     // Spark algorithms (MLlib ALS does the same via checkpointing).
-    var labels = sym.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint()
+    var labels = Checkpoints.pin(
+      sym.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("component"))
+        .localCheckpoint())
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       // candidate labels: my own + each neighbor's current label
-      val next = sym.join(labels, sym("b") === labels("id"))
-        .select(sym("a").as("id"), col("component"))
-        .union(labels)
-        .groupBy(col("id"))
-        .agg(min(col("component")).as("component"))
-        .localCheckpoint()
+      val next = Checkpoints.pin(
+        sym.join(labels, sym("b") === labels("id"))
+          .select(sym("a").as("id"), col("component"))
+          .union(labels)
+          .groupBy(col("id"))
+          .agg(min(col("component")).as("component"))
+          .localCheckpoint())
       changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).count()
-      labels.unpersist()
+      Checkpoints.free(labels) // superseded snapshot: RDD-level free
       labels = next
       iter += 1
     }
@@ -125,15 +127,15 @@ object Components {
     // appear as a singleton, matching connectedComponents' contract.
     val raw = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
-    val allNodes = raw.select(col("a").as("id"))
-      .union(raw.select(col("b").as("id"))).distinct().localCheckpoint()
-    var e = canon(raw).localCheckpoint()
+    val allNodes = Checkpoints.pin(raw.select(col("a").as("id"))
+      .union(raw.select(col("b").as("id"))).distinct().localCheckpoint())
+    var e = Checkpoints.pin(canon(raw).localCheckpoint())
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = Checkpoints.pin(smallStar(largeStar(e)).localCheckpoint())
       changed = next.exceptAll(e).count() + e.exceptAll(next).count()
-      e.unpersist()
+      Checkpoints.free(e) // superseded snapshot: RDD-level free
       e = next
       iter += 1
     }

@@ -39,7 +39,14 @@ object PageRank {
     * must sum to 1; nodes absent from `seeds` get teleport 0. The
     * initial rank IS the seed distribution, matching the standard PPR
     * formulation. The seed frame joins on the node key (broadcast
-    * when small) — no new shuffle shape. */
+    * when small) — no new shuffle shape.
+    *
+    * Seed nodes MUST be source nodes of `edges` (the same
+    * src-coverage precondition as above, applied to seeds): the node
+    * universe is derived from `src`, so weight on a node outside it
+    * is silently dropped and the teleport mass sums below the seed
+    * total — conservation breaks without an error. Derive seeds from
+    * the edge frame's sources (as q189 does) or pre-filter them. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iterations: Int, damping: Double = 0.85,
           teleport: Double = Double.NaN,
@@ -49,12 +56,13 @@ object PageRank {
     // unpersisted plan would recompute the caller's edge derivation
     // 2+iterations times (the Ranks/Components reuse lesson). Eager
     // localCheckpoint also truncates lineage across rounds.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
+    val e = graft.functions.Checkpoints.pin(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .localCheckpoint(true))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val n = deg.agg(count(lit(1)).as("cnt"))
-    val seedW = seeds.map(_.select(col("node"), col("w"))
-      .localCheckpoint(true))
+    val seedW = seeds.map(sw => graft.functions.Checkpoints.pin(
+      sw.select(col("node"), col("w")).localCheckpoint(true)))
     // teleport landing per node: tp·w(node) personalized, tp/|V| not
     def teleportTerm(frame: DataFrame): DataFrame = seedW match {
       case Some(sw) => frame.join(broadcast(sw), Seq("node"), "left")
@@ -98,8 +106,8 @@ object PageRank {
       if (i < iterations && i % 3 == 0) {
         // eager checkpoint first (it reads the old blocks), THEN free
         // the superseded snapshot
-        val ck = r.localCheckpoint(true)
-        lastCkpt.foreach(_.unpersist())
+        val ck = graft.functions.Checkpoints.pin(r.localCheckpoint(true))
+        lastCkpt.foreach(graft.functions.Checkpoints.free(_))
         lastCkpt = Some(ck)
         r = ck
       }

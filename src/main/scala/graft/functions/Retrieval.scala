@@ -85,8 +85,13 @@ object Retrieval {
     * bm25, EVERY document scores EVERY query term (smoothing gives
     * absent terms probability mass — that is the model's point), so
     * the per-doc frame is a bounded |terms|-way broadcast cross join,
-    * with tf left-joined (absent → 0). Query terms must occur in the
-    * corpus (ctf ≥ 1) or their smoothed mass is ln 0 — enforced.
+    * with tf left-joined (absent → 0). A query term absent from the
+    * ENTIRE corpus (ctf = 0) would have smoothed mass ln 0; such a
+    * term produces no ctf row, so it drops out of every document's
+    * score — identically on both engines. That truncates the model
+    * (scores are over the corpus-attested query terms only), which
+    * is the standard practical convention; callers needing strict
+    * full-query semantics should pre-check their term list.
     *
     * Overflow headroom: tf·|C| ≤ 10³·10¹³ at 100 TB — inside a long.
     * Output: (doc_id, n_hit, score_milli), one row per document. */

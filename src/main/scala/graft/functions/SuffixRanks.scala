@@ -44,10 +44,34 @@ import org.apache.spark.sql.functions._
   * 2³¹ positions (~2 G chars per job slice). Beyond that, shard the
   * corpus or swap the packed long for a two-column sort key — the
   * relabeling is value-pure either way.
+  *
+  * Degenerate-corpus precondition (the PageRank dangling-node style
+  * note): the min(pos) relabel window partitions by rank CLASS, so
+  * its parallelism is the number of distinct classes at each round.
+  * A pathological corpus — e.g. one character repeated corpus-wide —
+  * has O(L) classes total, collapsing most positions into one class
+  * and therefore ONE window task. Results stay CORRECT (pinned by
+  * SuffixRanksSpec's degenerate fixture); only parallelism degrades,
+  * and only in proportion to how much of the corpus is one repeated
+  * run. Realistic corpora (even heavily templated ones) have class
+  * counts within a small factor of position counts by round two. A
+  * corpus known to be run-dominated should be pre-collapsed
+  * (run-length dedup) before ranking — cheaper than salting every
+  * round for a case exact-substring dedup makes trivial anyway.
   */
 object SuffixRanks {
 
   private val M = 1L << 31
+
+  /** Unpersist every checkpointed rank frame produced since the last
+    * call (every level is an eager localCheckpoint — RDD-level
+    * persists that `spark.catalog.clearCache()` does NOT track or
+    * free; see [[Checkpoints]]). Call after the final action on
+    * frames derived from [[ranks]]/[[rankLevels]]; later actions on
+    * those frames FAIL (no lineage to recompute) — this is a release,
+    * not a cache spill. Delegates to the shared registry the harness
+    * drains per query. */
+  def release(): Unit = Checkpoints.releaseAll()
 
   private def powL(base: Long, e: Int): Long = {
     var v = 1L; var i = 0
@@ -58,13 +82,14 @@ object SuffixRanks {
   /** `docs`: one row per document — (doc long, text string). Returns
     * (doc, i, r) — one row per character position, i 0-based — with
     * the equal-rank ⟺ equal-L-prefix property above. The result is an
-    * eager localCheckpoint (materialized, lineage-free); callers
-    * outside a clearCache() harness should `unpersist()` it after
-    * their final action to release the checkpoint blocks. */
+    * eager localCheckpoint (materialized, lineage-free). Checkpoint
+    * blocks are RDD-level persists that `spark.catalog.clearCache()`
+    * does NOT free — callers must call [[release]] after their final
+    * action (the Bench/Verify harness does so per query). */
   def ranks(docs: DataFrame, L: Int, ordered: Boolean = false,
             buckets: Int = 32): DataFrame = {
     val levels = rankLevels(docs, L, ordered, buckets)
-    levels.init.foreach(_._2.unpersist()) // single-level callers keep only L
+    levels.init.foreach(l => Checkpoints.free(l._2)) // keep only level L
     levels.last._2.select(col("doc"), col("i"), col("r"))
   }
 
@@ -129,6 +154,7 @@ object SuffixRanks {
       .withColumn("key", key0)
       .select(col("doc"), col("i"), col("pos"), col("key"))
       .localCheckpoint() // eager: truncate lineage at the source
+    Checkpoints.pin(keyed)
     val n = keyed.count()
     require(n < M, s"$n positions exceeds the packed-rank capacity $M; shard the corpus")
     // Relabel = ONE hash-partitioned window per step (min(pos) over
@@ -147,7 +173,8 @@ object SuffixRanks {
           org.apache.spark.sql.expressions.Window.partitionBy(col("key"))))
         .select(col("doc"), col("i"), col("pos"), col("nr").as("r"))
     var p = relabel(keyed).localCheckpoint()
-    keyed.unpersist()
+    Checkpoints.pin(p)
+    Checkpoints.free(keyed) // base keys never read again past level b
     var k = b
     val levels = scala.collection.mutable.ArrayBuffer(k -> p)
     while (k < L) {
@@ -156,6 +183,7 @@ object SuffixRanks {
       val paired = p.join(shifted, Seq("doc", "i"), "left")
         .withColumn("key", col("r") * M + coalesce(col("r2"), lit(0L)))
       val next = relabel(paired).localCheckpoint()
+      Checkpoints.pin(next)
       p = next
       k *= 2
       levels += k -> p

@@ -15,10 +15,12 @@ package graft.multimodal
   * wants a poisoned blob to fail loudly in ONE task, not silently
   * skew statistics).
   *
-  * Reference behavior mirrored: the reference's media path
-  * (`processing/media/feature_extractor.py`) decodes blobs and emits
-  * per-item numeric features; these codecs supply the decode step the
-  * container's missing image/audio libraries could not.
+  * Provenance: the reference repo has NO media path — the multimodal
+  * surface comes from the builder brief's training-data-pipeline
+  * requirements (opaque binary columns + decode/feature-extract over
+  * them; see BASELINE.md's north star). These codecs supply the
+  * decode step the container's missing image/audio libraries could
+  * not, replacing the earlier declared stub.
   */
 object Codec {
 

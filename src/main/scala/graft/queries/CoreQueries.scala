@@ -1560,7 +1560,7 @@ object CoreQueries {
       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
       |    CAST(SUM(x * x) AS BIGINT) AS sxx
-      |  FROM s GROUP BY 1)
+      |  FROM s GROUP BY 1 HAVING COUNT(*) >= 2)
       |SELECT event_type, n,
       |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
       |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
@@ -1577,6 +1577,10 @@ object CoreQueries {
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
+      // x values are distinct per group, so n >= 2 ⟹ slope_den > 0;
+      // a one-day type would otherwise divide by zero (null on Spark,
+      // a cast error in DuckDB — a data-dependent engine divergence)
+      .filter(col("n") >= 2)
       .select(col("event_type"), col("n"),
         (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
         (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
@@ -1609,6 +1613,7 @@ object CoreQueries {
     val stored = scd2Collapse(scd2States(
       orders.filter(col("o_orderdate") < cutoff)))
       .localCheckpoint() // the "stored table" stand-in: materialized
+      .transform(graft.functions.Checkpoints.pin)
     val batchStates = scd2States(orders.filter(col("o_orderdate") >= cutoff))
     val affected = batchStates.select(col("o_custkey")).distinct()
     val rebuiltAffected = scd2Collapse(
@@ -1651,7 +1656,8 @@ object CoreQueries {
       |SELECT event_type, n_gaps, sg, sgg,
       |  CAST(FLOOR(1000.0 * (n_gaps * sgg - sg * sg)
       |    / ((n_gaps - 1) * sg)) AS BIGINT) AS dispersion_milli
-      |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+      |FROM m WHERE n_gaps >= 2 AND sg > 0
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .select(col("event_type"), col("user_id"), col("event_id"),
         col("ts"), unix_micros(col("ts")).as("us"))
@@ -1662,6 +1668,10 @@ object CoreQueries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sg"),
         sum(col("gap") * col("gap")).as("sgg"))
+      // n_gaps=1 or all-zero gaps → zero denominator; Spark yields
+      // null where DuckDB errors casting inf/NaN to BIGINT, so the
+      // degenerate groups are excluded identically on both engines
+      .filter(col("n_gaps") >= 2 && col("sg") > 0)
       .select(col("event_type"), col("n_gaps"), col("sg"), col("sgg"),
         floor(lit(1000.0) *
           (col("n_gaps") * col("sgg") - col("sg") * col("sg")) /

@@ -2103,7 +2103,14 @@ object TextQueries {
     * (shuffling |corpus|·64 bytes of gram text) that the rank table
     * exists to avoid at 100 TB. A radix-packed base step plus three
     * doubling rounds, each one keyed join + one keyed window relabel;
-    * lineage stays one round deep (eager per-round checkpoints). */
+    * lineage stays one round deep (eager per-round checkpoints).
+    *
+    * Positions are BYTE offsets (SuffixRanks runs on the UTF-8
+    * encoding), so the full-window filter below uses the byte length
+    * — `length(encode(text))` — to match. The char-based oracle is
+    * equivalent only on ASCII corpora (true of the test tables); a
+    * multibyte corpus dedups byte 64-grams, a well-defined but
+    * different unit. */
   val q172 = QueryDef(
     "q172_suffix_dedup",
     """WITH d AS (
@@ -2125,8 +2132,8 @@ object TextQueries {
       |FROM p JOIN c USING (g)
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        col("text"), length(col("text")).as("len"))
+      .select(col("doc_id"), col("source"), col("text"),
+        length(encode(col("text"), "UTF-8")).as("len"))
     val r = graft.functions.SuffixRanks.ranks(
       docs.select(col("doc_id").as("doc"), col("text")), L = 64)
     val full = r
@@ -2490,7 +2497,7 @@ object TextQueries {
         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
         |    CAST(SUM(x * x) AS BIGINT) AS sxx
-        |  FROM g GROUP BY 1)
+        |  FROM g GROUP BY 1 HAVING COUNT(*) >= 2)
         |SELECT source, n,
         |  CAST(FLOOR(1000.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx))
         |    AS BIGINT) AS zipf_milli
@@ -2510,6 +2517,10 @@ object TextQueries {
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
+      // mnat(rank) is distinct per rank, so n >= 2 ⟹ denominator > 0;
+      // a one-token source would otherwise divide by zero (null on
+      // Spark, a cast error in DuckDB)
+      .filter(col("n") >= 2)
       .select(col("source"), col("n"),
         floor(lit(1000.0) *
           (col("n") * col("sxy") - col("sx") * col("sy")) /

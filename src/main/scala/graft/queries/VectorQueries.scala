@@ -967,7 +967,172 @@ object VectorQueries {
       .orderBy("grp")
   }
 
+  // ------------------------------------------------------------ PQ
+  // Product quantization (Jégou et al., "Product Quantization for
+  // Nearest Neighbor Search"): split the DIM-dim vector into PQ_M
+  // subspaces of PQ_D dims, quantize each subspace against its own
+  // PQ_K-entry codebook, and represent the vector by PQ_M nibble
+  // codes — 64 floats compressed to one 32-bit word. This is the
+  // at-scale ANN leg next to int8-absmax (q87) and JL projection
+  // (q134): real 100-TB serving stores ONLY the codes + codebooks
+  // and scores queries against them (ADC, q197) without touching
+  // raw vectors.
+  private val PQ_M = 8  // subspaces
+  private val PQ_D = DIM / PQ_M
+  private val PQ_K = 16 // codes per subspace → 4-bit codes
+
+  /** Unit-normalized micro-unit vectors: k_j = ⌊e_j/‖e‖·10⁶ + ½⌋.
+    * Normalizing first makes squared L2 monotone in cosine
+    * (‖u−v‖² = 2−2cos for unit vectors), so PQ distances rank like
+    * the exact cosine queries; micro-snapping makes every distance
+    * an exact integer on both engines (the q43b contract). */
+  private def pqUnits(s: org.apache.spark.sql.SparkSession, d: String) =
+    normed(s, d).select(col("vec_id"),
+      transform(col("e"),
+        x => floor(x / col("nrm") * lit(1e6) + lit(0.5)).cast("long"))
+        .as("ku"))
+
+  /** (vec_id, sub, kv): the PQ_D-dim subvector per subspace — one
+    * map-side explode, ×PQ_M rows, no shuffle. */
+  private def pqSub(ku: org.apache.spark.sql.DataFrame) =
+    ku.select(col("vec_id"), explode(sequence(lit(0), lit(PQ_M - 1))).as("sub"),
+        col("ku"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("ku"), col("sub") * PQ_D + 1, lit(PQ_D)).as("kv"))
+
+  /** Per-subspace assignment (vec_id, sub, cid, d2): data-derived
+    * seed codebooks (the subvectors of vec_id < PQ_K — deterministic,
+    * so DuckDB derives the identical inventory), broadcast
+    * (PQ_M·PQ_K = 128 rows), exact integer Σdiff² per candidate,
+    * argmin window over PQ_K candidates partitioned by (vec_id, sub).
+    * No shuffle grows with the table beyond the bounded window. */
+  private def pqAssign(sv: org.apache.spark.sql.DataFrame) = {
+    val cb = sv.filter(col("vec_id") < PQ_K)
+      .select(col("vec_id").as("cid"), col("sub"), col("kv").as("cv"))
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2"), col("cid"))
+    sv.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        aggregate(zip_with(col("kv"), col("cv"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cid"), col("d2"))
+  }
+
+  /** Shared oracle CTE block mirroring [[pqUnits]]→[[pqSub]]→
+    * [[pqAssign]]: unit micro-units per position, subspace split by
+    * position arithmetic, per-(vector, subspace) integer argmin
+    * against the seed codebooks. Yields `asg(vec_id, sub, cid, d2)`
+    * plus `su(vec_id, sub, pos, k)` for query-side reuse. */
+  private val pqCteSql =
+    normCte +
+      s""",
+      |su AS (
+      |  SELECT vec_id, (t.i - 1) // $PQ_D AS sub, t.i AS pos,
+      |    CAST(FLOOR(CAST(e[t.i] AS DOUBLE)/nrm*1e6 + 0.5) AS BIGINT) AS k
+      |  FROM n CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) t),
+      |cb AS (
+      |  SELECT vec_id AS cid, sub, pos, k AS ck FROM su
+      |  WHERE vec_id < $PQ_K),
+      |sd AS (
+      |  SELECT su.vec_id, su.sub, cb.cid,
+      |    CAST(SUM((su.k - cb.ck)*(su.k - cb.ck)) AS BIGINT) AS d2
+      |  FROM su JOIN cb ON su.pos = cb.pos GROUP BY 1, 2, 3),
+      |asg AS (
+      |  SELECT vec_id, sub, cid, d2 FROM (
+      |    SELECT vec_id, sub, cid, d2,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+      |        ORDER BY d2, cid) AS rn
+      |    FROM sd)
+      |  WHERE rn = 1)""".stripMargin
+
+  /** q196 — PQ CODEBOOK ASSIGNMENT + reconstruction-error census:
+    * every vector compressed to its packed 32-bit PQ code
+    * (Σ cid·16^sub, disjoint nibbles) with the exact integer
+    * reconstruction error Σ_sub d2. The seed codebooks are the q43b
+    * treatment applied per subspace — deterministic data-derived
+    * inventory, so the full assign stage is triple-green under the
+    * DuckDB oracle; a TRAINED codebook swaps one Lloyd step in via
+    * `IvfMonitor`-style integer means without changing this plan.
+    * Scale: broadcast 128-row codebook, map-side subspace explode,
+    * one bounded window + one keyed agg — nothing grows but the
+    * table itself. */
+  val q196 = QueryDef(
+    "q196_pq_assign",
+    pqCteSql +
+      """
+      |SELECT vec_id,
+      |  CAST(SUM(cid << CAST(4*sub AS INT)) AS BIGINT) AS code,
+      |  CAST(SUM(d2) AS BIGINT) AS recon_d2
+      |FROM asg GROUP BY 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    pqAssign(pqSub(pqUnits(s, d)))
+      .groupBy(col("vec_id"))
+      .agg(sum(expr("shiftleft(cid, cast(4*sub as int))")).as("code"),
+        sum(col("d2")).as("recon_d2"))
+      .orderBy("vec_id")
+  }
+
+  /** q197 — ADC (asymmetric distance computation) top-k over the PQ
+    * codes: queries (vec_id < 25, the q32 set) score every DATABASE
+    * vector by Σ_sub dt[query][sub][code(vector, sub)], where dt is
+    * the query's exact integer distance table to each codebook entry
+    * — the vector's raw floats are NEVER read at query time, only
+    * its 8 nibble codes. This is how 100-TB ANN serving actually
+    * scores: codes live in memory (4 B/vector vs 256 B raw), the
+    * per-query table is |queries|·PQ_M·PQ_K rows and broadcast, and
+    * the scan is one keyed join + keyed agg. Exactness: every
+    * distance is integer micro-unit arithmetic; ties break on
+    * neighbor_id. AnnRecallSpec pins recall@3 vs exact q32. */
+  val q197 = QueryDef(
+    "q197_pq_adc_knn",
+    pqCteSql +
+      """,
+      |qs AS (SELECT vec_id AS query_id, sub, pos, k AS qk FROM su
+      |       WHERE vec_id < 25),
+      |dt AS (
+      |  SELECT qs.query_id, qs.sub, cb.cid,
+      |    CAST(SUM((qs.qk - cb.ck)*(qs.qk - cb.ck)) AS BIGINT) AS qd2
+      |  FROM qs JOIN cb ON qs.pos = cb.pos GROUP BY 1, 2, 3),
+      |ad AS (
+      |  SELECT dt.query_id, asg.vec_id AS neighbor_id,
+      |    CAST(SUM(dt.qd2) AS BIGINT) AS adc_d2
+      |  FROM asg JOIN dt ON asg.sub = dt.sub AND asg.cid = dt.cid
+      |  WHERE asg.vec_id <> dt.query_id GROUP BY 1, 2),
+      |r AS (
+      |  SELECT query_id, neighbor_id, adc_d2,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY adc_d2, neighbor_id) AS rnk
+      |  FROM ad)
+      |SELECT query_id, rnk, neighbor_id, adc_d2
+      |FROM r WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    val sv = pqSub(pqUnits(s, d))
+    val asg = pqAssign(sv)
+    val cb = sv.filter(col("vec_id") < PQ_K)
+      .select(col("vec_id").as("cid"), col("sub"), col("kv").as("cv"))
+    val dt = sv.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("sub"), col("kv").as("qv"))
+      .join(cb, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        aggregate(zip_with(col("qv"), col("cv"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("qd2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+    asg.join(broadcast(dt), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("qd2")).as("adc_d2"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("adc_d2"))
+      .orderBy("query_id", "rnk")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131,
-      q134, q135, q151, q155, q174, q179)
+      q134, q135, q151, q155, q174, q179, q196, q197)
 }

@@ -77,4 +77,44 @@ class SuffixRanksSpec extends SparkSpec {
       SuffixRanks.ranks(docsDf, 12)
     }
   }
+
+  test("degenerate corpus (one repeated char corpus-wide) stays correct") {
+    // The documented precondition case: every position of every doc is
+    // 'a', so by round two nearly all positions share ONE rank class
+    // and the min(pos) relabel window runs that class in one task.
+    // Parallelism degrades; CORRECTNESS must not. Truth: positions
+    // with >= L chars remaining (all docs) are one class per distinct
+    // truncated-run length.
+    val runs = Seq((0L, "a" * 40), (1L, "a" * 25), (2L, "a" * 8))
+    val r = SuffixRanks.ranks(runs.toDF("doc", "text"), 16)
+      .collect().map(row => (row.getLong(0), row.getLong(1)) -> row.getLong(2)).toMap
+    val truth = runs.flatMap { case (d, t) =>
+      (0 until t.length).map(i =>
+        (d, i.toLong) -> t.substring(i, math.min(i + 16, t.length)))
+    }.toMap
+    assert(r.keySet == truth.keySet)
+    for (a <- r.keySet; b <- r.keySet if a != b)
+      assert((r(a) == r(b)) == (truth(a) == truth(b)),
+        s"$a/$b: ranks ${r(a)}/${r(b)} vs '${truth(a)}'/'${truth(b)}'")
+    // and the dominant class really is corpus-scale: every position
+    // with >= 16 chars left shares one rank
+    val full = truth.filter(_._2.length == 16).keySet
+    assert(full.size > 30 && full.map(r).size == 1)
+  }
+
+  test("release() frees pinned checkpoint blocks") {
+    // localCheckpoint blocks are RDD-level persists invisible to
+    // spark.catalog.clearCache(); release() must drain exactly the
+    // frames ranks() pinned (other suites may own persists — compare
+    // against the before-set, not empty)
+    val sc = spark.sparkContext
+    SuffixRanks.release() // drain anything earlier tests pinned
+    val before = sc.getPersistentRDDs.keySet
+    SuffixRanks.ranks(docsDf, 8).count()
+    assert((sc.getPersistentRDDs.keySet -- before).nonEmpty,
+      "expected new live checkpoint blocks after ranks()")
+    SuffixRanks.release()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"release() left persistent RDDs: $leaked")
+  }
 }
