@@ -59,4 +59,33 @@ class AnnRecallSpec extends SparkSpec {
     // deterministic value against regression
     assert(r >= 0.09, f"recall $r%.3f")
   }
+
+  test("PQ/ADC (q197) recall@3 vs exact") {
+    val r = recallAt3(topk(VectorQueries.q197.run(spark, sf), 3))
+    info(f"q197 recall@3 = $r%.3f")
+    // 8 subspaces × 16 codes over uniform-random 64-dim vectors is
+    // severe compression (256 B → 4 B) on the ANN worst case; the
+    // floor pins the measured deterministic 0.147 against regression
+    // — 2.4× above random-guess (0.061)
+    assert(r >= 0.14, f"recall $r%.3f")
+  }
+
+  test("PQ assignment (q196): codebook seed vectors reconstruct exactly") {
+    // each seed vector's subvectors ARE codebook entries, so its
+    // reconstruction error must be 0 and its packed code must decode
+    // back to a cid <= its own vec_id in every nibble (ties to lower)
+    val rows = VectorQueries.q196.run(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 16)
+      .collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L,
+        s"seed ${r.getLong(0)} recon_d2 ${r.getLong(2)}")
+      val code = r.getLong(1)
+      (0 until 8).foreach { m =>
+        val cid = (code >> (4 * m)) & 0xF
+        assert(cid <= r.getLong(0), s"seed ${r.getLong(0)} sub $m cid $cid")
+      }
+    }
+  }
 }
