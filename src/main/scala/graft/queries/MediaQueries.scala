@@ -236,5 +236,135 @@ object MediaQueries {
       .orderBy("media_id", "frame_idx")
   }
 
-  val all: Seq[QueryDef] = Seq(q44, q71, q144)
+  /** q198 — perceptual image DEDUP via dHash over the REAL decode
+    * path (the image leg of the near-dup families: MinHash for text,
+    * SemDeDup for embeddings, THIS for pixels): every image is
+    * encoded as a genuine 24-bit BMP, decoded back with
+    * [[graft.multimodal.Codec.decodeBmp]] (header walk, bottom-up
+    * rows, padding — the verified q44 path), average-pooled to an
+    * 8×8 grid, and hashed by horizontal gradient SIGN with wraparound
+    * — the classic dHash, which is invariant to uniform brightness
+    * shifts by construction. The 64 bits live as four 16-bit band
+    * integers; candidate pairs share at least one equal band, which
+    * by pigeonhole is ZERO-LOSS for Hamming radius 3 (the q190
+    * argument: 3 differing bits cannot touch all 4 bands). Verified
+    * pairs report exact Hamming distance via bit_count(xor).
+    *
+    * Planted structure: images come in triples sharing a base
+    * pattern — v0 the base, v1 a +1 uniform brightness shift (hash-
+    * identical, the invariance proof), v2 a +2 shift plus a one-pixel
+    * tweak (≤ a few bits). Avg-pool comparisons are division-free
+    * (sum_a·cnt_b vs sum_b·cnt_a — exact integers), so DuckDB replays
+    * the full hash from the generating pixel formulas without parsing
+    * BMPs, while the engine must round-trip the real container bytes.
+    *
+    * Scale: decode is per-blob mapPartitions work; pooling and bands
+    * are keyed aggs on (image, cell); the candidate join is band-
+    * bucketed equality (never all-pairs) — grow band count/width with
+    * the corpus exactly like q23's LSH bands. */
+  val q198 = QueryDef(
+    "q198_image_dhash_dedup",
+    """WITH m AS (
+      |  SELECT doc_id AS id, doc_id - doc_id % 3 AS base,
+      |    doc_id % 3 AS v
+      |  FROM documents WHERE doc_id < 300),
+      |dims AS (
+      |  SELECT id, base, v, 8 + base % 10 AS w, 8 + base % 7 AS h
+      |  FROM m),
+      |px AS (
+      |  SELECT id, base, v, w, h, unnest(range(0, w*h)) AS i
+      |  FROM dims),
+      |pv AS (
+      |  SELECT id, w, h, (i % w) AS x, (i // w) AS y,
+      |    (base*7919 + i*104729) % 251 + v +
+      |      CASE WHEN v = 2 AND i = 0 THEN 3 ELSE 0 END AS val
+      |  FROM px),
+      |cells AS (
+      |  SELECT id, (y*8) // h AS gy, (x*8) // w AS gx,
+      |    CAST(SUM(val) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM pv GROUP BY 1, 2, 3),
+      |grad AS (
+      |  SELECT id, gy, gx, s, c,
+      |    COALESCE(LEAD(s) OVER wnd, FIRST_VALUE(s) OVER wnd) AS ns,
+      |    COALESCE(LEAD(c) OVER wnd, FIRST_VALUE(c) OVER wnd) AS nc
+      |  FROM cells WINDOW wnd AS (PARTITION BY id, gy ORDER BY gx)),
+      |bits AS (
+      |  SELECT id, (gy*8+gx) // 16 AS band, (gy*8+gx) % 16 AS off,
+      |    CASE WHEN ns * c > s * nc THEN 1 ELSE 0 END AS bit
+      |  FROM grad),
+      |hs AS (
+      |  SELECT id, band,
+      |    CAST(SUM(bit << CAST(off AS INT)) AS BIGINT) AS bv
+      |  FROM bits GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM hs a JOIN hs b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id),
+      |ham AS (
+      |  SELECT id_a, id_b,
+      |    CAST(SUM(bit_count(xor(ha.bv, hb.bv))) AS BIGINT) AS hamming
+      |  FROM cand
+      |  JOIN hs ha ON ha.id = id_a
+      |  JOIN hs hb ON hb.id = id_b AND hb.band = ha.band
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, hamming FROM ham
+      |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val blob = udf { (id: Long) =>
+      val base = id - id % 3
+      val v = (id % 3).toInt
+      val w = (8 + base % 10).toInt
+      val h = (8 + base % 7).toInt
+      val g = Array.tabulate(w * h)(i =>
+        ((base * 7919 + i.toLong * 104729) % 251 + v +
+          (if (v == 2 && i == 0) 3 else 0)).toByte)
+      graft.multimodal.Codec.encodeBmp(w, h, g)
+    }
+    val px = Tables.documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id").as("id"))
+      .withColumn("bytes", blob(col("id")))
+      .select("id", "bytes").as[(Long, Array[Byte])]
+      .repartition(32, col("id"))
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val (w, _, g) = graft.multimodal.Codec.decodeBmp(bytes)
+          g.iterator.zipWithIndex.map { case (b, i) =>
+            (id, i % w, i / w, w, g.length / w, b & 0xff)
+          }
+        }
+      }
+      .toDF("id", "x", "y", "w", "h", "v")
+    val cells = px
+      .groupBy(col("id"), expr("(y*8) div h").as("gy"),
+        expr("(x*8) div w").as("gx"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+    val wnd = org.apache.spark.sql.expressions.Window.partitionBy(col("id"), col("gy")).orderBy(col("gx"))
+    val hs = cells
+      .withColumn("ns", coalesce(lead(col("s"), 1).over(wnd),
+        first(col("s")).over(wnd)))
+      .withColumn("nc", coalesce(lead(col("c"), 1).over(wnd),
+        first(col("c")).over(wnd)))
+      .select(col("id"),
+        expr("(gy*8+gx) div 16").as("band"),
+        ((col("gy") * 8 + col("gx")) % 16).as("off"),
+        when(col("ns") * col("c") > col("s") * col("nc"), 1L)
+          .otherwise(0L).as("bit"))
+      .groupBy(col("id"), col("band"))
+      .agg(sum(expr("shiftleft(bit, cast(off as int))")).as("bv"))
+    val cand = hs.as("a").join(hs.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val ha = hs.select(col("id").as("id_a"), col("band"),
+      col("bv").as("bva"))
+    val hb = hs.select(col("id").as("id_b"), col("band"),
+      col("bv").as("bvb"))
+    cand.join(ha, Seq("id_a")).join(hb, Seq("id_b", "band"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(expr("bit_count(bva ^ bvb)")).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q44, q71, q144, q198)
 }
