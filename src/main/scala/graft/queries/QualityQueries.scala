@@ -464,5 +464,155 @@ object QualityQueries {
       .orderBy("digit")
   }
 
-  val all: Seq[QueryDef] = Seq(q35, q39, q40, q93, q95, q142, q154, q180)
+  /** q199 — SILVER PROJECTION CENSUS: one oracle query that runs every
+    * remaining scalar silver/validation op through the DuckDB gate —
+    * P9 (month/year), P12 (mobile flag, null→false), P16 (category
+    * initcap), P17 (stock flag, null→false), P18 (account age, pinned
+    * `now`), P21 (rating category), P22 (customer segment), P23 (CLV),
+    * P25 (processing metadata), V6 (timestamp range) — closing the §2
+    * rows previously evidenced by unit tests only. Each section
+    * applies the REAL production expression ([[graft.functions
+    * .TimeFeatures]]/[[graft.functions.Buckets]], the exact Columns
+    * Silver.* uses) to a deterministic stand-in input and censuses the
+    * result as (metric, bucket, n) rows; DuckDB mirrors every formula,
+    * including a hand-rolled initcap (DuckDB 1.0 lacks one) and the
+    * accountAgeDays floor-elapsed-seconds arithmetic against the
+    * pinned anchor 2026-01-01 UTC (= epoch 1767225600 — P18's
+    * current_timestamp is the one non-deterministic input, pinned here
+    * exactly like V6's `now`).
+    *
+    * Scale: every section is one scan + one map-side-combined census;
+    * the per-customer P22/P23 section is one keyed agg. Output is
+    * bounded by the bucket vocabularies. */
+  val q199 = QueryDef(
+    "q199_silver_census",
+    """WITH dev AS (
+      |  SELECT (['mobile','desktop','tablet',NULL])
+      |      [CAST(event_id % 4 + 1 AS INT)] AS device
+      |  FROM events),
+      |cust AS (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |seg AS (
+      |  SELECT o_custkey, n_orders, cents,
+      |    (cents // n_orders) / 100.0 AS aov
+      |  FROM cust)
+      |SELECT 'p9_month' AS metric,
+      |  CAST(year(ts)*100 + month(ts) AS VARCHAR) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events GROUP BY 2
+      |UNION ALL
+      |SELECT 'p12_mobile',
+      |  CAST(COALESCE(lower(device) IN ('mobile','tablet'), false)
+      |    AS VARCHAR),
+      |  CAST(COUNT(*) AS BIGINT)
+      |FROM dev GROUP BY 2
+      |UNION ALL
+      |SELECT 'p16_initcap',
+      |  array_to_string(list_transform(
+      |    string_split(trim(lower(p_type || ' ' || p_brand)), ' '),
+      |    w -> upper(w[1]) || w[2:]), ' '),
+      |  CAST(COUNT(*) AS BIGINT)
+      |FROM part GROUP BY 2
+      |UNION ALL
+      |SELECT 'p17_stock',
+      |  CAST(COALESCE(
+      |    (CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_size - 25 END) > 0,
+      |    false) AS VARCHAR),
+      |  CAST(COUNT(*) AS BIGINT)
+      |FROM part GROUP BY 2
+      |UNION ALL
+      |SELECT 'p18_age_years',
+      |  CAST(CAST(FLOOR((1767225600 - epoch(o_orderdate)) / 86400)
+      |    AS BIGINT) // 365 AS VARCHAR),
+      |  CAST(COUNT(*) AS BIGINT)
+      |FROM orders GROUP BY 2
+      |UNION ALL
+      |SELECT 'p21_rating',
+      |  CASE WHEN (o_orderkey % 50)/10.0 >= 4.5 THEN 'excellent'
+      |       WHEN (o_orderkey % 50)/10.0 >= 4.0 THEN 'good'
+      |       WHEN (o_orderkey % 50)/10.0 >= 3.0 THEN 'average'
+      |       ELSE 'poor' END,
+      |  CAST(COUNT(*) AS BIGINT)
+      |FROM orders GROUP BY 2
+      |UNION ALL
+      |SELECT 'p22_segment',
+      |  CASE WHEN n_orders = 0 THEN 'new'
+      |       WHEN n_orders < 5 THEN 'occasional'
+      |       WHEN aov > 200 THEN 'high_value'
+      |       ELSE 'regular' END,
+      |  CAST(COUNT(*) AS BIGINT)
+      |FROM seg GROUP BY 2
+      |UNION ALL
+      |SELECT 'p23_clv_50k',
+      |  CAST(((cents // n_orders) * n_orders) // 5000000 AS VARCHAR),
+      |  CAST(COUNT(*) AS BIGINT)
+      |FROM seg GROUP BY 2
+      |UNION ALL
+      |SELECT 'p25_meta', 'graft_silver_v1', CAST(COUNT(*) AS BIGINT)
+      |FROM customer
+      |UNION ALL
+      |SELECT 'v6_ts_range',
+      |  CAST(ts >= TIMESTAMP '2024-01-01'
+      |    AND ts < TIMESTAMP '2024-07-01' AS VARCHAR),
+      |  CAST(COUNT(*) AS BIGINT)
+      |FROM events GROUP BY 2
+      |ORDER BY metric, bucket""".stripMargin) { (s, d) =>
+    import graft.functions.{Buckets, TimeFeatures}
+    val ev = Tables.events(s, d)
+    val part = Tables.part(s, d)
+    val orders = Tables.orders(s, d)
+    def census(metric: String, df: org.apache.spark.sql.DataFrame,
+               bucket: org.apache.spark.sql.Column) =
+      df.groupBy(bucket.cast("string").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(metric).as("metric"), col("bucket"), col("n"))
+    val p9 = census("p9_month", ev,
+      TimeFeatures.yearOf(col("ts")) * 100 + TimeFeatures.monthOf(col("ts")))
+    val device = element_at(
+      array(lit("mobile"), lit("desktop"), lit("tablet"),
+        lit(null).cast("string")),
+      (col("event_id") % 4 + 1).cast("int"))
+    // P12: the exact Silver.clickstream expression (null device → false)
+    val p12 = census("p12_mobile", ev,
+      coalesce(lower(device).isin("mobile", "tablet"), lit(false)))
+    val p16 = census("p16_initcap", part,
+      initcap(trim(concat_ws(" ", col("p_type"), col("p_brand")))))
+    // P17: the exact Silver.products expression (null stock → false)
+    val stock = when(col("p_partkey") % 7 === 0, lit(null).cast("int"))
+      .otherwise(col("p_size") - 25)
+    val p17 = census("p17_stock", part,
+      coalesce(stock > 0, lit(false)))
+    // P18: accountAgeDays' floor-elapsed-seconds form with `now`
+    // pinned to 2026-01-01T00:00Z (epoch 1767225600)
+    val p18 = census("p18_age_years", orders,
+      expr("cast(floor((1767225600 - unix_timestamp(o_orderdate)) / 86400)" +
+        " as bigint) div 365"))
+    val p21 = census("p21_rating", orders,
+      Buckets.ratingCategory((col("o_orderkey") % 50) / 10.0))
+    val cust = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      .withColumn("aov", expr("cents div n_orders") / 100.0)
+    val p22 = census("p22_segment", cust,
+      Buckets.customerSegment(col("n_orders"), col("aov")))
+    val p23 = census("p23_clv_50k", cust,
+      expr("((cents div n_orders) * n_orders) div 5000000"))
+    val p25 = Tables.customer(s, d)
+      .agg(count(lit(1)).as("n"))
+      .select(lit("p25_meta").as("metric"),
+        lit("graft_silver_v1").as("bucket"), col("n"))
+    val v6 = census("v6_ts_range", ev,
+      col("ts") >= lit("2024-01-01").cast("timestamp") &&
+        col("ts") < lit("2024-07-01").cast("timestamp"))
+    Seq(p9, p12, p16, p17, p18, p21, p22, p23, p25, v6)
+      .reduce(_ unionByName _)
+      .orderBy("metric", "bucket")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q35, q39, q40, q93, q95, q142, q154, q180, q199)
 }
