@@ -2763,10 +2763,66 @@ object TextQueries {
       .limit(10)
   }
 
+  /** q200 — unigram-LM (SentencePiece-style) VITERBI segmentation
+    * census ([[graft.functions.Unigram]]): every [a-z]{1,24} word in
+    * the corpus segmented into the globally-cheapest piece sequence
+    * under a fixed integer milli-nat inventory, reported per source as
+    * token/piece totals, total cost, and fertility (pieces per word,
+    * milli) — directly comparable to q150's BPE fertility on the same
+    * source key (the tokenizer-choice census a training pipeline runs
+    * before committing a vocab). The DP is one codegen'd packed fold
+    * per DISTINCT word (cost·64+pieces packing ⇒ one integer MIN is
+    * lexicographic); the oracle replays the identical DP as generated
+    * per-position CTEs (b1..b24). Scale: vocabulary-sized DP +
+    * broadcast-literal inventory + one keyed census — token volume
+    * only enters the word-count aggregation. */
+  val q200 = QueryDef(
+    "q200_unigram_viterbi", {
+      import graft.functions.Unigram
+      s"""WITH pieces(piece, cost) AS (VALUES ${Unigram.piecesValuesSql}),
+        |tk0 AS MATERIALIZED (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w0
+        |  FROM documents),
+        |tw AS MATERIALIZED (
+        |  SELECT source, lower(w0) AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tk0
+        |  WHERE regexp_full_match(lower(w0), '[a-z]{1,${Unigram.MaxWord}}')
+        |  GROUP BY 1, 2),
+        |vocab AS MATERIALIZED (SELECT DISTINCT word FROM tw),
+        |${Unigram.dpCtesSql}
+        |SELECT source,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(cnt * (packed % 64)) AS BIGINT) AS n_pieces,
+        |  CAST(SUM(cnt * (packed // 64)) AS BIGINT) AS cost_milli,
+        |  CAST(SUM(cnt * (packed % 64)) * 1000 // SUM(cnt) AS BIGINT)
+        |    AS fertility_milli
+        |FROM tw JOIN fin USING (word)
+        |GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.Unigram
+    val tw = Tables.documents(s, d)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("w0"))
+      .select(col("source"), lower(col("w0")).as("word"))
+      .filter(col("word").rlike(s"^[a-z]{1,${Unigram.MaxWord}}$$"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val costs = Unigram.segmentCosts(tw, "word")
+    tw.join(costs, Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * (col("packed") % 64)).as("n_pieces"),
+        sum(col("cnt") * expr("packed div 64")).as("cost_milli"))
+      .withColumn("fertility_milli",
+        expr("n_pieces * 1000 div n_tokens"))
+      .select("source", "n_tokens", "n_pieces", "cost_milli",
+        "fertility_milli")
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
       q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181,
-      q184, q185, q190, q192, q193)
+      q184, q185, q190, q192, q193, q200)
 }
