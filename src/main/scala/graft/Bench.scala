@@ -269,6 +269,41 @@ object Bench {
         partialPath, renderJson(acc.toSeq, done = false) + "\n")
       catch { case _: Throwable => () } // partial file is best-effort
     }
+    // POST-PASS re-enqueue (round-7 verdict item 5): a row can stay
+    // suspect because the host was degraded during THAT query's slot
+    // and the in-slot retries (10s, then 60s) couldn't outwait it.
+    // After the whole sweep — minutes later, a different slot — re-run
+    // each still-suspect row once more after a cooldown and min-merge.
+    // Budget = number of suspects (historically 0-1), so worst-case
+    // added wall time is bounded and the common case adds nothing.
+    val stillSuspect = acc.zipWithIndex.collect {
+      case (QRow(n, v, None, Some(p)), i) => (n, v, p, i)
+    }
+    if (stillSuspect.nonEmpty) {
+      val cooldownSec = sys.env
+        .getOrElse("SPARK_GRAFT_BENCH_POSTPASS_COOLDOWN_SEC", "45").toLong
+      System.err.println(
+        s"[bench][postpass] ${stillSuspect.size} suspect row(s) survived " +
+          s"the sweep; cooling down ${cooldownSec}s for one final pass each")
+      Thread.sleep(cooldownSec * 1000)
+      val fns = SparkEntry.queries
+      stillSuspect.foreach { case (n, v, p, i) =>
+        val (c, ec) = timeOnce(n, fns(n))
+        Bench.releaseAll(spark)
+        if (ec.isEmpty && c < v) {
+          val still = c > stormFactor * p && c > p + 1.0
+          System.err.println(
+            f"[bench][postpass] $n recovered: $v%.1fs -> $c%.1fs" +
+              (if (still) " (still flagged vs history)" else " (unflagged)"))
+          acc(i) = QRow(n, c, None, if (still) Some(p) else None)
+        } else System.err.println(
+          f"[bench][postpass] $n pass $c%.1fs${ec.fold("")(m => s" ERR $m")} " +
+            f"not faster; keeping $v%.1fs (flagged)")
+        try java.nio.file.Files.writeString(
+          partialPath, renderJson(acc.toSeq, done = false) + "\n")
+        catch { case _: Throwable => () }
+      }
+    }
     val finalJson = renderJson(acc.toSeq, done = true)
     try java.nio.file.Files.writeString(partialPath, finalJson + "\n")
     catch { case _: Throwable => () }
