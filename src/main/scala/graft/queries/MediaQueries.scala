@@ -366,5 +366,136 @@ object MediaQueries {
       .orderBy("id_a", "id_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q44, q71, q144, q198)
+  /** q201 — AUDIO near-dup dedup via energy-contour fingerprints over
+    * the REAL WAV decode path (q198's treatment applied to the audio
+    * modality, completing the per-modality dedup set: MinHash text,
+    * SemDeDup embeddings, dHash pixels, THIS for samples): each clip
+    * is encoded as a genuine PCM16 RIFF/WAV, decoded back with
+    * [[graft.multimodal.Codec.decodeWav]] (chunk walk, little-endian
+    * samples — the verified q44 path), split into 64-sample frames,
+    * and fingerprinted by the SIGN of the frame-to-frame energy delta
+    * — invariant to uniform amplitude scaling by construction (gain
+    * ×g scales every energy by g², preserving every delta's sign; the
+    * audio analog of dHash's brightness invariance). Signatures are
+    * 15–27 bits (clip lengths chosen so even the shortest spans 4
+    * four-bit bands — fewer bits would make radius-3 matching
+    * unselective: at 7 bits HALF of random same-length pairs pass);
+    * candidates share (frame count, band, value) — pigeonhole
+    * zero-loss at Hamming radius 3 — and verified pairs
+    * report exact bit_count(xor) distance.
+    *
+    * Planted structure: clips come in triples — v0 base, v1 the SAME
+    * signal at 2× gain (fingerprint-identical), v2 base with one
+    * corrupted sample (≤ a few bits). Energies are exact integer
+    * Σs², so DuckDB replays the whole fingerprint from the generating
+    * sample formulas while the engine round-trips real WAV bytes.
+    * Scale: identical to q198 — per-blob decode, keyed frame aggs,
+    * band-bucketed candidate join. */
+  val q201 = QueryDef(
+    "q201_audio_fingerprint_dedup",
+    """WITH m AS (
+      |  SELECT doc_id AS id, doc_id - doc_id % 3 AS base,
+      |    doc_id % 3 AS v
+      |  FROM documents WHERE doc_id < 300),
+      |dims AS (
+      |  SELECT id, base, v, 1024 + (base % 7) * 128 AS n
+      |  FROM m),
+      |sx AS (
+      |  SELECT id, base, v, n, unnest(range(0, n)) AS i
+      |  FROM dims),
+      |sv AS (
+      |  SELECT id, n // 64 AS nf, i // 64 AS f,
+      |    (((base + 13) * (i*i + 31*i + 7)) % 4001 - 2000
+      |      + CASE WHEN v = 2 AND i = 7 THEN 911 ELSE 0 END)
+      |      * (CASE WHEN v = 1 THEN 2 ELSE 1 END) AS s
+      |  FROM sx),
+      |fe AS (
+      |  SELECT id, nf, f, CAST(SUM(s*s) AS BIGINT) AS e
+      |  FROM sv GROUP BY 1, 2, 3),
+      |de AS (
+      |  SELECT id, nf, f, e, LEAD(e) OVER wnd AS ne
+      |  FROM fe WINDOW wnd AS (PARTITION BY id ORDER BY f)),
+      |bits AS (
+      |  SELECT id, nf, f // 4 AS band, f % 4 AS off,
+      |    CASE WHEN ne > e THEN 1 ELSE 0 END AS bit
+      |  FROM de WHERE ne IS NOT NULL),
+      |hs AS (
+      |  SELECT id, nf, band,
+      |    CAST(SUM(bit << CAST(off AS INT)) AS BIGINT) AS bv
+      |  FROM bits GROUP BY 1, 2, 3),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM hs a JOIN hs b
+      |    ON a.nf = b.nf AND a.band = b.band AND a.bv = b.bv
+      |    AND a.id < b.id),
+      |ham AS (
+      |  SELECT id_a, id_b,
+      |    CAST(SUM(bit_count(xor(ha.bv, hb.bv))) AS BIGINT) AS hamming
+      |  FROM cand
+      |  JOIN hs ha ON ha.id = id_a
+      |  JOIN hs hb ON hb.id = id_b AND hb.band = ha.band
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, hamming FROM ham
+      |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val blob = udf { (id: Long) =>
+      val base = id - id % 3
+      val v = (id % 3).toInt
+      val n = (1024 + (base % 7) * 128).toInt
+      val gain = if (v == 1) 2 else 1
+      val samples = Array.tabulate(n) { i =>
+        // multiplicative base mix (4001 is prime, base+13 < 4001, so
+        // each clip is a DIFFERENT permutation of the i-polynomial,
+        // not a phase shift of one shared walk — additive-only
+        // formulas left energy contours correlated across clips and
+        // flooded the radius-3 match set with cross-group pairs)
+        val s0 = ((base + 13) * (i.toLong * i + 31 * i + 7)) % 4001 -
+          2000 + (if (v == 2 && i == 7) 911 else 0)
+        (s0 * gain).toShort
+      }
+      graft.multimodal.Codec.encodeWav(16000, samples)
+    }
+    val sv = Tables.documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id").as("id"))
+      .withColumn("bytes", blob(col("id")))
+      .select("id", "bytes").as[(Long, Array[Byte])]
+      .repartition(32, col("id"))
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val samples = graft.multimodal.Codec.decodeWav(bytes)._2
+          val nf = samples.length / 64
+          samples.iterator.zipWithIndex.map { case (sm, i) =>
+            (id, nf, i / 64, sm.toLong)
+          }
+        }
+      }
+      .toDF("id", "nf", "f", "s")
+    val fe = sv.groupBy(col("id"), col("nf"), col("f"))
+      .agg(sum(col("s") * col("s")).as("e"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("f"))
+    val hs = fe
+      .withColumn("ne", lead(col("e"), 1).over(wnd))
+      .filter(col("ne").isNotNull)
+      .select(col("id"), col("nf"),
+        expr("f div 4").as("band"), (col("f") % 4).as("off"),
+        when(col("ne") > col("e"), 1L).otherwise(0L).as("bit"))
+      .groupBy(col("id"), col("nf"), col("band"))
+      .agg(sum(expr("shiftleft(bit, cast(off as int))")).as("bv"))
+    val cand = hs.as("a").join(hs.as("b"),
+        col("a.nf") === col("b.nf") && col("a.band") === col("b.band") &&
+          col("a.bv") === col("b.bv") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val ha = hs.select(col("id").as("id_a"), col("band"),
+      col("bv").as("bva"))
+    val hb = hs.select(col("id").as("id_b"), col("band"),
+      col("bv").as("bvb"))
+    cand.join(ha, Seq("id_a")).join(hb, Seq("id_b", "band"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(expr("bit_count(bva ^ bvb)")).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q44, q71, q144, q198, q201)
 }
