@@ -1006,9 +1006,14 @@ object VectorQueries {
     * (PQ_M·PQ_K = 128 rows), exact integer Σdiff² per candidate,
     * argmin window over PQ_K candidates partitioned by (vec_id, sub).
     * No shuffle grows with the table beyond the bounded window. */
-  private def pqAssign(sv: org.apache.spark.sql.DataFrame) = {
-    val cb = sv.filter(col("vec_id") < PQ_K)
+  private def pqSeedCodebook(sv: org.apache.spark.sql.DataFrame) =
+    sv.filter(col("vec_id") < PQ_K)
       .select(col("vec_id").as("cid"), col("sub"), col("kv").as("cv"))
+
+  /** Assignment against an arbitrary `(cid, sub, cv)` codebook frame
+    * (broadcast; PQ_M·PQ_K rows by contract). */
+  private def pqAssignTo(sv: org.apache.spark.sql.DataFrame,
+                         cb: org.apache.spark.sql.DataFrame) = {
     val w = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("d2"), col("cid"))
     sv.join(broadcast(cb), Seq("sub"))
@@ -1020,6 +1025,9 @@ object VectorQueries {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("sub"), col("cid"), col("d2"))
   }
+
+  private def pqAssign(sv: org.apache.spark.sql.DataFrame) =
+    pqAssignTo(sv, pqSeedCodebook(sv))
 
   /** Shared oracle CTE block mirroring [[pqUnits]]→[[pqSub]]→
     * [[pqAssign]]: unit micro-units per position, subspace split by
@@ -1132,7 +1140,99 @@ object VectorQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** q202 — PQ codebook TRAINING: one exact-integer Lloyd step per
+    * subspace (the IvfMonitor treatment applied to q196's codebooks,
+    * making "per-subspace k-means" literal): new entry = element-wise
+    * FLOORED mean of the assigned subvectors (floor of a double
+    * division of exact-integer operands — bit-identical on both
+    * engines; empty cells keep their seed entry), then re-assign and
+    * census per subspace — vectors moved, total reconstruction error
+    * before/after, improvement in ppm. Lloyd's update step minimizes
+    * Σ(k−c)² at the true mean; flooring costs at most n micro-units²
+    * per cell, so the improvement stays decisively positive
+    * (AnnRecallSpec pins it > 0 per subspace — the k-means descent
+    * property, measured not assumed).
+    *
+    * Scale: the update is one keyed agg over (sub, cid, pos) —
+    * |assignments|·PQ_D rows in, 128·PQ_D out; re-assignment is the
+    * same broadcast-codebook scan as q196. Iterating = repeating this
+    * plan; one oracle-checked step pins the arithmetic for all. */
+  val q202 = QueryDef(
+    "q202_pq_lloyd_step",
+    pqCteSql +
+      """,
+      |nc0 AS (
+      |  SELECT asg.sub, asg.cid, su.pos,
+      |    CAST(FLOOR(CAST(SUM(su.k) AS DOUBLE) / COUNT(*)) AS BIGINT)
+      |      AS nk
+      |  FROM asg JOIN su
+      |    ON su.vec_id = asg.vec_id AND su.sub = asg.sub
+      |  GROUP BY 1, 2, 3),
+      |nc AS (
+      |  SELECT cb.sub, cb.cid, cb.pos,
+      |    COALESCE(nc0.nk, cb.ck) AS ck
+      |  FROM cb LEFT JOIN nc0
+      |    ON nc0.sub = cb.sub AND nc0.cid = cb.cid AND nc0.pos = cb.pos),
+      |sd2 AS (
+      |  SELECT su.vec_id, su.sub, nc.cid,
+      |    CAST(SUM((su.k - nc.ck)*(su.k - nc.ck)) AS BIGINT) AS d2
+      |  FROM su JOIN nc ON su.pos = nc.pos AND su.sub = nc.sub
+      |  GROUP BY 1, 2, 3),
+      |asg2 AS (
+      |  SELECT vec_id, sub, cid, d2 FROM (
+      |    SELECT vec_id, sub, cid, d2,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+      |        ORDER BY d2, cid) AS rn
+      |    FROM sd2)
+      |  WHERE rn = 1),
+      |j AS (
+      |  SELECT a.sub, a.cid AS c0, b.cid AS c1, a.d2 AS d0, b.d2 AS d1
+      |  FROM asg a JOIN asg2 b
+      |    ON a.vec_id = b.vec_id AND a.sub = b.sub)
+      |SELECT sub, CAST(COUNT(*) AS BIGINT) AS n_vec,
+      |  CAST(SUM(CASE WHEN c0 <> c1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_moved,
+      |  CAST(SUM(d0) AS BIGINT) AS d2_before,
+      |  CAST(SUM(d1) AS BIGINT) AS d2_after,
+      |  CAST(FLOOR(CAST(SUM(d0) - SUM(d1) AS DOUBLE) * 1000000
+      |    / SUM(d0)) AS BIGINT) AS improvement_ppm
+      |FROM j GROUP BY sub ORDER BY sub""".stripMargin) { (s, d) =>
+    val sv = pqSub(pqUnits(s, d))
+    val cb = pqSeedCodebook(sv)
+    val asg = pqAssign(sv)
+    // update step: element-wise floored mean per (sub, cid, pos)
+    val nc0 = asg.select(col("vec_id"), col("sub"), col("cid"))
+      .join(sv, Seq("vec_id", "sub"))
+      .select(col("sub"), col("cid"),
+        posexplode(col("kv")).as(Seq("pos", "k")))
+      .groupBy(col("sub"), col("cid"), col("pos"))
+      .agg(floor(sum(col("k")).cast("double") / count(lit(1)))
+        .cast("long").as("nk"))
+    val cbPos = cb.select(col("sub"), col("cid"),
+      posexplode(col("cv")).as(Seq("pos", "ck")))
+    val ncArr = cbPos.join(nc0, Seq("sub", "cid", "pos"), "left")
+      .select(col("sub"), col("cid"), col("pos"),
+        coalesce(col("nk"), col("ck")).as("ck"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("ck")))),
+        x => x.getField("ck")).as("cv"))
+    val asg2 = pqAssignTo(sv, ncArr)
+    asg.select(col("vec_id"), col("sub"), col("cid").as("c0"),
+        col("d2").as("d0"))
+      .join(asg2.select(col("vec_id"), col("sub"), col("cid").as("c1"),
+        col("d2").as("d1")), Seq("vec_id", "sub"))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vec"),
+        sum(when(col("c0") =!= col("c1"), 1L).otherwise(0L)).as("n_moved"),
+        sum(col("d0")).as("d2_before"),
+        sum(col("d1")).as("d2_after"))
+      .withColumn("improvement_ppm",
+        floor((col("d2_before") - col("d2_after")).cast("double") *
+          1000000 / col("d2_before")).cast("long"))
+      .orderBy("sub")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131,
-      q134, q135, q151, q155, q174, q179, q196, q197)
+      q134, q135, q151, q155, q174, q179, q196, q197, q202)
 }

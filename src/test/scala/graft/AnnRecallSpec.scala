@@ -70,6 +70,21 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.14, f"recall $r%.3f")
   }
 
+  test("PQ Lloyd step (q202): reconstruction error strictly improves per subspace") {
+    // the k-means descent property, measured not assumed: one exact
+    // integer Lloyd step must cut total reconstruction error in EVERY
+    // subspace (flooring the mean costs at most n micro-units² per
+    // cell — noise against ~20% improvements)
+    val rows = VectorQueries.q202.run(spark, sf).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val sub = r.getAs[Number]("sub").longValue
+      val before = r.getAs[Long]("d2_before")
+      val after = r.getAs[Long]("d2_after")
+      assert(after < before, s"sub $sub: $before -> $after")
+    }
+  }
+
   test("PQ assignment (q196): codebook seed vectors reconstruct exactly") {
     // each seed vector's subvectors ARE codebook entries, so its
     // reconstruction error must be 0 and its packed code must decode
