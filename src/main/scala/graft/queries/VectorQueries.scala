@@ -1232,7 +1232,179 @@ object VectorQueries {
       .orderBy("sub")
   }
 
+  /** q203 — IVF-PQ end-to-end serving (Jégou et al. §IV): the full
+    * at-scale ANN read path assembled from the oracle-proven pieces —
+    * coarse quantizer (16 cells, q43b's integer argmin), RESIDUAL
+    * product quantization (vector − its cell centroid, PQ-coded
+    * against a shared 16-entry-per-subspace residual codebook: the
+    * residual trick that makes one small codebook serve every cell),
+    * 2-cell probe per query (the q38 convention), ADC over the probed
+    * cells' codes only, then EXACT re-rank of the 10-candidate ADC
+    * shortlist — the standard two-stage recipe (the q151 contract:
+    * re-rank windows are candidate-bounded by construction).
+    *
+    * At 100 TB this is the plan you'd actually run: codes (4 B) +
+    * cell ids in memory, one broadcast distance table per query
+    * batch, the scan touches only probed cells, and raw vectors are
+    * read just for the bounded shortlist. Every stage is exact
+    * integer micro-unit arithmetic → the whole pipeline is
+    * triple-green under DuckDB, which no float ANN stack can say.
+    * Residual codebook seeds = residuals of vec_id 16..31 (the
+    * centroids' own residuals are zero, so seeds come from the next
+    * sixteen — deterministic on both engines). */
+  val q203 = QueryDef(
+    "q203_ivfpq_search",
+    normCte +
+      s""",
+      |u AS (
+      |  SELECT vec_id, t.i AS pos,
+      |    CAST(FLOOR(CAST(e[t.i] AS DOUBLE)/nrm*1e6 + 0.5) AS BIGINT) AS k
+      |  FROM n CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) t),
+      |cent AS (SELECT vec_id AS cell, pos, k AS ck FROM u
+      |         WHERE vec_id < 16),
+      |ad AS (
+      |  SELECT u.vec_id, cent.cell,
+      |    CAST(SUM((u.k - cent.ck)*(u.k - cent.ck)) AS BIGINT) AS d2
+      |  FROM u JOIN cent ON u.pos = cent.pos GROUP BY 1, 2),
+      |asn AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM ad) WHERE rn = 1),
+      |res AS (
+      |  SELECT u.vec_id, a.cell, (u.pos - 1) // $PQ_D AS sub, u.pos,
+      |    u.k - c.ck AS rk
+      |  FROM u JOIN asn a ON a.vec_id = u.vec_id
+      |  JOIN cent c ON c.cell = a.cell AND c.pos = u.pos),
+      |cbr AS (
+      |  SELECT vec_id - 16 AS cid, sub, pos, rk AS crk
+      |  FROM res WHERE vec_id >= 16 AND vec_id < 32),
+      |rd AS (
+      |  SELECT res.vec_id, res.sub, cbr.cid,
+      |    CAST(SUM((res.rk - cbr.crk)*(res.rk - cbr.crk)) AS BIGINT) AS d2
+      |  FROM res JOIN cbr ON res.pos = cbr.pos GROUP BY 1, 2, 3),
+      |rasg AS (
+      |  SELECT vec_id, sub, cid FROM (
+      |    SELECT vec_id, sub, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+      |        ORDER BY d2, cid) AS rn
+      |    FROM rd) WHERE rn = 1),
+      |qd AS (SELECT vec_id AS query_id, cell, d2 FROM ad
+      |       WHERE vec_id < 25),
+      |probe AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT query_id, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, cell)
+      |        AS rn
+      |    FROM qd) WHERE rn <= 2),
+      |qres AS (
+      |  SELECT p.query_id, p.cell, (u.pos - 1) // $PQ_D AS sub, u.pos,
+      |    u.k - c.ck AS qrk
+      |  FROM probe p JOIN u ON u.vec_id = p.query_id
+      |  JOIN cent c ON c.cell = p.cell AND c.pos = u.pos),
+      |dt AS (
+      |  SELECT q.query_id, q.cell, q.sub, cb.cid,
+      |    CAST(SUM((q.qrk - cb.crk)*(q.qrk - cb.crk)) AS BIGINT) AS qd2
+      |  FROM qres q JOIN cbr cb ON cb.pos = q.pos AND cb.sub = q.sub
+      |  GROUP BY 1, 2, 3, 4),
+      |adc AS (
+      |  SELECT dt.query_id, r.vec_id AS neighbor_id,
+      |    CAST(SUM(dt.qd2) AS BIGINT) AS adc_d2
+      |  FROM rasg r JOIN asn a ON a.vec_id = r.vec_id
+      |  JOIN dt ON dt.cell = a.cell AND dt.sub = r.sub AND dt.cid = r.cid
+      |  WHERE r.vec_id <> dt.query_id
+      |  GROUP BY 1, 2),
+      |short AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY adc_d2, neighbor_id) AS rn
+      |    FROM adc) WHERE rn <= 10),
+      |ex AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |    CAST(SUM((uq.k - un.k)*(uq.k - un.k)) AS BIGINT) AS d2
+      |  FROM short s
+      |  JOIN u uq ON uq.vec_id = s.query_id
+      |  JOIN u un ON un.vec_id = s.neighbor_id AND un.pos = uq.pos
+      |  GROUP BY 1, 2)
+      |SELECT query_id, rnk, neighbor_id, d2 FROM (
+      |  SELECT query_id, neighbor_id, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY d2, neighbor_id) AS rnk
+      |  FROM ex) WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    val ku = pqUnits(s, d) // (vec_id, ku)
+    val cent = ku.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("ku").as("ckv"))
+    def sqDist(a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    val ad = ku.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cell"),
+        sqDist(col("ku"), col("ckv")).as("d2"))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("cell"))
+    val asn = ad.withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cell"))
+    // residual subvectors per (vec_id, cell, sub)
+    val res = ku.join(asn, Seq("vec_id")).join(broadcast(cent), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("ku"), col("ckv"), (a, b) => a - b).as("rv"))
+    val rsv = res
+      .select(col("vec_id"), col("cell"),
+        explode(sequence(lit(0), lit(PQ_M - 1))).as("sub"), col("rv"))
+      .select(col("vec_id"), col("cell"), col("sub"),
+        slice(col("rv"), col("sub") * PQ_D + 1, lit(PQ_D)).as("kv"))
+    val cbr = rsv.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+      .select((col("vec_id") - 16).as("cid"), col("sub"),
+        col("kv").as("cv"))
+    val rasg = pqAssignTo(rsv.select("vec_id", "sub", "kv"), cbr)
+      .select(col("vec_id"), col("sub"), col("cid"))
+    // query probes: 2 nearest cells each
+    val probe = ad.filter(col("vec_id") < 25)
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val qres = probe
+      .join(ku.select(col("vec_id").as("query_id"), col("ku")),
+        Seq("query_id"))
+      .join(broadcast(cent), Seq("cell"))
+      .select(col("query_id"), col("cell"),
+        explode(sequence(lit(0), lit(PQ_M - 1))).as("sub"),
+        zip_with(col("ku"), col("ckv"), (a, b) => a - b).as("rv"))
+      .select(col("query_id"), col("cell"), col("sub"),
+        slice(col("rv"), col("sub") * PQ_D + 1, lit(PQ_D)).as("qv"))
+    val dt = qres.join(broadcast(cbr), Seq("sub"))
+      .select(col("query_id"), col("cell"), col("sub"), col("cid"),
+        sqDist(col("qv"), col("cv")).as("qd2"))
+    val adc = rasg.join(asn, Seq("vec_id"))
+      .join(broadcast(dt), Seq("cell", "sub", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("qd2")).as("adc_d2"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+    val short = adc.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank of the bounded shortlist
+    val ex = short
+      .join(broadcast(ku.select(col("vec_id").as("query_id"),
+        col("ku").as("qk")).filter(col("query_id") < 25)), Seq("query_id"))
+      .join(ku.select(col("vec_id").as("neighbor_id"),
+        col("ku").as("nk")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        sqDist(col("qk"), col("nk")).as("d2"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    ex.withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "rnk", "neighbor_id", "d2")
+      .orderBy("query_id", "rnk")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131,
-      q134, q135, q151, q155, q174, q179, q196, q197, q202)
+      q134, q135, q151, q155, q174, q179, q196, q197, q202, q203)
 }
