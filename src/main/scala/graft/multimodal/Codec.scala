@@ -162,7 +162,29 @@ object Codec {
     * whitespace in the header per the netpbm spec; returns (width,
     * height, grayscale = red channel). */
   def decodePpm(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
-    var pos = 0
+    val (w, h, gray, _) = parsePpmAt(bytes, 0)
+    (w, h, gray)
+  }
+
+  /** Decode a CONCATENATED sequence of complete P6 PPM files (the
+    * multi-frame video container q204 uses: each frame is a fully
+    * self-describing PPM, streamed back-to-back — the same layout a
+    * frame-dump pipeline writes). Frames in stream order. */
+  def decodePpmSeq(bytes: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Byte])]
+    var off = 0
+    while (off < bytes.length) {
+      val (w, h, gray, next) = parsePpmAt(bytes, off)
+      out += ((w, h, gray))
+      require(next > off, "PPM frame consumed no bytes")
+      off = next
+    }
+    out.toSeq
+  }
+
+  private def parsePpmAt(bytes: Array[Byte], start: Int)
+      : (Int, Int, Array[Byte], Int) = {
+    var pos = start
     def skipWs(): Unit = {
       var go = true
       while (go && pos < bytes.length) {
@@ -180,15 +202,16 @@ object Codec {
       }
       v
     }
-    require(bytes.length > 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
-    pos = 2
+    require(bytes.length > start + 2 && bytes(start) == 'P' &&
+      bytes(start + 1) == '6', "not a P6 PPM")
+    pos = start + 2
     val w = readInt(); val h = readInt(); val maxv = readInt()
     require(maxv == 255, "only maxval 255 supported")
     pos += 1 // single whitespace after maxval
     val gray = new Array[Byte](w * h)
     var i = 0
     while (i < w * h) { gray(i) = bytes(pos + i * 3); i += 1 }
-    (w, h, gray)
+    (w, h, gray, pos + w * h * 3)
   }
 
   // ------------------------------------------------------- statistics

@@ -334,23 +334,7 @@ object MediaQueries {
         }
       }
       .toDF("id", "x", "y", "w", "h", "v")
-    val cells = px
-      .groupBy(col("id"), expr("(y*8) div h").as("gy"),
-        expr("(x*8) div w").as("gx"))
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
-    val wnd = org.apache.spark.sql.expressions.Window.partitionBy(col("id"), col("gy")).orderBy(col("gx"))
-    val hs = cells
-      .withColumn("ns", coalesce(lead(col("s"), 1).over(wnd),
-        first(col("s")).over(wnd)))
-      .withColumn("nc", coalesce(lead(col("c"), 1).over(wnd),
-        first(col("c")).over(wnd)))
-      .select(col("id"),
-        expr("(gy*8+gx) div 16").as("band"),
-        ((col("gy") * 8 + col("gx")) % 16).as("off"),
-        when(col("ns") * col("c") > col("s") * col("nc"), 1L)
-          .otherwise(0L).as("bit"))
-      .groupBy(col("id"), col("band"))
-      .agg(sum(expr("shiftleft(bit, cast(off as int))")).as("bv"))
+    val hs = graft.multimodal.Dhash.bands(px, Seq("id"))
     val cand = hs.as("a").join(hs.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.id") < col("b.id"))
@@ -497,5 +481,116 @@ object MediaQueries {
       .orderBy("id_a", "id_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q44, q71, q144, q198, q201)
+  /** q204 — VIDEO near-dup dedup via frame-aligned dHash over a real
+    * multi-frame container (completing the modality set: text /
+    * embedding / image / audio / video each have an oracle-checked
+    * dedup): every "video" is a genuine concatenation of complete P6
+    * PPM frames, decoded back with
+    * [[graft.multimodal.Codec.decodePpmSeq]] (sequential header walk
+    * — frame boundaries come from the parsed headers, not metadata),
+    * each frame dHashed with the SHARED [[graft.multimodal.Dhash]]
+    * core (the q198 hash), and two same-length videos match where
+    * aligned frames (same t) have IDENTICAL 64-bit hashes (all four
+    * bands). Report pairs sharing ≥ half their frames.
+    *
+    * Planted triples: v1 = every frame brightness-shifted (all frame
+    * hashes identical — the invariance, now across a whole timeline),
+    * v2 = frame 0's content replaced (matches nf−1 of nf frames —
+    * the partial-overlap case a timeline dedup must catch). The
+    * frame-hash equality join is the banded-candidate shape: buckets
+    * are (frame count, t, band, value), never all-pairs. At 100 TB
+    * per-frame work is mapPartitions decode; everything after is
+    * keyed aggs on frame hashes — the frame-dump dedup a video
+    * corpus pipeline runs before training. */
+  val q204 = QueryDef(
+    "q204_video_dhash_dedup", {
+      val dhashCtes = graft.multimodal.Dhash.bandsCteSql(
+        "pv", "hs", Seq("id", "nf", "t"))
+      s"""WITH m AS (
+        |  SELECT doc_id AS id, doc_id - doc_id % 3 AS base,
+        |    doc_id % 3 AS v
+        |  FROM documents WHERE doc_id < 300),
+        |dims AS (
+        |  SELECT id, base, v, 4 + base % 5 AS nf,
+        |    8 + base % 10 AS w, 8 + base % 7 AS h
+        |  FROM m),
+        |fx AS (
+        |  SELECT id, base, v, nf, w, h, unnest(range(0, nf)) AS t
+        |  FROM dims),
+        |px AS (
+        |  SELECT id, base, v, nf, w, h, t, unnest(range(0, w*h)) AS i
+        |  FROM fx),
+        |pv AS (
+        |  SELECT id, nf, t, w, h, (i % w) AS x, (i // w) AS y,
+        |    ((base + 13) * (i*i + 31*i + 7) + t * 7919
+        |      + CASE WHEN v = 2 AND t = 0 THEN i * 37 ELSE 0 END) % 241
+        |      + v AS val
+        |  FROM px),
+        |$dhashCtes,
+        |fm AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.nf, a.t
+        |  FROM hs a JOIN hs b
+        |    ON a.nf = b.nf AND a.t = b.t AND a.band = b.band
+        |    AND a.bv = b.bv AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) = 4),
+        |pr AS (
+        |  SELECT id_a, id_b, nf, CAST(COUNT(*) AS BIGINT) AS n_matched
+        |  FROM fm GROUP BY 1, 2, 3)
+        |SELECT id_a, id_b, CAST(nf AS BIGINT) AS n_frames, n_matched,
+        |  CAST(n_matched * 1000000 // nf AS BIGINT) AS share_ppm
+        |FROM pr WHERE n_matched * 2 >= nf
+        |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val blob = udf { (id: Long) =>
+      val base = id - id % 3
+      val v = (id % 3).toInt
+      val nf = (4 + base % 5).toInt
+      val w = (8 + base % 10).toInt
+      val h = (8 + base % 7).toInt
+      (0 until nf).map { t =>
+        val g = Array.tabulate(w * h) { i =>
+          val pert = if (v == 2 && t == 0) i.toLong * 37 else 0L
+          (((base + 13) * (i.toLong * i + 31 * i + 7) + t * 7919L + pert)
+            % 241 + v).toByte
+        }
+        graft.multimodal.Codec.encodePpm(w, h, g)
+      }.reduce(_ ++ _)
+    }
+    val px = Tables.documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id").as("id"))
+      .withColumn("bytes", blob(col("id")))
+      .select("id", "bytes").as[(Long, Array[Byte])]
+      .repartition(32, col("id"))
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val frames = graft.multimodal.Codec.decodePpmSeq(bytes)
+          val nf = frames.size
+          frames.iterator.zipWithIndex.flatMap { case ((w, _, g), t) =>
+            g.iterator.zipWithIndex.map { case (b, i) =>
+              (id, nf, t, i % w, i / w, w, g.length / w, b & 0xff)
+            }
+          }
+        }
+      }
+      .toDF("id", "nf", "t", "x", "y", "w", "h", "v")
+    val hs = graft.multimodal.Dhash.bands(px, Seq("id", "nf", "t"))
+    val fm = hs.as("a").join(hs.as("b"),
+        col("a.nf") === col("b.nf") && col("a.t") === col("b.t") &&
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.nf").as("nf"), col("a.t").as("t"))
+      .agg(count(lit(1)).as("nb"))
+      .filter(col("nb") === 4)
+    fm.groupBy(col("id_a"), col("id_b"), col("nf"))
+      .agg(count(lit(1)).as("n_matched"))
+      .select(col("id_a"), col("id_b"), col("nf").cast("long").as("n_frames"),
+        col("n_matched"),
+        expr("n_matched * 1000000 div nf").as("share_ppm"))
+      .filter(col("n_matched") * 2 >= col("n_frames"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q44, q71, q144, q198, q201, q204)
 }

@@ -2684,10 +2684,108 @@ object PipelineQueries {
           .as("inflation_ppm"))
   }
 
+  /** q205 — DSIR-style hashed-n-gram importance weights (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every document by how target-like its hashed
+    * unigram+bigram profile is. Features are whitespace unigrams plus
+    * adjacent bigrams, hashed into 128 buckets via the portable
+    * md5-u32 driver (the [[graft.curation.Curation.contentU32]] /
+    * `hexU32Sql` pair); bucket LMs with add-one smoothing over the
+    * TARGET corpus (lang = 'en' — the "looks like my eval
+    * distribution" proxy) and the RAW pool (all docs); per-occurrence
+    * log-ratio on the integer milli-nat grid (the q130 portability
+    * contract), per-doc weight = exact integer sum. Census per
+    * (source, lang): the en rows scoring positive and every other
+    * lang negative IS the selection signal.
+    *
+    * Shape: tokenize once, persist the occurrence frame for its three
+    * consumers (totals, bucket census, join-back probe); bucket
+    * counts are ONE map-side-combined keyed agg computing target and
+    * raw counts together (conditional sum — no second pass, no left
+    * join); the ratio table is ≤128 rows and BROADCAST back onto the
+    * occurrence stream; per-doc weight and the census are keyed aggs.
+    * At 100 TB the only corpus-sized intermediate is the occurrence
+    * frame itself — the bucket table is fixed-size by construction
+    * (that is the point of hashed features: DSIR's importance model
+    * stays broadcastable no matter the corpus). */
+  val q205 = QueryDef(
+    "q205_dsir_weights", {
+      import graft.functions.LangModel.mnatSql
+      s"""WITH l AS (
+        |  SELECT doc_id, source, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, source, lang, unnest(toks) AS feat FROM l),
+        |bg AS (
+        |  SELECT doc_id, source, lang,
+        |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS feat
+        |  FROM (SELECT doc_id, source, lang, toks,
+        |          unnest(range(1, len(toks))) AS i
+        |        FROM l WHERE len(toks) >= 2)),
+        |f AS (SELECT * FROM u UNION ALL SELECT * FROM bg),
+        |h AS (SELECT doc_id, source, lang, md5(feat) AS hx FROM f),
+        |occ AS (
+        |  SELECT doc_id, source, lang, ${TextQueries.hexU32Sql(1)} % 128 AS b
+        |  FROM h),
+        |tot AS (
+        |  SELECT COUNT(*) AS nr,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
+        |  FROM occ),
+        |bc AS (
+        |  SELECT b, COUNT(*) AS cr,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        |  FROM occ GROUP BY b),
+        |r AS (
+        |  SELECT b,
+        |    (${mnatSql("ct + 1")} - ${mnatSql("nt + 128")})
+        |    - (${mnatSql("cr + 1")} - ${mnatSql("nr + 128")}) AS rw
+        |  FROM bc, tot),
+        |w AS (
+        |  SELECT occ.doc_id, occ.source, occ.lang,
+        |    CAST(SUM(rw) AS BIGINT) AS w
+        |  FROM occ JOIN r ON occ.b = r.b GROUP BY 1, 2, 3)
+        |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS sum_w_mnat,
+        |  CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |FROM w GROUP BY 1, 2 ORDER BY source, lang""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.LangModel.mnat
+    val isTgt = (col("lang") === "en").cast("long")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"),
+        expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+    val uni = toks.select(col("doc_id"), col("source"), col("lang"),
+      explode(col("toks")).as("feat"))
+    val big = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"), col("lang"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        concat(expr("element_at(toks, i)"), lit(" "),
+          expr("element_at(toks, i + 1)")).as("feat"))
+    val occ = uni.union(big)
+      .select(col("doc_id"), col("source"), col("lang"),
+        (graft.curation.Curation.contentU32(col("feat")) % 128).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = occ.agg(count(lit(1)).as("nr"), sum(isTgt).as("nt"))
+    val bc = occ.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"), sum(isTgt).as("ct"))
+    val ratio = bc.crossJoin(broadcast(tot))
+      .select(col("b"),
+        ((mnat(col("ct") + 1) - mnat(col("nt") + 128))
+          - (mnat(col("cr") + 1) - mnat(col("nr") + 128))).as("rw"))
+    occ.join(broadcast(ratio), Seq("b"))
+      .groupBy(col("doc_id"), col("source"), col("lang"))
+      .agg(sum(col("rw")).as("w"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sum_w_mnat"),
+        sum((col("w") > 0).cast("long")).as("n_pos"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
       q141, q143, q146, q148, q149, q150, q152, q153, q157, q158, q159, q191,
-      q160, q162, q163, q166, q167, q168, q170, q171)
+      q160, q162, q163, q166, q167, q168, q170, q171, q205)
 }

@@ -148,4 +148,38 @@ class MediaSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(got == expect)
   }
+
+  test("decodePpmSeq walks concatenated frames by parsed headers") {
+    val f1 = Array.tabulate(6)(i => (i * 10).toByte)   // 3x2
+    val f2 = Array.tabulate(4)(i => (100 + i).toByte)  // 2x2
+    val blob = graft.multimodal.Codec.encodePpm(3, 2, f1) ++
+      graft.multimodal.Codec.encodePpm(2, 2, f2)
+    val frames = graft.multimodal.Codec.decodePpmSeq(blob)
+    assert(frames.size == 2)
+    assert(frames(0)._1 == 3 && frames(0)._2 == 2 &&
+      frames(0)._3.sameElements(f1))
+    assert(frames(1)._1 == 2 && frames(1)._2 == 2 &&
+      frames(1)._3.sameElements(f2))
+    // trailing garbage that isn't a P6 header fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      graft.multimodal.Codec.decodePpmSeq(blob ++ "xxx".getBytes)
+    }
+  }
+
+  test("Dhash.bands: brightness-invariant, content-sensitive, 4x16-bit") {
+    // one 8x8 image and its +5-brightness twin -> identical band
+    // values; a content change flips at least one band.
+    def pxRows(id: Long, f: Int => Int) =
+      (0 until 64).map(i => (id, i % 8, i / 8, 8, 8, f(i)))
+    val px = (pxRows(1L, i => (i * 37) % 200) ++
+      pxRows(2L, i => (i * 37) % 200 + 5) ++
+      pxRows(3L, i => (i * 53 + 11) % 200))
+      .toDF("id", "x", "y", "w", "h", "v")
+    val hs = graft.multimodal.Dhash.bands(px, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(hs.size == 12) // 3 images x 4 bands
+    hs.values.foreach(v => assert(v >= 0 && v < (1L << 16)))
+    (0L until 4L).foreach(b => assert(hs((1L, b)) == hs((2L, b))))
+    assert((0L until 4L).exists(b => hs((1L, b)) != hs((3L, b))))
+  }
 }
