@@ -173,7 +173,11 @@ class PlanSpec extends SparkSpec {
       "q180_benford_digits" -> "one-row digit-census total",
       "q188_bloom_fp_audit" -> "one-row member/bits/probe/fp census frames",
       "q191_nb_calibration" -> "one-row token-total and doc-prior frames (the q148 kernel)",
-      "q193_rrf_fusion" -> "one-row corpus totals via the bm25/QL kernels")
+      "q193_rrf_fusion" -> "one-row corpus totals via the bm25/QL kernels",
+      "q203_ivfpq_search" ->
+        "broadcast 16-row coarse-centroid frame (the q38/q174 pattern)",
+      "q205_dsir_weights" ->
+        "one-row corpus-totals frame onto the <=128-row bucket table")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
