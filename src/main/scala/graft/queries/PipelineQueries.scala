@@ -2782,10 +2782,72 @@ object PipelineQueries {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** q206 — k-anonymity risk census over a generalization ladder
+    * (Sweeney 2002; the privacy-ops companion to q158's RTBF delete
+    * and q159's compliance audit): treat (nation, market segment,
+    * account-balance bucket) as the quasi-identifier, measure the
+    * equivalence-class size distribution at each generalization level
+    * — full QI, drop the balance bucket, nation only — and report per
+    * level: classes, records, records in risky classes (k < 5), and
+    * the release's k-anonymity (min class size). The ladder tells a
+    * release pipeline exactly how much generalization buys how much
+    * risk reduction.
+    *
+    * Balance bucket: exact cents (round-half-up, the q108 idiom)
+    * shifted non-negative before the truncating divide, so both
+    * engines floor identically for negative balances. Shape: ONE
+    * ROLLUP pass — Catalyst plans a single scan + Expand (the
+    * q54/q60/q62 grouping-sets contract, pinned in PlanSpec) where
+    * the naive form (and the definition-checked oracle) scans once
+    * per level; class census then a 3-row level agg. At 100 TB the
+    * Expand triples rows into a keyed agg with map-side combine —
+    * no window, no driver state, skew bounded by |QI classes|. */
+  val q206 = QueryDef(
+    "q206_k_anonymity",
+    """WITH c AS (
+      |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+      |    (CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 100000)
+      |      // 200000 AS bal
+      |  FROM customer),
+      |cls AS (
+      |  SELECT 0 AS level, CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM c GROUP BY nat, seg, bal
+      |  UNION ALL
+      |  SELECT 1 AS level, CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM c GROUP BY nat, seg
+      |  UNION ALL
+      |  SELECT 2 AS level, CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM c GROUP BY nat)
+      |SELECT level, CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(SUM(k) AS BIGINT) AS n_records,
+      |  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+      |    AS risky_records,
+      |  CAST(MIN(k) AS BIGINT) AS k_anon
+      |FROM cls GROUP BY level ORDER BY level""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).select(
+      col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+      expr("(cast(floor(c_acctbal * 100 + 0.5) as bigint) + 100000)" +
+        " div 200000").as("bal"))
+    // truncating div is NOT floor for negatives — the +100000 shift
+    // makes the numerator provably non-negative (TPC-H acctbal >=
+    // -999.99), where truncation == floor on both engines.
+    val cls = c.rollup(col("nat"), col("seg"), col("bal"))
+      .agg(count(lit(1)).as("k"), grouping_id().as("gid"))
+      .filter(col("gid") =!= 7) // drop the grand-total grouping
+      .select(expr("CASE gid WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END")
+        .as("level"), col("k"))
+    cls.groupBy(col("level"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_records"),
+        sum(when(col("k") < 5, col("k")).otherwise(0L))
+          .as("risky_records"),
+        min(col("k")).as("k_anon"))
+      .orderBy(col("level"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
       q141, q143, q146, q148, q149, q150, q152, q153, q157, q158, q159, q191,
-      q160, q162, q163, q166, q167, q168, q170, q171, q205)
+      q160, q162, q163, q166, q167, q168, q170, q171, q205, q206)
 }

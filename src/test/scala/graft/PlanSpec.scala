@@ -198,12 +198,16 @@ class PlanSpec extends SparkSpec {
     // naive alternative (one scan per grouping set / measure, UNION
     // ALL — exactly what the DuckDB oracle SQL spells out) reads the
     // fact table n times. Pin: exactly one parquet scan, an Expand.
-    for (q <- Seq(CoreQueries.q54, CoreQueries.q60, CoreQueries.q62)) {
+    val facts = Seq(
+      CoreQueries.q54 -> Seq("orders", "lineitem"),
+      CoreQueries.q60 -> Seq("orders", "lineitem"),
+      CoreQueries.q62 -> Seq("orders", "lineitem"),
+      graft.queries.PipelineQueries.q206 -> Seq("customer"))
+    for ((q, tables) <- facts) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(plan.contains("Expand"), s"${q.name}: no Expand\n" + plan)
       val factScans = plan.linesIterator.count(l =>
-        l.contains("FileScan parquet") &&
-          (l.contains("orders") || l.contains("lineitem")))
+        l.contains("FileScan parquet") && tables.exists(l.contains))
       assert(factScans == 1, s"${q.name}: $factScans fact scans")
     }
   }
