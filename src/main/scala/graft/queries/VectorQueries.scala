@@ -1404,7 +1404,93 @@ object VectorQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** q207 — embedding OUTLIER census with a robust (median/MAD)
+    * threshold: the data-cleaning companion to SemDeDup (q131) —
+    * where q131 prunes redundant near-duplicates, this flags vectors
+    * far from the corpus manifold (mislabeled/garbage embeddings a
+    * curation pass drops before training). Distance = exact integer
+    * squared L2 from each unit micro-vector (the q196 grid) to the
+    * integer-mean centroid; threshold = median + 3·MAD, both
+    * RANK-EXACT via the distributed [[graft.functions.Ranks]]
+    * machinery (lower median at rank (n+1) div 2, vec_id tie-break)
+    * — no approximate percentile, no single-partition sort. Census
+    * per label: total, outliers, and the med/MAD evidence columns.
+    *
+    * Scale: centroid is a 64-row broadcast (per-dimension keyed agg
+    * with map-side combine; truncating integer mean matches DuckDB
+    * `//` exactly, negatives included); d2 is one keyed agg; the two
+    * rank passes run over a SCALAR column through Ranks'
+    * bucket-offset pipeline (the q170 contract); final census is a
+    * keyed agg. Nothing but the rank passes touches more than one
+    * row per vector. */
+  val q207 = QueryDef(
+    "q207_embedding_outliers",
+    normCte +
+      s""",
+      |ku AS (
+      |  SELECT vec_id, t.i AS pos,
+      |    CAST(FLOOR(CAST(e[t.i] AS DOUBLE)/nrm*1e6 + 0.5) AS BIGINT) AS k
+      |  FROM n CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) t),
+      |cent AS (
+      |  SELECT pos,
+      |    CAST(SUM(k) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cv
+      |  FROM ku GROUP BY pos),
+      |d2 AS (
+      |  SELECT ku.vec_id,
+      |    CAST(SUM((k - cv)*(k - cv)) AS BIGINT) AS d2
+      |  FROM ku JOIN cent ON ku.pos = cent.pos GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d2),
+      |rmed AS (
+      |  SELECT d2, ROW_NUMBER() OVER (ORDER BY d2, vec_id) AS rn FROM d2),
+      |med AS (
+      |  SELECT MIN(d2) AS med FROM rmed, nn WHERE rn = (n + 1) // 2),
+      |adr AS (SELECT vec_id, ABS(d2 - med) AS ad FROM d2, med),
+      |rmad AS (
+      |  SELECT ad, ROW_NUMBER() OVER (ORDER BY ad, vec_id) AS rn FROM adr),
+      |mad AS (
+      |  SELECT MIN(ad) AS mad FROM rmad, nn WHERE rn = (n + 1) // 2)
+      |SELECT CAST(e.label AS BIGINT) AS label,
+      |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(SUM(CASE WHEN d2.d2 > med + 3*mad THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  CAST(MAX(med) AS BIGINT) AS med_d2,
+      |  CAST(MAX(mad) AS BIGINT) AS mad_d2
+      |FROM d2 JOIN embeddings e ON d2.vec_id = e.vec_id, med, mad
+      |GROUP BY 1 ORDER BY label""".stripMargin) { (s, d) =>
+    import graft.functions.Ranks
+    val ku = pqUnits(s, d)
+    val pd = ku.select(col("vec_id"),
+      posexplode(col("ku")).as(Seq("dim", "v")))
+    val cent = pd.groupBy(col("dim"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("nv"))
+      .select(col("dim"), expr("sv div nv").as("cv"))
+    val d2 = pd.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"))
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
+    val n = d2.agg(count(lit(1)).as("n"))
+    val med = Ranks.rowNumberGlobal(d2, col("d2"), col("vec_id"), "rn")
+      .crossJoin(broadcast(n))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .agg(min(col("d2")).as("med"))
+    val ad = d2.crossJoin(broadcast(med))
+      .select(col("vec_id"), abs(col("d2") - col("med")).as("ad"))
+    val mad = Ranks.rowNumberGlobal(ad, col("ad"), col("vec_id"), "rn")
+      .crossJoin(broadcast(n))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .agg(min(col("ad")).as("mad"))
+    val lbl = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    d2.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .join(lbl, Seq("vec_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((col("d2") > col("med") + lit(3) * col("mad")).cast("long"))
+          .as("n_outliers"),
+        max(col("med")).as("med_d2"), max(col("mad")).as("mad_d2"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131,
-      q134, q135, q151, q155, q174, q179, q196, q197, q202, q203)
+      q134, q135, q151, q155, q174, q179, q196, q197, q202, q203, q207)
 }
