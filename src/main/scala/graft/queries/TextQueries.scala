@@ -2819,10 +2819,97 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** q208 — blocked fuzzy record linkage (entity resolution): re-link
+    * DIRTY records to their clean source by edit distance, with
+    * equi-join BLOCKING so no all-pairs comparison ever runs — the
+    * Febrl/Fellegi-Sunter pipeline shape. Records are 30-char document
+    * title prefixes; the dirty side plants deterministic typos (the
+    * q44/q198/q204 fixture discipline — the oracle replays the
+    * generating formula): every doc_id % 5 == 2 gets a '#'
+    * substitution at position 5 + doc_id % 20, and the % 10 == 7
+    * subset a second one at position 26 (edit distance exactly 1 and
+    * 2). Blocking key = first 4 chars (provably mutation-invariant:
+    * substitutions start at position >= 5); candidates =
+    * dirty ⋈ clean on the block (HASH join — the key is a
+    * precomputed column, never a substring predicate), filtered to
+    * levenshtein <= 2, best match per dirty record by (distance,
+    * doc_id). Output: match, distance, whether it re-linked to the
+    * true source, and block candidate count.
+    *
+    * Scale: one equi-join keyed on the block prefix; per-block work
+    * is |block|² edit distances on 30-char strings — block-size skew
+    * is the classic ER knob (lengthen the key / add a second pass to
+    * split hot blocks); the match window partitions by dirty_id and
+    * is bounded by the block size. Never O(N²) corpus-wide. */
+  val q208 = QueryDef(
+    "q208_record_linkage",
+    """WITH c AS (
+      |  SELECT doc_id, substr(text, 1, 30) AS title,
+      |    substr(text, 1, 4) AS blk
+      |  FROM documents),
+      |d1 AS (
+      |  SELECT doc_id AS dirty_id,
+      |    substr(title, 1, CAST(4 + doc_id % 20 AS INT)) || '#' ||
+      |      substr(title, CAST(6 + doc_id % 20 AS INT)) AS dt
+      |  FROM c WHERE doc_id % 5 = 2),
+      |d2 AS (
+      |  SELECT dirty_id,
+      |    CASE WHEN dirty_id % 10 = 7
+      |      THEN substr(dt, 1, 25) || '#' || substr(dt, 27)
+      |      ELSE dt END AS dt
+      |  FROM d1),
+      |dd AS (SELECT dirty_id, dt, substr(dt, 1, 4) AS blk FROM d2),
+      |cand AS (
+      |  SELECT dd.dirty_id, dd.dt, c.doc_id, c.title,
+      |    CAST(levenshtein(dd.dt, c.title) AS BIGINT) AS dist,
+      |    CAST(COUNT(*) OVER (PARTITION BY dd.dirty_id) AS BIGINT)
+      |      AS n_cand
+      |  FROM dd JOIN c ON dd.blk = c.blk),
+      |m AS (
+      |  SELECT dirty_id, doc_id AS matched_id, dist, n_cand,
+      |    ROW_NUMBER() OVER (PARTITION BY dirty_id
+      |      ORDER BY dist, doc_id) AS rn
+      |  FROM cand WHERE dist <= 2)
+      |SELECT dirty_id, matched_id, dist,
+      |  CASE WHEN matched_id = dirty_id THEN 1 ELSE 0 END AS is_self,
+      |  n_cand
+      |FROM m WHERE rn = 1 ORDER BY dirty_id""".stripMargin) { (s, d) =>
+    val c = Tables.documents(s, d).select(col("doc_id"),
+      substring(col("text"), 1, 30).as("title"),
+      substring(col("text"), 1, 4).as("blk"))
+    val d1 = c.filter(col("doc_id") % 5 === 2)
+      .select(col("doc_id").as("dirty_id"),
+        concat(
+          expr("substring(title, 1, cast(4 + doc_id % 20 as int))"),
+          lit("#"),
+          expr("substring(title, cast(6 + doc_id % 20 as int))")).as("dt"))
+    val dd = d1
+      .withColumn("dt", when(col("dirty_id") % 10 === 7,
+        concat(expr("substring(dt, 1, 25)"), lit("#"),
+          expr("substring(dt, 27)"))).otherwise(col("dt")))
+      .withColumn("blk", substring(col("dt"), 1, 4))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("dirty_id"))
+    val cand = dd.join(c, Seq("blk"))
+      .select(col("dirty_id"), col("doc_id"),
+        levenshtein(col("dt"), col("title")).cast("long").as("dist"))
+      .withColumn("n_cand", count(lit(1)).over(wc))
+    val wm = org.apache.spark.sql.expressions.Window.partitionBy(col("dirty_id"))
+      .orderBy(col("dist"), col("doc_id"))
+    cand.filter(col("dist") <= 2)
+      .withColumn("rn", row_number().over(wm))
+      .filter(col("rn") === 1)
+      .select(col("dirty_id"), col("doc_id").as("matched_id"),
+        col("dist"),
+        when(col("doc_id") === col("dirty_id"), 1L).otherwise(0L)
+          .as("is_self"),
+        col("n_cand"))
+      .orderBy(col("dirty_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
       q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181,
-      q184, q185, q190, q192, q193, q200)
+      q184, q185, q190, q192, q193, q200, q208)
 }
