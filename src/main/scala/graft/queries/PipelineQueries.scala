@@ -2844,10 +2844,310 @@ object PipelineQueries {
       .orderBy(col("level"))
   }
 
+  /** q209 — compaction-plan census (the small-files problem).
+    *
+    * Hourly ingestion lands one "file" per (day, hour); the planner
+    * packs each day's files, IN HOUR ORDER, into contiguous
+    * target-size bins via `floor(cumulative-bytes-before / target)` —
+    * the standard bin-by-cumsum compaction plan (Delta OPTIMIZE /
+    * Iceberg rewrite shape) that never reorders data. Census per day:
+    * files before, bins after, total / largest-bin bytes, and
+    * sub-¼-target small files — the read-amplification the compaction
+    * exists to remove. File sizes are exact integer byte estimates
+    * (length sums + fixed per-row overhead) so both engines derive
+    * identical plans.
+    *
+    * Scale: the (day, hour) file census is one map-side-combinable
+    * keyed agg over the raw events; the packing window is partitioned
+    * by day over a ≤24-row frame (bounded by construction); the two
+    * downstream censuses are keyed aggs. At 100 TB the same plan
+    * reads the table's file-level metadata instead of the rows — the
+    * window/census shape (and this cost model) is unchanged.
+    */
+  val q209 = QueryDef(
+    "q209_compaction_plan",
+    """WITH f AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+      |    CAST(SUM(LENGTH(props) + LENGTH(event_type) + 24) AS BIGINT)
+      |      AS bytes
+      |  FROM events GROUP BY 1, 2),
+      |a AS (
+      |  SELECT day, bytes,
+      |    CAST(COALESCE(SUM(bytes) OVER (PARTITION BY day ORDER BY hour
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) // 4096 AS bin
+      |  FROM f),
+      |bins AS (
+      |  SELECT day, bin, CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+      |    CAST(COUNT(*) AS BIGINT) AS n_files,
+      |    CAST(SUM(CASE WHEN bytes < 1024 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_small
+      |  FROM a GROUP BY 1, 2)
+      |SELECT day, CAST(SUM(n_files) AS BIGINT) AS files_before,
+      |  CAST(COUNT(*) AS BIGINT) AS bins_after,
+      |  CAST(SUM(bin_bytes) AS BIGINT) AS total_bytes,
+      |  CAST(MAX(bin_bytes) AS BIGINT) AS largest_bin_bytes,
+      |  CAST(SUM(n_small) AS BIGINT) AS small_files_before
+      |FROM bins GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+    val f = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"),
+        hour(col("ts")).cast("long").as("hour"))
+      .agg(sum(length(col("props")) + length(col("event_type")) + lit(24))
+        .as("bytes"))
+    // cum-BEFORE (1 PRECEDING), so the file that crosses a bin
+    // boundary still lands in the bin it started filling — bins can
+    // overflow the target but never leave it near-empty.
+    val w = Window.partitionBy("day").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val a = f.select(col("day"), col("bytes"),
+      coalesce(sum(col("bytes")).over(w), lit(0L)).as("cum_before"))
+      .select(col("day"), col("bytes"),
+        expr("cum_before div 4096").as("bin"))
+    val bins = a.groupBy(col("day"), col("bin"))
+      .agg(sum("bytes").as("bin_bytes"), count(lit(1)).as("n_files"),
+        sum(when(col("bytes") < 1024, 1L).otherwise(0L)).as("n_small"))
+    bins.groupBy(col("day"))
+      .agg(sum("n_files").as("files_before"),
+        count(lit(1)).as("bins_after"),
+        sum("bin_bytes").as("total_bytes"),
+        max("bin_bytes").as("largest_bin_bytes"),
+        sum("n_small").as("small_files_before"))
+      .orderBy("day")
+  }
+
+  /** q210 — portable HyperLogLog distinct-count census (Flajolet,
+    * Fusy, Gandouet, Meunier 2007) per event type.
+    *
+    * Completes the sketch family's distinct leg with a
+    * REGISTER-LEVEL, oracle-replayable HLL: [[graft.functions.Theta]]
+    * (q124) covers set algebra and `hll_sketch_agg`
+    * ([[graft.gold.IncrementalGold]]) covers production union, but
+    * neither lets DuckDB replay the sketch — this one derives every
+    * register from md5 slices both engines compute identically
+    * (bucket = first-u32 mod 64, rho = 33 − bitlength(second u32))
+    * and keeps the harmonic mean EXACT: Σ 2^{−M_j} is scaled by 2^33
+    * into an integer sum, so the raw estimate is one integer
+    * division, `(709·4096·2^33) div S` (α₆₄ = 0.709 as the rational
+    * 709/1000, m² = 4096), and the small-range linear-counting branch
+    * rides the established [[graft.functions.LangModel.mnat]] grid —
+    * zero float accumulation anywhere.
+    *
+    * Scale: registers are a map-side-combinable MAX over (group,
+    * bucket) — state is ≤ 64 longs per group regardless of input
+    * rows (the whole point of HLL at 100 TB: one pass, mergeable,
+    * bytes of state); the estimate arithmetic runs on the |groups|-row
+    * register census. The exact-distinct column exists only to audit
+    * the sketch's error and is the one term that would NOT run at
+    * 100 TB unsketch'd — the census reports err_ppm so the trade is
+    * measured, not asserted. */
+  val q210 = QueryDef(
+    "q210_hll_census",
+    s"""WITH e AS (
+      |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+      |  FROM events WHERE user_id IS NOT NULL),
+      |hb AS (
+      |  SELECT event_type, ${TextQueries.hexU32Sql(1)} % 64 AS bucket,
+      |    ${TextQueries.hexU32Sql(9)} AS v
+      |  FROM e),
+      |r AS (
+      |  SELECT event_type, bucket,
+      |    MAX(33 - LENGTH(LTRIM(bin(v), '0'))) AS m
+      |  FROM hb GROUP BY 1, 2),
+      |sr AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CAST(1 AS BIGINT) << (33 - m)) AS BIGINT)
+      |      + (64 - CAST(COUNT(*) AS BIGINT))
+      |        * (CAST(1 AS BIGINT) << 33) AS ssum,
+      |    64 - CAST(COUNT(*) AS BIGINT) AS v_empty
+      |  FROM r GROUP BY 1),
+      |x AS (
+      |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+      |    AS n_exact
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |est AS (
+      |  SELECT sr.event_type, v_empty, n_exact,
+      |    (709 * 4096 * (CAST(1 AS BIGINT) << 33)) // ssum AS raw_milli
+      |  FROM sr JOIN x ON sr.event_type = x.event_type),
+      |fin AS (
+      |  SELECT event_type, n_exact, v_empty, raw_milli,
+      |    CASE WHEN raw_milli <= 160000 AND v_empty > 0
+      |      THEN 64 * (${graft.functions.LangModel.mnatSql("64")}
+      |        - ${graft.functions.LangModel.mnatSql("v_empty")})
+      |      ELSE raw_milli END AS est_milli
+      |  FROM est)
+      |SELECT event_type, n_exact, v_empty, raw_milli, est_milli,
+      |  CAST(FLOOR(1e6 * (est_milli - 1000.0 * n_exact)
+      |    / (1000.0 * n_exact)) AS BIGINT) AS err_ppm
+      |FROM fin ORDER BY event_type""".stripMargin) { (s, d) =>
+    import graft.functions.LangModel
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+    val hb = ev.select(col("event_type"),
+      md5(col("user_id").cast("string")).as("hx"))
+      .select(col("event_type"),
+        (conv(substring(col("hx"), 1, 8), 16, 10).cast("long") % 64)
+          .as("bucket"),
+        conv(substring(col("hx"), 9, 8), 16, 10).cast("long").as("v"))
+    val regs = hb.groupBy(col("event_type"), col("bucket"))
+      .agg(max(lit(33) - length(ltrim(expr("bin(v)"), "0"))).as("m"))
+    val sr = regs.groupBy(col("event_type"))
+      .agg((sum(expr("shiftleft(cast(1 as bigint), cast(33 - m as int))"))
+        + (lit(64L) - count(lit(1))) * lit(8589934592L)).as("ssum"),
+        (lit(64L) - count(lit(1))).as("v_empty"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val est = sr.join(exact, Seq("event_type"))
+      .withColumn("raw_milli",
+        expr("(709 * 4096 * shiftleft(cast(1 as bigint), 33)) div ssum"))
+      .withColumn("est_milli",
+        when(col("raw_milli") <= 160000 && col("v_empty") > 0,
+          lit(64L) * (LangModel.mnat(lit(64)) -
+            LangModel.mnat(col("v_empty"))))
+          .otherwise(col("raw_milli")))
+    est.select(col("event_type"), col("n_exact"), col("v_empty"),
+      col("raw_milli"), col("est_milli"),
+      floor(lit(1e6) * (col("est_milli") - lit(1000.0) * col("n_exact"))
+        / (lit(1000.0) * col("n_exact"))).cast("long").as("err_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q211 — interpolated Kneser–Ney bigram smoothing census (Kneser &
+    * Ney 1995; Chen & Goodman 1999's empirical study), scored against
+    * q130's add-one model on the SAME train/eval split.
+    *
+    * KN replaces raw-count backoff with the CONTINUATION distribution
+    * — "how many distinct histories precede y" — which is why it wins
+    * on natural text (frequent-but-contextually-narrow tokens stop
+    * leaking probability). With discount d = 3/4 kept as the rational
+    * 3/4 and a +1-smoothed continuation floor (virtual OOV type, so
+    * no eval bigram ever scores −∞), the probability is a ratio of
+    * exact integers:
+    *   num = max(4·c(xy)−3, 0)·NN + 3·N1+(x·)·(N1+(·y)+1)
+    *   den = 4·c(x)·NN,           NN = |distinct bigrams| + V + 1
+    * (unseen history x backs off wholly to the continuation:
+    * num = N1+(·y)+1, den = NN); NLL = mnat(den) − mnat(num) on the
+    * established [[graft.functions.LangModel.mnat]] grid. Census per
+    * source: eval bigrams, add-one vs KN mean NLL, and the gain —
+    * the measured argument for WHICH statistical filter a curation
+    * pipeline should score with. (On THIS synthetic corpus the
+    * measured gain is ≈0 — its token distribution is near-uniform,
+    * so continuation counts track raw counts; that null result is
+    * the census working. On Zipfian natural text, continuation
+    * reweighting is where KN's documented win comes from.)
+    *
+    * Scale (the q130/q101 contract): tokenize once (persisted bigram
+    * frame), all five count tables are map-side-combinable keyed
+    * aggs, scoring is four equi-joins on token keys (AQE broadcasts
+    * the count sides while vocabulary is small) plus two one-row
+    * broadcast totals; the census is a keyed agg. Integer-overflow
+    * budget: mnat args reach 4·c(x)·NN ≲ 4·|bigrams|·(|types|+V) —
+    * exact under the 2^53 double-mantissa bound for corpora to ~10^5
+    * distinct types per 10^6 bigrams; beyond that, scale the grid
+    * the q179 way (document, don't silently round). */
+  val q211 = QueryDef(
+    "q211_kneser_ney",
+    s"""WITH l AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, source, toks, unnest(range(1, len(toks))) AS i
+      |  FROM l WHERE len(toks) >= 2),
+      |b AS (
+      |  SELECT doc_id, source, toks[CAST(i AS INT)] AS x,
+      |    toks[CAST(i AS INT) + 1] AS y
+      |  FROM e),
+      |tb AS (SELECT x, y FROM b WHERE doc_id % 5 <> 0),
+      |cxy AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+      |  FROM tb GROUP BY 1, 2),
+      |cx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cx
+      |  FROM tb GROUP BY 1),
+      |nx AS (SELECT x, CAST(COUNT(DISTINCT y) AS BIGINT) AS nx
+      |  FROM tb GROUP BY 1),
+      |ny AS (SELECT y, CAST(COUNT(DISTINCT x) AS BIGINT) AS ny
+      |  FROM tb GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt
+      |  FROM (SELECT DISTINCT x, y FROM tb)),
+      |vv AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM (
+      |  SELECT unnest(toks) AS t FROM l WHERE doc_id % 5 <> 0)),
+      |s AS (
+      |  SELECT b.source,
+      |    ${graft.functions.LangModel.mnatSql("COALESCE(cx.cx, 0) + vv.v")}
+      |      - ${graft.functions.LangModel.mnatSql("COALESCE(cxy.cxy, 0) + 1")}
+      |      AS a1,
+      |    CASE WHEN cx.cx IS NULL THEN
+      |      ${graft.functions.LangModel.mnatSql("bt + v + 1")}
+      |        - ${graft.functions.LangModel.mnatSql("COALESCE(ny.ny, 0) + 1")}
+      |    ELSE
+      |      ${graft.functions.LangModel.mnatSql("4 * cx.cx * (bt + v + 1)")}
+      |        - ${graft.functions.LangModel.mnatSql(
+              "GREATEST(4 * COALESCE(cxy.cxy, 0) - 3, 0) * (bt + v + 1)" +
+                " + 3 * nx.nx * (COALESCE(ny.ny, 0) + 1)")}
+      |    END AS kn
+      |  FROM b
+      |  LEFT JOIN cxy ON b.x = cxy.x AND b.y = cxy.y
+      |  LEFT JOIN cx ON b.x = cx.x
+      |  LEFT JOIN nx ON b.x = nx.x
+      |  LEFT JOIN ny ON b.y = ny.y
+      |  CROSS JOIN tot CROSS JOIN vv
+      |  WHERE b.doc_id % 5 = 0)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(a1) // COUNT(*) AS BIGINT) AS addone_avg_mnat,
+      |  CAST(SUM(kn) // COUNT(*) AS BIGINT) AS kn_avg_mnat,
+      |  CAST(SUM(a1) // COUNT(*) - SUM(kn) // COUNT(*) AS BIGINT)
+      |    AS gain_mnat
+      |FROM s GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    import graft.functions.LangModel
+    import graft.functions.LangModel.mnat
+    val docs = Tables.documents(s, d)
+    val bg = LangModel.bigramFrame(docs, col("doc_id") % 5 === 0)
+    val train = bg.filter(!col("__eval"))
+    val cxy = train.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("cxy"))
+    val cx = train.groupBy(col("x")).agg(count(lit(1)).as("cx"))
+    val nx = train.groupBy(col("x")).agg(countDistinct(col("y")).as("nx"))
+    val ny = train.groupBy(col("y")).agg(countDistinct(col("x")).as("ny"))
+    val tot = train.select(col("x"), col("y")).distinct()
+      .agg(count(lit(1)).as("bt"))
+    val v = docs.filter(!(col("doc_id") % 5 === 0))
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val nn = col("bt") + col("v") + lit(1L)
+    val scored = bg.filter(col("__eval"))
+      .select(col("doc_id"), col("x"), col("y"))
+      .join(cxy, Seq("x", "y"), "left")
+      .join(cx, Seq("x"), "left")
+      .join(nx, Seq("x"), "left")
+      .join(ny, Seq("y"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        (mnat(coalesce(col("cx"), lit(0L)) + col("v"))
+          - mnat(coalesce(col("cxy"), lit(0L)) + 1)).as("a1"),
+        when(col("cx").isNull,
+          mnat(nn) - mnat(coalesce(col("ny"), lit(0L)) + 1))
+          .otherwise(
+            mnat(lit(4L) * col("cx") * nn)
+              - mnat(greatest(lit(4L) * coalesce(col("cxy"), lit(0L))
+                  - lit(3L), lit(0L)) * nn
+                + lit(3L) * col("nx")
+                  * (coalesce(col("ny"), lit(0L)) + lit(1L))))
+          .as("kn"))
+    scored
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("a1")).as("sa1"), sum(col("kn")).as("skn"))
+      .select(col("source"), col("n_bigrams"),
+        expr("sa1 div n_bigrams").as("addone_avg_mnat"),
+        expr("skn div n_bigrams").as("kn_avg_mnat"),
+        expr("sa1 div n_bigrams - skn div n_bigrams").as("gain_mnat"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
       q141, q143, q146, q148, q149, q150, q152, q153, q157, q158, q159, q191,
-      q160, q162, q163, q166, q167, q168, q170, q171, q205, q206)
+      q160, q162, q163, q166, q167, q168, q170, q171, q205, q206, q209,
+      q210, q211)
 }

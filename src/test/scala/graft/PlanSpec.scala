@@ -177,7 +177,11 @@ class PlanSpec extends SparkSpec {
       "q203_ivfpq_search" ->
         "broadcast 16-row coarse-centroid frame (the q38/q174 pattern)",
       "q205_dsir_weights" ->
-        "one-row corpus-totals frame onto the <=128-row bucket table")
+        "one-row corpus-totals frame onto the <=128-row bucket table",
+      "q207_embedding_outliers" ->
+        "one-row count/median/MAD frames (rank-exact threshold)",
+      "q211_kneser_ney" ->
+        "one-row bigram-type and vocabulary totals (the q130 shape)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
