@@ -3143,11 +3143,161 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** q212 — LEAKAGE-FREE (out-of-fold) target encoding, the standard
+    * way to feed a high-cardinality categorical to a model without
+    * letting each row see its own label: row in fold f gets its
+    * category's target mean computed over the OTHER folds
+    * (Micci-Barreca 2001's smoothed form; every gradient-boosting
+    * stack's `TargetEncoder(cv=...)`). Encoding arithmetic is exact:
+    * out-of-fold sums are differences of integer sums, the unsmoothed
+    * encoding is one integer division to ppm, and the m=20 smoothed
+    * form multiplies through by the global denominator so it is ONE
+    * integer division too. The same-fold complement guard (oof_den >
+    * 0) holds by construction here (every (segment, fold) cell is
+    * populated); the production operator would left-join the prior.
+    *
+    * Scale: one map-side-combinable keyed agg to (category, fold)
+    * cells, a 5-row-per-category window for category totals, and a
+    * one-row broadcast global prior — encoding cost is the CELL
+    * count, independent of row count; the encoded fact table then
+    * joins the cell frame by (category, fold), broadcastable while
+    * cells ≪ facts (always, at 100 TB). */
+  val q212 = QueryDef(
+    "q212_target_encoding",
+    """WITH base AS (
+      |  SELECT c.c_mktsegment AS seg, o.o_orderkey % 5 AS fold,
+      |    CASE WHEN CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+      |      > 25000000 THEN 1 ELSE 0 END AS y
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |cell AS (
+      |  SELECT seg, fold, CAST(SUM(y) AS BIGINT) AS sf_sum,
+      |    CAST(COUNT(*) AS BIGINT) AS sf_cnt
+      |  FROM base GROUP BY 1, 2),
+      |w AS (
+      |  SELECT seg, fold, sf_sum, sf_cnt,
+      |    CAST(SUM(sf_sum) OVER (PARTITION BY seg) AS BIGINT) AS s_sum,
+      |    CAST(SUM(sf_cnt) OVER (PARTITION BY seg) AS BIGINT) AS s_cnt
+      |  FROM cell),
+      |g AS (
+      |  SELECT CAST(SUM(sf_sum) AS BIGINT) AS g_sum,
+      |    CAST(SUM(sf_cnt) AS BIGINT) AS g_cnt
+      |  FROM cell)
+      |SELECT seg, fold, sf_cnt AS n, sf_sum AS pos,
+      |  (1000000 * (s_sum - sf_sum)) // (s_cnt - sf_cnt) AS enc_ppm,
+      |  (1000000 * ((s_sum - sf_sum) * g_cnt + 20 * g_sum))
+      |    // (g_cnt * ((s_cnt - sf_cnt) + 20)) AS enc_smooth_ppm
+      |FROM w CROSS JOIN g ORDER BY seg, fold""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        (col("o_orderkey") % 5).as("fold"),
+        when(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+          > 25000000L, 1L).otherwise(0L).as("y"))
+    val cell = base.groupBy(col("seg"), col("fold"))
+      .agg(sum(col("y")).as("sf_sum"), count(lit(1)).as("sf_cnt"))
+    val wSeg = Window.partitionBy("seg")
+    val w = cell.select(col("seg"), col("fold"), col("sf_sum"),
+      col("sf_cnt"),
+      sum(col("sf_sum")).over(wSeg).as("s_sum"),
+      sum(col("sf_cnt")).over(wSeg).as("s_cnt"))
+    val g = cell.agg(sum(col("sf_sum")).as("g_sum"),
+      sum(col("sf_cnt")).as("g_cnt"))
+    w.crossJoin(broadcast(g))
+      .select(col("seg"), col("fold"), col("sf_cnt").as("n"),
+        col("sf_sum").as("pos"),
+        expr("(1000000 * (s_sum - sf_sum)) div (s_cnt - sf_cnt)")
+          .as("enc_ppm"),
+        expr("(1000000 * ((s_sum - sf_sum) * g_cnt + 20 * g_sum))" +
+          " div (g_cnt * ((s_cnt - sf_cnt) + 20))")
+          .as("enc_smooth_ppm"))
+      .orderBy(col("seg"), col("fold"))
+  }
+
+  /** q213 — split-conformal prediction coverage audit (Vovk et al.;
+    * Lei et al. 2018's split form): the distribution-free way to turn
+    * ANY point model into calibrated intervals. Deterministic 3-way
+    * split on o_orderkey; model = per-segment train-mean price
+    * (integer cents div); nonconformity = |residual|; q̂ = the
+    * ⌈0.9·(n_cal+1)⌉-th smallest calibration residual, RANK-EXACT via
+    * the distributed [[graft.functions.Ranks]] pipeline (no
+    * approx-percentile — the guarantee is about an exact order
+    * statistic); census = per-segment test coverage at the GLOBAL q̂
+    * (marginal guarantee ≈ 900 000 ppm overall; per-segment rows show
+    * the conditional-coverage spread the guarantee does NOT promise).
+    *
+    * Scale: train means are a keyed agg broadcast back (|segments|
+    * rows); the single rank pass runs over the calibration slice
+    * through Ranks' bucket-offset machinery (the q170/q207 contract);
+    * q̂ is a one-row broadcast; coverage is a keyed agg over the test
+    * slice. Nothing materializes more than one row per order. */
+  val q213 = QueryDef(
+    "q213_conformal_coverage",
+    """WITH base AS (
+      |  SELECT o.o_orderkey AS k, c.c_mktsegment AS seg,
+      |    o.o_orderkey % 3 AS part,
+      |    CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |mu AS (
+      |  SELECT seg, CAST(SUM(cents) AS BIGINT)
+      |    // CAST(COUNT(*) AS BIGINT) AS mu
+      |  FROM base WHERE part = 0 GROUP BY 1),
+      |cal AS (
+      |  SELECT b.k, ABS(b.cents - mu.mu) AS r
+      |  FROM base b JOIN mu ON b.seg = mu.seg WHERE b.part = 1),
+      |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+      |rk AS (
+      |  SELECT r, ROW_NUMBER() OVER (ORDER BY r, k) AS rn FROM cal),
+      |qh AS (
+      |  SELECT MIN(r) AS qhat FROM rk, nc
+      |  WHERE rn = (9 * (n_cal + 1) + 9) // 10)
+      |SELECT b.seg, CAST(COUNT(*) AS BIGINT) AS n_test,
+      |  CAST(SUM(CASE WHEN ABS(b.cents - mu.mu) <= qhat THEN 1 ELSE 0
+      |    END) AS BIGINT) AS covered,
+      |  (1000000 * CAST(SUM(CASE WHEN ABS(b.cents - mu.mu) <= qhat
+      |    THEN 1 ELSE 0 END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+      |    AS coverage_ppm,
+      |  CAST(MAX(qhat) AS BIGINT) AS qhat_cents,
+      |  CAST(MAX(n_cal) AS BIGINT) AS n_cal
+      |FROM base b JOIN mu ON b.seg = mu.seg, qh, nc
+      |WHERE b.part = 2 GROUP BY b.seg ORDER BY b.seg""".stripMargin) {
+    (s, d) =>
+    import graft.functions.Ranks
+    val base = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("k"), col("c_mktsegment").as("seg"),
+        (col("o_orderkey") % 3).as("part"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+          .as("cents"))
+    val mu = base.filter(col("part") === 0).groupBy(col("seg"))
+      .agg(expr("sum(cents) div count(1)").as("mu"))
+    val cal = base.filter(col("part") === 1)
+      .join(broadcast(mu), Seq("seg"))
+      .select(col("k"), abs(col("cents") - col("mu")).as("r"))
+    val nc = cal.agg(count(lit(1)).as("n_cal"))
+    val qh = Ranks.rowNumberGlobal(cal, col("r"), col("k"), "rn")
+      .crossJoin(broadcast(nc))
+      .filter(col("rn") === expr("(9 * (n_cal + 1) + 9) div 10"))
+      .agg(min(col("r")).as("qhat"))
+    base.filter(col("part") === 2)
+      .join(broadcast(mu), Seq("seg"))
+      .crossJoin(broadcast(qh)).crossJoin(broadcast(nc))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_test"),
+        sum((abs(col("cents") - col("mu")) <= col("qhat")).cast("long"))
+          .as("covered"),
+        expr("(1000000 * sum(cast(abs(cents - mu) <= qhat as long)))" +
+          " div count(1)").as("coverage_ppm"),
+        max(col("qhat")).as("qhat_cents"),
+        max(col("n_cal")).as("n_cal"))
+      .orderBy(col("seg"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
       q141, q143, q146, q148, q149, q150, q152, q153, q157, q158, q159, q191,
       q160, q162, q163, q166, q167, q168, q170, q171, q205, q206, q209,
-      q210, q211)
+      q210, q211, q212, q213)
 }

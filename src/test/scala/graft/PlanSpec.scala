@@ -181,7 +181,10 @@ class PlanSpec extends SparkSpec {
       "q207_embedding_outliers" ->
         "one-row count/median/MAD frames (rank-exact threshold)",
       "q211_kneser_ney" ->
-        "one-row bigram-type and vocabulary totals (the q130 shape)")
+        "one-row bigram-type and vocabulary totals (the q130 shape)",
+      "q212_target_encoding" -> "one-row global-prior frame",
+      "q213_conformal_coverage" ->
+        "one-row calibration-count and q-hat frames (rank-exact)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
