@@ -1895,9 +1895,176 @@ object CoreQueries {
       .orderBy("cohort_day")
   }
 
+  /** q214 — A/B experiment analysis: two-proportion z-test per metric.
+    *
+    * Variant assignment is the production-correct deterministic hash
+    * split ([[graft.curation.Curation.contentU32]] parity — the same
+    * user always lands in the same arm, on any engine); the metric
+    * family is "user's total value in event type m ≥ $550", one
+    * conversion flag per (user, metric). The test statistic is
+    * reported as z² (≡ the 2×2 χ² with 1 dof): z² =
+    * (p̂₁−p̂₀)²/(p̄(1−p̄)(1/n₀+1/n₁)), computed as ONE float expression
+    * over exact-integer counts — identical operation order on both
+    * engines, floored to the milli grid — with significance at the
+    * χ²₁ 95 % critical value 3.841. Degenerate arms (pooled rate 0 or
+    * 1, where the statistic is undefined) are filtered on BOTH
+    * engines.
+    *
+    * Scale: per-(user, metric) totals are one map-side-combinable
+    * keyed agg; arm censuses collapse that to 2 rows per metric via
+    * conditional aggregation (no pivot shuffle); the z² arithmetic
+    * runs on the |metrics|-row frame. The A/B readout over 100 TB of
+    * raw events is exactly these two keyed aggs. */
+  val q214 = QueryDef(
+    "q214_ab_test",
+    s"""WITH uu AS (
+      |  SELECT event_type AS metric, user_id,
+      |    CASE WHEN SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+      |      >= 55000 THEN 1 ELSE 0 END AS conv
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+      |hv AS (
+      |  SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS hx
+      |  FROM (SELECT DISTINCT user_id FROM events
+      |        WHERE user_id IS NOT NULL)),
+      |vv AS (SELECT user_id, ${TextQueries.hexU32Sql(1)} % 2 AS variant
+      |  FROM hv),
+      |u AS (
+      |  SELECT metric, uu.user_id, variant, conv
+      |  FROM uu JOIN vv ON uu.user_id = vv.user_id),
+      |arms AS (
+      |  SELECT metric,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n0,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END)
+      |      AS BIGINT) AS x0,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n1,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END)
+      |      AS BIGINT) AS x1
+      |  FROM u GROUP BY 1)
+      |SELECT metric, n0, x0, n1, x1,
+      |  (1000000 * x0) // n0 AS p0_ppm,
+      |  (1000000 * x1) // n1 AS p1_ppm,
+      |  CAST(FLOOR(1000.0 *
+      |    (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+      |    * (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+      |    / ((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+      |      * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+      |      * (1.0 / n0 + 1.0 / n1))) AS BIGINT) AS z2_milli,
+      |  CASE WHEN CAST(FLOOR(1000.0 *
+      |    (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+      |    * (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+      |    / ((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+      |      * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+      |      * (1.0 / n0 + 1.0 / n1))) AS BIGINT) >= 3841
+      |    THEN 1 ELSE 0 END AS significant
+      |FROM arms
+      |WHERE n0 > 0 AND n1 > 0 AND x0 + x1 > 0 AND x0 + x1 < n0 + n1
+      |ORDER BY metric""".stripMargin) { (s, d) =>
+    val u = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .groupBy(col("event_type").as("metric"), col("user_id"))
+      .agg(when(sum(expr("cast(floor(value * 100 + 0.5) as bigint)"))
+        >= 55000L, 1L).otherwise(0L).as("conv"))
+      .withColumn("variant",
+        graft.curation.Curation.contentU32(col("user_id")) % 2L)
+    val arms = u.groupBy(col("metric"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L))
+          .as("x0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L))
+          .as("x1"))
+    val dx = col("x1").cast("double") / col("n1") -
+      col("x0").cast("double") / col("n0")
+    val pbar = (col("x0") + col("x1")).cast("double") /
+      (col("n0") + col("n1"))
+    val z2 = floor(lit(1000.0) * dx * dx /
+      (pbar * (lit(1.0) - pbar) *
+        (lit(1.0) / col("n0") + lit(1.0) / col("n1")))).cast("long")
+    arms
+      .filter(col("n0") > 0 && col("n1") > 0 &&
+        col("x0") + col("x1") > 0 &&
+        col("x0") + col("x1") < col("n0") + col("n1"))
+      .select(col("metric"), col("n0"), col("x0"), col("n1"), col("x1"),
+        expr("(1000000 * x0) div n0").as("p0_ppm"),
+        expr("(1000000 * x1) div n1").as("p1_ppm"),
+        z2.as("z2_milli"),
+        when(z2 >= 3841L, 1L).otherwise(0L).as("significant"))
+      .orderBy(col("metric"))
+  }
+
+  /** q215 — CUSUM changepoint detection on the daily event series
+    * (Page 1954): the drift alarm for a data pipeline's volume
+    * monitor — "did this event type's daily rate shift, and when?".
+    *
+    * Two-pass form kept EXACT: with daily counts x_t (t = 1..n,
+    * cumulative c_t, total S), the mean-removed cumulative sum scaled
+    * by n is C_t = n·c_t − t·S — an integer. The changepoint estimate
+    * is argmax_t |C_t| (earliest t on ties, pinned by the rank
+    * window's tie-break), with the before/after daily means reported
+    * in milli-events — the classic offline CUSUM estimator (the MLE
+    * for a single mean shift under the normal model).
+    *
+    * Scale: the daily census is a map-side-combinable keyed agg; the
+    * cumsum/argmax windows are partitioned per event type over
+    * |days|-row frames (bounded by the calendar, not the data); at
+    * 100 TB only the day census touches the raw table. */
+  val q215 = QueryDef(
+    "q215_cusum_changepoint",
+    """WITH dx AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |cs AS (
+      |  SELECT event_type, day, x,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+      |      AS BIGINT) AS t,
+      |    CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+      |    CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM dx),
+      |cu AS (
+      |  SELECT event_type, day, t, c, s, n, n * c - t * s AS cus,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY ABS(n * c - t * s) DESC, t) AS rk
+      |  FROM cs)
+      |SELECT event_type, n AS n_days, s AS total_events,
+      |  ABS(cus) AS cusum_max, t AS cp_idx, day AS cp_day,
+      |  (1000 * c) // t AS mean_before_milli,
+      |  CASE WHEN n > t THEN (1000 * (s - c)) // (n - t) ELSE NULL END
+      |    AS mean_after_milli
+      |FROM cu WHERE rk = 1 ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+    val dx = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val byType = Window.partitionBy("event_type")
+    val ordered = byType.orderBy("day")
+    val cs = dx.select(col("event_type"), col("day"), col("x"),
+      row_number().over(ordered).cast("long").as("t"),
+      sum(col("x")).over(ordered.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)).as("c"),
+      sum(col("x")).over(byType).as("s"),
+      count(lit(1)).over(byType).as("n"))
+    val cu = cs.withColumn("cus",
+        col("n") * col("c") - col("t") * col("s"))
+      .withColumn("rk", row_number().over(
+        byType.orderBy(abs(col("cus")).desc, col("t"))))
+    cu.filter(col("rk") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        col("s").as("total_events"), abs(col("cus")).as("cusum_max"),
+        col("t").as("cp_idx"), col("day").as("cp_day"),
+        expr("(1000 * c) div t").as("mean_before_milli"),
+        when(col("n") > col("t"),
+          expr("(1000 * (s - c)) div (n - t)"))
+          .otherwise(lit(null).cast("long")).as("mean_after_milli"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
     q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
-    q111, q133, q182, q183, q186, q187, q188, q194, q195)
+    q111, q133, q182, q183, q186, q187, q188, q194, q195, q214, q215)
 }
