@@ -2062,9 +2062,144 @@ object CoreQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q216 — position-based (U-shaped) multi-touch attribution: each
+    * purchase distributes its value over the user's view/click
+    * touches in the prior 7 days — 40 % to the first touch, 40 % to
+    * the last, 20 % split over the middle (the standard marketing
+    * position model; q53 is the plain last-window count form). Credit
+    * shares are exact ppm integers: the middle split uses integer
+    * div and hands its remainder to the FIRST touch, so every
+    * conversion's credits sum to exactly 1 000 000; attributed value
+    * is Σ credit·cents in micro-cent-ppm units, exact.
+    *
+    * Scale: the 7-day pairing rides [[graft.functions.Intervals
+    * .rangeJoin]] — time-bucketed equi-join, never a nested loop;
+    * the position window is partitioned per conversion and bounded
+    * by a user's WEEKLY activity (behavioral, not corpus-size,
+    * growth; a service with bot-grade users caps the window with a
+    * top-N — the q133 machinery — before crediting). Final census is
+    * one keyed agg over channels. */
+  val q216 = QueryDef(
+    "q216_position_attribution",
+    """WITH p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, event_id AS tid, event_type AS channel,
+      |    epoch_us(ts) AS tus
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |pr AS (
+      |  SELECT p.event_id, p.cents, t.channel, t.tid, t.tus
+      |  FROM p JOIN t ON t.user_id = p.user_id
+      |   AND t.tus >= p.us - 604800000000 AND t.tus < p.us),
+      |kk AS (
+      |  SELECT event_id, cents, channel,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_id
+      |      ORDER BY tus, tid) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_id) AS BIGINT) AS k
+      |  FROM pr),
+      |cr AS (
+      |  SELECT channel, cents,
+      |    CAST(CASE WHEN k = 1 THEN 1000000
+      |         WHEN k = 2 THEN 500000
+      |         WHEN rn = 1 THEN 400000 + 200000 % (k - 2)
+      |         WHEN rn = k THEN 400000
+      |         ELSE 200000 // (k - 2) END AS BIGINT) AS credit
+      |  FROM kk)
+      |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |  CAST(SUM(credit) AS BIGINT) AS share_ppm,
+      |  CAST(SUM(credit * cents) AS BIGINT) AS attributed_microcents
+      |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("tid"),
+        col("event_type").as("channel"), col("us"))
+    val pairs = graft.functions.Intervals.rangeJoin(
+      purchases, touches, keys = Seq("user_id"),
+      leftTsUs = "us", rightTsUs = "us",
+      lowerUs = -604800L * 1000 * 1000, upperUs = 0L)
+    val wConv = Window.partitionBy("event_id")
+    val kk = pairs.select(col("event_id"), col("cents"),
+      col("r_channel").as("channel"),
+      row_number().over(wConv.orderBy(col("r_us"), col("r_tid")))
+        .cast("long").as("rn"),
+      count(lit(1)).over(wConv).as("k"))
+    val cr = kk.select(col("channel"), col("cents"),
+      when(col("k") === 1, lit(1000000L))
+        .when(col("k") === 2, lit(500000L))
+        .when(col("rn") === 1, lit(400000L) + expr("200000 % (k - 2)"))
+        .when(col("rn") === col("k"), lit(400000L))
+        .otherwise(expr("200000 div (k - 2)")).as("credit"))
+    cr.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit")).as("share_ppm"),
+        sum(col("credit") * col("cents")).as("attributed_microcents"))
+      .orderBy(col("channel"))
+  }
+
+  /** q217 — hash-partition skew census: the shuffle-balance
+    * diagnostic behind every "do I need salting?" decision (q89's
+    * salted agg, q105's salted join, q157's sketch-driven variant).
+    * For each candidate partition count P, the census hashes every
+    * row's key on the engine-portable [[graft.curation.Curation
+    * .contentU32]] grid, mod-P buckets it, and reports used
+    * partitions, max/min load, and max/mean imbalance in ppm — the
+    * straggler multiplier a reducer stage would see at that width.
+    *
+    * Scale: one projection + one keyed agg per census row; the ×|P|
+    * explode is over a 3-element literal array. At 100 TB this is
+    * exactly the query you run BEFORE picking
+    * spark.sql.shuffle.partitions for a hot pipeline stage — load
+    * estimates come from the same one pass the engine would already
+    * make. Near-uniform ppm values here are the expected hash answer;
+    * the census earns its keep when a natural key (not a hash) is the
+    * partitioner candidate. */
+  val q217 = QueryDef(
+    "q217_partition_skew",
+    s"""WITH h AS (
+      |  SELECT ${TextQueries.hexU32Sql(1)} AS u32 FROM (
+      |    SELECT md5(CAST(user_id AS VARCHAR)) AS hx
+      |    FROM events WHERE user_id IS NOT NULL)),
+      |pl AS (
+      |  SELECT CAST(pp.p AS BIGINT) AS p, u32 % CAST(pp.p AS BIGINT)
+      |    AS part
+      |  FROM h CROSS JOIN (SELECT unnest([8, 32, 128]) AS p) pp),
+      |loads AS (
+      |  SELECT p, part, CAST(COUNT(*) AS BIGINT) AS ld
+      |  FROM pl GROUP BY 1, 2)
+      |SELECT p AS n_partitions, CAST(COUNT(*) AS BIGINT) AS used,
+      |  CAST(SUM(ld) AS BIGINT) AS total_rows,
+      |  CAST(MAX(ld) AS BIGINT) AS max_load,
+      |  CAST(MIN(ld) AS BIGINT) AS min_load,
+      |  CAST((1000000 * MAX(ld) * p) // CAST(SUM(ld) AS BIGINT)
+      |    AS BIGINT) AS imbalance_ppm
+      |FROM loads GROUP BY p ORDER BY p""".stripMargin) { (s, d) =>
+    val h = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(graft.curation.Curation.contentU32(col("user_id"))
+        .as("u32"))
+    val pl = h.select(col("u32"),
+      explode(array(lit(8L), lit(32L), lit(128L))).as("p"))
+      .select(col("p"), (col("u32") % col("p")).as("part"))
+    pl.groupBy(col("p"), col("part"))
+      .agg(count(lit(1)).as("ld"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("used"), sum(col("ld")).as("total_rows"),
+        max(col("ld")).as("max_load"), min(col("ld")).as("min_load"))
+      .select(col("p").as("n_partitions"), col("used"),
+        col("total_rows"), col("max_load"), col("min_load"),
+        expr("(1000000 * max_load * p) div total_rows")
+          .as("imbalance_ppm"))
+      .orderBy(col("n_partitions"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
     q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
-    q111, q133, q182, q183, q186, q187, q188, q194, q195, q214, q215)
+    q111, q133, q182, q183, q186, q187, q188, q194, q195, q214, q215,
+    q216, q217)
 }
