@@ -2196,10 +2196,100 @@ object CoreQueries {
       .orderBy(col("n_partitions"))
   }
 
+  /** q218 — triangle count + global clustering coefficient of the
+    * co-purchase graph (parts sharing ≥ 2 orders): the graph-shape
+    * census behind recommendation quality ("are co-purchases
+    * clique-ish or star-ish?") and the third graph operator next to
+    * PageRank (q82/q189) and connected components (q66).
+    *
+    * The Spark side enumerates triangles DEGREE-ORDERED (Schank &
+    * Wagner 2005; the MapReduce form is Suri & Vassilvitskii 2011's
+    * node-iterator++): orient every edge from the lower (degree, id)
+    * endpoint to the higher, build wedges only from co-out-edges,
+    * probe the directed edge set. Every triangle then has EXACTLY one
+    * wedge apex (its order-minimal node), so the count needs no
+    * dedup, and the wedge intermediate is Σ C(out-deg, 2) = O(m^1.5)
+    * instead of Σ C(deg, 2) — the difference between a hub exploding
+    * the shuffle and not. The ORACLE enumerates id-ordered (the
+    * textbook x<y<z triple join): orientation changes the wedge
+    * frame, provably NOT the triangle count, so the two forms must
+    * agree — which is exactly what makes the cheap form safe to
+    * ship. Order keys pack (degree, id) into one long (id < 10^6
+    * here; at larger id spaces widen the packing, documented).
+    *
+    * Scale: distinct-(order, part) projection, per-order pair
+    * explosion bounded by basket size (q36's contract), then three
+    * keyed equi-joins on long keys. Wedge census = Σ C(dg, 2) from
+    * the degree frame — never materialized as rows. */
+  val q218 = QueryDef(
+    "q218_triangle_census",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (
+      |  SELECT a.p AS x, b.p AS y
+      |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |deg AS (
+      |  SELECT v, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+      |    SELECT x AS v FROM e UNION ALL SELECT y AS v FROM e)
+      |  GROUP BY 1),
+      |tri AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |  FROM e e1 JOIN e e2 ON e1.y = e2.x
+      |    JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+      |  (SELECT n_triangles FROM tri) AS n_triangles,
+      |  (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) FROM deg)
+      |    AS n_wedges,
+      |  CAST((3000 * (SELECT n_triangles FROM tri))
+      |    // (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) FROM deg)
+      |    AS BIGINT) AS cc_milli,
+      |  (SELECT CAST(MAX(dg) AS BIGINT) FROM deg) AS max_degree""".stripMargin) {
+    (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2).select(col("x"), col("y"))
+    val deg = e.select(col("x").as("v"))
+      .union(e.select(col("y").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val keyed = deg.select(col("v"),
+      (col("dg") * lit(1000000L) + col("v")).as("k"))
+    val ed = e
+      .join(keyed.select(col("v").as("x"), col("k").as("kx")), Seq("x"))
+      .join(keyed.select(col("v").as("y"), col("k").as("ky")), Seq("y"))
+      .select(
+        when(col("kx") < col("ky"), col("kx")).otherwise(col("ky"))
+          .as("ks"),
+        when(col("kx") < col("ky"), col("ky")).otherwise(col("kx"))
+          .as("kd"))
+    val wedges = ed.as("e1").join(ed.as("e2"),
+        col("e1.ks") === col("e2.ks") && col("e1.kd") < col("e2.kd"))
+      .select(col("e1.kd").as("ks"), col("e2.kd").as("kd"))
+    val tri = wedges.join(ed, Seq("ks", "kd"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeCensus = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("dg * (dg - 1) div 2")).as("n_wedges"),
+      max(col("dg")).as("max_degree"))
+    val edgeCensus = e.agg(count(lit(1)).as("n_edges"))
+    nodeCensus.crossJoin(broadcast(edgeCensus))
+      .crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"),
+        expr("(3000 * n_triangles) div n_wedges").as("cc_milli"),
+        col("max_degree"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
     q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
     q111, q133, q182, q183, q186, q187, q188, q194, q195, q214, q215,
-    q216, q217)
+    q216, q217, q218)
 }

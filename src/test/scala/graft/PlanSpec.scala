@@ -184,7 +184,8 @@ class PlanSpec extends SparkSpec {
         "one-row bigram-type and vocabulary totals (the q130 shape)",
       "q212_target_encoding" -> "one-row global-prior frame",
       "q213_conformal_coverage" ->
-        "one-row calibration-count and q-hat frames (rank-exact)")
+        "one-row calibration-count and q-hat frames (rank-exact)",
+      "q218_triangle_census" -> "one-row graph census frames")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
