@@ -370,5 +370,77 @@ object RecommenderQueries {
       .orderBy("c_custkey", "rnk")
   }
 
-  val all: Seq[QueryDef] = Seq(q36, q37, q45, q45b, q82, q161, q189)
+  /** q219 — item-based collaborative filtering (Sarwar et al. 2001):
+    * top-3 neighbors per part by binary cosine similarity over the
+    * CUSTOMER dimension — where q36's "bought together" ranks by raw
+    * basket co-occurrence, this normalizes by both items' audience
+    * sizes, the step that stops bestsellers from dominating every
+    * neighbor list. Similarity is kept exact by ranking on cos² as
+    * one integer ratio: sim²·10⁶ = (10⁶·c²) div (n_i·n_j), where c =
+    * co-purchasing customers and n_i = item audiences — monotone in
+    * cos for non-negative counts, so the TOP-3 is the true cosine
+    * top-3 with (sim² desc, neighbor id) pinning ties.
+    *
+    * Scale: (customer, part) distinct projection; per-customer pair
+    * expansion bounded by per-customer catalog breadth (behavioral,
+    * like q216's window — a retailer caps it with q133's bounded
+    * top-N per customer before pairing); pair census and audience
+    * census are map-side-combinable keyed aggs; the per-item top-3
+    * window is partitioned by item over its neighbor list. */
+  val q219 = QueryDef(
+    "q219_item_cf",
+    """WITH up AS (
+      |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |ni AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM up
+      |  GROUP BY 1),
+      |pp AS (
+      |  SELECT a.i AS x, b.i AS y, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM up a JOIN up b ON a.u = b.u AND a.i < b.i
+      |  GROUP BY 1, 2),
+      |sym AS (
+      |  SELECT x AS i, y AS j, c FROM pp
+      |  UNION ALL SELECT y AS i, x AS j, c FROM pp),
+      |sim AS (
+      |  SELECT s.i, s.j, s.c,
+      |    (1000000 * s.c * s.c) // (a.n * b.n) AS sim2_ppm
+      |  FROM sym s JOIN ni a ON s.i = a.i JOIN ni b ON s.j = b.i),
+      |rk AS (
+      |  SELECT i, j, c, sim2_ppm, ROW_NUMBER() OVER (PARTITION BY i
+      |    ORDER BY sim2_ppm DESC, j) AS rn
+      |  FROM sim)
+      |SELECT i AS item, CAST(rn AS BIGINT) AS rank, j AS neighbor,
+      |  c AS common_users, sim2_ppm
+      |FROM rk WHERE rn <= 3 ORDER BY item, rank""".stripMargin) {
+    (s, d) =>
+    val up = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .distinct()
+    val ni = up.groupBy(col("i")).agg(count(lit(1)).as("n"))
+    val pp = up.as("a").join(up.as("b"),
+        col("a.u") === col("b.u") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("x"), col("b.i").as("y"))
+      .agg(count(lit(1)).as("c"))
+    val sym = pp.select(col("x").as("i"), col("y").as("j"), col("c"))
+      .unionByName(
+        pp.select(col("y").as("i"), col("x").as("j"), col("c")))
+    val sim = sym
+      .join(ni.select(col("i"), col("n").as("na")), Seq("i"))
+      .join(ni.select(col("i").as("j"), col("n").as("nb")), Seq("j"))
+      .select(col("i"), col("j"), col("c"),
+        expr("(1000000 * c * c) div (na * nb)").as("sim2_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("i")).orderBy(col("sim2_ppm").desc, col("j"))
+    sim.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("i").as("item"), col("rn").cast("long").as("rank"),
+        col("j").as("neighbor"), col("c").as("common_users"),
+        col("sim2_ppm"))
+      .orderBy(col("item"), col("rank"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q36, q37, q45, q45b, q82, q161, q189, q219)
 }
