@@ -2286,10 +2286,310 @@ object CoreQueries {
         col("max_degree"))
   }
 
+  /** q220 — log-log price elasticity of demand per brand: the
+    * econometric read on the catalog ("how demand-sensitive is this
+    * brand to price"), as the OLS slope of ln(quantity) on ln(unit
+    * price) across a brand's parts. Rides the exact-integer OLS
+    * pattern (q183/q184): both axes are [[graft.functions.LangModel
+    * .mnat]] milli-nats of integer-valued columns (unit price =
+    * integer-cents div integer-quantity), all four moments are
+    * integer sums, and only the final slope ratio is (identical)
+    * IEEE754. Since both axes carry the same ×1000 grid, the slope
+    * IS the dimensionless elasticity in milli. Degenerate groups
+    * (n < 2 or zero x-variance, where the ratio is undefined) are
+    * filtered identically on both engines.
+    *
+    * Scale: per-part totals and per-brand moments are two map-side
+    * combinable keyed aggs; the part→brand attach is an equi-join
+    * with a broadcastable dimension. Nothing grows beyond |parts|. */
+  val q220 = QueryDef(
+    "q220_price_elasticity",
+    s"""WITH pp AS (
+      |  SELECT l_partkey AS pk,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS cents,
+      |    CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS qty
+      |  FROM lineitem GROUP BY 1),
+      |xy AS (
+      |  SELECT p.p_brand AS brand,
+      |    ${graft.functions.LangModel.mnatSql("pp.cents // pp.qty")} AS x,
+      |    ${graft.functions.LangModel.mnatSql("pp.qty")} AS y
+      |  FROM pp JOIN part p ON pp.pk = p.p_partkey
+      |  WHERE pp.qty > 0 AND pp.cents // pp.qty > 0),
+      |m AS (
+      |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM xy GROUP BY 1)
+      |SELECT brand, n,
+      |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+      |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+      |  CAST(FLOOR(1000.0 * (n * sxy - sx * sy)
+      |    / (n * sxx - sx * sx)) AS BIGINT) AS elasticity_milli
+      |FROM m WHERE n >= 2 AND n * sxx - sx * sx > 0
+      |ORDER BY brand""".stripMargin) { (s, d) =>
+    import graft.functions.LangModel.mnat
+    val pp = Tables.lineitem(s, d).groupBy(col("l_partkey").as("pk"))
+      .agg(sum(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+        .as("cents"),
+        sum(expr("cast(floor(l_quantity + 0.5) as bigint)")).as("qty"))
+    val xy = pp.join(Tables.part(s, d),
+        col("pk") === col("p_partkey"))
+      .filter(col("qty") > 0 && expr("cents div qty") > 0)
+      .select(col("p_brand").as("brand"),
+        mnat(expr("cents div qty")).as("x"), mnat(col("qty")).as("y"))
+    xy.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") >= 2 &&
+        col("n") * col("sxx") - col("sx") * col("sx") > 0)
+      .select(col("brand"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+        floor(lit(1000.0) *
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+          .cast("long").as("elasticity_milli"))
+      .orderBy(col("brand"))
+  }
+
+  /** q221 — Poisson bootstrap (the streaming-friendly bootstrap:
+    * Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams", and the standard resampling trick at
+    * terabyte scale): instead of drawing B resamples — impossible in
+    * one pass — weight every row by an independent Poisson(1) count
+    * per replicate and aggregate all B replicates in ONE map-side
+    * combinable pass. Weights are DETERMINISTIC here: the Poisson
+    * inverse-CDF is a literal integer-threshold ladder on the
+    * [[graft.curation.Curation.contentU32]] grid of (order, b), so
+    * both engines draw identical "randomness". Per-replicate means
+    * are exact integer cents; the across-replicate variance is exact
+    * integer arithmetic over those 100 means; the final standard
+    * error takes one SQRT — IEEE-exact (correctly rounded by
+    * requirement, unlike ln), so cross-engine equality holds without
+    * a grid.
+    *
+    * Scale: the ×B explode is map-local; the (group, replicate)
+    * census combines before the shuffle, so the shuffled state is
+    * |groups|·B rows regardless of input size — the whole point of
+    * the method at 100 TB. */
+  val q221 = QueryDef(
+    "q221_poisson_bootstrap",
+    s"""WITH o AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS pri,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders),
+      |ob AS (
+      |  SELECT pri, cents, bb.b AS b,
+      |    md5(CAST(k AS VARCHAR) || '_' || CAST(bb.b AS VARCHAR)) AS hx
+      |  FROM o CROSS JOIN (SELECT unnest(range(0, 100)) AS b) bb),
+      |w AS (
+      |  SELECT pri, cents, b,
+      |    CASE WHEN ${TextQueries.hexU32Sql(1)} < 1580030169 THEN 0
+      |         WHEN ${TextQueries.hexU32Sql(1)} < 3160060338 THEN 1
+      |         WHEN ${TextQueries.hexU32Sql(1)} < 3950075422 THEN 2
+      |         WHEN ${TextQueries.hexU32Sql(1)} < 4213413784 THEN 3
+      |         WHEN ${TextQueries.hexU32Sql(1)} < 4279248374 THEN 4
+      |         WHEN ${TextQueries.hexU32Sql(1)} < 4292415292 THEN 5
+      |         WHEN ${TextQueries.hexU32Sql(1)} < 4294609778 THEN 6
+      |         WHEN ${TextQueries.hexU32Sql(1)} < 4294923276 THEN 7
+      |         ELSE 8 END AS w
+      |  FROM ob),
+      |rep AS (
+      |  SELECT pri, b, CAST(SUM(w * cents) AS BIGINT) AS swc,
+      |    CAST(SUM(w) AS BIGINT) AS sw
+      |  FROM w GROUP BY 1, 2),
+      |base AS (
+      |  SELECT pri, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |    CAST(SUM(cents) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+      |      AS mean_cents
+      |  FROM o GROUP BY 1),
+      |mm AS (
+      |  SELECT rep.pri, b, swc // sw - base.mean_cents AS dv
+      |  FROM rep JOIN base ON rep.pri = base.pri WHERE sw > 0),
+      |agg AS (
+      |  SELECT pri, CAST(COUNT(*) AS BIGINT) AS nb,
+      |    CAST(SUM(dv) AS BIGINT) AS sd,
+      |    CAST(SUM(dv * dv) AS BIGINT) AS sd2,
+      |    CAST(MIN(dv) AS BIGINT) AS min_dv,
+      |    CAST(MAX(dv) AS BIGINT) AS max_dv
+      |  FROM mm GROUP BY 1)
+      |SELECT base.pri AS priority, n_orders, mean_cents, nb,
+      |  CAST((nb * sd2 - sd * sd) // (nb * (nb - 1)) AS BIGINT)
+      |    AS boot_var_cents2,
+      |  CAST(FLOOR(SQRT(CAST((nb * sd2 - sd * sd) // (nb * (nb - 1))
+      |    AS DOUBLE))) AS BIGINT) AS boot_se_cents,
+      |  CAST(mean_cents + min_dv AS BIGINT) AS min_m,
+      |  CAST(mean_cents + max_dv AS BIGINT) AS max_m
+      |FROM base JOIN agg ON base.pri = agg.pri
+      |ORDER BY priority""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        .as("cents"))
+    // repartition BEFORE the ×100 explode: the parquet scan yields a
+    // couple of input splits, and without this the 100× row blowup —
+    // and its per-row md5 — stays on those few cores (measured: 70 s
+    // vs ~3 s at sf0.1). One cheap shuffle of the un-exploded rows
+    // buys full-width parallelism for the heavy projection.
+    val ob = o.repartition(32, col("k"))
+      .withColumn("b", explode(sequence(lit(0L), lit(99L))))
+      .withColumn("u32", graft.curation.Curation.contentU32(
+        concat(col("k").cast("string"), lit("_"),
+          col("b").cast("string"))))
+    // Poisson(1) inverse CDF as u32 thresholds floor(CDF_k * 2^32):
+    // 0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+    // 0.9963401532, 0.9994058152, 0.9999167589, 0.9999897508 — the
+    // same literal ladder in the oracle SQL; weights cap at 8.
+    val w = ob.withColumn("w",
+      when(col("u32") < 1580030169L, 0L)
+        .when(col("u32") < 3160060338L, 1L)
+        .when(col("u32") < 3950075422L, 2L)
+        .when(col("u32") < 4213413784L, 3L)
+        .when(col("u32") < 4279248374L, 4L)
+        .when(col("u32") < 4292415292L, 5L)
+        .when(col("u32") < 4294609778L, 6L)
+        .when(col("u32") < 4294923276L, 7L)
+        .otherwise(8L))
+    val rep = w.groupBy(col("pri"), col("b"))
+      .agg(sum(col("w") * col("cents")).as("swc"),
+        sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+    val base = o.groupBy(col("pri"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("sum(cents) div count(1)").as("mean_cents"))
+    // centered deviations keep sd2 ~ (spread)^2, not (mean)^2 — the
+    // uncentered Σm² form sits within 2^63 only by luck of the data
+    val mm = rep.join(broadcast(base.select(col("pri"),
+        col("mean_cents"))), Seq("pri"))
+      .select(col("pri"), expr("swc div sw - mean_cents").as("dv"))
+    val agg = mm.groupBy(col("pri"))
+      .agg(count(lit(1)).as("nb"), sum(col("dv")).as("sd"),
+        sum(col("dv") * col("dv")).as("sd2"),
+        min(col("dv")).as("min_dv"), max(col("dv")).as("max_dv"))
+    base.join(agg, Seq("pri"))
+      .select(col("pri").as("priority"), col("n_orders"),
+        col("mean_cents"), col("nb"),
+        expr("(nb * sd2 - sd * sd) div (nb * (nb - 1))")
+          .as("boot_var_cents2"),
+        floor(sqrt(expr(
+          "cast((nb * sd2 - sd * sd) div (nb * (nb - 1)) as double)")))
+          .cast("long").as("boot_se_cents"),
+        (col("mean_cents") + col("min_dv")).as("min_m"),
+        (col("mean_cents") + col("max_dv")).as("max_m"))
+      .orderBy(col("priority"))
+  }
+
+  /** q222 — Kaplan–Meier survival curve of time-to-repurchase
+    * (Kaplan & Meier 1958): the right-censoring-aware read on "how
+    * long until a customer orders again" that q195's decay fit can't
+    * give — a customer's LAST order isn't a non-event, it's an
+    * observation cut short at the study end, and KM is the estimator
+    * that uses it without bias. Per market segment: each consecutive-
+    * order gap is an observed event at t = gap days; each customer's
+    * tail (last order → corpus max date) enters as a censored
+    * duration that keeps the customer in the at-risk denominator
+    * until t. At each event time, at-risk n = subjects with duration
+    * ≥ t; the survival product Π(1 − d/n) rides the
+    * [[graft.functions.LangModel.mnat]] milli-nat grid as a window
+    * cumsum of mnat(n−d) − mnat(n) — every term an integer, the q195
+    * portability argument. Rows where n = d (everyone at risk dies —
+    * survival hits exactly 0, log undefined) are excluded identically
+    * on both engines; customers with no orders never enter (they were
+    * never at risk).
+    *
+    * Scale: gaps are a customer-keyed lag window; the duration census
+    * is one keyed agg; the at-risk/cumsum windows are partitioned by
+    * segment over |distinct gaps| ≤ corpus-date-range rows (bounded
+    * by construction, like q209's ≤24-row day frames); the study-end
+    * date is a one-row broadcast frame. */
+  val q222 = QueryDef(
+    "q222_kaplan_meier",
+    s"""WITH o AS (
+      |  SELECT o_custkey AS ck, o_orderdate AS dt, o_orderkey AS ok
+      |  FROM orders),
+      |ev AS (
+      |  SELECT ck, t, 1 AS ev FROM (
+      |    SELECT ck, CAST(date_diff('day',
+      |      LAG(dt) OVER (PARTITION BY ck ORDER BY dt, ok), dt)
+      |      AS BIGINT) AS t
+      |    FROM o) WHERE t IS NOT NULL),
+      |cen AS (
+      |  SELECT ck, CAST(date_diff('day', MAX(dt),
+      |    (SELECT MAX(dt) FROM o)) AS BIGINT) AS t, 0 AS ev
+      |  FROM o GROUP BY ck),
+      |u AS (
+      |  SELECT c.c_mktsegment AS segment, x.t, x.ev
+      |  FROM (SELECT * FROM ev UNION ALL SELECT * FROM cen) x
+      |  JOIN customer c ON x.ck = c.c_custkey),
+      |ct AS (
+      |  SELECT segment, t, CAST(SUM(ev) AS BIGINT) AS d_events,
+      |    CAST(COUNT(*) - SUM(ev) AS BIGINT) AS censored,
+      |    CAST(COUNT(*) AS BIGINT) AS tot
+      |  FROM u GROUP BY 1, 2),
+      |w AS (
+      |  SELECT segment, t, d_events, censored,
+      |    CAST(SUM(tot) OVER (PARTITION BY segment)
+      |      - COALESCE(SUM(tot) OVER (PARTITION BY segment ORDER BY t
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS n_risk
+      |  FROM ct),
+      |sv AS (
+      |  SELECT segment, t, d_events, censored, n_risk,
+      |    CAST(SUM(CASE WHEN d_events > 0 AND n_risk > d_events
+      |      THEN ${graft.functions.LangModel.mnatSql("n_risk - d_events")}
+      |         - ${graft.functions.LangModel.mnatSql("n_risk")}
+      |      ELSE 0 END) OVER (PARTITION BY segment ORDER BY t)
+      |      AS BIGINT) AS log_surv_mnat
+      |  FROM w)
+      |SELECT segment, t AS t_days, n_risk, d_events, censored,
+      |  log_surv_mnat
+      |FROM sv WHERE d_events > 0 AND n_risk > d_events
+      |ORDER BY segment, t_days""".stripMargin) { (s, d) =>
+    import graft.functions.LangModel.mnat
+    val o = Tables.orders(s, d).select(col("o_custkey").as("ck"),
+      col("o_orderdate").as("dt"), col("o_orderkey").as("ok"))
+    val wLag = Window.partitionBy(col("ck")).orderBy(col("dt"), col("ok"))
+    val ev = o.withColumn("pd", lag(col("dt"), 1).over(wLag))
+      .filter(col("pd").isNotNull)
+      .select(col("ck"),
+        datediff(col("dt"), col("pd")).cast("long").as("t"),
+        lit(1L).as("ev"))
+    val cen = o.groupBy(col("ck")).agg(max(col("dt")).as("lastd"))
+      .crossJoin(broadcast(o.agg(max(col("dt")).as("maxd"))))
+      .select(col("ck"),
+        datediff(col("maxd"), col("lastd")).cast("long").as("t"),
+        lit(0L).as("ev"))
+    val u = ev.unionByName(cen)
+      .join(Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment").as("segment")),
+        col("ck") === col("c_custkey"))
+    val ct = u.groupBy(col("segment"), col("t"))
+      .agg(sum(col("ev")).as("d_events"),
+        (count(lit(1)) - sum(col("ev"))).as("censored"),
+        count(lit(1)).as("tot"))
+    val wSeg = Window.partitionBy(col("segment"))
+    val wCum = Window.partitionBy(col("segment")).orderBy(col("t"))
+    val wPrev = wCum.rowsBetween(Window.unboundedPreceding, -1)
+    ct.withColumn("n_risk", sum(col("tot")).over(wSeg) -
+        coalesce(sum(col("tot")).over(wPrev), lit(0L)))
+      .withColumn("log_surv_mnat",
+        sum(when(col("d_events") > 0 && col("n_risk") > col("d_events"),
+          mnat(col("n_risk") - col("d_events")) - mnat(col("n_risk")))
+          .otherwise(0L)).over(wCum))
+      .filter(col("d_events") > 0 && col("n_risk") > col("d_events"))
+      .select(col("segment"), col("t").as("t_days"), col("n_risk"),
+        col("d_events"), col("censored"), col("log_surv_mnat"))
+      .orderBy(col("segment"), col("t_days"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
     q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
     q111, q133, q182, q183, q186, q187, q188, q194, q195, q214, q215,
-    q216, q217, q218)
+    q216, q217, q218, q220, q221, q222)
 }
