@@ -441,6 +441,106 @@ object RecommenderQueries {
       .orderBy(col("item"), col("rank"))
   }
 
+  /** q223 — association rules with confidence and lift (Agrawal &
+    * Srikant's rule-mining form of q36's raw co-occurrence): a rule
+    * A→B is reported with support (how often the pair occurs at all),
+    * confidence (P(B|A) — how reliably A's baskets contain B), and
+    * lift (confidence over B's base rate — the normalization that
+    * separates "B is just popular" from "A actually predicts B", the
+    * same bestseller correction q219 applies via cosine). All three
+    * are exact integer ppm ratios over exact counts: conf = 10⁶·c
+    * div n_A, lift = 10⁶·c·N div (n_A·n_B), support = 10⁶·c div N.
+    * Support floor c ≥ 2 (a 1-basket pair has no statistical
+    * content); top-100 by (lift desc, antecedent, consequent) — a
+    * global TakeOrdered, never a partition-less window.
+    *
+    * Scale: rides [[graft.ml.Recommender.coOccurrence]]'s cost-based
+    * basket cap (the q36/q37 contract — pair expansion bounded by the
+    * size histogram); item counts and the basket total are keyed aggs;
+    * N joins in as a one-row broadcast frame. c·N·10⁶ ≤ 2⁶³ holds
+    * through ~10⁹ baskets × 10³ pair support — the overflow margin at
+    * 100 TB. */
+  val q223 = QueryDef(
+    "q223_association_rules",
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      |nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM items),
+      |ni AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM items
+      |  GROUP BY 1),
+      |co AS (
+      |  SELECT x.i AS a, y.i AS c, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM items x JOIN items y ON x.b = y.b AND x.i <> y.i
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT co.a AS antecedent, co.c AS consequent, co.cnt AS n_both,
+      |    (1000000 * co.cnt) // nb.n AS support_ppm,
+      |    (1000000 * co.cnt) // na.n AS confidence_ppm,
+      |    (1000000 * co.cnt * nb.n) // (na.n * nc.n) AS lift_ppm
+      |  FROM co JOIN ni na ON co.a = na.i JOIN ni nc ON co.c = nc.i
+      |  CROSS JOIN nb
+      |  WHERE co.cnt >= 2)
+      |SELECT antecedent, consequent, n_both, support_ppm,
+      |  confidence_ppm, lift_ppm
+      |FROM r ORDER BY lift_ppm DESC, antecedent, consequent
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val items = li
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      .distinct()
+    val nb = items.agg(countDistinct(col("b")).as("n_baskets"))
+    val ni = items.groupBy(col("i")).agg(count(lit(1)).as("n"))
+    val co = Recommender.coOccurrence(
+        li, "l_orderkey", "l_partkey",
+        maxBasket = Recommender.maxBasketFromHistogram(
+          li, "l_orderkey", "l_partkey"))
+      .filter(col("n_baskets") >= 2)
+      .select(col("item").as("a"), col("co_item").as("c"),
+        col("n_baskets").as("n_both"))
+    co.join(ni.select(col("i").as("a"), col("n").as("na")), Seq("a"))
+      .join(ni.select(col("i").as("c"), col("n").as("nc")), Seq("c"))
+      .crossJoin(broadcast(nb))
+      .select(col("a").as("antecedent"), col("c").as("consequent"),
+        col("n_both"),
+        expr("(1000000 * n_both) div n_baskets").as("support_ppm"),
+        expr("(1000000 * n_both) div na").as("confidence_ppm"),
+        expr("(1000000 * n_both * n_baskets) div (na * nc)")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("antecedent"),
+        col("consequent"))
+      .limit(100)
+  }
+
+  /** q224 — k-core peeling census of the SUPPORT co-purchase graph
+    * ([[graft.functions.KCore]] — design, fixed-round contract, and
+    * scale accounting there): the dense-backbone extraction over the
+    * q223 support graph (edges = item pairs co-bought in ≥ 2 baskets;
+    * the raw co-purchase graph is a near-regular blob where any k is
+    * all-or-nothing — measured in the round-8 notes — while the
+    * support graph peels like a real sparse graph: 11 rounds to
+    * fixpoint at sf0.01). k = 3, 12 rounds; the census row pair
+    * (11, 12) being equal IS the convergence evidence, in-band. */
+  val q224 = QueryDef(
+    "q224_kcore_census",
+    s"""WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      |co AS (
+      |  SELECT x.i AS src, y.i AS dst, COUNT(*) AS c
+      |  FROM items x JOIN items y ON x.b = y.b AND x.i <> y.i
+      |  GROUP BY 1, 2),
+      |e0 AS (SELECT src, dst FROM co WHERE c >= 2),
+      |${graft.functions.KCore.peelCensusSql(k = 3, rounds = 12)}"""
+      .stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val support = Recommender.coOccurrence(
+        li, "l_orderkey", "l_partkey",
+        maxBasket = Recommender.maxBasketFromHistogram(
+          li, "l_orderkey", "l_partkey"))
+      .filter(col("n_baskets") >= 2)
+      .select(col("item").as("src"), col("co_item").as("dst"))
+    graft.functions.KCore.peelCensus(support, "src", "dst",
+      k = 3, rounds = 12)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q36, q37, q45, q45b, q82, q161, q189, q219)
+    Seq(q36, q37, q45, q45b, q82, q161, q189, q219, q223, q224)
 }

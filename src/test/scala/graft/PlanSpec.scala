@@ -186,7 +186,8 @@ class PlanSpec extends SparkSpec {
       "q213_conformal_coverage" ->
         "one-row calibration-count and q-hat frames (rank-exact)",
       "q218_triangle_census" -> "one-row graph census frames",
-      "q222_kaplan_meier" -> "one-row study-end (max date) frame")
+      "q222_kaplan_meier" -> "one-row study-end (max date) frame",
+      "q223_association_rules" -> "one-row basket-total frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
