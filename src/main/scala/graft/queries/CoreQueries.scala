@@ -2586,10 +2586,102 @@ object CoreQueries {
       .orderBy(col("segment"), col("t_days"))
   }
 
+  /** q225 — Holt double-exponential smoothing (level + trend) of each
+    * order-priority's daily revenue series, with one-step-ahead MAE
+    * and a 7-day forecast: the trend-aware upgrade of q108's simple
+    * EWM (which a trending series systematically lags). α = 1/5,
+    * β = 1/10, state in integer MILLI-cents:
+    *   l_t = (1000·y_t + 4·(l+b)) /₅  ,  b_t = ((l_t − l) + 9·b) /₁₀
+    * where /ₙ is floor-division made sign-safe by a large even offset
+    * (numerator + n·10¹⁵, result − 10¹⁵): trend and forecast terms CAN
+    * go negative, where Spark's truncating `div` and DuckDB's flooring
+    * `//` disagree — the offset makes every numerator provably
+    * positive (|state| ≪ 10¹⁴ at 1000× this revenue), where the two
+    * agree. Recurrences don't fit window frames (the q108 argument):
+    * Spark replays the fold as one codegen'd `aggregate` lambda per
+    * series over the day-sorted array; the oracle replays the SAME
+    * integer recurrence as a recursive CTE stepping the day index —
+    * two mechanisms, one integer sequence, hash-equal by construction.
+    *
+    * Scale: the daily census is a map-side-combinable keyed agg; the
+    * per-series fold carries O(1) state over |days| ≤ corpus-date-range
+    * elements (bounded by construction, NOT by data volume — 100 TB
+    * adds rows per day, not days). Series count = |priorities|. */
+  val q225 = QueryDef(
+    "q225_holt_smoothing",
+    """WITH RECURSIVE daily AS (
+      |  SELECT o_orderpriority AS pri, o_orderdate AS day,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS y
+      |  FROM orders GROUP BY 1, 2),
+      |obs AS (
+      |  SELECT pri, ROW_NUMBER() OVER (PARTITION BY pri ORDER BY day)
+      |    AS idx, y
+      |  FROM daily),
+      |st AS (
+      |  SELECT pri, CAST(1 AS BIGINT) AS idx,
+      |    CAST(y * 1000 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+      |    CAST(0 AS BIGINT) AS sae
+      |  FROM obs WHERE idx = 1
+      |  UNION ALL
+      |  SELECT o.pri, o.idx,
+      |    CAST((1000 * o.y + 4 * (st.l + st.b) + 5000000000000000) // 5
+      |      - 1000000000000000 AS BIGINT) AS l,
+      |    CAST(((1000 * o.y + 4 * (st.l + st.b) + 5000000000000000) // 5
+      |        - 1000000000000000 - st.l + 9 * st.b + 10000000000000000)
+      |      // 10 - 1000000000000000 AS BIGINT) AS b,
+      |    CAST(st.sae + ABS(1000 * o.y - (st.l + st.b)) AS BIGINT)
+      |      AS sae
+      |  FROM st JOIN obs o ON o.pri = st.pri AND o.idx = st.idx + 1),
+      |fin AS (SELECT pri, CAST(MAX(idx) AS BIGINT) AS n FROM st
+      |  GROUP BY 1)
+      |SELECT st.pri AS priority, fin.n AS n_days,
+      |  CAST((st.l + 1000000000000000000) // 1000 - 1000000000000000
+      |    AS BIGINT) AS level_cents,
+      |  st.b AS trend_milli,
+      |  CAST((st.l + 7 * st.b + 1000000000000000000) // 1000
+      |    - 1000000000000000 AS BIGINT) AS forecast7_cents,
+      |  CAST(st.sae // (fin.n - 1) AS BIGINT) AS mae_milli
+      |FROM st JOIN fin ON st.pri = fin.pri AND st.idx = fin.n
+      |WHERE fin.n >= 2
+      |ORDER BY priority""".stripMargin) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("pri"),
+        col("o_orderdate").as("day"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+        .as("y"))
+    daily.select(col("pri"), struct(col("day"), col("y")).as("rec"))
+      .groupBy(col("pri"))
+      .agg(sort_array(collect_list(col("rec"))).as("recs"),
+        count(lit(1)).as("n_days"))
+      .filter(col("n_days") >= 2)
+      .withColumn("st", expr(
+        """aggregate(
+          |  slice(recs, 2, size(recs) - 1),
+          |  named_struct('l', recs[0].y * 1000L, 'b', 0L, 'sae', 0L),
+          |  (acc, x) -> named_struct(
+          |    'l', (1000L * x.y + 4L * (acc.l + acc.b)
+          |          + 5000000000000000L) div 5 - 1000000000000000L,
+          |    'b', ((1000L * x.y + 4L * (acc.l + acc.b)
+          |           + 5000000000000000L) div 5 - 1000000000000000L
+          |          - acc.l + 9L * acc.b + 10000000000000000L) div 10
+          |         - 1000000000000000L,
+          |    'sae', acc.sae + abs(1000L * x.y - (acc.l + acc.b))))
+          |""".stripMargin))
+      .select(col("pri").as("priority"), col("n_days"),
+        expr("(st.l + 1000000000000000000L) div 1000" +
+          " - 1000000000000000L").as("level_cents"),
+        col("st.b").as("trend_milli"),
+        expr("(st.l + 7L * st.b + 1000000000000000000L) div 1000" +
+          " - 1000000000000000L").as("forecast7_cents"),
+        expr("st.sae div (n_days - 1)").as("mae_milli"))
+      .orderBy(col("priority"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
     q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
     q111, q133, q182, q183, q186, q187, q188, q194, q195, q214, q215,
-    q216, q217, q218, q220, q221, q222)
+    q216, q217, q218, q220, q221, q222, q225)
 }
