@@ -1490,7 +1490,145 @@ object VectorQueries {
       .orderBy(col("label"))
   }
 
+  /** q226 — MMR diversified top-3 (Carbonell & Goldstein 1998,
+    * maximal marginal relevance): the de-duplicating re-rank a
+    * retrieval stack runs AFTER similarity scoring — q32's top-k
+    * happily returns 5 near-copies of the same vector; MMR greedily
+    * trades relevance against redundancy, picking at each round the
+    * candidate maximizing λ·rel − (1−λ)·max-sim-to-already-selected.
+    * λ = 1/2, so the selection ORDER is exactly argmax(rel − max_sim)
+    * — two IEEE-exact ops (subtract, running max) over the same
+    * fold-ordered cosine doubles both engines compute bit-identically
+    * (the q32 determinism argument); ties break on candidate id. The
+    * 3 greedy rounds are unrolled as 3 keyed join+argmax stages —
+    * the iteration count is the output size k, fixed by contract,
+    * never data-dependent.
+    *
+    * Scale: candidates are LIMIT-bounded at 8 per query (the
+    * two-stage q151 contract — any first stage works: q32 brute,
+    * q33 LSH, q203 IVF-PQ); the pairwise-sim frame is ≤ 8·7 rows per
+    * query by construction; every window is partitioned by query. */
+  val q226 = QueryDef(
+    "q226_mmr_rerank",
+    normCte +
+      s""",
+      |q AS (SELECT * FROM n WHERE vec_id < 10),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS cid,
+      |    ${Vectors.dotSql("q.e", "n.e", DIM)} / (q.nrm * n.nrm)
+      |      AS rel,
+      |    n.e AS e, n.nrm AS nrm
+      |  FROM q JOIN n ON q.vec_id <> n.vec_id),
+      |cand AS (
+      |  SELECT * FROM (
+      |    SELECT query_id, cid, rel, e, nrm,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY rel DESC, cid) AS rnk
+      |    FROM s) WHERE rnk <= 8),
+      |pw AS (
+      |  SELECT a.query_id, a.cid AS i, b.cid AS j,
+      |    ${Vectors.dotSql("a.e", "b.e", DIM)} / (a.nrm * b.nrm) AS sim
+      |  FROM cand a JOIN cand b
+      |    ON a.query_id = b.query_id AND a.cid <> b.cid),
+      |sel1 AS (SELECT query_id, cid, rel FROM cand WHERE rnk = 1),
+      |m2 AS (
+      |  SELECT c.query_id, c.cid, c.rel, MAX(pw.sim) AS ms
+      |  FROM cand c
+      |  JOIN sel1 s1 ON c.query_id = s1.query_id AND c.cid <> s1.cid
+      |  JOIN pw ON pw.query_id = c.query_id AND pw.i = c.cid
+      |    AND pw.j = s1.cid
+      |  GROUP BY 1, 2, 3),
+      |sel2 AS (
+      |  SELECT query_id, cid, rel, ms FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY rel - ms DESC, cid) AS rn FROM m2) WHERE rn = 1),
+      |selu AS (SELECT query_id, cid FROM sel1
+      |  UNION ALL SELECT query_id, cid FROM sel2),
+      |m3 AS (
+      |  SELECT c.query_id, c.cid, c.rel, MAX(pw.sim) AS ms
+      |  FROM cand c
+      |  LEFT JOIN selu x ON x.query_id = c.query_id AND x.cid = c.cid
+      |  JOIN pw ON pw.query_id = c.query_id AND pw.i = c.cid
+      |  JOIN selu u ON u.query_id = pw.query_id AND u.cid = pw.j
+      |  WHERE x.cid IS NULL
+      |  GROUP BY 1, 2, 3),
+      |sel3 AS (
+      |  SELECT query_id, cid, rel, ms FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY rel - ms DESC, cid) AS rn FROM m3) WHERE rn = 1)
+      |SELECT query_id, CAST(1 AS BIGINT) AS round, cid AS selected_id,
+      |  CAST(FLOOR(rel * 1000000 + 0.5) AS BIGINT) / 1000000.0
+      |    AS relevance,
+      |  CAST(FLOOR(rel * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS mmr
+      |FROM sel1
+      |UNION ALL
+      |SELECT query_id, 2, cid,
+      |  CAST(FLOOR(rel * 1000000 + 0.5) AS BIGINT) / 1000000.0,
+      |  CAST(FLOOR((rel - ms) * 1000000 + 0.5) AS BIGINT) / 1000000.0
+      |FROM sel2
+      |UNION ALL
+      |SELECT query_id, 3, cid,
+      |  CAST(FLOOR(rel * 1000000 + 0.5) AS BIGINT) / 1000000.0,
+      |  CAST(FLOOR((rel - ms) * 1000000 + 0.5) AS BIGINT) / 1000000.0
+      |FROM sel3
+      |ORDER BY query_id, round""".stripMargin) { (s, d) =>
+    val n = normed(s, d)
+    val q = n.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"))
+    val wR = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cid"))
+    val cand = broadcast(q).join(n, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cid"),
+        (Vectors.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+          .as("rel"),
+        col("e"), col("nrm"))
+      .withColumn("rnk", row_number().over(wR))
+      .filter(col("rnk") <= 8)
+    val pw = cand.select(col("query_id"), col("cid").as("i"),
+        col("e").as("ea"), col("nrm").as("na"))
+      .join(cand.select(col("query_id"), col("cid").as("j"),
+        col("e").as("eb"), col("nrm").as("nb")), Seq("query_id"))
+      .filter(col("i") =!= col("j"))
+      .select(col("query_id"), col("i"), col("j"),
+        (Vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .as("sim"))
+    val sel1 = cand.filter(col("rnk") === 1)
+      .select(col("query_id"), col("cid"), col("rel"))
+    def argmaxRound(sel: org.apache.spark.sql.DataFrame) = {
+      val m = cand.select(col("query_id"), col("cid"), col("rel"))
+        .join(sel.select(col("query_id"), col("cid")),
+          Seq("query_id", "cid"), "left_anti")
+        .join(pw.withColumnRenamed("i", "cid"), Seq("query_id", "cid"))
+        .join(sel.select(col("query_id"), col("cid").as("j")),
+          Seq("query_id", "j"))
+        .groupBy(col("query_id"), col("cid"), col("rel"))
+        .agg(max(col("sim")).as("ms"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy((col("rel") - col("ms")).desc, col("cid"))
+      m.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("cid"), col("rel"), col("ms"))
+    }
+    val sel2 = argmaxRound(sel1)
+    val selu = sel1.select(col("query_id"), col("cid"))
+      .unionByName(sel2.select(col("query_id"), col("cid")))
+    val sel3 = argmaxRound(selu)
+    def r6(c: org.apache.spark.sql.Column) =
+      graft.functions.Exact.roundP(c, 6)
+    sel1.select(col("query_id"), lit(1L).as("round"),
+        col("cid").as("selected_id"), r6(col("rel")).as("relevance"),
+        r6(col("rel")).as("mmr"))
+      .unionByName(sel2.select(col("query_id"), lit(2L).as("round"),
+        col("cid").as("selected_id"), r6(col("rel")).as("relevance"),
+        r6(col("rel") - col("ms")).as("mmr")))
+      .unionByName(sel3.select(col("query_id"), lit(3L).as("round"),
+        col("cid").as("selected_id"), r6(col("rel")).as("relevance"),
+        r6(col("rel") - col("ms")).as("mmr")))
+      .orderBy(col("query_id"), col("round"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131,
-      q134, q135, q151, q155, q174, q179, q196, q197, q202, q203, q207)
+      q134, q135, q151, q155, q174, q179, q196, q197, q202, q203, q207,
+      q226)
 }

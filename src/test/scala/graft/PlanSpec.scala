@@ -187,7 +187,8 @@ class PlanSpec extends SparkSpec {
         "one-row calibration-count and q-hat frames (rank-exact)",
       "q218_triangle_census" -> "one-row graph census frames",
       "q222_kaplan_meier" -> "one-row study-end (max date) frame",
-      "q223_association_rules" -> "one-row basket-total frame")
+      "q223_association_rules" -> "one-row basket-total frame",
+      "q226_mmr_rerank" -> "broadcast query slice (vec_id < 10), the q32 contract")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
