@@ -3293,11 +3293,68 @@ object PipelineQueries {
       .orderBy(col("seg"))
   }
 
+  /** q227 — l-diversity census (Machanavajjhala et al. 2007): the
+    * attack q206's k-anonymity misses. A class of k = 50 identical
+    * quasi-identifiers is still fully disclosive if all 50 share one
+    * sensitive value — l-diversity requires the sensitive attribute
+    * to stay heterogeneous WITHIN each QI class. Over q206's level-0
+    * ladder (nation × acctbal bucket) with market segment as the
+    * sensitive attribute, each class reports distinct-l (how many
+    * sensitive values appear) and the entropy criterion on the
+    * integer milli-nat grid: ent_scaled = n·mnat(n) − Σ_g c_g·mnat(c_g)
+    * (= n · 1000·H(class) up to grid floors — every term an integer,
+    * the q130 portability argument), flagged entropy-3-diverse when
+    * ent_scaled ≥ 1098·n (1098 = mnat(3) = ⌊1000·ln 3⌋).
+    *
+    * Scale: two nested keyed aggs (class×value census, then class
+    * census) — both map-side combinable; no windows, no broadcast. */
+  val q227 = QueryDef(
+    "q227_l_diversity",
+    s"""WITH c AS (
+      |  SELECT c_nationkey AS nat,
+      |    (CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 100000)
+      |      // 200000 AS bal,
+      |    c_mktsegment AS sens
+      |  FROM customer),
+      |cv AS (
+      |  SELECT nat, bal, sens, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM c GROUP BY 1, 2, 3),
+      |cls AS (
+      |  SELECT nat, bal, CAST(SUM(cnt) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS distinct_l,
+      |    CAST(SUM(cnt * ${graft.functions.LangModel.mnatSql("cnt")})
+      |      AS BIGINT) AS sum_clog
+      |  FROM cv GROUP BY 1, 2)
+      |SELECT nat, bal, n, distinct_l,
+      |  CAST(n * ${graft.functions.LangModel.mnatSql("n")} - sum_clog
+      |    AS BIGINT) AS ent_scaled,
+      |  CAST(CASE WHEN n * ${graft.functions.LangModel.mnatSql("n")}
+      |    - sum_clog >= 1098 * n THEN 1 ELSE 0 END AS BIGINT)
+      |    AS entropy_3_diverse
+      |FROM cls ORDER BY nat, bal""".stripMargin) { (s, d) =>
+    import graft.functions.LangModel.mnat
+    val c = Tables.customer(s, d).select(
+      col("c_nationkey").as("nat"),
+      expr("(cast(floor(c_acctbal * 100 + 0.5) as bigint) + 100000)" +
+        " div 200000").as("bal"),
+      col("c_mktsegment").as("sens"))
+    val cv = c.groupBy(col("nat"), col("bal"), col("sens"))
+      .agg(count(lit(1)).as("cnt"))
+    cv.groupBy(col("nat"), col("bal"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("distinct_l"),
+        sum(col("cnt") * mnat(col("cnt"))).as("sum_clog"))
+      .select(col("nat"), col("bal"), col("n"), col("distinct_l"),
+        (col("n") * mnat(col("n")) - col("sum_clog")).as("ent_scaled"),
+        (col("n") * mnat(col("n")) - col("sum_clog") >=
+          lit(1098L) * col("n")).cast("long").as("entropy_3_diverse"))
+      .orderBy(col("nat"), col("bal"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
       q141, q143, q146, q148, q149, q150, q152, q153, q157, q158, q159, q191,
       q160, q162, q163, q166, q167, q168, q170, q171, q205, q206, q209,
-      q210, q211, q212, q213)
+      q210, q211, q212, q213, q227)
 }
