@@ -541,6 +541,97 @@ object RecommenderQueries {
       k = 3, rounds = 12)
   }
 
+  /** q228 — multi-source BFS hop census ("how far does influence
+    * reach"): exact h-hop neighborhood sizes for the 5 highest-degree
+    * hubs of the q224 support graph, hops 0–4 — the neighborhood
+    * function N(h) whose growth curve gives the effective diameter
+    * and whose per-seed reach a spread/influence model consumes.
+    * Pregel-shape iteration: each round expands ONLY the previous
+    * frontier (dist = h−1) through one keyed edge join, anti-joins
+    * away already-reached nodes, and appends at dist = h — so dist is
+    * min-distance by construction. Rounds are FIXED at 4 (the q224
+    * budget contract: the census is "reach within h ≤ 4", replayable
+    * as generated CTEs, never a data-dependent loop).
+    *
+    * Scale: the reach frame is keyed (seed, node) — |seeds|·|V| at
+    * worst, bounded by the seed budget; each round is one equi-join +
+    * one anti-join, lineage truncated per round ([[graft.functions
+    * .Checkpoints]] discipline). At 100 TB with thousands of seeds
+    * the exact per-seed sets become q210-style HLL registers OR-merged
+    * per round (HyperANF, Boldi et al.) — same loop, sketched state. */
+  val q228 = QueryDef(
+    "q228_bfs_hops", {
+      val rounds = (1 to 4).map { h =>
+        s"""n$h AS MATERIALIZED (
+          |  SELECT DISTINCT r.seed, e.dst AS node
+          |  FROM r${h - 1} r JOIN e0 e ON r.node = e.src
+          |  WHERE r.dist = ${h - 1}),
+          |r$h AS MATERIALIZED (
+          |  SELECT * FROM r${h - 1}
+          |  UNION ALL
+          |  SELECT n$h.seed, n$h.node, CAST($h AS BIGINT) AS dist
+          |  FROM n$h LEFT JOIN r${h - 1} p
+          |    ON p.seed = n$h.seed AND p.node = n$h.node
+          |  WHERE p.node IS NULL)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |co AS (
+        |  SELECT x.i AS src, y.i AS dst, COUNT(*) AS c
+        |  FROM items x JOIN items y ON x.b = y.b AND x.i <> y.i
+        |  GROUP BY 1, 2),
+        |e0 AS MATERIALIZED (SELECT src, dst FROM co WHERE c >= 2),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e0
+        |  GROUP BY 1),
+        |seeds AS (SELECT src AS seed FROM deg
+        |  ORDER BY d DESC, src LIMIT 5),
+        |r0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM seeds),
+        |$rounds,
+        |cen AS (
+        |  SELECT seed, dist AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |  FROM r4 GROUP BY 1, 2)
+        |SELECT seed, hop, n_nodes,
+        |  CAST(SUM(n_nodes) OVER (PARTITION BY seed ORDER BY hop)
+        |    AS BIGINT) AS cum_nodes
+        |FROM cen ORDER BY seed, hop""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.Checkpoints
+    val li = Tables.lineitem(s, d)
+    val e = Checkpoints.pin(Recommender.coOccurrence(
+        li, "l_orderkey", "l_partkey",
+        maxBasket = Recommender.maxBasketFromHistogram(
+          li, "l_orderkey", "l_partkey"))
+      .filter(col("n_baskets") >= 2)
+      .select(col("item").as("src"), col("co_item").as("dst"))
+      .localCheckpoint())
+    val seeds = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src")).limit(5)
+      .select(col("src").as("seed"))
+    var reach = Checkpoints.pin(seeds
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+      .localCheckpoint())
+    for (h <- 1 to 4) {
+      val cand = reach.filter(col("dist") === (h - 1))
+        .join(e, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+      val fresh = cand
+        .join(reach.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(h.toLong).as("dist"))
+      val next = Checkpoints.pin(
+        reach.unionByName(fresh).localCheckpoint())
+      Checkpoints.free(reach)
+      reach = next
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seed")).orderBy(col("hop"))
+    reach.groupBy(col("seed"), col("dist").as("hop"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .withColumn("cum_nodes", sum(col("n_nodes")).over(w))
+      .orderBy(col("seed"), col("hop"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q36, q37, q45, q45b, q82, q161, q189, q219, q223, q224)
+    Seq(q36, q37, q45, q45b, q82, q161, q189, q219, q223, q224, q228)
 }
