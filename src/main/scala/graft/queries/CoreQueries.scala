@@ -2678,10 +2678,95 @@ object CoreQueries {
       .orderBy(col("priority"))
   }
 
+  /** q229 — two-sample Kolmogorov–Smirnov drift test per segment
+    * (before vs after 1998-04-01): the distribution-shape companion
+    * to q153's binned PSI and q214's mean-rate z-test — KS catches a
+    * drift that moves quantiles while preserving the mean, and needs
+    * no binning choices. The statistic is EXACTLY integer: with
+    * cumulative counts F_a, F_b over the merged value ladder,
+    * D·n_a·n_b = max|F_a·n_b − F_b·n_a| — every term a count product,
+    * so both engines agree bit-for-bit without any grid. Only the
+    * α = 0.05 decision (D² vs 1.358²·(n_a+n_b)/(n_a·n_b)) is one
+    * float comparison over those exact integers, the q214 z² pattern.
+    *
+    * Scale: the (segment, value) census comes FIRST (map-side
+    * combinable agg), so the cumsum window is partitioned by segment
+    * over |distinct cents values| rows — bounded by the PRICE DOMAIN,
+    * not the row count: 100 TB adds weight per ladder rung, not
+    * rungs. Totals join back as a |segments|-row broadcast. */
+  val q229 = QueryDef(
+    "q229_ks_drift",
+    """WITH o AS (
+      |  SELECT c.c_mktsegment AS seg,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+      |    CASE WHEN o_orderdate < TIMESTAMP '1998-04-01'
+      |      THEN 1 ELSE 0 END AS ina
+      |  FROM orders JOIN customer c ON o_custkey = c_custkey),
+      |cnt AS (
+      |  SELECT seg, v, CAST(SUM(ina) AS BIGINT) AS ca,
+      |    CAST(COUNT(*) - SUM(ina) AS BIGINT) AS cb
+      |  FROM o GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT seg, CAST(SUM(ca) AS BIGINT) AS na,
+      |    CAST(SUM(cb) AS BIGINT) AS nb
+      |  FROM cnt GROUP BY 1),
+      |cum AS (
+      |  SELECT seg, v,
+      |    CAST(SUM(ca) OVER (PARTITION BY seg ORDER BY v) AS BIGINT)
+      |      AS fa,
+      |    CAST(SUM(cb) OVER (PARTITION BY seg ORDER BY v) AS BIGINT)
+      |      AS fb
+      |  FROM cnt),
+      |dd AS (
+      |  SELECT cum.seg,
+      |    CAST(MAX(ABS(cum.fa * t.nb - cum.fb * t.na)) AS BIGINT)
+      |      AS d_scaled
+      |  FROM cum JOIN tot t ON cum.seg = t.seg GROUP BY 1)
+      |SELECT t.seg AS segment, t.na AS n_before, t.nb AS n_after,
+      |  dd.d_scaled,
+      |  (1000000 * dd.d_scaled) // (t.na * t.nb) AS d_ppm,
+      |  CAST(CASE WHEN CAST(dd.d_scaled AS DOUBLE)
+      |      * CAST(dd.d_scaled AS DOUBLE)
+      |      > 1.844164 * CAST(t.na + t.nb AS DOUBLE)
+      |        * CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+      |FROM dd JOIN tot t ON dd.seg = t.seg
+      |ORDER BY segment""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("v"),
+        when(col("o_orderdate") < lit("1998-04-01").cast("timestamp"),
+          1L).otherwise(0L).as("ina"))
+    val cnt = o.groupBy(col("seg"), col("v"))
+      .agg(sum(col("ina")).as("ca"),
+        (count(lit(1)) - sum(col("ina"))).as("cb"))
+    val tot = cnt.groupBy(col("seg"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val wCum = Window.partitionBy(col("seg")).orderBy(col("v"))
+    val cum = cnt.select(col("seg"), col("v"),
+      sum(col("ca")).over(wCum).as("fa"),
+      sum(col("cb")).over(wCum).as("fb"))
+    val dd = cum.join(broadcast(tot), Seq("seg"))
+      .groupBy(col("seg"))
+      .agg(max(abs(col("fa") * col("nb") - col("fb") * col("na")))
+        .as("d_scaled"))
+    dd.join(broadcast(tot), Seq("seg"))
+      .select(col("seg").as("segment"), col("na").as("n_before"),
+        col("nb").as("n_after"), col("d_scaled"),
+        expr("(1000000 * d_scaled) div (na * nb)").as("d_ppm"),
+        (col("d_scaled").cast("double") * col("d_scaled").cast("double")
+          > lit(1.844164) * (col("na") + col("nb")).cast("double")
+            * col("na").cast("double") * col("nb").cast("double"))
+          .cast("long").as("reject_95"))
+      .orderBy(col("segment"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
     q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
     q111, q133, q182, q183, q186, q187, q188, q194, q195, q214, q215,
-    q216, q217, q218, q220, q221, q222, q225)
+    q216, q217, q218, q220, q221, q222, q225, q229)
 }
