@@ -632,6 +632,106 @@ object RecommenderQueries {
       .orderBy(col("seed"), col("hop"))
   }
 
+  /** q230 — seeded label propagation (Raghavan et al. 2007, the
+    * semi-supervised "communities around known hubs" form): the 10
+    * highest-degree hubs of the q224 support graph seed their own
+    * node id as a community label; each round, every still-unlabeled
+    * node adopts the MAJORITY label among its labeled neighbors
+    * (ties → smallest label — the determinism pin plain LPA lacks),
+    * and seeds/earlier adopters never flip. 3 fixed rounds (the
+    * q224/q228 budget contract). Final census: community sizes plus
+    * a label = −1 row counting nodes no label reached — distinct
+    * from q185's connected components, which would merge everything
+    * reachable into one blob regardless of hub structure.
+    *
+    * Scale: each round is one edge⋈labels keyed join, a (node,
+    * label) count agg, and a per-node argmax window — all keyed by
+    * node id, lineage truncated per round ([[graft.functions
+    * .Checkpoints]]); label state is ≤|V| rows. */
+  val q230 = QueryDef(
+    "q230_label_propagation", {
+      val rounds = (1 to 3).map { h =>
+        s"""cand$h AS (
+          |  SELECT e.src AS node, l.label, COUNT(*) AS cnt
+          |  FROM e0 e JOIN lab${h - 1} l ON e.dst = l.node
+          |  LEFT JOIN lab${h - 1} x ON x.node = e.src
+          |  WHERE x.node IS NULL
+          |  GROUP BY 1, 2),
+          |pick$h AS (
+          |  SELECT node, label FROM (
+          |    SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+          |      ORDER BY cnt DESC, label) AS rn
+          |    FROM cand$h) WHERE rn = 1),
+          |lab$h AS MATERIALIZED (
+          |  SELECT * FROM lab${h - 1}
+          |  UNION ALL SELECT * FROM pick$h)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |co AS (
+        |  SELECT x.i AS src, y.i AS dst, COUNT(*) AS c
+        |  FROM items x JOIN items y ON x.b = y.b AND x.i <> y.i
+        |  GROUP BY 1, 2),
+        |e0 AS MATERIALIZED (SELECT src, dst FROM co WHERE c >= 2),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e0
+        |  GROUP BY 1),
+        |seeds AS (SELECT src AS seed FROM deg
+        |  ORDER BY d DESC, src LIMIT 10),
+        |lab0 AS (SELECT seed AS node, seed AS label FROM seeds),
+        |$rounds,
+        |nodes AS (SELECT DISTINCT src AS node FROM e0)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM lab3 GROUP BY 1
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT) AS label,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM nodes n LEFT JOIN lab3 l ON n.node = l.node
+        |WHERE l.node IS NULL
+        |ORDER BY label""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.Checkpoints
+    val li = Tables.lineitem(s, d)
+    val e = Checkpoints.pin(Recommender.coOccurrence(
+        li, "l_orderkey", "l_partkey",
+        maxBasket = Recommender.maxBasketFromHistogram(
+          li, "l_orderkey", "l_partkey"))
+      .filter(col("n_baskets") >= 2)
+      .select(col("item").as("src"), col("co_item").as("dst"))
+      .localCheckpoint())
+    val seeds = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src")).limit(10)
+      .select(col("src").as("seed"))
+    var lab = Checkpoints.pin(seeds
+      .select(col("seed").as("node"), col("seed").as("label"))
+      .localCheckpoint())
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("cnt").desc, col("label"))
+    for (_ <- 1 to 3) {
+      val cand = e
+        .join(lab.select(col("node").as("dst"), col("label")),
+          Seq("dst"))
+        .join(lab.select(col("node").as("src")), Seq("src"),
+          "left_anti")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val pick = cand.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1).select(col("node"), col("label"))
+      val next = Checkpoints.pin(
+        lab.unionByName(pick).localCheckpoint())
+      Checkpoints.free(lab)
+      lab = next
+    }
+    val nodes = e.select(col("src").as("node")).distinct()
+    val sizes = lab.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val unreached = nodes.join(lab.select(col("node")), Seq("node"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(lit(-1L).as("label"), col("n_nodes"))
+    sizes.unionByName(unreached).orderBy(col("label"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q36, q37, q45, q45b, q82, q161, q189, q219, q223, q224, q228)
+    Seq(q36, q37, q45, q45b, q82, q161, q189, q219, q223, q224, q228,
+      q230)
 }
