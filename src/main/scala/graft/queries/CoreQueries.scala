@@ -2763,10 +2763,106 @@ object CoreQueries {
       .orderBy(col("segment"))
   }
 
+  /** q231 — decision-stump training (exact CART split finding): the
+    * simplest tree learner, trained wholly as a query — per market
+    * segment, find the account-balance-bucket threshold that best
+    * splits order value by SSE reduction. For a split (L, R),
+    * minimizing SSE is maximizing S_L²/n_L + S_R²/n_R; with the
+    * (segment, bucket) census cumsum'd along the bucket ladder, every
+    * n and S is an exact integer, and the score is ONE float
+    * expression over them (the q214/q229 pattern) ranked with a
+    * (score desc, threshold) tie-break — both engines rank identical
+    * doubles. Candidate thresholds are ladder rungs with both sides
+    * non-empty; the winning stump reports its split, sizes, and
+    * integer-cents leaf means. This is the per-feature inner loop of
+    * every histogram-based GBDT (LightGBM/XGBoost hist mode) — at
+    * scale you run it once per (feature, node) over the same census
+    * shape.
+    *
+    * Scale: census-first (map-side agg) bounds the cumsum window by
+    * the BUCKET DOMAIN per segment (the q229 ladder argument — ~10
+    * rungs here), never the row count; totals broadcast back. */
+  val q231 = QueryDef(
+    "q231_decision_stump",
+    """WITH o AS (
+      |  SELECT c.c_mktsegment AS seg,
+      |    (CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) + 100000)
+      |      // 200000 AS f,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      |  FROM orders JOIN customer c ON o_custkey = c_custkey),
+      |cnt AS (
+      |  SELECT seg, f, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS sy
+      |  FROM o GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT seg, CAST(SUM(n) AS BIGINT) AS nt,
+      |    CAST(SUM(sy) AS BIGINT) AS st
+      |  FROM cnt GROUP BY 1),
+      |cum AS (
+      |  SELECT seg, f AS thr,
+      |    CAST(SUM(n) OVER (PARTITION BY seg ORDER BY f) AS BIGINT)
+      |      AS nl,
+      |    CAST(SUM(sy) OVER (PARTITION BY seg ORDER BY f) AS BIGINT)
+      |      AS sl
+      |  FROM cnt),
+      |sc AS (
+      |  SELECT cum.seg, cum.thr, cum.nl, cum.sl,
+      |    t.nt - cum.nl AS nr, t.st - cum.sl AS sr,
+      |    CAST(cum.sl AS DOUBLE) * CAST(cum.sl AS DOUBLE)
+      |      / CAST(cum.nl AS DOUBLE)
+      |    + CAST(t.st - cum.sl AS DOUBLE) * CAST(t.st - cum.sl AS DOUBLE)
+      |      / CAST(t.nt - cum.nl AS DOUBLE) AS score
+      |  FROM cum JOIN tot t ON cum.seg = t.seg
+      |  WHERE cum.nl > 0 AND t.nt - cum.nl > 0),
+      |best AS (
+      |  SELECT seg, thr, nl, nr, sl, sr FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY seg
+      |      ORDER BY score DESC, thr) AS rn FROM sc) WHERE rn = 1)
+      |SELECT seg AS segment, thr AS split_bucket,
+      |  nl AS n_left, nr AS n_right,
+      |  CAST(sl // nl AS BIGINT) AS mean_left_cents,
+      |  CAST(sr // nr AS BIGINT) AS mean_right_cents
+      |FROM best ORDER BY segment""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        expr("(cast(floor(c_acctbal * 100 + 0.5) as bigint) + 100000)" +
+          " div 200000").as("f"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("y"))
+    val cnt = o.groupBy(col("seg"), col("f"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val tot = cnt.groupBy(col("seg"))
+      .agg(sum(col("n")).as("nt"), sum(col("sy")).as("st"))
+    val wCum = Window.partitionBy(col("seg")).orderBy(col("f"))
+    val cum = cnt.select(col("seg"), col("f").as("thr"),
+      sum(col("n")).over(wCum).as("nl"),
+      sum(col("sy")).over(wCum).as("sl"))
+    val sc = cum.join(broadcast(tot), Seq("seg"))
+      .filter(col("nl") > 0 && col("nt") - col("nl") > 0)
+      .select(col("seg"), col("thr"), col("nl"), col("sl"),
+        (col("nt") - col("nl")).as("nr"),
+        (col("st") - col("sl")).as("sr"),
+        (col("sl").cast("double") * col("sl").cast("double")
+          / col("nl").cast("double")
+          + (col("st") - col("sl")).cast("double")
+            * (col("st") - col("sl")).cast("double")
+            / (col("nt") - col("nl")).cast("double")).as("score"))
+    val wBest = Window.partitionBy(col("seg"))
+      .orderBy(col("score").desc, col("thr"))
+    sc.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("seg").as("segment"), col("thr").as("split_bucket"),
+        col("nl").as("n_left"), col("nr").as("n_right"),
+        expr("sl div nl").as("mean_left_cents"),
+        expr("sr div nr").as("mean_right_cents"))
+      .orderBy(col("segment"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
     q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
     q111, q133, q182, q183, q186, q187, q188, q194, q195, q214, q215,
-    q216, q217, q218, q220, q221, q222, q225, q229)
+    q216, q217, q218, q220, q221, q222, q225, q229, q231)
 }
