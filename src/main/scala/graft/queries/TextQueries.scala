@@ -2906,10 +2906,97 @@ object TextQueries {
       .orderBy(col("dirty_id"))
   }
 
+  /** q232 — TextRank keyword extraction (Mihalcea & Tarau 2004):
+    * corpus keywords as the PageRank of the word-adjacency graph —
+    * where q175 scores PAIRS by PMI, TextRank scores WORDS by graph
+    * centrality, surfacing terms that sit in many well-connected
+    * contexts. Graph: adjacent-token pairs (the q175 shift-join,
+    * window 1), both endpoints length ≥ 4 (the deterministic
+    * stand-in for TextRank's POS filter), symmetrized and dedup'd —
+    * which also satisfies [[graft.functions.PageRank]]'s no-dangling
+    * precondition. 2 fixed iterations, damping 0.85, ranks snapped
+    * to integer pico-units per contribution (the q82 bit-exactness
+    * contract — the oracle replays the identical CTE chain over the
+    * word graph). Top-25 by (rank_nano desc, word).
+    *
+    * Scale: token shift-join + keyed distinct build the graph in two
+    * shuffles; PageRank is one keyed agg + one keyed join per round;
+    * vocabulary (not corpus) sizes every frame after the first agg. */
+  val q232 = QueryDef(
+    "q232_textrank_keywords",
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |p AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+      |  FROM t),
+      |w AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |    toks[CAST(i AS INT)] AS w
+      |  FROM p),
+      |bi AS (
+      |  SELECT a.w AS w1, b.w AS w2
+      |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |  WHERE len(a.w) >= 4 AND len(b.w) >= 4 AND a.w <> b.w),
+      |e AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT w1 AS src, w2 AS dst FROM bi
+      |    UNION ALL SELECT w2 AS src, w1 AS dst FROM bi)),
+      |n AS (SELECT COUNT(DISTINCT src) AS cnt FROM e),
+      |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+      |r0 AS (SELECT src AS node, 1.0 / (SELECT cnt FROM n) AS r
+      |  FROM deg),
+      |c1 AS (
+      |  SELECT e.dst AS node,
+      |    SUM(CAST(FLOOR(r0.r / deg.d * 1e12 + 0.5) AS BIGINT)) AS s
+      |  FROM e JOIN r0 ON e.src = r0.node JOIN deg ON deg.src = e.src
+      |  GROUP BY e.dst),
+      |r1 AS (
+      |  SELECT r0.node,
+      |    0.15 / (SELECT cnt FROM n) + 0.85 * (COALESCE(c1.s, 0) / 1e12)
+      |      AS r
+      |  FROM r0 LEFT JOIN c1 ON r0.node = c1.node),
+      |c2 AS (
+      |  SELECT e.dst AS node,
+      |    SUM(CAST(FLOOR(r1.r / deg.d * 1e12 + 0.5) AS BIGINT)) AS s
+      |  FROM e JOIN r1 ON e.src = r1.node JOIN deg ON deg.src = e.src
+      |  GROUP BY e.dst),
+      |r2 AS (
+      |  SELECT r1.node,
+      |    0.15 / (SELECT cnt FROM n) + 0.85 * (COALESCE(c2.s, 0) / 1e12)
+      |      AS r
+      |  FROM r1 LEFT JOIN c2 ON r1.node = c2.node)
+      |SELECT node AS word,
+      |  CAST(FLOOR(r * 1e9 + 0.5) AS BIGINT) AS rank_nano
+      |FROM r2 ORDER BY rank_nano DESC, word LIMIT 25""".stripMargin) {
+    (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id").as("doc"),
+        posexplode(split(col("text"), " ")).as(Seq("i0", "w")))
+      .select(col("doc"), (col("i0") + 1).cast("long").as("i"),
+        col("w"))
+    val ctx = toks.select(col("doc"), (col("i") - 1).as("i"),
+      col("w").as("w2"))
+    val bi = toks.withColumnRenamed("w", "w1")
+      .join(ctx, Seq("doc", "i"))
+      .filter(length(col("w1")) >= 4 && length(col("w2")) >= 4 &&
+        col("w1") =!= col("w2"))
+      .select(col("w1"), col("w2"))
+    val e = bi.select(col("w1").as("src"), col("w2").as("dst"))
+      .unionByName(bi.select(col("w2").as("src"), col("w1").as("dst")))
+      .distinct()
+    graft.functions.PageRank.run(e, "src", "dst", iterations = 2,
+        damping = 0.85, teleport = 0.15)
+      .select(col("node").as("word"),
+        floor(col("r") * lit(1e9) + lit(0.5)).cast("long")
+          .as("rank_nano"))
+      .orderBy(col("rank_nano").desc, col("word"))
+      .limit(25)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
       q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181,
-      q184, q185, q190, q192, q193, q200, q208)
+      q184, q185, q190, q192, q193, q200, q208, q232)
 }

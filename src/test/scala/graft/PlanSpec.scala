@@ -188,7 +188,8 @@ class PlanSpec extends SparkSpec {
       "q218_triangle_census" -> "one-row graph census frames",
       "q222_kaplan_meier" -> "one-row study-end (max date) frame",
       "q223_association_rules" -> "one-row basket-total frame",
-      "q226_mmr_rerank" -> "broadcast query slice (vec_id < 10), the q32 contract")
+      "q226_mmr_rerank" -> "broadcast query slice (vec_id < 10), the q32 contract",
+      "q232_textrank_keywords" -> "one-row node-count frame (the q82 PageRank kernel)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
