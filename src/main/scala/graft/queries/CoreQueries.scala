@@ -2859,10 +2859,119 @@ object CoreQueries {
       .orderBy(col("segment"))
   }
 
+  /** q233 — Cochran–Mantel–Haenszel stratified A/B test: q214's
+    * two-proportion test pooled ACROSS nation strata — the correct
+    * pooling when arm mix differs by stratum (a naive pooled 2×2 is
+    * Simpson's-paradox bait; CMH compares within strata and sums the
+    * evidence). Per nation: a = conversions in arm 0, margins
+    * (n₁, n₂, m₁, m₂, T); expectation and variance land on a
+    * deterministic integer micro-grid — E_micro = 10⁶n₁m₁ div T,
+    * V_micro = (10⁶n₁n₂ div T)·(10⁶m₁m₂ div T(T−1)) div 10⁶ (the
+    * composed-grid form keeps every intermediate ≪ 2⁶³ where the
+    * single-fraction form overflows) — so the cross-strata sums are
+    * exact integers, immune to float summation order. Only the final
+    * continuity-corrected χ²₁ = (|ΣA−ΣE|−½)²/ΣV is one float
+    * expression over those sums (the q214/q229 discipline). Arms are
+    * the q214 hash-parity assignment on the customer key; conversion
+    * = customer ever placed an urgent/high order. Correctly reads as
+    * an A/A null here.
+    *
+    * Scale: one keyed agg per customer, one per stratum, one global
+    * fold — all map-side combinable; strata count bounds nothing but
+    * the final 25-row frame. */
+  val q233 = QueryDef(
+    "q233_cmh_test",
+    s"""WITH cust AS (
+      |  SELECT o_custkey AS ck,
+      |    MAX(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END) AS conv
+      |  FROM orders GROUP BY 1),
+      |hv AS (SELECT ck, conv, md5(CAST(ck AS VARCHAR)) AS hx
+      |  FROM cust),
+      |vv AS (SELECT ck, conv, ${TextQueries.hexU32Sql(1)} % 2
+      |  AS variant FROM hv),
+      |s AS (
+      |  SELECT c.c_nationkey AS nat, vv.variant, vv.conv
+      |  FROM vv JOIN customer c ON vv.ck = c.c_custkey),
+      |tab AS (
+      |  SELECT nat,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n1,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n2,
+      |    CAST(SUM(conv) AS BIGINT) AS m1,
+      |    CAST(COUNT(*) - SUM(conv) AS BIGINT) AS m2,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END)
+      |      AS BIGINT) AS a,
+      |    CAST(COUNT(*) AS BIGINT) AS t
+      |  FROM s GROUP BY 1),
+      |g AS (
+      |  SELECT nat, a,
+      |    (1000000 * n1 * m1) // t AS e_micro,
+      |    (((1000000 * n1 * n2) // t)
+      |      * ((1000000 * m1 * m2) // (t * (t - 1)))) // 1000000
+      |      AS v_micro
+      |  FROM tab WHERE t >= 2 AND n1 > 0 AND n2 > 0),
+      |f AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+      |    CAST(SUM(a) AS BIGINT) AS sum_a,
+      |    CAST(SUM(e_micro) AS BIGINT) AS sum_e_micro,
+      |    CAST(SUM(v_micro) AS BIGINT) AS sum_v_micro,
+      |    CAST(GREATEST(ABS(1000000 * SUM(a) - SUM(e_micro)) - 500000,
+      |      0) AS BIGINT) AS num_micro
+      |  FROM g)
+      |SELECT n_strata, sum_a, sum_e_micro, sum_v_micro,
+      |  CAST(FLOOR(1000.0 * CAST(num_micro AS DOUBLE)
+      |    * CAST(num_micro AS DOUBLE)
+      |    / (1000000.0 * CAST(sum_v_micro AS DOUBLE))) AS BIGINT)
+      |    AS chi2_milli,
+      |  CAST(CASE WHEN CAST(FLOOR(1000.0 * CAST(num_micro AS DOUBLE)
+      |    * CAST(num_micro AS DOUBLE)
+      |    / (1000000.0 * CAST(sum_v_micro AS DOUBLE))) AS BIGINT)
+      |    >= 3841 THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+      |FROM f""".stripMargin) { (s, d) =>
+    val cust = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(max(when(col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("conv"))
+      .withColumn("variant",
+        graft.curation.Curation.contentU32(col("ck")) % 2L)
+    val tab = cust
+      .join(Tables.customer(s, d), col("ck") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nat"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n2"),
+        sum(col("conv")).as("m1"),
+        (count(lit(1)) - sum(col("conv"))).as("m2"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L))
+          .as("a"),
+        count(lit(1)).as("t"))
+    val g = tab.filter(col("t") >= 2 && col("n1") > 0 && col("n2") > 0)
+      .select(col("a"),
+        expr("(1000000 * n1 * m1) div t").as("e_micro"),
+        expr("(((1000000 * n1 * n2) div t)" +
+          " * ((1000000 * m1 * m2) div (t * (t - 1)))) div 1000000")
+          .as("v_micro"))
+    val f = g.agg(count(lit(1)).as("n_strata"),
+        sum(col("a")).as("sum_a"),
+        sum(col("e_micro")).as("sum_e_micro"),
+        sum(col("v_micro")).as("sum_v_micro"))
+      .withColumn("num_micro",
+        greatest(abs(lit(1000000L) * col("sum_a") -
+          col("sum_e_micro")) - lit(500000L), lit(0L)))
+    val chi2 = floor(lit(1000.0) *
+      col("num_micro").cast("double") * col("num_micro").cast("double")
+      / (lit(1000000.0) * col("sum_v_micro").cast("double")))
+      .cast("long")
+    f.select(col("n_strata"), col("sum_a"), col("sum_e_micro"),
+        col("sum_v_micro"), chi2.as("chi2_milli"),
+        (chi2 >= 3841L).cast("long").as("reject_95"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
     q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
     q111, q133, q182, q183, q186, q187, q188, q194, q195, q214, q215,
-    q216, q217, q218, q220, q221, q222, q225, q229, q231)
+    q216, q217, q218, q220, q221, q222, q225, q229, q231, q233)
 }
