@@ -1627,8 +1627,99 @@ object VectorQueries {
       .orderBy(col("query_id"), col("round"))
   }
 
+  /** q234 — embedding dimension-correlation census: top-20 most
+    * correlated dimension PAIRS by |Pearson r| — the feature-
+    * engineering diagnostic behind whitening/PCA decisions (highly
+    * correlated dims mean the representation wastes capacity; the
+    * q134 JL projection and q196 PQ subspace split both assume this
+    * census was consulted). Values are snapped to the integer milli
+    * grid (floor(1000·x) — float→double widening is exact, so both
+    * engines quantize identically), making every moment (n, Σx, Σx²,
+    * Σxy) an exact integer; r is then ONE float expression over
+    * integer moments (the q229/q233 discipline), reported as
+    * floor(1000·r) with (|r|, i, j) ordering. Zero-variance dims are
+    * excluded identically on both engines.
+    *
+    * Scale: the dim census (64 rows) and pair census (2016 rows) are
+    * keyed aggs with map-side combine — the shuffled state is
+    * DIM²-bounded regardless of row count; the pair frame comes from
+    * one self-equi-join on vec_id (64 rows per key, never a global
+    * cross). At 1000 dims the pair census is ~500k rows — still
+    * dim-bounded, not data-bounded. */
+  val q234 = QueryDef(
+    "q234_dim_correlation",
+    s"""WITH qe AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT vec_id, q, unnest(range(1, ${DIM + 1})) AS i FROM qe),
+      |w AS (
+      |  SELECT vec_id, CAST(i AS BIGINT) AS i, q[CAST(i AS INT)] AS x
+      |  FROM p),
+      |dm AS (
+      |  SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM w GROUP BY 1),
+      |pr AS (
+      |  SELECT a.i AS i, b.i AS j, a.x AS xi, b.x AS xj
+      |  FROM w a JOIN w b ON a.vec_id = b.vec_id AND a.i < b.i),
+      |pm AS (
+      |  SELECT i, j, CAST(SUM(xi * xj) AS BIGINT) AS sxy
+      |  FROM pr GROUP BY 1, 2),
+      |r AS (
+      |  SELECT pm.i, pm.j, da.n,
+      |    CAST(FLOOR(1000.0
+      |      * CAST(da.n * pm.sxy - da.sx * db.sx AS DOUBLE)
+      |      / SQRT(CAST(da.n * da.sxx - da.sx * da.sx AS DOUBLE)
+      |           * CAST(db.n * db.sxx - db.sx * db.sx AS DOUBLE)))
+      |      AS BIGINT) AS r_milli
+      |  FROM pm JOIN dm da ON pm.i = da.i JOIN dm db ON pm.j = db.i
+      |  WHERE da.n * da.sxx > da.sx * da.sx
+      |    AND db.n * db.sxx > db.sx * db.sx)
+      |SELECT i AS dim_i, j AS dim_j, n AS n_vecs, r_milli
+      |FROM r ORDER BY ABS(r_milli) DESC, i, j
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val qe = Tables.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding," +
+        " x -> cast(floor(cast(x as double) * 1000.0) as bigint))")
+        .as("q"))
+    val w = qe.select(col("vec_id"),
+        posexplode(col("q")).as(Seq("i0", "x")))
+      .select(col("vec_id"), (col("i0") + 1).cast("long").as("i"),
+        col("x"))
+    val dm = w.groupBy(col("i"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val pm = w.select(col("vec_id"), col("i"), col("x").as("xi"))
+      .join(w.select(col("vec_id"), col("i").as("j"),
+        col("x").as("xj")), Seq("vec_id"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xi") * col("xj")).as("sxy"))
+    pm.join(broadcast(dm.select(col("i"), col("n"),
+        col("sx").as("sxi"), col("sxx").as("sxxi"))), Seq("i"))
+      .join(broadcast(dm.select(col("i").as("j"),
+        col("n").as("nj"), col("sx").as("sxj"),
+        col("sxx").as("sxxj"))), Seq("j"))
+      .filter(col("n") * col("sxxi") > col("sxi") * col("sxi") &&
+        col("nj") * col("sxxj") > col("sxj") * col("sxj"))
+      .select(col("i").as("dim_i"), col("j").as("dim_j"),
+        col("n").as("n_vecs"),
+        floor(lit(1000.0)
+          * (col("n") * col("sxy") - col("sxi") * col("sxj"))
+            .cast("double")
+          / sqrt((col("n") * col("sxxi") - col("sxi") * col("sxi"))
+              .cast("double")
+            * (col("nj") * col("sxxj") - col("sxj") * col("sxj"))
+              .cast("double"))).cast("long").as("r_milli"))
+      .orderBy(abs(col("r_milli")).desc, col("dim_i"), col("dim_j"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131,
       q134, q135, q151, q155, q174, q179, q196, q197, q202, q203, q207,
-      q226)
+      q226, q234)
 }
