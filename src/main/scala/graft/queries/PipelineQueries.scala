@@ -3350,11 +3350,76 @@ object PipelineQueries {
       .orderBy(col("nat"), col("bal"))
   }
 
+  /** q235 — feature-hashing (hashing-trick) collision census
+    * (Weinberger et al. 2009): before a pipeline commits to hashing
+    * its vocabulary into 2^k buckets (the fixed-width alternative to
+    * a vocabulary table that q120/q129 maintain), measure what each
+    * width actually costs: per k ∈ {8, 12, 16}, how many DISTINCT
+    * tokens share a bucket with another token (type collision rate)
+    * and how much token MASS sits in collided buckets (the
+    * occurrence-weighted rate that decides model damage — frequent
+    * tokens colliding is what hurts, and Zipfian mass makes the two
+    * rates very different). Hashes ride the portable contentU32 grid
+    * (md5 slice, the q214/q217 discipline); every rate is an exact
+    * integer ppm.
+    *
+    * Scale: ONE distinct-token census (vocab-bounded, map-side
+    * combinable), a 3× literal-array explode of the VOCAB frame (not
+    * the corpus), and a (width, bucket) census — shuffled state is
+    * Σ 2^k rows max. No joins at all. */
+  val q235 = QueryDef(
+    "q235_feature_hashing",
+    s"""WITH t AS (
+      |  SELECT string_split(text, ' ') AS toks FROM documents),
+      |w AS (SELECT unnest(toks) AS w FROM t),
+      |tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w
+      |  GROUP BY 1),
+      |hb AS (SELECT w, c, md5(w) AS hx FROM tc),
+      |hu AS (SELECT w, c, ${TextQueries.hexU32Sql(1)} AS u FROM hb),
+      |b AS (
+      |  SELECT m, u % m AS bkt, c
+      |  FROM hu CROSS JOIN (SELECT unnest([256, 4096, 65536]) AS m)),
+      |bk AS (
+      |  SELECT m, bkt, CAST(COUNT(*) AS BIGINT) AS nt,
+      |    CAST(SUM(c) AS BIGINT) AS mass
+      |  FROM b GROUP BY 1, 2)
+      |SELECT CAST(m AS BIGINT) AS n_buckets,
+      |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS buckets_used,
+      |  CAST(SUM(CASE WHEN nt >= 2 THEN nt ELSE 0 END) AS BIGINT)
+      |    AS collided_tokens,
+      |  CAST((1000000 * SUM(CASE WHEN nt >= 2 THEN nt ELSE 0 END))
+      |    // SUM(nt) AS BIGINT) AS collided_ppm,
+      |  CAST((1000000 * SUM(CASE WHEN nt >= 2 THEN mass ELSE 0 END))
+      |    // SUM(mass) AS BIGINT) AS collided_mass_ppm
+      |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val tc = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val b = tc
+      .withColumn("u", graft.curation.Curation.contentU32(col("w")))
+      .withColumn("m",
+        explode(array(lit(256L), lit(4096L), lit(65536L))))
+      .select(col("m"), (col("u") % col("m")).as("bkt"), col("c"))
+    val bk = b.groupBy(col("m"), col("bkt"))
+      .agg(count(lit(1)).as("nt"), sum(col("c")).as("mass"))
+    bk.groupBy(col("m").as("n_buckets"))
+      .agg(sum(col("nt")).as("n_tokens"),
+        count(lit(1)).as("buckets_used"),
+        sum(when(col("nt") >= 2, col("nt")).otherwise(0L))
+          .as("collided_tokens"),
+        expr("(1000000 * sum(case when nt >= 2 then nt else 0 end))" +
+          " div sum(nt)").as("collided_ppm"),
+        expr("(1000000 * sum(case when nt >= 2 then mass else 0 end))" +
+          " div sum(mass)").as("collided_mass_ppm"))
+      .orderBy(col("n_buckets"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
       q141, q143, q146, q148, q149, q150, q152, q153, q157, q158, q159, q191,
       q160, q162, q163, q166, q167, q168, q170, q171, q205, q206, q209,
-      q210, q211, q212, q213, q227)
+      q210, q211, q212, q213, q227, q235)
 }
