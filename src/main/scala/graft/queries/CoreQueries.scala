@@ -2968,10 +2968,105 @@ object CoreQueries {
         (chi2 >= 3841L).cast("long").as("reject_95"))
   }
 
+  /** q236 — isotonic regression calibration (exact PAV solution via
+    * the minimax identity): fit the best MONOTONE conversion-rate
+    * curve over the account-balance ladder — the standard
+    * classifier-calibration step (isotonic beats Platt when data is
+    * plentiful) and the nonparametric answer to "does propensity
+    * really rise with this score?". Instead of replaying PAV's
+    * stack-based pooling (a sequential fold), the fitted value comes
+    * from the closed form fitted(i) = max_{k≤i} min_{j≥i}
+    * avg(y[k..j]) — which is pure dataframe algebra once the ladder
+    * census is prefix-summed: interval averages are one bounded
+    * non-equi self-join of the prefix frame, the inner min is a
+    * per-k running min (keyed window), the outer max a keyed agg.
+    * Averages are doubles OF exact integer sums compared identically
+    * on both engines (the q229/q231 float discipline); output
+    * monotonicity is guaranteed by the formula itself — a
+    * self-evident correctness property the oracle re-derives.
+    *
+    * Scale: everything after the customer census lives on the
+    * LADDER (≤45 rungs by construction — the q192 permille
+    * argument): the two partition-less windows and the O(L²)
+    * interval frame are ladder-bounded, NEVER data-bounded; 100 TB
+    * changes the census weights, not the ladder. */
+  val q236 = QueryDef(
+    "q236_isotonic_calibration",
+    """WITH cust AS (
+      |  SELECT o_custkey AS ck,
+      |    MAX(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END) AS conv
+      |  FROM orders GROUP BY 1),
+      |c2 AS (
+      |  SELECT (CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)
+      |    + 100000) // 25000 AS b, cust.conv
+      |  FROM cust JOIN customer c ON cust.ck = c.c_custkey),
+      |cnt AS (
+      |  SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(conv) AS BIGINT) AS s
+      |  FROM c2 GROUP BY 1),
+      |p AS (
+      |  SELECT b, CAST(SUM(n) OVER (ORDER BY b) AS BIGINT) AS cn,
+      |    CAST(SUM(s) OVER (ORDER BY b) AS BIGINT) AS cs
+      |  FROM cnt),
+      |kf AS (
+      |  SELECT b AS kb,
+      |    CAST(COALESCE(LAG(cn) OVER (ORDER BY b), 0) AS BIGINT)
+      |      AS n0,
+      |    CAST(COALESCE(LAG(cs) OVER (ORDER BY b), 0) AS BIGINT)
+      |      AS s0
+      |  FROM p),
+      |m AS (
+      |  SELECT kf.kb, p.b AS jb,
+      |    CAST(p.cs - kf.s0 AS DOUBLE) / CAST(p.cn - kf.n0 AS DOUBLE)
+      |      AS avg_d
+      |  FROM kf JOIN p ON kf.kb <= p.b),
+      |sm AS (
+      |  SELECT kb, jb, MIN(avg_d) OVER (PARTITION BY kb ORDER BY jb
+      |    DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      |  FROM m),
+      |fit AS (SELECT jb AS b, MAX(v) AS f FROM sm GROUP BY 1)
+      |SELECT cnt.b AS bucket, cnt.n, cnt.s AS conversions,
+      |  (1000000 * cnt.s) // cnt.n AS raw_ppm,
+      |  CAST(FLOOR(1000000 * fit.f) AS BIGINT) AS iso_ppm
+      |FROM cnt JOIN fit ON cnt.b = fit.b
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    val cust = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(max(when(col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("conv"))
+    val cnt = cust
+      .join(Tables.customer(s, d), col("ck") === col("c_custkey"))
+      .select(expr("(cast(floor(c_acctbal * 100 + 0.5) as bigint)" +
+        " + 100000) div 25000").as("b"), col("conv"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("s"))
+    val wLad = Window.orderBy(col("b"))
+    val p = cnt.select(col("b"), sum(col("n")).over(wLad).as("cn"),
+      sum(col("s")).over(wLad).as("cs"))
+    val kf = p.select(col("b").as("kb"),
+      coalesce(lag(col("cn"), 1).over(wLad), lit(0L)).as("n0"),
+      coalesce(lag(col("cs"), 1).over(wLad), lit(0L)).as("s0"))
+    val m = kf.join(p, col("kb") <= col("b"))
+      .select(col("kb"), col("b").as("jb"),
+        ((col("cs") - col("s0")).cast("double")
+          / (col("cn") - col("n0")).cast("double")).as("avg_d"))
+    val wSm = Window.partitionBy(col("kb")).orderBy(col("jb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fit = m.withColumn("v", min(col("avg_d")).over(wSm))
+      .groupBy(col("jb").as("b")).agg(max(col("v")).as("f"))
+    cnt.join(fit, Seq("b"))
+      .select(col("b").as("bucket"), col("n"),
+        col("s").as("conversions"),
+        expr("(1000000 * s) div n").as("raw_ppm"),
+        floor(lit(1000000L) * col("f")).cast("long").as("iso_ppm"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
     q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
     q111, q133, q182, q183, q186, q187, q188, q194, q195, q214, q215,
-    q216, q217, q218, q220, q221, q222, q225, q229, q231, q233)
+    q216, q217, q218, q220, q221, q222, q225, q229, q231, q233, q236)
 }

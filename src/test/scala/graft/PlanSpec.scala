@@ -98,7 +98,10 @@ class PlanSpec extends SparkSpec {
       "q192_pareto_frontier",
       // q193's three re-rank windows each run over a 20-row
       // LIMIT-bounded list (the q151 contract)
-      "q193_rrf_fusion")
+      "q193_rrf_fusion",
+      // q236's prefix/lag windows run over the acctbal bucket LADDER
+      // (≤45 rungs by construction — census-first, the q192 argument)
+      "q236_isotonic_calibration")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => allowed.contains(n) }
       .flatMap { case (name, fn) =>
@@ -189,7 +192,8 @@ class PlanSpec extends SparkSpec {
       "q222_kaplan_meier" -> "one-row study-end (max date) frame",
       "q223_association_rules" -> "one-row basket-total frame",
       "q226_mmr_rerank" -> "broadcast query slice (vec_id < 10), the q32 contract",
-      "q232_textrank_keywords" -> "one-row node-count frame (the q82 PageRank kernel)")
+      "q232_textrank_keywords" -> "one-row node-count frame (the q82 PageRank kernel)",
+      "q236_isotonic_calibration" -> "ladder-bounded interval self-join (≤45² rows)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
