@@ -3063,10 +3063,204 @@ object CoreQueries {
       .orderBy(col("bucket"))
   }
 
+  /** q237 — exact Shapley-value channel attribution (Shapley 1953;
+    * the GA4-style "data-driven attribution" upgrade of q216's fixed
+    * 40/20/40 rule): each converting user's credit is split over
+    * their touched channels by the exact Shapley value of a
+    * coalition game whose worth is the noisy-or of empirical channel
+    * conversion rates, v(S) = 1 − Π_{c∈S}(1 − r_c). "Touched" =
+    * the channel is OVER-INDEXED for the user (n_c·k > total events
+    * — scale-free, so touch-set variety survives any SF; a user
+    * with a perfectly uniform profile touches nothing and drops out
+    * identically on both engines). The whole computation is integer:
+    * rates are exact ppm, v rides a deterministic ppm fold (multiply
+    * then div 10⁶ per channel in sorted order), Shapley weights
+    * |S|!(t−1−|S|)! are exact CASE factorials (t ≤ 5), and the
+    * division by t! lands on the ppm grid. Enumeration is over
+    * DISTINCT touch-sets (≤ 2^|channels| groups), each with its ≤ 32
+    * masks — never per user.
+    *
+    * Scale: user censuses are keyed aggs; the subset/mask frames are
+    * CHANNEL-VOCABULARY-bounded (2^|channels| · 2^t rows total,
+    * constants at any data size); per-user work is one groupBy. The
+    * noisy-or Δv is ≥ 0 by construction, so shares are well-formed. */
+  val q237 = QueryDef(
+    "q237_shapley_attribution",
+    """WITH ev AS (
+      |  SELECT user_id AS u, event_type AS ch,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE user_id IS NOT NULL),
+      |cnts AS (SELECT u, ch, CAST(COUNT(*) AS BIGINT) AS n FROM ev
+      |  GROUP BY 1, 2),
+      |uu AS (SELECT u, CAST(SUM(n) AS BIGINT) AS tot,
+      |  CAST(COUNT(*) AS BIGINT) AS k FROM cnts GROUP BY 1),
+      |touched AS (
+      |  SELECT c.u, c.ch FROM cnts c JOIN uu ON c.u = uu.u
+      |  WHERE c.n * uu.k > uu.tot),
+      |uc AS (
+      |  SELECT u, CASE WHEN SUM(cents) >= 330000 THEN 1 ELSE 0 END
+      |    AS conv
+      |  FROM ev GROUP BY 1),
+      |rates AS (
+      |  SELECT t.ch, CAST(COUNT(*) AS BIGINT) AS n_touch,
+      |    CAST((1000000 * SUM(uc.conv)) // COUNT(*) AS BIGINT) AS r
+      |  FROM touched t JOIN uc ON t.u = uc.u GROUP BY 1),
+      |ts AS (
+      |  SELECT t.u, STRING_AGG(t.ch, ',' ORDER BY t.ch) AS tkey
+      |  FROM touched t JOIN uc ON t.u = uc.u
+      |  WHERE uc.conv = 1 GROUP BY 1),
+      |grp AS (SELECT tkey, CAST(COUNT(*) AS BIGINT) AS nconv FROM ts
+      |  GROUP BY 1),
+      |el AS (
+      |  SELECT tkey, unnest(string_split(tkey, ',')) AS ch
+      |  FROM (SELECT DISTINCT tkey FROM grp)),
+      |elr AS (SELECT el.tkey, el.ch, rates.r FROM el
+      |  JOIN rates ON el.ch = rates.ch),
+      |garr AS (
+      |  SELECT tkey, list(struct_pack(ch := ch, r := r) ORDER BY ch)
+      |    AS arr, CAST(COUNT(*) AS BIGINT) AS t
+      |  FROM elr GROUP BY 1),
+      |masks AS (
+      |  SELECT tkey, arr, t, CAST(unnest(range(0,
+      |    CASE CAST(t AS INT) WHEN 1 THEN 2 WHEN 2 THEN 4
+      |      WHEN 3 THEN 8 WHEN 4 THEN 16 ELSE 32 END)) AS BIGINT)
+      |    AS mask
+      |  FROM garr),
+      |vm AS (
+      |  SELECT tkey, arr, t, mask,
+      |    1000000 - list_reduce(
+      |      list_prepend(CAST(1000000 AS BIGINT), range(0, t)),
+      |      (acc, x) -> CASE WHEN (mask // (CASE x WHEN 0 THEN 1
+      |          WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+      |          ELSE 16 END)) % 2 = 1
+      |        THEN (acc * (1000000 - arr[CAST(x + 1 AS INT)].r))
+      |          // 1000000
+      |        ELSE acc END) AS v
+      |  FROM masks),
+      |pi AS (
+      |  SELECT tkey, arr, t, mask, v,
+      |    CAST(unnest(range(0, t)) AS BIGINT) AS i
+      |  FROM vm),
+      |pf AS (
+      |  SELECT *, CASE i WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+      |    WHEN 3 THEN 8 ELSE 16 END AS p2
+      |  FROM pi),
+      |pj AS (
+      |  SELECT pf.tkey, pf.t, pf.arr, pf.i, pf.mask,
+      |    pf.v AS v0, vp.v AS v1
+      |  FROM pf JOIN vm vp
+      |    ON vp.tkey = pf.tkey AND vp.mask = pf.mask + pf.p2
+      |  WHERE (pf.mask // pf.p2) % 2 = 0),
+      |phis AS (
+      |  SELECT tkey, t, arr[CAST(i + 1 AS INT)].ch AS ch,
+      |    CAST(SUM(
+      |      (CASE ((mask // 1) % 2 + (mask // 2) % 2 + (mask // 4) % 2
+      |          + (mask // 8) % 2 + (mask // 16) % 2)
+      |        WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 6
+      |        ELSE 24 END)
+      |      * (CASE (t - 1 - ((mask // 1) % 2 + (mask // 2) % 2
+      |          + (mask // 4) % 2 + (mask // 8) % 2 + (mask // 16) % 2))
+      |        WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 6
+      |        ELSE 24 END)
+      |      * (v1 - v0)) AS BIGINT) AS phi_scaled
+      |  FROM pj GROUP BY 1, 2, 3),
+      |phi AS (
+      |  SELECT tkey, ch,
+      |    CAST(phi_scaled // (CASE CAST(t AS INT) WHEN 1 THEN 1
+      |      WHEN 2 THEN 2 WHEN 3 THEN 6 WHEN 4 THEN 24 ELSE 120 END)
+      |      AS BIGINT) AS phi_ppm
+      |  FROM phis),
+      |att AS (
+      |  SELECT ch, CAST(SUM(grp.nconv * phi.phi_ppm) AS BIGINT)
+      |    AS attributed_micro
+      |  FROM phi JOIN grp ON phi.tkey = grp.tkey GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(attributed_micro) AS BIGINT) AS satt
+      |  FROM att)
+      |SELECT att.ch AS channel, rates.n_touch, rates.r AS rate_ppm,
+      |  att.attributed_micro,
+      |  CAST((1000000 * att.attributed_micro) // tot.satt AS BIGINT)
+      |    AS share_ppm
+      |FROM att JOIN rates ON att.ch = rates.ch CROSS JOIN tot
+      |WHERE tot.satt > 0
+      |ORDER BY channel""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id").as("u"), col("event_type").as("ch"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+    val cnts = ev.groupBy(col("u"), col("ch"))
+      .agg(count(lit(1)).as("n"))
+    val uu = cnts.groupBy(col("u"))
+      .agg(sum(col("n")).as("tot"), count(lit(1)).as("k"))
+    val touched = cnts.join(uu, Seq("u"))
+      .filter(col("n") * col("k") > col("tot"))
+      .select(col("u"), col("ch"))
+    val uc = ev.groupBy(col("u"))
+      .agg(when(sum(col("cents")) >= 330000L, 1L).otherwise(0L)
+        .as("conv"))
+    val rates = touched.join(uc, Seq("u")).groupBy(col("ch"))
+      .agg(count(lit(1)).as("n_touch"),
+        expr("(1000000 * sum(conv)) div count(1)").as("r"))
+    val ts = touched.join(uc.filter(col("conv") === 1), Seq("u"))
+      .groupBy(col("u"))
+      .agg(array_join(sort_array(collect_list(col("ch"))), ",")
+        .as("tkey"))
+    val grp = ts.groupBy(col("tkey")).agg(count(lit(1)).as("nconv"))
+    val garr = grp.select(col("tkey"))
+      .withColumn("ch", explode(split(col("tkey"), ",")))
+      .join(rates.select(col("ch"), col("r")), Seq("ch"))
+      .groupBy(col("tkey"))
+      .agg(sort_array(collect_list(struct(col("ch"), col("r"))))
+        .as("arr"))
+      .withColumn("t", size(col("arr")).cast("long"))
+    val masks = garr.withColumn("mask", explode(expr(
+      "sequence(0L, cast(case cast(t as int) when 1 then 1" +
+        " when 2 then 3 when 3 then 7 when 4 then 15 else 31 end" +
+        " as bigint))")))
+    val vm = masks.withColumn("v", lit(1000000L) - expr(
+      """aggregate(sequence(0, cast(t as int) - 1), 1000000L,
+        |  (acc, x) -> IF((mask div (case x when 0 then 1L
+        |      when 1 then 2L when 2 then 4L when 3 then 8L
+        |      else 16L end)) % 2 = 1,
+        |    (acc * (1000000L - element_at(arr, x + 1).r)) div 1000000L,
+        |    acc))""".stripMargin))
+    val pf = vm
+      .withColumn("i", explode(expr("sequence(0L, t - 1)")))
+      .withColumn("p2", expr("case i when 0 then 1L when 1 then 2L" +
+        " when 2 then 4L when 3 then 8L else 16L end"))
+      .filter(expr("(mask div p2) % 2 = 0"))
+      .withColumn("maskp", col("mask") + col("p2"))
+    val pj = pf.select(col("tkey"), col("t"), col("arr"), col("i"),
+        col("mask"), col("v").as("v0"), col("maskp"))
+      .join(vm.select(col("tkey"), col("mask").as("maskp"),
+        col("v").as("v1")), Seq("tkey", "maskp"))
+    val pop = "((mask div 1) % 2 + (mask div 2) % 2 + (mask div 4) % 2" +
+      " + (mask div 8) % 2 + (mask div 16) % 2)"
+    def factOf(e: String) = s"(case ($e) when 0 then 1L when 1 then 1L" +
+      s" when 2 then 2L when 3 then 6L else 24L end)"
+    val phis = pj.groupBy(col("tkey"), col("t"),
+        expr("element_at(arr, cast(i + 1 as int)).ch").as("ch"))
+      .agg(sum(expr(
+        s"${factOf(pop)} * ${factOf(s"t - 1 - $pop")} * (v1 - v0)"))
+        .as("phi_scaled"))
+    val phi = phis.select(col("tkey"), col("ch"),
+      expr("phi_scaled div (case cast(t as int) when 1 then 1L" +
+        " when 2 then 2L when 3 then 6L when 4 then 24L" +
+        " else 120L end)").as("phi_ppm"))
+    val att = phi.join(grp, Seq("tkey")).groupBy(col("ch"))
+      .agg(sum(col("nconv") * col("phi_ppm")).as("attributed_micro"))
+    val tot = att.agg(sum(col("attributed_micro")).as("satt"))
+    att.join(rates, Seq("ch")).crossJoin(broadcast(tot))
+      .filter(col("satt") > 0)
+      .select(col("ch").as("channel"), col("n_touch"),
+        col("r").as("rate_ppm"), col("attributed_micro"),
+        expr("(1000000 * attributed_micro) div satt").as("share_ppm"))
+      .orderBy(col("channel"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
     q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
     q111, q133, q182, q183, q186, q187, q188, q194, q195, q214, q215,
-    q216, q217, q218, q220, q221, q222, q225, q229, q231, q233, q236)
+    q216, q217, q218, q220, q221, q222, q225, q229, q231, q233, q236,
+    q237)
 }
