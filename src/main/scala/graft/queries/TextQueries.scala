@@ -2993,10 +2993,79 @@ object TextQueries {
       .limit(25)
   }
 
+  /** q238 — quantile normalization across sources (the microarray /
+    * cross-source feature-alignment classic, Bolstad et al. 2003):
+    * replace each document's length with the POOLED length at the
+    * same within-source relative rank, so every source's length
+    * distribution becomes (a grid sample of) the pooled reference —
+    * the preprocessing a mixing pipeline (q102/q149) applies when
+    * per-source measurement scales differ but shapes should agree.
+    * Within-source ranks are per-source windows; the pooled order
+    * statistic is the DISTRIBUTED [[graft.functions.Ranks
+    * .rowNumberGlobal]] (never a partition-less window); the map is
+    * rank r of n_s → pooled position ⌈r·N/n_s⌉ = (r·N + n_s − 1)
+    * div n_s, one equi-join on the position. All integers. Census
+    * per source: mean length before/after and the largest per-doc
+    * shift — after-means agree across sources up to grid sampling,
+    * the property the operator exists for.
+    *
+    * Scale: one global rank (the Ranks bucket pipeline), one
+    * source-partitioned window, one keyed join on pooled position;
+    * everything else is keyed aggs. */
+  val q238 = QueryDef(
+    "q238_quantile_normalization",
+    """WITH d AS (
+      |  SELECT source, doc_id, n_chars AS v FROM documents),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM d),
+      |sr AS (
+      |  SELECT source, doc_id, v,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY v, doc_id) AS BIGINT) AS r,
+      |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+      |  FROM d),
+      |pooled AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY v, doc_id) AS BIGINT)
+      |    AS g, v AS pv
+      |  FROM d),
+      |mapped AS (
+      |  SELECT sr.source, sr.v, pooled.pv
+      |  FROM sr CROSS JOIN t
+      |  JOIN pooled ON pooled.g = (sr.r * t.nn + sr.ns - 1) // sr.ns)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(v) // COUNT(*) AS BIGINT) AS mean_before,
+      |  CAST(SUM(pv) // COUNT(*) AS BIGINT) AS mean_after,
+      |  CAST(MAX(ABS(v - pv)) AS BIGINT) AS max_shift
+      |FROM mapped GROUP BY source ORDER BY source""".stripMargin) {
+    (s, d) =>
+    import org.apache.spark.sql.expressions.{Window => W}
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars").as("v"))
+    val t = docs.agg(count(lit(1)).as("nn"))
+    val wS = W.partitionBy(col("source")).orderBy(col("v"),
+      col("doc_id"))
+    val sr = docs
+      .withColumn("r", row_number().over(wS).cast("long"))
+      .withColumn("ns",
+        count(lit(1)).over(W.partitionBy(col("source"))))
+    val pooled = graft.functions.Ranks.rowNumberGlobal(
+        docs.select(col("v"), col("doc_id")), col("v"), col("doc_id"),
+        "g")
+      .select(col("g"), col("v").as("pv"))
+    sr.crossJoin(broadcast(t))
+      .withColumn("g", expr("(r * nn + ns - 1) div ns"))
+      .join(pooled, Seq("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(v) div count(1)").as("mean_before"),
+        expr("sum(pv) div count(1)").as("mean_after"),
+        max(abs(col("v") - col("pv"))).as("max_shift"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
       q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181,
-      q184, q185, q190, q192, q193, q200, q208, q232)
+      q184, q185, q190, q192, q193, q200, q208, q232, q238)
 }

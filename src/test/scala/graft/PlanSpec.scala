@@ -194,7 +194,8 @@ class PlanSpec extends SparkSpec {
       "q226_mmr_rerank" -> "broadcast query slice (vec_id < 10), the q32 contract",
       "q232_textrank_keywords" -> "one-row node-count frame (the q82 PageRank kernel)",
       "q236_isotonic_calibration" -> "ladder-bounded interval self-join (≤45² rows)",
-      "q237_shapley_attribution" -> "one-row attribution-total frame")
+      "q237_shapley_attribution" -> "one-row attribution-total frame",
+      "q238_quantile_normalization" -> "one-row pooled-count frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
