@@ -731,7 +731,183 @@ object RecommenderQueries {
     sizes.unionByName(unreached).orderBy(col("label"))
   }
 
+  /** q239 — HyperANF sketched reach (Boldi, Rosa & Vigna 2011),
+    * audited against q228's exact BFS: the 1000-seed scale path
+    * q228's scaladoc promises, actually built. Every node carries a
+    * 64-register HLL sketch of "nodes that can reach me within h
+    * hops" (the q210 portable register grid: md5-slice bucket and
+    * 33-bit rho, integer-exact harmonic sum, linear-counting branch
+    * on the mnat grid); each round OR-merges every node's sketch
+    * with its out-neighbors' — in exploded (node, register) form the
+    * merge is ONE union + keyed max per round, exactly the shape
+    * that replaces q228's per-seed reached-SET join when seeds are
+    * many. The audit: for the same 5 hub seeds, estimate vs exact
+    * reach at hops 1–4 with signed err_ppm — the measured accuracy
+    * contract (HLL at m=64 promises ~13% standard error; the output
+    * shows where these registers actually land).
+    *
+    * Scale: sketch state is |V|·64 rows max REGARDLESS of seed
+    * count or reach size — per-seed cost is O(1) lookups at
+    * estimate time, vs q228's |seeds|·|V| reach frame. Rounds are
+    * union + keyed agg, lineage truncated per round. */
+  val q239 = QueryDef(
+    "q239_hyperanf_reach", {
+      val u32a = TextQueries.hexU32Sql(1)
+      val u32b = TextQueries.hexU32Sql(9)
+      val rounds = (1 to 4).map { h =>
+        s"""b$h AS MATERIALIZED (
+          |  SELECT node, bucket, CAST(MAX(m) AS BIGINT) AS m FROM (
+          |    SELECT node, bucket, m FROM b${h - 1}
+          |    UNION ALL
+          |    SELECT e.src AS node, b.bucket, b.m
+          |    FROM e0 e JOIN b${h - 1} b ON b.node = e.dst)
+          |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      val bfs = (1 to 4).map { h =>
+        s"""n$h AS MATERIALIZED (
+          |  SELECT DISTINCT r.seed, e.dst AS node
+          |  FROM r${h - 1} r JOIN e0 e ON r.node = e.src
+          |  WHERE r.dist = ${h - 1}),
+          |r$h AS MATERIALIZED (
+          |  SELECT * FROM r${h - 1}
+          |  UNION ALL
+          |  SELECT n$h.seed, n$h.node, CAST($h AS BIGINT) AS dist
+          |  FROM n$h LEFT JOIN r${h - 1} p
+          |    ON p.seed = n$h.seed AND p.node = n$h.node
+          |  WHERE p.node IS NULL)""".stripMargin
+      }.mkString(",\n")
+      val ests = (1 to 4).map { h =>
+        s"""SELECT sr.seed, CAST($h AS BIGINT) AS hop,
+          |  CASE WHEN (709 * 4096 * (CAST(1 AS BIGINT) << 33))
+          |      // sr.ssum <= 160000 AND sr.v_empty > 0
+          |    THEN 64 * (${graft.functions.LangModel.mnatSql("64")}
+          |      - ${graft.functions.LangModel.mnatSql("sr.v_empty")})
+          |    ELSE (709 * 4096 * (CAST(1 AS BIGINT) << 33)) // sr.ssum
+          |    END AS est_milli,
+          |  x.n_exact
+          |FROM (
+          |  SELECT s.seed,
+          |    CAST(SUM(CAST(1 AS BIGINT) << (33 - b.m)) AS BIGINT)
+          |      + (64 - CAST(COUNT(*) AS BIGINT))
+          |        * (CAST(1 AS BIGINT) << 33) AS ssum,
+          |    64 - CAST(COUNT(*) AS BIGINT) AS v_empty
+          |  FROM b$h b JOIN seeds s ON b.node = s.seed
+          |  GROUP BY 1) sr
+          |JOIN (
+          |  SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_exact
+          |  FROM r$h GROUP BY 1) x ON sr.seed = x.seed""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |co AS (
+        |  SELECT x.i AS src, y.i AS dst, COUNT(*) AS c
+        |  FROM items x JOIN items y ON x.b = y.b AND x.i <> y.i
+        |  GROUP BY 1, 2),
+        |e0 AS MATERIALIZED (SELECT src, dst FROM co WHERE c >= 2),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e0
+        |  GROUP BY 1),
+        |seeds AS (SELECT src AS seed FROM deg
+        |  ORDER BY d DESC, src LIMIT 5),
+        |nodes AS (SELECT DISTINCT src AS node FROM e0),
+        |nh AS (SELECT node, md5(CAST(node AS VARCHAR)) AS hx
+        |  FROM nodes),
+        |b0 AS MATERIALIZED (
+        |  SELECT node, $u32a % 64 AS bucket,
+        |    CAST(33 - LENGTH(LTRIM(bin($u32b), '0')) AS BIGINT) AS m
+        |  FROM nh),
+        |$rounds,
+        |r0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM seeds),
+        |$bfs,
+        |u AS (
+        |$ests)
+        |SELECT seed, hop, est_milli, n_exact,
+        |  CAST(FLOOR(1e6 * (est_milli - 1000.0 * n_exact)
+        |    / (1000.0 * n_exact)) AS BIGINT) AS err_ppm
+        |FROM u ORDER BY seed, hop""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.Checkpoints
+    val li = Tables.lineitem(s, d)
+    val e = Checkpoints.pin(Recommender.coOccurrence(
+        li, "l_orderkey", "l_partkey",
+        maxBasket = Recommender.maxBasketFromHistogram(
+          li, "l_orderkey", "l_partkey"))
+      .filter(col("n_baskets") >= 2)
+      .select(col("item").as("src"), col("co_item").as("dst"))
+      .localCheckpoint())
+    val seeds = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src")).limit(5)
+      .select(col("src").as("seed"))
+    // per-node HLL registers (the q210 grid)
+    val b0 = e.select(col("src").as("node")).distinct()
+      .withColumn("hx", md5(col("node").cast("string")))
+      .select(col("node"),
+        (conv(substring(col("hx"), 1, 8), 16, 10).cast("long") % 64)
+          .as("bucket"),
+        (lit(33) - length(ltrim(expr(
+          "bin(conv(substring(hx, 9, 8), 16, 10))"), "0")))
+          .cast("long").as("m"))
+    var b = Checkpoints.pin(b0.localCheckpoint())
+    val sketches = scala.collection.mutable.ArrayBuffer.empty[
+      org.apache.spark.sql.DataFrame]
+    for (_ <- 1 to 4) {
+      val nb = b.unionByName(
+          e.join(b.withColumnRenamed("node", "dstn"),
+            col("dstn") === col("dst"))
+            .select(col("src").as("node"), col("bucket"), col("m")))
+        .groupBy(col("node"), col("bucket"))
+        .agg(max(col("m")).as("m"))
+      b = Checkpoints.pin(nb.localCheckpoint())
+      sketches += b
+    }
+    // exact reach (the q228 loop)
+    var reach = Checkpoints.pin(seeds
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+      .localCheckpoint())
+    for (h <- 1 to 4) {
+      val cand = reach.filter(col("dist") === (h - 1))
+        .join(e, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+      val fresh = cand
+        .join(reach.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(h.toLong).as("dist"))
+      val next = Checkpoints.pin(
+        reach.unionByName(fresh).localCheckpoint())
+      Checkpoints.free(reach)
+      reach = next
+    }
+    import graft.functions.LangModel.mnat
+    val perHop = (1 to 4).map { h =>
+      val sr = sketches(h - 1)
+        .join(seeds, col("node") === col("seed"))
+        .groupBy(col("seed"))
+        .agg((sum(expr(
+          "shiftleft(cast(1 as bigint), cast(33 - m as int))"))
+          + (lit(64L) - count(lit(1))) * lit(8589934592L)).as("ssum"),
+          (lit(64L) - count(lit(1))).as("v_empty"))
+        .withColumn("raw_milli",
+          expr("(709 * 4096 * shiftleft(cast(1 as bigint), 33))" +
+            " div ssum"))
+        .withColumn("est_milli",
+          when(col("raw_milli") <= 160000L && col("v_empty") > 0,
+            lit(64L) * (mnat(lit(64L)) - mnat(col("v_empty"))))
+            .otherwise(col("raw_milli")))
+      val exact = reach.filter(col("dist") <= h)
+        .groupBy(col("seed")).agg(count(lit(1)).as("n_exact"))
+      sr.join(exact, Seq("seed"))
+        .select(col("seed"), lit(h.toLong).as("hop"),
+          col("est_milli"), col("n_exact"))
+    }
+    perHop.reduce(_ unionByName _)
+      .withColumn("err_ppm",
+        floor(lit(1e6) * (col("est_milli") - lit(1000.0)
+          * col("n_exact")) / (lit(1000.0) * col("n_exact")))
+          .cast("long"))
+      .orderBy(col("seed"), col("hop"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q36, q37, q45, q45b, q82, q161, q189, q219, q223, q224, q228,
-      q230)
+      q230, q239)
 }
