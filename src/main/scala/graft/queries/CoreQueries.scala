@@ -3256,11 +3256,52 @@ object CoreQueries {
       .orderBy(col("channel"))
   }
 
+  /** q240 — bucketed co-located fact-fact join under the oracle gate
+    * ([[graft.sources.Bucketing]] — design and the no-exchange
+    * contract there; BucketingSpec pins the plan): lineitem and
+    * orders are written bucketed+sorted by the join key into the
+    * session catalog, then joined WITHOUT a shuffle exchange on
+    * either side — the recurring-join layout that at 100 TB turns an
+    * hourly reshuffle-the-world job into streamed bucket pairs. The
+    * oracle runs the SAME join over the plain parquet: bucketing
+    * changes layout, never content — hash equality of the revenue
+    * census IS the correctness statement (the q111 "exactly the plain
+    * join" discipline).
+    *
+    * Scale: the write is one-time layout cost amortized over every
+    * later join; the join reads matched buckets locally; only the
+    * 5-row priority census shuffles. */
+  val q240 = QueryDef(
+    "q240_bucketed_join",
+    """SELECT o_orderpriority AS priority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS revenue_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.sources.Bucketing
+    Bucketing.replaceBucketed(s,
+      Tables.lineitem(s, d).select(col("l_orderkey"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")
+          .as("cents")),
+      "graft_q240_lineitem", "l_orderkey", buckets = 8)
+    Bucketing.replaceBucketed(s,
+      Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderpriority")),
+      "graft_q240_orders", "l_orderkey", buckets = 8)
+    Bucketing.bucketedJoin(s, "graft_q240_lineitem",
+        "graft_q240_orders", "l_orderkey")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("priority"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
     q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
     q111, q133, q182, q183, q186, q187, q188, q194, q195, q214, q215,
     q216, q217, q218, q220, q221, q222, q225, q229, q231, q233, q236,
-    q237)
+    q237, q240)
 }

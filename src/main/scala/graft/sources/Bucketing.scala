@@ -27,6 +27,22 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** [[writeBucketed]] made idempotent ACROSS sessions: a managed
+    * table's files survive the JVM but the in-memory catalog does
+    * not, so a later session's Overwrite fails with
+    * LOCATION_ALREADY_EXISTS on the orphaned directory. Drop the
+    * catalog entry if present AND clear the stale location, then
+    * write. */
+  def replaceBucketed(spark: SparkSession, df: DataFrame, table: String,
+                      key: String, buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    writeBucketed(df, table, key, buckets)
+  }
+
   /** Join two bucketed catalog tables on their bucket key. With equal
     * bucket counts the physical plan contains no ShuffleExchange on
     * either side (asserted by BucketingSpec). */
