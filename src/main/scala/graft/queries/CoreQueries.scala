@@ -3297,11 +3297,235 @@ object CoreQueries {
       .orderBy(col("priority"))
   }
 
+  /** q241 — maximum drawdown per priority series (the classic
+    * peak-to-trough risk statistic): for each order priority's daily
+    * revenue, the largest drop from a running peak — where q215's
+    * CUSUM finds WHEN a level shifted, drawdown reports the WORST
+    * realized dip, with its trough day (earliest tie) and the peak it
+    * fell from. Exact integer cents throughout: running max and
+    * differences need no grid; the trough row is recovered by
+    * re-joining the max (the q215 earliest-tie pin).
+    *
+    * Scale: one daily keyed census; the running-max window is
+    * partitioned by priority over ≤ corpus-date-range rows (the q225
+    * calendar bound); the argmax join is keyed on (priority, draw). */
+  val q241 = QueryDef(
+    "q241_max_drawdown",
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE)
+      |    AS day,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS y
+      |  FROM orders GROUP BY 1, 2),
+      |dd AS (
+      |  SELECT pri, day, y,
+      |    CAST(MAX(y) OVER (PARTITION BY pri ORDER BY day) AS BIGINT)
+      |      AS peak
+      |  FROM daily),
+      |mx AS (
+      |  SELECT pri, CAST(MAX(peak - y) AS BIGINT) AS max_drawdown
+      |  FROM dd GROUP BY 1),
+      |tr AS (
+      |  SELECT dd.pri, MIN(dd.day) AS trough_day
+      |  FROM dd JOIN mx ON dd.pri = mx.pri
+      |    AND dd.peak - dd.y = mx.max_drawdown
+      |  GROUP BY 1)
+      |SELECT tr.pri AS priority, mx.max_drawdown, tr.trough_day,
+      |  dd.y AS trough_cents, dd.peak AS peak_cents
+      |FROM tr JOIN mx ON tr.pri = mx.pri
+      |JOIN dd ON dd.pri = tr.pri AND dd.day = tr.trough_day
+      |ORDER BY priority""".stripMargin) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("pri"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+        .as("y"))
+    val wPeak = Window.partitionBy(col("pri")).orderBy(col("day"))
+    val dd = daily.withColumn("peak", max(col("y")).over(wPeak))
+    val mx = dd.groupBy(col("pri"))
+      .agg(max(col("peak") - col("y")).as("max_drawdown"))
+    val tr = dd.join(mx, Seq("pri"))
+      .filter(col("peak") - col("y") === col("max_drawdown"))
+      .groupBy(col("pri")).agg(min(col("day")).as("trough_day"))
+    tr.join(mx, Seq("pri"))
+      .join(dd.select(col("pri"), col("day").as("trough_day"),
+        col("y"), col("peak")), Seq("pri", "trough_day"))
+      .select(col("pri").as("priority"), col("max_drawdown"),
+        col("trough_day"), col("y").as("trough_cents"),
+        col("peak").as("peak_cents"))
+      .orderBy(col("priority"))
+  }
+
+  /** q242 — seasonality detection via exact integer autocorrelation:
+    * the hourly event-count series (720 points over the 30-day
+    * window) correlated with itself at lags 1–36 hours — the lag-24
+    * peak IS the daily cycle, measured rather than assumed (the
+    * prerequisite for q225's trend model and any seasonal forecast).
+    * Mean-centering rides an integer scaling: c_t = n·x_t − S (no
+    * division, exact), so numerator Σc_t·c_{t−l} and denominator
+    * Σc_t² are exact integers and r = num/den is ONE float division
+    * per lag (the q229 discipline), reported in milli. At
+    * petabyte-scale counts the n-scaled grid nears 2⁶³ — the doc'd
+    * rescale is to drop counts to kilo-events first; the plan is
+    * unchanged.
+    *
+    * Scale: hourly census (calendar-bounded), one 36× lag explode of
+    * the CENSUS (never the raw events), one self-equi-join on the
+    * hour index, keyed sums per lag. */
+  val q242 = QueryDef(
+    "q242_autocorrelation",
+    """WITH h AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT)
+      |    AS sx
+      |  FROM h),
+      |c AS (
+      |  SELECT t, CAST(m.n * h.x - m.sx AS BIGINT) AS c
+      |  FROM h CROSS JOIN m),
+      |den AS (SELECT CAST(SUM(c * c) AS BIGINT) AS d2 FROM c),
+      |lags AS (SELECT CAST(unnest(range(1, 37)) AS BIGINT) AS lag),
+      |pr AS (
+      |  SELECT lags.lag, a.c AS ca, b.c AS cb
+      |  FROM c a CROSS JOIN lags
+      |  JOIN c b ON b.t = a.t - lags.lag),
+      |num AS (
+      |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(SUM(ca * cb) AS BIGINT) AS num
+      |  FROM pr GROUP BY 1)
+      |SELECT num.lag, num.n_pairs,
+      |  CAST(FLOOR(1000.0 * CAST(num.num AS DOUBLE)
+      |    / CAST(den.d2 AS DOUBLE)) AS BIGINT) AS r_milli
+      |FROM num CROSS JOIN den
+      |ORDER BY lag""".stripMargin) { (s, d) =>
+    val h = Tables.events(s, d)
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("t"))
+      .agg(count(lit(1)).as("x"))
+    val m = h.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val c = h.crossJoin(broadcast(m))
+      .select(col("t"), (col("n") * col("x") - col("sx")).as("c"))
+    val den = c.agg(sum(col("c") * col("c")).as("d2"))
+    val pr = c.withColumn("lag",
+        explode(expr("sequence(1L, 36L)")))
+      .select(col("lag"), col("t"), col("c").as("ca"))
+      .withColumn("tb", col("t") - col("lag"))
+      .join(c.select(col("t").as("tb"), col("c").as("cb")),
+        Seq("tb"))
+    pr.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("ca") * col("cb")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        floor(lit(1000.0) * col("num").cast("double")
+          / col("d2").cast("double")).cast("long").as("r_milli"))
+      .orderBy(col("lag"))
+  }
+
+  /** q243 — clamped inventory projection (the Lindley recursion —
+    * the same max(0, s + net) recurrence that gives queue waiting
+    * times): per brand, stock flows in at order placement and out at
+    * line shipment; the running balance CANNOT go negative, which is
+    * exactly what makes this a true recurrence and not a cumsum —
+    * max(0, ·) doesn't distribute over prefix sums (q61's rolling
+    * windows can't express it; q225's fold can). Integer units
+    * throughout, NO division anywhere, so no grid is even needed:
+    * Spark replays the fold as one codegen'd aggregate lambda per
+    * brand (state: balance, running max, stockout-day count), the
+    * oracle as a recursive CTE over the day index — the q225
+    * two-mechanisms-one-sequence contract.
+    *
+    * Scale: daily net-flow census is a keyed agg; the fold carries
+    * O(1) state over ≤ corpus-date-range elements per brand (the
+    * q225 calendar bound); brands are the series keys. */
+  val q243 = QueryDef(
+    "q243_inventory_clamp",
+    """WITH RECURSIVE flows AS (
+      |  SELECT p.p_brand AS brand, CAST(o.o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT))
+      |      AS BIGINT) AS net
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS day,
+      |    CAST(-SUM(CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT))
+      |      AS BIGINT) AS net
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2),
+      |daily AS (
+      |  SELECT brand, day, CAST(SUM(net) AS BIGINT) AS net
+      |  FROM flows GROUP BY 1, 2),
+      |obs AS (
+      |  SELECT brand, ROW_NUMBER() OVER (PARTITION BY brand
+      |    ORDER BY day) AS idx, net
+      |  FROM daily),
+      |st AS (
+      |  SELECT brand, CAST(1 AS BIGINT) AS idx,
+      |    CAST(GREATEST(0, net) AS BIGINT) AS s,
+      |    CAST(GREATEST(0, net) AS BIGINT) AS mx,
+      |    CAST(CASE WHEN GREATEST(0, net) = 0 THEN 1 ELSE 0 END
+      |      AS BIGINT) AS zd
+      |  FROM obs WHERE idx = 1
+      |  UNION ALL
+      |  SELECT o.brand, o.idx,
+      |    CAST(GREATEST(0, st.s + o.net) AS BIGINT) AS s,
+      |    CAST(GREATEST(st.mx, GREATEST(0, st.s + o.net)) AS BIGINT)
+      |      AS mx,
+      |    CAST(st.zd + CASE WHEN GREATEST(0, st.s + o.net) = 0
+      |      THEN 1 ELSE 0 END AS BIGINT) AS zd
+      |  FROM st JOIN obs o ON o.brand = st.brand
+      |    AND o.idx = st.idx + 1),
+      |fin AS (SELECT brand, CAST(MAX(idx) AS BIGINT) AS n FROM st
+      |  GROUP BY 1)
+      |SELECT st.brand AS brand, fin.n AS n_days, st.s AS final_units,
+      |  st.mx AS max_units, st.zd AS stockout_days
+      |FROM st JOIN fin ON st.brand = fin.brand AND st.idx = fin.n
+      |ORDER BY st.brand""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val pb = Tables.part(s, d).select(col("p_partkey"),
+      col("p_brand").as("brand"))
+    val inflow = li
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(pb, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("brand"), col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("cast(floor(l_quantity + 0.5) as bigint)"))
+        .as("net"))
+    val outflow = li
+      .join(pb, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("brand"), col("l_shipdate").cast("date").as("day"))
+      .agg((-sum(expr("cast(floor(l_quantity + 0.5) as bigint)")))
+        .as("net"))
+    val daily = inflow.unionByName(outflow)
+      .groupBy(col("brand"), col("day"))
+      .agg(sum(col("net")).as("net"))
+    daily.select(col("brand"), struct(col("day"), col("net")).as("rec"))
+      .groupBy(col("brand"))
+      .agg(sort_array(collect_list(col("rec"))).as("recs"),
+        count(lit(1)).as("n_days"))
+      .withColumn("st", expr(
+        """aggregate(
+          |  slice(recs, 2, size(recs) - 1),
+          |  named_struct(
+          |    's', greatest(0L, recs[0].net),
+          |    'mx', greatest(0L, recs[0].net),
+          |    'zd', IF(greatest(0L, recs[0].net) = 0L, 1L, 0L)),
+          |  (acc, x) -> named_struct(
+          |    's', greatest(0L, acc.s + x.net),
+          |    'mx', greatest(acc.mx, greatest(0L, acc.s + x.net)),
+          |    'zd', acc.zd + IF(greatest(0L, acc.s + x.net) = 0L,
+          |      1L, 0L)))""".stripMargin))
+      .select(col("brand"), col("n_days"), col("st.s").as("final_units"),
+        col("st.mx").as("max_units"), col("st.zd").as("stockout_days"))
+      .orderBy(col("brand"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
     q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
     q111, q133, q182, q183, q186, q187, q188, q194, q195, q214, q215,
     q216, q217, q218, q220, q221, q222, q225, q229, q231, q233, q236,
-    q237, q240)
+    q237, q240, q241, q242, q243)
 }

@@ -195,7 +195,8 @@ class PlanSpec extends SparkSpec {
       "q232_textrank_keywords" -> "one-row node-count frame (the q82 PageRank kernel)",
       "q236_isotonic_calibration" -> "ladder-bounded interval self-join (≤45² rows)",
       "q237_shapley_attribution" -> "one-row attribution-total frame",
-      "q238_quantile_normalization" -> "one-row pooled-count frame")
+      "q238_quantile_normalization" -> "one-row pooled-count frame",
+      "q242_autocorrelation" -> "one-row series-moment frames")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
