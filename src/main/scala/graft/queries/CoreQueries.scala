@@ -3521,11 +3521,108 @@ object CoreQueries {
       .orderBy(col("brand"))
   }
 
+  /** q245 — coarsened exact matching ATT (Iacus, King & Porro 2012):
+    * the causal-inference step beyond q214/q233's randomized tests —
+    * when assignment ISN'T randomized, compare treated and control
+    * only WITHIN strata that contain both, weighting strata by their
+    * treated counts (the ATT estimand). Strata are the q206
+    * generalization ladder (nation × balance band); treatment is the
+    * q233 hash-parity arm (so the estimate correctly reads ≈ the
+    * naive difference here — randomized data is the honest null for
+    * a matching estimator); outcome is customer spend. Stratum means
+    * ride the milli-cent integer-div grid; the weighted sum is exact
+    * integer; one division lands ATT on the grid. The naive
+    * (unmatched) difference is emitted alongside — the adjustment a
+    * confounded dataset would show is the DIFFERENCE of these two
+    * columns.
+    *
+    * Scale: customer census → stratum census → one fold; all keyed,
+    * map-side combinable; matched-strata filtering is a HAVING. */
+  val q245 = QueryDef(
+    "q245_cem_att",
+    s"""WITH cust AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |hv AS (SELECT ck, y, md5(CAST(ck AS VARCHAR)) AS hx FROM cust),
+      |vv AS (SELECT ck, y, ${TextQueries.hexU32Sql(1)} % 2 AS tr
+      |  FROM hv),
+      |s AS (
+      |  SELECT c.c_nationkey AS nat,
+      |    (CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) + 100000)
+      |      // 200000 AS bal,
+      |    vv.tr, vv.y
+      |  FROM vv JOIN customer c ON vv.ck = c.c_custkey),
+      |st AS (
+      |  SELECT nat, bal,
+      |    CAST(SUM(CASE WHEN tr = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS nt,
+      |    CAST(SUM(CASE WHEN tr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS nc,
+      |    CAST(SUM(CASE WHEN tr = 1 THEN y ELSE 0 END) AS BIGINT)
+      |      AS syt,
+      |    CAST(SUM(CASE WHEN tr = 0 THEN y ELSE 0 END) AS BIGINT)
+      |      AS syc
+      |  FROM s GROUP BY 1, 2),
+      |m AS (SELECT * FROM st WHERE nt > 0 AND nc > 0),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+      |    CAST(SUM(nt) AS BIGINT) AS n_treated,
+      |    CAST(SUM(nc) AS BIGINT) AS n_control,
+      |    CAST(SUM(nt * ((1000 * syt) // nt - (1000 * syc) // nc))
+      |      AS BIGINT) AS wsum
+      |  FROM m),
+      |naive AS (
+      |  SELECT CAST((1000 * SUM(CASE WHEN tr = 1 THEN y ELSE 0 END))
+      |      // SUM(CASE WHEN tr = 1 THEN 1 ELSE 0 END)
+      |    - (1000 * SUM(CASE WHEN tr = 0 THEN y ELSE 0 END))
+      |      // SUM(CASE WHEN tr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS naive_milli
+      |  FROM s)
+      |SELECT agg.n_strata, agg.n_treated, agg.n_control,
+      |  CAST(agg.wsum // agg.n_treated AS BIGINT) AS att_milli,
+      |  naive.naive_milli
+      |FROM agg CROSS JOIN naive""".stripMargin) { (s, d) =>
+    val cust = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+        .as("y"))
+      .withColumn("tr",
+        graft.curation.Curation.contentU32(col("ck")) % 2L)
+    val sdf = cust
+      .join(Tables.customer(s, d), col("ck") === col("c_custkey"))
+      .select(col("c_nationkey").as("nat"),
+        expr("(cast(floor(c_acctbal * 100 + 0.5) as bigint) + 100000)" +
+          " div 200000").as("bal"),
+        col("tr"), col("y"))
+    val st = sdf.groupBy(col("nat"), col("bal"))
+      .agg(sum(when(col("tr") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("tr") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("tr") === 1, col("y")).otherwise(0L)).as("syt"),
+        sum(when(col("tr") === 0, col("y")).otherwise(0L)).as("syc"))
+    val agg = st.filter(col("nt") > 0 && col("nc") > 0)
+      .agg(count(lit(1)).as("n_strata"), sum(col("nt")).as("n_treated"),
+        sum(col("nc")).as("n_control"),
+        sum(col("nt") * (expr("(1000 * syt) div nt")
+          - expr("(1000 * syc) div nc"))).as("wsum"))
+    val naive = sdf.agg(
+      (expr("(1000 * sum(case when tr = 1 then y else 0 end))" +
+        " div sum(case when tr = 1 then 1 else 0 end)")
+        - expr("(1000 * sum(case when tr = 0 then y else 0 end))" +
+          " div sum(case when tr = 0 then 1 else 0 end)"))
+        .as("naive_milli"))
+    agg.crossJoin(broadcast(naive))
+      .select(col("n_strata"), col("n_treated"), col("n_control"),
+        expr("wsum div n_treated").as("att_milli"),
+        col("naive_milli"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
     q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
     q111, q133, q182, q183, q186, q187, q188, q194, q195, q214, q215,
     q216, q217, q218, q220, q221, q222, q225, q229, q231, q233, q236,
-    q237, q240, q241, q242, q243)
+    q237, q240, q241, q242, q243, q245)
 }

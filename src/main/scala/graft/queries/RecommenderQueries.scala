@@ -907,7 +907,75 @@ object RecommenderQueries {
       .orderBy(col("seed"), col("hop"))
   }
 
+  /** q246 — degree assortativity of the support graph (Newman 2002):
+    * the one-number "do hubs connect to hubs?" summary — Pearson
+    * correlation of (deg(src), deg(dst)) over the directed edge set.
+    * Positive = assortative (social-network-like), negative =
+    * disassortative (hub-and-spoke, typical of co-purchase graphs).
+    * Exact integer moments over edges (the q234 discipline), one
+    * float division at the end, reported in milli.
+    *
+    * Scale: degree census + one keyed join per endpoint + one global
+    * fold — all map-side combinable. */
+  val q246 = QueryDef(
+    "q246_assortativity",
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      |co AS (
+      |  SELECT x.i AS src, y.i AS dst, COUNT(*) AS c
+      |  FROM items x JOIN items y ON x.b = y.b AND x.i <> y.i
+      |  GROUP BY 1, 2),
+      |e0 AS (SELECT src, dst FROM co WHERE c >= 2),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e0
+      |  GROUP BY 1),
+      |ed AS (
+      |  SELECT da.d AS x, db.d AS y
+      |  FROM e0 JOIN deg da ON e0.src = da.src
+      |  JOIN deg db ON e0.dst = db.src),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM ed)
+      |SELECT n AS n_edges,
+      |  CAST(FLOOR(1000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+      |         * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+      |    AS r_milli
+      |FROM mo
+      |WHERE n * sxx > sx * sx AND n * syy > sy * sy""".stripMargin) {
+    (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val e = Recommender.coOccurrence(
+        li, "l_orderkey", "l_partkey",
+        maxBasket = Recommender.maxBasketFromHistogram(
+          li, "l_orderkey", "l_partkey"))
+      .filter(col("n_baskets") >= 2)
+      .select(col("item").as("src"), col("co_item").as("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val ed = e.join(deg.select(col("src"), col("d").as("x")),
+        Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("d").as("y")),
+        Seq("dst"))
+    ed.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .filter(col("n") * col("sxx") > col("sx") * col("sx") &&
+        col("n") * col("syy") > col("sy") * col("sy"))
+      .select(col("n").as("n_edges"),
+        floor(lit(1000.0)
+          * (col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")
+            * (col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double"))).cast("long").as("r_milli"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q36, q37, q45, q45b, q82, q161, q189, q219, q223, q224, q228,
-      q230, q239)
+      q230, q239, q246)
 }

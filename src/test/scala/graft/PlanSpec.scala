@@ -196,7 +196,8 @@ class PlanSpec extends SparkSpec {
       "q236_isotonic_calibration" -> "ladder-bounded interval self-join (≤45² rows)",
       "q237_shapley_attribution" -> "one-row attribution-total frame",
       "q238_quantile_normalization" -> "one-row pooled-count frame",
-      "q242_autocorrelation" -> "one-row series-moment frames")
+      "q242_autocorrelation" -> "one-row series-moment frames",
+      "q245_cem_att" -> "one-row naive-difference frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
