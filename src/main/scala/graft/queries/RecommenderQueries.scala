@@ -975,7 +975,116 @@ object RecommenderQueries {
               .cast("double"))).cast("long").as("r_milli"))
   }
 
+  /** q244 — Bradley–Terry strength from pairwise comparisons
+    * (Bradley & Terry 1952; Hunter's 2004 MM iteration) — the
+    * aggregation model behind preference/reward ranking: when all
+    * you observe is "a beat b", BT recovers a latent strength per
+    * item such that P(i beats j) = πᵢ/(πᵢ+πⱼ). Comparisons here:
+    * within each basket, the part bought in larger quantity beats
+    * the other (ties drop — no information). Two MM rounds
+    * πᵢ ← Wᵢ / Σⱼ nᵢⱼ/(πᵢ+πⱼ), with the q82 float discipline
+    * applied twice over: per-pair contributions snap to integer
+    * pico-units before the keyed sum (order-independent), and the
+    * updated π snaps to integer micro-units before the next round —
+    * so every round's inputs are integers and both engines replay
+    * the identical sequence. π floors at 1 micro (a winless item's
+    * zero strength would divide the next round by zero). Top-25 by
+    * (strength desc, part).
+    *
+    * Scale: the pair census rides the q36 basket cap; the MM round
+    * is one keyed join + keyed agg per iteration over the DIRECTED
+    * pair frame (vocab²-bounded, like q223); strengths are |items|
+    * rows. */
+  val q244 = QueryDef(
+    "q244_bradley_terry", {
+      val mmRound = (h: Int) =>
+        s"""c$h AS (
+          |  SELECT dir.i,
+          |    CAST(SUM(CAST(FLOOR(dir.n * 1e18
+          |      / (pa.pi + pb.pi) + 0.5) AS BIGINT)) AS BIGINT) AS s
+          |  FROM dir JOIN p${h - 1} pa ON dir.i = pa.i
+          |  JOIN p${h - 1} pb ON dir.j = pb.i
+          |  GROUP BY 1),
+          |p$h AS (
+          |  SELECT w.i, GREATEST(CAST(1 AS BIGINT),
+          |    CAST(FLOOR(w.w * 1e18 / c$h.s + 0.5) AS BIGINT)) AS pi
+          |  FROM w JOIN c$h ON w.i = c$h.i)""".stripMargin
+      s"""WITH iq AS (
+        |  SELECT l_orderkey AS b, l_partkey AS i,
+        |    CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+        |      AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |pc AS (
+        |  SELECT a.i AS x, bb.i AS y, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a.q > bb.q THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS wx
+        |  FROM iq a JOIN iq bb ON a.b = bb.b AND a.i < bb.i
+        |  WHERE a.q <> bb.q
+        |  GROUP BY 1, 2),
+        |dir AS (
+        |  SELECT x AS i, y AS j, n, wx AS w FROM pc
+        |  UNION ALL SELECT y AS i, x AS j, n, n - wx AS w FROM pc),
+        |w AS (
+        |  SELECT i, CAST(SUM(n) AS BIGINT) AS n_comp,
+        |    CAST(SUM(w) AS BIGINT) AS w
+        |  FROM dir GROUP BY 1),
+        |p0 AS (SELECT i, CAST(1000000 AS BIGINT) AS pi FROM w),
+        |${mmRound(1)},
+        |${mmRound(2)}
+        |SELECT w.i AS part, w.n_comp, w.w AS wins, p2.pi AS pi_micro
+        |FROM w JOIN p2 ON w.i = p2.i
+        |ORDER BY pi_micro DESC, part LIMIT 25""".stripMargin
+    }) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val cap = Recommender.maxBasketFromHistogram(
+      li, "l_orderkey", "l_partkey")
+    // the q36 cost-based cap: exact at test scale (histogram fits the
+    // budget, nothing dropped — the oracle stays uncapped), bounding
+    // the quadratic pair expansion at 100 TB
+    val iq = li
+      .groupBy(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      .agg(sum(expr("cast(floor(l_quantity + 0.5) as bigint)"))
+        .as("q"))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("b"))))
+      .filter(col("__n") <= cap)
+      .drop("__n")
+    val pc = iq.select(col("b"), col("i").as("x"), col("q").as("qx"))
+      .join(iq.select(col("b"), col("i").as("y"), col("q").as("qy")),
+        Seq("b"))
+      .filter(col("x") < col("y") && col("qx") =!= col("qy"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("qx") > col("qy"), 1L).otherwise(0L)).as("wx"))
+    val dir = pc.select(col("x").as("i"), col("y").as("j"), col("n"),
+        col("wx").as("w"))
+      .unionByName(pc.select(col("y").as("i"), col("x").as("j"),
+        col("n"), (col("n") - col("wx")).as("w")))
+    val wtab = dir.groupBy(col("i"))
+      .agg(sum(col("n")).as("n_comp"), sum(col("w")).as("w"))
+    var pi = wtab.select(col("i"), lit(1000000L).as("pi"))
+    for (_ <- 1 to 2) {
+      val sfr = dir
+        .join(pi.select(col("i"), col("pi").as("pa")), Seq("i"))
+        .join(pi.select(col("i").as("j"), col("pi").as("pb")),
+          Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(expr(
+          "cast(floor(n * 1e18 / (pa + pb) + 0.5) as bigint)"))
+          .as("s"))
+      pi = wtab.join(sfr, Seq("i"))
+        .select(col("i"), greatest(lit(1L),
+          expr("cast(floor(w * 1e18 / s + 0.5) as bigint)"))
+          .as("pi"))
+    }
+    wtab.join(pi, Seq("i"))
+      .select(col("i").as("part"), col("n_comp"), col("w").as("wins"),
+        col("pi").as("pi_micro"))
+      .orderBy(col("pi_micro").desc, col("part"))
+      .limit(25)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q36, q37, q45, q45b, q82, q161, q189, q219, q223, q224, q228,
-      q230, q239, q246)
+      q230, q239, q244, q246)
 }
