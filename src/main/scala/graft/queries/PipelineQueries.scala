@@ -3415,11 +3415,170 @@ object PipelineQueries {
       .orderBy(col("n_buckets"))
   }
 
+  /** q247 — 7-day sliding distinct users, exact vs HLL-merged (the
+    * hardest standard engagement metric: DISTINCT does not decompose
+    * over sliding windows, so naive rollups double-count): the exact
+    * side explodes each (day, user) ONCE into the ≤7 windows it
+    * covers and counts distinct per window; the sketch side keeps
+    * ONE 64-register HLL per day (the q210 grid) and OR-merges 7
+    * days per window — register state is days×64 rows regardless of
+    * user count, which is the whole 100-TB story (the q239
+    * HyperANF argument applied to time windows). Output per window
+    * anchor: exact, estimate, signed err_ppm — the accuracy contract
+    * measured, not assumed.
+    *
+    * Scale: both sides start from keyed censuses; the exact side's
+    * (day, user) frame is the data-bounded path you keep while it
+    * fits; the register side is the drop-in when it doesn't. */
+  val q247 = QueryDef(
+    "q247_sliding_distinct", {
+      val u32a = TextQueries.hexU32Sql(1)
+      val u32b = TextQueries.hexU32Sql(9)
+      s"""WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u
+        |  FROM events WHERE user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT day FROM du),
+        |ex AS (
+        |  SELECT d.day AS anchor, CAST(COUNT(DISTINCT du.u) AS BIGINT)
+        |    AS n_exact
+        |  FROM du JOIN days d
+        |    ON du.day <= d.day AND du.day >= d.day - INTERVAL 6 DAY
+        |  GROUP BY 1),
+        |hb AS (
+        |  SELECT day, $u32a % 64 AS bucket,
+        |    CAST(33 - LENGTH(LTRIM(bin($u32b), '0')) AS BIGINT) AS m
+        |  FROM (SELECT day, md5(CAST(u AS VARCHAR)) AS hx FROM du)),
+        |dreg AS (
+        |  SELECT day, bucket, CAST(MAX(m) AS BIGINT) AS m
+        |  FROM hb GROUP BY 1, 2),
+        |wreg AS (
+        |  SELECT d.day AS anchor, r.bucket, CAST(MAX(r.m) AS BIGINT)
+        |    AS m
+        |  FROM dreg r JOIN days d
+        |    ON r.day <= d.day AND r.day >= d.day - INTERVAL 6 DAY
+        |  GROUP BY 1, 2),
+        |sr AS (
+        |  SELECT anchor,
+        |    CAST(SUM(CAST(1 AS BIGINT) << (33 - m)) AS BIGINT)
+        |      + (64 - CAST(COUNT(*) AS BIGINT))
+        |        * (CAST(1 AS BIGINT) << 33) AS ssum,
+        |    64 - CAST(COUNT(*) AS BIGINT) AS v_empty
+        |  FROM wreg GROUP BY 1),
+        |est AS (
+        |  SELECT anchor, v_empty,
+        |    (709 * 4096 * (CAST(1 AS BIGINT) << 33)) // ssum
+        |      AS raw_milli
+        |  FROM sr),
+        |fin AS (
+        |  SELECT anchor, raw_milli,
+        |    CASE WHEN raw_milli <= 160000 AND v_empty > 0
+        |      THEN 64 * (${graft.functions.LangModel.mnatSql("64")}
+        |        - ${graft.functions.LangModel.mnatSql("v_empty")})
+        |      ELSE raw_milli END AS est_milli
+        |  FROM est)
+        |SELECT ex.anchor AS day, ex.n_exact, fin.est_milli,
+        |  CAST(FLOOR(1e6 * (fin.est_milli - 1000.0 * ex.n_exact)
+        |    / (1000.0 * ex.n_exact)) AS BIGINT) AS err_ppm
+        |FROM ex JOIN fin ON ex.anchor = fin.anchor
+        |ORDER BY day""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.LangModel.mnat
+    val du = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("ts").cast("date").as("day"),
+        col("user_id").as("u"))
+      .distinct()
+    val days = du.select(col("day")).distinct()
+      .select(col("day").as("anchor"))
+    // explode each (day, user) / (day, register) row to the <=7
+    // window anchors it covers, then keyed agg — one pass, no
+    // per-window rescan
+    def toAnchors(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("anchor",
+        explode(expr("sequence(day, date_add(day, 6))")))
+      .join(days, Seq("anchor"))
+    val ex = toAnchors(du).groupBy(col("anchor"))
+      .agg(countDistinct(col("u")).as("n_exact"))
+    val dreg = du.withColumn("hx", md5(col("u").cast("string")))
+      .select(col("day"),
+        (conv(substring(col("hx"), 1, 8), 16, 10).cast("long") % 64)
+          .as("bucket"),
+        (lit(33) - length(ltrim(expr(
+          "bin(conv(substring(hx, 9, 8), 16, 10))"), "0")))
+          .cast("long").as("m"))
+      .groupBy(col("day"), col("bucket")).agg(max(col("m")).as("m"))
+    val sr = toAnchors(dreg)
+      .groupBy(col("anchor"), col("bucket"))
+      .agg(max(col("m")).as("m"))
+      .groupBy(col("anchor"))
+      .agg((sum(expr(
+        "shiftleft(cast(1 as bigint), cast(33 - m as int))"))
+        + (lit(64L) - count(lit(1))) * lit(8589934592L)).as("ssum"),
+        (lit(64L) - count(lit(1))).as("v_empty"))
+      .withColumn("raw_milli",
+        expr("(709 * 4096 * shiftleft(cast(1 as bigint), 33))" +
+          " div ssum"))
+      .withColumn("est_milli",
+        when(col("raw_milli") <= 160000L && col("v_empty") > 0,
+          lit(64L) * (mnat(lit(64L)) - mnat(col("v_empty"))))
+          .otherwise(col("raw_milli")))
+    ex.join(sr, Seq("anchor"))
+      .select(col("anchor").as("day"), col("n_exact"),
+        col("est_milli"),
+        floor(lit(1e6) * (col("est_milli") - lit(1000.0)
+          * col("n_exact")) / (lit(1000.0) * col("n_exact")))
+          .cast("long").as("err_ppm"))
+      .orderBy(col("day"))
+  }
+
+  /** q248 — SLO error-budget burn rate (the SRE multiwindow alert
+    * arithmetic, Beyer et al.): per hour, the `error` event share
+    * against a 99% success SLO; burn = error_rate / (1 − SLO), so
+    * burn 1 exhausts exactly the budget over the SLO window and the
+    * standard fast-burn page fires at 14.4×. Exact integer ppm
+    * throughout: rate = 10⁶·errors div events, burn_milli =
+    * 1000·rate div 10⁴ (the 1% budget in ppm), alert flags at
+    * 14 400 and 6 000 milli (fast/slow pages). The census is the
+    * operator; alerting thresholds are columns, not config.
+    *
+    * Scale: one hourly keyed census — map-side combinable, calendar-
+    * bounded output. */
+  val q248 = QueryDef(
+    "q248_slo_burn",
+    """WITH h AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hour,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS errs
+      |  FROM events GROUP BY 1)
+      |SELECT hour, n, errs,
+      |  (1000000 * errs) // n AS err_ppm,
+      |  (1000 * ((1000000 * errs) // n)) // 10000 AS burn_milli,
+      |  CAST(CASE WHEN (1000 * ((1000000 * errs) // n)) // 10000
+      |    >= 14400 THEN 1 ELSE 0 END AS BIGINT) AS page_fast,
+      |  CAST(CASE WHEN (1000 * ((1000000 * errs) // n)) // 10000
+      |    >= 6000 THEN 1 ELSE 0 END AS BIGINT) AS page_slow
+      |FROM h ORDER BY hour""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("errs"))
+      .select(col("hour"), col("n"), col("errs"),
+        expr("(1000000 * errs) div n").as("err_ppm"),
+        expr("(1000 * ((1000000 * errs) div n)) div 10000")
+          .as("burn_milli"),
+        (expr("(1000 * ((1000000 * errs) div n)) div 10000") >= 14400L)
+          .cast("long").as("page_fast"),
+        (expr("(1000 * ((1000000 * errs) div n)) div 10000") >= 6000L)
+          .cast("long").as("page_slow"))
+      .orderBy(col("hour"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
       q141, q143, q146, q148, q149, q150, q152, q153, q157, q158, q159, q191,
       q160, q162, q163, q166, q167, q168, q170, q171, q205, q206, q209,
-      q210, q211, q212, q213, q227, q235)
+      q210, q211, q212, q213, q227, q235, q247, q248)
 }
