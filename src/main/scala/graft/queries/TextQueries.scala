@@ -3062,10 +3062,111 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** q249 — Heaps' law fit: vocabulary growth V(n) ≈ K·n^β measured
+    * on the corpus itself — the sublinearity constant that sizes
+    * every vocabulary-bounded structure in this engine (the q116/
+    * q120 coverage tables, q129's merge table, q235's hash widths)
+    * as the corpus grows 1000×. Checkpoints are document-count
+    * prefixes in doc_id order over 3-GRAM types (the synthetic corpus'
+    * 31-WORD vocabulary saturates by doc 10 — measured — while the
+    * trigram space keeps growing); a type "appears" at the MIN
+    * doc_id containing it (one keyed agg — never a per-prefix
+    * rescan), so V at each checkpoint is a census filter. β comes from the q220 exact-integer
+    * OLS on the mnat grid over (ln n_tokens, ln V) at the
+    * checkpoints; β < 1 is the sublinearity claim, printed not
+    * assumed.
+    *
+    * Scale: two keyed censuses (first-appearance, per-doc token
+    * counts) + a checkpoint-ladder join (≤10 rows); the OLS is a
+    * 10-row fold. */
+  val q249 = QueryDef(
+    "q249_heaps_law",
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |p AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+      |  FROM t),
+      |w AS (
+      |  SELECT doc_id, toks[CAST(i AS INT)] || '_'
+      |    || toks[CAST(i + 1 AS INT)] || '_'
+      |    || toks[CAST(i + 2 AS INT)] AS w
+      |  FROM p),
+      |fa AS (SELECT w, CAST(MIN(doc_id) AS BIGINT) AS fd FROM w
+      |  GROUP BY 1),
+      |dt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM w
+      |  GROUP BY 1),
+      |ck AS (
+      |  SELECT CAST(unnest([10, 20, 50, 100, 150, 200, 300, 400, 500])
+      |    AS BIGINT) AS cap),
+      |pts AS (
+      |  SELECT ck.cap,
+      |    (SELECT CAST(SUM(nt) AS BIGINT) FROM dt
+      |     WHERE doc_id < ck.cap) AS n_tokens,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM fa
+      |     WHERE fd < ck.cap) AS v
+      |  FROM ck),
+      |xy AS (
+      |  SELECT cap, n_tokens, v,
+      |    ${graft.functions.LangModel.mnatSql("n_tokens")} AS x,
+      |    ${graft.functions.LangModel.mnatSql("v")} AS y
+      |  FROM pts WHERE n_tokens > 0 AND v > 0),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM xy)
+      |SELECT n AS n_checkpoints,
+      |  CAST(FLOOR(1000.0 * (n * sxy - sx * sy)
+      |    / (n * sxx - sx * sx)) AS BIGINT) AS beta_milli,
+      |  CAST(CASE WHEN 1000.0 * (n * sxy - sx * sy)
+      |    / (n * sxx - sx * sx) < 1000 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS sublinear
+      |FROM m WHERE n >= 2 AND n * sxx - sx * sx > 0""".stripMargin) {
+    (s, d) =>
+    import graft.functions.LangModel.mnat
+    val w = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3)," +
+          " i -> concat(toks[i], '_', toks[i+1], '_', toks[i+2]))"))
+        .as("w"))
+    val fa = w.groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+    val dt = w.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    // checkpoint census: each doc/type row explodes into the ≤9 caps
+    // it falls under, then two keyed aggs — never a per-prefix
+    // rescan of the corpus (the q235 literal-ladder pattern)
+    val caps = array(Seq(10L, 20L, 50L, 100L, 150L, 200L, 300L, 400L,
+      500L).map(lit): _*)
+    val nTok = dt.withColumn("cap", explode(caps))
+      .filter(col("doc_id") < col("cap"))
+      .groupBy(col("cap")).agg(sum(col("nt")).as("n_tokens"))
+    val vAt = fa.withColumn("cap", explode(caps))
+      .filter(col("fd") < col("cap"))
+      .groupBy(col("cap")).agg(count(lit(1)).as("v"))
+    val xy = nTok.join(vAt, Seq("cap"))
+      .filter(col("n_tokens") > 0 && col("v") > 0)
+      .select(mnat(col("n_tokens")).as("x"), mnat(col("v")).as("y"))
+    val m = xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    m.filter(col("n") >= 2 &&
+        col("n") * col("sxx") - col("sx") * col("sx") > 0)
+      .select(col("n").as("n_checkpoints"),
+        floor(lit(1000.0) *
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+          .cast("long").as("beta_milli"),
+        (lit(1000.0) *
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) < 1000.0)
+          .cast("long").as("sublinear"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
       q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181,
-      q184, q185, q190, q192, q193, q200, q208, q232, q238)
+      q184, q185, q190, q192, q193, q200, q208, q232, q238, q249)
 }
