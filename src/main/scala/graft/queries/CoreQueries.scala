@@ -3618,11 +3618,186 @@ object CoreQueries {
         col("naive_milli"))
   }
 
+  /** q250 — supplier concentration: Herfindahl–Hirschman index per
+    * supplier nation (the antitrust/marketplace-health statistic —
+    * "is this market a few big players or many small ones"): each
+    * supplier's revenue share of its nation's total in exact ppm,
+    * HHI = Σ share² div 10⁶ (0..10⁶ scale; >2 500 on the classic
+    * 0..10 000 scale = 250 000 here flags "highly concentrated"),
+    * plus the equivalent-competitor count 10¹² div HHI — the
+    * interpretable inverse. All integer.
+    *
+    * Scale: supplier revenue census → nation census → one keyed
+    * join + keyed fold; all map-side combinable. */
+  val q250 = QueryDef(
+    "q250_hhi_concentration",
+    """WITH sr AS (
+      |  SELECT l_suppkey AS sk,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |sn AS (
+      |  SELECT s.s_nationkey AS nat, sr.sk, sr.rev
+      |  FROM sr JOIN supplier s ON sr.sk = s.s_suppkey),
+      |nt AS (SELECT nat, CAST(SUM(rev) AS BIGINT) AS tot FROM sn
+      |  GROUP BY 1),
+      |sh AS (
+      |  SELECT sn.nat, (1000000 * sn.rev) // nt.tot AS share_ppm
+      |  FROM sn JOIN nt ON sn.nat = nt.nat),
+      |h AS (
+      |  SELECT nat, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+      |    CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT)
+      |      AS hhi_ppm
+      |  FROM sh GROUP BY 1)
+      |SELECT nat AS nation, n_suppliers, hhi_ppm,
+      |  CAST(CASE WHEN hhi_ppm > 0 THEN 1000000 // hhi_ppm
+      |    ELSE 0 END AS BIGINT) AS effective_competitors,
+      |  CAST(CASE WHEN hhi_ppm > 250000 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS concentrated
+      |FROM h ORDER BY nation""".stripMargin) { (s, d) =>
+    val sr = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey").as("sk"))
+      .agg(sum(expr(
+        "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+        .as("rev"))
+    val sn = sr.join(Tables.supplier(s, d),
+        col("sk") === col("s_suppkey"))
+      .select(col("s_nationkey").as("nat"), col("sk"), col("rev"))
+    val nt = sn.groupBy(col("nat")).agg(sum(col("rev")).as("tot"))
+    val sh = sn.join(nt, Seq("nat"))
+      .select(col("nat"), expr("(1000000 * rev) div tot")
+        .as("share_ppm"))
+    sh.groupBy(col("nat"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        expr("sum(share_ppm * share_ppm) div 1000000").as("hhi_ppm"))
+      .select(col("nat").as("nation"), col("n_suppliers"),
+        col("hhi_ppm"),
+        when(col("hhi_ppm") > 0, expr("1000000 div hhi_ppm"))
+          .otherwise(0L).as("effective_competitors"),
+        (col("hhi_ppm") > 250000L).cast("long").as("concentrated"))
+      .orderBy(col("nation"))
+  }
+
+  /** q251 — event-time sequencing QA audit: the data-quality checks
+    * that guard every event-time operator in this engine (q14's
+    * sessions, q108's folds, the streaming watermarks): per user,
+    * out-of-order arrivals (event_id order disagreeing with ts
+    * order), exact-duplicate (ts, event_id) rows, and
+    * same-timestamp ties — each a lag-window comparison over the
+    * user's stream, reported as corpus totals plus the worst-5
+    * offending users (bounded output, deterministic ties). An
+    * ingestion pipeline alerts on deltas of these counters between
+    * batches.
+    *
+    * Scale: user-keyed windows (never partition-less), one keyed
+    * census, a global top-5 TakeOrdered. */
+  val q251 = QueryDef(
+    "q251_sequencing_audit",
+    """WITH e AS (
+      |  SELECT user_id AS u, epoch_us(ts) AS t, event_id AS eid
+      |  FROM events WHERE user_id IS NOT NULL),
+      |lg AS (
+      |  SELECT u, t, eid,
+      |    LAG(t) OVER (PARTITION BY u ORDER BY eid) AS pt,
+      |    LAG(t) OVER (PARTITION BY u ORDER BY t, eid) AS ptt,
+      |    LAG(eid) OVER (PARTITION BY u ORDER BY t, eid) AS peid
+      |  FROM e),
+      |f AS (
+      |  SELECT u,
+      |    CAST(SUM(CASE WHEN pt IS NOT NULL AND t < pt
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS ooo,
+      |    CAST(SUM(CASE WHEN ptt IS NOT NULL AND t = ptt AND
+      |      eid = peid THEN 1 ELSE 0 END) AS BIGINT) AS dups,
+      |    CAST(SUM(CASE WHEN ptt IS NOT NULL AND t = ptt AND
+      |      eid <> peid THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM lg GROUP BY 1)
+      |SELECT u AS user_id, n AS n_events, ooo AS out_of_order,
+      |  dups AS duplicates, ties AS ts_ties
+      |FROM f
+      |ORDER BY ooo DESC, u LIMIT 5""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id").as("u"), unix_micros(col("ts")).as("t"),
+        col("event_id").as("eid"))
+    val wEid = Window.partitionBy(col("u")).orderBy(col("eid"))
+    val wTs = Window.partitionBy(col("u")).orderBy(col("t"),
+      col("eid"))
+    val lg = e.withColumn("pt", lag(col("t"), 1).over(wEid))
+      .withColumn("ptt", lag(col("t"), 1).over(wTs))
+      .withColumn("peid", lag(col("eid"), 1).over(wTs))
+    lg.groupBy(col("u"))
+      .agg(sum(when(col("pt").isNotNull && col("t") < col("pt"), 1L)
+          .otherwise(0L)).as("ooo"),
+        sum(when(col("ptt").isNotNull && col("t") === col("ptt") &&
+          col("eid") === col("peid"), 1L).otherwise(0L)).as("dups"),
+        sum(when(col("ptt").isNotNull && col("t") === col("ptt") &&
+          col("eid") =!= col("peid"), 1L).otherwise(0L)).as("ties"),
+        count(lit(1)).as("n"))
+      .select(col("u").as("user_id"), col("n").as("n_events"),
+        col("ooo").as("out_of_order"), col("dups").as("duplicates"),
+        col("ties").as("ts_ties"))
+      .orderBy(col("out_of_order").desc, col("user_id"))
+      .limit(5)
+  }
+
+  /** q252 — classical multiplicative seasonal decomposition
+    * (the ratio-to-moving-average method behind Census X-11's core):
+    * daily total revenue decomposed into trend (7-day CENTERED
+    * moving average — full windows only, so the trend is phase-
+    * neutral) and a day-of-week seasonal index = mean ratio of
+    * actual to trend per weekday. Ratios land on the integer ppm
+    * grid (one div per row), the per-weekday mean on the same grid
+    * — all exact (the q229 census-first discipline); an index of
+    * 10⁶ means "an average day". DOW numbering is pinned to ISO
+    * Monday=1 on both engines.
+    *
+    * Scale: daily census first (calendar-bounded); the centered MA
+    * is ONE window over that census; the index census is a 7-row
+    * keyed agg. */
+  val q252 = QueryDef(
+    "q252_seasonal_index",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |ma AS (
+      |  SELECT day, y,
+      |    CAST(SUM(y) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+      |      AND 3 FOLLOWING) AS BIGINT) AS s7,
+      |    CAST(COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+      |      AND 3 FOLLOWING) AS BIGINT) AS c7
+      |  FROM daily),
+      |r AS (
+      |  SELECT isodow(day) AS dow,
+      |    (1000000 * y) // (s7 // 7) AS ratio_ppm
+      |  FROM ma WHERE c7 = 7 AND s7 >= 7)
+      |SELECT CAST(dow AS BIGINT) AS dow,
+      |  CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) AS index_ppm
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+        .as("y"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val ma = daily
+      .withColumn("s7", sum(col("y")).over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+    ma.filter(col("c7") === 7 && col("s7") >= 7)
+      .select(expr("weekday(day) + 1").as("dow"),
+        expr("(1000000 * y) div (s7 div 7)").as("ratio_ppm"))
+      .groupBy(col("dow").cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(ratio_ppm) div count(1)").as("index_ppm"))
+      .orderBy(col("dow"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
     q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
     q111, q133, q182, q183, q186, q187, q188, q194, q195, q214, q215,
     q216, q217, q218, q220, q221, q222, q225, q229, q231, q233, q236,
-    q237, q240, q241, q242, q243, q245)
+    q237, q240, q241, q242, q243, q245, q250, q251, q252)
 }

@@ -101,7 +101,10 @@ class PlanSpec extends SparkSpec {
       "q193_rrf_fusion",
       // q236's prefix/lag windows run over the acctbal bucket LADDER
       // (≤45 rungs by construction — census-first, the q192 argument)
-      "q236_isotonic_calibration")
+      "q236_isotonic_calibration",
+      // q252's centered-MA window runs over the DAILY census
+      // (calendar-bounded, the q209/q225 argument)
+      "q252_seasonal_index")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => allowed.contains(n) }
       .flatMap { case (name, fn) =>
