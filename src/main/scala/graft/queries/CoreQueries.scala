@@ -3793,11 +3793,320 @@ object CoreQueries {
       .orderBy(col("dow"))
   }
 
+  /** q253 — ABC / Pareto inventory classification (the 80/20 rule
+    * operationalized): parts ranked by revenue, classified A/B/C at
+    * 80%/95% of cumulative share — the stocking-policy census every
+    * inventory system starts from, and the q250 concentration story
+    * at item grain. The cumulative share is the DISTRIBUTED
+    * [[graft.functions.Ranks.prefixSum]] over (revenue desc,
+    * partkey) — never a partition-less window; class cuts are exact
+    * integer comparisons cum·10⁶ vs threshold·total (no division
+    * at all until the report).
+    *
+    * Scale: part revenue census → the Ranks bucket pipeline → keyed
+    * class census. */
+  val q253 = QueryDef(
+    "q253_abc_classification",
+    """WITH pr AS (
+      |  SELECT l_partkey AS pk,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(SUM(rev) AS BIGINT) AS tot FROM pr),
+      |c AS (
+      |  SELECT pk, rev,
+      |    CAST(SUM(rev) OVER (ORDER BY rev DESC, pk) AS BIGINT)
+      |      AS cum
+      |  FROM pr),
+      |cls AS (
+      |  SELECT CASE WHEN 1000000 * c.cum <= 800000 * t.tot THEN 'A'
+      |    WHEN 1000000 * c.cum <= 950000 * t.tot THEN 'B'
+      |    ELSE 'C' END AS cls, c.rev
+      |  FROM c CROSS JOIN t)
+      |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(SUM(rev) AS BIGINT) AS revenue_cents
+      |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val pr = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(expr(
+        "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+        .as("rev"))
+    val t = pr.agg(sum(col("rev")).as("tot"))
+    val c = graft.functions.Ranks.prefixSum(pr,
+      col("rev") * lit(-1L), col("pk"), col("rev"), "cum")
+    c.crossJoin(broadcast(t))
+      .select(when(lit(1000000L) * col("cum") <=
+          lit(800000L) * col("tot"), "A")
+        .when(lit(1000000L) * col("cum") <=
+          lit(950000L) * col("tot"), "B")
+        .otherwise("C").as("cls"), col("rev"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev")).as("revenue_cents"))
+      .orderBy(col("cls"))
+  }
+
+  /** q254 — fulfillment-latency SLA percentiles: order-to-ship delay
+    * in days, p50/p90/p99 per priority as RANK-EXACT order
+    * statistics (position ⌈q·n⌉ via the census-cumsum — the q213
+    * conformal machinery applied to ops latency; never an
+    * interpolated approximation, so both engines agree without a
+    * tolerance), plus the SLA-breach share beyond 100 days in exact
+    * ppm.
+    *
+    * Scale: (priority, delay) census first — the window runs over
+    * the DELAY DOMAIN (≤ date-range days per priority), not rows;
+    * totals broadcast back (the q229 ladder discipline). */
+  val q254 = QueryDef(
+    "q254_latency_percentiles",
+    """WITH dl AS (
+      |  SELECT o.o_orderpriority AS pri,
+      |    CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+      |      AS BIGINT) AS delay
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |cnt AS (
+      |  SELECT pri, delay, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM dl GROUP BY 1, 2),
+      |tot AS (SELECT pri, CAST(SUM(c) AS BIGINT) AS n FROM cnt
+      |  GROUP BY 1),
+      |cum AS (
+      |  SELECT pri, delay,
+      |    CAST(SUM(c) OVER (PARTITION BY pri ORDER BY delay)
+      |      AS BIGINT) AS cc
+      |  FROM cnt),
+      |pct AS (
+      |  SELECT t.pri, t.n,
+      |    MIN(CASE WHEN 100 * cum.cc >= 50 * t.n THEN cum.delay END)
+      |      AS p50,
+      |    MIN(CASE WHEN 100 * cum.cc >= 90 * t.n THEN cum.delay END)
+      |      AS p90,
+      |    MIN(CASE WHEN 100 * cum.cc >= 99 * t.n THEN cum.delay END)
+      |      AS p99
+      |  FROM cum JOIN tot t ON cum.pri = t.pri GROUP BY 1, 2),
+      |br AS (
+      |  SELECT pri, CAST(SUM(CASE WHEN delay > 100 THEN c ELSE 0 END)
+      |    AS BIGINT) AS n_breach
+      |  FROM cnt GROUP BY 1)
+      |SELECT pct.pri AS priority, pct.n AS n_lines,
+      |  CAST(pct.p50 AS BIGINT) AS p50_days,
+      |  CAST(pct.p90 AS BIGINT) AS p90_days,
+      |  CAST(pct.p99 AS BIGINT) AS p99_days,
+      |  (1000000 * br.n_breach) // pct.n AS breach_ppm
+      |FROM pct JOIN br ON pct.pri = br.pri
+      |ORDER BY priority""".stripMargin) { (s, d) =>
+    val dl = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("pri"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("delay"))
+    val cnt = dl.groupBy(col("pri"), col("delay"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("pri")).agg(sum(col("c")).as("n"))
+    val wCum = Window.partitionBy(col("pri")).orderBy(col("delay"))
+    val cum = cnt.withColumn("cc", sum(col("c")).over(wCum))
+    val pct = cum.join(broadcast(tot), Seq("pri"))
+      .groupBy(col("pri"), col("n"))
+      .agg(min(when(lit(100L) * col("cc") >= lit(50L) * col("n"),
+          col("delay"))).as("p50_days"),
+        min(when(lit(100L) * col("cc") >= lit(90L) * col("n"),
+          col("delay"))).as("p90_days"),
+        min(when(lit(100L) * col("cc") >= lit(99L) * col("n"),
+          col("delay"))).as("p99_days"))
+    val br = cnt.groupBy(col("pri"))
+      .agg(sum(when(col("delay") > 100L, col("c")).otherwise(0L))
+        .as("n_breach"))
+    pct.join(br, Seq("pri"))
+      .select(col("pri").as("priority"), col("n").as("n_lines"),
+        col("p50_days"), col("p90_days"), col("p99_days"),
+        expr("(1000000 * n_breach) div n").as("breach_ppm"))
+      .orderBy(col("priority"))
+  }
+
+  /** q255 — new-vs-returning weekly revenue decomposition (the
+    * standard growth-accounting split: is revenue growth acquisition
+    * or retention?): a customer's FIRST-ever order week marks them
+    * new for that week, returning after — the first-order census is
+    * one keyed min (the q222 cohort anchor), the weekly split a
+    * conditional keyed agg, shares in exact ppm. Weeks are pinned
+    * to epoch-day // 7 (no engine-specific week-of-year semantics
+    * to disagree over).
+    *
+    * Scale: two keyed censuses, one broadcastable first-order
+    * frame; calendar-bounded output. */
+  val q255 = QueryDef(
+    "q255_new_vs_returning",
+    """WITH fo AS (
+      |  SELECT o_custkey AS ck, MIN(o_orderdate) AS fd
+      |  FROM orders GROUP BY 1),
+      |o AS (
+      |  SELECT o.o_custkey AS ck,
+      |    date_diff('day', DATE '1995-01-01',
+      |      CAST(o.o_orderdate AS DATE)) // 7 AS wk,
+      |    CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    CASE WHEN date_diff('day', DATE '1995-01-01',
+      |        CAST(o.o_orderdate AS DATE)) // 7
+      |      = date_diff('day', DATE '1995-01-01',
+      |        CAST(fo.fd AS DATE)) // 7
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM orders o JOIN fo ON o.o_custkey = fo.ck),
+      |w AS (
+      |  SELECT wk, CAST(SUM(is_new) AS BIGINT) AS new_orders,
+      |    CAST(COUNT(*) - SUM(is_new) AS BIGINT) AS ret_orders,
+      |    CAST(SUM(CASE WHEN is_new = 1 THEN cents ELSE 0 END)
+      |      AS BIGINT) AS new_cents,
+      |    CAST(SUM(CASE WHEN is_new = 0 THEN cents ELSE 0 END)
+      |      AS BIGINT) AS ret_cents
+      |  FROM o GROUP BY 1)
+      |SELECT CAST(wk AS BIGINT) AS week, new_orders, ret_orders,
+      |  new_cents, ret_cents,
+      |  (1000000 * new_cents) // (new_cents + ret_cents)
+      |    AS new_share_ppm
+      |FROM w WHERE new_cents + ret_cents > 0
+      |ORDER BY week LIMIT 30""".stripMargin) { (s, d) =>
+    val fo = Tables.orders(s, d).groupBy(col("o_custkey").as("ck"))
+      .agg(min(col("o_orderdate")).as("fd"))
+    def wkOf(e: String) =
+      s"cast(datediff(cast($e as date), date'1995-01-01') as bigint)" +
+        " div 7"
+    val o = Tables.orders(s, d)
+      .join(fo, col("o_custkey") === col("ck"))
+      .select(expr(wkOf("o_orderdate")).as("wk"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+          .as("cents"),
+        (expr(wkOf("o_orderdate")) === expr(wkOf("fd"))).cast("long")
+          .as("is_new"))
+    o.groupBy(col("wk"))
+      .agg(sum(col("is_new")).as("new_orders"),
+        (count(lit(1)) - sum(col("is_new"))).as("ret_orders"),
+        sum(when(col("is_new") === 1, col("cents")).otherwise(0L))
+          .as("new_cents"),
+        sum(when(col("is_new") === 0, col("cents")).otherwise(0L))
+          .as("ret_cents"))
+      .filter(col("new_cents") + col("ret_cents") > 0)
+      .select(col("wk").as("week"), col("new_orders"),
+        col("ret_orders"), col("new_cents"), col("ret_cents"),
+        expr("(1000000 * new_cents) div (new_cents + ret_cents)")
+          .as("new_share_ppm"))
+      .orderBy(col("week"))
+      .limit(30)
+  }
+
+  /** q256 — EWMA control chart (Roberts 1959) over each priority's
+    * daily revenue: the small-shift drift detector next to q215's
+    * CUSUM (CUSUM localizes ONE changepoint; the EWMA chart flags
+    * every out-of-control day against in-control limits). λ = 1/5
+    * makes the chart EXACTLY integer twice over: the recurrence
+    * z_t = (1000·y_t + 4·z_{t−1})/5 is a non-negative floor division
+    * (revenue ≥ 0, so Spark's truncating `div` and DuckDB's flooring
+    * `//` agree with no sign offset), and the asymptotic 3σ limits
+    * μ ± 3σ·√(λ/(2−λ)) collapse to μ ± σ because λ/(2−λ) = 1/9 —
+    * the √ cancels, so the breach test is one integer comparison
+    * (z_δ − μ_δ)² > Var_δ on the dollars grid (cents² would overflow
+    * 2⁶³ in n·Σy² at sf0.1; the grid coarsens with scale, the q233
+    * composed-grid discipline). Chart seeded at the in-control mean
+    * (z₀ = μ, textbook), so every day is a monitored step. The fold
+    * carries (z, breaches, first-breach) — a recurrence no window
+    * frame expresses (the q108/q225 argument); the oracle replays the
+    * same integer sequence as a recursive CTE.
+    *
+    * Scale: daily census = map-side-combinable keyed agg; per-series
+    * fold state is O(1) over ≤ date-range elements — 100 TB adds
+    * weight per day, not days. Moments for μ/Var ride the same
+    * census pass. */
+  val q256 = QueryDef(
+    "q256_ewma_control",
+    """WITH RECURSIVE daily AS (
+      |  SELECT o_orderpriority AS pri, o_orderdate AS day,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS y
+      |  FROM orders GROUP BY 1, 2),
+      |obs AS (
+      |  SELECT pri, ROW_NUMBER() OVER (PARTITION BY pri ORDER BY day)
+      |    AS idx, y, y // 100 AS yd
+      |  FROM daily),
+      |mom AS (
+      |  SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS s,
+      |    CAST(SUM(yd) AS BIGINT) AS sd,
+      |    CAST(SUM(yd * yd) AS BIGINT) AS qd
+      |  FROM obs GROUP BY 1),
+      |lim AS (
+      |  SELECT pri, n, s, (1000 * s) // n AS mu_milli,
+      |    sd // n AS mu_d, (n * qd - sd * sd) // (n * n) AS var_d
+      |  FROM mom WHERE n >= 2),
+      |st AS (
+      |  SELECT l.pri, CAST(0 AS BIGINT) AS idx, l.mu_milli AS z,
+      |    CAST(0 AS BIGINT) AS br, CAST(0 AS BIGINT) AS fb
+      |  FROM lim l
+      |  UNION ALL
+      |  SELECT st.pri, o.idx,
+      |    CAST((1000 * o.y + 4 * st.z) // 5 AS BIGINT) AS z,
+      |    CAST(st.br + CASE WHEN
+      |      (((1000 * o.y + 4 * st.z) // 5) // 100000 - l.mu_d)
+      |      * (((1000 * o.y + 4 * st.z) // 5) // 100000 - l.mu_d)
+      |      > l.var_d THEN 1 ELSE 0 END AS BIGINT) AS br,
+      |    CAST(CASE WHEN st.fb = 0 AND
+      |      (((1000 * o.y + 4 * st.z) // 5) // 100000 - l.mu_d)
+      |      * (((1000 * o.y + 4 * st.z) // 5) // 100000 - l.mu_d)
+      |      > l.var_d THEN o.idx ELSE st.fb END AS BIGINT) AS fb
+      |  FROM st JOIN obs o ON o.pri = st.pri AND o.idx = st.idx + 1
+      |    JOIN lim l ON l.pri = st.pri)
+      |SELECT l.pri AS priority, l.n AS n_days,
+      |  CAST(l.s // l.n AS BIGINT) AS mu_cents,
+      |  CAST(l.var_d AS BIGINT) AS var_dollars,
+      |  CAST(st.z // 1000 AS BIGINT) AS ewma_cents,
+      |  st.br AS n_breach, st.fb AS first_breach_idx,
+      |  CAST((1000000 * st.br) // l.n AS BIGINT) AS breach_ppm
+      |FROM st JOIN lim l ON st.pri = l.pri AND st.idx = l.n
+      |ORDER BY priority""".stripMargin) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("pri"),
+        col("o_orderdate").as("day"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+        .as("y"))
+    daily
+      .select(col("pri"), struct(col("day"), col("y")).as("rec"),
+        col("y"), expr("y div 100").as("yd"))
+      .groupBy(col("pri"))
+      .agg(sort_array(collect_list(col("rec"))).as("recs"),
+        count(lit(1)).as("n"), sum(col("y")).as("s"),
+        sum(col("yd")).as("sd"),
+        sum(col("yd") * col("yd")).as("qd"))
+      .filter(col("n") >= 2)
+      .withColumn("mu_milli", expr("(1000L * s) div n"))
+      .withColumn("mu_d", expr("sd div n"))
+      .withColumn("var_d", expr("(n * qd - sd * sd) div (n * n)"))
+      .withColumn("st", expr(
+        """aggregate(
+          |  recs,
+          |  named_struct('z', mu_milli, 'br', 0L, 'fb', 0L, 't', 0L),
+          |  (acc, x) -> named_struct(
+          |    'z', (1000L * x.y + 4L * acc.z) div 5,
+          |    'br', acc.br + if(
+          |      (((1000L * x.y + 4L * acc.z) div 5) div 100000L - mu_d)
+          |      * (((1000L * x.y + 4L * acc.z) div 5) div 100000L - mu_d)
+          |      > var_d, 1L, 0L),
+          |    'fb', if(acc.fb = 0L AND
+          |      (((1000L * x.y + 4L * acc.z) div 5) div 100000L - mu_d)
+          |      * (((1000L * x.y + 4L * acc.z) div 5) div 100000L - mu_d)
+          |      > var_d, acc.t + 1L, acc.fb),
+          |    't', acc.t + 1L))
+          |""".stripMargin))
+      .select(col("pri").as("priority"), col("n").as("n_days"),
+        expr("s div n").as("mu_cents"), col("var_d").as("var_dollars"),
+        expr("st.z div 1000").as("ewma_cents"),
+        col("st.br").as("n_breach"),
+        col("st.fb").as("first_breach_idx"),
+        expr("(1000000L * st.br) div n").as("breach_ppm"))
+      .orderBy(col("priority"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
     q61, q62, q63, q64, q65, q68, q69, q72, q74, q75, q78, q80, q81, q108,
     q111, q133, q182, q183, q186, q187, q188, q194, q195, q214, q215,
     q216, q217, q218, q220, q221, q222, q225, q229, q231, q233, q236,
-    q237, q240, q241, q242, q243, q245, q250, q251, q252)
+    q237, q240, q241, q242, q243, q245, q250, q251, q252, q253, q254,
+    q255, q256)
 }

@@ -3574,11 +3574,118 @@ object PipelineQueries {
       .orderBy(col("hour"))
   }
 
+  /** q258 — t-closeness census (Li, Li & Venkatasubramanian 2007)
+    * over an ORDERED sensitive attribute: the third rung of the
+    * privacy ladder after q206's k-anonymity (class size) and q227's
+    * l-diversity (within-class variety) — a class can be large AND
+    * diverse yet still leak because its sensitive DISTRIBUTION sits
+    * far from the table's (e.g. "every customer in this class is a
+    * high spender"). Distance is the 1-D Earth-Mover's Distance over
+    * the total-spend rung ladder, which for integer rungs of width 1
+    * is exactly Σ_r |CumP(r) − CumQ(r)| / (k−1) — every term an
+    * integer once cross-multiplied: |cumc·N − cumg·n_c|, summed over
+    * the FULL rung domain 0..maxr (constant cumdiff between observed
+    * rungs is handled by enumerating every integer rung — the domain
+    * is spend-bounded, ≤ a few dozen rungs). The t = 0.2 gate is the
+    * exact integer comparison 5·Σ > (k−1)·n_c·N; emd_ppm reported
+    * alongside.
+    *
+    * Scale: one keyed spend census, one ≤|classes|·|rungs| exploded
+    * grid (both factors DOMAIN-bounded — 100 TB adds weight per rung,
+    * not rungs), cumsums partitioned by class over the rung domain.
+    * The only broadcast is the one-row max-rung frame. */
+  val q258 = QueryDef(
+    "q258_t_closeness",
+    """WITH sp AS (
+      |  SELECT c.c_nationkey AS nat, c.c_mktsegment AS seg,
+      |    COALESCE(s.v, 0) // 20000000 AS r
+      |  FROM customer c LEFT JOIN (
+      |    SELECT o_custkey,
+      |      CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |        AS BIGINT) AS v
+      |    FROM orders GROUP BY 1) s ON c.c_custkey = s.o_custkey),
+      |mx AS (SELECT CAST(MAX(r) AS BIGINT) AS maxr FROM sp),
+      |cls AS (
+      |  SELECT nat, seg, CAST(COUNT(*) AS BIGINT) AS n_c
+      |  FROM sp GROUP BY 1, 2),
+      |cv AS (
+      |  SELECT nat, seg, r, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM sp GROUP BY 1, 2, 3),
+      |gv AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS g FROM sp
+      |  GROUP BY 1),
+      |grid AS (
+      |  SELECT cls.nat, cls.seg, cls.n_c,
+      |    UNNEST(generate_series(0, mx.maxr)) AS r
+      |  FROM cls CROSS JOIN mx),
+      |cum AS (
+      |  SELECT grid.nat, grid.seg, grid.n_c, grid.r,
+      |    CAST(SUM(COALESCE(cv.c, 0)) OVER (PARTITION BY grid.nat,
+      |      grid.seg ORDER BY grid.r) AS BIGINT) AS cumc,
+      |    CAST(SUM(COALESCE(gv.g, 0)) OVER (PARTITION BY grid.nat,
+      |      grid.seg ORDER BY grid.r) AS BIGINT) AS cumg
+      |  FROM grid
+      |  LEFT JOIN cv ON grid.nat = cv.nat AND grid.seg = cv.seg
+      |    AND grid.r = cv.r
+      |  LEFT JOIN gv ON grid.r = gv.r),
+      |agg AS (
+      |  SELECT nat, seg, n_c,
+      |    CAST(SUM(ABS(cumc * (SELECT SUM(g) FROM gv)
+      |      - cumg * n_c)) AS BIGINT) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM cum GROUP BY 1, 2, 3)
+      |SELECT nat, seg, n_c,
+      |  CAST((1000000 * s) // ((k - 1) * n_c
+      |    * (SELECT SUM(g) FROM gv)) AS BIGINT) AS emd_ppm,
+      |  CAST(CASE WHEN 5 * s > (k - 1) * n_c
+      |    * (SELECT SUM(g) FROM gv) THEN 1 ELSE 0 END AS BIGINT)
+      |    AS t02_violation
+      |FROM agg WHERE k >= 2 ORDER BY nat, seg""".stripMargin) {
+    (s, d) =>
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+        .as("v"))
+    val sp = Tables.customer(s, d)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("coalesce(v, 0L) div 20000000L").as("r"))
+    val mx = sp.agg(max(col("r")).as("maxr"))
+    val cls = sp.groupBy(col("nat"), col("seg"))
+      .agg(count(lit(1)).as("n_c"))
+    val cv = sp.groupBy(col("nat"), col("seg"), col("r"))
+      .agg(count(lit(1)).as("c"))
+    val gv = sp.groupBy(col("r")).agg(count(lit(1)).as("g"))
+    val bigN = sp.agg(count(lit(1)).as("bigN"))
+    val grid = cls.crossJoin(broadcast(mx))
+      .select(col("nat"), col("seg"), col("n_c"),
+        explode(expr("sequence(0L, maxr)")).as("r"))
+    val w = Window.partitionBy(col("nat"), col("seg"))
+      .orderBy(col("r"))
+    val cum = grid
+      .join(cv, Seq("nat", "seg", "r"), "left")
+      .join(gv, Seq("r"), "left")
+      .withColumn("cumc", sum(coalesce(col("c"), lit(0L))).over(w))
+      .withColumn("cumg", sum(coalesce(col("g"), lit(0L))).over(w))
+    cum.crossJoin(broadcast(bigN))
+      .groupBy(col("nat"), col("seg"), col("n_c"), col("bigN"))
+      .agg(sum(abs(col("cumc") * col("bigN") - col("cumg")
+          * col("n_c"))).as("s"),
+        count(lit(1)).as("k"))
+      .filter(col("k") >= 2)
+      .select(col("nat"), col("seg"), col("n_c"),
+        expr("(1000000L * s) div ((k - 1) * n_c * bigN)")
+          .as("emd_ppm"),
+        (lit(5L) * col("s") > (col("k") - 1) * col("n_c")
+          * col("bigN")).cast("long").as("t02_violation"))
+      .orderBy(col("nat"), col("seg"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q85, q86, q87, q88, q89, q90, q92, q96, q97, q98, q99,
       q100, q101, q102, q105, q106, q116, q117, q118, q119, q120,
       q121, q122, q123, q124, q126, q129, q130, q132, q136, q138, q139,
       q141, q143, q146, q148, q149, q150, q152, q153, q157, q158, q159, q191,
       q160, q162, q163, q166, q167, q168, q170, q171, q205, q206, q209,
-      q210, q211, q212, q213, q227, q235, q247, q248)
+      q210, q211, q212, q213, q227, q235, q247, q248, q258)
 }

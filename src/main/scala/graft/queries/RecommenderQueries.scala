@@ -1084,7 +1084,75 @@ object RecommenderQueries {
       .limit(25)
   }
 
+  /** q257 — HITS hubs & authorities (Kleinberg 1999) on the bipartite
+    * customer→part purchase graph: the OTHER classic link-analysis
+    * scorer next to q82's PageRank — an authority is a part bought by
+    * strong hubs (broad, well-connected buyers), a hub a customer who
+    * buys strong authorities; the mutual recursion is exactly the
+    * alternating I/O operation pair. 1.5 rounds unrolled (a¹ → h¹ →
+    * a²), each score snapped to the micro grid by dividing by the
+    * round's max (10⁶·a div max — the q82 integer-iteration
+    * discipline with max-normalization instead of degree division),
+    * so every round's inputs are exact integers and DuckDB's mirrored
+    * CTE chain reproduces each snap bit-for-bit.
+    *
+    * Scale: each half-round is ONE keyed agg over the distinct edge
+    * set (map-side combinable) + one broadcast one-row max frame —
+    * no per-node state beyond the score frame, no all-pairs
+    * anything; 100 TB grows edge weight, not the round count. */
+  val q257 = QueryDef(
+    "q257_hits_authority",
+    """WITH e AS (
+      |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |a1 AS (
+      |  SELECT p, CAST(1000000 * COUNT(*) AS BIGINT) AS a
+      |  FROM e GROUP BY 1),
+      |am1 AS (SELECT CAST(MAX(a) AS BIGINT) AS m FROM a1),
+      |a1n AS (
+      |  SELECT p, CAST((1000000 * a) // am1.m AS BIGINT) AS a
+      |  FROM a1 CROSS JOIN am1),
+      |h1 AS (
+      |  SELECT e.u, CAST(SUM(a1n.a) AS BIGINT) AS h
+      |  FROM e JOIN a1n ON e.p = a1n.p GROUP BY 1),
+      |hm1 AS (SELECT CAST(MAX(h) AS BIGINT) AS m FROM h1),
+      |h1n AS (
+      |  SELECT u, CAST((1000000 * h) // hm1.m AS BIGINT) AS h
+      |  FROM h1 CROSS JOIN hm1),
+      |a2 AS (
+      |  SELECT e.p, CAST(SUM(h1n.h) AS BIGINT) AS a,
+      |    CAST(COUNT(*) AS BIGINT) AS n_buyers
+      |  FROM e JOIN h1n ON e.u = h1n.u GROUP BY 1),
+      |am2 AS (SELECT CAST(MAX(a) AS BIGINT) AS m FROM a2)
+      |SELECT p AS part, n_buyers,
+      |  CAST((1000000 * a2.a) // am2.m AS BIGINT) AS authority_micro
+      |FROM a2 CROSS JOIN am2
+      |ORDER BY authority_micro DESC, part LIMIT 25""".stripMargin) {
+    (s, d) =>
+    val e = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
+      .distinct()
+    val a1 = e.groupBy(col("p"))
+      .agg((lit(1000000L) * count(lit(1))).as("a"))
+    val a1n = a1.crossJoin(broadcast(a1.agg(max(col("a")).as("m"))))
+      .select(col("p"), expr("(1000000L * a) div m").as("a"))
+    val h1 = e.join(a1n, Seq("p"))
+      .groupBy(col("u")).agg(sum(col("a")).as("h"))
+    val h1n = h1.crossJoin(broadcast(h1.agg(max(col("h")).as("m"))))
+      .select(col("u"), expr("(1000000L * h) div m").as("h"))
+    val a2 = e.join(h1n, Seq("u"))
+      .groupBy(col("p"))
+      .agg(sum(col("h")).as("a"), count(lit(1)).as("n_buyers"))
+    a2.crossJoin(broadcast(a2.agg(max(col("a")).as("m"))))
+      .select(col("p").as("part"), col("n_buyers"),
+        expr("(1000000L * a) div m").as("authority_micro"))
+      .orderBy(col("authority_micro").desc, col("part"))
+      .limit(25)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q36, q37, q45, q45b, q82, q161, q189, q219, q223, q224, q228,
-      q230, q239, q244, q246)
+      q230, q239, q244, q246, q257)
 }

@@ -200,7 +200,10 @@ class PlanSpec extends SparkSpec {
       "q237_shapley_attribution" -> "one-row attribution-total frame",
       "q238_quantile_normalization" -> "one-row pooled-count frame",
       "q242_autocorrelation" -> "one-row series-moment frames",
-      "q245_cem_att" -> "one-row naive-difference frame")
+      "q245_cem_att" -> "one-row naive-difference frame",
+      "q253_abc_classification" -> "one-row revenue-total frame",
+      "q257_hits_authority" -> "one-row per-round max frames",
+      "q258_t_closeness" -> "one-row max-rung and total-count frames")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
