@@ -4101,6 +4101,353 @@ object CoreQueries {
       .orderBy(col("priority"))
   }
 
+  /** q259 — Holt–Winters-style seasonal forecast of global daily
+    * revenue, by decomposition: additive day-of-week components from
+    * the centered 7-day moving average (the q252 decomposition in
+    * ADDITIVE form — detrended residual means per dow), Holt
+    * level+trend fold (the q225 recurrence, α=1/5, β=1/10) over the
+    * DESEASONALIZED series, then a 7-day forecast that re-adds each
+    * target date's seasonal component — the classic HW additive
+    * triple in its decomposition form, where every stage stays on the
+    * integer milli grid. Detrended residuals and trend go NEGATIVE,
+    * so every division is the q225 sign-safe offset floor-division
+    * ((x + n·10¹⁵)//n − 10¹⁵ — truncating Spark `div` and flooring
+    * DuckDB `//` agree on provably-positive numerators). In-sample
+    * one-step MAE of the seasonalized fit reported alongside.
+    *
+    * Scale: daily census (map-side combinable) → calendar-bounded
+    * windows and a single O(1)-state fold over ≤ date-range elements;
+    * the dow component table is a 7-row broadcast. 100 TB adds
+    * weight per day, not days. */
+  val q259 = QueryDef(
+    "q259_holt_winters",
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |ma AS (
+      |  SELECT day, y,
+      |    CAST(SUM(y) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+      |      AND 3 FOLLOWING) AS BIGINT) AS s7,
+      |    CAST(COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+      |      AND 3 FOLLOWING) AS BIGINT) AS c7
+      |  FROM daily),
+      |sd AS (
+      |  SELECT isodow(day) - 1 AS dw,
+      |    CAST((SUM(1000 * y - 1000 * (s7 // 7))
+      |      + COUNT(*) * 1000000000000000) // COUNT(*)
+      |      - 1000000000000000 AS BIGINT) AS s
+      |  FROM ma WHERE c7 = 7 GROUP BY 1),
+      |obs AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY d.day) AS idx, d.day,
+      |    CAST(1000 * d.y - sd.s AS BIGINT) AS yp, sd.s
+      |  FROM daily d JOIN sd ON isodow(d.day) - 1 = sd.dw),
+      |n AS (SELECT CAST(MAX(idx) AS BIGINT) AS n,
+      |  MAX(day) AS last_day FROM obs),
+      |st AS (
+      |  SELECT CAST(1 AS BIGINT) AS idx, yp AS l,
+      |    CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS sae
+      |  FROM obs WHERE idx = 1
+      |  UNION ALL
+      |  SELECT o.idx,
+      |    CAST((o.yp + 4 * (st.l + st.b) + 5000000000000000) // 5
+      |      - 1000000000000000 AS BIGINT) AS l,
+      |    CAST(((o.yp + 4 * (st.l + st.b) + 5000000000000000) // 5
+      |        - 1000000000000000 - st.l + 9 * st.b
+      |        + 10000000000000000) // 10 - 1000000000000000 AS BIGINT)
+      |      AS b,
+      |    CAST(st.sae + ABS(o.yp - (st.l + st.b)) AS BIGINT) AS sae
+      |  FROM st JOIN obs o ON o.idx = st.idx + 1),
+      |fin AS (
+      |  SELECT st.l, st.b, st.sae, n.n, n.last_day
+      |  FROM st JOIN n ON st.idx = n.n),
+      |h AS (SELECT UNNEST(generate_series(1, 7)) AS h)
+      |SELECT CAST(h.h AS BIGINT) AS h,
+      |  CAST(isodow(fin.last_day + CAST(h.h AS INTEGER)) - 1
+      |    AS BIGINT) AS dow,
+      |  sd.s AS seasonal_milli,
+      |  CAST((fin.l + h.h * fin.b + sd.s + 1000000000000000000) // 1000
+      |    - 1000000000000000 AS BIGINT) AS forecast_cents,
+      |  CAST(fin.sae // (fin.n - 1) AS BIGINT) AS mae_milli
+      |FROM h CROSS JOIN fin
+      |JOIN sd ON sd.dw = isodow(fin.last_day
+      |  + CAST(h.h AS INTEGER)) - 1
+      |WHERE fin.n >= 14
+      |ORDER BY h""".stripMargin) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+        .as("y"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val ma = daily
+      .withColumn("s7", sum(col("y")).over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+    val sd = ma.filter(col("c7") === 7)
+      .groupBy(expr("weekday(day)").as("dw"))
+      .agg(expr(
+        """(sum(1000L * y - 1000L * (s7 div 7))
+          | + count(1) * 1000000000000000L) div count(1)
+          | - 1000000000000000L""".stripMargin).as("s"))
+    val obs = daily.join(broadcast(sd),
+        expr("weekday(day)") === col("dw"))
+      .select(col("day"),
+        (lit(1000L) * col("y") - col("s")).as("yp"))
+    val folded = obs
+      .select(struct(col("day"), col("yp")).as("rec"), col("day"))
+      .agg(sort_array(collect_list(col("rec"))).as("recs"),
+        count(lit(1)).as("n"), max(col("day")).as("last_day"))
+      .filter(col("n") >= 14)
+      .withColumn("st", expr(
+        """aggregate(
+          |  slice(recs, 2, size(recs) - 1),
+          |  named_struct('l', recs[0].yp, 'b', 0L, 'sae', 0L),
+          |  (acc, x) -> named_struct(
+          |    'l', (x.yp + 4L * (acc.l + acc.b)
+          |          + 5000000000000000L) div 5 - 1000000000000000L,
+          |    'b', ((x.yp + 4L * (acc.l + acc.b)
+          |           + 5000000000000000L) div 5 - 1000000000000000L
+          |          - acc.l + 9L * acc.b + 10000000000000000L) div 10
+          |         - 1000000000000000L,
+          |    'sae', acc.sae + abs(x.yp - (acc.l + acc.b))))
+          |""".stripMargin))
+    folded
+      .select(explode(expr("sequence(1L, 7L)")).as("h"),
+        col("st.l").as("l"), col("st.b").as("b"),
+        col("st.sae").as("sae"), col("n"), col("last_day"))
+      .withColumn("dow",
+        expr("cast(weekday(date_add(last_day, cast(h as int))) as bigint)"))
+      .join(broadcast(sd), col("dow") === col("dw"))
+      .select(col("h"),
+        col("dow"), col("s").as("seasonal_milli"),
+        expr("""(l + h * b + s + 1000000000000000000L) div 1000
+          | - 1000000000000000L""".stripMargin).as("forecast_cents"),
+        expr("sae div (n - 1)").as("mae_milli"))
+      .orderBy(col("h"))
+  }
+
+  /** q260 — sequential-pattern census (GSP/PrefixSpan semantics,
+    * Srikant & Agrawal 1996) over per-user event streams: which
+    * ORDERED behaviors actually recur — "error then purchase"? — with
+    * support (distinct users containing the subsequence) and lift
+    * against independence. The pair stage needs NO quadratic
+    * within-user join: user u supports a→b iff FIRST(a) < LAST(b) in
+    * u's stream (a subsequence exists iff the earliest a precedes the
+    * latest b — works for a=b too, where it means two distinct
+    * events), so support is a join of the per-(user,type) first/last
+    * census with itself — ≤|types|² combos per user. Triples a→b→c
+    * extend by ONE existence probe: some b-event strictly inside
+    * (first(a), last(c)) — a semi-join of the bounded pair frame
+    * against the type-b events. Lift is exact ppm: pair
+    * 10⁶·N·s_ab/(s_a·s_b), triple 10⁶·N·s_abc/(s_ab·s_c).
+    *
+    * Scale: the census is one keyed agg (map-side combinable); the
+    * pair frame is |users|·|types|² rows max — alphabet-bounded, not
+    * data-bounded; the triple probe is an equi-join on user_id with a
+    * range predicate, never all-pairs. 100 TB grows the census
+    * weights, not the pattern space. */
+  val q260 = QueryDef(
+    "q260_sequential_patterns",
+    """WITH fl AS (
+      |  SELECT user_id AS u, event_type AS t,
+      |    MIN(ts) AS f, MAX(ts) AS l
+      |  FROM events GROUP BY 1, 2),
+      |n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+      |  FROM events),
+      |s1 AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS s FROM fl
+      |  GROUP BY 1),
+      |p2 AS (
+      |  SELECT a.u, a.t AS ta, b.t AS tb, a.f AS fa, b.l AS lb
+      |  FROM fl a JOIN fl b ON a.u = b.u
+      |  WHERE a.f < b.l),
+      |s2 AS (
+      |  SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS s
+      |  FROM p2 GROUP BY 1, 2),
+      |s3 AS (
+      |  SELECT p2.ta, m.t AS tm, p2.tb,
+      |    CAST(COUNT(DISTINCT p2.u) AS BIGINT) AS s
+      |  FROM p2 JOIN (SELECT DISTINCT user_id AS u, event_type AS t,
+      |      ts FROM events) m
+      |    ON p2.u = m.u AND m.ts > p2.fa AND m.ts < p2.lb
+      |  GROUP BY 1, 2, 3),
+      |pairs AS (
+      |  SELECT 2 AS lvl, s2.ta || '>' || s2.tb AS pattern, s2.s,
+      |    (1000000 * n.n * s2.s) // (sa.s * sb.s) AS lift_ppm
+      |  FROM s2 JOIN s1 sa ON s2.ta = sa.t JOIN s1 sb ON s2.tb = sb.t
+      |  CROSS JOIN n),
+      |triples AS (
+      |  SELECT 3 AS lvl,
+      |    s3.ta || '>' || s3.tm || '>' || s3.tb AS pattern, s3.s,
+      |    (1000000 * n.n * s3.s) // (s2.s * s1.s) AS lift_ppm
+      |  FROM s3 JOIN s2 ON s3.ta = s2.ta AND s3.tm = s2.tb
+      |  JOIN s1 ON s3.tb = s1.t CROSS JOIN n)
+      |SELECT CAST(lvl AS BIGINT) AS lvl, pattern,
+      |  CAST(s AS BIGINT) AS support_users,
+      |  CAST(lift_ppm AS BIGINT) AS lift_ppm
+      |FROM (SELECT * FROM pairs UNION ALL SELECT * FROM triples)
+      |ORDER BY lvl, support_users DESC, pattern""".stripMargin) {
+    (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id").as("u"), col("event_type").as("t"),
+        col("ts"))
+    val fl = ev.groupBy(col("u"), col("t"))
+      .agg(min(col("ts")).as("f"), max(col("ts")).as("l"))
+    val nUsers = ev.agg(countDistinct(col("u")).as("n"))
+    val s1 = fl.groupBy(col("t")).agg(count(lit(1)).as("s"))
+    val p2 = fl.as("a").join(fl.as("b"), col("a.u") === col("b.u"))
+      .filter(col("a.f") < col("b.l"))
+      .select(col("a.u").as("u"), col("a.t").as("ta"),
+        col("b.t").as("tb"), col("a.f").as("fa"), col("b.l").as("lb"))
+    val s2 = p2.groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("s"))
+    val mids = ev.select(col("u"), col("t").as("tm"), col("ts"))
+      .distinct()
+    val s3 = p2.join(mids,
+        p2("u") === mids("u") && col("ts") > col("fa") &&
+          col("ts") < col("lb"))
+      .groupBy(col("ta"), col("tm"), col("tb"))
+      .agg(countDistinct(p2("u")).as("s"))
+    val pairs = s2
+      .join(broadcast(s1.select(col("t").as("ta"), col("s").as("sa"))),
+        Seq("ta"))
+      .join(broadcast(s1.select(col("t").as("tb"), col("s").as("sb"))),
+        Seq("tb"))
+      .crossJoin(broadcast(nUsers))
+      .select(lit(2L).as("lvl"),
+        concat(col("ta"), lit(">"), col("tb")).as("pattern"),
+        col("s").as("support_users"),
+        expr("(1000000L * n * s) div (sa * sb)").as("lift_ppm"))
+    val triples = s3
+      .join(s2.select(col("ta"), col("tb").as("tm"),
+        col("s").as("sab")), Seq("ta", "tm"))
+      .join(broadcast(s1.select(col("t").as("tb"), col("s").as("sc"))),
+        Seq("tb"))
+      .crossJoin(broadcast(nUsers))
+      .select(lit(3L).as("lvl"),
+        concat(col("ta"), lit(">"), col("tm"), lit(">"), col("tb"))
+          .as("pattern"),
+        col("s").as("support_users"),
+        expr("(1000000L * n * s) div (sab * sc)").as("lift_ppm"))
+    pairs.unionByName(triples)
+      .orderBy(col("lvl"), col("support_users").desc, col("pattern"))
+  }
+
+  /** q261 — difference-in-differences estimator (Card & Krueger
+    * form): the panel-causal workhorse next to q245's CEM matching —
+    * treated group = AUTOMOBILE/BUILDING-segment customers, policy
+    * date 1997-01-01, outcome = order value. DiD = (T,post − T,pre) −
+    * (C,post − C,pre) over milli-cent snapped cell means (four
+    * map-side-combinable cell censuses; the snap makes the estimator
+    * one exact integer expression), with the z-statistic from pooled
+    * per-cell variances on the DOLLARS grid (cents² would overflow
+    * n·Σy² at sf0.1 — the q256 grid-coarsening discipline); the
+    * single float sqrt is the last operation, mirrored verbatim in
+    * the oracle (the q246 contract). On randomized TPC-H data the
+    * truth is NO effect — DiD ≈ 0 within noise is the honest null
+    * that proves the estimator doesn't invent effects, exactly the
+    * q245 naive-vs-ATT argument.
+    *
+    * Scale: one scan, one 4-cell keyed agg. Nothing grows with data
+    * but the cell weights. */
+  val q261 = QueryDef(
+    "q261_diff_in_diff",
+    """WITH o AS (
+      |  SELECT CASE WHEN c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+      |      THEN 1 ELSE 0 END AS treat,
+      |    CASE WHEN o.o_orderdate >= TIMESTAMP '1997-01-01'
+      |      THEN 1 ELSE 0 END AS post,
+      |    CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |cells AS (
+      |  SELECT treat, post, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(cents) AS BIGINT) AS s,
+      |    CAST(SUM((cents // 100) * (cents // 100)) AS BIGINT) AS qd,
+      |    CAST(SUM(cents // 100) AS BIGINT) AS sd
+      |  FROM o GROUP BY 1, 2),
+      |m AS (
+      |  SELECT treat, post, n, (1000 * s) // n AS mean_milli,
+      |    CAST((n * qd - sd * sd) // (n * n) AS BIGINT) AS var_d
+      |  FROM cells),
+      |w AS (
+      |  SELECT
+      |    MAX(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n_tp,
+      |    MAX(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n_t0,
+      |    MAX(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n_cp,
+      |    MAX(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n_c0,
+      |    MAX(CASE WHEN treat = 1 AND post = 1 THEN mean_milli END)
+      |      AS m_tp,
+      |    MAX(CASE WHEN treat = 1 AND post = 0 THEN mean_milli END)
+      |      AS m_t0,
+      |    MAX(CASE WHEN treat = 0 AND post = 1 THEN mean_milli END)
+      |      AS m_cp,
+      |    MAX(CASE WHEN treat = 0 AND post = 0 THEN mean_milli END)
+      |      AS m_c0,
+      |    MAX(CASE WHEN treat = 1 AND post = 1 THEN var_d END) AS v_tp,
+      |    MAX(CASE WHEN treat = 1 AND post = 0 THEN var_d END) AS v_t0,
+      |    MAX(CASE WHEN treat = 0 AND post = 1 THEN var_d END) AS v_cp,
+      |    MAX(CASE WHEN treat = 0 AND post = 0 THEN var_d END) AS v_c0
+      |  FROM m)
+      |SELECT CAST(n_tp + n_t0 AS BIGINT) AS n_treated,
+      |  CAST(n_cp + n_c0 AS BIGINT) AS n_control,
+      |  CAST(m_tp - m_t0 AS BIGINT) AS delta_treat_milli,
+      |  CAST(m_cp - m_c0 AS BIGINT) AS delta_control_milli,
+      |  CAST((m_tp - m_t0) - (m_cp - m_c0) AS BIGINT) AS did_milli,
+      |  CAST(FLOOR(1000.0 * (CAST((m_tp - m_t0) - (m_cp - m_c0)
+      |      AS DOUBLE) / 100000.0)
+      |    / SQRT(CAST(v_tp AS DOUBLE) / n_tp + CAST(v_t0 AS DOUBLE)
+      |      / n_t0 + CAST(v_cp AS DOUBLE) / n_cp
+      |      + CAST(v_c0 AS DOUBLE) / n_c0)) AS BIGINT) AS z_milli
+      |FROM w
+      |WHERE n_tp >= 2 AND n_t0 >= 2 AND n_cp >= 2 AND n_c0 >= 2
+      |  AND v_tp > 0 AND v_t0 > 0 AND v_cp > 0 AND v_c0 > 0
+      |""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_mktsegment").isin("AUTOMOBILE", "BUILDING").cast("long")
+          .as("treat"),
+        (col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+          .cast("long").as("post"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+          .as("cents"))
+    val m = o.groupBy(col("treat"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(expr("(cents div 100) * (cents div 100)")).as("qd"),
+        sum(expr("cents div 100")).as("sd"))
+      .select(col("treat"), col("post"), col("n"),
+        expr("(1000L * s) div n").as("mean_milli"),
+        expr("(n * qd - sd * sd) div (n * n)").as("var_d"))
+    def cell(t: Int, p: Int, c: String) =
+      max(when(col("treat") === t && col("post") === p, col(c)))
+    m.agg(
+        cell(1, 1, "n").as("n_tp"), cell(1, 0, "n").as("n_t0"),
+        cell(0, 1, "n").as("n_cp"), cell(0, 0, "n").as("n_c0"),
+        cell(1, 1, "mean_milli").as("m_tp"),
+        cell(1, 0, "mean_milli").as("m_t0"),
+        cell(0, 1, "mean_milli").as("m_cp"),
+        cell(0, 0, "mean_milli").as("m_c0"),
+        cell(1, 1, "var_d").as("v_tp"), cell(1, 0, "var_d").as("v_t0"),
+        cell(0, 1, "var_d").as("v_cp"), cell(0, 0, "var_d").as("v_c0"))
+      .filter(col("n_tp") >= 2 && col("n_t0") >= 2 &&
+        col("n_cp") >= 2 && col("n_c0") >= 2 &&
+        col("v_tp") > 0 && col("v_t0") > 0 && col("v_cp") > 0 &&
+        col("v_c0") > 0)
+      .select((col("n_tp") + col("n_t0")).as("n_treated"),
+        (col("n_cp") + col("n_c0")).as("n_control"),
+        (col("m_tp") - col("m_t0")).as("delta_treat_milli"),
+        (col("m_cp") - col("m_c0")).as("delta_control_milli"),
+        ((col("m_tp") - col("m_t0")) - (col("m_cp") - col("m_c0")))
+          .as("did_milli"),
+        floor(lit(1000.0)
+          * (((col("m_tp") - col("m_t0"))
+              - (col("m_cp") - col("m_c0"))).cast("double") / 100000.0)
+          / sqrt(col("v_tp").cast("double") / col("n_tp")
+            + col("v_t0").cast("double") / col("n_t0")
+            + col("v_cp").cast("double") / col("n_cp")
+            + col("v_c0").cast("double") / col("n_c0")))
+          .cast("long").as("z_milli"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
@@ -4108,5 +4455,5 @@ object CoreQueries {
     q111, q133, q182, q183, q186, q187, q188, q194, q195, q214, q215,
     q216, q217, q218, q220, q221, q222, q225, q229, q231, q233, q236,
     q237, q240, q241, q242, q243, q245, q250, q251, q252, q253, q254,
-    q255, q256)
+    q255, q256, q259, q260, q261)
 }

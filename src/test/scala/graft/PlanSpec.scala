@@ -104,7 +104,9 @@ class PlanSpec extends SparkSpec {
       "q236_isotonic_calibration",
       // q252's centered-MA window runs over the DAILY census
       // (calendar-bounded, the q209/q225 argument)
-      "q252_seasonal_index")
+      "q252_seasonal_index",
+      // q259 reuses q252's centered-MA window over the daily census
+      "q259_holt_winters")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => allowed.contains(n) }
       .flatMap { case (name, fn) =>
@@ -203,7 +205,8 @@ class PlanSpec extends SparkSpec {
       "q245_cem_att" -> "one-row naive-difference frame",
       "q253_abc_classification" -> "one-row revenue-total frame",
       "q257_hits_authority" -> "one-row per-round max frames",
-      "q258_t_closeness" -> "one-row max-rung and total-count frames")
+      "q258_t_closeness" -> "one-row max-rung and total-count frames",
+      "q260_sequential_patterns" -> "one-row user-count frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
