@@ -4448,6 +4448,216 @@ object CoreQueries {
           .cast("long").as("z_milli"))
   }
 
+  /** q262 — ordered conversion funnel (the user-journey funnel next
+    * to q168's CURATION funnel): signup → view → click → purchase,
+    * each step required to happen strictly AFTER the previous step's
+    * earliest valid occurrence. The per-step anchor is the chained
+    * greedy minimum (t₁ = min signup; t_k = min step-k event with
+    * ts > t_{k−1}) — the earliest-completion semantics of
+    * ClickHouse's windowFunnel, computed as k−1 chained
+    * (keyed-agg + equi-join) stages instead of a per-user sequential
+    * scan, so no per-user event list is ever materialized. Census:
+    * users reaching each step, step-over-step conversion in exact
+    * ppm, and the mean inter-step lag in exact integer microseconds
+    * (µs epochs subtract exactly on both engines).
+    *
+    * Scale: each stage is one filtered keyed agg + one broadcast-able
+    * join keyed on user_id; state per stage is one timestamp per
+    * user. 100 TB grows events per user, never the per-user state. */
+  val q262 = QueryDef(
+    "q262_conversion_funnel",
+    """WITH s1 AS (
+      |  SELECT user_id AS u, MIN(ts) AS t FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id AS u, MIN(e.ts) AS t
+      |  FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+      |  WHERE e.event_type = 'view' GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id AS u, MIN(e.ts) AS t
+      |  FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |s4 AS (
+      |  SELECT e.user_id AS u, MIN(e.ts) AS t
+      |  FROM events e JOIN s3 ON e.user_id = s3.u AND e.ts > s3.t
+      |  WHERE e.event_type = 'purchase' GROUP BY 1),
+      |lv AS (
+      |  SELECT 1 AS step, 'signup' AS event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS users,
+      |    CAST(NULL AS BIGINT) AS mean_lag_us
+      |  FROM s1
+      |  UNION ALL
+      |  SELECT 2, 'view', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(epoch_us(s2.t) - epoch_us(s1.t))
+      |      // COUNT(*) AS BIGINT)
+      |  FROM s2 JOIN s1 ON s2.u = s1.u
+      |  UNION ALL
+      |  SELECT 3, 'click', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(epoch_us(s3.t) - epoch_us(s2.t))
+      |      // COUNT(*) AS BIGINT)
+      |  FROM s3 JOIN s2 ON s3.u = s2.u
+      |  UNION ALL
+      |  SELECT 4, 'purchase', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(epoch_us(s4.t) - epoch_us(s3.t))
+      |      // COUNT(*) AS BIGINT)
+      |  FROM s4 JOIN s3 ON s4.u = s3.u)
+      |SELECT CAST(step AS BIGINT) AS step, event_type, users,
+      |  CAST((1000000 * users) // LAG(users, 1, users)
+      |    OVER (ORDER BY step) AS BIGINT) AS conv_ppm,
+      |  mean_lag_us
+      |FROM lv ORDER BY step""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id").as("u"), col("event_type"), col("ts"))
+    def stage(prev: DataFrame, typ: String): DataFrame =
+      ev.filter(col("event_type") === typ)
+        .join(prev.select(col("u"), col("t").as("pt")), Seq("u"))
+        .filter(col("ts") > col("pt"))
+        .groupBy(col("u"))
+        .agg(min(col("ts")).as("t"), min(col("pt")).as("pt0"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("u")).agg(min(col("ts")).as("t"))
+    val s2 = stage(s1, "view")
+    val s3 = stage(s2, "click")
+    val s4 = stage(s3, "purchase")
+    def census(df: DataFrame, step: Int, typ: String, lag: Boolean) = {
+      val base = if (lag)
+        df.agg(count(lit(1)).as("users"),
+          expr("sum(unix_micros(t) - unix_micros(pt0)) div count(1)")
+            .as("mean_lag_us"))
+      else
+        df.agg(count(lit(1)).as("users"),
+          lit(null).cast("long").as("mean_lag_us"))
+      base.select(lit(step.toLong).as("step"),
+        lit(typ).as("event_type"), col("users"), col("mean_lag_us"))
+    }
+    val lv = census(s1, 1, "signup", lag = false)
+      .unionByName(census(s2, 2, "view", lag = true))
+      .unionByName(census(s3, 3, "click", lag = true))
+      .unionByName(census(s4, 4, "purchase", lag = true))
+    lv.withColumn("conv_ppm",
+        expr("(1000000L * users) div lag(users, 1, users)" +
+          " over (order by step)"))
+      .select(col("step"), col("event_type"), col("users"),
+        col("conv_ppm"), col("mean_lag_us"))
+      .orderBy(col("step"))
+  }
+
+  /** q263 — shuffle-skew audit for a planned join/aggregation key:
+    * the ops query this engine would run on ITSELF before shuffling
+    * 100 TB on a key — per-key weight census over l_partkey, the
+    * hottest keys with their exact load share, the imbalance factor
+    * (max-key load vs the mean key load, in milli), and the salt
+    * factor that would level the hottest key across the session's 32
+    * shuffle partitions: salt = ⌈max·P/total⌉ as exact integer
+    * ceiling division. This is the decision input for the documented
+    * AQE-skew/salting story (SURVEY §2's skew stance) — measure,
+    * then salt; never guess.
+    *
+    * Scale: ONE map-side-combinable keyed census (the audit is
+    * strictly cheaper than the shuffle it protects), a top-10 rank
+    * over it, and a one-row global-moments frame broadcast back. */
+  val q263 = QueryDef(
+    "q263_skew_audit",
+    """WITH kc AS (
+      |  SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(SUM(c) AS BIGINT) AS total,
+      |    CAST(MAX(c) AS BIGINT) AS mx
+      |  FROM kc),
+      |top AS (
+      |  SELECT k, c, ROW_NUMBER() OVER (ORDER BY c DESC, k) AS rk
+      |  FROM kc)
+      |SELECT top.k AS hot_key, top.c AS rows_key,
+      |  CAST((1000000 * top.c) // g.total AS BIGINT) AS share_ppm,
+      |  g.n_keys, g.total AS total_rows,
+      |  CAST((1000 * g.mx * g.n_keys) // g.total AS BIGINT)
+      |    AS imbalance_milli,
+      |  CAST((g.mx * 32 + g.total - 1) // g.total AS BIGINT)
+      |    AS salt_factor
+      |FROM top CROSS JOIN g
+      |WHERE top.rk <= 10
+      |ORDER BY rows_key DESC, hot_key""".stripMargin) { (s, d) =>
+    val kc = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("k"))
+      .agg(count(lit(1)).as("c"))
+    val g = kc.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("total"),
+      max(col("c")).as("mx"))
+    val top = graft.functions.TopK.perGroup(kc, Seq.empty,
+        col("c"), col("k"), k = 10)
+      .select(col("id").as("k"), col("ord").as("c"))
+    top.crossJoin(broadcast(g))
+      .select(col("k").as("hot_key"), col("c").as("rows_key"),
+        expr("(1000000L * c) div total").as("share_ppm"),
+        col("n_keys"), col("total").as("total_rows"),
+        expr("(1000L * mx * n_keys) div total").as("imbalance_milli"),
+        expr("(mx * 32L + total - 1L) div total").as("salt_factor"))
+      .orderBy(col("rows_key").desc, col("hot_key"))
+  }
+
+  /** q264 — frequent triple itemsets via level-wise Apriori pruning
+    * (Agrawal & Srikant 1994): the depth-3 extension of q223's pair
+    * association rules. The distributed shape IS the algorithm's
+    * point: the within-basket triple join only ever runs over pairs
+    * that already passed the support-2 gate — every (a,b) prefix is
+    * LEFT-SEMI-joined against the broadcast frequent-pair frame
+    * BEFORE the third item joins in, and (b,c)/(a,c) are pruned the
+    * same way (downward closure: a frequent triple's sub-pairs are
+    * all frequent), so the candidate explosion is bounded by |F₂|,
+    * not |items|³. The oracle runs the UNPRUNED textbook triple
+    * census with the same support filter — equality proves the
+    * pruning is lossless, the q218 orientation-invariance contract.
+    *
+    * Scale: TPC-H baskets are ≤7 items (the q36 histogram bound);
+    * the semi-joined pair frame is support-filtered and broadcast.
+    * 100 TB grows basket COUNT — the per-basket join stays bounded
+    * and the F₂ gate keeps candidates sparse. */
+  val q264 = QueryDef(
+    "q264_apriori_triples",
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+      |  FROM lineitem),
+      |t AS (
+      |  SELECT x.i AS a, y.i AS c, z.i AS e,
+      |    CAST(COUNT(*) AS BIGINT) AS support
+      |  FROM items x JOIN items y ON x.b = y.b AND x.i < y.i
+      |  JOIN items z ON y.b = z.b AND y.i < z.i
+      |  GROUP BY 1, 2, 3)
+      |SELECT a AS item1, c AS item2, e AS item3, support
+      |FROM t WHERE support >= 2
+      |ORDER BY support DESC, item1, item2, item3""".stripMargin) {
+    (s, d) =>
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      .distinct()
+    val pairs = items.as("x").join(items.as("y"),
+        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .select(col("x.b").as("b"), col("x.i").as("pa"),
+        col("y.i").as("pb"))
+    val f2 = pairs.groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("pa"), col("pb"))
+    val pruned = pairs.join(broadcast(f2), Seq("pa", "pb"), "left_semi")
+      .withColumnRenamed("b", "pbk")
+    val tri = pruned.join(items.as("z"),
+        col("pbk") === col("z.b") && col("pb") < col("z.i"))
+      .select(col("pa").as("a"), col("pb").as("c"),
+        col("z.i").as("e"))
+      .join(broadcast(f2.select(col("pa").as("c"), col("pb").as("e"))),
+        Seq("c", "e"), "left_semi")
+      .join(broadcast(f2.select(col("pa").as("a"), col("pb").as("e"))),
+        Seq("a", "e"), "left_semi")
+    tri.groupBy(col("a"), col("c"), col("e"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select(col("a").as("item1"), col("c").as("item2"),
+        col("e").as("item3"), col("support"))
+      .orderBy(col("support").desc, col("item1"), col("item2"),
+        col("item3"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
@@ -4455,5 +4665,5 @@ object CoreQueries {
     q111, q133, q182, q183, q186, q187, q188, q194, q195, q214, q215,
     q216, q217, q218, q220, q221, q222, q225, q229, q231, q233, q236,
     q237, q240, q241, q242, q243, q245, q250, q251, q252, q253, q254,
-    q255, q256, q259, q260, q261)
+    q255, q256, q259, q260, q261, q262, q263, q264)
 }

@@ -1152,7 +1152,109 @@ object RecommenderQueries {
       .limit(25)
   }
 
+  /** q265 — harmonic & closeness centrality of the 5 hub seeds
+    * (Marchiori & Latora 2000; Wasserman & Faust 1994) over the q224
+    * support graph, from the SAME 4-round frontier BFS as q228 (hop
+    * census) and q239 (sketched reach) — the per-seed distance sums
+    * those queries compute but never score. Harmonic centrality is
+    * the disconnection-safe form Σ 1/d — exact on the micro grid as
+    * Σ (10⁶ // d) since every d is an integer hop count (no float
+    * division at all); closeness uses the Wasserman–Faust
+    * completeness correction r²·10⁶ // ((n−1)·Σd) (r = nodes
+    * reached, n = graph nodes) so partially-reachable seeds aren't
+    * inflated. Four hops bounds both (the documented q228 budget
+    * contract); beyond-horizon nodes contribute 0 to harmonic,
+    * exactly as the definition's 1/∞ prescribes.
+    *
+    * Scale: frontier-only expansion (each round joins ONLY the
+    * previous hop's frontier against the edge frame), per-seed state
+    * = visited set; the final score is one keyed agg + a one-row
+    * node-count broadcast. Seed count is the knob — 1000 seeds is
+    * 1000× the frontier rows, same plan. */
+  val q265 = QueryDef(
+    "q265_centrality", {
+      val rounds = (1 to 4).map { h =>
+        s"""n$h AS MATERIALIZED (
+          |  SELECT DISTINCT r.seed, e.dst AS node
+          |  FROM r${h - 1} r JOIN e0 e ON r.node = e.src
+          |  WHERE r.dist = ${h - 1}),
+          |r$h AS MATERIALIZED (
+          |  SELECT * FROM r${h - 1}
+          |  UNION ALL
+          |  SELECT n$h.seed, n$h.node, CAST($h AS BIGINT) AS dist
+          |  FROM n$h LEFT JOIN r${h - 1} p
+          |    ON p.seed = n$h.seed AND p.node = n$h.node
+          |  WHERE p.node IS NULL)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |co AS (
+        |  SELECT x.i AS src, y.i AS dst, COUNT(*) AS c
+        |  FROM items x JOIN items y ON x.b = y.b AND x.i <> y.i
+        |  GROUP BY 1, 2),
+        |e0 AS MATERIALIZED (SELECT src, dst FROM co WHERE c >= 2),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e0
+        |  GROUP BY 1),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+        |seeds AS (SELECT src AS seed FROM deg
+        |  ORDER BY d DESC, src LIMIT 5),
+        |r0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM seeds),
+        |$rounds
+        |SELECT r.seed, CAST(COUNT(*) AS BIGINT) AS reached,
+        |  CAST(SUM(r.dist) AS BIGINT) AS sum_dist,
+        |  CAST(SUM(1000000 // r.dist) AS BIGINT) AS harmonic_micro,
+        |  CAST((COUNT(*) * COUNT(*) * 1000000)
+        |    // ((nt.n - 1) * SUM(r.dist)) AS BIGINT) AS closeness_micro
+        |FROM r4 r CROSS JOIN nt
+        |WHERE r.dist > 0
+        |GROUP BY r.seed, nt.n
+        |ORDER BY r.seed""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.Checkpoints
+    val li = Tables.lineitem(s, d)
+    val e = Checkpoints.pin(Recommender.coOccurrence(
+        li, "l_orderkey", "l_partkey",
+        maxBasket = Recommender.maxBasketFromHistogram(
+          li, "l_orderkey", "l_partkey"))
+      .filter(col("n_baskets") >= 2)
+      .select(col("item").as("src"), col("co_item").as("dst"))
+      .localCheckpoint())
+    val nt = e.select(col("src")).distinct()
+      .agg(count(lit(1)).as("n"))
+    val seeds = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src")).limit(5)
+      .select(col("src").as("seed"))
+    var reach = Checkpoints.pin(seeds
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+      .localCheckpoint())
+    for (h <- 1 to 4) {
+      val cand = reach.filter(col("dist") === (h - 1))
+        .join(e, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+      val fresh = cand
+        .join(reach.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(h.toLong).as("dist"))
+      val next = Checkpoints.pin(
+        reach.unionByName(fresh).localCheckpoint())
+      Checkpoints.free(reach)
+      reach = next
+    }
+    reach.filter(col("dist") > 0)
+      .crossJoin(broadcast(nt))
+      .groupBy(col("seed"), col("n"))
+      .agg(count(lit(1)).as("reached"), sum(col("dist")).as("sum_dist"),
+        sum(expr("1000000L div dist")).as("harmonic_micro"))
+      .select(col("seed"), col("reached"), col("sum_dist"),
+        col("harmonic_micro"),
+        expr("""(reached * reached * 1000000L)
+          | div ((n - 1) * sum_dist)""".stripMargin)
+          .as("closeness_micro"))
+      .orderBy(col("seed"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q36, q37, q45, q45b, q82, q161, q189, q219, q223, q224, q228,
-      q230, q239, q244, q246, q257)
+      q230, q239, q244, q246, q257, q265)
 }

@@ -106,7 +106,9 @@ class PlanSpec extends SparkSpec {
       // (calendar-bounded, the q209/q225 argument)
       "q252_seasonal_index",
       // q259 reuses q252's centered-MA window over the daily census
-      "q259_holt_winters")
+      "q259_holt_winters",
+      // q262's lag window runs over the 4-row funnel-level frame
+      "q262_conversion_funnel")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => allowed.contains(n) }
       .flatMap { case (name, fn) =>
@@ -206,7 +208,9 @@ class PlanSpec extends SparkSpec {
       "q253_abc_classification" -> "one-row revenue-total frame",
       "q257_hits_authority" -> "one-row per-round max frames",
       "q258_t_closeness" -> "one-row max-rung and total-count frames",
-      "q260_sequential_patterns" -> "one-row user-count frame")
+      "q260_sequential_patterns" -> "one-row user-count frame",
+      "q263_skew_audit" -> "one-row global-moments frame",
+      "q265_centrality" -> "one-row node-count frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
