@@ -4339,8 +4339,10 @@ object CoreQueries {
     * (C,post − C,pre) over milli-cent snapped cell means (four
     * map-side-combinable cell censuses; the snap makes the estimator
     * one exact integer expression), with the z-statistic from pooled
-    * per-cell variances on the DOLLARS grid (cents² would overflow
-    * n·Σy² at sf0.1 — the q256 grid-coarsening discipline); the
+    * per-cell variances on the DOLLARS grid in SNAPPED form
+    * Q//n − (S//n)² (even dollars² overflows the n·Q cross-product
+    * at sf0.1 cell sizes — the q256 grid-coarsening discipline taken
+    * one step further: divide first, multiply never); the
     * single float sqrt is the last operation, mirrored verbatim in
     * the oracle (the q246 contract). On randomized TPC-H data the
     * truth is NO effect — DiD ≈ 0 within noise is the honest null
@@ -4366,7 +4368,7 @@ object CoreQueries {
       |  FROM o GROUP BY 1, 2),
       |m AS (
       |  SELECT treat, post, n, (1000 * s) // n AS mean_milli,
-      |    CAST((n * qd - sd * sd) // (n * n) AS BIGINT) AS var_d
+      |    CAST(qd // n - (sd // n) * (sd // n) AS BIGINT) AS var_d
       |  FROM cells),
       |w AS (
       |  SELECT
@@ -4416,7 +4418,7 @@ object CoreQueries {
         sum(expr("cents div 100")).as("sd"))
       .select(col("treat"), col("post"), col("n"),
         expr("(1000L * s) div n").as("mean_milli"),
-        expr("(n * qd - sd * sd) div (n * n)").as("var_d"))
+        expr("qd div n - (sd div n) * (sd div n)").as("var_d"))
     def cell(t: Int, p: Int, c: String) =
       max(when(col("treat") === t && col("post") === p, col(c)))
     m.agg(
@@ -4658,6 +4660,283 @@ object CoreQueries {
         col("item3"))
   }
 
+  /** q267 — CUPED variance reduction (Deng, Xu, Kohavi & Walker
+    * 2013): the experimentation-platform adjustment that shrinks an
+    * A/B metric's variance using PRE-period behavior — here Y = a
+    * customer's post-1997 spend, covariate X = the same customer's
+    * pre-1997 spend, assignment custkey % 2 (an A/A test on
+    * randomized data: the true effect is 0, so the adjusted estimate
+    * staying ≈ 0 while variance shrinks is exactly the honest-null
+    * contract of q261/q245). θ = cov(X,Y)/var(X) from EXACT integer
+    * moments on the KILODOLLAR grid (per-customer lifetime spend is
+    * ~10⁶ dollars, so even dollars² cross-products overflow 2⁶³ at
+    * sf0.1 — measured, not guessed); the milli-snap of a kilodollar
+    * difference lands on whole dollars, so the diffs report in
+    * dollars exactly; the adjusted difference (Ȳ_t−Ȳ_c) − θ(X̄_t−X̄_c) and the
+    * theoretical reduction ρ² = cov²/(varX·varY) are single float
+    * expressions over those exact integers, mirrored verbatim in the
+    * oracle (the q246/q261 float-last contract). Customers with no
+    * pre-period activity enter with X = 0 — CUPED handles them, a
+    * pre-filter would bias the arm means.
+    *
+    * Scale: one orders scan → per-customer keyed census → one 2-arm
+    * agg + one pooled-moments agg. Nothing grows but cell weights. */
+  val q267 = QueryDef(
+    "q267_cuped",
+    """WITH cs AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+      |      THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+      |        // 100000 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+      |      THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+      |        // 100000 ELSE 0 END) AS BIGINT) AS y,
+      |    CAST(o_custkey % 2 AS BIGINT) AS t
+      |  FROM orders GROUP BY 1),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM cs),
+      |arms AS (
+      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+      |  FROM cs GROUP BY 1),
+      |w AS (
+      |  SELECT
+      |    MAX(CASE WHEN t = 1 THEN n END) AS nt,
+      |    MAX(CASE WHEN t = 0 THEN n END) AS nc,
+      |    MAX(CASE WHEN t = 1 THEN sx END) AS sxt,
+      |    MAX(CASE WHEN t = 0 THEN sx END) AS sxc,
+      |    MAX(CASE WHEN t = 1 THEN sy END) AS syt,
+      |    MAX(CASE WHEN t = 0 THEN sy END) AS syc
+      |  FROM arms)
+      |SELECT w.nt AS n_treat, w.nc AS n_control,
+      |  CAST(FLOOR(1000.0 * (CAST(w.syt AS DOUBLE) / w.nt
+      |    - CAST(w.syc AS DOUBLE) / w.nc)) AS BIGINT)
+      |    AS raw_diff_dollars,
+      |  CAST(FLOOR(1000000.0 * (CAST(g.n * g.sxy - g.sx * g.sy
+      |      AS DOUBLE) / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE)))
+      |    AS BIGINT) AS theta_micro,
+      |  CAST(FLOOR(1000.0 * ((CAST(w.syt AS DOUBLE) / w.nt
+      |      - CAST(w.syc AS DOUBLE) / w.nc)
+      |    - (CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+      |       / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE))
+      |      * (CAST(w.sxt AS DOUBLE) / w.nt
+      |         - CAST(w.sxc AS DOUBLE) / w.nc))) AS BIGINT)
+      |    AS adj_diff_dollars,
+      |  CAST(FLOOR(1000000.0
+      |    * CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+      |    * CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+      |    / (CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE)
+      |       * CAST(g.n * g.syy - g.sy * g.sy AS DOUBLE)))
+      |    AS BIGINT) AS var_reduction_ppm
+      |FROM w CROSS JOIN g
+      |WHERE g.n * g.sxx > g.sx * g.sx AND g.n * g.syy > g.sy * g.sy
+      |  AND w.nt >= 2 AND w.nc >= 2""".stripMargin) { (s, d) =>
+    val cs = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(
+        sum(when(col("o_orderdate") < lit("1997-01-01").cast("timestamp"),
+          expr("cast(floor(o_totalprice * 100 + 0.5) as bigint) div 100000"))
+          .otherwise(0L)).as("x"),
+        sum(when(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"),
+          expr("cast(floor(o_totalprice * 100 + 0.5) as bigint) div 100000"))
+          .otherwise(0L)).as("y"))
+      .withColumn("t", (col("ck") % 2).cast("long"))
+    val g = cs.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val w = cs.groupBy(col("t"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"))
+      .agg(
+        max(when(col("t") === 1, col("n"))).as("nt"),
+        max(when(col("t") === 0, col("n"))).as("nc"),
+        max(when(col("t") === 1, col("sx"))).as("sxt"),
+        max(when(col("t") === 0, col("sx"))).as("sxc"),
+        max(when(col("t") === 1, col("sy"))).as("syt"),
+        max(when(col("t") === 0, col("sy"))).as("syc"))
+    w.crossJoin(broadcast(g))
+      .filter(col("n") * col("sxx") > col("sx") * col("sx") &&
+        col("n") * col("syy") > col("sy") * col("sy") &&
+        col("nt") >= 2 && col("nc") >= 2)
+      .select(col("nt").as("n_treat"), col("nc").as("n_control"),
+        floor(lit(1000.0) * (col("syt").cast("double") / col("nt")
+          - col("syc").cast("double") / col("nc"))).cast("long")
+          .as("raw_diff_dollars"),
+        floor(lit(1000000.0)
+          * ((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))).cast("long").as("theta_micro"),
+        floor(lit(1000.0) * ((col("syt").cast("double") / col("nt")
+            - col("syc").cast("double") / col("nc"))
+          - ((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+             / (col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+            * (col("sxt").cast("double") / col("nt")
+               - col("sxc").cast("double") / col("nc"))))
+          .cast("long").as("adj_diff_dollars"),
+        floor(lit(1000000.0)
+          * (col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+          * (col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+          / ((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")
+            * (col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double"))).cast("long").as("var_reduction_ppm"))
+  }
+
+  /** q268 — Laspeyres / Paasche / Fisher price indices (the index-
+    * number trio of official statistics): yearly price level vs the
+    * 1995 base, over the parts traded in BOTH periods. Per
+    * (part, year) the unit value u = (1000·Σcents)//Σqty is an exact
+    * milli-cent integer (the deterministic snap that makes a
+    * rational price oracle-able); Laspeyres weights by BASE-year
+    * quantities, Paasche by CURRENT-year, each index an exact
+    * integer milli ratio (1000·Σu_t·q)÷(Σu_0·q); Fisher is the
+    * geometric mean — one floor(√(L·P)) over exact integers (√ is
+    * IEEE correctly-rounded, the one libm call both engines agree
+    * on).
+    *
+    * Scale: one (part, year) keyed census, one self-join on part
+    * keyed by the base year, two keyed sums. Matched-part counts
+    * reported — the index says what it covers. */
+  val q268 = QueryDef(
+    "q268_price_indices",
+    """WITH py AS (
+      |  SELECT l_partkey AS pk,
+      |    CAST(year(l_shipdate) AS BIGINT) AS yr,
+      |    CAST((1000 * SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+      |      AS BIGINT))) // SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |      AS u,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |base AS (SELECT pk, u AS u0, q AS q0 FROM py WHERE yr = 1995),
+      |cur AS (SELECT pk, yr, u, q FROM py WHERE yr > 1995),
+      |j AS (
+      |  SELECT cur.yr, cur.u, cur.q, base.u0, base.q0
+      |  FROM cur JOIN base ON cur.pk = base.pk)
+      |SELECT yr AS year, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST((1000 * SUM(u * q0)) // SUM(u0 * q0) AS BIGINT)
+      |    AS laspeyres_milli,
+      |  CAST((1000 * SUM(u * q)) // SUM(u0 * q) AS BIGINT)
+      |    AS paasche_milli,
+      |  CAST(FLOOR(SQRT(CAST(((1000 * SUM(u * q0)) // SUM(u0 * q0))
+      |    * ((1000 * SUM(u * q)) // SUM(u0 * q)) AS DOUBLE)))
+      |    AS BIGINT) AS fisher_milli
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val py = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pk"),
+        year(col("l_shipdate")).cast("long").as("yr"))
+      .agg(expr("""(1000L * sum(cast(floor(l_extendedprice * 100 + 0.5)
+          | as bigint))) div sum(cast(l_quantity as bigint))"""
+          .stripMargin).as("u"),
+        sum(col("l_quantity").cast("long")).as("q"))
+    val base = py.filter(col("yr") === 1995)
+      .select(col("pk"), col("u").as("u0"), col("q").as("q0"))
+    val j = py.filter(col("yr") > 1995).join(base, Seq("pk"))
+    j.groupBy(col("yr").as("year"))
+      .agg(count(lit(1)).as("n_parts"),
+        expr("(1000L * sum(u * q0)) div sum(u0 * q0)")
+          .as("laspeyres_milli"),
+        expr("(1000L * sum(u * q)) div sum(u0 * q)")
+          .as("paasche_milli"),
+        floor(sqrt((expr("(1000L * sum(u * q0)) div sum(u0 * q0)")
+          * expr("(1000L * sum(u * q)) div sum(u0 * q)"))
+          .cast("double"))).cast("long").as("fisher_milli"))
+      .orderBy(col("year"))
+  }
+
+  /** q270 — uplift-by-decile with the Qini curve (Radcliffe 2007):
+    * the incremental-response evaluation behind every targeting
+    * model — rank customers by a score (here pre-1997 spend, the
+    * natural "responsiveness" proxy), split into score deciles with
+    * the DISTRIBUTED [[graft.functions.Ranks.ntileGlobal]] (q09's
+    * machinery — never a global-sort window), and per decile compare
+    * treated vs control conversion (treatment = custkey % 2, outcome
+    * = ≥3 post-period orders). Decile uplift is the difference of
+    * ppm-snapped rates; the Qini ordinate is the exact integer
+    * cum_ct − (cum_cc·cum_nt)//cum_nc over the 10-row decile census
+    * (the only window in the plan). Randomized assignment ⇒ true
+    * uplift 0 — every decile reading ≈ 0 and a flat Qini is the
+    * honest null (the q261/q267 contract); a real targeting model
+    * plugs its score into the same frame.
+    *
+    * Scale: one per-customer census, the Ranks bucket pipeline, one
+    * 10-row ordered cumsum. */
+  val q270 = QueryDef(
+    "q270_uplift_qini",
+    """WITH cs AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+      |      THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS x,
+      |    CASE WHEN SUM(CASE WHEN o_orderdate >=
+      |        TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) >= 3
+      |      THEN 1 ELSE 0 END AS conv,
+      |    CAST(o_custkey % 2 AS BIGINT) AS t
+      |  FROM orders GROUP BY 1),
+      |dec AS (
+      |  SELECT ck, conv, t,
+      |    CAST(NTILE(10) OVER (ORDER BY x DESC, ck) AS BIGINT) AS d
+      |  FROM cs),
+      |cen AS (
+      |  SELECT d,
+      |    CAST(SUM(t) AS BIGINT) AS n_t,
+      |    CAST(SUM(t * conv) AS BIGINT) AS c_t,
+      |    CAST(COUNT(*) - SUM(t) AS BIGINT) AS n_c,
+      |    CAST(SUM((1 - t) * conv) AS BIGINT) AS c_c
+      |  FROM dec GROUP BY 1),
+      |cum AS (
+      |  SELECT d, n_t, c_t, n_c, c_c,
+      |    CAST(SUM(c_t) OVER (ORDER BY d) AS BIGINT) AS cct,
+      |    CAST(SUM(c_c) OVER (ORDER BY d) AS BIGINT) AS ccc,
+      |    CAST(SUM(n_t) OVER (ORDER BY d) AS BIGINT) AS cnt,
+      |    CAST(SUM(n_c) OVER (ORDER BY d) AS BIGINT) AS cnc
+      |  FROM cen)
+      |SELECT d AS decile, n_t, c_t, n_c, c_c,
+      |  CAST((1000000 * c_t) // n_t - (1000000 * c_c) // n_c
+      |    AS BIGINT) AS uplift_ppm,
+      |  CAST(cct - (ccc * cnt) // cnc AS BIGINT) AS qini
+      |FROM cum ORDER BY decile""".stripMargin) { (s, d) =>
+    val cs = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(
+        sum(when(col("o_orderdate") < lit("1997-01-01").cast("timestamp"),
+          expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+          .otherwise(0L)).as("x"),
+        (sum(when(col("o_orderdate") >= lit("1997-01-01")
+          .cast("timestamp"), 1L).otherwise(0L)) >= 3).cast("long")
+          .as("conv"))
+      .withColumn("t", (col("ck") % 2).cast("long"))
+    val dec = graft.functions.Ranks.ntileGlobal(cs, 10,
+      col("x") * lit(-1L), col("ck"), "d")
+    val cen = dec.groupBy(col("d"))
+      .agg(sum(col("t")).as("n_t"),
+        sum(col("t") * col("conv")).as("c_t"),
+        (count(lit(1)) - sum(col("t"))).as("n_c"),
+        sum((lit(1L) - col("t")) * col("conv")).as("c_c"))
+    val w = Window.orderBy(col("d"))
+    cen
+      .withColumn("cct", sum(col("c_t")).over(w))
+      .withColumn("ccc", sum(col("c_c")).over(w))
+      .withColumn("cnt", sum(col("n_t")).over(w))
+      .withColumn("cnc", sum(col("n_c")).over(w))
+      .select(col("d").as("decile"), col("n_t"), col("c_t"),
+        col("n_c"), col("c_c"),
+        (expr("(1000000L * c_t) div n_t")
+          - expr("(1000000L * c_c) div n_c")).as("uplift_ppm"),
+        expr("cct - (ccc * cnt) div cnc").as("qini"))
+      .orderBy(col("decile"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
@@ -4665,5 +4944,6 @@ object CoreQueries {
     q111, q133, q182, q183, q186, q187, q188, q194, q195, q214, q215,
     q216, q217, q218, q220, q221, q222, q225, q229, q231, q233, q236,
     q237, q240, q241, q242, q243, q245, q250, q251, q252, q253, q254,
-    q255, q256, q259, q260, q261, q262, q263, q264)
+    q255, q256, q259, q260, q261, q262, q263, q264, q267, q268,
+    q270)
 }

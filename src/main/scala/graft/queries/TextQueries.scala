@@ -3163,10 +3163,238 @@ object TextQueries {
           .cast("long").as("sublinear"))
   }
 
+  /** q266 — Fellegi–Sunter probabilistic linkage weights (Fellegi &
+    * Sunter 1969): the DECISION layer above q208's blocked candidate
+    * generation. Over the same block-join candidates (dirty title vs
+    * clean record), four agreement fields — fuzzy title
+    * (levenshtein ≤ 2), lang, source, n_chars century bucket — form
+    * the agreement PATTERN; m_k = P(agree|match) and
+    * u_k = P(agree|non-match) are exact ppm ratios against the
+    * planted ground truth (true pair ⟺ matched id = dirty id — the
+    * q208 fixture discipline doubling as labeled training data), and
+    * each pattern's log-likelihood score is the FS sum
+    * Σ agree ? ln(m/u) : ln((1−m)/(1−u)) on the milli-nat grid
+    * (mnat of ppm values; ppm clamped to [1, 10⁶−1] — the standard
+    * FS ε-smoothing, since the planted typos make title-m exactly 1).
+    * Output: the ≤16-row pattern table with pair counts, true-match
+    * counts, score, and the score ≥ 0 link decision — precision is
+    * readable directly off the table.
+    *
+    * Scale: the candidate frame is block-bounded (q208's argument);
+    * everything after is a 16-row census joined against one
+    * broadcast row of global m/u weights. */
+  val q266 = QueryDef(
+    "q266_fellegi_sunter",
+    """WITH c AS (
+      |  SELECT doc_id, substr(text, 1, 30) AS title,
+      |    substr(text, 1, 4) AS blk, lang, source,
+      |    n_chars // 100 AS ncb
+      |  FROM documents),
+      |d1 AS (
+      |  SELECT doc_id AS dirty_id,
+      |    substr(title, 1, CAST(4 + doc_id % 20 AS INT)) || '#' ||
+      |      substr(title, CAST(6 + doc_id % 20 AS INT)) AS dt,
+      |    lang AS dlang, source AS dsource, ncb AS dncb
+      |  FROM c WHERE doc_id % 5 = 2),
+      |dd AS (
+      |  SELECT dirty_id,
+      |    CASE WHEN dirty_id % 10 = 7
+      |      THEN substr(dt, 1, 25) || '#' || substr(dt, 27)
+      |      ELSE dt END AS dt,
+      |    dlang, dsource, dncb
+      |  FROM d1),
+      |cand AS (
+      |  SELECT dd.dirty_id, c.doc_id,
+      |    CASE WHEN levenshtein(dd.dt, c.title) <= 2 THEN 1 ELSE 0 END
+      |      AS a1,
+      |    CASE WHEN dd.dlang = c.lang THEN 1 ELSE 0 END AS a2,
+      |    CASE WHEN dd.dsource = c.source THEN 1 ELSE 0 END AS a3,
+      |    CASE WHEN dd.dncb = c.ncb THEN 1 ELSE 0 END AS a4,
+      |    CASE WHEN dd.dirty_id = c.doc_id THEN 1 ELSE 0 END AS mt
+      |  FROM dd JOIN c ON substr(dd.dt, 1, 4) = c.blk),
+      |mu AS (
+      |  SELECT
+      |    CAST(SUM(mt) AS BIGINT) AS nm,
+      |    CAST(COUNT(*) - SUM(mt) AS BIGINT) AS nu,
+      |    LEAST(999999, GREATEST(1,
+      |      (1000000 * SUM(a1 * mt)) // SUM(mt))) AS m1,
+      |    LEAST(999999, GREATEST(1, (1000000 * SUM(a1 * (1 - mt)))
+      |      // (COUNT(*) - SUM(mt)))) AS u1,
+      |    LEAST(999999, GREATEST(1,
+      |      (1000000 * SUM(a2 * mt)) // SUM(mt))) AS m2,
+      |    LEAST(999999, GREATEST(1, (1000000 * SUM(a2 * (1 - mt)))
+      |      // (COUNT(*) - SUM(mt)))) AS u2,
+      |    LEAST(999999, GREATEST(1,
+      |      (1000000 * SUM(a3 * mt)) // SUM(mt))) AS m3,
+      |    LEAST(999999, GREATEST(1, (1000000 * SUM(a3 * (1 - mt)))
+      |      // (COUNT(*) - SUM(mt)))) AS u3,
+      |    LEAST(999999, GREATEST(1,
+      |      (1000000 * SUM(a4 * mt)) // SUM(mt))) AS m4,
+      |    LEAST(999999, GREATEST(1, (1000000 * SUM(a4 * (1 - mt)))
+      |      // (COUNT(*) - SUM(mt)))) AS u4
+      |  FROM cand),
+      |pat AS (
+      |  SELECT a1, a2, a3, a4,
+      |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(SUM(mt) AS BIGINT) AS n_true
+      |  FROM cand GROUP BY 1, 2, 3, 4),
+      |sc AS (
+      |  SELECT p.a1, p.a2, p.a3, p.a4, p.n_pairs, p.n_true,
+      |    (CASE WHEN p.a1 = 1
+      |       THEN CAST(FLOOR(LN(CAST(mu.m1 AS DOUBLE)) * 1000) AS BIGINT)
+      |          - CAST(FLOOR(LN(CAST(mu.u1 AS DOUBLE)) * 1000) AS BIGINT)
+      |       ELSE CAST(FLOOR(LN(CAST(1000000 - mu.m1 AS DOUBLE)) * 1000)
+      |           AS BIGINT)
+      |          - CAST(FLOOR(LN(CAST(1000000 - mu.u1 AS DOUBLE)) * 1000)
+      |           AS BIGINT) END)
+      |    + (CASE WHEN p.a2 = 1
+      |       THEN CAST(FLOOR(LN(CAST(mu.m2 AS DOUBLE)) * 1000) AS BIGINT)
+      |          - CAST(FLOOR(LN(CAST(mu.u2 AS DOUBLE)) * 1000) AS BIGINT)
+      |       ELSE CAST(FLOOR(LN(CAST(1000000 - mu.m2 AS DOUBLE)) * 1000)
+      |           AS BIGINT)
+      |          - CAST(FLOOR(LN(CAST(1000000 - mu.u2 AS DOUBLE)) * 1000)
+      |           AS BIGINT) END)
+      |    + (CASE WHEN p.a3 = 1
+      |       THEN CAST(FLOOR(LN(CAST(mu.m3 AS DOUBLE)) * 1000) AS BIGINT)
+      |          - CAST(FLOOR(LN(CAST(mu.u3 AS DOUBLE)) * 1000) AS BIGINT)
+      |       ELSE CAST(FLOOR(LN(CAST(1000000 - mu.m3 AS DOUBLE)) * 1000)
+      |           AS BIGINT)
+      |          - CAST(FLOOR(LN(CAST(1000000 - mu.u3 AS DOUBLE)) * 1000)
+      |           AS BIGINT) END)
+      |    + (CASE WHEN p.a4 = 1
+      |       THEN CAST(FLOOR(LN(CAST(mu.m4 AS DOUBLE)) * 1000) AS BIGINT)
+      |          - CAST(FLOOR(LN(CAST(mu.u4 AS DOUBLE)) * 1000) AS BIGINT)
+      |       ELSE CAST(FLOOR(LN(CAST(1000000 - mu.m4 AS DOUBLE)) * 1000)
+      |           AS BIGINT)
+      |          - CAST(FLOOR(LN(CAST(1000000 - mu.u4 AS DOUBLE)) * 1000)
+      |           AS BIGINT) END) AS score_mnat
+      |  FROM pat p CROSS JOIN mu)
+      |SELECT CAST(a1 AS BIGINT) AS a_title, CAST(a2 AS BIGINT) AS a_lang,
+      |  CAST(a3 AS BIGINT) AS a_source, CAST(a4 AS BIGINT) AS a_ncb,
+      |  n_pairs, n_true, score_mnat,
+      |  CAST(CASE WHEN score_mnat >= 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS link
+      |FROM sc ORDER BY a_title, a_lang, a_source, a_ncb""".stripMargin) {
+    (s, d) =>
+    import graft.functions.LangModel.mnat
+    val c = Tables.documents(s, d).select(col("doc_id"),
+      substring(col("text"), 1, 30).as("title"),
+      substring(col("text"), 1, 4).as("blk"), col("lang"),
+      col("source"), expr("n_chars div 100").as("ncb"))
+    val d1 = c.filter(col("doc_id") % 5 === 2)
+      .select(col("doc_id").as("dirty_id"),
+        concat(
+          expr("substring(title, 1, cast(4 + doc_id % 20 as int))"),
+          lit("#"),
+          expr("substring(title, cast(6 + doc_id % 20 as int))"))
+          .as("dt"),
+        col("lang").as("dlang"), col("source").as("dsource"),
+        col("ncb").as("dncb"))
+    val dd = d1
+      .withColumn("dt", when(col("dirty_id") % 10 === 7,
+        concat(expr("substring(dt, 1, 25)"), lit("#"),
+          expr("substring(dt, 27)"))).otherwise(col("dt")))
+      .withColumn("blk", substring(col("dt"), 1, 4))
+    val cand = dd.join(c, Seq("blk"))
+      .select(col("dirty_id"), col("doc_id"),
+        (levenshtein(col("dt"), col("title")) <= 2).cast("long")
+          .as("a1"),
+        (col("dlang") === col("lang")).cast("long").as("a2"),
+        (col("dsource") === col("source")).cast("long").as("a3"),
+        (col("dncb") === col("ncb")).cast("long").as("a4"),
+        (col("dirty_id") === col("doc_id")).cast("long").as("mt"))
+    def muCols: Seq[Column] = (1 to 4).flatMap { k =>
+      val a = col(s"a$k")
+      Seq(
+        least(lit(999999L), greatest(lit(1L),
+          expr(s"(1000000L * sum(a$k * mt)) div sum(mt)"))).as(s"m$k"),
+        least(lit(999999L), greatest(lit(1L),
+          expr(s"(1000000L * sum(a$k * (1 - mt)))" +
+            " div (count(1) - sum(mt))"))).as(s"u$k"))
+    }
+    val mu = cand.agg(muCols.head, muCols.tail: _*)
+    val pat = cand.groupBy(col("a1"), col("a2"), col("a3"), col("a4"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("mt")).as("n_true"))
+    def term(k: Int): Column =
+      when(col(s"a$k") === 1,
+        mnat(col(s"m$k")) - mnat(col(s"u$k")))
+        .otherwise(mnat(lit(1000000L) - col(s"m$k"))
+          - mnat(lit(1000000L) - col(s"u$k")))
+    pat.crossJoin(broadcast(mu))
+      .withColumn("score_mnat",
+        term(1) + term(2) + term(3) + term(4))
+      .select(col("a1").as("a_title"), col("a2").as("a_lang"),
+        col("a3").as("a_source"), col("a4").as("a_ncb"),
+        col("n_pairs"), col("n_true"), col("score_mnat"),
+        (col("score_mnat") >= 0).cast("long").as("link"))
+      .orderBy(col("a_title"), col("a_lang"), col("a_source"),
+        col("a_ncb"))
+  }
+
+  /** q269 — Flesch–Kincaid readability census (Kincaid et al. 1975):
+    * the grade-level score every text-quality pipeline reports next
+    * to the q29/q85 structural gates. Per document, all three inputs
+    * are exact integer counts — words = letter runs, sentences =
+    * 1 + terminal-punctuation runs, syllables = vowel GROUPS (the
+    * standard heuristic; counting runs over the whole lowercased
+    * text equals the per-word sum because words never span
+    * non-letters) — and the grade 0.39·W/S + 11.8·Y/W − 15.59 snaps
+    * each rational term separately: (390·W)÷S + (11800·Y)÷W − 15590
+    * in exact milli (floor-div of non-negative integers, no float
+    * anywhere). Census per source: mean/min/max grade and the
+    * college-level share (> 13.0) in exact ppm.
+    *
+    * Scale: one regexp-count projection (codegen'd, no explode — the
+    * token arrays never materialize) + one keyed census. */
+  val q269 = QueryDef(
+    "q269_readability",
+    """WITH g AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+      |    1 + len(regexp_extract_all(text, '[.!?]+')) AS sen,
+      |    len(regexp_extract_all(lower(text), '[aeiou]+')) AS y
+      |  FROM documents),
+      |sc AS (
+      |  SELECT source,
+      |    (390 * w) // sen + (11800 * y) // w - 15590 AS grade
+      |  FROM g WHERE w > 0)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST((SUM(grade) + COUNT(*) * 1000000000) // COUNT(*)
+      |    - 1000000000 AS BIGINT) AS mean_grade_milli,
+      |  CAST(MIN(grade) AS BIGINT) AS min_grade_milli,
+      |  CAST(MAX(grade) AS BIGINT) AS max_grade_milli,
+      |  CAST((1000000 * SUM(CASE WHEN grade > 13000 THEN 1 ELSE 0 END))
+      |    // COUNT(*) AS BIGINT) AS college_ppm
+      |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val g = Tables.documents(s, d).select(col("source"),
+      size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .cast("long").as("w"),
+      (lit(1L) + size(expr("regexp_extract_all(text, '[.!?]+', 0)")))
+        .as("sen"),
+      size(expr("regexp_extract_all(lower(text), '[aeiou]+', 0)"))
+        .cast("long").as("y"))
+    g.filter(col("w") > 0)
+      .select(col("source"),
+        (expr("(390L * w) div sen") + expr("(11800L * y) div w")
+          - lit(15590L)).as("grade"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("""(sum(grade) + count(1) * 1000000000L)
+          | div count(1) - 1000000000L""".stripMargin)
+          .as("mean_grade_milli"),
+        min(col("grade")).as("min_grade_milli"),
+        max(col("grade")).as("max_grade_milli"),
+        expr("""(1000000L * sum(case when grade > 13000 then 1
+          | else 0 end)) div count(1)""".stripMargin)
+          .as("college_ppm"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
       q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181,
-      q184, q185, q190, q192, q193, q200, q208, q232, q238, q249)
+      q184, q185, q190, q192, q193, q200, q208, q232, q238, q249, q266,
+      q269)
 }

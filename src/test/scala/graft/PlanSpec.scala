@@ -108,7 +108,9 @@ class PlanSpec extends SparkSpec {
       // q259 reuses q252's centered-MA window over the daily census
       "q259_holt_winters",
       // q262's lag window runs over the 4-row funnel-level frame
-      "q262_conversion_funnel")
+      "q262_conversion_funnel",
+      // q270's Qini cumsum runs over the 10-row decile census
+      "q270_uplift_qini")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => allowed.contains(n) }
       .flatMap { case (name, fn) =>
@@ -210,7 +212,9 @@ class PlanSpec extends SparkSpec {
       "q258_t_closeness" -> "one-row max-rung and total-count frames",
       "q260_sequential_patterns" -> "one-row user-count frame",
       "q263_skew_audit" -> "one-row global-moments frame",
-      "q265_centrality" -> "one-row node-count frame")
+      "q265_centrality" -> "one-row node-count frame",
+      "q266_fellegi_sunter" -> "one-row m/u-weight frame",
+      "q267_cuped" -> "one-row pooled-moments frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
