@@ -4937,6 +4937,105 @@ object CoreQueries {
       .orderBy(col("decile"))
   }
 
+  /** q271 — longest consecutive-month purchase streak per customer
+    * (gaps-and-islands on the MONTH grid): the retention "streak"
+    * statistic loyalty programs key on, and the calendar-grain
+    * sibling of q58's gap-based sessionization. Month index =
+    * 12·year + month (integer, no date arithmetic ambiguity); the
+    * island id is the classic midx − row_number() difference under a
+    * per-customer keyed window (bounded by months-per-customer, ≤
+    * the corpus date range); the answer is a streak-length census —
+    * how many customers sustained k consecutive active months.
+    *
+    * Scale: distinct (customer, month) census first (map-side
+    * combinable), keyed windows only, output bounded by the calendar
+    * (≤ date-range-months distinct streak lengths). */
+  val q271 = QueryDef(
+    "q271_purchase_streaks",
+    """WITH cm AS (
+      |  SELECT DISTINCT o_custkey AS ck,
+      |    CAST(12 * year(o_orderdate) + month(o_orderdate) AS BIGINT)
+      |      AS midx
+      |  FROM orders),
+      |isl AS (
+      |  SELECT ck, midx,
+      |    midx - ROW_NUMBER() OVER (PARTITION BY ck ORDER BY midx)
+      |      AS isl
+      |  FROM cm),
+      |st AS (
+      |  SELECT ck, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM isl GROUP BY ck, isl),
+      |mx AS (SELECT ck, CAST(MAX(len) AS BIGINT) AS best FROM st
+      |  GROUP BY 1)
+      |SELECT best AS streak_months,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers
+      |FROM mx GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val cm = Tables.orders(s, d)
+      .select(col("o_custkey").as("ck"),
+        (lit(12L) * year(col("o_orderdate")) + month(col("o_orderdate")))
+          .cast("long").as("midx"))
+      .distinct()
+    val w = Window.partitionBy(col("ck")).orderBy(col("midx"))
+    cm.withColumn("isl", col("midx") - row_number().over(w))
+      .groupBy(col("ck"), col("isl"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("ck")).agg(max(col("len")).as("best"))
+      .groupBy(col("best").as("streak_months"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("streak_months"))
+  }
+
+  /** q272 — RFM segmentation (Hughes 1994): the CRM classic —
+    * recency / frequency / monetary quintiles, each assigned by the
+    * DISTRIBUTED [[graft.functions.Ranks.ntileGlobal]] (three
+    * independent rank pipelines, never a global-sort window), with
+    * the convention that 5 is best (most recent, most frequent,
+    * highest spend). Recency is days from last order to the pinned
+    * anchor 1998-08-02 (TPC-H's end of time — a data-derived "today"
+    * would make the quintile cuts nondeterministic across engines).
+    * Output: the populated RFM-cell census with exact mean spend
+    * per cell (≤125 rows).
+    *
+    * Scale: one per-customer keyed census, 3 rank-bucket pipelines,
+    * one ≤125-cell census. */
+  val q272 = QueryDef(
+    "q272_rfm_segmentation",
+    """WITH cs AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+      |      DATE '1998-08-02') AS BIGINT) AS rec,
+      |    CAST(COUNT(*) AS BIGINT) AS freq,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS mon
+      |  FROM orders GROUP BY 1),
+      |sc AS (
+      |  SELECT ck, mon,
+      |    CAST(NTILE(5) OVER (ORDER BY rec DESC, ck) AS BIGINT) AS r,
+      |    CAST(NTILE(5) OVER (ORDER BY freq, ck) AS BIGINT) AS f,
+      |    CAST(NTILE(5) OVER (ORDER BY mon, ck) AS BIGINT) AS m
+      |  FROM cs)
+      |SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(mon) // COUNT(*) AS BIGINT) AS mean_spend_cents
+      |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) {
+    (s, d) =>
+    val cs = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(datediff(lit("1998-08-02").cast("date"),
+          max(col("o_orderdate").cast("date"))).cast("long").as("rec"),
+        count(lit(1)).as("freq"),
+        sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+          .as("mon"))
+    import graft.functions.Ranks
+    val r1 = Ranks.ntileGlobal(cs, 5, col("rec") * lit(-1L), col("ck"),
+      "r")
+    val r2 = Ranks.ntileGlobal(r1, 5, col("freq"), col("ck"), "f")
+    val r3 = Ranks.ntileGlobal(r2, 5, col("mon"), col("ck"), "m")
+    r3.groupBy(col("r"), col("f"), col("m"))
+      .agg(count(lit(1)).as("n_customers"),
+        expr("sum(mon) div count(1)").as("mean_spend_cents"))
+      .orderBy(col("r"), col("f"), col("m"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
@@ -4945,5 +5044,5 @@ object CoreQueries {
     q216, q217, q218, q220, q221, q222, q225, q229, q231, q233, q236,
     q237, q240, q241, q242, q243, q245, q250, q251, q252, q253, q254,
     q255, q256, q259, q260, q261, q262, q263, q264, q267, q268,
-    q270)
+    q270, q271, q272)
 }

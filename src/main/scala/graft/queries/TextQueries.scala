@@ -3390,11 +3390,77 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** q273 — Good–Turing frequency smoothing (Good 1953): the
+    * frequency-of-frequencies table N_c and the discounted counts
+    * c* = (c+1)·N_{c+1}/N_c that re-estimate how much probability
+    * mass the corpus's RARE words actually deserve — the third
+    * smoothing estimator beside q130's add-one and q211's
+    * Kneser–Ney, and the one whose TRAINING is pure count arithmetic
+    * end to end. c* on the milli grid as an exact integer ratio of
+    * two counts; the unseen-mass estimate P₀ = N₁/N in exact ppm is
+    * the number a decontamination/coverage pipeline (q86/q116)
+    * quotes. Rows for c = 1..10 plus the c ≥ 11 tail census.
+    *
+    * Scale: token census → count census (vocabulary- then
+    * COUNT-DOMAIN-bounded — the frequency-of-frequencies frame has
+    * ≤ max-count rows no matter the corpus); the adjacent-count
+    * join is on the tiny census frame. */
+  val q273 = QueryDef(
+    "q273_good_turing",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(1, len(toks) - 1)) AS i
+      |  FROM t),
+      |tok AS (
+      |  SELECT toks[CAST(i AS INT)] || ' ' ||
+      |    toks[CAST(i + 1 AS INT)] || ' ' ||
+      |    toks[CAST(i + 2 AS INT)] AS w
+      |  FROM p),
+      |tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+      |  GROUP BY 1),
+      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tc),
+      |ff AS (
+      |  SELECT LEAST(c, 11) AS c, CAST(COUNT(*) AS BIGINT) AS nc,
+      |    CAST(SUM(c) AS BIGINT) AS mass
+      |  FROM tc GROUP BY 1)
+      |SELECT f.c, f.nc AS n_types, f.mass AS token_mass,
+      |  CAST(CASE WHEN f.c <= 10 AND g.nc IS NOT NULL
+      |    THEN (1000 * (f.c + 1) * g.nc) // f.nc END AS BIGINT)
+      |    AS c_star_milli,
+      |  CAST((1000000 * f.mass) // n.n AS BIGINT) AS mass_ppm
+      |FROM ff f LEFT JOIN ff g ON g.c = f.c + 1
+      |CROSS JOIN n
+      |ORDER BY f.c""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 3),
+          | i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))"""
+          .stripMargin)).as("w"))
+    val tc = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = tc.agg(sum(col("c")).as("n"))
+    val ff = tc.groupBy(least(col("c"), lit(11L)).as("c"))
+      .agg(count(lit(1)).as("nc"), sum(col("c")).as("mass"))
+    ff.join(ff.select(col("c") - 1 as "c", col("nc").as("nc1")),
+        Seq("c"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("c"), col("nc").as("n_types"),
+        col("mass").as("token_mass"),
+        when(col("c") <= 10 && col("nc1").isNotNull,
+          expr("(1000L * (c + 1) * nc1) div nc"))
+          .cast("long").as("c_star_milli"),
+        expr("(1000000L * mass) div n").as("mass_ppm"))
+      .orderBy(col("c"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
       q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181,
       q184, q185, q190, q192, q193, q200, q208, q232, q238, q249, q266,
-      q269)
+      q269, q273)
 }

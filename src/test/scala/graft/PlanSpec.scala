@@ -214,7 +214,8 @@ class PlanSpec extends SparkSpec {
       "q263_skew_audit" -> "one-row global-moments frame",
       "q265_centrality" -> "one-row node-count frame",
       "q266_fellegi_sunter" -> "one-row m/u-weight frame",
-      "q267_cuped" -> "one-row pooled-moments frame")
+      "q267_cuped" -> "one-row pooled-moments frame",
+      "q273_good_turing" -> "one-row token-total frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
