@@ -5036,6 +5036,114 @@ object CoreQueries {
       .orderBy(col("r"), col("f"), col("m"))
   }
 
+  /** q274 — seasonal-residual anomaly days (the S-H-ESD shape of
+    * Twitter's AnomalyDetection, in its 3σ census form): decompose
+    * daily revenue into trend (q252's centered 7-day MA) + additive
+    * day-of-week component (q259's residual means), then flag the
+    * days whose RESIDUAL leaves the 3σ band — seasonality-aware
+    * anomaly detection, where a strong-but-normal Monday never
+    * false-positives and a quiet Monday can. The 3σ test is one
+    * exact integer comparison (n·r − S)² > 9·(n·Q − S²) on the
+    * dollars grid (the q256/q261 cross-multiplied moment
+    * discipline — on the KILODOLLAR grid: a dollars-grid Σr² already
+    * overflows the 9·n·Q product at sf0.01); residuals go negative,
+    * so the milli→kilodollar snap is the q225 sign-safe offset
+    * floor-division. Top-10 by exact
+    * integer deviation |n·r − S|, with the census totals alongside.
+    *
+    * Scale: everything after the daily keyed census is
+    * calendar-bounded; the moment frame is one broadcast row. */
+  val q274 = QueryDef(
+    "q274_anomaly_days",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |ma AS (
+      |  SELECT day, y,
+      |    CAST(SUM(y) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+      |      AND 3 FOLLOWING) AS BIGINT) AS s7,
+      |    CAST(COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+      |      AND 3 FOLLOWING) AS BIGINT) AS c7
+      |  FROM daily),
+      |full7 AS (
+      |  SELECT day, y, s7 // 7 AS trend FROM ma WHERE c7 = 7),
+      |sd AS (
+      |  SELECT isodow(day) - 1 AS dw,
+      |    CAST((SUM(1000 * y - 1000 * trend)
+      |      + COUNT(*) * 1000000000000000) // COUNT(*)
+      |      - 1000000000000000 AS BIGINT) AS s
+      |  FROM full7 GROUP BY 1),
+      |res AS (
+      |  SELECT f.day, f.y, f.trend,
+      |    CAST((1000 * f.y - 1000 * f.trend - sd.s
+      |      + 1000000000000000000) // 100000000 - 10000000000
+      |      AS BIGINT) AS rd
+      |  FROM full7 f JOIN sd ON isodow(f.day) - 1 = sd.dw),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(rd) AS BIGINT) AS s,
+      |    CAST(SUM(rd * rd) AS BIGINT) AS q
+      |  FROM res),
+      |an AS (
+      |  SELECT res.day, res.y, res.trend, res.rd,
+      |    ABS(mo.n * res.rd - mo.s) AS dev,
+      |    CASE WHEN (mo.n * res.rd - mo.s) * (mo.n * res.rd - mo.s)
+      |      > 9 * (mo.n * mo.q - mo.s * mo.s) THEN 1 ELSE 0 END
+      |      AS is_anom,
+      |    mo.n
+      |  FROM res CROSS JOIN mo),
+      |tot AS (SELECT CAST(SUM(is_anom) AS BIGINT) AS n_anomalies
+      |  FROM an)
+      |SELECT an.day, an.y AS revenue_cents, an.trend AS trend_cents,
+      |  an.rd AS resid_kdollars,
+      |  CAST(an.is_anom AS BIGINT) AS is_anom,
+      |  an.n AS n_days, tot.n_anomalies
+      |FROM an CROSS JOIN tot
+      |ORDER BY an.dev DESC, an.day LIMIT 10""".stripMargin) { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+        .as("y"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val full7 = daily
+      .withColumn("s7", sum(col("y")).over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .filter(col("c7") === 7)
+      .select(col("day"), col("y"), expr("s7 div 7").as("trend"))
+    val sd = full7
+      .groupBy(expr("weekday(day)").as("dw"))
+      .agg(expr(
+        """(sum(1000L * y - 1000L * trend)
+          | + count(1) * 1000000000000000L) div count(1)
+          | - 1000000000000000L""".stripMargin).as("s"))
+    val res = full7.join(broadcast(sd),
+        expr("weekday(day)") === col("dw"))
+      .select(col("day"), col("y"), col("trend"),
+        expr("""(1000L * y - 1000L * trend - s
+          | + 1000000000000000000L) div 100000000 - 10000000000L"""
+          .stripMargin).as("rd"))
+    val mo = res.agg(count(lit(1)).as("n"), sum(col("rd")).as("s"),
+      sum(col("rd") * col("rd")).as("q"))
+    val an = res.crossJoin(broadcast(mo))
+      .withColumn("dev", abs(col("n") * col("rd") - col("s")))
+      .withColumn("is_anom",
+        ((col("n") * col("rd") - col("s"))
+          * (col("n") * col("rd") - col("s"))
+          > lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+          .cast("long"))
+    val tot = an.agg(sum(col("is_anom")).as("n_anomalies"))
+    an.crossJoin(broadcast(tot))
+      .select(col("day"), col("y").as("revenue_cents"),
+        col("trend").as("trend_cents"), col("rd").as("resid_kdollars"),
+        col("is_anom"), col("n").as("n_days"), col("n_anomalies"),
+        col("dev"))
+      .orderBy(col("dev").desc, col("day"))
+      .limit(10)
+      .drop("dev")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
@@ -5044,5 +5152,5 @@ object CoreQueries {
     q216, q217, q218, q220, q221, q222, q225, q229, q231, q233, q236,
     q237, q240, q241, q242, q243, q245, q250, q251, q252, q253, q254,
     q255, q256, q259, q260, q261, q262, q263, q264, q267, q268,
-    q270, q271, q272)
+    q270, q271, q272, q274)
 }

@@ -110,7 +110,9 @@ class PlanSpec extends SparkSpec {
       // q262's lag window runs over the 4-row funnel-level frame
       "q262_conversion_funnel",
       // q270's Qini cumsum runs over the 10-row decile census
-      "q270_uplift_qini")
+      "q270_uplift_qini",
+      // q274 reuses q252's centered-MA window over the daily census
+      "q274_anomaly_days")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => allowed.contains(n) }
       .flatMap { case (name, fn) =>
@@ -215,7 +217,8 @@ class PlanSpec extends SparkSpec {
       "q265_centrality" -> "one-row node-count frame",
       "q266_fellegi_sunter" -> "one-row m/u-weight frame",
       "q267_cuped" -> "one-row pooled-moments frame",
-      "q273_good_turing" -> "one-row token-total frame")
+      "q273_good_turing" -> "one-row token-total frame",
+      "q274_anomaly_days" -> "one-row moment/anomaly-total frames")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
