@@ -5144,6 +5144,308 @@ object CoreQueries {
       .drop("dev")
   }
 
+  /** q275 — Mann–Whitney U rank-sum test (Mann & Whitney 1947) per
+    * market segment, before vs after 1997-01-01: the NONPARAMETRIC
+    * drift test beside q214's mean z-test (which assumes moments
+    * matter) and q229's KS (which takes the max gap) — U asks "does
+    * a random after-order tend to exceed a random before-order", and
+    * is immune to outliers no money metric avoids. Everything is
+    * exact integers on the DOUBLED rank grid: census-first over the
+    * price ladder (the q229 discipline), the tie-averaged rank of a
+    * rung is (2·cum_before + c + 1)/2, so 2·R₁ = Σ c₁·(2·cb + c + 1)
+    * needs no halves; 2U = 2R₁ − n₁(n₁+1). The z-statistic uses the
+    * exact tie-corrected variance (Σ(t³−t) an integer census sum)
+    * with the single float √ last (the q246 contract).
+    *
+    * Scale: (segment, price) census first — windows run over the
+    * price DOMAIN per segment; totals broadcast back. 100 TB adds
+    * ladder weight, not rungs. */
+  val q275 = QueryDef(
+    "q275_mann_whitney",
+    """WITH o AS (
+      |  SELECT c.c_mktsegment AS seg,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+      |    CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+      |      THEN 1 ELSE 0 END AS grp
+      |  FROM orders JOIN customer c ON o_custkey = c_custkey),
+      |cnt AS (
+      |  SELECT seg, v, CAST(SUM(grp) AS BIGINT) AS c1,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM o GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT seg, v, c1, c,
+      |    CAST(COALESCE(SUM(c) OVER (PARTITION BY seg ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cb
+      |  FROM cnt),
+      |agg AS (
+      |  SELECT seg,
+      |    CAST(SUM(c1) AS BIGINT) AS n1,
+      |    CAST(SUM(c - c1) AS BIGINT) AS n2,
+      |    CAST(SUM(c1 * (2 * cb + c + 1)) AS BIGINT) AS r2x,
+      |    CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+      |  FROM cum GROUP BY 1)
+      |SELECT seg AS segment, n1 AS n_after, n2 AS n_before,
+      |  CAST(r2x - n1 * (n1 + 1) AS BIGINT) AS u2x,
+      |  CAST(FLOOR(1000.0 * (CAST(r2x - n1 * (n1 + 1) AS DOUBLE) / 2.0
+      |      - CAST(n1 AS DOUBLE) * n2 / 2.0)
+      |    / SQRT(CAST(n1 AS DOUBLE) * n2 / 12.0
+      |      * (CAST(n1 + n2 + 1 AS DOUBLE)
+      |        - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
+      |          * (n1 + n2 - 1))))) AS BIGINT) AS z_milli
+      |FROM agg
+      |WHERE n1 >= 2 AND n2 >= 2
+      |ORDER BY segment""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+          .as("v"),
+        (col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+          .cast("long").as("grp"))
+    val cnt = o.groupBy(col("seg"), col("v"))
+      .agg(sum(col("grp")).as("c1"), count(lit(1)).as("c"))
+    val wCb = Window.partitionBy(col("seg")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = cnt.withColumn("cb",
+      coalesce(sum(col("c")).over(wCb), lit(0L)))
+    cum.groupBy(col("seg").as("segment"))
+      .agg(sum(col("c1")).as("n1"),
+        sum(col("c") - col("c1")).as("n2"),
+        sum(col("c1") * (lit(2L) * col("cb") + col("c") + 1))
+          .as("r2x"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+      .filter(col("n1") >= 2 && col("n2") >= 2)
+      .select(col("segment"), col("n1").as("n_after"),
+        col("n2").as("n_before"),
+        (col("r2x") - col("n1") * (col("n1") + 1)).as("u2x"),
+        floor(lit(1000.0)
+          * ((col("r2x") - col("n1") * (col("n1") + 1)).cast("double")
+              / 2.0
+            - col("n1").cast("double") * col("n2") / 2.0)
+          / sqrt(col("n1").cast("double") * col("n2") / 12.0
+            * ((col("n1") + col("n2") + 1).cast("double")
+              - col("ties").cast("double")
+                / ((col("n1") + col("n2")).cast("double")
+                  * (col("n1") + col("n2") - 1)))))
+          .cast("long").as("z_milli"))
+      .orderBy(col("segment"))
+  }
+
+  /** q277 — Theil T inequality index of customer spend per nation
+    * (Theil 1967): the ENTROPY-based inequality measure next to
+    * q163's Gini and q250's HHI — the one that decomposes exactly
+    * into within-group + between-group parts, which is why inequality
+    * studies prefer it. T = Σ x·ln(n·x/X) / X over spenders; each
+    * log is one milli-nat snap (mnat(n·x) − mnat(X) — both arguments
+    * exact integer cents), the division is the sign-safe offset
+    * floor (the snapped sum can dip below zero even though the true
+    * X·T is Jensen-nonnegative).
+    *
+    * Scale: one per-customer keyed census, one per-nation agg.
+    * Nothing grows but the weights. */
+  val q277 = QueryDef(
+    "q277_theil_index",
+    s"""WITH cs AS (
+      |  SELECT c.c_nationkey AS nat,
+      |    CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS x
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY c.c_nationkey, o.o_custkey),
+      |nt AS (
+      |  SELECT nat, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS tx
+      |  FROM cs WHERE x >= 1 GROUP BY 1),
+      |terms AS (
+      |  SELECT cs.nat,
+      |    cs.x * (${graft.functions.LangModel.mnatSql("nt.n * cs.x")}
+      |      - ${graft.functions.LangModel.mnatSql("nt.tx")}) AS t
+      |  FROM cs JOIN nt ON cs.nat = nt.nat
+      |  WHERE cs.x >= 1)
+      |SELECT t.nat AS nation, nt.n AS n_customers,
+      |  CAST((SUM(t.t) + 1000 * nt.tx) // nt.tx - 1000 AS BIGINT)
+      |    AS theil_milli_mnat
+      |FROM terms t JOIN nt ON t.nat = nt.nat
+      |GROUP BY t.nat, nt.n, nt.tx
+      |ORDER BY nation""".stripMargin) { (s, d) =>
+    import graft.functions.LangModel.mnat
+    val cs = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nat"), col("o_custkey"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+        .as("x"))
+      .filter(col("x") >= 1)
+    val nt = cs.groupBy(col("nat"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("tx"))
+    cs.join(broadcast(nt), Seq("nat"))
+      .select(col("nat"), col("n"), col("tx"),
+        (col("x") * (mnat(col("n") * col("x")) - mnat(col("tx"))))
+          .as("t"))
+      .groupBy(col("nat").as("nation"), col("n").as("n_customers"),
+        col("tx"))
+      .agg(expr("(sum(t) + 1000L * tx) div tx - 1000L")
+        .as("theil_milli_mnat"))
+      .select(col("nation"), col("n_customers"),
+        col("theil_milli_mnat"))
+      .orderBy(col("nation"))
+  }
+
+  /** q278 — ABC × Syntetos–Boylan demand-class matrix: q253's
+    * revenue Pareto classes crossed with the INTERMITTENT-demand
+    * quadrants (Syntetos & Boylan 2005) — plain XYZ's CV-over-all-
+    * weeks collapses on sparse retail demand (a first cut here put
+    * 100 % of parts in Z: most part-weeks are zero), which is
+    * precisely why the forecasting literature classifies by ADI
+    * (average demand interval, W/n over demand-ACTIVE weeks n) and
+    * CV² of the NONZERO demand sizes instead. Both cuts are exact
+    * integer comparisons — ADI ≥ 1.32 ⟺ 100·W ≥ 132·n, CV² ≥ 0.49 ⟺
+    * 100·(n·Q − S²) ≥ 49·S² — giving smooth / erratic /
+    * intermittent / lumpy, the quadrant that picks the forecasting
+    * method (Croston vs SES). ABC rides the same distributed
+    * prefixSum as q253.
+    *
+    * Scale: a (part, week) census + a part census + the Ranks bucket
+    * pipeline; the week count is a one-row broadcast; output is the
+    * ≤12-cell matrix. */
+  val q278 = QueryDef(
+    "q278_abc_demand_classes",
+    """WITH li AS (
+      |  SELECT l_partkey AS pk,
+      |    date_diff('day', DATE '1995-01-01',
+      |      CAST(l_shipdate AS DATE)) // 7 AS wk,
+      |    CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |wc AS (SELECT CAST(COUNT(DISTINCT wk) AS BIGINT) AS w FROM li),
+      |pw AS (
+      |  SELECT pk, wk, CAST(SUM(qty) AS BIGINT) AS q
+      |  FROM li GROUP BY 1, 2),
+      |pp AS (
+      |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(q) AS BIGINT) AS s,
+      |    CAST(SUM(q * q) AS BIGINT) AS qq
+      |  FROM pw GROUP BY 1),
+      |xyz AS (
+      |  SELECT pp.pk,
+      |    CASE
+      |      WHEN 100 * wc.w < 132 * pp.n
+      |        AND 100 * (pp.n * pp.qq - pp.s * pp.s) < 49 * pp.s * pp.s
+      |        THEN 'smooth'
+      |      WHEN 100 * wc.w < 132 * pp.n THEN 'erratic'
+      |      WHEN 100 * (pp.n * pp.qq - pp.s * pp.s) < 49 * pp.s * pp.s
+      |        THEN 'intermittent'
+      |      ELSE 'lumpy' END AS xyz
+      |  FROM pp CROSS JOIN wc),
+      |pr AS (
+      |  SELECT pk, CAST(SUM(cents) AS BIGINT) AS rev
+      |  FROM li GROUP BY 1),
+      |t AS (SELECT CAST(SUM(rev) AS BIGINT) AS tot FROM pr),
+      |c AS (
+      |  SELECT pk, rev,
+      |    CAST(SUM(rev) OVER (ORDER BY rev DESC, pk) AS BIGINT) AS cum
+      |  FROM pr),
+      |abc AS (
+      |  SELECT c.pk,
+      |    CASE WHEN 1000000 * c.cum <= 800000 * t.tot THEN 'A'
+      |    WHEN 1000000 * c.cum <= 950000 * t.tot THEN 'B'
+      |    ELSE 'C' END AS abc, c.rev
+      |  FROM c CROSS JOIN t)
+      |SELECT abc.abc, xyz.xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST((1000000 * SUM(abc.rev)) // MAX(t.tot) AS BIGINT)
+      |    AS revenue_share_ppm
+      |FROM abc JOIN xyz ON abc.pk = xyz.pk CROSS JOIN t
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select(
+      col("l_partkey").as("pk"),
+      expr("""cast(datediff(cast(l_shipdate as date),
+        | date'1995-01-01') as bigint) div 7""".stripMargin).as("wk"),
+      col("l_quantity").cast("long").as("qty"),
+      expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")
+        .as("cents"))
+    val wc = li.agg(countDistinct(col("wk")).as("w"))
+    val pp = li.groupBy(col("pk"), col("wk"))
+      .agg(sum(col("qty")).as("q"))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(col("q") * col("q")).as("qq"))
+    val cvHi = lit(100L) * (col("n") * col("qq") - col("s") * col("s")) >=
+      lit(49L) * col("s") * col("s")
+    val adiHi = lit(100L) * col("w") >= lit(132L) * col("n")
+    val xyz = pp.crossJoin(broadcast(wc))
+      .select(col("pk"),
+        when(!adiHi && !cvHi, "smooth")
+          .when(!adiHi, "erratic")
+          .when(!cvHi, "intermittent")
+          .otherwise("lumpy").as("xyz"))
+    val pr = li.groupBy(col("pk")).agg(sum(col("cents")).as("rev"))
+    val t = pr.agg(sum(col("rev")).as("tot"))
+    val c = graft.functions.Ranks.prefixSum(pr,
+      col("rev") * lit(-1L), col("pk"), col("rev"), "cum")
+    val abc = c.crossJoin(broadcast(t))
+      .select(col("pk"),
+        when(lit(1000000L) * col("cum") <= lit(800000L) * col("tot"),
+          "A")
+          .when(lit(1000000L) * col("cum") <= lit(950000L) * col("tot"),
+            "B")
+          .otherwise("C").as("abc"), col("rev"))
+    abc.join(xyz, Seq("pk")).crossJoin(broadcast(t))
+      .groupBy(col("abc"), col("xyz"))
+      .agg(count(lit(1)).as("n_parts"),
+        expr("(1000000L * sum(rev)) div max(tot)")
+          .as("revenue_share_ppm"))
+      .orderBy(col("abc"), col("xyz"))
+  }
+
+  /** q279 — negative-binomial overdispersion fit (method of moments)
+    * for daily event counts per type: the model-choice census before
+    * anyone fits a count model — Poisson demands Var = Mean; real
+    * event streams overdisperse, and the NB size parameter
+    * r̂ = μ²/(σ²−μ) says by how much. Both the dispersion index
+    * D = σ²/μ and r̂ reduce to exact integer ratios of count moments
+    * (D_milli = 1000·(n·Q−S²) ÷ (n·S), r̂_milli = 1000·S² ÷
+    * (n·Q−S²−n·S)), so the whole fit is count arithmetic — the
+    * q187 burstiness statistic upgraded to a model parameter. On
+    * this Poisson-uniform synthetic stream D ≈ 1 and r̂ is huge or
+    * undefined — the honest null, stated.
+    *
+    * Scale: one (type, day) census, one per-type moment agg. */
+  val q279 = QueryDef(
+    "q279_nb_overdispersion",
+    """WITH dx AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |mo AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS s,
+      |    CAST(SUM(x * x) AS BIGINT) AS q
+      |  FROM dx GROUP BY 1)
+      |SELECT event_type, n AS n_days, s AS n_events,
+      |  CAST((1000 * (n * q - s * s)) // (n * s) AS BIGINT)
+      |    AS dispersion_milli,
+      |  CAST(CASE WHEN n * q - s * s - n * s > 0
+      |    THEN (1000 * s * s) // (n * q - s * s - n * s) END
+      |    AS BIGINT) AS nb_r_milli
+      |FROM mo WHERE n >= 2 AND s >= 1
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val mo = Tables.events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q"))
+    mo.filter(col("n") >= 2 && col("s") >= 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        col("s").as("n_events"),
+        expr("(1000L * (n * q - s * s)) div (n * s)")
+          .as("dispersion_milli"),
+        when(col("n") * col("q") - col("s") * col("s")
+            - col("n") * col("s") > 0,
+          expr("(1000L * s * s) div (n * q - s * s - n * s)"))
+          .cast("long").as("nb_r_milli"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
@@ -5152,5 +5454,5 @@ object CoreQueries {
     q216, q217, q218, q220, q221, q222, q225, q229, q231, q233, q236,
     q237, q240, q241, q242, q243, q245, q250, q251, q252, q253, q254,
     q255, q256, q259, q260, q261, q262, q263, q264, q267, q268,
-    q270, q271, q272, q274)
+    q270, q271, q272, q274, q275, q277, q278, q279)
 }

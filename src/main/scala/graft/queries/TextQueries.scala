@@ -3456,11 +3456,90 @@ object TextQueries {
       .orderBy(col("c"))
   }
 
+  /** q276 — Jensen–Shannon divergence of each source's word
+    * distribution from the corpus mixture (Lin 1991): the SYMMETRIC,
+    * always-finite distribution distance a mixing pipeline (q102's
+    * temperature weights) uses to quantify how far each source sits
+    * from the blend — KL alone explodes on any word a source lacks,
+    * JS never does. Per source S with corpus C:
+    * JSD = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m), m = (p+q)/2 — every
+    * probability an exact ppm integer, every log a milli-nat snap
+    * (mnat of ppm — the q227/q266 grid), the ½ folds into the final
+    * // 2. Zero-count terms contribute exactly 0 from the side that
+    * lacks them (0·ln 0 = 0), handled by the ppm≥1 guard on the
+    * FULL source×vocabulary grid (a source-absent word still pays
+    * its q·ln(2q/(p+q)) share), never by smoothing — this is JS's
+    * point.
+    *
+    * Scale: one word census per (source, word) — vocabulary-bounded
+    * after the first keyed agg; per-source totals broadcast back. */
+  val q276 = QueryDef(
+    "q276_js_divergence",
+    s"""WITH tok AS (
+      |  SELECT source, lower(w) AS w
+      |  FROM documents, UNNEST(regexp_extract_all(lower(text),
+      |    '[a-z]+')) AS t(w)),
+      |sw AS (
+      |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY 1, 2),
+      |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM sw
+      |  GROUP BY 1),
+      |cw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cc FROM sw
+      |  GROUP BY 1),
+      |ct AS (SELECT CAST(SUM(c) AS BIGINT) AS cn FROM sw),
+      |pq AS (
+      |  SELECT st.source, cw.w,
+      |    (1000000 * COALESCE(sw.c, 0)) // st.n AS p,
+      |    (1000000 * cw.cc) // ct.cn AS q
+      |  FROM st CROSS JOIN cw
+      |  LEFT JOIN sw ON sw.source = st.source AND sw.w = cw.w
+      |  CROSS JOIN ct),
+      |terms AS (
+      |  SELECT source,
+      |    CASE WHEN p >= 1 THEN p * (${graft.functions.LangModel
+            .mnatSql("2 * p")} - ${graft.functions.LangModel
+            .mnatSql("p + q")}) ELSE 0 END AS tp,
+      |    CASE WHEN q >= 1 THEN q * (${graft.functions.LangModel
+            .mnatSql("2 * q")} - ${graft.functions.LangModel
+            .mnatSql("p + q")}) ELSE 0 END AS tq
+      |  FROM pq)
+      |SELECT source,
+      |  CAST((SUM(tp) + SUM(tq) + 4000000000000) // 2000000
+      |    - 2000000 AS BIGINT) AS jsd_micronat
+      |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.functions.LangModel.mnat
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+    val sw = tok.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val st = sw.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val cw = sw.groupBy(col("w")).agg(sum(col("c")).as("cc"))
+    val ct = sw.agg(sum(col("c")).as("cn"))
+    val pq = st.crossJoin(broadcast(cw))
+      .join(sw, Seq("source", "w"), "left")
+      .crossJoin(broadcast(ct))
+      .select(col("source"),
+        expr("(1000000L * coalesce(c, 0L)) div n").as("p"),
+        expr("(1000000L * cc) div cn").as("q"))
+    pq.select(col("source"),
+        when(col("p") >= 1,
+          col("p") * (mnat(lit(2L) * col("p"))
+            - mnat(col("p") + col("q")))).otherwise(0L).as("tp"),
+        when(col("q") >= 1,
+          col("q") * (mnat(lit(2L) * col("q"))
+            - mnat(col("p") + col("q")))).otherwise(0L).as("tq"))
+      .groupBy(col("source"))
+      .agg(expr("""(sum(tp) + sum(tq) + 4000000000000L) div 2000000
+        | - 2000000L""".stripMargin).as("jsd_micronat"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
       q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181,
       q184, q185, q190, q192, q193, q200, q208, q232, q238, q249, q266,
-      q269, q273)
+      q269, q273, q276)
 }

@@ -218,7 +218,10 @@ class PlanSpec extends SparkSpec {
       "q266_fellegi_sunter" -> "one-row m/u-weight frame",
       "q267_cuped" -> "one-row pooled-moments frame",
       "q273_good_turing" -> "one-row token-total frame",
-      "q274_anomaly_days" -> "one-row moment/anomaly-total frames")
+      "q274_anomaly_days" -> "one-row moment/anomaly-total frames",
+      "q276_js_divergence" ->
+        "sources x vocabulary grid (both domain-bounded) + one-row total",
+      "q278_abc_demand_classes" -> "one-row week-count and revenue-total frames")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
