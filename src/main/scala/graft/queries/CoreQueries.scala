@@ -5446,6 +5446,260 @@ object CoreQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q280 — Croston's method for intermittent demand (Croston 1972):
+    * the forecaster q278's quadrants PRESCRIBE for
+    * intermittent/lumpy classes — SES (q108's recurrence, α = 1/5)
+    * run SEPARATELY on the nonzero demand SIZES and on the
+    * inter-demand INTERVALS, forecast = size-level / interval-level;
+    * plain SES on the raw series (zeros included) would chase the
+    * zeros down and under-forecast every active week. Per brand (25
+    * bounded series): both SES folds carry integer milli state, the
+    * interval level seeds on the FIRST observed gap (the standard
+    * initialization), and the final rate is one snapped division —
+    * fold vs recursive-CTE oracle, the q225/q256 contract.
+    *
+    * Scale: (brand, week) demand census (map-side combinable) → 25
+    * bounded folds; state is O(1) per series. At brand grain the
+    * synthetic series is dense (gaps ≈ 1 week) and Croston honestly
+    * degenerates toward plain SES — the part-grain run is the same
+    * fold keyed by part, stated rather than faked here. */
+  val q280 = QueryDef(
+    "q280_croston_forecast",
+    """WITH RECURSIVE li AS (
+      |  SELECT p.p_brand AS brand,
+      |    date_diff('day', DATE '1995-01-01',
+      |      CAST(l.l_shipdate AS DATE)) // 7 AS wk,
+      |    CAST(l.l_quantity AS BIGINT) AS qty
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |bw AS (
+      |  SELECT brand, wk, CAST(SUM(qty) AS BIGINT) AS z
+      |  FROM li GROUP BY 1, 2),
+      |obs AS (
+      |  SELECT brand, wk, z,
+      |    ROW_NUMBER() OVER (PARTITION BY brand ORDER BY wk) AS idx
+      |  FROM bw),
+      |n AS (SELECT brand, CAST(MAX(idx) AS BIGINT) AS n FROM obs
+      |  GROUP BY 1),
+      |st AS (
+      |  SELECT brand, CAST(1 AS BIGINT) AS idx, wk AS pw,
+      |    CAST(1000 * z AS BIGINT) AS zb, CAST(0 AS BIGINT) AS yb
+      |  FROM obs WHERE idx = 1
+      |  UNION ALL
+      |  SELECT o.brand, o.idx, o.wk,
+      |    CAST((1000 * o.z + 4 * st.zb) // 5 AS BIGINT) AS zb,
+      |    CAST(CASE WHEN st.idx = 1 THEN 1000 * (o.wk - st.pw)
+      |      ELSE (1000 * (o.wk - st.pw) + 4 * st.yb) // 5 END
+      |      AS BIGINT) AS yb
+      |  FROM st JOIN obs o ON o.brand = st.brand
+      |    AND o.idx = st.idx + 1)
+      |SELECT st.brand, n.n AS n_demand_weeks,
+      |  st.zb AS size_level_milli, st.yb AS interval_level_milli,
+      |  CAST((1000 * st.zb) // st.yb AS BIGINT) AS forecast_milli
+      |FROM st JOIN n ON st.brand = n.brand AND st.idx = n.n
+      |WHERE n.n >= 2
+      |ORDER BY st.brand""".stripMargin) { (s, d) =>
+    val bw = Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        expr("""cast(datediff(cast(l_shipdate as date),
+          | date'1995-01-01') as bigint) div 7""".stripMargin)
+          .as("wk"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("brand"), col("wk"))
+      .agg(sum(col("qty")).as("z"))
+    bw.select(col("brand"), struct(col("wk"), col("z")).as("rec"))
+      .groupBy(col("brand"))
+      .agg(sort_array(collect_list(col("rec"))).as("recs"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .withColumn("st", expr(
+        """aggregate(
+          |  slice(recs, 2, size(recs) - 1),
+          |  named_struct('pw', recs[0].wk, 'zb', 1000L * recs[0].z,
+          |    'yb', 0L, 't', 1L),
+          |  (acc, x) -> named_struct(
+          |    'pw', x.wk,
+          |    'zb', (1000L * x.z + 4L * acc.zb) div 5,
+          |    'yb', if(acc.t = 1L, 1000L * (x.wk - acc.pw),
+          |      (1000L * (x.wk - acc.pw) + 4L * acc.yb) div 5),
+          |    't', acc.t + 1L))
+          |""".stripMargin))
+      .select(col("brand"), col("n").as("n_demand_weeks"),
+        col("st.zb").as("size_level_milli"),
+        col("st.yb").as("interval_level_milli"),
+        expr("(1000L * st.zb) div st.yb").as("forecast_milli"))
+      .orderBy(col("brand"))
+  }
+
+  /** q281 — newsvendor safety stock at a 95 % service level: the
+    * stocking decision q278's classes and q280's forecast feed — per
+    * brand, the critical-fractile quantile of WEEKLY demand
+    * (including zero weeks: skipping them inflates the quantile,
+    * the same trap q278 documents) minus mean demand. Zero weeks
+    * never materialize as rows: with W corpus weeks and n
+    * demand-active weeks, the rank-⌈0.95·W⌉ order statistic reads
+    * off the demand ladder cumsum OFFSET BY the W−n implicit zeros —
+    * exact, rank-based, no interpolation (the q254 discipline).
+    *
+    * Scale: (brand, week) census → per-brand demand-DOMAIN-bounded
+    * ladder windows; the week count is a one-row broadcast. */
+  val q281 = QueryDef(
+    "q281_safety_stock",
+    """WITH li AS (
+      |  SELECT p.p_brand AS brand,
+      |    date_diff('day', DATE '1995-01-01',
+      |      CAST(l.l_shipdate AS DATE)) // 7 AS wk,
+      |    CAST(l.l_quantity AS BIGINT) AS qty
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |wc AS (SELECT CAST(COUNT(DISTINCT wk) AS BIGINT) AS w FROM li),
+      |bw AS (
+      |  SELECT brand, wk, CAST(SUM(qty) AS BIGINT) AS z
+      |  FROM li GROUP BY 1, 2),
+      |lad AS (
+      |  SELECT brand, z, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM bw GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+      |    CAST(SUM(z) AS BIGINT) AS s
+      |  FROM bw GROUP BY 1),
+      |cum AS (
+      |  SELECT lad.brand, lad.z,
+      |    CAST(SUM(lad.c) OVER (PARTITION BY lad.brand ORDER BY lad.z)
+      |      AS BIGINT) AS cc
+      |  FROM lad),
+      |q AS (
+      |  SELECT cum.brand,
+      |    MIN(CASE WHEN 100 * ((wc.w - a.n_weeks) + cum.cc)
+      |      >= 95 * wc.w THEN cum.z END) AS q95
+      |  FROM cum JOIN agg a ON cum.brand = a.brand CROSS JOIN wc
+      |  GROUP BY 1)
+      |SELECT q.brand, a.n_weeks AS demand_weeks,
+      |  CAST((1000 * a.s) // wc.w AS BIGINT) AS mean_weekly_milli,
+      |  CAST(q.q95 AS BIGINT) AS q95_weekly,
+      |  CAST(1000 * q.q95 - (1000 * a.s) // wc.w AS BIGINT)
+      |    AS safety_stock_milli
+      |FROM q JOIN agg a ON q.brand = a.brand CROSS JOIN wc
+      |ORDER BY q.brand""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        expr("""cast(datediff(cast(l_shipdate as date),
+          | date'1995-01-01') as bigint) div 7""".stripMargin)
+          .as("wk"),
+        col("l_quantity").cast("long").as("qty"))
+    val wc = li.agg(countDistinct(col("wk")).as("w"))
+    val bw = li.groupBy(col("brand"), col("wk"))
+      .agg(sum(col("qty")).as("z"))
+    val lad = bw.groupBy(col("brand"), col("z"))
+      .agg(count(lit(1)).as("c"))
+    val agg = bw.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_weeks"), sum(col("z")).as("s"))
+    val wCum = Window.partitionBy(col("brand")).orderBy(col("z"))
+    val cum = lad.withColumn("cc", sum(col("c")).over(wCum))
+    val q = cum.join(broadcast(agg), Seq("brand"))
+      .crossJoin(broadcast(wc))
+      .groupBy(col("brand"))
+      .agg(min(when(lit(100L) * ((col("w") - col("n_weeks"))
+          + col("cc")) >= lit(95L) * col("w"), col("z"))).as("q95"))
+    q.join(broadcast(agg), Seq("brand")).crossJoin(broadcast(wc))
+      .select(col("brand"), col("n_weeks").as("demand_weeks"),
+        expr("(1000L * s) div w").as("mean_weekly_milli"),
+        col("q95").as("q95_weekly"),
+        (lit(1000L) * col("q95") - expr("(1000L * s) div w"))
+          .as("safety_stock_milli"))
+      .orderBy(col("brand"))
+  }
+
+  /** q283 — engagement stickiness (DAU/WAU, the product-analytics
+    * habit ratio): per epoch-week, average daily active users over
+    * weekly active users in exact ppm — the "how habitual is usage"
+    * number next to q64's cohort retention (weekly grain because the
+    * synthetic event stream spans ~one month; DAU/MAU would be one
+    * row). DAU enters as Σ_days |active(day)| (one (day, user)
+    * census, then a day census), WAU as the weekly distinct;
+    * stickiness = 10⁶·Σdaily ÷ (days_in_week·WAU), all exact
+    * integers — the mean-of-ratios pitfall (averaging per-day
+    * ratios) is avoided by construction.
+    *
+    * Scale: two distinct censuses off one scan, calendar-bounded
+    * output. */
+  val q283 = QueryDef(
+    "q283_stickiness",
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dd AS (
+      |  SELECT date_diff('day', DATE '1995-01-01', day) // 7 AS wk,
+      |    day, CAST(COUNT(*) AS BIGINT) AS dau
+      |  FROM du GROUP BY 1, 2),
+      |ds AS (
+      |  SELECT wk, CAST(SUM(dau) AS BIGINT) AS sum_dau,
+      |    CAST(COUNT(*) AS BIGINT) AS n_days
+      |  FROM dd GROUP BY 1),
+      |mu AS (
+      |  SELECT date_diff('day', DATE '1995-01-01',
+      |      CAST(ts AS DATE)) // 7 AS wk,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      |  FROM events GROUP BY 1)
+      |SELECT CAST(ds.wk AS BIGINT) AS week_idx, ds.n_days,
+      |  ds.sum_dau, mu.wau,
+      |  CAST(ds.sum_dau // ds.n_days AS BIGINT) AS avg_dau,
+      |  CAST((1000000 * ds.sum_dau) // (ds.n_days * mu.wau)
+      |    AS BIGINT) AS stickiness_ppm
+      |FROM ds JOIN mu ON ds.wk = mu.wk
+      |ORDER BY week_idx""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("ts").cast("date").as("day"), col("user_id"))
+    def wkCol = expr(
+      "cast(datediff(day, date'1995-01-01') as bigint) div 7")
+    val du = ev.distinct()
+    val dd = du.groupBy(wkCol.as("wk"), col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val ds = dd.groupBy(col("wk"))
+      .agg(sum(col("dau")).as("sum_dau"), count(lit(1)).as("n_days"))
+    val mu = ev.groupBy(wkCol.as("wk"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    ds.join(mu, Seq("wk"))
+      .select(col("wk").as("week_idx"), col("n_days"),
+        col("sum_dau"), col("wau"),
+        expr("sum_dau div n_days").as("avg_dau"),
+        expr("(1000000L * sum_dau) div (n_days * wau)")
+          .as("stickiness_ppm"))
+      .orderBy(col("week_idx"))
+  }
+
+  /** q284 — salted two-phase aggregation, oracle-proven: the skew
+    * mitigation q263's audit RECOMMENDS, run end to end and gated on
+    * exact equality with the plain single-phase oracle. Phase 1
+    * aggregates by (key, salt) with salt = orderkey % 8 — a hot key's
+    * rows split across 8 reducers; phase 2 merges the partials by
+    * key (SUM of SUMs, SUM of COUNTs — every aggregate here is
+    * algebraic, which is WHY the pattern is sound; a non-algebraic
+    * median would need the q121-style sketch instead). The oracle is
+    * the textbook one-phase GROUP BY: hash-equality IS the proof
+    * that salting changes the shuffle, not the answer.
+    *
+    * Scale: the point of the query — the phase-1 shuffle key has 8×
+    * the cardinality and 1/8 the per-key weight; phase 2 shuffles
+    * the tiny partial frame. */
+  val q284 = QueryDef(
+    "q284_salted_aggregation",
+    """SELECT l_partkey AS pk,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |WHERE l_partkey < 500
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val p1 = Tables.lineitem(s, d)
+      .filter(col("l_partkey") < 500)
+      .groupBy(col("l_partkey").as("pk"),
+        (col("l_orderkey") % 8).as("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("l_quantity").cast("long")).as("pq"))
+    p1.groupBy(col("pk"))
+      .agg(sum(col("pn")).as("n_items"), sum(col("pq")).as("sum_qty"))
+      .orderBy(col("pk"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
@@ -5454,5 +5708,6 @@ object CoreQueries {
     q216, q217, q218, q220, q221, q222, q225, q229, q231, q233, q236,
     q237, q240, q241, q242, q243, q245, q250, q251, q252, q253, q254,
     q255, q256, q259, q260, q261, q262, q263, q264, q267, q268,
-    q270, q271, q272, q274, q275, q277, q278, q279)
+    q270, q271, q272, q274, q275, q277, q278, q279, q280, q281,
+    q283, q284)
 }

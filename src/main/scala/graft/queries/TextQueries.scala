@@ -3535,11 +3535,92 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** q282 — Dunning log-likelihood collocations (Dunning 1993): the
+    * G² statistic that replaced PMI (q175) as the collocation
+    * standard precisely because it doesn't over-reward rare pairs —
+    * G² = 2·Σ over the 2×2 contingency of O·ln(O/E), with
+    * ln(O/E) = ln(O·N) − ln(R·C) so every log argument is an exact
+    * integer product and every term one milli-nat snap (the
+    * q266/q276 grid); empty cells contribute exactly 0 (the O·ln O
+    * limit), no smoothing. Bigrams from the q232 adjacent-token
+    * shift-join; top-20 by integer-ranked G².
+    *
+    * Scale: one shift-join for bigram counts, two unigram-margin
+    * keyed aggs broadcast back, one one-row total; the statistic is
+    * a projection. Vocabulary-bounded after the first agg. */
+  val q282 = QueryDef(
+    "q282_dunning_collocations", {
+      def t(o: String, e1: String, e2: String): String =
+        s"""CASE WHEN $o >= 1 THEN ($o) * (${graft.functions.LangModel
+            .mnatSql(s"($o) * nn.n")} - ${graft.functions.LangModel
+            .mnatSql(s"($e1) * ($e2)")}) ELSE 0 END"""
+      s"""WITH t0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |  FROM t0),
+        |bi AS (
+        |  SELECT toks[CAST(i AS INT)] AS w1,
+        |    toks[CAST(i + 1 AS INT)] AS w2
+        |  FROM p),
+        |bc AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS a
+        |  FROM bi GROUP BY 1, 2),
+        |m1 AS (SELECT w1, CAST(SUM(a) AS BIGINT) AS r FROM bc
+        |  GROUP BY 1),
+        |m2 AS (SELECT w2, CAST(SUM(a) AS BIGINT) AS c FROM bc
+        |  GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM bc),
+        |g AS (
+        |  SELECT bc.w1, bc.w2, bc.a, m1.r, m2.c, nn.n,
+        |    2 * (${t("bc.a", "m1.r", "m2.c")}
+        |      + ${t("m1.r - bc.a", "m1.r", "nn.n - m2.c")}
+        |      + ${t("m2.c - bc.a", "nn.n - m1.r", "m2.c")}
+        |      + ${t("nn.n - m1.r - m2.c + bc.a",
+                     "nn.n - m1.r", "nn.n - m2.c")}) AS g2
+        |  FROM bc JOIN m1 ON bc.w1 = m1.w1 JOIN m2 ON bc.w2 = m2.w2
+        |  CROSS JOIN nn)
+        |SELECT w1, w2, a AS n_pair, r AS n_left, c AS n_right,
+        |  CAST(g2 AS BIGINT) AS g2_mnat
+        |FROM g ORDER BY g2 DESC, w1, w2 LIMIT 20""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.LangModel.mnat
+    val bi = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          | i -> struct(toks[i] as w1, toks[i + 1] as w2))"""
+          .stripMargin)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("a"))
+    val m1 = bc.groupBy(col("w1")).agg(sum(col("a")).as("r"))
+    val m2 = bc.groupBy(col("w2")).agg(sum(col("a")).as("c"))
+    val nn = bc.agg(sum(col("a")).as("n"))
+    def term(o: Column, e1: Column, e2: Column): Column =
+      when(o >= 1, o * (mnat(o * col("n")) - mnat(e1 * e2)))
+        .otherwise(0L)
+    bc.join(broadcast(m1), Seq("w1")).join(broadcast(m2), Seq("w2"))
+      .crossJoin(broadcast(nn))
+      .withColumn("g2", lit(2L)
+        * (term(col("a"), col("r"), col("c"))
+          + term(col("r") - col("a"), col("r"), col("n") - col("c"))
+          + term(col("c") - col("a"), col("n") - col("r"), col("c"))
+          + term(col("n") - col("r") - col("c") + col("a"),
+              col("n") - col("r"), col("n") - col("c"))))
+      .select(col("w1"), col("w2"), col("a").as("n_pair"),
+        col("r").as("n_left"), col("c").as("n_right"),
+        col("g2").as("g2_mnat"))
+      .orderBy(col("g2_mnat").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
       q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181,
       q184, q185, q190, q192, q193, q200, q208, q232, q238, q249, q266,
-      q269, q273, q276)
+      q269, q273, q276, q282)
 }

@@ -221,7 +221,9 @@ class PlanSpec extends SparkSpec {
       "q274_anomaly_days" -> "one-row moment/anomaly-total frames",
       "q276_js_divergence" ->
         "sources x vocabulary grid (both domain-bounded) + one-row total",
-      "q278_abc_demand_classes" -> "one-row week-count and revenue-total frames")
+      "q278_abc_demand_classes" -> "one-row week-count and revenue-total frames",
+      "q281_safety_stock" -> "one-row week-count frame",
+      "q282_dunning_collocations" -> "one-row bigram-total frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
