@@ -5700,6 +5700,201 @@ object CoreQueries {
       .orderBy(col("pk"))
   }
 
+  /** q285 — multi-touch attribution model comparison: the FOUR
+    * simple industry models (first-touch, last-touch, linear,
+    * position-decay) side by side per channel, with the
+    * max-disagreement column that tells a marketing team whether the
+    * model choice even matters — the heuristic-model companion to
+    * q237's Shapley (game-theoretic) and q182's Markov evaluation.
+    * Touches are a user's events strictly before their first
+    * purchase; every credit is integer-exact: first/last are keyed
+    * min/max picks, linear splits 10⁶ by floor-division per touch,
+    * and position-decay halves per step back from conversion with
+    * pure bit-shift weights 2^min(pos_back, 20) — no exp, no float,
+    * the weight grid both engines share trivially.
+    *
+    * Scale: one first-purchase keyed min, one touch frame with
+    * per-user keyed windows (bounded by events-per-user), four keyed
+    * censuses. */
+  val q285 = QueryDef(
+    "q285_attribution_models",
+    """WITH fp AS (
+      |  SELECT user_id AS u, MIN(ts) AS pt FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1),
+      |tch AS (
+      |  SELECT e.user_id AS u, e.event_type AS ch, e.ts,
+      |    ROW_NUMBER() OVER (PARTITION BY e.user_id
+      |      ORDER BY e.ts, e.event_id) AS pos,
+      |    COUNT(*) OVER (PARTITION BY e.user_id) AS n
+      |  FROM events e JOIN fp ON e.user_id = fp.u AND e.ts < fp.pt),
+      |ft AS (
+      |  SELECT ch, CAST(1000000 * COUNT(*) AS BIGINT) AS w
+      |  FROM tch WHERE pos = 1 GROUP BY 1),
+      |lt AS (
+      |  SELECT ch, CAST(1000000 * COUNT(*) AS BIGINT) AS w
+      |  FROM tch WHERE pos = n GROUP BY 1),
+      |lin AS (
+      |  SELECT ch, CAST(SUM(1000000 // n) AS BIGINT) AS w
+      |  FROM tch GROUP BY 1),
+      |dk AS (
+      |  SELECT u, ch,
+      |    CAST(1 << CAST(LEAST(n - pos, 20) AS INT) AS BIGINT) AS wt,
+      |    CAST(SUM(1 << CAST(LEAST(n - pos, 20) AS INT))
+      |      OVER (PARTITION BY u) AS BIGINT) AS tw
+      |  FROM tch),
+      |dec AS (
+      |  SELECT ch, CAST(SUM((1000000 * wt) // tw) AS BIGINT) AS w
+      |  FROM dk GROUP BY 1),
+      |tot AS (
+      |  SELECT
+      |    (SELECT SUM(w) FROM ft) AS tf, (SELECT SUM(w) FROM lt) AS tl,
+      |    (SELECT SUM(w) FROM lin) AS tn, (SELECT SUM(w) FROM dec) AS td)
+      |SELECT ft.ch AS channel,
+      |  CAST((1000000 * ft.w) // tot.tf AS BIGINT) AS first_ppm,
+      |  CAST((1000000 * lt.w) // tot.tl AS BIGINT) AS last_ppm,
+      |  CAST((1000000 * lin.w) // tot.tn AS BIGINT) AS linear_ppm,
+      |  CAST((1000000 * dec.w) // tot.td AS BIGINT) AS decay_ppm,
+      |  CAST(GREATEST((1000000 * ft.w) // tot.tf,
+      |      (1000000 * lt.w) // tot.tl, (1000000 * lin.w) // tot.tn,
+      |      (1000000 * dec.w) // tot.td)
+      |    - LEAST((1000000 * ft.w) // tot.tf,
+      |      (1000000 * lt.w) // tot.tl, (1000000 * lin.w) // tot.tn,
+      |      (1000000 * dec.w) // tot.td) AS BIGINT)
+      |    AS disagreement_ppm
+      |FROM ft JOIN lt ON ft.ch = lt.ch JOIN lin ON ft.ch = lin.ch
+      |JOIN dec ON ft.ch = dec.ch CROSS JOIN tot
+      |ORDER BY channel""".stripMargin) { (s, d) =>
+    val fp = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("u")).agg(min(col("ts")).as("pt"))
+    val wP = Window.partitionBy(col("u"))
+      .orderBy(col("ts"), col("event_id"))
+    val wU = Window.partitionBy(col("u"))
+    val tch = Tables.events(s, d)
+      .join(fp, col("user_id") === col("u") && col("ts") < col("pt"))
+      .select(col("u"), col("event_type").as("ch"), col("ts"),
+        col("event_id"))
+      .withColumn("pos", row_number().over(wP))
+      .withColumn("n", count(lit(1)).over(wU))
+    def share(df: DataFrame, nm: String) = {
+      val t = df.agg(sum(col("w")).as("t"))
+      df.crossJoin(broadcast(t))
+        .select(col("ch"), expr("(1000000L * w) div t").as(nm))
+    }
+    val ft = share(tch.filter(col("pos") === 1).groupBy(col("ch"))
+      .agg((lit(1000000L) * count(lit(1))).as("w")), "first_ppm")
+    val lt = share(tch.filter(col("pos") === col("n"))
+      .groupBy(col("ch"))
+      .agg((lit(1000000L) * count(lit(1))).as("w")), "last_ppm")
+    val lin = share(tch.groupBy(col("ch"))
+      .agg(sum(expr("1000000L div n")).as("w")), "linear_ppm")
+    val dk = tch
+      .withColumn("wt",
+        expr("shiftleft(cast(1 as bigint), cast(least(n - pos, 20L) as int))"))
+      .withColumn("tw", sum(col("wt")).over(wU))
+    val dec = share(dk.groupBy(col("ch"))
+      .agg(sum(expr("(1000000L * wt) div tw")).as("w")), "decay_ppm")
+    ft.join(lt, Seq("ch")).join(lin, Seq("ch")).join(dec, Seq("ch"))
+      .select(col("ch").as("channel"), col("first_ppm"),
+        col("last_ppm"), col("linear_ppm"), col("decay_ppm"),
+        (greatest(col("first_ppm"), col("last_ppm"),
+          col("linear_ppm"), col("decay_ppm"))
+          - least(col("first_ppm"), col("last_ppm"),
+            col("linear_ppm"), col("decay_ppm")))
+          .as("disagreement_ppm"))
+      .orderBy(col("channel"))
+  }
+
+  /** q286 — OTIF supplier scorecard (On-Time-In-Full, the
+    * supply-chain service KPI): per supplier nation, the share of
+    * line items that shipped within the 30-day promise window
+    * (on-time, l_shipdate ≤ o_orderdate + 30 — this corpus carries
+    * no commit/receipt dates, so the promise is the pinned window,
+    * stated) AND were not returned (in-full proxy,
+    * l_returnflag ≠ 'R'), in exact ppm — plus the lateness
+    * distribution among late lines: mean late days exact, p90 late
+    * days RANK-EXACT off the (nation, late-days) ladder (the q254
+    * discipline — the window runs over the late-day DOMAIN, not
+    * rows).
+    *
+    * Scale: one lineitem scan + broadcast supplier/nation dims, one
+    * keyed census, one domain-bounded ladder window. */
+  val q286 = QueryDef(
+    "q286_otif_scorecard",
+    """WITH li AS (
+      |  SELECT s.s_nationkey AS nat,
+      |    CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+      |        CAST(l.l_shipdate AS DATE)) <= 30
+      |      AND l.l_returnflag <> 'R' THEN 1 ELSE 0 END AS otif,
+      |    CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+      |        CAST(l.l_shipdate AS DATE)) > 30
+      |      THEN date_diff('day', CAST(o.o_orderdate AS DATE),
+      |        CAST(l.l_shipdate AS DATE)) - 30 END AS late
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |base AS (
+      |  SELECT nat, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |    CAST(SUM(otif) AS BIGINT) AS n_otif,
+      |    CAST(COUNT(late) AS BIGINT) AS n_late,
+      |    CAST(COALESCE(SUM(late), 0) AS BIGINT) AS late_days
+      |  FROM li GROUP BY 1),
+      |lad AS (
+      |  SELECT nat, late, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM li WHERE late IS NOT NULL GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT nat, late,
+      |    CAST(SUM(c) OVER (PARTITION BY nat ORDER BY late)
+      |      AS BIGINT) AS cc
+      |  FROM lad),
+      |p90 AS (
+      |  SELECT cum.nat,
+      |    MIN(CASE WHEN 10 * cum.cc >= 9 * b.n_late THEN cum.late END)
+      |      AS p90_late
+      |  FROM cum JOIN base b ON cum.nat = b.nat GROUP BY 1)
+      |SELECT b.nat AS nation, b.n_lines,
+      |  CAST((1000000 * b.n_otif) // b.n_lines AS BIGINT) AS otif_ppm,
+      |  CAST(CASE WHEN b.n_late > 0
+      |    THEN (1000 * b.late_days) // b.n_late END AS BIGINT)
+      |    AS mean_late_milli,
+      |  CAST(p90.p90_late AS BIGINT) AS p90_late_days
+      |FROM base b JOIN p90 ON b.nat = p90.nat
+      |ORDER BY nation""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag0", datediff(col("l_shipdate").cast("date"),
+        col("o_orderdate").cast("date")).cast("long"))
+      .select(col("s_nationkey").as("nat"),
+        (col("lag0") <= 30 && col("l_returnflag") =!= "R")
+          .cast("long").as("otif"),
+        when(col("lag0") > 30, col("lag0") - 30).as("late"))
+    val base = li.groupBy(col("nat"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("otif")).as("n_otif"),
+        count(col("late")).as("n_late"),
+        coalesce(sum(col("late")), lit(0L)).as("late_days"))
+    val lad = li.filter(col("late").isNotNull)
+      .groupBy(col("nat"), col("late"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("nat")).orderBy(col("late"))
+    val p90 = lad.withColumn("cc", sum(col("c")).over(wCum))
+      .join(broadcast(base.select(col("nat"), col("n_late"))),
+        Seq("nat"))
+      .groupBy(col("nat"))
+      .agg(min(when(lit(10L) * col("cc") >= lit(9L) * col("n_late"),
+        col("late"))).as("p90_late"))
+    base.join(p90, Seq("nat"))
+      .select(col("nat").as("nation"), col("n_lines"),
+        expr("(1000000L * n_otif) div n_lines").as("otif_ppm"),
+        when(col("n_late") > 0,
+          expr("(1000L * late_days) div n_late")).cast("long")
+          .as("mean_late_milli"),
+        col("p90_late").as("p90_late_days"))
+      .orderBy(col("nation"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
@@ -5709,5 +5904,5 @@ object CoreQueries {
     q237, q240, q241, q242, q243, q245, q250, q251, q252, q253, q254,
     q255, q256, q259, q260, q261, q262, q263, q264, q267, q268,
     q270, q271, q272, q274, q275, q277, q278, q279, q280, q281,
-    q283, q284)
+    q283, q284, q285, q286)
 }

@@ -1718,8 +1718,79 @@ object VectorQueries {
       .limit(20)
   }
 
+  /** q287 — embedding anisotropy census (Ethayarajh 2019): the mean
+    * pairwise cosine within each label — the "how cone-shaped is
+    * this embedding space" diagnostic that decides whether q134's
+    * whitening/centering is needed before cosine retrieval (an
+    * anisotropic space makes every similarity look high). The n²
+    * pairwise sum is NEVER materialized: with milli-snapped unit
+    * vectors k, Σ_{i≠j} k_i·k_j = ‖Σk‖² − Σ‖k‖² — two keyed
+    * censuses and a 64-term sum of squares, exact integers end to
+    * end (mean pairwise cosine in micro units falls straight out of
+    * the milli² grid); the snap floor(1000·x/‖v‖) is a floor of the
+    * same IEEE double on both engines (sequential dot + exact √).
+    *
+    * Scale: one (label, dim) component census — dim²-free,
+    * pair-free; 100 TB grows census weights only. */
+  val q287 = QueryDef(
+    "q287_anisotropy",
+    s"""WITH n AS (
+      |  SELECT vec_id, label, embedding AS e,
+      |    sqrt(${Vectors.dotSql("embedding", "embedding", DIM)}) AS nrm
+      |  FROM embeddings),
+      |k AS (
+      |  SELECT label, CAST(i AS BIGINT) AS d,
+      |    CAST(FLOOR(1000 * CAST(e[CAST(i + 1 AS INT)] AS DOUBLE)
+      |      / nrm) AS BIGINT) AS k
+      |  FROM n, UNNEST(range($DIM)) AS t(i)
+      |  WHERE nrm > 0),
+      |sd AS (
+      |  SELECT label, d, CAST(SUM(k) AS BIGINT) AS s
+      |  FROM k GROUP BY 1, 2),
+      |s2 AS (
+      |  SELECT label, CAST(SUM(s * s) AS BIGINT) AS s2
+      |  FROM sd GROUP BY 1),
+      |qn AS (
+      |  SELECT label, CAST(SUM(k * k) AS BIGINT) AS q
+      |  FROM k GROUP BY 1),
+      |cnt AS (
+      |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM n WHERE nrm > 0 GROUP BY 1)
+      |SELECT CAST(cnt.label AS BIGINT) AS label, cnt.n AS n_vecs,
+      |  CAST((s2.s2 - qn.q + 1000000 * cnt.n * (cnt.n - 1))
+      |    // (cnt.n * (cnt.n - 1)) - 1000000 AS BIGINT)
+      |    AS mean_cosine_micro
+      |FROM cnt JOIN s2 ON cnt.label = s2.label
+      |JOIN qn ON cnt.label = qn.label
+      |WHERE cnt.n >= 2
+      |ORDER BY label""".stripMargin) { (s, d) =>
+    val n = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        Vectors.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", Vectors.norm(col("e")))
+      .filter(col("nrm") > 0)
+    val k = n.select(col("label"), col("nrm"),
+        posexplode(col("e")).as(Seq("d", "x")))
+      .select(col("label"), col("d").cast("long").as("d"),
+        floor(lit(1000) * col("x") / col("nrm")).cast("long").as("k"))
+    val sd = k.groupBy(col("label"), col("d"))
+      .agg(sum(col("k")).as("s"))
+    val s2 = sd.groupBy(col("label"))
+      .agg(sum(col("s") * col("s")).as("s2"))
+    val qn = k.groupBy(col("label"))
+      .agg(sum(col("k") * col("k")).as("q"))
+    val cnt = n.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    cnt.join(s2, Seq("label")).join(qn, Seq("label"))
+      .filter(col("n") >= 2)
+      .select(col("label"), col("n").as("n_vecs"),
+        expr("""(s2 - q + 1000000L * n * (n - 1))
+          | div (n * (n - 1)) - 1000000L""".stripMargin)
+          .as("mean_cosine_micro"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131,
       q134, q135, q151, q155, q174, q179, q196, q197, q202, q203, q207,
-      q226, q234)
+      q226, q234, q287)
 }
