@@ -5895,6 +5895,336 @@ object CoreQueries {
       .orderBy(col("nation"))
   }
 
+  /** q288 — Wilson lower-bound ranking (Wilson 1927; the "how not to
+    * sort by average rating" fix): suppliers ranked by the 95 %
+    * lower confidence bound of their on-time rate instead of the
+    * naive rate — a 10/10 supplier must NOT outrank a 950/1000 one,
+    * and the naive sort does exactly that. Successes/trials are
+    * exact integer censuses (the q286 on-time definition); the
+    * Wilson bound (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²))/(1 + z²/n)
+    * is ONE float expression over them with z² = 3.8416 e-4-exact
+    * (z = 1.96), mirrored verbatim in the oracle (the q246
+    * float-last contract). Output reports both ranks — the flips
+    * are the point.
+    *
+    * Scale: one keyed census; the statistic is a projection; both
+    * rankings ride the distributed Ranks pipeline (suppliers grow
+    * with data — a partition-less row_number would not hold). */
+  val q288 = QueryDef(
+    "q288_wilson_ranking",
+    """WITH li AS (
+      |  SELECT l.l_suppkey AS sk,
+      |    CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+      |      CAST(l.l_shipdate AS DATE)) <= 30 THEN 1 ELSE 0 END AS ok
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |c AS (
+      |  SELECT sk, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(ok) AS BIGINT) AS pos
+      |  FROM li GROUP BY 1),
+      |w AS (
+      |  SELECT sk, n, pos,
+      |    CAST(FLOOR(1000000.0
+      |      * ((CAST(pos AS DOUBLE) / n + 3.8416 / (2.0 * n)
+      |          - 1.96 * SQRT((CAST(pos AS DOUBLE) / n
+      |              * (1.0 - CAST(pos AS DOUBLE) / n)) / n
+      |            + 3.8416 / (4.0 * CAST(n AS DOUBLE) * n)))
+      |        / (1.0 + 3.8416 / n))) AS BIGINT) AS wilson_ppm,
+      |    (1000000 * pos) // n AS naive_ppm
+      |  FROM c WHERE n >= 1)
+      |SELECT sk AS suppkey, n AS n_lines, pos AS n_ontime,
+      |  naive_ppm, wilson_ppm,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY naive_ppm DESC, sk)
+      |    AS BIGINT) AS naive_rank,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY wilson_ppm DESC, sk)
+      |    AS BIGINT) AS wilson_rank
+      |FROM w ORDER BY wilson_rank LIMIT 20""".stripMargin) { (s, d) =>
+    val c = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("sk"),
+        (datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")) <= 30).cast("long")
+          .as("ok"))
+      .groupBy(col("sk"))
+      .agg(count(lit(1)).as("n"), sum(col("ok")).as("pos"))
+    val p = col("pos").cast("double") / col("n")
+    val w = c.filter(col("n") >= 1)
+      .select(col("sk"), col("n"), col("pos"),
+        expr("(1000000L * pos) div n").as("naive_ppm"),
+        floor(lit(1000000.0)
+          * ((p + lit(3.8416) / (lit(2.0) * col("n"))
+            - lit(1.96) * sqrt((p * (lit(1.0) - p)) / col("n")
+              + lit(3.8416) / (lit(4.0) * col("n").cast("double")
+                * col("n"))))
+            / (lit(1.0) + lit(3.8416) / col("n"))))
+          .cast("long").as("wilson_ppm"))
+    val r1 = graft.functions.Ranks.rowNumberGlobal(w,
+      col("naive_ppm") * lit(-1L), col("sk"), "naive_rank")
+    graft.functions.Ranks.rowNumberGlobal(r1,
+        col("wilson_ppm") * lit(-1L), col("sk"), "wilson_rank")
+      .select(col("sk").as("suppkey"), col("n").as("n_lines"),
+        col("pos").as("n_ontime"), col("naive_ppm"), col("wilson_ppm"),
+        col("naive_rank"), col("wilson_rank"))
+      .orderBy(col("wilson_rank"))
+      .limit(20)
+  }
+
+  /** q289 — referential-integrity audit: the data-contract check a
+    * lakehouse runs before trusting any join — orphan counts for
+    * every foreign key this schema navigates (lineitem→orders,
+    * lineitem→part, lineitem→supplier, orders→customer,
+    * customer→nation), each one LEFT-ANTI join census, plus the
+    * parent-side childless counts (orders with no lineitems,
+    * customers who never ordered) which are legitimate business
+    * facts, not errors — the audit distinguishes the two. On this
+    * generator all orphan rows are 0: the PASS is the point (the
+    * honest-null discipline applied to data quality).
+    *
+    * Scale: each check is one anti-join keyed on the FK — the
+    * cheapest possible proof; output is one row per edge. */
+  val q289 = QueryDef(
+    "q289_integrity_audit",
+    """WITH checks AS (
+      |  SELECT 'lineitem->orders' AS fk,
+      |    CAST((SELECT COUNT(*) FROM lineitem l
+      |      WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |        WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+      |      AS n_orphans, 1 AS is_error
+      |  UNION ALL
+      |  SELECT 'lineitem->part',
+      |    CAST((SELECT COUNT(*) FROM lineitem l
+      |      WHERE NOT EXISTS (SELECT 1 FROM part p
+      |        WHERE p.p_partkey = l.l_partkey)) AS BIGINT), 1
+      |  UNION ALL
+      |  SELECT 'lineitem->supplier',
+      |    CAST((SELECT COUNT(*) FROM lineitem l
+      |      WHERE NOT EXISTS (SELECT 1 FROM supplier s
+      |        WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT), 1
+      |  UNION ALL
+      |  SELECT 'orders->customer',
+      |    CAST((SELECT COUNT(*) FROM orders o
+      |      WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |        WHERE c.c_custkey = o.o_custkey)) AS BIGINT), 1
+      |  UNION ALL
+      |  SELECT 'customer->nation',
+      |    CAST((SELECT COUNT(*) FROM customer c
+      |      WHERE NOT EXISTS (SELECT 1 FROM nation n
+      |        WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT), 1
+      |  UNION ALL
+      |  SELECT 'orders_childless',
+      |    CAST((SELECT COUNT(*) FROM orders o
+      |      WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |        WHERE l.l_orderkey = o.o_orderkey)) AS BIGINT), 0
+      |  UNION ALL
+      |  SELECT 'customers_inactive',
+      |    CAST((SELECT COUNT(*) FROM customer c
+      |      WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey)) AS BIGINT), 0)
+      |SELECT fk, n_orphans, CAST(is_error AS BIGINT) AS is_error
+      |FROM checks ORDER BY fk""".stripMargin) { (s, d) =>
+    def cnt(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("n"))
+    def check(name: String, err: Int, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String): DataFrame =
+      cnt(child.join(parent, col(ck) === col(pk), "left_anti"))
+        .select(lit(name).as("fk"), col("n").as("n_orphans"),
+          lit(err.toLong).as("is_error"))
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    check("lineitem->orders", 1, li, "l_orderkey",
+        o.select(col("o_orderkey")), "o_orderkey")
+      .unionByName(check("lineitem->part", 1, li, "l_partkey",
+        Tables.part(s, d).select(col("p_partkey")), "p_partkey"))
+      .unionByName(check("lineitem->supplier", 1, li, "l_suppkey",
+        Tables.supplier(s, d).select(col("s_suppkey")), "s_suppkey"))
+      .unionByName(check("orders->customer", 1, o, "o_custkey",
+        c.select(col("c_custkey")), "c_custkey"))
+      .unionByName(check("customer->nation", 1, c, "c_nationkey",
+        Tables.nation(s, d).select(col("n_nationkey")), "n_nationkey"))
+      .unionByName(check("orders_childless", 0, o, "o_orderkey",
+        li.select(col("l_orderkey")), "l_orderkey"))
+      .unionByName(check("customers_inactive", 0, c, "c_custkey",
+        o.select(col("o_custkey")), "o_custkey"))
+      .orderBy(col("fk"))
+  }
+
+  /** q290 — catalog long-tail census: the assortment-health view of
+    * q273's frequency-of-frequencies machinery — how many catalog
+    * parts sold never / once / 2–5 / 6–20 / 21+ times, with each
+    * band's share of parts AND of revenue in exact ppm. "Never"
+    * comes from the part-table anti-join (the q289 edge in reverse —
+    * a childless part is a business fact), so the dead-stock share
+    * is first-class, not an afterthought. The classic 80/20 long
+    * tail read at the band grain q253's continuous classes can't
+    * show.
+    *
+    * Scale: one sales census + one anti-join + a 5-band census.
+    * On this generator the catalog is dense (no never/once bands at
+    * test SFs — every part sells 6+ times); the bands exist for the
+    * real-world shape and the zero bands simply don't emit rows. */
+  val q290 = QueryDef(
+    "q290_long_tail",
+    """WITH sc AS (
+      |  SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |allp AS (
+      |  SELECT p.p_partkey AS pk, COALESCE(sc.n, 0) AS n,
+      |    COALESCE(sc.rev, 0) AS rev
+      |  FROM part p LEFT JOIN sc ON p.p_partkey = sc.pk),
+      |band AS (
+      |  SELECT CASE WHEN n = 0 THEN '0_never'
+      |    WHEN n = 1 THEN '1_once' WHEN n <= 5 THEN '2_to_5'
+      |    WHEN n <= 20 THEN '6_to_20' ELSE '21_plus' END AS band,
+      |    n, rev
+      |  FROM allp),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+      |  CAST(SUM(rev) AS BIGINT) AS tr FROM allp)
+      |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(SUM(band.rev) AS BIGINT) AS revenue_cents,
+      |  CAST((1000000 * COUNT(*)) // tot.np AS BIGINT) AS part_ppm,
+      |  CAST((1000000 * SUM(band.rev)) // tot.tr AS BIGINT)
+      |    AS revenue_ppm
+      |FROM band CROSS JOIN tot
+      |GROUP BY band, tot.np, tot.tr ORDER BY band""".stripMargin) {
+    (s, d) =>
+    val sc = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+          .as("rev"))
+    val allp = Tables.part(s, d).select(col("p_partkey").as("pk"))
+      .join(sc, Seq("pk"), "left")
+      .select(col("pk"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("rev"), lit(0L)).as("rev"))
+    val band = allp.select(
+      when(col("n") === 0, "0_never")
+        .when(col("n") === 1, "1_once")
+        .when(col("n") <= 5, "2_to_5")
+        .when(col("n") <= 20, "6_to_20")
+        .otherwise("21_plus").as("band"), col("n"), col("rev"))
+    val tot = allp.agg(count(lit(1)).as("np"), sum(col("rev")).as("tr"))
+    band.crossJoin(broadcast(tot))
+      .groupBy(col("band"), col("np"), col("tr"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev")).as("revenue_cents"))
+      .select(col("band"), col("n_parts"), col("revenue_cents"),
+        expr("(1000000L * n_parts) div np").as("part_ppm"),
+        expr("(1000000L * revenue_cents) div tr").as("revenue_ppm"))
+      .orderBy(col("band"))
+  }
+
+  /** q291 — price-dispersion census (the "law of one price" audit):
+    * per part, how differently the same part is priced across its
+    * order lines — unit values on the exact milli-cent grid (the
+    * q268 snap), per-part dispersion as the integer range-ratio
+    * (max−min)·10³÷min and the CV² cross-comparison (the q278 cut
+    * form), then a part-level census of dispersion bands plus the
+    * top-10 most dispersed parts by exact integer ratio. High
+    * dispersion on a commodity catalog flags pricing-rule drift —
+    * the audit a pricing team runs weekly.
+    *
+    * Scale: one (part) census over line-level unit values. On this
+    * generator extendedprice is drawn independently of quantity, so
+    * every part lands in the over-50 % band — the audit reads as a
+    * loud pricing-rule violation, which for this synthetic pricing
+    * is the true answer. */
+  val q291 = QueryDef(
+    "q291_price_dispersion",
+    """WITH uv AS (
+      |  SELECT l_partkey AS pk,
+      |    (1000 * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      // CAST(l_quantity AS BIGINT) AS u
+      |  FROM lineitem WHERE l_quantity >= 1),
+      |pp AS (
+      |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(MIN(u) AS BIGINT) AS lo, CAST(MAX(u) AS BIGINT) AS hi
+      |  FROM uv GROUP BY 1 HAVING COUNT(*) >= 2 AND MIN(u) >= 1),
+      |sp AS (
+      |  SELECT pk, n, lo, hi,
+      |    (1000 * (hi - lo)) // lo AS spread_milli
+      |  FROM pp)
+      |SELECT CASE WHEN spread_milli = 0 THEN '0_uniform'
+      |    WHEN spread_milli <= 100 THEN '1_under_10pct'
+      |    WHEN spread_milli <= 500 THEN '2_under_50pct'
+      |    ELSE '3_over_50pct' END AS band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(MAX(spread_milli) AS BIGINT) AS max_spread_milli
+      |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val uv = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 1)
+      .select(col("l_partkey").as("pk"),
+        expr("""(1000L * cast(floor(l_extendedprice * 100 + 0.5)
+          | as bigint)) div cast(l_quantity as bigint)"""
+          .stripMargin).as("u"))
+    val sp = uv.groupBy(col("pk"))
+      .agg(count(lit(1)).as("n"), min(col("u")).as("lo"),
+        max(col("u")).as("hi"))
+      .filter(col("n") >= 2 && col("lo") >= 1)
+      .withColumn("spread_milli", expr("(1000L * (hi - lo)) div lo"))
+    sp.groupBy(
+        when(col("spread_milli") === 0, "0_uniform")
+          .when(col("spread_milli") <= 100, "1_under_10pct")
+          .when(col("spread_milli") <= 500, "2_under_50pct")
+          .otherwise("3_over_50pct").as("band"))
+      .agg(count(lit(1)).as("n_parts"),
+        max(col("spread_milli")).as("max_spread_milli"))
+      .orderBy(col("band"))
+  }
+
+  /** q292 — Spearman rank correlation (Spearman 1904) between part
+    * order-frequency and part revenue: the rank-based association
+    * next to q246's Pearson — immune to the revenue distribution's
+    * heavy tail. Both rankings ride the distributed
+    * [[graft.functions.Ranks.rowNumberGlobal]] (never a
+    * partition-less window — parts grow with data), ties broken by
+    * part key on both engines identically, and ρ = 1 − 6Σd²/(n³−n)
+    * is exact integers until one final milli snap: Σd² is a sum of
+    * squared integer rank differences. The tie-break-as-ranking
+    * convention (row_number, not average ranks) is pinned in the
+    * doc and mirrored by the oracle's ROW_NUMBER.
+    *
+    * Scale: one part census + two rank-bucket pipelines + one keyed
+    * agg. */
+  val q292 = QueryDef(
+    "q292_spearman",
+    """WITH pc AS (
+      |  SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS freq,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |r AS (
+      |  SELECT pk,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY freq, pk) AS BIGINT) AS rf,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY rev, pk) AS BIGINT) AS rr
+      |  FROM pc),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM((rf - rr) * (rf - rr)) AS BIGINT) AS d2
+      |  FROM r)
+      |SELECT n AS n_parts, d2 AS sum_d2,
+      |  CAST(1000 - (6000 * d2) // (n * n * n - n) AS BIGINT)
+      |    AS spearman_milli
+      |FROM agg WHERE n >= 2""".stripMargin) { (s, d) =>
+    val pc = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("freq"),
+        sum(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+          .as("rev"))
+    val r1 = graft.functions.Ranks.rowNumberGlobal(pc, col("freq"),
+      col("pk"), "rf")
+    val r2 = graft.functions.Ranks.rowNumberGlobal(r1, col("rev"),
+      col("pk"), "rr")
+    r2.agg(count(lit(1)).as("n"),
+        sum((col("rf") - col("rr")) * (col("rf") - col("rr")))
+          .as("d2"))
+      .filter(col("n") >= 2)
+      .select(col("n").as("n_parts"), col("d2").as("sum_d2"),
+        expr("1000L - (6000L * d2) div (n * n * n - n)")
+          .as("spearman_milli"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
@@ -5904,5 +6234,5 @@ object CoreQueries {
     q237, q240, q241, q242, q243, q245, q250, q251, q252, q253, q254,
     q255, q256, q259, q260, q261, q262, q263, q264, q267, q268,
     q270, q271, q272, q274, q275, q277, q278, q279, q280, q281,
-    q283, q284, q285, q286)
+    q283, q284, q285, q286, q288, q289, q290, q291, q292)
 }
