@@ -6225,6 +6225,153 @@ object CoreQueries {
           .as("spearman_milli"))
   }
 
+  /** q293 — randomization inference (Fisher's exact-test logic at
+    * scale): instead of a normal approximation, the null
+    * distribution of the treated-vs-control spend difference is
+    * REBUILT from 32 deterministic re-assignments — draw b assigns
+    * treat = contentU32(custkey·32 + b) % 2 (the portable md5-slice
+    * hash of q214/q235, a fresh pseudo-assignment per draw), so
+    * every "permutation" is a conditional sum in the SAME single
+    * pass (explode ×32, one keyed agg; no shuffled assignments, no
+    * RNG, bit-identical on both engines). The p-value is the share of rotations whose |snapped
+    * mean difference| ≥ the observed rotation's (b = 0), reported in
+    * 32nds — on randomized data the observed diff is a typical draw
+    * (p ≈ uniform), the q261/q267 honest-null contract in its
+    * strongest form: the test carries NO distributional assumption
+    * at all.
+    *
+    * Scale: one ×32 explode of the per-customer census (the q235
+    * width-explode discipline), one keyed agg over (rotation), one
+    * 32-row comparison. */
+  val q293 = QueryDef(
+    "q293_randomization_test",
+    s"""WITH cs AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |hv AS (
+      |  SELECT b.b, cs.ck, cs.x,
+      |    md5(CAST(cs.ck * 32 + b.b AS VARCHAR)) AS hx
+      |  FROM cs CROSS JOIN (SELECT UNNEST(range(32)) AS b) b),
+      |rot AS (
+      |  SELECT b, ck, x,
+      |    CAST(${graft.queries.TextQueries.hexU32Sql(1)} % 2
+      |      AS BIGINT) AS t
+      |  FROM hv),
+      |dm AS (
+      |  SELECT b, CAST(SUM(t * x) AS BIGINT) AS st,
+      |    CAST(SUM(t) AS BIGINT) AS nt,
+      |    CAST(SUM((1 - t) * x) AS BIGINT) AS sc,
+      |    CAST(COUNT(*) - SUM(t) AS BIGINT) AS nc
+      |  FROM rot GROUP BY 1),
+      |diff AS (
+      |  SELECT b, ABS((1000 * st) // nt - (1000 * sc) // nc)
+      |    AS adiff
+      |  FROM dm WHERE nt >= 1 AND nc >= 1),
+      |obs AS (SELECT adiff AS o FROM diff WHERE b = 0)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rotations,
+      |  CAST(MAX(obs.o) AS BIGINT) AS observed_diff_milli,
+      |  CAST(SUM(CASE WHEN diff.adiff >= obs.o THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_as_extreme
+      |FROM diff CROSS JOIN obs""".stripMargin) { (s, d) =>
+    val cs = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+        .as("x"))
+    val rot = cs.select(col("ck"), col("x"),
+        explode(expr("sequence(0L, 31L)")).as("b"))
+      .withColumn("t", graft.curation.Curation
+        .contentU32(col("ck") * 32 + col("b")) % 2)
+    val diff = rot.groupBy(col("b"))
+      .agg(sum(col("t") * col("x")).as("st"), sum(col("t")).as("nt"),
+        sum((lit(1L) - col("t")) * col("x")).as("sc"),
+        (count(lit(1)) - sum(col("t"))).as("nc"))
+      .filter(col("nt") >= 1 && col("nc") >= 1)
+      .select(col("b"),
+        abs(expr("(1000L * st) div nt") - expr("(1000L * sc) div nc"))
+          .as("adiff"))
+    val obs = diff.filter(col("b") === 0)
+      .select(col("adiff").as("o"))
+    diff.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_rotations"),
+        max(col("o")).as("observed_diff_milli"),
+        sum(when(col("adiff") >= col("o"), 1L).otherwise(0L))
+          .as("n_as_extreme"))
+  }
+
+  /** q294 — ROC AUC via the rank-sum identity: the headline binary-
+    * classifier metric computed EXACTLY and distributed — AUC is the
+    * Mann–Whitney U normalized (AUC = (R₊ − n₊(n₊+1)/2)/(n₊·n₋)), so
+    * q275's census-first doubled-rank ladder gives it with zero
+    * approximation: tie-averaged ranks stay integer on the 2× grid,
+    * and the final AUC is one snapped integer division to micro
+    * units. No sort of the full score column ever happens — scores
+    * are quantized to $100 rungs first (ties within a rung get the
+    * averaged rank, exactly), so the ladder window runs over a
+    * spend-DOMAIN-bounded frame (~10⁴ rungs regardless of row
+    * count) — what's measured is the AUC of the quantized scorer,
+    * exact. Scorer = pre-1997
+    * spend, label = ≥3 post-period orders (the q270 pair): they are
+    * independent in this data, so AUC ≈ 0.5 is the honest null, and
+    * any real model's scores drop into the same frame.
+    *
+    * Scale: one per-customer census, one domain-bounded ladder
+    * cumsum, one row out. */
+  val q294 = QueryDef(
+    "q294_auc",
+    """WITH cs AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+      |      THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS score,
+      |    CASE WHEN SUM(CASE WHEN o_orderdate >=
+      |        TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) >= 3
+      |      THEN 1 ELSE 0 END AS pos
+      |  FROM orders GROUP BY 1),
+      |cnt AS (
+      |  SELECT score // 10000 AS v, CAST(SUM(pos) AS BIGINT) AS c1,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM cs GROUP BY 1),
+      |cum AS (
+      |  SELECT v, c1, c,
+      |    CAST(COALESCE(SUM(c) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cb
+      |  FROM cnt),
+      |agg AS (
+      |  SELECT CAST(SUM(c1) AS BIGINT) AS np,
+      |    CAST(SUM(c - c1) AS BIGINT) AS nn,
+      |    CAST(SUM(c1 * (2 * cb + c + 1)) AS BIGINT) AS r2x
+      |  FROM cum)
+      |SELECT np AS n_pos, nn AS n_neg,
+      |  CAST((1000000 * (r2x - np * (np + 1)))
+      |    // (2 * np * nn) AS BIGINT) AS auc_micro
+      |FROM agg WHERE np >= 1 AND nn >= 1""".stripMargin) { (s, d) =>
+    val cs = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(
+        sum(when(col("o_orderdate") < lit("1997-01-01").cast("timestamp"),
+          expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+          .otherwise(0L)).as("score"),
+        (sum(when(col("o_orderdate") >= lit("1997-01-01")
+          .cast("timestamp"), 1L).otherwise(0L)) >= 3).cast("long")
+          .as("pos"))
+    val cnt = cs.groupBy(expr("score div 10000").as("v"))
+      .agg(sum(col("pos")).as("c1"), count(lit(1)).as("c"))
+    val wCb = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cnt.withColumn("cb", coalesce(sum(col("c")).over(wCb), lit(0L)))
+      .agg(sum(col("c1")).as("np"),
+        sum(col("c") - col("c1")).as("nn"),
+        sum(col("c1") * (lit(2L) * col("cb") + col("c") + 1))
+          .as("r2x"))
+      .filter(col("np") >= 1 && col("nn") >= 1)
+      .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        expr("""(1000000L * (r2x - np * (np + 1)))
+          | div (2 * np * nn)""".stripMargin).as("auc_micro"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
@@ -6234,5 +6381,6 @@ object CoreQueries {
     q237, q240, q241, q242, q243, q245, q250, q251, q252, q253, q254,
     q255, q256, q259, q260, q261, q262, q263, q264, q267, q268,
     q270, q271, q272, q274, q275, q277, q278, q279, q280, q281,
-    q283, q284, q285, q286, q288, q289, q290, q291, q292)
+    q283, q284, q285, q286, q288, q289, q290, q291, q292, q293,
+    q294)
 }

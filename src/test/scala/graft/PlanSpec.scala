@@ -112,7 +112,10 @@ class PlanSpec extends SparkSpec {
       // q270's Qini cumsum runs over the 10-row decile census
       "q270_uplift_qini",
       // q274 reuses q252's centered-MA window over the daily census
-      "q274_anomaly_days")
+      "q274_anomaly_days",
+      // q294's ladder cumsum runs over the $100-rung spend-domain
+      // census (~1e4 rungs regardless of row count, the q236 argument)
+      "q294_auc")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => allowed.contains(n) }
       .flatMap { case (name, fn) =>
