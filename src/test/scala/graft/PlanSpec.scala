@@ -228,7 +228,8 @@ class PlanSpec extends SparkSpec {
       "q281_safety_stock" -> "one-row week-count frame",
       "q282_dunning_collocations" -> "one-row bigram-total frame",
       "q285_attribution_models" -> "one-row per-model total frames",
-      "q290_long_tail" -> "one-row catalog-total frame")
+      "q290_long_tail" -> "one-row catalog-total frame",
+      "q293_randomization_test" -> "one-row observed-diff frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
