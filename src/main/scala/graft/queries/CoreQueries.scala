@@ -6372,6 +6372,145 @@ object CoreQueries {
           | div (2 * np * nn)""".stripMargin).as("auc_micro"))
   }
 
+  /** q295 — Cramér's V association strength (Cramér 1946) for the
+    * market-segment × order-priority contingency: the EFFECT-SIZE
+    * companion to a χ² test — χ² says "is there any association",
+    * V ∈ [0,1] says "how much", comparable across table sizes. The
+    * χ² sum runs over the 5×5 grid with every (O·N − R·C)² and R·C·N
+    * an exact integer product (the q233 cross-multiplied cell
+    * discipline; per-cell float division only at the end of each
+    * bounded term), and V = √(χ²/(N·min(r−1,c−1))) is the single
+    * trailing float √. On independent TPC-H columns V ≈ 0 — the
+    * honest null.
+    *
+    * Scale: one keyed cell census + two broadcast margins; the
+    * statistic lives on the ≤25-row grid. */
+  val q295 = QueryDef(
+    "q295_cramers_v",
+    """WITH o AS (
+      |  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |cell AS (
+      |  SELECT seg, pri, CAST(COUNT(*) AS BIGINT) AS obs
+      |  FROM o GROUP BY 1, 2),
+      |mr AS (SELECT seg, CAST(SUM(obs) AS BIGINT) AS r FROM cell
+      |  GROUP BY 1),
+      |mc AS (SELECT pri, CAST(SUM(obs) AS BIGINT) AS c FROM cell
+      |  GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(obs) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT seg) AS BIGINT) AS nr,
+      |  CAST(COUNT(DISTINCT pri) AS BIGINT) AS nc FROM cell),
+      |chi AS (
+      |  SELECT SUM(CAST((cell.obs * nn.n - mr.r * mc.c) AS DOUBLE)
+      |      * (cell.obs * nn.n - mr.r * mc.c)
+      |      / (CAST(mr.r AS DOUBLE) * mc.c * nn.n)) AS chi2,
+      |    MAX(nn.n) AS n, MAX(nn.nr) AS nr, MAX(nn.nc) AS nc
+      |  FROM cell JOIN mr ON cell.seg = mr.seg
+      |  JOIN mc ON cell.pri = mc.pri CROSS JOIN nn)
+      |SELECT CAST(n AS BIGINT) AS n_orders,
+      |  CAST(FLOOR(1000 * chi2) AS BIGINT) AS chi2_milli,
+      |  CAST(FLOOR(1000000 * SQRT(chi2 / (CAST(n AS DOUBLE)
+      |    * LEAST(nr - 1, nc - 1)))) AS BIGINT) AS cramers_v_micro
+      |FROM chi WHERE n >= 2""".stripMargin) { (s, d) =>
+    val cell = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("obs"))
+    val mr = cell.groupBy(col("seg")).agg(sum(col("obs")).as("r"))
+    val mc = cell.groupBy(col("pri")).agg(sum(col("obs")).as("c"))
+    val nn = cell.agg(sum(col("obs")).as("n"),
+      countDistinct(col("seg")).as("nr"),
+      countDistinct(col("pri")).as("nc"))
+    cell.join(broadcast(mr), Seq("seg"))
+      .join(broadcast(mc), Seq("pri"))
+      .crossJoin(broadcast(nn))
+      .agg(sum((col("obs") * col("n") - col("r") * col("c"))
+          .cast("double")
+          * (col("obs") * col("n") - col("r") * col("c"))
+          / (col("r").cast("double") * col("c") * col("n")))
+          .as("chi2"),
+        max(col("n")).as("n"), max(col("nr")).as("nr"),
+        max(col("nc")).as("nc"))
+      .filter(col("n") >= 2)
+      .select(col("n").as("n_orders"),
+        floor(lit(1000) * col("chi2")).cast("long").as("chi2_milli"),
+        floor(lit(1000000)
+          * sqrt(col("chi2") / (col("n").cast("double")
+            * least(col("nr") - 1, col("nc") - 1))))
+          .cast("long").as("cramers_v_micro"))
+  }
+
+  /** q297 — Gumbel extreme-value fit and return level (Gumbel 1958;
+    * EVT by the method of moments): capacity planning asks not for
+    * the mean day but for the 100-period worst day — block maxima
+    * (monthly maxima of daily revenue) fitted to a Gumbel by
+    * moments (β = σ·√6/π, μ = m − γ·β with γ = 0.5772156649…), and
+    * the T-period return level μ − β·ln(−ln(1 − 1/T)) for T = 100.
+    * Block maxima and their two moments are exact integers on the
+    * dollars grid (the q256 discipline); the fit and return level
+    * are one trailing float expression mirrored verbatim (the q246
+    * contract — √, ln on IEEE doubles from identical exact
+    * integers).
+    *
+    * Scale: daily census → monthly-max census (both calendar-
+    * bounded) → one moment row. */
+  val q297 = QueryDef(
+    "q297_gumbel_return_level",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      // 100 AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |bm AS (
+      |  SELECT CAST(12 * year(day) + month(day) AS BIGINT) AS mon,
+      |    CAST(MAX(y) AS BIGINT) AS mx
+      |  FROM daily GROUP BY 1),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(mx) AS BIGINT) AS s,
+      |    CAST(SUM(mx * mx) AS BIGINT) AS q
+      |  FROM bm)
+      |SELECT n AS n_blocks,
+      |  CAST(s // n AS BIGINT) AS mean_max_dollars,
+      |  CAST(FLOOR(SQRT(CAST(n * q - s * s AS DOUBLE)) / n
+      |    * 0.7796968012336793) AS BIGINT) AS beta_dollars,
+      |  CAST(FLOOR(CAST(s AS DOUBLE) / n
+      |    - 0.5772156649015329 * (SQRT(CAST(n * q - s * s AS DOUBLE))
+      |      / n * 0.7796968012336793)) AS BIGINT) AS mu_dollars,
+      |  CAST(FLOOR(CAST(s AS DOUBLE) / n
+      |    - 0.5772156649015329 * (SQRT(CAST(n * q - s * s AS DOUBLE))
+      |      / n * 0.7796968012336793)
+      |    - (SQRT(CAST(n * q - s * s AS DOUBLE)) / n
+      |      * 0.7796968012336793) * LN(-LN(0.99)))
+      |    AS BIGINT) AS return_level_100_dollars
+      |FROM mo WHERE n >= 2 AND n * q > s * s""".stripMargin) {
+    (s, d) =>
+    val bm = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(expr("""sum(cast(floor(o_totalprice * 100 + 0.5)
+        | as bigint)) div 100""".stripMargin).as("y"))
+      .groupBy((lit(12L) * year(col("day")) + month(col("day")))
+        .as("mon"))
+      .agg(max(col("y")).as("mx"))
+    val beta = sqrt((col("n") * col("q") - col("s") * col("s"))
+      .cast("double")) / col("n") * lit(0.7796968012336793)
+    bm.agg(count(lit(1)).as("n"), sum(col("mx")).as("s"),
+        sum(col("mx") * col("mx")).as("q"))
+      .filter(col("n") >= 2 &&
+        col("n") * col("q") > col("s") * col("s"))
+      .select(col("n").as("n_blocks"),
+        expr("s div n").as("mean_max_dollars"),
+        floor(beta).cast("long").as("beta_dollars"),
+        floor(col("s").cast("double") / col("n")
+          - lit(0.5772156649015329) * beta).cast("long")
+          .as("mu_dollars"),
+        floor(col("s").cast("double") / col("n")
+          - lit(0.5772156649015329) * beta
+          - beta * log(-log(lit(0.99)))).cast("long")
+          .as("return_level_100_dollars"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
@@ -6382,5 +6521,5 @@ object CoreQueries {
     q255, q256, q259, q260, q261, q262, q263, q264, q267, q268,
     q270, q271, q272, q274, q275, q277, q278, q279, q280, q281,
     q283, q284, q285, q286, q288, q289, q290, q291, q292, q293,
-    q294)
+    q294, q295, q297)
 }

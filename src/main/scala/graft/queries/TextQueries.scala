@@ -3616,11 +3616,67 @@ object TextQueries {
       .limit(20)
   }
 
+  /** q296 — word adaptation / burstiness census (Church & Gale 1995;
+    * Church 2000 "Empirical estimates of adaptation"): the corpus
+    * statistic that kills the bag-of-independent-words assumption —
+    * for each frequent word, P(k ≥ 2 | k ≥ 1) (seen once in a doc →
+    * how likely AGAIN in the same doc) against the unconditional
+    * prior P(k ≥ 1); natural language shows adaptation ≫ prior
+    * (topical words burst). Both probabilities are exact ppm ratios
+    * of document-frequency counts (df₂/df₁ and df₁/N); the boost
+    * column df₂·N·10³ ÷ (df₁·df₁) says how many TIMES the prior the
+    * adaptation is. Top-15 words by boost — the burstiest terms are
+    * the topical signal a TF-IDF-style weighting (q77) exploits.
+    *
+    * Scale: one (word, doc) census with per-doc counts (map-side
+    * combinable), one word census, one one-row doc count. */
+  val q296 = QueryDef(
+    "q296_word_adaptation",
+    """WITH wd AS (
+      |  SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM (SELECT doc_id, lower(w) AS w
+      |        FROM documents,
+      |          UNNEST(regexp_extract_all(lower(text), '[a-z]+'))
+      |          AS t(w))
+      |  GROUP BY 1, 2),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |wa AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS df1,
+      |    CAST(SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS df2
+      |  FROM wd GROUP BY 1 HAVING COUNT(*) >= 20)
+      |SELECT w AS word, df1, df2,
+      |  CAST((1000000 * df2) // df1 AS BIGINT) AS adaptation_ppm,
+      |  CAST((1000000 * df1) // nd.n AS BIGINT) AS prior_ppm,
+      |  CAST((1000 * df2 * nd.n) // (df1 * df1) AS BIGINT)
+      |    AS boost_milli
+      |FROM wa CROSS JOIN nd
+      |ORDER BY boost_milli DESC, word LIMIT 15""".stripMargin) {
+    (s, d) =>
+    val wd = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy(col("w"), col("doc_id"))
+      .agg(count(lit(1)).as("k"))
+    val nd = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    wd.groupBy(col("w"))
+      .agg(count(lit(1)).as("df1"),
+        sum(when(col("k") >= 2, 1L).otherwise(0L)).as("df2"))
+      .filter(col("df1") >= 20)
+      .crossJoin(broadcast(nd))
+      .select(col("w").as("word"), col("df1"), col("df2"),
+        expr("(1000000L * df2) div df1").as("adaptation_ppm"),
+        expr("(1000000L * df1) div n").as("prior_ppm"),
+        expr("(1000L * df2 * n) div (df1 * df1)").as("boost_milli"))
+      .orderBy(col("boost_milli").desc, col("word"))
+      .limit(15)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
       q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181,
       q184, q185, q190, q192, q193, q200, q208, q232, q238, q249, q266,
-      q269, q273, q276, q282)
+      q269, q273, q276, q282, q296)
 }

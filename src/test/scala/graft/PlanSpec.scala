@@ -229,7 +229,9 @@ class PlanSpec extends SparkSpec {
       "q282_dunning_collocations" -> "one-row bigram-total frame",
       "q285_attribution_models" -> "one-row per-model total frames",
       "q290_long_tail" -> "one-row catalog-total frame",
-      "q293_randomization_test" -> "one-row observed-diff frame")
+      "q293_randomization_test" -> "one-row observed-diff frame",
+      "q295_cramers_v" -> "one-row grid-total frame",
+      "q296_word_adaptation" -> "one-row doc-count frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
