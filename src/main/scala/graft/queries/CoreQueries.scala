@@ -6511,6 +6511,111 @@ object CoreQueries {
           .as("return_level_100_dollars"))
   }
 
+  /** q299 — Lorenz decile table (the curve behind q163's Gini):
+    * customers in spend deciles via the distributed
+    * [[graft.functions.Ranks.ntileGlobal]], each decile's exact
+    * revenue share and cumulative share in ppm — the "bottom 50 %
+    * hold X %, top 10 % hold Y %" statement an inequality NUMBER
+    * can't make. Cumulative shares ride a 10-row ordered window.
+    *
+    * Scale: one per-customer census + one rank-bucket pipeline +
+    * a 10-row frame. */
+  val q299 = QueryDef(
+    "q299_lorenz_deciles",
+    """WITH cs AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |dec AS (
+      |  SELECT ck, x,
+      |    CAST(NTILE(10) OVER (ORDER BY x, ck) AS BIGINT) AS d
+      |  FROM cs),
+      |g AS (
+      |  SELECT d, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |    CAST(SUM(x) AS BIGINT) AS spend
+      |  FROM dec GROUP BY 1),
+      |t AS (SELECT CAST(SUM(spend) AS BIGINT) AS tot FROM g)
+      |SELECT g.d AS decile, g.n_customers, g.spend AS spend_cents,
+      |  CAST((1000000 * g.spend) // t.tot AS BIGINT) AS share_ppm,
+      |  CAST((1000000 * SUM(g.spend) OVER (ORDER BY g.d)) // t.tot
+      |    AS BIGINT) AS cum_share_ppm
+      |FROM g CROSS JOIN t ORDER BY decile""".stripMargin) { (s, d) =>
+    val cs = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+        .as("x"))
+    val dec = graft.functions.Ranks.ntileGlobal(cs, 10, col("x"),
+      col("ck"), "d")
+    val g = dec.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("x")).as("spend"))
+    val t = g.agg(sum(col("spend")).as("tot"))
+    val w = Window.orderBy(col("d"))
+    g.crossJoin(broadcast(t))
+      .withColumn("cum", sum(col("spend")).over(w))
+      .select(col("d").as("decile"), col("n_customers"),
+        col("spend").as("spend_cents"),
+        expr("(1000000L * spend) div tot").as("share_ppm"),
+        expr("(1000000L * cum) div tot").as("cum_share_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  /** q300 — assortment churn (period-over-period catalog Jaccard):
+    * per consecutive month pair, the Jaccard similarity of the SET
+    * of parts sold — |∩|·10⁶ ÷ |∪| exact ppm — plus added/dropped
+    * counts; the merchandising-stability kpi, and the set-similarity
+    * machinery of the dedup family (q22/q24) applied at catalog
+    * grain. The month self-join is keyed on part AND adjacent month
+    * (m, m+1) — never all-pairs over months.
+    *
+    * Scale: one distinct (month, part) census; intersection via one
+    * keyed equi-join on (part, next-month), unions by
+    * inclusion-exclusion from the month censuses. */
+  val q300 = QueryDef(
+    "q300_assortment_churn",
+    """WITH mp AS (
+      |  SELECT DISTINCT CAST(12 * year(l_shipdate)
+      |      + month(l_shipdate) AS BIGINT) AS m,
+      |    l_partkey AS pk
+      |  FROM lineitem),
+      |mc AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n FROM mp
+      |  GROUP BY 1),
+      |ix AS (
+      |  SELECT a.m, CAST(COUNT(*) AS BIGINT) AS both
+      |  FROM mp a JOIN mp b ON a.pk = b.pk AND b.m = a.m + 1
+      |  GROUP BY 1)
+      |SELECT ca.m AS month_idx, ca.n AS parts_this, cb.n AS parts_next,
+      |  COALESCE(ix.both, 0) AS parts_both,
+      |  CAST((1000000 * COALESCE(ix.both, 0))
+      |    // (ca.n + cb.n - COALESCE(ix.both, 0)) AS BIGINT)
+      |    AS jaccard_ppm,
+      |  CAST(cb.n - COALESCE(ix.both, 0) AS BIGINT) AS added,
+      |  CAST(ca.n - COALESCE(ix.both, 0) AS BIGINT) AS dropped
+      |FROM mc ca JOIN mc cb ON cb.m = ca.m + 1
+      |LEFT JOIN ix ON ix.m = ca.m
+      |ORDER BY month_idx""".stripMargin) { (s, d) =>
+    val mp = Tables.lineitem(s, d)
+      .select((lit(12L) * year(col("l_shipdate"))
+        + month(col("l_shipdate"))).as("m"),
+        col("l_partkey").as("pk"))
+      .distinct()
+    val mc = mp.groupBy(col("m")).agg(count(lit(1)).as("n"))
+    val ix = mp.as("a").join(mp.as("b"),
+        col("a.pk") === col("b.pk") && col("b.m") === col("a.m") + 1)
+      .groupBy(col("a.m").as("m")).agg(count(lit(1)).as("both"))
+    mc.as("ca").join(mc.as("cb"), col("cb.m") === col("ca.m") + 1)
+      .join(ix.as("ix"), col("ix.m") === col("ca.m"), "left")
+      .select(col("ca.m").as("month_idx"),
+        col("ca.n").as("parts_this"), col("cb.n").as("parts_next"),
+        coalesce(col("both"), lit(0L)).as("parts_both"),
+        expr("""(1000000L * coalesce(both, 0L))
+          | div (ca.n + cb.n - coalesce(both, 0L))""".stripMargin)
+          .as("jaccard_ppm"),
+        (col("cb.n") - coalesce(col("both"), lit(0L))).as("added"),
+        (col("ca.n") - coalesce(col("both"), lit(0L))).as("dropped"))
+      .orderBy(col("month_idx"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
@@ -6521,5 +6626,5 @@ object CoreQueries {
     q255, q256, q259, q260, q261, q262, q263, q264, q267, q268,
     q270, q271, q272, q274, q275, q277, q278, q279, q280, q281,
     q283, q284, q285, q286, q288, q289, q290, q291, q292, q293,
-    q294, q295, q297)
+    q294, q295, q297, q299, q300)
 }

@@ -115,7 +115,9 @@ class PlanSpec extends SparkSpec {
       "q274_anomaly_days",
       // q294's ladder cumsum runs over the $100-rung spend-domain
       // census (~1e4 rungs regardless of row count, the q236 argument)
-      "q294_auc")
+      "q294_auc",
+      // q299's cumulative share runs over the 10-row decile frame
+      "q299_lorenz_deciles")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => allowed.contains(n) }
       .flatMap { case (name, fn) =>
@@ -231,7 +233,8 @@ class PlanSpec extends SparkSpec {
       "q290_long_tail" -> "one-row catalog-total frame",
       "q293_randomization_test" -> "one-row observed-diff frame",
       "q295_cramers_v" -> "one-row grid-total frame",
-      "q296_word_adaptation" -> "one-row doc-count frame")
+      "q296_word_adaptation" -> "one-row doc-count frame",
+      "q299_lorenz_deciles" -> "one-row revenue-total frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
