@@ -6204,8 +6204,8 @@ object CoreQueries {
       |    CAST(SUM((rf - rr) * (rf - rr)) AS BIGINT) AS d2
       |  FROM r)
       |SELECT n AS n_parts, d2 AS sum_d2,
-      |  CAST(1000 - (6000 * d2) // (n * n * n - n) AS BIGINT)
-      |    AS spearman_milli
+      |  CAST(1000 - FLOOR(6000.0 * d2 / (CAST(n AS DOUBLE) * n * n - n))
+      |    AS BIGINT) AS spearman_milli
       |FROM agg WHERE n >= 2""".stripMargin) { (s, d) =>
     val pc = Tables.lineitem(s, d)
       .groupBy(col("l_partkey").as("pk"))
@@ -6221,7 +6221,15 @@ object CoreQueries {
           .as("d2"))
       .filter(col("n") >= 2)
       .select(col("n").as("n_parts"), col("d2").as("sum_d2"),
-        expr("1000L - (6000L * d2) div (n * n * n - n)")
+        // the n³ term rides a DOUBLE: int64 n·n·n−n wraps silently at
+        // n ≳ 2×10⁶ parts in non-ANSI Spark while DuckDB raises — a
+        // silent-vs-loud engine divergence. FLOOR of the identical
+        // IEEE expression is bit-equal on both engines at any n, and
+        // the milli value is exact while 6000·d2 < 2⁵³ (n ≲ 10⁵) with
+        // ≤1-milli rounding past that — acceptable for a coefficient
+        // read at 3 decimals.
+        expr("1000L - cast(floor(6000.0 * d2 /" +
+          " (cast(n as double) * n * n - n)) as long)")
           .as("spearman_milli"))
   }
 
@@ -6376,10 +6384,15 @@ object CoreQueries {
     * market-segment × order-priority contingency: the EFFECT-SIZE
     * companion to a χ² test — χ² says "is there any association",
     * V ∈ [0,1] says "how much", comparable across table sizes. The
-    * χ² sum runs over the 5×5 grid with every (O·N − R·C)² and R·C·N
-    * an exact integer product (the q233 cross-multiplied cell
-    * discipline; per-cell float division only at the end of each
-    * bounded term), and V = √(χ²/(N·min(r−1,c−1))) is the single
+    * χ² sum runs over the FULL margin grid (row margins × column
+    * margins, observed counts left-joined with obs→0, so an empty
+    * cell still contributes its expected mass E = R·C/N — dropping it
+    * understates χ² identically on both engines, which is exactly the
+    * class of bug the oracle gate cannot catch) with every
+    * (O·N − R·C)² and R·C·N an exact integer product (the q233
+    * cross-multiplied cell discipline; per-cell float division only
+    * at the end of each bounded term), and V = √(χ²/(N·min(r−1,c−1)))
+    * is the single
     * trailing float √. On independent TPC-H columns V ≈ 0 — the
     * honest null.
     *
@@ -6401,12 +6414,13 @@ object CoreQueries {
       |  CAST(COUNT(DISTINCT seg) AS BIGINT) AS nr,
       |  CAST(COUNT(DISTINCT pri) AS BIGINT) AS nc FROM cell),
       |chi AS (
-      |  SELECT SUM(CAST((cell.obs * nn.n - mr.r * mc.c) AS DOUBLE)
-      |      * (cell.obs * nn.n - mr.r * mc.c)
+      |  SELECT SUM(CAST((COALESCE(cell.obs, 0) * nn.n - mr.r * mc.c)
+      |        AS DOUBLE)
+      |      * (COALESCE(cell.obs, 0) * nn.n - mr.r * mc.c)
       |      / (CAST(mr.r AS DOUBLE) * mc.c * nn.n)) AS chi2,
       |    MAX(nn.n) AS n, MAX(nn.nr) AS nr, MAX(nn.nc) AS nc
-      |  FROM cell JOIN mr ON cell.seg = mr.seg
-      |  JOIN mc ON cell.pri = mc.pri CROSS JOIN nn)
+      |  FROM mr CROSS JOIN mc CROSS JOIN nn
+      |  LEFT JOIN cell ON cell.seg = mr.seg AND cell.pri = mc.pri)
       |SELECT CAST(n AS BIGINT) AS n_orders,
       |  CAST(FLOOR(1000 * chi2) AS BIGINT) AS chi2_milli,
       |  CAST(FLOOR(1000000 * SQRT(chi2 / (CAST(n AS DOUBLE)
@@ -6422,8 +6436,11 @@ object CoreQueries {
     val nn = cell.agg(sum(col("obs")).as("n"),
       countDistinct(col("seg")).as("nr"),
       countDistinct(col("pri")).as("nc"))
-    cell.join(broadcast(mr), Seq("seg"))
-      .join(broadcast(mc), Seq("pri"))
+    // full grid: margins cross-joined (≤ 5×5 broadcast rows), observed
+    // counts LEFT-joined with obs→0 so empty cells contribute E
+    broadcast(mr).crossJoin(broadcast(mc))
+      .join(cell, Seq("seg", "pri"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
       .crossJoin(broadcast(nn))
       .agg(sum((col("obs") * col("n") - col("r") * col("c"))
           .cast("double")

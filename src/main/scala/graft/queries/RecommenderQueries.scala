@@ -382,11 +382,18 @@ object RecommenderQueries {
     * top-3 with (sim² desc, neighbor id) pinning ties.
     *
     * Scale: (customer, part) distinct projection; per-customer pair
-    * expansion bounded by per-customer catalog breadth (behavioral,
-    * like q216's window — a retailer caps it with q133's bounded
-    * top-N per customer before pairing); pair census and audience
-    * census are map-side-combinable keyed aggs; the per-item top-3
-    * window is partitioned by item over its neighbor list. */
+    * expansion bounded by the COST-BASED breadth cap
+    * ([[graft.ml.Recommender.maxBasketFromHistogram]] on the CUSTOMER
+    * dimension — the q36/q223 basket-cap contract rotated onto the
+    * user axis, which is where item-CF's quadratic blowup lives: one
+    * power user with 10⁵ items emits 10¹⁰ pairs from a single key).
+    * Under the default pair budget the test histograms fit entirely
+    * (every customer kept), so the plan is LOSSLESS vs the UNCAPPED
+    * oracle below — the q264 treatment: equality at the gate proves
+    * the cap dropped nothing, while at 100 TB the same call bounds
+    * the join to the budget. Pair census and audience census are
+    * map-side-combinable keyed aggs; the per-item top-3 window is
+    * partitioned by item over its neighbor list. */
   val q219 = QueryDef(
     "q219_item_cf",
     """WITH up AS (
@@ -413,11 +420,19 @@ object RecommenderQueries {
       |  c AS common_users, sim2_ppm
       |FROM rk WHERE rn <= 3 ORDER BY item, rank""".stripMargin) {
     (s, d) =>
-    val up = Tables.lineitem(s, d)
+    val raw = Tables.lineitem(s, d)
       .join(Tables.orders(s, d),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
-      .distinct()
+    // Breadth cap from the size histogram (see scaladoc): at test SFs
+    // the budget admits the whole histogram, so nothing is dropped and
+    // the uncapped oracle proves it; at scale this bounds the pair join.
+    val cap = Recommender.maxBasketFromHistogram(raw, "u", "i")
+    val up = raw.distinct()
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("u"))))
+      .filter(col("__n") <= cap)
+      .drop("__n")
     val ni = up.groupBy(col("i")).agg(count(lit(1)).as("n"))
     val pp = up.as("a").join(up.as("b"),
         col("a.u") === col("b.u") && col("a.i") < col("b.i"))

@@ -1789,8 +1789,233 @@ object VectorQueries {
       .orderBy(col("label"))
   }
 
+  /** q301 — IVF nprobe RECALL–LATENCY FRONTIER (the knob a 100-TB ANN
+    * operator actually tunes; Jégou et al. §V report exactly this
+    * curve): for probe widths nprobe ∈ {1, 2, 4}, how many of each
+    * query's TRUE top-3 neighbors live inside the probed cells
+    * (recall ceiling of the coarse quantizer — no ADC/re-rank stage
+    * can recover a neighbor whose cell was never probed), and how
+    * many candidate vectors those cells contain (the per-query scan
+    * size, i.e. the latency proxy). Everything is exact integers on
+    * the q196 unit micro-grid: exact top-3 by integer squared L2
+    * (monotone in cosine on unit vectors), cell ranks by integer d2
+    * with cell-id ties, recall in ppm of 3·|queries|. Candidate and
+    * hit counts nest across probe widths by construction, so recall
+    * is monotone nondecreasing in nprobe — AnnRecallSpec pins that
+    * plus the q203 convention (nprobe=2) sitting on this curve.
+    *
+    * Scale: one broadcast-centroid assignment pass, one bounded
+    * query-slice exact scan (the q32 contract), then ≤4-row ladder
+    * frames — the frontier costs two scans regardless of data size.
+    */
+  val q301 = QueryDef(
+    "q301_nprobe_frontier",
+    normCte +
+      s""",
+      |u AS (
+      |  SELECT vec_id, t.i AS pos,
+      |    CAST(FLOOR(CAST(e[t.i] AS DOUBLE)/nrm*1e6 + 0.5) AS BIGINT) AS k
+      |  FROM n CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) t),
+      |cent AS (SELECT vec_id AS cell, pos, k AS ck FROM u
+      |         WHERE vec_id < 16),
+      |ad AS (
+      |  SELECT u.vec_id, cent.cell,
+      |    CAST(SUM((u.k - cent.ck)*(u.k - cent.ck)) AS BIGINT) AS d2
+      |  FROM u JOIN cent ON u.pos = cent.pos GROUP BY 1, 2),
+      |asn AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM ad) WHERE rn = 1),
+      |qc AS (
+      |  SELECT vec_id AS query_id, cell,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |  FROM ad WHERE vec_id < 25),
+      |ex AS (
+      |  SELECT uq.vec_id AS query_id, un.vec_id AS neighbor_id,
+      |    CAST(SUM((uq.k - un.k)*(uq.k - un.k)) AS BIGINT) AS d2
+      |  FROM u uq JOIN u un
+      |    ON un.pos = uq.pos AND un.vec_id <> uq.vec_id
+      |  WHERE uq.vec_id < 25 GROUP BY 1, 2),
+      |top3 AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY d2, neighbor_id) AS rnk
+      |    FROM ex) WHERE rnk <= 3),
+      |reach AS (
+      |  SELECT t.query_id, qc.rn AS r
+      |  FROM top3 t JOIN asn a ON a.vec_id = t.neighbor_id
+      |  JOIN qc ON qc.query_id = t.query_id AND qc.cell = a.cell),
+      |candr AS (
+      |  SELECT qc.rn AS r, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM qc JOIN asn a
+      |    ON a.cell = qc.cell AND a.vec_id <> qc.query_id
+      |  WHERE qc.rn <= 4 GROUP BY 1),
+      |hitr AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n FROM reach
+      |  GROUP BY 1),
+      |nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS nq
+      |  FROM qc),
+      |p AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe),
+      |cagg AS (
+      |  SELECT p.nprobe, CAST(COALESCE(SUM(c.n), 0) AS BIGINT)
+      |    AS n_candidates
+      |  FROM p LEFT JOIN candr c ON c.r <= p.nprobe GROUP BY 1),
+      |hagg AS (
+      |  SELECT p.nprobe, CAST(COALESCE(SUM(h.n), 0) AS BIGINT) AS n_hits
+      |  FROM p LEFT JOIN hitr h ON h.r <= p.nprobe GROUP BY 1)
+      |SELECT c.nprobe, nq.nq AS n_queries, c.n_candidates, h.n_hits,
+      |  CAST(1000000 * h.n_hits // (3 * nq.nq) AS BIGINT) AS recall_ppm
+      |FROM cagg c JOIN hagg h ON c.nprobe = h.nprobe CROSS JOIN nq
+      |ORDER BY c.nprobe""".stripMargin) { (s, d) =>
+    def sqDist(a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    val ku = pqUnits(s, d)
+    val cent = ku.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("ku").as("ckv"))
+    val ad = ku.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cell"),
+        sqDist(col("ku"), col("ckv")).as("d2"))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("cell"))
+    val asn = ad.withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cell"))
+    val qc = ad.filter(col("vec_id") < 25)
+      .withColumn("rn", row_number().over(wCell))
+      .select(col("vec_id").as("query_id"), col("cell"), col("rn"))
+    val q = ku.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("ku").as("qk"))
+    val ex = broadcast(q).join(ku, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        sqDist(col("qk"), col("ku")).as("d2"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    val top3 = ex.withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val reach = top3
+      .join(asn.select(col("vec_id").as("neighbor_id"), col("cell")),
+        Seq("neighbor_id"))
+      .join(qc, Seq("query_id", "cell"))
+      .select(col("query_id"), col("rn").as("r"))
+    val candr = qc.filter(col("rn") <= 4)
+      .join(asn, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("rn").as("r")).agg(count(lit(1)).as("n"))
+    val hitr = reach.groupBy(col("r")).agg(count(lit(1)).as("n"))
+    val nq = qc.agg(countDistinct(col("query_id")).as("nq"))
+    val p = s.range(1).select(
+      explode(array(lit(1L), lit(2L), lit(4L))).as("nprobe"))
+    val cagg = broadcast(p)
+      .join(broadcast(candr), col("r") <= col("nprobe"), "left")
+      .groupBy(col("nprobe"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_candidates"))
+    val hagg = broadcast(p)
+      .join(broadcast(hitr), col("r") <= col("nprobe"), "left")
+      .groupBy(col("nprobe"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_hits"))
+    cagg.join(hagg, Seq("nprobe")).crossJoin(broadcast(nq))
+      .select(col("nprobe"), col("nq").as("n_queries"),
+        col("n_candidates"), col("n_hits"),
+        expr("1000000L * n_hits div (3 * nq)").as("recall_ppm"))
+      .orderBy("nprobe")
+  }
+
+  /** q302 — PQ codebook DRIFT MONITOR: [[graft.ml.IvfMonitor]]'s
+    * retrain-trigger census applied PER SUBSPACE to the q196/q202
+    * fine codebooks, completing the ANN ops story (q174 monitors the
+    * coarse quantizer; this monitors the product quantizer under it).
+    * A fresh data slice (vec_id % 5 — the newly-arrived stand-in, the
+    * q174 convention) is assigned to the STORED seed codebooks, one
+    * exact-integer Lloyd step recomputes each (subspace, cell) entry
+    * as the floored element-wise mean of its fresh members (empty
+    * cells keep the stored entry), and the census reports PER CELL:
+    * members, re-assignment shift count/fraction, and reconstruction
+    * error before vs after — a high shift_ppm or a large d2 drop on
+    * any cell is that subspace's retrain signal. All micro-unit
+    * integer arithmetic (the q43b/q202 grid), so the whole monitor is
+    * triple-green under DuckDB.
+    *
+    * Scale: both assignment passes are broadcast-codebook scans of
+    * the fresh slice (128-row codebook); the update is one keyed agg
+    * over (sub, cid, pos) — |fresh|·DIM rows in, 128·PQ_D out. */
+  val q302 = QueryDef(
+    "q302_pq_drift",
+    pqCteSql +
+      s""",
+      |a0 AS (SELECT vec_id, sub, cid, d2 FROM asg WHERE vec_id % 5 = 0),
+      |nm AS (
+      |  SELECT a.sub, a.cid, su.pos,
+      |    CAST(FLOOR(CAST(SUM(su.k) AS DOUBLE) / COUNT(*)) AS BIGINT)
+      |      AS mk
+      |  FROM a0 a JOIN su
+      |    ON su.vec_id = a.vec_id AND su.sub = a.sub
+      |  GROUP BY 1, 2, 3),
+      |nc AS (
+      |  SELECT cb.sub, cb.cid, cb.pos, COALESCE(nm.mk, cb.ck) AS ck
+      |  FROM cb LEFT JOIN nm
+      |    ON nm.sub = cb.sub AND nm.cid = cb.cid AND nm.pos = cb.pos),
+      |d1 AS (
+      |  SELECT su.vec_id, su.sub, nc.cid,
+      |    CAST(SUM((su.k - nc.ck)*(su.k - nc.ck)) AS BIGINT) AS d2
+      |  FROM su JOIN nc ON su.pos = nc.pos AND su.sub = nc.sub
+      |  WHERE su.vec_id % 5 = 0 GROUP BY 1, 2, 3),
+      |a1 AS (
+      |  SELECT vec_id, sub, cid, d2 FROM (
+      |    SELECT vec_id, sub, cid, d2,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+      |        ORDER BY d2, cid) AS rn
+      |    FROM d1) WHERE rn = 1)
+      |SELECT a0.sub, a0.cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  CAST(SUM(CASE WHEN a1.cid <> a0.cid THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_shifted,
+      |  CAST(SUM(CASE WHEN a1.cid <> a0.cid THEN 1 ELSE 0 END) * 1000000
+      |    // COUNT(*) AS BIGINT) AS shift_ppm,
+      |  CAST(SUM(a0.d2) AS BIGINT) AS d2_stored,
+      |  CAST(SUM(a1.d2) AS BIGINT) AS d2_new
+      |FROM a0 JOIN a1 ON a1.vec_id = a0.vec_id AND a1.sub = a0.sub
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val sv = pqSub(pqUnits(s, d))
+    val cb = pqSeedCodebook(sv)
+    val fresh = sv.filter(col("vec_id") % 5 === 0)
+    val a0 = pqAssignTo(fresh, cb)
+    val nm = a0.select(col("vec_id"), col("sub"), col("cid"))
+      .join(fresh, Seq("vec_id", "sub"))
+      .select(col("sub"), col("cid"),
+        posexplode(col("kv")).as(Seq("pos", "v")))
+      .groupBy(col("sub"), col("cid"), col("pos"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+        .cast("long").as("mk"))
+    val cbPos = cb.select(col("sub"), col("cid"),
+      posexplode(col("cv")).as(Seq("pos", "ck")))
+    val nc = cbPos.join(nm, Seq("sub", "cid", "pos"), "left")
+      .select(col("sub"), col("cid"), col("pos"),
+        coalesce(col("mk"), col("ck")).as("e"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+        col("e")))), x => x.getField("e")).as("cv"))
+    val a1 = pqAssignTo(fresh, nc)
+      .select(col("vec_id"), col("sub"), col("cid").as("cid1"),
+        col("d2").as("d21"))
+    a0.join(a1, Seq("vec_id", "sub"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("cid1") =!= col("cid"), 1L).otherwise(0L))
+          .as("n_shifted"),
+        sum(col("d2")).as("d2_stored"),
+        sum(col("d21")).as("d2_new"))
+      .withColumn("shift_ppm",
+        expr("n_shifted * 1000000 div n_members"))
+      .select(col("sub"), col("cid"), col("n_members"),
+        col("n_shifted"), col("shift_ppm"), col("d2_stored"),
+        col("d2_new"))
+      .orderBy("sub", "cid")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131,
       q134, q135, q151, q155, q174, q179, q196, q197, q202, q203, q207,
-      q226, q234, q287)
+      q226, q234, q287, q301, q302)
 }

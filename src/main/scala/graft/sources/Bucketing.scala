@@ -35,6 +35,14 @@ object Bucketing {
     * write. */
   def replaceBucketed(spark: SparkSession, df: DataFrame, table: String,
                       key: String, buckets: Int): Unit = {
+    // The orphan-directory cleanup below reconstructs the managed
+    // location as <warehouse>/<table> — valid ONLY for a simple name
+    // in the default database with the default catalog layout. A
+    // qualified name (db.tbl) would resolve to the wrong path and the
+    // delete could miss the orphan (write still fails) or hit an
+    // unintended directory, so refuse it loudly.
+    require(!table.contains("."),
+      s"replaceBucketed requires a simple unqualified table name, got '$table'")
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)

@@ -96,6 +96,53 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("nprobe frontier (q301): recall monotone nondecreasing, q203's " +
+      "2-probe convention on the curve") {
+    // candidate/hit sets nest across probe widths BY CONSTRUCTION —
+    // this pins that the implementation preserves it (a reach-rank or
+    // ladder-join bug would break nesting first), plus the floor at
+    // nprobe=1: even one probed cell must beat random-guess recall.
+    val rows = VectorQueries.q301.run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, s"candidates not nested: $a vs $b")
+      assert(a._3 <= b._3, s"hits not nested: $a vs $b")
+      assert(a._4 <= b._4, s"recall not monotone: $a vs $b")
+    }
+    rows.foreach { case (p, _, _, rec) =>
+      info(s"nprobe=$p recall_ppm=$rec")
+    }
+    assert(rows.head._4 > 100000,
+      s"nprobe=1 recall ${rows.head._4} ppm at or below noise")
+  }
+
+  test("PQ drift monitor (q302): Lloyd step never raises any cell's " +
+      "reconstruction error in aggregate") {
+    // per-(sub, cid) census over the fresh slice: the re-assignment
+    // after the update step is an argmin over a codebook containing
+    // each vector's previous entry OR its floored-mean replacement —
+    // totals per subspace must not increase (the q202 descent
+    // property at monitor granularity), and every shift_ppm is a
+    // valid fraction.
+    val rows = VectorQueries.q302.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySub = rows.groupBy(_.getAs[Number]("sub").longValue)
+    assert(bySub.keySet == (0L until 8L).toSet)
+    bySub.foreach { case (sub, rs) =>
+      val before = rs.map(_.getAs[Long]("d2_stored")).sum
+      val after = rs.map(_.getAs[Long]("d2_new")).sum
+      assert(after <= before, s"sub $sub: $before -> $after")
+    }
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("shift_ppm")
+      assert(ppm >= 0 && ppm <= 1000000)
+      assert(r.getAs[Long]("n_shifted") <= r.getAs[Long]("n_members"))
+    }
+  }
+
   test("PQ assignment (q196): codebook seed vectors reconstruct exactly") {
     // each seed vector's subvectors ARE codebook entries, so its
     // reconstruction error must be 0 and its packed code must decode

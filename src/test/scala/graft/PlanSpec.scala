@@ -232,8 +232,12 @@ class PlanSpec extends SparkSpec {
       "q285_attribution_models" -> "one-row per-model total frames",
       "q290_long_tail" -> "one-row catalog-total frame",
       "q293_randomization_test" -> "one-row observed-diff frame",
-      "q295_cramers_v" -> "one-row grid-total frame",
+      "q295_cramers_v" ->
+        "margin-grid cross (≤5×5 broadcast) + one-row grid-total frame",
       "q296_word_adaptation" -> "one-row doc-count frame",
+      "q301_nprobe_frontier" ->
+        ("broadcast 16-row centroids + query slice (vec_id < 25) + " +
+          "≤4-row probe-ladder frames"),
       "q299_lorenz_deciles" -> "one-row revenue-total frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
