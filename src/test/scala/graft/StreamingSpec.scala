@@ -482,6 +482,139 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mid-batch SINK failure: replayed batch commits transformWithState " +
+      "exactly once") {
+    // Failure-injection soak (T1/T7's last untested failure mode):
+    // the sink consumes batch 1's rows — so the stateful operator's
+    // tasks have RUN — then dies before acknowledging. The commit log
+    // never records batch 1, the restart replays it against the
+    // PRE-batch-1 state version, and the totals come out exactly once
+    // despite the state tasks executing twice. That version-addressed
+    // replay is the whole exactly-once contract of the state store.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_failsink").toString
+    val mem = MemoryStream[Event]
+    val failArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val attempts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sunk = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Double)]
+    def drain(): Option[Throwable] = {
+      val q = Features.runningUserFeatures(mem.toDS())
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[Features.UserRunning],
+           id: Long) =>
+            val rows = b.collect() // state tasks run HERE
+            attempts.synchronized { attempts += id }
+            if (failArmed.getAndSet(false))
+              throw new RuntimeException("injected mid-batch sink failure")
+            sunk.synchronized {
+              sunk ++= rows.map(u => (id, u.user_id, u.n_events,
+                u.n_purchases, u.total_value))
+            }
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("update").start()
+      try { q.awaitTermination(); None }
+      catch { case e: Throwable => q.stop(); Some(e) }
+    }
+    try {
+      mem.addData(events.take(2): _*) // u1: 2 views
+      assert(drain().isEmpty)
+      mem.addData(events.drop(2): _*) // u1: cart+purchase, u2: view
+      failArmed.set(true)
+      val err = drain() // batch 1 computed, then sink dies
+      assert(err.isDefined, "injected failure did not surface")
+      assert(drain().isEmpty) // restart: replay batch 1 from checkpoint
+      // the batch ran (at least) twice...
+      assert(attempts.count(_ == 1L) >= 2, s"attempts $attempts")
+      // ...but committed once: one successful delivery per batchId,
+      // and the totals are the no-failure values — no double count
+      val committed = sunk.toSeq
+      assert(committed.map(_._1).distinct.sorted ==
+        committed.map(_._1).distinct)
+      assert(committed.filter(r => r._1 == 1L && r._2 == "u1").map(
+        r => (r._3, r._4, r._5)) == Seq((4L, 1L, 35.0)))
+      assert(committed.filter(r => r._1 == 1L && r._2 == "u2").map(
+        r => (r._3, r._4, r._5)) == Seq((1L, 0L, 7.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("mid-batch SOURCE-TASK failure: sketch state replays to the " +
+      "one-shot answer") {
+    // The other injection point: a task INSIDE the stateful batch
+    // throws (flaky decode/IO stand-in), so the batch dies before the
+    // sink ever sees it. Restart must replay the batch and the final
+    // sketch profiles must equal the one-shot full-history aggregate
+    // — the same answers the no-failure update-mode test pins.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_failsrc").toString
+    val mem = MemoryStream[(String, Long)]
+    val sunk = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long, Long, Long)]
+    def drain(): Option[Throwable] = {
+      val src = mem.toDS().map { x =>
+        if (StreamingSpec.sourceFailArmed.getAndSet(false))
+          throw new RuntimeException("injected mid-batch task failure")
+        x
+      }
+      val q = Features.runningGroupSketches(src)
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[Features.GroupProfile],
+           _: Long) =>
+            sunk.synchronized {
+              sunk ++= b.collect().map(p => (p.g, p.n, p.median,
+                p.top_key, p.top_est, p.n_distinct))
+            }
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("update").start()
+      try { q.awaitTermination(); None }
+      catch { case e: Throwable => q.stop(); Some(e) }
+    }
+    try {
+      mem.addData(("a", 1L), ("a", 1L), ("a", 2L), ("b", 5L))
+      assert(drain().isEmpty)
+      mem.addData(("a", 1L), ("a", 3L), ("b", 7L), ("b", 9L))
+      StreamingSpec.sourceFailArmed.set(true)
+      val err = drain() // batch 1's source task dies mid-flight
+      assert(err.isDefined, "injected failure did not surface")
+      assert(drain().isEmpty) // replay from checkpoint
+      // last emission per group == one-shot full-history profile
+      // (values from the no-failure update-mode test above)
+      val fin = sunk.toSeq.groupBy(_._1).view
+        .mapValues(_.maxBy(_._2)).toMap
+      assert(fin("a") == (("a", 5L, 1L, 1L, 3L, 3L)))
+      assert(fin("b") == (("b", 3L, 7L, 5L, 1L, 3L)))
+    } finally {
+      StreamingSpec.sourceFailArmed.set(false)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("bronzeLanding partitions by event-time y/m/d/h") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
@@ -495,4 +628,11 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.json(s"$out/year=*/month=*/day=*/hour=*")
       .count() == 5)
   }
+}
+
+object StreamingSpec {
+  /** Armed flag for the source-task failure injection: lives on a
+    * top-level object so the closure serialized into the task reads
+    * the SAME flag the test arms (local mode, one JVM). */
+  val sourceFailArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
