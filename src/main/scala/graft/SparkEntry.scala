@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, MediaQueries, PipelineQueries, QualityQueries, QueryDef, RecommenderQueries, StreamQueries, TextQueries, VectorQueries}
+import graft.queries.{CoreQueries, MediaQueries, PipelineQueries, QualityQueries, QueryDef, RecommenderQueries, StreamQueries, TextQueries, TrainQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ object SparkEntry {
     val all =
       CoreQueries.all ++ TextQueries.all ++ VectorQueries.all ++
         QualityQueries.all ++ RecommenderQueries.all ++
-        MediaQueries.all ++ StreamQueries.all ++ PipelineQueries.all
+        MediaQueries.all ++ StreamQueries.all ++ PipelineQueries.all ++
+        TrainQueries.all
     // fail LOUDLY on a name collision: `queries`/`oracleSql` build
     // Maps, and toMap keeps only the last entry — a copy-pasted name
     // would silently drop a query from Bench/Verify (one fewer

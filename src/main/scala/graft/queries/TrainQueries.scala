@@ -1,0 +1,362 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data curation queries (round 9): the learned/optimized side
+  * of corpus curation that the heuristic gates (q85 Gopher, q30 lang-ID,
+  * q168 funnel) feed — classifier-based quality filtering, mixture
+  * reweighting, hard-negative mining, vocabulary/packing budgeting.
+  *
+  * House rules as everywhere in `graft.queries`: every arithmetic step
+  * is exact int64 on a declared unit grid, divisions that can see a
+  * negative numerator use the sign-safe floor form
+  * `(a - pmod(a, b)) / b` (identical in Spark `div` and DuckDB `//`
+  * because the corrected numerator is an exact multiple), and each
+  * QueryDef carries the mirrored DuckDB oracle.
+  */
+object TrainQueries {
+
+  /** Sign-safe floor division a/b (b > 0) as SQL text for the DuckDB
+    * oracle: the double-% canonical non-negative mod makes the
+    * numerator an exact multiple of b, where truncating and flooring
+    * integer division agree. */
+  private def fdSql(a: String, b: String): String =
+    s"(($a) - ((($a) % ($b) + ($b)) % ($b))) // ($b)"
+
+  /** Spark twin of [[fdSql]] — `pmod` is the same canonical mod. */
+  private def fdCol(a: Column, b: Column): Column =
+    (a - pmod(a, b)).divide(b).cast("long")
+
+  // ---------------------------------------------------------------------
+  // q303 — quality-classifier TRAINING as a deterministic integer query
+  // ---------------------------------------------------------------------
+
+  /** Fixed featurizer for the classifier family: near-zero-centered
+    * integer features on declared grids (centering constants are part
+    * of the spec, like Buckets' cut points — NOT data-derived, so the
+    * featurizer is a pure per-row projection at any scale).
+    *   x0 bias=10; x1 = n_tokens−50; x2 = centi-mean-token-len−550;
+    *   x3 = 10·stopword_count−30.
+    */
+  private val featSql =
+    """feat AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
+      |    CAST(10 AS BIGINT) AS x0,
+      |    CAST(len(string_split(text, ' ')) - 50 AS BIGINT) AS x1,
+      |    CAST((100 * n_chars) // len(string_split(text, ' ')) - 550
+      |      AS BIGINT) AS x2,
+      |    CAST(10 * len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the', 'a', 'of', 'and'))) - 30 AS BIGINT) AS x3
+      |  FROM documents)""".stripMargin
+
+  private def featDf(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+      lit(10L).as("x0"),
+      (size(toks) - 50).cast("long").as("x1"),
+      (expr("(100 * n_chars) div size(split(text, ' '))") - 550)
+        .cast("long").as("x2"),
+      (size(filter(toks, t => t.isin("the", "a", "of", "and"))) * 10 - 30)
+        .cast("long").as("x3"))
+  }
+
+  /** q303 — QUALITY-CLASSIFIER TRAINING, exact-integer full-batch
+    * gradient descent: the learned document filter of GPT-3's pipeline
+    * (Brown et al. 2020 App. A: a linear classifier over document
+    * features scores every candidate page) and CCNet (Wenzek et al.
+    * 2020), trained HERE as a deterministic query — the q43b/q202
+    * treatment rotated onto supervised learning. Model: linear scorer
+    * with the HARD-SIGMOID link σ̂(t) = clip(t/4 + 1/2, 0, 1)
+    * (Courbariaux et al. 2015's piecewise-linear sigmoid), which makes
+    * every quantity RATIONAL: three unrolled full-batch GD steps on the
+    * ppm weight grid,
+    *   w_j ← w_j − floor(Σ_i err_i·x_ij / (N·1000)),
+    *   err_i = σ̂_ppm(Σ_j w_j·x_ij) − 10⁶·y_i,
+    * with the sign-safe floor division (pmod form) wherever a numerator
+    * can be negative. The per-step census reports the weight vector,
+    * positive-prediction count, and training accuracy (ppm). On this
+    * synthetic corpus the en/non-en label carries almost no feature
+    * signal (shared 31-token vocab), so the learned weights converge to
+    * the class prior — the gate pins the training ARITHMETIC (identical
+    * int64 sequence in both engines), not model skill. σ̂'s clip needs
+    * no sign-safe care: the numerator z+2·10⁶ is positive throughout
+    * the active region, and outside it trunc-vs-floor differences are
+    * erased by the GREATEST(0, ·) clamp.
+    *
+    * Scale: each step is one broadcast of the 1×4 weight row against a
+    * per-row projection + one map-side-combinable 4-column sum — 3
+    * linear passes total, no shuffle beyond the scalar agg; exactly how
+    * a full-batch linear probe trains on 100 TB (the reference's
+    * quality scorer is per-record arithmetic,
+    * data_quality/quality_checks.py, scored in one pass). */
+  val q303 = QueryDef(
+    "q303_quality_classifier_gd", {
+      def stepSql(i: Int): String = {
+        val z = "f.x0*w.w0 + f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3"
+        val pred = s"LEAST(1000000, GREATEST(0, ($z + 2000000) // 4))"
+        def upd(j: Int) = // CAST: uncast DuckDB SUM arithmetic is HUGEINT
+          s"CAST(MAX(w.w$j) - (${fdSql(s"SUM(err*x$j)", "MAX(n.n)*1000")}) AS BIGINT)"
+        s""",
+        |e$i AS (
+        |  SELECT f.y, f.x0, f.x1, f.x2, f.x3,
+        |    $pred - f.y*1000000 AS err
+        |  FROM feat f CROSS JOIN w${i - 1} w),
+        |w$i AS (
+        |  SELECT ${upd(0)} AS w0, ${upd(1)} AS w1,
+        |    ${upd(2)} AS w2, ${upd(3)} AS w3
+        |  FROM e$i, w${i - 1} w, n)""".stripMargin
+      }
+      def accSql(i: Int): String = {
+        val z = "f.x0*w.w0 + f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3"
+        val hit = s"CASE WHEN ($z) > 0 THEN 1 ELSE 0 END"
+        s""",
+        |a$i AS (
+        |  SELECT CAST($i AS BIGINT) AS step,
+        |    MAX(w.w0) AS w0, MAX(w.w1) AS w1,
+        |    MAX(w.w2) AS w2, MAX(w.w3) AS w3,
+        |    CAST(SUM($hit) AS BIGINT) AS n_pred_pos,
+        |    CAST(1000000 * SUM(CASE WHEN ($hit) = f.y THEN 1 ELSE 0 END)
+        |      // MAX(n.n) AS BIGINT) AS acc_ppm
+        |  FROM feat f CROSS JOIN w$i w CROSS JOIN n)""".stripMargin
+      }
+      s"""WITH $featSql,
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feat),
+      |w0 AS (SELECT CAST(0 AS BIGINT) w0, CAST(0 AS BIGINT) w1,
+      |  CAST(0 AS BIGINT) w2, CAST(0 AS BIGINT) w3)""".stripMargin +
+        (1 to 3).map(stepSql).mkString +
+        (1 to 3).map(accSql).mkString +
+        """
+      |SELECT * FROM a1 UNION ALL SELECT * FROM a2
+      |UNION ALL SELECT * FROM a3 ORDER BY step""".stripMargin
+    }) { (s, d) =>
+    val feat = featDf(s, d).cache()
+    val nRow = feat.agg(count(lit(1)).as("n"))
+    def z() = List("0", "1", "2", "3")
+      .map(j => col(s"x$j") * col(s"w$j"))
+      .reduce(_ + _)
+    var w: DataFrame = s.range(1)
+      .select(lit(0L).as("w0"), lit(0L).as("w1"),
+        lit(0L).as("w2"), lit(0L).as("w3"))
+    val accs = (1 to 3).map { i =>
+      val e = feat.crossJoin(broadcast(w)).crossJoin(broadcast(nRow))
+        .withColumn("err",
+          least(lit(1000000L),
+            greatest(lit(0L), expr(
+              "(x0*w0 + x1*w1 + x2*w2 + x3*w3 + 2000000) div 4")))
+            - col("y") * 1000000L)
+      w = e.agg(
+        (max(col("w0")) - fdCol(sum(col("err") * col("x0")),
+          max(col("n")) * 1000L)).as("w0"),
+        (max(col("w1")) - fdCol(sum(col("err") * col("x1")),
+          max(col("n")) * 1000L)).as("w1"),
+        (max(col("w2")) - fdCol(sum(col("err") * col("x2")),
+          max(col("n")) * 1000L)).as("w2"),
+        (max(col("w3")) - fdCol(sum(col("err") * col("x3")),
+          max(col("n")) * 1000L)).as("w3"))
+      val hit = when(z() > 0, 1L).otherwise(0L)
+      feat.crossJoin(broadcast(w)).crossJoin(broadcast(nRow))
+        .agg(
+          max(col("w0")).as("w0"), max(col("w1")).as("w1"),
+          max(col("w2")).as("w2"), max(col("w3")).as("w3"),
+          sum(hit).as("n_pred_pos"),
+          (sum(when(hit === col("y"), 1L).otherwise(0L)) * 1000000L)
+            .as("__correct_scaled"),
+          max(col("n")).as("__n"))
+        .select(lit(i.toLong).as("step"), col("w0"), col("w1"),
+          col("w2"), col("w3"), col("n_pred_pos"),
+          expr("__correct_scaled div __n").as("acc_ppm"))
+    }
+    accs.reduce(_ unionByName _).orderBy("step")
+  }
+
+  // ---------------------------------------------------------------------
+  // q304 — DoReMi-lite domain mixture reweighting (iterative, exact)
+  // ---------------------------------------------------------------------
+
+  /** q304 — DOMAIN MIXTURE REWEIGHTING, DoReMi-shaped (Xie et al. 2023):
+    * which source domains should be UP-sampled when building the
+    * training mixture? DoReMi's loop — score each domain's excess loss
+    * under the current mixture, multiplicatively upweight the
+    * worst-served domains, renormalize, repeat — run here with exact
+    * unigram LMs standing in for the proxy model, entirely on integer
+    * grids. Per round r (3 unrolled rounds, uniform start):
+    *   p_d(t)   = per-domain unigram prob, ppm (floor, clamped ≥ 1);
+    *   p_mix(t) = Σ_d α_d·p_d(t) / 10⁶, ppm (the α-weighted mixture);
+    *   excess_d = clamp₀ floor( Σ_t c_dt·[mnat p_d(t) − mnat p_mix(t)]
+    *              / n_d )  — per-token KL(d ‖ mix) in milli-nats, the
+    *              "how badly does the current mixture serve d" score
+    *              (DoReMi's excess loss with the unigram LM as proxy);
+    *   α_d     ← renorm( α_d·(10⁶ + η·excess_d) / 10⁶ ),  η = 10⁴.
+    * Both logs ride [[graft.functions.LangModel.mnat]]'s milli-nat
+    * quantizer contract; the one signed division (the KL sum CAN dip
+    * negative after flooring) is the sign-safe pmod form; the
+    * renormalized α are floored ppm (Σ ≤ 10⁶ by at most |D|). Output:
+    * (round, source, alpha_ppm, excess_mnat) — 3·|D| rows.
+    *
+    * Scale: the only growing intermediate is the (domain, token) count
+    * table — the same |V|-bounded frame as q130's LM, count-min
+    * compressible per q101's argument; each round is one broadcast of
+    * the |D|-row α vector, one token-keyed agg (map-side combinable),
+    * one domain-keyed agg. Rounds are fixed (3), not data-dependent. */
+  val q304 = QueryDef(
+    "q304_mixture_reweight", {
+      import graft.functions.LangModel.{mnatSql => mn}
+      def rnd(i: Int): String = s""",
+      |pm$i AS (
+      |  SELECT pd.t,
+      |    GREATEST(1, CAST(SUM(a.a * pd.p_ppm) // 1000000 AS BIGINT))
+      |      AS pm_ppm
+      |  FROM pd JOIN a${i - 1} a ON pd.d = a.d GROUP BY 1),
+      |ex$i AS (
+      |  SELECT pd.d,
+      |    CAST(GREATEST(0, ${fdSql(
+        s"SUM(pd.c * (${mn("pd.p_ppm")} - ${mn("pm.pm_ppm")}))",
+        "MAX(nd.n)")}) AS BIGINT) AS e
+      |  FROM pd JOIN pm$i pm ON pd.t = pm.t JOIN nd ON nd.d = pd.d
+      |  GROUP BY 1),
+      |up$i AS (
+      |  SELECT a.d,
+      |    CAST(a.a * (1000000 + 10000 * e.e) // 1000000 AS BIGINT)
+      |      AS a_raw, e.e
+      |  FROM a${i - 1} a JOIN ex$i e ON a.d = e.d),
+      |a$i AS (
+      |  SELECT d, CAST(a_raw * 1000000 //
+      |    (SELECT SUM(a_raw) FROM up$i) AS BIGINT) AS a, e
+      |  FROM up$i)""".stripMargin
+      """WITH tok AS (
+      |  SELECT source AS d, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |dt AS (SELECT d, t, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY 1, 2),
+      |nd AS (SELECT d, CAST(SUM(c) AS BIGINT) AS n FROM dt GROUP BY 1),
+      |pd AS (
+      |  SELECT dt.d, dt.t, dt.c,
+      |    GREATEST(1, 1000000 * dt.c // nd.n) AS p_ppm
+      |  FROM dt JOIN nd ON dt.d = nd.d),
+      |a0 AS (SELECT d,
+      |  CAST(1000000 // (SELECT COUNT(*) FROM nd) AS BIGINT) AS a
+      |  FROM nd)""".stripMargin +
+        (1 to 3).map(rnd).mkString + """
+      |SELECT r, d AS source, a AS alpha_ppm, e AS excess_mnat FROM (
+      |  SELECT CAST(1 AS BIGINT) AS r, d, a, e FROM a1
+      |  UNION ALL SELECT 2, d, a, e FROM a2
+      |  UNION ALL SELECT 3, d, a, e FROM a3)
+      |ORDER BY r, source""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.LangModel.mnat
+    val dt = Tables.documents(s, d)
+      .select(col("source").as("d"),
+        explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("d"), col("t")).agg(count(lit(1)).as("c"))
+    val nd = dt.groupBy(col("d")).agg(sum(col("c")).as("n"))
+    val pd = dt.join(nd, "d")
+      .select(col("d"), col("t"), col("c"),
+        greatest(lit(1L), expr("1000000L * c div n")).as("p_ppm"))
+      .cache()
+    val nDom = nd.agg(count(lit(1)).as("nd_cnt"))
+    var a: DataFrame = nd.crossJoin(broadcast(nDom))
+      .select(col("d"), expr("1000000L div nd_cnt").as("a"))
+    val rounds = (1 to 3).map { i =>
+      val pm = pd.join(broadcast(a), "d")
+        .groupBy(col("t"))
+        .agg(greatest(lit(1L),
+          expr("sum(a * p_ppm) div 1000000L")).as("pm_ppm"))
+      val ex = pd.join(pm, "t").join(broadcast(nd), "d")
+        .groupBy(col("d"))
+        .agg(greatest(lit(0L), fdCol(
+          sum(col("c") * (mnat(col("p_ppm")) - mnat(col("pm_ppm")))),
+          max(col("n")))).as("e"))
+      val up = a.join(ex, "d")
+        .select(col("d"),
+          expr("a * (1000000L + 10000L * e) div 1000000L").as("a_raw"),
+          col("e"))
+      val tot = up.agg(sum(col("a_raw")).as("tot"))
+      val anew = up.crossJoin(broadcast(tot))
+        .select(col("d"), expr("a_raw * 1000000L div tot").as("a"),
+          col("e"))
+      a = anew.select(col("d"), col("a")) // drop e: next round re-joins ex
+      anew.select(lit(i.toLong).as("r"), col("d").as("source"),
+        col("a").as("alpha_ppm"), col("e").as("excess_mnat"))
+    }
+    rounds.reduce(_ unionByName _).orderBy("r", "source")
+  }
+
+  // ---------------------------------------------------------------------
+  // q306 — user-level contribution bounding census (DP preprocessing)
+  // ---------------------------------------------------------------------
+
+  /** q306 — CONTRIBUTION BOUNDING census, the user-level-DP
+    * preprocessing step the privacy ladder (q206 k-anon → q227 l-div →
+    * q258 t-close) stops short of: before any DP mechanism can add
+    * calibrated noise, each user's contribution must be bounded —
+    * events capped at k per user, value clipped at τ per user — and
+    * the UTILITY COST of each bound is what the operator tunes (Amin
+    * et al. 2019, "Bounding user contributions in differentially
+    * private estimation"; the clip-then-noise recipe of McMahan et al.
+    * 2018). For the declared cap ladder k ∈ {8, 32, 128} with value
+    * clip τ = 500·k cents: users clipped, events dropped (count-query
+    * sensitivity bias, ppm of all events), clipped value mass, and the
+    * value-sum bias in ppm — the bias–sensitivity trade-off curve.
+    * Value cents ride the standard floor(100·v + 1/2) snap; every
+    * aggregate is an exact int64 sum (values are positive cents, no
+    * sign-safe care needed).
+    *
+    * Scale: one per-user keyed agg (map-side combinable) + a 3-row
+    * broadcast ladder cross join — the census never materializes
+    * per-event state, so it runs at any corpus size; the per-user
+    * frame is the same cardinality every user-keyed gold table
+    * already carries. */
+  val q306 = QueryDef(
+    "q306_contribution_bounding",
+    """WITH pu AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+      |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS val_cents
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_ev) AS BIGINT) AS n,
+      |  CAST(SUM(val_cents) AS BIGINT) AS v FROM pu),
+      |k AS (SELECT CAST(unnest([8, 32, 128]) AS BIGINT) AS cap)
+      |SELECT k.cap,
+      |  CAST(SUM(CASE WHEN pu.n_ev > k.cap THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS clipped_users,
+      |  CAST(SUM(GREATEST(0, pu.n_ev - k.cap)) AS BIGINT)
+      |    AS dropped_events,
+      |  CAST(SUM(GREATEST(0, pu.n_ev - k.cap)) * 1000000 // MAX(tot.n)
+      |    AS BIGINT) AS dropped_ppm,
+      |  CAST(SUM(LEAST(pu.val_cents, k.cap * 500)) AS BIGINT)
+      |    AS clipped_val_cents,
+      |  CAST((MAX(tot.v) - SUM(LEAST(pu.val_cents, k.cap * 500)))
+      |    * 1000000 // MAX(tot.v) AS BIGINT) AS val_bias_ppm
+      |FROM k CROSS JOIN pu CROSS JOIN tot
+      |GROUP BY k.cap ORDER BY k.cap""".stripMargin) { (s, d) =>
+    val pu = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("val_cents"))
+    val tot = pu.agg(sum(col("n_ev")).as("n"), sum(col("val_cents")).as("v"))
+    val k = s.range(1).select(
+      explode(array(lit(8L), lit(32L), lit(128L))).as("cap"))
+    pu.crossJoin(broadcast(k)).crossJoin(broadcast(tot))
+      .groupBy(col("cap"))
+      .agg(
+        sum(when(col("n_ev") > col("cap"), 1L).otherwise(0L))
+          .as("clipped_users"),
+        sum(greatest(lit(0L), col("n_ev") - col("cap")))
+          .as("dropped_events"),
+        expr("sum(greatest(0L, n_ev - cap)) * 1000000 div max(n)")
+          .as("dropped_ppm"),
+        sum(least(col("val_cents"), col("cap") * 500L))
+          .as("clipped_val_cents"),
+        expr("(max(v) - sum(least(val_cents, cap * 500))) * 1000000" +
+          " div max(v)").as("val_bias_ppm"))
+      .orderBy("cap")
+  }
+
+  val all: Seq[QueryDef] = Seq(q303, q304, q306)
+}

@@ -2014,8 +2014,90 @@ object VectorQueries {
       .orderBy("sub", "cid")
   }
 
+  /** q307 — CORESET SELECTION by farthest-first traversal (Gonzalez
+    * 1985's 2-approximate k-center; Sener & Savarese 2018 use exactly
+    * this greedy to pick which examples are worth labeling/training
+    * on): starting from vec_id 0, repeatedly add the point FARTHEST
+    * from the chosen set (max over points of min over centers), 8
+    * rounds. Output per round: the chosen center and the covering
+    * radius (the max-min distance that point achieved) — a
+    * monotone-nonincreasing radius curve, the data-diversity budget
+    * the curator reads. Exact integer squared L2 on the unit
+    * micro-grid; argmax ties pinned by vec_id. The oracle carries the
+    * identical 8 unrolled rounds as MATERIALIZED CTEs (the min-dist
+    * state is referenced twice per round — materialization is
+    * semantics-neutral, purely DuckDB's CTE-inlining guard, same
+    * reason the Spark side checkpoints).
+    *
+    * Scale: the min-dist state is ONE long per vector, localCheckpoint
+    * + pin per round (the PageRank/KCore lineage discipline — without
+    * it the plan doubles per round, since each round reads the state
+    * twice); each round is one broadcast-center distance scan and one
+    * TakeOrdered(1). Rounds are fixed (k=8), not data-dependent. */
+  val q307 = QueryDef(
+    "q307_coreset_kcenter", {
+      val base = normCte.replace("WITH n AS (", "WITH n AS MATERIALIZED (") +
+        s""",
+        |u AS MATERIALIZED (
+        |  SELECT vec_id, t.i AS pos,
+        |    CAST(FLOOR(CAST(e[t.i] AS DOUBLE)/nrm*1e6 + 0.5) AS BIGINT) AS k
+        |  FROM n CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) t),
+        |md0 AS MATERIALIZED (
+        |  SELECT u.vec_id, CAST(SUM((u.k - c.k)*(u.k - c.k)) AS BIGINT) AS md
+        |  FROM u JOIN (SELECT pos, k FROM u WHERE vec_id = 0) c
+        |    ON c.pos = u.pos
+        |  GROUP BY 1)""".stripMargin
+      def rnd(r: Int) = s""",
+        |c$r AS MATERIALIZED (
+        |  SELECT vec_id AS cid, md AS radius FROM md${r - 1}
+        |  ORDER BY md DESC, vec_id LIMIT 1),
+        |d$r AS MATERIALIZED (
+        |  SELECT u.vec_id, CAST(SUM((u.k - cu.k)*(u.k - cu.k)) AS BIGINT)
+        |    AS d2
+        |  FROM u JOIN (SELECT uu.pos, uu.k FROM u uu
+        |    JOIN c$r ON uu.vec_id = c$r.cid) cu ON cu.pos = u.pos
+        |  GROUP BY 1),
+        |md$r AS MATERIALIZED (
+        |  SELECT m.vec_id, LEAST(m.md, d.d2) AS md
+        |  FROM md${r - 1} m JOIN d$r d ON d.vec_id = m.vec_id)""".stripMargin
+      base + (1 to 8).map(rnd).mkString + "\n" +
+        "SELECT * FROM (" + (1 to 8).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, cid AS center_id, " +
+            s"radius AS radius_d2 FROM c$r").mkString(" UNION ALL ") +
+        ") ORDER BY round"
+    }) { (s, d) =>
+    import graft.functions.Checkpoints
+    def sqDist(a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    val kul = pqUnits(s, d).cache()
+    def distTo(center: org.apache.spark.sql.DataFrame) =
+      kul.crossJoin(broadcast(center))
+        .select(col("vec_id"), sqDist(col("ku"), col("cku")).as("d2"))
+    var md = Checkpoints.pin(
+      distTo(kul.filter(col("vec_id") === 0).select(col("ku").as("cku")))
+        .withColumnRenamed("d2", "md").localCheckpoint())
+    val rows = (1 to 8).map { r =>
+      val c = md.orderBy(col("md").desc, col("vec_id")).limit(1)
+      val cker = Checkpoints.pin(
+        kul.join(c.select(col("vec_id"), col("md").as("radius")), "vec_id")
+          .select(col("vec_id").as("cid"), col("ku").as("cku"),
+            col("radius"))
+          .localCheckpoint())
+      val dd = distTo(cker.select(col("cku")))
+      md = Checkpoints.pin(
+        md.join(dd, "vec_id")
+          .select(col("vec_id"), least(col("md"), col("d2")).as("md"))
+          .localCheckpoint())
+      cker.select(lit(r.toLong).as("round"), col("cid").as("center_id"),
+        col("radius").as("radius_d2"))
+    }
+    rows.reduce(_ unionByName _).orderBy("round")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131,
       q134, q135, q151, q155, q174, q179, q196, q197, q202, q203, q207,
-      q226, q234, q287, q301, q302)
+      q226, q234, q287, q301, q302, q307)
 }

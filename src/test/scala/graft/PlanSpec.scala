@@ -238,7 +238,13 @@ class PlanSpec extends SparkSpec {
       "q301_nprobe_frontier" ->
         ("broadcast 16-row centroids + query slice (vec_id < 25) + " +
           "≤4-row probe-ladder frames"),
-      "q299_lorenz_deciles" -> "one-row revenue-total frame")
+      "q299_lorenz_deciles" -> "one-row revenue-total frame",
+      "q303_quality_classifier_gd" ->
+        "one-row weight vector + one-row corpus count per GD step",
+      "q304_mixture_reweight" ->
+        "one-row normalizer + |domains|-row alpha frame per round",
+      "q306_contribution_bounding" ->
+        "3-row cap ladder + one-row corpus totals")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
