@@ -203,7 +203,10 @@ object TrainQueries {
     * table — the same |V|-bounded frame as q130's LM, count-min
     * compressible per q101's argument; each round is one broadcast of
     * the |D|-row α vector, one token-keyed agg (map-side combinable),
-    * one domain-keyed agg. Rounds are fixed (3), not data-dependent. */
+    * one domain-keyed agg. Rounds are fixed (3), not data-dependent.
+    * The census and per-round α ride localCheckpoint + pin (the
+    * PageRank/q307 lineage discipline): α is read twice per round, so
+    * without truncation round r's plan nests every earlier round. */
   val q304 = QueryDef(
     "q304_mixture_reweight", {
       import graft.functions.LangModel.{mnatSql => mn}
@@ -250,18 +253,27 @@ object TrainQueries {
       |ORDER BY r, source""".stripMargin
     }) { (s, d) =>
     import graft.functions.LangModel.mnat
+    import graft.functions.Checkpoints
     val dt = Tables.documents(s, d)
       .select(col("source").as("d"),
         explode(split(col("text"), " ")).as("t"))
       .groupBy(col("d"), col("t")).agg(count(lit(1)).as("c"))
-    val nd = dt.groupBy(col("d")).agg(sum(col("c")).as("n"))
-    val pd = dt.join(nd, "d")
-      .select(col("d"), col("t"), col("c"),
-        greatest(lit(1L), expr("1000000L * c div n")).as("p_ppm"))
-      .cache()
+    val nd0 = dt.groupBy(col("d")).agg(sum(col("c")).as("n"))
+    // checkpoint the two frames every round re-reads: without this the
+    // round-r plan nests all earlier rounds (α is read twice per round)
+    // and the 3-round chain re-derives the token census dozens of
+    // times — measured 23 s at sf0.001 on pure plan replay (NOTES_r9)
+    val nd = Checkpoints.pin(nd0.localCheckpoint())
+    val pd = Checkpoints.pin(
+      dt.join(nd, "d")
+        .select(col("d"), col("t"), col("c"),
+          greatest(lit(1L), expr("1000000L * c div n")).as("p_ppm"))
+        .localCheckpoint())
     val nDom = nd.agg(count(lit(1)).as("nd_cnt"))
-    var a: DataFrame = nd.crossJoin(broadcast(nDom))
-      .select(col("d"), expr("1000000L div nd_cnt").as("a"))
+    var a: DataFrame = Checkpoints.pin(
+      nd.crossJoin(broadcast(nDom))
+        .select(col("d"), expr("1000000L div nd_cnt").as("a"))
+        .localCheckpoint())
     val rounds = (1 to 3).map { i =>
       val pm = pd.join(broadcast(a), "d")
         .groupBy(col("t"))
@@ -277,9 +289,11 @@ object TrainQueries {
           expr("a * (1000000L + 10000L * e) div 1000000L").as("a_raw"),
           col("e"))
       val tot = up.agg(sum(col("a_raw")).as("tot"))
-      val anew = up.crossJoin(broadcast(tot))
-        .select(col("d"), expr("a_raw * 1000000L div tot").as("a"),
-          col("e"))
+      val anew = Checkpoints.pin(
+        up.crossJoin(broadcast(tot))
+          .select(col("d"), expr("a_raw * 1000000L div tot").as("a"),
+            col("e"))
+          .localCheckpoint())
       a = anew.select(col("d"), col("a")) // drop e: next round re-joins ex
       anew.select(lit(i.toLong).as("r"), col("d").as("source"),
         col("a").as("alpha_ppm"), col("e").as("excess_mnat"))

@@ -56,6 +56,20 @@ class RecommenderSpec extends SparkSpec {
       pairBudget = 1L) == 1)
   }
 
+  test("capAndMaxObserved: no-op-elide signal vs binding cap") {
+    val baskets = Seq(
+      (100, "A"), (100, "B"), (100, "C"),
+      (101, "A"), (101, "B"),
+      (102, "A"), (102, "B")).toDF("b", "i")
+    // generous budget: cap == max observed — a caller's cap filter is
+    // a provable no-op and may be elided (the q219 fast path)
+    assert(Recommender.capAndMaxObserved(baskets, "b", "i") == ((3, 3L)))
+    // binding budget: cap < max observed — the filter MUST run
+    val (cap, maxObs) =
+      Recommender.capAndMaxObserved(baskets, "b", "i", pairBudget = 4L)
+    assert(cap == 2 && maxObs == 3L && cap < maxObs)
+  }
+
   test("serveTopK scores via dot product, drops seen pairs, caps at k") {
     val uf = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
       .toDF("usr", "fu")
