@@ -1278,7 +1278,91 @@ object RecommenderQueries {
       .orderBy(col("seed"))
   }
 
+  /** q309 — NEWMAN MODULARITY of the brand partition on the q224
+    * co-purchase support graph (Newman & Girvan 2004): does the
+    * catalog's brand structure explain who gets co-bought with whom?
+    * Q = Σ_c [E_c/M − (D_c/M)²] over the DIRECTED edge set (each
+    * undirected edge counted both ways, so M = 2m and D_c is the
+    * out-degree mass of community c — algebraically identical to the
+    * undirected form). Complements q246 (degree assortativity asks
+    * "do hubs link hubs?"; this asks "does a LABELING explain the
+    * topology?") and scores any partition — plug in q230's
+    * label-prop communities unchanged. Output per brand: nodes,
+    * within-edges, degree mass, and the exact-ppm contribution
+    * fd(10⁶·(M·E_c − D_c²), M²) (sign-safe floor — contributions of
+    * under-connected communities are negative). Headroom: the ppm
+    * snap multiplies 10⁶·M·E_c, exact in int64 for M ≤ ~3·10⁶
+    * directed edges (the q292 documentation convention); beyond
+    * that, snap the two terms separately.
+    *
+    * Scale: edge list → one broadcast join to the part dim for
+    * labels, one community-keyed agg (map-side combinable), one
+    * one-row M frame — no step grows past the edge census q224
+    * already pays. */
+  val q309 = QueryDef(
+    "q309_brand_modularity", {
+      def fd(a: String, b: String) =
+        s"(($a) - ((($a) % ($b) + ($b)) % ($b))) // ($b)"
+      s"""WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      |co AS (
+      |  SELECT x.i AS src, y.i AS dst, COUNT(*) AS c
+      |  FROM items x JOIN items y ON x.b = y.b AND x.i <> y.i
+      |  GROUP BY 1, 2),
+      |e0 AS (SELECT src, dst FROM co WHERE c >= 2),
+      |lab AS (SELECT p_partkey AS i, p_brand AS comm FROM part),
+      |el AS (
+      |  SELECT ls.comm AS src_c, ld.comm AS dst_c
+      |  FROM e0 JOIN lab ls ON ls.i = e0.src
+      |  JOIN lab ld ON ld.i = e0.dst),
+      |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS mm FROM el),
+      |cc AS (
+      |  SELECT src_c AS comm,
+      |    CAST(SUM(CASE WHEN src_c = dst_c THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS e_within,
+      |    CAST(COUNT(*) AS BIGINT) AS d_sum
+      |  FROM el GROUP BY 1),
+      |nn AS (SELECT lab.comm, CAST(COUNT(DISTINCT e0.src) AS BIGINT)
+      |    AS n_nodes
+      |  FROM e0 JOIN lab ON lab.i = e0.src GROUP BY 1)
+      |SELECT cc.comm, nn.n_nodes, cc.e_within, cc.d_sum,
+      |  CAST(${fd("1000000 * (m.mm * cc.e_within - cc.d_sum * cc.d_sum)",
+        "m.mm * m.mm")} AS BIGINT) AS q_contrib_ppm
+      |FROM cc JOIN nn ON nn.comm = cc.comm CROSS JOIN m
+      |ORDER BY cc.comm""".stripMargin
+    }) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val support = Recommender.coOccurrence(
+        li, "l_orderkey", "l_partkey",
+        maxBasket = Recommender.maxBasketFromHistogram(
+          li, "l_orderkey", "l_partkey"))
+      .filter(col("n_baskets") >= 2)
+      .select(col("item").as("src"), col("co_item").as("dst"))
+    val lab = Tables.part(s, d)
+      .select(col("p_partkey").as("i"), col("p_brand").as("comm"))
+    val el = support
+      .join(broadcast(lab.select(col("i").as("src"),
+        col("comm").as("src_c"))), Seq("src"))
+      .join(broadcast(lab.select(col("i").as("dst"),
+        col("comm").as("dst_c"))), Seq("dst"))
+      .cache()
+    val m = el.agg(count(lit(1)).as("mm"))
+    val cc = el.groupBy(col("src_c").as("comm"))
+      .agg(sum(when(col("src_c") === col("dst_c"), 1L).otherwise(0L))
+        .as("e_within"),
+        count(lit(1)).as("d_sum"))
+    val nn = el.select(col("src"), col("src_c").as("comm")).distinct()
+      .groupBy(col("comm")).agg(count(lit(1)).as("n_nodes"))
+    val num = expr("1000000L * (mm * e_within - d_sum * d_sum)")
+    val den = expr("mm * mm")
+    cc.join(nn, Seq("comm")).crossJoin(broadcast(m))
+      .select(col("comm"), col("n_nodes"), col("e_within"), col("d_sum"),
+        ((num - pmod(num, den)).divide(den)).cast("long")
+          .as("q_contrib_ppm"))
+      .orderBy("comm")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q36, q37, q45, q45b, q82, q161, q189, q219, q223, q224, q228,
-      q230, q239, q244, q246, q257, q265)
+      q230, q239, q244, q246, q257, q265, q309)
 }

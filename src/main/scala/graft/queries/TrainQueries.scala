@@ -372,5 +372,71 @@ object TrainQueries {
       .orderBy("cap")
   }
 
-  val all: Seq[QueryDef] = Seq(q303, q304, q306)
+  // ---------------------------------------------------------------------
+  // q308 — weight-of-evidence / information-value feature screen
+  // ---------------------------------------------------------------------
+
+  /** q308 — WEIGHT OF EVIDENCE + INFORMATION VALUE, the scorecard-era
+    * feature screen (Siddiqi 2006) that still gates which raw columns
+    * earn a slot in a training table: per feature bin b,
+    *   WOE_b = ln(pos_b/pos_tot) − ln(neg_b/neg_tot)
+    * and the bin's IV contribution (pos_share − neg_share)·WOE_b —
+    * summed over bins, the feature's separation power (<0.02
+    * worthless, >0.3 strong). Binned here on order priority against
+    * the finished-status target. Every log rides
+    * [[graft.functions.LangModel.mnat]]'s milli-nat quantizer, shares
+    * are exact ppm, and the IV contribution lands on the micro-nat
+    * grid via the sign-safe floor division (share differences and WOE
+    * are both signed). Complements q212 (out-of-fold target encoding
+    * ENCODES the category; this SCREENS it) and q295 (Cramér's V is
+    * the symmetric association; IV is the target-directed one).
+    * Precondition (documented, as for the NB classifier): every bin
+    * holds ≥1 positive and ≥1 negative — mnat(0) is undefined; on
+    * degenerate slices bin coarser first.
+    *
+    * Scale: one keyed census over orders (map-side combinable) into a
+    * |bins|-row frame, one broadcast one-row total — the same shape at
+    * any corpus size. */
+  val q308 = QueryDef(
+    "q308_woe_iv", {
+      import graft.functions.LangModel.{mnatSql => mn}
+      val woe = s"${mn("b.pos")} - ${mn("t.pt")} - ${mn("b.neg")} + ${mn("t.nt")}"
+      val diff = "1000000 * b.pos // t.pt - 1000000 * b.neg // t.nt"
+      s"""WITH b AS (
+      |  SELECT o_orderpriority AS pri,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS neg
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(SUM(pos) AS BIGINT) AS pt,
+      |  CAST(SUM(neg) AS BIGINT) AS nt FROM b)
+      |SELECT b.pri, b.pos, b.neg,
+      |  CAST(1000000 * b.pos // t.pt AS BIGINT) AS pos_ppm,
+      |  CAST(1000000 * b.neg // t.nt AS BIGINT) AS neg_ppm,
+      |  CAST($woe AS BIGINT) AS woe_mnat,
+      |  CAST(${fdSql(s"($diff) * ($woe)", "1000")} AS BIGINT)
+      |    AS iv_contrib_unat
+      |FROM b CROSS JOIN t ORDER BY b.pri""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.LangModel.mnat
+    val b = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("pos"),
+        sum(when(col("o_orderstatus") === "F", 0L).otherwise(1L)).as("neg"))
+    val t = b.agg(sum(col("pos")).as("pt"), sum(col("neg")).as("nt"))
+    val woe = mnat(col("pos")) - mnat(col("pt")) -
+      mnat(col("neg")) + mnat(col("nt"))
+    val posPpm = expr("1000000L * pos div pt")
+    val negPpm = expr("1000000L * neg div nt")
+    b.crossJoin(broadcast(t))
+      .select(col("pri"), col("pos"), col("neg"),
+        posPpm.as("pos_ppm"), negPpm.as("neg_ppm"),
+        woe.as("woe_mnat"),
+        fdCol((posPpm - negPpm) * woe, lit(1000L)).as("iv_contrib_unat"))
+      .orderBy("pri")
+  }
+
+  val all: Seq[QueryDef] = Seq(q303, q304, q306, q308)
 }

@@ -244,7 +244,9 @@ class PlanSpec extends SparkSpec {
       "q304_mixture_reweight" ->
         "one-row normalizer + |domains|-row alpha frame per round",
       "q306_contribution_bounding" ->
-        "3-row cap ladder + one-row corpus totals")
+        "3-row cap ladder + one-row corpus totals",
+      "q308_woe_iv" -> "one-row pos/neg totals frame",
+      "q309_brand_modularity" -> "one-row edge-count frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
