@@ -3163,29 +3163,14 @@ object TextQueries {
           .cast("long").as("sublinear"))
   }
 
-  /** q266 — Fellegi–Sunter probabilistic linkage weights (Fellegi &
-    * Sunter 1969): the DECISION layer above q208's blocked candidate
-    * generation. Over the same block-join candidates (dirty title vs
-    * clean record), four agreement fields — fuzzy title
-    * (levenshtein ≤ 2), lang, source, n_chars century bucket — form
-    * the agreement PATTERN; m_k = P(agree|match) and
-    * u_k = P(agree|non-match) are exact ppm ratios against the
-    * planted ground truth (true pair ⟺ matched id = dirty id — the
-    * q208 fixture discipline doubling as labeled training data), and
-    * each pattern's log-likelihood score is the FS sum
-    * Σ agree ? ln(m/u) : ln((1−m)/(1−u)) on the milli-nat grid
-    * (mnat of ppm values; ppm clamped to [1, 10⁶−1] — the standard
-    * FS ε-smoothing, since the planted typos make title-m exactly 1).
-    * Output: the ≤16-row pattern table with pair counts, true-match
-    * counts, score, and the score ≥ 0 link decision — precision is
-    * readable directly off the table.
-    *
-    * Scale: the candidate frame is block-bounded (q208's argument);
-    * everything after is a 16-row census joined against one
-    * broadcast row of global m/u weights. */
-  val q266 = QueryDef(
-    "q266_fellegi_sunter",
-    """WITH c AS (
+  /** Shared FS-linkage candidate frame (q266 supervised weights, q311
+    * EM training): the q208 planted-typo fixture reduced to its
+    * 4-field agreement pattern per block-join candidate —
+    * (dirty_id, doc_id, a1 fuzzy-title, a2 lang, a3 source,
+    * a4 n_chars-century, mt planted truth). `mt` is EVALUATION-ONLY
+    * for q311 (EM never reads it). */
+  private[queries] val fsCandSql =
+    """c AS (
       |  SELECT doc_id, substr(text, 1, 30) AS title,
       |    substr(text, 1, 4) AS blk, lang, source,
       |    n_chars // 100 AS ncb
@@ -3211,7 +3196,61 @@ object TextQueries {
       |    CASE WHEN dd.dsource = c.source THEN 1 ELSE 0 END AS a3,
       |    CASE WHEN dd.dncb = c.ncb THEN 1 ELSE 0 END AS a4,
       |    CASE WHEN dd.dirty_id = c.doc_id THEN 1 ELSE 0 END AS mt
-      |  FROM dd JOIN c ON substr(dd.dt, 1, 4) = c.blk),
+      |  FROM dd JOIN c ON substr(dd.dt, 1, 4) = c.blk)""".stripMargin
+
+  private[queries] def fsCandidates(
+      s: SparkSession, d: String): DataFrame = {
+    val c = Tables.documents(s, d).select(col("doc_id"),
+      substring(col("text"), 1, 30).as("title"),
+      substring(col("text"), 1, 4).as("blk"), col("lang"),
+      col("source"), expr("n_chars div 100").as("ncb"))
+    val d1 = c.filter(col("doc_id") % 5 === 2)
+      .select(col("doc_id").as("dirty_id"),
+        concat(
+          expr("substring(title, 1, cast(4 + doc_id % 20 as int))"),
+          lit("#"),
+          expr("substring(title, cast(6 + doc_id % 20 as int))"))
+          .as("dt"),
+        col("lang").as("dlang"), col("source").as("dsource"),
+        col("ncb").as("dncb"))
+    val dd = d1
+      .withColumn("dt", when(col("dirty_id") % 10 === 7,
+        concat(expr("substring(dt, 1, 25)"), lit("#"),
+          expr("substring(dt, 27)"))).otherwise(col("dt")))
+      .withColumn("blk", substring(col("dt"), 1, 4))
+    dd.join(c, Seq("blk"))
+      .select(col("dirty_id"), col("doc_id"),
+        (levenshtein(col("dt"), col("title")) <= 2).cast("long")
+          .as("a1"),
+        (col("dlang") === col("lang")).cast("long").as("a2"),
+        (col("dsource") === col("source")).cast("long").as("a3"),
+        (col("dncb") === col("ncb")).cast("long").as("a4"),
+        (col("dirty_id") === col("doc_id")).cast("long").as("mt"))
+  }
+
+  /** q266 — Fellegi–Sunter probabilistic linkage weights (Fellegi &
+    * Sunter 1969): the DECISION layer above q208's blocked candidate
+    * generation. Over the same block-join candidates (dirty title vs
+    * clean record), four agreement fields — fuzzy title
+    * (levenshtein ≤ 2), lang, source, n_chars century bucket — form
+    * the agreement PATTERN; m_k = P(agree|match) and
+    * u_k = P(agree|non-match) are exact ppm ratios against the
+    * planted ground truth (true pair ⟺ matched id = dirty id — the
+    * q208 fixture discipline doubling as labeled training data), and
+    * each pattern's log-likelihood score is the FS sum
+    * Σ agree ? ln(m/u) : ln((1−m)/(1−u)) on the milli-nat grid
+    * (mnat of ppm values; ppm clamped to [1, 10⁶−1] — the standard
+    * FS ε-smoothing, since the planted typos make title-m exactly 1).
+    * Output: the ≤16-row pattern table with pair counts, true-match
+    * counts, score, and the score ≥ 0 link decision — precision is
+    * readable directly off the table.
+    *
+    * Scale: the candidate frame is block-bounded (q208's argument);
+    * everything after is a 16-row census joined against one
+    * broadcast row of global m/u weights. */
+  val q266 = QueryDef(
+    "q266_fellegi_sunter",
+    "WITH " + fsCandSql + """,
       |mu AS (
       |  SELECT
       |    CAST(SUM(mt) AS BIGINT) AS nm,
@@ -3277,32 +3316,7 @@ object TextQueries {
       |FROM sc ORDER BY a_title, a_lang, a_source, a_ncb""".stripMargin) {
     (s, d) =>
     import graft.functions.LangModel.mnat
-    val c = Tables.documents(s, d).select(col("doc_id"),
-      substring(col("text"), 1, 30).as("title"),
-      substring(col("text"), 1, 4).as("blk"), col("lang"),
-      col("source"), expr("n_chars div 100").as("ncb"))
-    val d1 = c.filter(col("doc_id") % 5 === 2)
-      .select(col("doc_id").as("dirty_id"),
-        concat(
-          expr("substring(title, 1, cast(4 + doc_id % 20 as int))"),
-          lit("#"),
-          expr("substring(title, cast(6 + doc_id % 20 as int))"))
-          .as("dt"),
-        col("lang").as("dlang"), col("source").as("dsource"),
-        col("ncb").as("dncb"))
-    val dd = d1
-      .withColumn("dt", when(col("dirty_id") % 10 === 7,
-        concat(expr("substring(dt, 1, 25)"), lit("#"),
-          expr("substring(dt, 27)"))).otherwise(col("dt")))
-      .withColumn("blk", substring(col("dt"), 1, 4))
-    val cand = dd.join(c, Seq("blk"))
-      .select(col("dirty_id"), col("doc_id"),
-        (levenshtein(col("dt"), col("title")) <= 2).cast("long")
-          .as("a1"),
-        (col("dlang") === col("lang")).cast("long").as("a2"),
-        (col("dsource") === col("source")).cast("long").as("a3"),
-        (col("dncb") === col("ncb")).cast("long").as("a4"),
-        (col("dirty_id") === col("doc_id")).cast("long").as("mt"))
+    val cand = fsCandidates(s, d)
     def muCols: Seq[Column] = (1 to 4).flatMap { k =>
       val a = col(s"a$k")
       Seq(
@@ -3672,11 +3686,120 @@ object TextQueries {
       .limit(15)
   }
 
+  /** q311 — UNSUPERVISED Fellegi–Sunter parameter training via EM
+    * (Winkler 1988; the estimator inside every modern linkage engine,
+    * e.g. Splink): q266 computes m/u from the planted truth — the
+    * luxury a real deployment lacks. Here two unrolled EM rounds over
+    * the SAME candidate frame learn λ (match prevalence), m_k, u_k
+    * from the 16-row agreement-PATTERN census alone (Winkler's
+    * pattern-level formulation — the E-step posterior is constant
+    * within a pattern, so EM runs on |patterns| rows regardless of
+    * corpus size):
+    *   E: post(γ) = λ·Πm̃_k / (λ·Πm̃_k + (1−λ)·Πũ_k),
+    *      m̃_k = a_k ? m_k : 10⁶−m_k (staged ppm products, floored
+    *      per multiply so every intermediate stays ≤ 10⁶);
+    *   M: λ, m_k, u_k ← posterior-weighted ppm ratios, clamped to
+    *      [1, 999999] (the q266 ε-smoothing).
+    * Init λ=0.1, m=0.9, u=0.1 (the standard Splink prior). `mt` is
+    * evaluation-only: the output pattern table carries n_true beside
+    * the learned posterior, so the reader sees EM rediscover the
+    * supervised structure (all-agree pattern → post ≈ 10⁶, λ
+    * converging to the true prevalence) without ever training on it.
+    *
+    * Scale: E/M are arithmetic on the broadcast 16-row pattern census
+    * + a 1-row parameter frame — after the one blocked candidate agg
+    * (q208's bound), EM cost is independent of corpus size. */
+  val q311 = QueryDef(
+    "q311_fs_em", {
+      def term(k: Int, mu: String) =
+        s"CASE WHEN pat.a$k = 1 THEN p.$mu$k ELSE 1000000 - p.$mu$k END"
+      def prod(mu: String) = (2 to 4).foldLeft(term(1, mu))((e, k) =>
+        s"(($e) * (${term(k, mu)})) // 1000000")
+      def post = s"(1000000 * (p.lam * (${prod("m")}))) // " +
+        s"(p.lam * (${prod("m")}) + (1000000 - p.lam) * (${prod("u")}))"
+      def clamp(e: String) =
+        s"CAST(LEAST(999999, GREATEST(1, $e)) AS BIGINT)"
+      def rnd(i: Int) = {
+        val mcols = (1 to 4).map(k => clamp(
+          s"(1000000 * SUM(n_pairs * post * a$k)) // SUM(n_pairs * post)"
+        ) + s" AS m$k").mkString(", ")
+        val ucols = (1 to 4).map(k => clamp(
+          s"(1000000 * SUM(n_pairs * (1000000 - post) * a$k)) // " +
+            s"SUM(n_pairs * (1000000 - post))") + s" AS u$k")
+          .mkString(", ")
+        s""",
+        |e$i AS (
+        |  SELECT pat.*, $post AS post FROM pat CROSS JOIN p${i - 1} p),
+        |p$i AS (
+        |  SELECT CAST(SUM(n_pairs * post) // SUM(n_pairs) AS BIGINT)
+        |    AS lam, $mcols, $ucols
+        |  FROM e$i)""".stripMargin
+      }
+      "WITH " + fsCandSql + """,
+      |pat AS (
+      |  SELECT a1, a2, a3, a4, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(SUM(mt) AS BIGINT) AS n_true
+      |  FROM cand GROUP BY 1, 2, 3, 4),
+      |p0 AS (SELECT CAST(100000 AS BIGINT) lam,
+      |  CAST(900000 AS BIGINT) m1, CAST(900000 AS BIGINT) m2,
+      |  CAST(900000 AS BIGINT) m3, CAST(900000 AS BIGINT) m4,
+      |  CAST(100000 AS BIGINT) u1, CAST(100000 AS BIGINT) u2,
+      |  CAST(100000 AS BIGINT) u3, CAST(100000 AS BIGINT) u4)"""
+        .stripMargin +
+        rnd(1) + rnd(2) + s"""
+      |SELECT CAST(pat.a1 AS BIGINT) AS a_title,
+      |  CAST(pat.a2 AS BIGINT) AS a_lang,
+      |  CAST(pat.a3 AS BIGINT) AS a_source,
+      |  CAST(pat.a4 AS BIGINT) AS a_ncb,
+      |  pat.n_pairs, pat.n_true, p.lam AS lambda_ppm,
+      |  CAST($post AS BIGINT) AS post_ppm,
+      |  CAST(CASE WHEN ($post) >= 500000 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS em_link
+      |FROM pat CROSS JOIN p2 p
+      |ORDER BY a_title, a_lang, a_source, a_ncb""".stripMargin
+    }) { (s, d) =>
+    val pat = fsCandidates(s, d)
+      .groupBy(col("a1"), col("a2"), col("a3"), col("a4"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("mt")).as("n_true"))
+      .cache()
+    def term(k: Int, mu: String) =
+      s"CASE WHEN a$k = 1 THEN $mu$k ELSE 1000000L - $mu$k END"
+    def prod(mu: String) = (2 to 4).foldLeft(term(1, mu))((e, k) =>
+      s"(($e) * (${term(k, mu)})) div 1000000L")
+    val postSql = s"(1000000L * (lam * (${prod("m")}))) div " +
+      s"(lam * (${prod("m")}) + (1000000L - lam) * (${prod("u")}))"
+    def clampC(c: Column) =
+      least(lit(999999L), greatest(lit(1L), c))
+    var p: DataFrame = s.range(1).select(
+      (Seq(lit(100000L).as("lam")) ++
+        (1 to 4).map(k => lit(900000L).as(s"m$k")) ++
+        (1 to 4).map(k => lit(100000L).as(s"u$k"))): _*)
+    (1 to 2).foreach { _ =>
+      val e = pat.crossJoin(broadcast(p)).withColumn("post", expr(postSql))
+      val mstep =
+        Seq(expr("sum(n_pairs * post) div sum(n_pairs)").as("lam")) ++
+          (1 to 4).map(k => clampC(expr(
+            s"(1000000L * sum(n_pairs * post * a$k)) div " +
+              "sum(n_pairs * post)")).as(s"m$k")) ++
+          (1 to 4).map(k => clampC(expr(
+            s"(1000000L * sum(n_pairs * (1000000L - post) * a$k)) div " +
+              "sum(n_pairs * (1000000L - post))")).as(s"u$k"))
+      p = e.agg(mstep.head, mstep.tail: _*)
+    }
+    pat.crossJoin(broadcast(p))
+      .select(col("a1").as("a_title"), col("a2").as("a_lang"),
+        col("a3").as("a_source"), col("a4").as("a_ncb"),
+        col("n_pairs"), col("n_true"), col("lam").as("lambda_ppm"),
+        expr(postSql).as("post_ppm"),
+        (expr(postSql) >= 500000L).cast("long").as("em_link"))
+      .orderBy("a_title", "a_lang", "a_source", "a_ncb")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
       q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181,
       q184, q185, q190, q192, q193, q200, q208, q232, q238, q249, q266,
-      q269, q273, q276, q282, q296)
+      q269, q273, q276, q282, q296, q311)
 }

@@ -438,5 +438,64 @@ object TrainQueries {
       .orderBy("pri")
   }
 
-  val all: Seq[QueryDef] = Seq(q303, q304, q306, q308)
+  // ---------------------------------------------------------------------
+  // q312 — effective sample size under temperature-scaled sampling
+  // ---------------------------------------------------------------------
+
+  /** q312 — EFFECTIVE SAMPLE SIZE of a weighted sampling scheme (Kong
+    * 1992's ESS = (Σw)²/Σw², THE importance-sampling health metric):
+    * when documents are sampled ∝ length^T (length-proportional
+    * sampling and its sharpened variants — the same temperature knob
+    * as q102's source mixing, applied at the DOCUMENT level), how much
+    * of the corpus effectively survives? Per temperature T ∈ {1,2,3}:
+    * w = floor(n_chars^T / 10^{3(T−1)}) (the downscale keeps every
+    * sum in int64 — exact for corpora ≤ ~1.6·10⁷ docs, the documented
+    * headroom; beyond that the same query runs on DECIMAL(38)/HUGEINT
+    * sums), ESS = (Σw)² / Σw², and ess_ppm = share of n. Sharper
+    * temperature → heavier concentration on long documents → ESS
+    * collapse: the curve quantifies the diversity cost BEFORE a
+    * resample is materialized (q139's weighted sampler consumes
+    * exactly these weights).
+    *
+    * Scale: one map-side-combinable 3-accumulator agg per temperature
+    * over a per-row projection — three scans, no shuffle beyond the
+    * scalar aggs, any corpus size. */
+  val q312 = QueryDef(
+    "q312_sampling_ess",
+    """WITH w AS (
+      |  SELECT t.t,
+      |    CAST(SUM(POW_W) AS BIGINT) AS sw,
+      |    CAST(SUM(POW_W * POW_W) AS BIGINT) AS sw2,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents CROSS JOIN
+      |    (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS t) t
+      |  GROUP BY 1)
+      |SELECT t, n, sw, sw2,
+      |  CAST((sw * sw) // sw2 AS BIGINT) AS ess,
+      |  CAST(1000000 * ((sw * sw) // sw2) // n AS BIGINT) AS ess_ppm
+      |FROM w ORDER BY t""".stripMargin
+      .replace("POW_W", // outer parens: POW_W*POW_W must be (a//b)*(a//b)
+        "((n_chars * CASE WHEN t.t >= 2 THEN n_chars ELSE 1 END * " +
+          "CASE WHEN t.t = 3 THEN n_chars ELSE 1 END) // " +
+          "CASE t.t WHEN 1 THEN 1 WHEN 2 THEN 1000 ELSE 1000000 END)")) {
+    (s, d) =>
+    val t = s.range(1).select(
+      explode(array(lit(1L), lit(2L), lit(3L))).as("t"))
+    val powW = expr(
+      "(n_chars * CASE WHEN t >= 2 THEN n_chars ELSE 1L END * " +
+        "CASE WHEN t = 3 THEN n_chars ELSE 1L END) div " +
+        "CASE t WHEN 1 THEN 1L WHEN 2 THEN 1000L ELSE 1000000L END")
+    Tables.documents(s, d).select(col("n_chars")).crossJoin(broadcast(t))
+      .select(col("t"), powW.as("w"))
+      .groupBy(col("t"))
+      .agg(sum(col("w")).as("sw"),
+        sum(col("w") * col("w")).as("sw2"),
+        count(lit(1)).as("n"))
+      .select(col("t"), col("n"), col("sw"), col("sw2"),
+        expr("(sw * sw) div sw2").as("ess"),
+        expr("1000000L * ((sw * sw) div sw2) div n").as("ess_ppm"))
+      .orderBy("t")
+  }
+
+  val all: Seq[QueryDef] = Seq(q303, q304, q306, q308, q312)
 }

@@ -2096,8 +2096,135 @@ object VectorQueries {
     rows.reduce(_ unionByName _).orderBy("round")
   }
 
+  /** q310 — TWO-SAMPLE EMBEDDING DRIFT via kernel mean embeddings
+    * (MMD, Gretton et al. 2012) WITHOUT a pairwise scan: for feature
+    * map φ(x) = x the MMD² is ‖μ_A − μ_B‖² (mean-vector gap); for
+    * φ(x) = vec(xxᵀ) it is ‖M_A − M_B‖²_F (second-moment-matrix gap —
+    * covariance drift the mean gap is blind to). Both reduce to
+    * moment aggregates, so the O(n²) kernel double-sum collapses to
+    * one linear pass (the q287 ‖Σk‖² trick generalized to the full
+    * moment matrix). Vectors milli-snapped units (coarser than the
+    * micro PQ grid — the d² moment entries must stay in int64:
+    * headroom Σkₚk_q ≤ 10⁶·n, mean-normalized entries ≤ 10⁶);
+    * moment entries are FLOORED per-n means, stated as part of the
+    * statistic. Two deterministic iid splits (parity, mod-3) give the
+    * honest-null calibration pair: the synthetic corpus has no drift,
+    * so both rows read as the quantization floor — a drifted batch at
+    * serving time reads orders above it (q174's coarse-cell shift and
+    * q302's PQ drift monitor are the cell-level views; this is the
+    * distribution-level one).
+    *
+    * Scale: the only wide intermediate is (grp, p, q, Σkₚk_q) —
+    * d² = 4096 rows per group after one map-side-combinable keyed
+    * agg over n·d² exploded products; no join grows with n. */
+  val q310 = QueryDef(
+    "q310_embedding_mmd", {
+      def splitSql(name: String, cond: String) = s"""
+      |u_$name AS (
+      |  SELECT CASE WHEN $cond THEN 0 ELSE 1 END AS grp, vec_id,
+      |    t.i AS pos,
+      |    CAST(FLOOR(CAST(e[t.i] AS DOUBLE)/nrm*1e3 + 0.5) AS BIGINT)
+      |      AS k
+      |  FROM n CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) t),
+      |cnt_$name AS (SELECT grp, CAST(COUNT(DISTINCT vec_id) AS BIGINT)
+      |    AS n FROM u_$name GROUP BY 1),
+      |mv_$name AS (
+      |  SELECT u.grp, u.pos, CAST(SUM(u.k) // MAX(c.n) AS BIGINT) AS m
+      |  FROM u_$name u JOIN cnt_$name c ON c.grp = u.grp GROUP BY 1, 2),
+      |sm_$name AS (
+      |  SELECT a.grp, a.pos AS p, b.pos AS q,
+      |    CAST(SUM(a.k * b.k) // MAX(c.n) AS BIGINT) AS m
+      |  FROM u_$name a JOIN u_$name b
+      |    ON a.vec_id = b.vec_id AND a.grp = b.grp
+      |  JOIN cnt_$name c ON c.grp = a.grp
+      |  GROUP BY 1, 2, 3),
+      |row_$name AS (
+      |  SELECT '$name' AS split,
+      |    (SELECT MAX(n) FROM cnt_$name WHERE grp = 0) AS n_a,
+      |    (SELECT MAX(n) FROM cnt_$name WHERE grp = 1) AS n_b,
+      |    (SELECT CAST(SUM((a.m - b.m)*(a.m - b.m)) AS BIGINT)
+      |     FROM mv_$name a JOIN mv_$name b
+      |       ON a.pos = b.pos AND a.grp = 0 AND b.grp = 1)
+      |      AS mean_gap_sq,
+      |    (SELECT CAST(SUM((a.m - b.m)*(a.m - b.m)) AS BIGINT)
+      |     FROM sm_$name a JOIN sm_$name b
+      |       ON a.p = b.p AND a.q = b.q AND a.grp = 0 AND b.grp = 1)
+      |      AS moment_gap_sq)""".stripMargin
+      normCte + "," +
+        splitSql("mod3", "vec_id % 3 = 0") + "," +
+        splitSql("parity", "vec_id % 2 = 0") + """
+      |SELECT * FROM (
+      |  SELECT * FROM row_mod3 UNION ALL SELECT * FROM row_parity)
+      |ORDER BY split""".stripMargin
+    }) { (s, d) =>
+    // ONE d²-explosion pass for BOTH splits: tag every vector with its
+    // (mod3, parity) group cell, aggregate moments per 4-cell joint key
+    // (≤ 4·d² rows), then each split's moments are re-sums of the joint
+    // frame along the other split's axis — the heavy n·d² scan runs
+    // once, and exact integer sums commute with the re-aggregation.
+    // localCheckpoint (EAGER), not cache(): the final two-row plan
+    // references these frames from several broadcast subtrees whose
+    // jobs launch concurrently — parallel readers of a not-yet-
+    // populated cache each recompute the n·d² explode (measured
+    // slower than running the explode per split); the eager
+    // checkpoint materializes once, before any consumer.
+    import graft.functions.Checkpoints
+    val base = Checkpoints.pin(
+      normed(s, d).select(col("vec_id"),
+        when(col("vec_id") % 3 === 0, 0L).otherwise(1L).as("g3"),
+        when(col("vec_id") % 2 === 0, 0L).otherwise(1L).as("g2"),
+        transform(col("e"),
+          x => floor(x / col("nrm") * lit(1e3) + lit(0.5)).cast("long"))
+          .as("ku")).localCheckpoint())
+    val cntJ = Checkpoints.pin(
+      base.groupBy(col("g3"), col("g2"))
+        .agg(count(lit(1)).as("n")).localCheckpoint())
+    val uJ = Checkpoints.pin(
+      base.select(col("g3"), col("g2"),
+          posexplode(col("ku")).as(Seq("pos0", "k")))
+        .groupBy(col("g3"), col("g2"), col("pos0"))
+        .agg(sum(col("k")).as("sk")).localCheckpoint())
+    val smJ = Checkpoints.pin(
+      base.select(col("g3"), col("g2"), col("ku"),
+          posexplode(col("ku")).as(Seq("p", "kp")))
+        .select(col("g3"), col("g2"), col("p"), col("kp"),
+          posexplode(col("ku")).as(Seq("q", "kq")))
+        .groupBy(col("g3"), col("g2"), col("p"), col("q"))
+        .agg(sum(col("kp") * col("kq")).as("s")).localCheckpoint())
+    def splitRow(name: String, axis: String) = {
+      val grp = col(axis).as("grp")
+      val cnt = cntJ.groupBy(grp).agg(sum(col("n")).as("n"))
+      val mv = uJ.groupBy(grp, col("pos0"))
+        .agg(sum(col("sk")).as("sk"))
+        .join(broadcast(cnt), "grp")
+        .select(col("grp"), col("pos0"), expr("sk div n").as("m"))
+      val sm = smJ.groupBy(grp, col("p"), col("q"))
+        .agg(sum(col("s")).as("s"))
+        .join(broadcast(cnt), "grp")
+        .select(col("grp"), col("p"), col("q"), expr("s div n").as("m"))
+      val meanGap = mv.filter(col("grp") === 0).as("a")
+        .join(mv.filter(col("grp") === 1).as("b"),
+          col("a.pos0") === col("b.pos0"))
+        .agg(sum((col("a.m") - col("b.m")) * (col("a.m") - col("b.m")))
+          .as("mean_gap_sq"))
+      val momGap = sm.filter(col("grp") === 0).as("a")
+        .join(sm.filter(col("grp") === 1).as("b"),
+          col("a.p") === col("b.p") && col("a.q") === col("b.q"))
+        .agg(sum((col("a.m") - col("b.m")) * (col("a.m") - col("b.m")))
+          .as("moment_gap_sq"))
+      val na = cnt.filter(col("grp") === 0).select(col("n").as("n_a"))
+      val nb = cnt.filter(col("grp") === 1).select(col("n").as("n_b"))
+      na.crossJoin(broadcast(nb)).crossJoin(broadcast(meanGap))
+        .crossJoin(broadcast(momGap))
+        .select(lit(name).as("split"), col("n_a"), col("n_b"),
+          col("mean_gap_sq"), col("moment_gap_sq"))
+    }
+    splitRow("mod3", "g3").unionByName(splitRow("parity", "g2"))
+      .orderBy("split")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131,
       q134, q135, q151, q155, q174, q179, q196, q197, q202, q203, q207,
-      q226, q234, q287, q301, q302, q307)
+      q226, q234, q287, q301, q302, q307, q310)
 }

@@ -246,7 +246,12 @@ class PlanSpec extends SparkSpec {
       "q306_contribution_bounding" ->
         "3-row cap ladder + one-row corpus totals",
       "q308_woe_iv" -> "one-row pos/neg totals frame",
-      "q309_brand_modularity" -> "one-row edge-count frame")
+      "q309_brand_modularity" -> "one-row edge-count frame",
+      "q310_embedding_mmd" ->
+        "one-row gap/count frames (moment aggregates, no pair scan)",
+      "q311_fs_em" ->
+        "one-row EM parameter frame x 16-row pattern census",
+      "q312_sampling_ess" -> "3-row temperature-ladder frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
