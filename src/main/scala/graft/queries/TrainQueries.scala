@@ -497,5 +497,76 @@ object TrainQueries {
       .orderBy("t")
   }
 
-  val all: Seq[QueryDef] = Seq(q303, q304, q306, q308, q312)
+  // ---------------------------------------------------------------------
+  // q313 — shelf-packed sequence batching census (no-split packing)
+  // ---------------------------------------------------------------------
+
+  /** q313 — SHELF PACKING census for training-sequence batching (the
+    * packing question of Krell et al. 2021 under the NO-SPLIT
+    * discipline): q98 packs by concat-then-chunk, which splits
+    * documents at every chunk edge; attention-friendly batching
+    * instead bins WHOLE sequences. The shelf scheme — round each
+    * sequence up to its power-of-two size class, pack ⌊C/class⌋
+    * docs per bin of capacity C = 128 — is the fully-parallel
+    * deterministic variant (first-fit-decreasing is inherently
+    * sequential; shelves need only a per-class census):
+    * bins_class = ⌈n_docs/⌊C/class⌋⌉, waste = bins·C − Σ tokens.
+    * Output per class: docs, docs/bin, bins, allocated vs used
+    * tokens, waste ppm — against which the q98 splitting packer's
+    * zero waste is the trade-off baseline (no padding vs broken
+    * attention spans). Whitespace tokens (the house convention);
+    * class ladder {16,32,64,128} covers the corpus (token counts
+    * 10–100); longer docs are q98-chunked upstream by contract.
+    *
+    * Scale: one per-doc projection + one |classes|-row keyed census —
+    * no window, no join; the bin count is arithmetic on the census,
+    * so the plan is a single map-side-combinable agg at any corpus
+    * size. */
+  val q313 = QueryDef(
+    "q313_shelf_packing",
+    """WITH t AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents),
+      |cl AS (
+      |  SELECT nt,
+      |    CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+      |      WHEN nt <= 64 THEN 64 ELSE 128 END AS cls
+      |  FROM t WHERE nt <= 128),
+      |c AS (
+      |  SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(nt) AS BIGINT) AS used_tokens
+      |  FROM cl GROUP BY 1)
+      |SELECT cls, n_docs,
+      |  CAST(128 // cls AS BIGINT) AS docs_per_bin,
+      |  CAST((n_docs + (128 // cls) - 1) // (128 // cls) AS BIGINT)
+      |    AS bins,
+      |  CAST(128 * ((n_docs + (128 // cls) - 1) // (128 // cls))
+      |    AS BIGINT) AS alloc_tokens,
+      |  used_tokens,
+      |  CAST(1000000 * (128 * ((n_docs + (128 // cls) - 1)
+      |      // (128 // cls)) - used_tokens)
+      |    // (128 * ((n_docs + (128 // cls) - 1) // (128 // cls)))
+      |    AS BIGINT) AS waste_ppm
+      |FROM c ORDER BY cls""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(size(split(col("text"), " ")).cast("long").as("nt"))
+      .filter(col("nt") <= 128)
+      .withColumn("cls",
+        when(col("nt") <= 16, 16L).when(col("nt") <= 32, 32L)
+          .when(col("nt") <= 64, 64L).otherwise(128L))
+    t.groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("used_tokens"))
+      .withColumn("docs_per_bin", expr("128L div cls"))
+      .withColumn("bins",
+        expr("(n_docs + docs_per_bin - 1) div docs_per_bin"))
+      .withColumn("alloc_tokens", col("bins") * 128L)
+      .withColumn("waste_ppm",
+        expr("1000000L * (alloc_tokens - used_tokens) div alloc_tokens"))
+      .select(col("cls"), col("n_docs"), col("docs_per_bin"),
+        col("bins"), col("alloc_tokens"), col("used_tokens"),
+        col("waste_ppm"))
+      .orderBy("cls")
+  }
+
+  val all: Seq[QueryDef] = Seq(q303, q304, q306, q308, q312, q313)
 }
