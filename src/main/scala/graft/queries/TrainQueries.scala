@@ -568,5 +568,78 @@ object TrainQueries {
       .orderBy("cls")
   }
 
-  val all: Seq[QueryDef] = Seq(q303, q304, q306, q308, q312, q313)
+  // ---------------------------------------------------------------------
+  // q314 — leave-one-source-out ablation census
+  // ---------------------------------------------------------------------
+
+  /** q314 — SOURCE ABLATION census, the leave-one-out question every
+    * mixture decision ultimately reduces to ("what does this source
+    * actually contribute?") answered WITHOUT materializing |D| ablated
+    * corpora: corpus-level statistics are sums, so every
+    * leave-one-out value is totals-minus-this-source arithmetic in the
+    * same pass (the algebraic LOO trick — one scan, |D| ablations).
+    * Per source: docs, tokens, token share (ppm), EXCLUSIVE vocabulary
+    * (types appearing in no other source — what is irrecoverably lost
+    * if the source is dropped; zero across this shared-vocab synthetic
+    * corpus, the honest null), mean token length (milli), and the LOO
+    * delta on corpus mean token length (milli) — drop the source,
+    * this is how the corpus-level statistic moves. Complements q304
+    * (which REWEIGHTS sources by excess loss) and q110/q276 (overlap/
+    * divergence): this is the removal counterfactual.
+    *
+    * Scale: one (source, token) census for the exclusivity census
+    * (|V|-bounded, the q130 frame), one per-source keyed agg, one
+    * broadcast one-row total — all map-side-combinable; nothing
+    * scales past the scan. */
+  val q314 = QueryDef(
+    "q314_source_ablation",
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |st AS (SELECT source, t FROM tok GROUP BY 1, 2),
+      |excl AS (
+      |  SELECT MAX(source) AS source, t FROM st
+      |  GROUP BY t HAVING COUNT(*) = 1),
+      |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab_exclusive
+      |  FROM excl GROUP BY 1),
+      |s AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(chars) AS BIGINT) AS ch,
+      |  CAST(SUM(toks) AS BIGINT) AS tk FROM s)
+      |SELECT s.source, s.n_docs, s.toks,
+      |  CAST(1000000 * s.toks // tot.tk AS BIGINT) AS token_share_ppm,
+      |  CAST(COALESCE(ex.vocab_exclusive, 0) AS BIGINT)
+      |    AS vocab_exclusive,
+      |  CAST(1000 * s.chars // s.toks AS BIGINT) AS mtl_milli,
+      |  CAST(1000 * (tot.ch - s.chars) // (tot.tk - s.toks)
+      |    - 1000 * tot.ch // tot.tk AS BIGINT) AS loo_mtl_delta_milli
+      |FROM s LEFT JOIN ex ON ex.source = s.source CROSS JOIN tot
+      |ORDER BY s.source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val st = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+    val ex = st.groupBy(col("t"))
+      .agg(count(lit(1)).as("nsrc"), max(col("source")).as("source"))
+      .filter(col("nsrc") === 1)
+      .groupBy(col("source")).agg(count(lit(1)).as("vocab_exclusive"))
+    val sAgg = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+    val tot = sAgg.agg(sum(col("chars")).as("ch"), sum(col("toks")).as("tk"))
+    sAgg.join(ex, Seq("source"), "left").crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("toks"),
+        expr("1000000L * toks div tk").as("token_share_ppm"),
+        coalesce(col("vocab_exclusive"), lit(0L)).as("vocab_exclusive"),
+        expr("1000L * chars div toks").as("mtl_milli"),
+        expr("1000L * (ch - chars) div (tk - toks) - 1000L * ch div tk")
+          .as("loo_mtl_delta_milli"))
+      .orderBy("source")
+  }
+
+  val all: Seq[QueryDef] = Seq(q303, q304, q306, q308, q312, q313, q314)
 }

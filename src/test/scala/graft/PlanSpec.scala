@@ -251,7 +251,8 @@ class PlanSpec extends SparkSpec {
         "one-row gap/count frames (moment aggregates, no pair scan)",
       "q311_fs_em" ->
         "one-row EM parameter frame x 16-row pattern census",
-      "q312_sampling_ess" -> "3-row temperature-ladder frame")
+      "q312_sampling_ess" -> "3-row temperature-ladder frame",
+      "q314_source_ablation" -> "one-row corpus-total frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
