@@ -1290,10 +1290,12 @@ object RecommenderQueries {
     * label-prop communities unchanged. Output per brand: nodes,
     * within-edges, degree mass, and the exact-ppm contribution
     * fd(10⁶·(M·E_c − D_c²), M²) (sign-safe floor — contributions of
-    * under-connected communities are negative). Headroom: the ppm
-    * snap multiplies 10⁶·M·E_c, exact in int64 for M ≤ ~3·10⁶
-    * directed edges (the q292 documentation convention); beyond
-    * that, snap the two terms separately.
+    * under-connected communities are negative; the division is the
+    * pure-int64 integral `div`, NOT `Column.divide`, whose double
+    * promotion loses exactness once the numerator passes 2^53).
+    * Headroom: the ppm snap multiplies 10⁶·M·E_c, exact in int64 for
+    * M ≤ ~3·10⁶ directed edges (the q292 documentation convention);
+    * beyond that, snap the two terms separately.
     *
     * Scale: edge list → one broadcast join to the part dim for
     * labels, one community-keyed agg (map-side combinable), one
@@ -1345,19 +1347,23 @@ object RecommenderQueries {
         col("comm").as("src_c"))), Seq("src"))
       .join(broadcast(lab.select(col("i").as("dst"),
         col("comm").as("dst_c"))), Seq("dst"))
-      .cache()
-    val m = el.agg(count(lit(1)).as("mm"))
-    val cc = el.groupBy(col("src_c").as("comm"))
+    // Eager localCheckpoint + pin, NOT cache(): m/cc/nn all read el and
+    // the final plan broadcasts m — concurrent subtree jobs race on an
+    // unpopulated cache and each recompute the co-occurrence stage
+    // (the measured q310 race; see graft.functions.Checkpoints).
+    val elp = graft.functions.Checkpoints.pin(el.localCheckpoint())
+    val m = elp.agg(count(lit(1)).as("mm"))
+    val cc = elp.groupBy(col("src_c").as("comm"))
       .agg(sum(when(col("src_c") === col("dst_c"), 1L).otherwise(0L))
         .as("e_within"),
         count(lit(1)).as("d_sum"))
-    val nn = el.select(col("src"), col("src_c").as("comm")).distinct()
+    val nn = elp.select(col("src"), col("src_c").as("comm")).distinct()
       .groupBy(col("comm")).agg(count(lit(1)).as("n_nodes"))
     val num = expr("1000000L * (mm * e_within - d_sum * d_sum)")
     val den = expr("mm * mm")
     cc.join(nn, Seq("comm")).crossJoin(broadcast(m))
       .select(col("comm"), col("n_nodes"), col("e_within"), col("d_sum"),
-        ((num - pmod(num, den)).divide(den)).cast("long")
+        call_function("div", num - pmod(num, den), den)
           .as("q_contrib_ppm"))
       .orderBy("comm")
   }

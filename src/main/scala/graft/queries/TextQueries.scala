@@ -3715,8 +3715,16 @@ object TextQueries {
         s"CASE WHEN pat.a$k = 1 THEN p.$mu$k ELSE 1000000 - p.$mu$k END"
       def prod(mu: String) = (2 to 4).foldLeft(term(1, mu))((e, k) =>
         s"(($e) * (${term(k, mu)})) // 1000000")
+      // GREATEST(1, ·) on the denominator: the staged ppm products
+      // floor to 0 when a parameter is driven to the 999999 clamp on a
+      // disagreeing bit, and lam*prod_m + (1-lam)*prod_u = 0 would be
+      // a division-by-zero ERROR in DuckDB but NULL in Spark — a
+      // cross-engine behavioral split. The guard (same ε-clamp
+      // discipline as the M-step) makes the degenerate posterior 0 in
+      // both engines.
       def post = s"(1000000 * (p.lam * (${prod("m")}))) // " +
-        s"(p.lam * (${prod("m")}) + (1000000 - p.lam) * (${prod("u")}))"
+        s"GREATEST(1, p.lam * (${prod("m")}) + " +
+        s"(1000000 - p.lam) * (${prod("u")}))"
       def clamp(e: String) =
         s"CAST(LEAST(999999, GREATEST(1, $e)) AS BIGINT)"
       def rnd(i: Int) = {
@@ -3761,13 +3769,19 @@ object TextQueries {
     val pat = fsCandidates(s, d)
       .groupBy(col("a1"), col("a2"), col("a3"), col("a4"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("mt")).as("n_true"))
-      .cache()
+    // Eager localCheckpoint + pin, NOT cache(): each EM round
+    // crossJoins pat against the broadcast parameter row, and the
+    // final select reads pat again — concurrent broadcast-subtree
+    // jobs race on an unpopulated cache and each recompute the
+    // candidate agg (the measured q310 race; see Checkpoints).
+    val patP = graft.functions.Checkpoints.pin(pat.localCheckpoint())
     def term(k: Int, mu: String) =
       s"CASE WHEN a$k = 1 THEN $mu$k ELSE 1000000L - $mu$k END"
     def prod(mu: String) = (2 to 4).foldLeft(term(1, mu))((e, k) =>
       s"(($e) * (${term(k, mu)})) div 1000000L")
     val postSql = s"(1000000L * (lam * (${prod("m")}))) div " +
-      s"(lam * (${prod("m")}) + (1000000L - lam) * (${prod("u")}))"
+      s"greatest(1L, lam * (${prod("m")}) + " +
+      s"(1000000L - lam) * (${prod("u")}))"
     def clampC(c: Column) =
       least(lit(999999L), greatest(lit(1L), c))
     var p: DataFrame = s.range(1).select(
@@ -3775,7 +3789,8 @@ object TextQueries {
         (1 to 4).map(k => lit(900000L).as(s"m$k")) ++
         (1 to 4).map(k => lit(100000L).as(s"u$k"))): _*)
     (1 to 2).foreach { _ =>
-      val e = pat.crossJoin(broadcast(p)).withColumn("post", expr(postSql))
+      val e = patP.crossJoin(broadcast(p))
+        .withColumn("post", expr(postSql))
       val mstep =
         Seq(expr("sum(n_pairs * post) div sum(n_pairs)").as("lam")) ++
           (1 to 4).map(k => clampC(expr(
@@ -3786,7 +3801,7 @@ object TextQueries {
               "sum(n_pairs * (1000000L - post))")).as(s"u$k"))
       p = e.agg(mstep.head, mstep.tail: _*)
     }
-    pat.crossJoin(broadcast(p))
+    patP.crossJoin(broadcast(p))
       .select(col("a1").as("a_title"), col("a2").as("a_lang"),
         col("a3").as("a_source"), col("a4").as("a_ncb"),
         col("n_pairs"), col("n_true"), col("lam").as("lambda_ppm"),

@@ -26,9 +26,13 @@ object TrainQueries {
   private def fdSql(a: String, b: String): String =
     s"(($a) - ((($a) % ($b) + ($b)) % ($b))) // ($b)"
 
-  /** Spark twin of [[fdSql]] — `pmod` is the same canonical mod. */
+  /** Spark twin of [[fdSql]] — `pmod` is the same canonical mod, and
+    * the division is the integral `div` (pure int64: `Column.divide`
+    * promotes to double, whose 2^53 mantissa silently goes off by one
+    * once the corrected numerator passes ~9·10¹⁵ — the hazard
+    * Intervals.floorDiv documents). */
   private def fdCol(a: Column, b: Column): Column =
-    (a - pmod(a, b)).divide(b).cast("long")
+    call_function("div", a - pmod(a, b), b)
 
   // ---------------------------------------------------------------------
   // q303 — quality-classifier TRAINING as a deterministic integer query
@@ -94,7 +98,7 @@ object TrainQueries {
     * linear passes total, no shuffle beyond the scalar agg; exactly how
     * a full-batch linear probe trains on 100 TB (the reference's
     * quality scorer is per-record arithmetic,
-    * data_quality/quality_checks.py, scored in one pass). */
+    * processing/utils/data_quality.py:560, scored in one pass). */
   val q303 = QueryDef(
     "q303_quality_classifier_gd", {
       def stepSql(i: Int): String = {
@@ -135,7 +139,13 @@ object TrainQueries {
       |SELECT * FROM a1 UNION ALL SELECT * FROM a2
       |UNION ALL SELECT * FROM a3 ORDER BY step""".stripMargin
     }) { (s, d) =>
-    val feat = featDf(s, d).cache()
+    // Eager localCheckpoint + pin, NOT cache(): each GD step's agg and
+    // accuracy frame reference feat from several broadcast subtrees
+    // whose jobs launch concurrently — parallel readers of an
+    // unpopulated cache each recompute the featurizer (the measured
+    // q310 race; see graft.functions.Checkpoints).
+    val feat = graft.functions.Checkpoints.pin(
+      featDf(s, d).localCheckpoint())
     val nRow = feat.agg(count(lit(1)).as("n"))
     def z() = List("0", "1", "2", "3")
       .map(j => col(s"x$j") * col(s"w$j"))
@@ -569,6 +579,75 @@ object TrainQueries {
   }
 
   // ---------------------------------------------------------------------
+  // q313b — shelf-packing ASSIGNMENT (doc → class, bin, slot)
+  // ---------------------------------------------------------------------
+
+  /** q313b — the shelf-packing ASSIGNMENT the q313 census prices
+    * (Krell et al. 2021's packing, NO-SPLIT discipline): emit the
+    * deterministic doc → (class, bin_id, slot) map a batch builder
+    * consumes. Same class ladder as q313 (round up to the power-of-two
+    * class, ⌊128/class⌋ docs per bin); within a class, docs are laid
+    * out in CONTENT-HASH order (md5 — placement is a pure function of
+    * the corpus, independent of scan order, the q22 content-identity
+    * convention) with doc_id breaking exact-duplicate ties, and
+    *   bin_id = ⌊rank/docs_per_bin⌋,  slot = rank mod docs_per_bin
+    * (rank 0-based). q98 is the splitting packer (zero waste, broken
+    * attention spans), q313 the whole-sequence price census, this the
+    * materialized placement — the three together are the packing
+    * story.
+    *
+    * Scale: a window partitioned by FOUR classes is the same
+    * scale-killer as a partition-less one (each class's whole corpus
+    * sorts in one task), so the within-class rank is
+    * [[graft.functions.Ranks.rowNumberPerKey]] — range-bucketed on a
+    * 60-bit numeric prefix of the hash (uniform by construction, so
+    * the buckets balance), counts prefix-scanned per key on the
+    * bounded (|classes|·buckets)-row census, offsets broadcast-joined
+    * back: one hash shuffle, parallel sorts, no data-sized single
+    * task. Ordering by (hash-prefix, hash, doc_id) equals ordering by
+    * (hash, doc_id) — the prefix is a monotone function of the hash's
+    * first 15 hex chars. */
+  val q313b = QueryDef(
+    "q313b_shelf_assignment",
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+      |      AS nt,
+      |    md5(text) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, nt, h,
+      |    CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+      |      WHEN nt <= 64 THEN 64 ELSE 128 END AS cls
+      |  FROM t WHERE nt <= 128),
+      |r AS (
+      |  SELECT doc_id, nt, cls,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY cls ORDER BY h, doc_id)
+      |      - 1 AS BIGINT) AS rn
+      |  FROM c)
+      |SELECT doc_id, CAST(cls AS BIGINT) AS cls, nt,
+      |  CAST(rn // (128 // cls) AS BIGINT) AS bin_id,
+      |  CAST(rn % (128 // cls) AS BIGINT) AS slot
+      |FROM r ORDER BY cls, bin_id, slot""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        md5(col("text")).as("h"))
+      .filter(col("nt") <= 128)
+      .withColumn("cls",
+        when(col("nt") <= 16, 16L).when(col("nt") <= 32, 32L)
+          .when(col("nt") <= 64, 64L).otherwise(128L))
+      .withColumn("hk",
+        conv(substring(col("h"), 1, 15), 16, 10).cast("long"))
+    graft.functions.Ranks.rowNumberPerKey(t, col("cls"), col("hk"),
+        Seq(col("h"), col("doc_id")), "rn1")
+      .withColumn("rn", col("rn1") - 1L)
+      .select(col("doc_id"), col("cls"), col("nt"),
+        expr("rn div (128L div cls)").as("bin_id"),
+        expr("rn % (128L div cls)").as("slot"))
+      .orderBy("cls", "bin_id", "slot")
+  }
+
+  // ---------------------------------------------------------------------
   // q314 — leave-one-source-out ablation census
   // ---------------------------------------------------------------------
 
@@ -641,5 +720,6 @@ object TrainQueries {
       .orderBy("source")
   }
 
-  val all: Seq[QueryDef] = Seq(q303, q304, q306, q308, q312, q313, q314)
+  val all: Seq[QueryDef] =
+    Seq(q303, q304, q306, q308, q312, q313, q313b, q314)
 }

@@ -2071,7 +2071,12 @@ object VectorQueries {
                b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0L), (acc, x) => acc + x)
-    val kul = pqUnits(s, d).cache()
+    // Eager localCheckpoint + pin, NOT cache(): every round's distTo
+    // crossJoins kul against a broadcast center whose subtree job
+    // launches concurrently with the main scan — racing readers of an
+    // unpopulated cache each recompute pqUnits (the measured q310
+    // race; see graft.functions.Checkpoints).
+    val kul = Checkpoints.pin(pqUnits(s, d).localCheckpoint())
     def distTo(center: org.apache.spark.sql.DataFrame) =
       kul.crossJoin(broadcast(center))
         .select(col("vec_id"), sqDist(col("ku"), col("cku")).as("d2"))
@@ -2129,11 +2134,13 @@ object VectorQueries {
       |cnt_$name AS (SELECT grp, CAST(COUNT(DISTINCT vec_id) AS BIGINT)
       |    AS n FROM u_$name GROUP BY 1),
       |mv_$name AS (
-      |  SELECT u.grp, u.pos, CAST(SUM(u.k) // MAX(c.n) AS BIGINT) AS m
+      |  SELECT u.grp, u.pos, CAST((SUM(u.k) - ((SUM(u.k) % MAX(c.n)
+      |    + MAX(c.n)) % MAX(c.n))) // MAX(c.n) AS BIGINT) AS m
       |  FROM u_$name u JOIN cnt_$name c ON c.grp = u.grp GROUP BY 1, 2),
       |sm_$name AS (
       |  SELECT a.grp, a.pos AS p, b.pos AS q,
-      |    CAST(SUM(a.k * b.k) // MAX(c.n) AS BIGINT) AS m
+      |    CAST((SUM(a.k * b.k) - ((SUM(a.k * b.k) % MAX(c.n)
+      |      + MAX(c.n)) % MAX(c.n))) // MAX(c.n) AS BIGINT) AS m
       |  FROM u_$name a JOIN u_$name b
       |    ON a.vec_id = b.vec_id AND a.grp = b.grp
       |  JOIN cnt_$name c ON c.grp = a.grp
@@ -2197,11 +2204,13 @@ object VectorQueries {
       val mv = uJ.groupBy(grp, col("pos0"))
         .agg(sum(col("sk")).as("sk"))
         .join(broadcast(cnt), "grp")
-        .select(col("grp"), col("pos0"), expr("sk div n").as("m"))
+        .select(col("grp"), col("pos0"),
+          expr("(sk - pmod(sk, n)) div n").as("m"))
       val sm = smJ.groupBy(grp, col("p"), col("q"))
         .agg(sum(col("s")).as("s"))
         .join(broadcast(cnt), "grp")
-        .select(col("grp"), col("p"), col("q"), expr("s div n").as("m"))
+        .select(col("grp"), col("p"), col("q"),
+          expr("(s - pmod(s, n)) div n").as("m"))
       val meanGap = mv.filter(col("grp") === 0).as("a")
         .join(mv.filter(col("grp") === 1).as("b"),
           col("a.pos0") === col("b.pos0"))
