@@ -218,6 +218,51 @@ object Ranks {
       .drop("__b", "__v")
   }
 
+  /** SQL `ROW_NUMBER() OVER (PARTITION BY key ORDER BY orderCol,
+    * tieBreak*)` — distributed for LOW-CARDINALITY keys. A window
+    * partitioned by a handful of keys (a size-class ladder, an enum)
+    * is the same scale-killer as the partition-less one — each key's
+    * whole population sorts in ONE task — so the global-rank bucket
+    * split applies per key: range-bucket on `orderCol` (a pure
+    * per-row expression; a tie group never straddles buckets, so
+    * local rank + same-key-earlier-bucket count = within-key rank
+    * exactly), count per (key, bucket), prefix-scan those counts
+    * within key on the BOUNDED census frame (≤ |keys|·buckets rows —
+    * a trivially cheap keyed window), and broadcast-join the offsets
+    * back. One hash shuffle on (key, bucket) in the main plan, sorts
+    * parallel across |keys|·buckets tasks.
+    *
+    * CONTRACT: |keys| must be small and bounded (it sizes the offset
+    * census), and (orderCol, tieBreak*) must be unique within a key
+    * for a deterministic result — exactly what the single-task window
+    * form requires. `orderCol` must be numeric-castable (it feeds the
+    * quantile bucketer); pass a monotone numeric proxy first and the
+    * true order columns in `tieBreak` when the key is a string (e.g.
+    * a hex-hash prefix via conv(), then the full hash). Output column
+    * `as` is the 1-based within-key position, long. */
+  def rowNumberPerKey(df: DataFrame, key: Column, orderCol: Column,
+                      tieBreak: Seq[Column], as: String,
+                      buckets: Int = 32): DataFrame = {
+    val in = cached(df)
+    val withB = in
+      .withColumn("__k", key)
+      .withColumn("__b",
+        bucketOf(orderCol, boundaries(in, orderCol, buckets)))
+    val census = withB.groupBy(col("__k"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val offW = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = census
+      .withColumn("__off", coalesce(sum(col("__c")).over(offW), lit(0L)))
+      .drop("__c")
+    val local = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(orderCol +: tieBreak: _*)
+    withB.join(broadcast(offs), Seq("__k", "__b"))
+      .withColumn(as,
+        (col("__off") + row_number().over(local)).cast("long"))
+      .drop("__k", "__b", "__off")
+  }
+
   /** pandas `rank(pct=True)` (average rank / count) — distributed.
     * Average rank of a tie group = rank + (tie_count - 1)/2; the tie
     * count is a hash-partitioned window on the order value itself, so

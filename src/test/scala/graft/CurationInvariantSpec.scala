@@ -64,6 +64,44 @@ class CurationInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q312 DECIMAL(38) escape hatch is exact past the int64 bound") {
+    // q312 documents its int64 headroom and promises "beyond that the
+    // same query runs on DECIMAL(38)/HUGEINT sums". Prove the hatch:
+    // synthesize weights big enough that a single w² overflows int64
+    // (n_chars = 160k at T=3 → w ≈ 4.1·10⁹, w² ≈ 1.7·10¹⁹ > 2⁶³;
+    // the per-row cube 4.1·10¹⁵ still fits, so only the SUM spills),
+    // run
+    // the identical ESS arithmetic on DECIMAL(38,0) sums, and check
+    // it against driver-side BigInt — while the int64 path visibly
+    // corrupts.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val nChars = (0 until 40).map(i => 160000L + 197L * i)
+    val df = nChars.toDF("n_chars").repartition(4)
+    // q312's T=3 per-row weight (int64-safe per row: 160k³ ≈ 4.1e15)
+    val w = expr("(n_chars * n_chars * n_chars) div 1000000L")
+    val dec = df.select(w.cast("decimal(38,0)").as("w"))
+      .agg(sum(col("w")).as("sw"),
+        sum(col("w") * col("w")).as("sw2"),
+        count(lit(1)).as("n"))
+      .select(expr("(sw * sw) div sw2").as("ess")).head()
+    val wExact = nChars.map(c => BigInt(c) * c * c / 1000000)
+    val expected =
+      (wExact.sum * wExact.sum / wExact.map(x => x * x).sum).toLong
+    assert(dec.getLong(0) == expected,
+      s"decimal ESS ${dec.getLong(0)} != BigInt $expected")
+    // and the int64 path really is past its bound here: under ANSI
+    // (the session default) the long Σw² aborts with an arithmetic
+    // overflow — the loud form of the spillover the hatch escapes
+    val ex = intercept[Exception] {
+      df.select(w.as("w"))
+        .agg(sum(col("w") * col("w")).as("sw2")).head().getLong(0)
+    }
+    assert(ex.getMessage.contains("ARITHMETIC_OVERFLOW"),
+      s"int64 Σw² did not overflow — fixture no longer past the bound" +
+        s" (${ex.getMessage.take(80)})")
+  }
+
   test("q310 iid splits read as the quantization floor on both axes") {
     val rows = VectorQueries.q310.run(spark, sf).collect()
     assert(rows.length == 2)
@@ -80,6 +118,36 @@ class CurationInvariantSpec extends SparkSpec {
       // this a stable regression bound with 6× headroom to noise and
       // 6× margin below the smallest interesting drift.
       assert(mean < 100000L, s"iid mean gap $mean reads as drift")
+    }
+  }
+
+  test("q313b assignment packs within capacity and re-prices q313") {
+    val asg = TrainQueries.q313b.run(spark, sf).collect()
+    // every doc placed exactly once
+    assert(asg.map(_.getAs[Long]("doc_id")).distinct.length == asg.length)
+    // per (class, bin): occupancy <= docs_per_bin and token mass
+    // (class-rounded) <= capacity 128; slots are 0..occupancy-1
+    asg.groupBy(r => (r.getAs[Long]("cls"), r.getAs[Long]("bin_id")))
+      .foreach { case ((cls, bin), rs) =>
+        val dpb = 128L / cls
+        assert(rs.length <= dpb, s"bin ($cls,$bin) holds ${rs.length}")
+        assert(rs.length * cls <= 128L)
+        assert(rs.map(_.getAs[Long]("slot")).sorted.toSeq ==
+          (0L until rs.length).toSeq, s"slot gap in ($cls,$bin)")
+        rs.foreach(r => assert(r.getAs[Long]("nt") <= cls))
+      }
+    // the materialized assignment re-prices the q313 census exactly:
+    // same per-class doc count and bin count
+    val census = TrainQueries.q313.run(spark, sf).collect()
+      .map(r => r.getAs[Long]("cls") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("bins"))).toMap
+    asg.groupBy(_.getAs[Long]("cls")).foreach { case (cls, rs) =>
+      val (nDocs, bins) = census(cls)
+      assert(rs.length == nDocs, s"class $cls docs ${rs.length}")
+      assert(rs.map(_.getAs[Long]("bin_id")).distinct.length == bins,
+        s"class $cls bins")
+      // contiguous bin ids 0..bins-1 (shelf scheme leaves no hole)
+      assert(rs.map(_.getAs[Long]("bin_id")).max == bins - 1)
     }
   }
 

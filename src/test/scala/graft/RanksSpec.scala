@@ -184,6 +184,26 @@ class RanksSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet == before)
   }
 
+  test("rowNumberPerKey equals row_number over PARTITION BY key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // few keys, tie-heavy order values, unique tiebreak id
+    val in = (1 to 400).map(i =>
+      (i.toLong, (i % 4).toLong, rnd.nextInt(25).toLong))
+      .toDF("id", "k", "v").repartition(9)
+    val expected = in.withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("v"), col("id"))))
+      .select("id", "rn").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).sortBy(_._1).toSeq
+    for (buckets <- Seq(1, 5, 32)) {
+      val got = Ranks.rowNumberPerKey(in, col("k"), col("v"),
+          Seq(col("id")), "rn", buckets)
+        .select("id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got == expected, s"buckets=$buckets")
+    }
+  }
+
   test("results are partitioning-independent") {
     val a = Ranks.percentRank(df.repartition(1), col("v"), "p")
       .select("id", "p").collect().map(r => (r.getLong(0), r.getDouble(1)))
