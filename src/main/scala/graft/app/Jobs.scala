@@ -338,54 +338,93 @@ object IncrementalSilverJob {
 object CurationJob {
 
   /** End-to-end LLM-training-data curation over a `documents`-shaped
-    * parquet dir, composed ONLY of the oracle-checked
-    * [[graft.curation.Curation]] stages:
+    * parquet dir, composed ONLY of oracle-checked stages — the
+    * heuristic [[graft.curation.Curation]] layer plus the LEARNED
+    * layer the round-9 operators train:
     *
     *   exact dedup (q22/q59 keep-first discipline) →
-    *   quality scoring + drop `low` (q46) →
-    *   deterministic stratified sampling (q48) →
+    *   learned classifier gate (q303's GD-trained linear scorer,
+    *     trained on the deduped corpus, keep z > 0 — the CCNet-shaped
+    *     filter) →
+    *   heuristic quality scoring + drop `low` (q46) →
+    *   mixture sampling (q304's DoReMi α as per-source keep-rates —
+    *     the learned counterpart of the old fixed stratified rates) →
+    *   contribution bounding (q306's cap-and-clip discipline: ≤
+    *     maxDocsPerSource docs per source, texts clipped at maxChars) →
     *   sliding-window chunking (q57) →
     *   cross-document chunk dedup (q59)
     *
-    * Writes the surviving chunks as parquet plus a one-row metrics
-    * parquet with per-stage survivor counts (scalar aggregates only —
-    * the same checkpoint style as SilverJob; no row data ever reaches
-    * the driver). Every stage is a projection or one keyed window, so
-    * the composition adds no new shuffle class at 100 TB. */
+    * Writes the surviving chunks as parquet plus per-stage
+    * run-metadata: a one-row metrics parquet (survivor counts — scalar
+    * aggregates only, the SilverJob checkpoint style; no row data ever
+    * reaches the driver), the classifier training census
+    * (`classifier_census`, one row per GD step), and the per-round
+    * mixture weights (`alpha`, rounds·|D| rows). Every stage is a
+    * projection, one keyed agg, or one keyed window, and the learned
+    * stages add only |D|-row / 1-row broadcasts — the composition adds
+    * no new shuffle class at 100 TB. */
   final case class CurationMetrics(
-      docsIn: Long, afterDedup: Long, afterQuality: Long,
-      afterSample: Long, chunksOut: Long, chunksKept: Long)
+      docsIn: Long, afterDedup: Long, afterGate: Long,
+      afterQuality: Long, afterMixture: Long, afterBound: Long,
+      chunksOut: Long, chunksKept: Long)
 
   def run(spark: SparkSession, docsDir: String, outDir: String,
-          ratesPerMill: Map[String, Int] = Map("src0" -> 500, "src1" -> 250),
-          defaultPerMill: Int = 100): CurationMetrics = {
+          gdSteps: Int = 3, mixRounds: Int = 3,
+          maxDocsPerSource: Int = 10,
+          maxChars: Int = 400): CurationMetrics = {
     import graft.curation.Curation
+    import graft.ml.{Mixture, QualityClassifier}
     val docs = spark.read.parquet(docsDir)
     // The per-stage counts below would otherwise re-run the upstream
     // chain once per metric (the dedup window is the expensive stage —
     // same recompute tax as Ranks had before persisting). Persist the
-    // two funnel waypoints every consumer shares.
+    // funnel waypoints every consumer shares.
     val deduped = Curation.exactDedup(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val scored = Curation.qualityScored(deduped)
-      .filter(col("quality_bucket") =!= "low")
-    val sampled = Curation.stratifiedSample(
-        scored, ratesPerMill, defaultPerMill)
+    // learned gate: train on the deduped corpus, persist the census
+    // as run-metadata, gate on the final weights (z > 0)
+    val census = QualityClassifier.trainCensus(
+      QualityClassifier.featurize(deduped), gdSteps)
+    census.write.mode("overwrite").parquet(s"$outDir/classifier_census")
+    val censusP = spark.read.parquet(s"$outDir/classifier_census")
+    val gated = QualityClassifier.gate(
+        deduped, QualityClassifier.weights(censusP, gdSteps))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunked = Curation.chunks(sampled)
+    val scored = Curation.qualityScored(gated)
+      .filter(col("quality_bucket") =!= "low")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // learned mixture: α on the quality-surviving frame, persisted as
+    // run-metadata; the final round becomes per-source keep-rates
+    val alphas = Mixture.alphaRounds(scored, mixRounds)
+    alphas.write.mode("overwrite").parquet(s"$outDir/alpha")
+    val aFinal = spark.read.parquet(s"$outDir/alpha")
+      .filter(col("r") === mixRounds.toLong)
+      .select(col("source"), col("alpha_ppm"))
+    val mixed = Curation.mixtureSample(
+        scored, Curation.mixtureRates(scored, aFinal))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounded = Curation.contributionBound(
+        mixed, maxDocsPerSource, maxChars)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunked = Curation.chunks(bounded)
     val kept = Curation.dedupChunks(chunked)
     kept.write.mode("overwrite").parquet(s"$outDir/chunks")
     val m = CurationMetrics(
       docsIn = docs.count(),
       afterDedup = deduped.count(),
+      afterGate = gated.count(),
       afterQuality = scored.count(),
-      afterSample = sampled.count(),
+      afterMixture = mixed.count(),
+      afterBound = bounded.count(),
       chunksOut = chunked.count(),
       chunksKept = spark.read.parquet(s"$outDir/chunks").count())
     import spark.implicits._
     Seq(m).toDS().write.mode("overwrite").parquet(s"$outDir/metrics")
-    deduped.unpersist()
-    sampled.unpersist()
+    Seq(deduped, gated, scored, mixed, bounded).foreach(_.unpersist())
+    // the learned stages checkpoint-pin their iteration state; all
+    // actions are done, so release the whole registry (the job owns
+    // the session for its duration, per the Checkpoints contract)
+    graft.functions.Checkpoints.releaseAll()
     m
   }
 

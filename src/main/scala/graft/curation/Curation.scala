@@ -120,6 +120,54 @@ object Curation {
       (contentU32(col("doc_id")) % 1000000).cast("double") / 1000000.0
         < col(weightCol))
 
+  /** Per-source keep-rates (ppm) that steer the corpus toward a
+    * learned target mixture: given `alpha` (source, alpha_ppm — e.g.
+    * [[graft.ml.Mixture.alphaRounds]]'s final round) and the current
+    * per-source doc counts of `docs`, the importance ratio
+    * α_d / share_d decides how much of each source survives, scaled so
+    * the most-wanted source keeps everything:
+    *   rate_d = floor(10⁶ · (α_d/n_d) / max_e(α_e/n_e)).
+    * Exact int64 throughout (α ≤ 10⁶, the scaled quotient ≤ 10¹²).
+    * Output is a |D|-row frame — broadcast it into [[mixtureSample]].
+    * One keyed count agg + one scalar max; nothing scales past the
+    * scan. */
+  def mixtureRates(docs: DataFrame, alpha: DataFrame): DataFrame = {
+    val cnt = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("__n_docs"))
+    val q = alpha.join(cnt, "source")
+      .select(col("source"),
+        expr("alpha_ppm * 1000000L div __n_docs").as("__q"))
+    val mx = q.agg(max(col("__q")).as("__mxq"))
+    q.crossJoin(broadcast(mx))
+      .select(col("source"),
+        expr("__q * 1000000L div __mxq").as("rate_ppm"))
+  }
+
+  /** Deterministic mixture sampling: keep a doc iff its content hash
+    * falls under its source's [[mixtureRates]] keep-rate. One
+    * broadcast join on `source` + a row-local predicate — the
+    * α-weighted counterpart of [[stratifiedSample]]'s fixed rates. */
+  def mixtureSample(docs: DataFrame, rates: DataFrame): DataFrame =
+    docs.join(broadcast(rates), "source")
+      .filter(contentU32(col("doc_id")) % 1000000 < col("rate_ppm"))
+      .drop("rate_ppm")
+
+  /** Contribution bounding (the user-level-DP preprocessing step q306
+    * censuses — Amin et al. 2019, McMahan et al. 2018), applied at the
+    * document level: cap each source's contribution at `maxDocs`
+    * documents (chosen in content-hash order, the [[quotaSample]]
+    * discipline, so the survivors are a pure function of the corpus)
+    * and clip every text at `maxChars` characters (`n_chars` is
+    * recomputed from the clipped text, preserving the schema
+    * invariant). Bounds each source's — and transitively each
+    * upstream author's — influence on anything aggregated downstream.
+    * One keyed window (shuffle on `source`) + a per-row projection. */
+  def contributionBound(docs: DataFrame, maxDocs: Int,
+                        maxChars: Int): DataFrame =
+    quotaSample(docs, "source", maxDocs)
+      .withColumn("text", substring(col("text"), 1, maxChars))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
   /** Sliding token windows of `window` tokens at `stride`: one row
     * per (doc, chunk) with a content hash for downstream chunk-level
     * dedup. Pure per-row fan-out (no shuffle). */

@@ -57,19 +57,6 @@ object TrainQueries {
       |      t -> t IN ('the', 'a', 'of', 'and'))) - 30 AS BIGINT) AS x3
       |  FROM documents)""".stripMargin
 
-  private def featDf(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      when(col("lang") === "en", 1L).otherwise(0L).as("y"),
-      lit(10L).as("x0"),
-      (size(toks) - 50).cast("long").as("x1"),
-      (expr("(100 * n_chars) div size(split(text, ' '))") - 550)
-        .cast("long").as("x2"),
-      (size(filter(toks, t => t.isin("the", "a", "of", "and"))) * 10 - 30)
-        .cast("long").as("x3"))
-  }
-
   /** q303 — QUALITY-CLASSIFIER TRAINING, exact-integer full-batch
     * gradient descent: the learned document filter of GPT-3's pipeline
     * (Brown et al. 2020 App. A: a linear classifier over document
@@ -139,50 +126,11 @@ object TrainQueries {
       |SELECT * FROM a1 UNION ALL SELECT * FROM a2
       |UNION ALL SELECT * FROM a3 ORDER BY step""".stripMargin
     }) { (s, d) =>
-    // Eager localCheckpoint + pin, NOT cache(): each GD step's agg and
-    // accuracy frame reference feat from several broadcast subtrees
-    // whose jobs launch concurrently — parallel readers of an
-    // unpopulated cache each recompute the featurizer (the measured
-    // q310 race; see graft.functions.Checkpoints).
-    val feat = graft.functions.Checkpoints.pin(
-      featDf(s, d).localCheckpoint())
-    val nRow = feat.agg(count(lit(1)).as("n"))
-    def z() = List("0", "1", "2", "3")
-      .map(j => col(s"x$j") * col(s"w$j"))
-      .reduce(_ + _)
-    var w: DataFrame = s.range(1)
-      .select(lit(0L).as("w0"), lit(0L).as("w1"),
-        lit(0L).as("w2"), lit(0L).as("w3"))
-    val accs = (1 to 3).map { i =>
-      val e = feat.crossJoin(broadcast(w)).crossJoin(broadcast(nRow))
-        .withColumn("err",
-          least(lit(1000000L),
-            greatest(lit(0L), expr(
-              "(x0*w0 + x1*w1 + x2*w2 + x3*w3 + 2000000) div 4")))
-            - col("y") * 1000000L)
-      w = e.agg(
-        (max(col("w0")) - fdCol(sum(col("err") * col("x0")),
-          max(col("n")) * 1000L)).as("w0"),
-        (max(col("w1")) - fdCol(sum(col("err") * col("x1")),
-          max(col("n")) * 1000L)).as("w1"),
-        (max(col("w2")) - fdCol(sum(col("err") * col("x2")),
-          max(col("n")) * 1000L)).as("w2"),
-        (max(col("w3")) - fdCol(sum(col("err") * col("x3")),
-          max(col("n")) * 1000L)).as("w3"))
-      val hit = when(z() > 0, 1L).otherwise(0L)
-      feat.crossJoin(broadcast(w)).crossJoin(broadcast(nRow))
-        .agg(
-          max(col("w0")).as("w0"), max(col("w1")).as("w1"),
-          max(col("w2")).as("w2"), max(col("w3")).as("w3"),
-          sum(hit).as("n_pred_pos"),
-          (sum(when(hit === col("y"), 1L).otherwise(0L)) * 1000000L)
-            .as("__correct_scaled"),
-          max(col("n")).as("__n"))
-        .select(lit(i.toLong).as("step"), col("w0"), col("w1"),
-          col("w2"), col("w3"), col("n_pred_pos"),
-          expr("__correct_scaled div __n").as("acc_ppm"))
-    }
-    accs.reduce(_ unionByName _).orderBy("step")
+    // The training arithmetic lives in graft.ml.QualityClassifier
+    // (the curation lifecycle's learned gate shares it); this QueryDef
+    // is the oracle gate over that shared implementation.
+    graft.ml.QualityClassifier.trainCensus(
+      graft.ml.QualityClassifier.featurize(Tables.documents(s, d)))
   }
 
   // ---------------------------------------------------------------------
@@ -262,53 +210,10 @@ object TrainQueries {
       |  UNION ALL SELECT 3, d, a, e FROM a3)
       |ORDER BY r, source""".stripMargin
     }) { (s, d) =>
-    import graft.functions.LangModel.mnat
-    import graft.functions.Checkpoints
-    val dt = Tables.documents(s, d)
-      .select(col("source").as("d"),
-        explode(split(col("text"), " ")).as("t"))
-      .groupBy(col("d"), col("t")).agg(count(lit(1)).as("c"))
-    val nd0 = dt.groupBy(col("d")).agg(sum(col("c")).as("n"))
-    // checkpoint the two frames every round re-reads: without this the
-    // round-r plan nests all earlier rounds (α is read twice per round)
-    // and the 3-round chain re-derives the token census dozens of
-    // times — measured 23 s at sf0.001 on pure plan replay (NOTES_r9)
-    val nd = Checkpoints.pin(nd0.localCheckpoint())
-    val pd = Checkpoints.pin(
-      dt.join(nd, "d")
-        .select(col("d"), col("t"), col("c"),
-          greatest(lit(1L), expr("1000000L * c div n")).as("p_ppm"))
-        .localCheckpoint())
-    val nDom = nd.agg(count(lit(1)).as("nd_cnt"))
-    var a: DataFrame = Checkpoints.pin(
-      nd.crossJoin(broadcast(nDom))
-        .select(col("d"), expr("1000000L div nd_cnt").as("a"))
-        .localCheckpoint())
-    val rounds = (1 to 3).map { i =>
-      val pm = pd.join(broadcast(a), "d")
-        .groupBy(col("t"))
-        .agg(greatest(lit(1L),
-          expr("sum(a * p_ppm) div 1000000L")).as("pm_ppm"))
-      val ex = pd.join(pm, "t").join(broadcast(nd), "d")
-        .groupBy(col("d"))
-        .agg(greatest(lit(0L), fdCol(
-          sum(col("c") * (mnat(col("p_ppm")) - mnat(col("pm_ppm")))),
-          max(col("n")))).as("e"))
-      val up = a.join(ex, "d")
-        .select(col("d"),
-          expr("a * (1000000L + 10000L * e) div 1000000L").as("a_raw"),
-          col("e"))
-      val tot = up.agg(sum(col("a_raw")).as("tot"))
-      val anew = Checkpoints.pin(
-        up.crossJoin(broadcast(tot))
-          .select(col("d"), expr("a_raw * 1000000L div tot").as("a"),
-            col("e"))
-          .localCheckpoint())
-      a = anew.select(col("d"), col("a")) // drop e: next round re-joins ex
-      anew.select(lit(i.toLong).as("r"), col("d").as("source"),
-        col("a").as("alpha_ppm"), col("e").as("excess_mnat"))
-    }
-    rounds.reduce(_ unionByName _).orderBy("r", "source")
+    // The reweighting arithmetic lives in graft.ml.Mixture (the
+    // curation lifecycle's sampling weights share it); this QueryDef
+    // is the oracle gate over that shared implementation.
+    graft.ml.Mixture.alphaRounds(Tables.documents(s, d))
   }
 
   // ---------------------------------------------------------------------

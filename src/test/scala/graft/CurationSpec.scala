@@ -17,17 +17,34 @@ class CurationSpec extends SparkSpec {
     val m = CurationJob.run(spark, docsDir, out)
     // the funnel only ever narrows, and nothing collapses to zero
     assert(m.docsIn >= m.afterDedup)
-    assert(m.afterDedup >= m.afterQuality)
-    assert(m.afterQuality >= m.afterSample)
-    assert(m.afterSample > 0)
+    assert(m.afterDedup >= m.afterGate)
+    assert(m.afterGate >= m.afterQuality)
+    assert(m.afterQuality >= m.afterMixture)
+    assert(m.afterMixture >= m.afterBound)
+    assert(m.afterBound > 0)
+    // the learned gate is a REAL filter on this corpus (q303's
+    // step-3 census predicts a strict minority positive)
+    assert(m.afterGate < m.afterDedup)
     assert(m.chunksOut >= m.chunksKept && m.chunksKept > 0)
     // chunk output integrity: deduped hashes are globally unique
     val chunks = spark.read.parquet(s"$out/chunks")
     assert(chunks.count() == m.chunksKept)
     assert(chunks.select("chunk_hash").distinct().count() == m.chunksKept)
-    // metrics parquet round-trips
+    // per-stage run-metadata round-trips: metrics, classifier census
+    // (one row per GD step), per-round mixture weights
     val metrics = spark.read.parquet(s"$out/metrics")
     assert(metrics.count() == 1)
+    val census = spark.read.parquet(s"$out/classifier_census")
+    assert(census.count() == 3)
+    val alpha = spark.read.parquet(s"$out/alpha")
+    assert(alpha.count() % 3 == 0 && alpha.count() > 0)
+    // contribution bounds hold on the output: only bounded docs reach
+    // the chunker, and a 400-char clipped text (<= 400 tokens) yields
+    // at most ceil(400/32) = 13 stride-32 chunks per doc
+    assert(chunks.select("doc_id").distinct().count() <= m.afterBound)
+    val perDoc = chunks.groupBy("doc_id").count().collect()
+    assert(perDoc.forall(_.getAs[Long]("count") <= 13L),
+      "a doc exceeds the clipped-text chunk bound")
     // determinism: a second run over the same input is identical
     val out2 = java.nio.file.Files
       .createTempDirectory("graft-curation2").toString
