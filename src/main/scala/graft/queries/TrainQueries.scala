@@ -57,6 +57,35 @@ object TrainQueries {
       |      t -> t IN ('the', 'a', 'of', 'and'))) - 30 AS BIGINT) AS x3
       |  FROM documents)""".stripMargin
 
+  /** One unrolled GD step of the q303 chain (e_i error frame + w_i
+    * weight row) — shared by q303's census and the q317/q318
+    * consumers of the trained weights. */
+  private def gdStepSql(i: Int): String = {
+    val z = "f.x0*w.w0 + f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3"
+    val pred = s"LEAST(1000000, GREATEST(0, ($z + 2000000) // 4))"
+    def upd(j: Int) = // CAST: uncast DuckDB SUM arithmetic is HUGEINT
+      s"CAST(MAX(w.w$j) - (${fdSql(s"SUM(err*x$j)", "MAX(n.n)*1000")}) AS BIGINT)"
+    s""",
+    |e$i AS (
+    |  SELECT f.y, f.x0, f.x1, f.x2, f.x3,
+    |    $pred - f.y*1000000 AS err
+    |  FROM feat f CROSS JOIN w${i - 1} w),
+    |w$i AS (
+    |  SELECT ${upd(0)} AS w0, ${upd(1)} AS w1,
+    |    ${upd(2)} AS w2, ${upd(3)} AS w3
+    |  FROM e$i, w${i - 1} w, n)""".stripMargin
+  }
+
+  /** The full q303 training prefix: featurized corpus, count, zero
+    * init, and the three unrolled GD steps (CTEs feat/n/w0..w3) —
+    * the oracle-side twin of QualityClassifier.trainCensus. */
+  private val gdPrefixSql =
+    s"""WITH $featSql,
+    |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feat),
+    |w0 AS (SELECT CAST(0 AS BIGINT) w0, CAST(0 AS BIGINT) w1,
+    |  CAST(0 AS BIGINT) w2, CAST(0 AS BIGINT) w3)""".stripMargin +
+      (1 to 3).map(gdStepSql).mkString
+
   /** q303 — QUALITY-CLASSIFIER TRAINING, exact-integer full-batch
     * gradient descent: the learned document filter of GPT-3's pipeline
     * (Brown et al. 2020 App. A: a linear classifier over document
@@ -88,21 +117,6 @@ object TrainQueries {
     * processing/utils/data_quality.py:560, scored in one pass). */
   val q303 = QueryDef(
     "q303_quality_classifier_gd", {
-      def stepSql(i: Int): String = {
-        val z = "f.x0*w.w0 + f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3"
-        val pred = s"LEAST(1000000, GREATEST(0, ($z + 2000000) // 4))"
-        def upd(j: Int) = // CAST: uncast DuckDB SUM arithmetic is HUGEINT
-          s"CAST(MAX(w.w$j) - (${fdSql(s"SUM(err*x$j)", "MAX(n.n)*1000")}) AS BIGINT)"
-        s""",
-        |e$i AS (
-        |  SELECT f.y, f.x0, f.x1, f.x2, f.x3,
-        |    $pred - f.y*1000000 AS err
-        |  FROM feat f CROSS JOIN w${i - 1} w),
-        |w$i AS (
-        |  SELECT ${upd(0)} AS w0, ${upd(1)} AS w1,
-        |    ${upd(2)} AS w2, ${upd(3)} AS w3
-        |  FROM e$i, w${i - 1} w, n)""".stripMargin
-      }
       def accSql(i: Int): String = {
         val z = "f.x0*w.w0 + f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3"
         val hit = s"CASE WHEN ($z) > 0 THEN 1 ELSE 0 END"
@@ -116,11 +130,7 @@ object TrainQueries {
         |      // MAX(n.n) AS BIGINT) AS acc_ppm
         |  FROM feat f CROSS JOIN w$i w CROSS JOIN n)""".stripMargin
       }
-      s"""WITH $featSql,
-      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feat),
-      |w0 AS (SELECT CAST(0 AS BIGINT) w0, CAST(0 AS BIGINT) w1,
-      |  CAST(0 AS BIGINT) w2, CAST(0 AS BIGINT) w3)""".stripMargin +
-        (1 to 3).map(stepSql).mkString +
+      gdPrefixSql +
         (1 to 3).map(accSql).mkString +
         """
       |SELECT * FROM a1 UNION ALL SELECT * FROM a2
@@ -553,6 +563,279 @@ object TrainQueries {
   }
 
   // ---------------------------------------------------------------------
+  // q317 — dataset cartography (training-dynamics map)
+  // ---------------------------------------------------------------------
+
+  /** q317 — DATASET CARTOGRAPHY (Swayamdipta et al. 2020): map every
+    * document by its TRAINING DYNAMICS under the q303 GD run — mean
+    * true-class confidence μ across the three checkpoints and its
+    * variability — the easy-to-learn / hard-to-learn / ambiguous
+    * triage that decides what to keep, relabel, or inspect. Per doc,
+    * conf_i = σ̂_ppm(z_i) for y=1 and 10⁶−σ̂ for y=0 under checkpoint
+    * w_i; μ_ppm = ⌊Σconf/3⌋ and the EXACT scaled variance
+    * var9 = 3·Σconf² − (Σconf)² (= 9·Var, integer ≥ 0 — no floored
+    * mean enters the spread, the q310 moment discipline). Output: the
+    * (μ decile band, var order-of-magnitude band) census with doc and
+    * positive-label counts — confident+stable bands are keep-lists,
+    * high-var bands the ambiguous frontier, low-μ+stable bands the
+    * likely label errors (q318's confident-joint view of the same
+    * run).
+    *
+    * Scale: the checkpoint weights are a 3-row broadcast; conf is a
+    * per-(doc, step) projection (3n rows, map-side), the per-doc agg
+    * and the band census are keyed aggs — nothing beyond the q303
+    * training passes themselves. */
+  val q317 = QueryDef(
+    "q317_dataset_cartography", {
+      val pred = "LEAST(1000000, GREATEST(0, " +
+        "(f.x0*w.w0 + f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3 + 2000000) // 4))"
+      gdPrefixSql + s""",
+      |ws AS (
+      |  SELECT CAST(1 AS BIGINT) AS step, w0, w1, w2, w3 FROM w1
+      |  UNION ALL SELECT 2, w0, w1, w2, w3 FROM w2
+      |  UNION ALL SELECT 3, w0, w1, w2, w3 FROM w3),
+      |cf AS (
+      |  SELECT f.doc_id, f.y,
+      |    CASE WHEN f.y = 1 THEN ($pred)
+      |      ELSE 1000000 - ($pred) END AS conf
+      |  FROM feat f CROSS JOIN ws w),
+      |pd AS (
+      |  SELECT doc_id, MAX(y) AS y, CAST(SUM(conf) AS BIGINT) AS sc,
+      |    CAST(SUM(conf * conf) AS BIGINT) AS m2
+      |  FROM cf GROUP BY 1),
+      |bd AS (
+      |  SELECT y, sc // 3 AS mu_ppm,
+      |    CAST(3 * m2 - sc * sc AS BIGINT) AS var9
+      |  FROM pd)
+      |SELECT CAST(mu_ppm // 100000 AS BIGINT) AS mu_band,
+      |  CAST(CASE WHEN var9 >= 1000000000000 THEN 6
+      |    WHEN var9 >= 10000000000 THEN 5
+      |    WHEN var9 >= 100000000 THEN 4
+      |    WHEN var9 >= 1000000 THEN 3
+      |    WHEN var9 >= 10000 THEN 2
+      |    WHEN var9 >= 100 THEN 1 ELSE 0 END AS BIGINT) AS var_band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(y) AS BIGINT) AS n_label_pos
+      |FROM bd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.Checkpoints
+    import graft.ml.QualityClassifier
+    val feat = Checkpoints.pin(
+      QualityClassifier.featurize(Tables.documents(s, d))
+        .select("doc_id", "y", "x0", "x1", "x2", "x3").localCheckpoint())
+    val census = Checkpoints.pin(
+      QualityClassifier.trainCensus(feat).localCheckpoint())
+    val ws = census.select(col("step"), col("w0"), col("w1"),
+      col("w2"), col("w3"))
+    val pred = expr("least(1000000L, greatest(0L, " +
+      "(x0*w0 + x1*w1 + x2*w2 + x3*w3 + 2000000L) div 4))")
+    val cf = feat.crossJoin(broadcast(ws))
+      .withColumn("conf",
+        when(col("y") === 1L, pred).otherwise(lit(1000000L) - pred))
+    cf.groupBy(col("doc_id"))
+      .agg(max(col("y")).as("y"), sum(col("conf")).as("sc"),
+        sum(col("conf") * col("conf")).as("m2"))
+      .select(col("y"), expr("sc div 3").as("mu_ppm"),
+        expr("3L * m2 - sc * sc").as("var9"))
+      .groupBy(expr("mu_ppm div 100000").as("mu_band"),
+        expr("""CASE WHEN var9 >= 1000000000000 THEN 6L
+          | WHEN var9 >= 10000000000 THEN 5L
+          | WHEN var9 >= 100000000 THEN 4L
+          | WHEN var9 >= 1000000 THEN 3L
+          | WHEN var9 >= 10000 THEN 2L
+          | WHEN var9 >= 100 THEN 1L ELSE 0L END""".stripMargin)
+          .as("var_band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_label_pos"))
+      .orderBy("mu_band", "var_band")
+  }
+
+  // ---------------------------------------------------------------------
+  // q318 — confident-learning label-noise census
+  // ---------------------------------------------------------------------
+
+  /** q318 — CONFIDENT-LEARNING label-noise census (Northcutt, Jiang &
+    * Chuang 2021, the Cleanlab estimator): estimate which labels the
+    * corpus itself contradicts, using q303's trained scorer as the
+    * out-of-the-box probe. Per-class self-confidence thresholds
+    * t_j = ⌊mean_{i: y_i=j} p̂_j(i)⌋ (p̂₁ = σ̂, p̂₀ = 10⁶−σ̂ under the
+    * final weights w3); a document joins the CONFIDENT JOINT at
+    * (y, ĵ) when p̂_ĵ ≥ t_ĵ — ties over both thresholds resolve to
+    * the larger margin (margin ties → class 1, stated), neither
+    * threshold met → excluded (ĵ = −1). Off-diagonal mass is the
+    * estimated label-noise rate; on this synthetic corpus the label
+    * (lang = en) is nearly feature-free, so the census documents an
+    * honest high-noise reading rather than a planted clean one.
+    *
+    * Scale: scoring is a per-row projection under a 1-row broadcast;
+    * the thresholds are one scalar agg; the census is a 5-row keyed
+    * agg — three linear passes beyond training itself. */
+  val q318 = QueryDef(
+    "q318_confident_learning", {
+      val pred = "LEAST(1000000, GREATEST(0, " +
+        "(f.x0*w.w0 + f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3 + 2000000) // 4))"
+      gdPrefixSql + s""",
+      |sc AS (
+      |  SELECT f.doc_id, f.y, $pred AS p
+      |  FROM feat f CROSS JOIN w3 w),
+      |th AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN y = 1 THEN p ELSE 0 END) //
+      |      GREATEST(1, SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END))
+      |      AS BIGINT) AS t1,
+      |    CAST(SUM(CASE WHEN y = 0 THEN 1000000 - p ELSE 0 END) //
+      |      GREATEST(1, SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END))
+      |      AS BIGINT) AS t0
+      |  FROM sc),
+      |cj AS (
+      |  SELECT s.y,
+      |    CASE WHEN s.p >= t.t1 AND 1000000 - s.p >= t.t0 THEN
+      |        CASE WHEN s.p - t.t1 >= (1000000 - s.p) - t.t0
+      |          THEN 1 ELSE 0 END
+      |      WHEN s.p >= t.t1 THEN 1
+      |      WHEN 1000000 - s.p >= t.t0 THEN 0
+      |      ELSE -1 END AS yhat
+      |  FROM sc s CROSS JOIN th t)
+      |SELECT CAST(c.y AS BIGINT) AS y,
+      |  CAST(c.yhat AS BIGINT) AS yhat_conf,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(1000000 * COUNT(*) // MAX(n.n) AS BIGINT) AS share_ppm
+      |FROM cj c CROSS JOIN n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.Checkpoints
+    import graft.ml.QualityClassifier
+    val feat = Checkpoints.pin(
+      QualityClassifier.featurize(Tables.documents(s, d))
+        .select("doc_id", "y", "x0", "x1", "x2", "x3").localCheckpoint())
+    val w3 = QualityClassifier.weights(
+      Checkpoints.pin(
+        QualityClassifier.trainCensus(feat).localCheckpoint()))
+    val nRow = feat.agg(count(lit(1)).as("n"))
+    val sc = feat.crossJoin(broadcast(w3))
+      .withColumn("p", expr("least(1000000L, greatest(0L, " +
+        "(x0*w0 + x1*w1 + x2*w2 + x3*w3 + 2000000L) div 4))"))
+    val th = sc.agg(
+      expr("""sum(CASE WHEN y = 1 THEN p ELSE 0L END) div
+        | greatest(1L, sum(CASE WHEN y = 1 THEN 1L ELSE 0L END))"""
+        .stripMargin).as("t1"),
+      expr("""sum(CASE WHEN y = 0 THEN 1000000L - p ELSE 0L END) div
+        | greatest(1L, sum(CASE WHEN y = 0 THEN 1L ELSE 0L END))"""
+        .stripMargin).as("t0"))
+    sc.crossJoin(broadcast(th))
+      .withColumn("yhat_conf", expr(
+        """CASE WHEN p >= t1 AND 1000000L - p >= t0 THEN
+          |  CASE WHEN p - t1 >= (1000000L - p) - t0 THEN 1L ELSE 0L END
+          | WHEN p >= t1 THEN 1L
+          | WHEN 1000000L - p >= t0 THEN 0L
+          | ELSE -1L END""".stripMargin))
+      .crossJoin(broadcast(nRow))
+      .groupBy(col("y"), col("yhat_conf"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("1000000L * count(1) div max(n)").as("share_ppm"))
+      .orderBy("y", "yhat_conf")
+  }
+
+  // ---------------------------------------------------------------------
+  // q315 — UniMax budget allocation (epoch-capped water-filling)
+  // ---------------------------------------------------------------------
+
+  /** q315 — UNIMAX BUDGET ALLOCATION (Chung et al. 2023): distribute a
+    * training token budget across languages as uniformly as possible
+    * subject to a per-language epoch cap — the fairness-motivated
+    * alternative to temperature sampling (q102) and excess-loss
+    * reweighting (q304). Spec constants: epoch cap E = 2, budget
+    * B = ⌊3N/2⌋ (N = corpus tokens — the budget scales with the
+    * corpus, so the semantics are SF-independent). The exact
+    * water-filling closed form: sort languages ascending by cap
+    * c_d = E·n_d; the fully-capped prefix is
+    *   k* = max{k : c_(k)·(D−k+1) + pfx_(k−1) ≤ B}
+    * (the feasibility gap g(k) is nondecreasing in k for sorted caps,
+    * so the feasible set is a prefix and MAX is sound), and everyone
+    * past k* gets the level L = ⌊(B − pfx_(k*)) / (D−k*)⌋. Output per
+    * language: tokens, cap, allocation, realized epochs (ppm, floor),
+    * capped flag. All int64-exact (B−pfx ≥ 0 by the k* condition, so
+    * plain floor division is safe everywhere).
+    *
+    * Scale: one token-count keyed agg (map-side combinable) collapses
+    * the corpus to the |languages|-row census; the sort window, the
+    * feasibility scan, and the one-row (k*, pfx, B) frame all ride
+    * that bounded frame — nothing downstream of the scan grows with
+    * the data. */
+  val q315 = QueryDef(
+    "q315_unimax_allocation",
+    """WITH nd AS (
+      |  SELECT lang,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_total,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lang FROM nd),
+      |c AS (
+      |  SELECT lang, n_tok, 2 * n_tok AS cap,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY 2 * n_tok, lang) AS BIGINT)
+      |      AS rn,
+      |    CAST(SUM(2 * n_tok) OVER (ORDER BY 2 * n_tok, lang
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx
+      |  FROM nd),
+      |f AS (
+      |  SELECT c.*, t.n_lang, (3 * t.n_total) // 2 AS b,
+      |    CASE WHEN c.cap * (t.n_lang - c.rn + 1) + c.pfx - c.cap
+      |      <= (3 * t.n_total) // 2 THEN 1 ELSE 0 END AS ok
+      |  FROM c CROSS JOIN t),
+      |k AS (
+      |  SELECT CAST(MAX(CASE WHEN ok = 1 THEN rn ELSE 0 END) AS BIGINT)
+      |      AS kstar,
+      |    CAST(MAX(CASE WHEN ok = 1 THEN pfx ELSE 0 END) AS BIGINT)
+      |      AS pks,
+      |    MAX(b) AS b, MAX(n_lang) AS d
+      |  FROM f),
+      |o AS (
+      |  SELECT f.lang, f.n_tok, f.cap,
+      |    CAST(CASE WHEN f.rn <= k.kstar THEN f.cap
+      |      ELSE (k.b - k.pks) // GREATEST(1, k.d - k.kstar) END
+      |      AS BIGINT) AS alloc_tokens,
+      |    CAST(CASE WHEN f.rn <= k.kstar THEN 1 ELSE 0 END AS BIGINT)
+      |      AS is_capped
+      |  FROM f CROSS JOIN k)
+      |SELECT lang, n_tok, cap AS cap_tokens, alloc_tokens,
+      |  CAST(1000000 * alloc_tokens // n_tok AS BIGINT) AS epochs_ppm,
+      |  is_capped
+      |FROM o ORDER BY lang""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val nd = Tables.documents(s, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy(col("lang")).agg(sum(col("nt")).as("n_tok"))
+    val t = nd.agg(sum(col("n_tok")).as("n_total"),
+      count(lit(1)).as("n_lang"))
+    // the sort window rides the |languages|-row census — bounded by
+    // construction, never the corpus (PlanSpec-allowlisted)
+    val w = Window.orderBy(col("cap"), col("lang"))
+    val c = nd.withColumn("cap", col("n_tok") * 2L)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("pfx", sum(col("cap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val f = c.crossJoin(broadcast(t))
+      .withColumn("b", expr("(3 * n_total) div 2"))
+      .withColumn("ok",
+        when(col("cap") * (col("n_lang") - col("rn") + 1L)
+          + col("pfx") - col("cap") <= col("b"), 1L).otherwise(0L))
+    val k = f.agg(
+      max(when(col("ok") === 1L, col("rn")).otherwise(0L)).as("kstar"),
+      max(when(col("ok") === 1L, col("pfx")).otherwise(0L)).as("pks"),
+      max(col("b")).as("bb"), max(col("n_lang")).as("dd"))
+    f.crossJoin(broadcast(k))
+      .withColumn("alloc_tokens",
+        when(col("rn") <= col("kstar"), col("cap"))
+          .otherwise(expr(
+            "(bb - pks) div greatest(1L, dd - kstar)")))
+      .select(col("lang"), col("n_tok"), col("cap").as("cap_tokens"),
+        col("alloc_tokens"),
+        expr("1000000L * alloc_tokens div n_tok").as("epochs_ppm"),
+        when(col("rn") <= col("kstar"), 1L).otherwise(0L)
+          .as("is_capped"))
+      .orderBy("lang")
+  }
+
+  // ---------------------------------------------------------------------
   // q314 — leave-one-source-out ablation census
   // ---------------------------------------------------------------------
 
@@ -626,5 +909,6 @@ object TrainQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(q303, q304, q306, q308, q312, q313, q313b, q314)
+    Seq(q303, q304, q306, q308, q312, q313, q313b, q314, q315, q317,
+      q318)
 }

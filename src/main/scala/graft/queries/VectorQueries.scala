@@ -2232,8 +2232,107 @@ object VectorQueries {
       .orderBy("split")
   }
 
+  /** q316 — DOMINANT EIGENVECTOR of the corpus embedding second-moment
+    * matrix by VON MISES POWER ITERATION (the classic; Mises &
+    * Pollaczek-Geiringer 1929), exact on integer grids: q287 measures
+    * the SCALAR anisotropy ‖Σk‖²; this recovers the dominant
+    * DIRECTION — the axis to project out in the all-but-the-top
+    * post-processing of Mu & Viswanath (2018) — plus the ∞-norm
+    * eigenvalue estimate per round. Arithmetic: milli-snapped unit
+    * vectors (the q310 grid), mean moment matrix M[p,q] =
+    * fd(Σᵢ kₚk_q, n) (floored sign-safe mean, entries ≤ ~10⁶
+    * REGARDLESS of corpus size — the mean, not the sum, is iterated,
+    * so the rounds are n-independent in range), then 3 rounds of
+    *   mv ← M·v,  λ = max|mv| (∞-norm),  v ← fd(10³·mv, λ)
+    * from the all-ones start; |mv| ≤ 64·10⁶·10³ and 10³·|mv| ≤
+    * 6.5·10¹³ keep every step in int64 at any n ≤ 9.2·10¹² (the M-sum
+    * bound, documented). Output: (round, pos, v_milli, lambda_micro) —
+    * rounds·d rows, the per-round normalized iterate and eigenvalue.
+    *
+    * Scale: ONE n·d² map-side-combinable moment agg (the q310 pass —
+    * two chained posexplodes, not a struct-array HOF: the measured 2×
+    * allocation-churn lesson), then every round is arithmetic on the
+    * broadcast d²-row M against a d-row v — iteration cost independent
+    * of corpus size. M and per-round v ride localCheckpoint + pin
+    * (v is read by two consumers per round — the q304/q307 lineage
+    * discipline; oracle-side twin is MATERIALIZED CTEs). */
+  val q316 = QueryDef(
+    "q316_power_iteration", {
+      def rnd(i: Int): String = s""",
+      |mv$i AS (
+      |  SELECT m.p AS pos, CAST(SUM(m.m * v.v) AS BIGINT) AS mv
+      |  FROM m JOIN v${i - 1} v ON v.pos = m.q GROUP BY 1),
+      |l$i AS (SELECT GREATEST(1, MAX(ABS(mv))) AS l FROM mv$i),
+      |v$i AS MATERIALIZED (
+      |  SELECT pos, CAST((1000 * mv - ((1000 * mv % l + l) % l))
+      |    // l AS BIGINT) AS v
+      |  FROM mv$i CROSS JOIN l$i)""".stripMargin
+      normCte + s""",
+      |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM n),
+      |u AS (
+      |  SELECT vec_id, t.i AS pos,
+      |    CAST(FLOOR(CAST(e[t.i] AS DOUBLE)/nrm*1e3 + 0.5) AS BIGINT)
+      |      AS k
+      |  FROM n CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) t),
+      |m AS MATERIALIZED (
+      |  SELECT a.pos AS p, b.pos AS q,
+      |    CAST((SUM(a.k * b.k) - ((SUM(a.k * b.k) % MAX(c.n)
+      |      + MAX(c.n)) % MAX(c.n))) // MAX(c.n) AS BIGINT) AS m
+      |  FROM u a JOIN u b ON a.vec_id = b.vec_id CROSS JOIN cnt c
+      |  GROUP BY 1, 2),
+      |v0 AS (SELECT DISTINCT p AS pos, CAST(1000 AS BIGINT) AS v
+      |  FROM m)""".stripMargin +
+        (1 to 3).map(rnd).mkString + """
+      |SELECT * FROM (""".stripMargin +
+        (1 to 3).map(i =>
+          s"""SELECT CAST($i AS BIGINT) AS round, v.pos,
+             | v.v AS v_milli, CAST(l.l // 1000 AS BIGINT)
+             |   AS lambda_micro
+             | FROM v$i v CROSS JOIN l$i l""".stripMargin)
+          .mkString(" UNION ALL ") + """
+      |) ORDER BY round, pos""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.Checkpoints
+    val base = normed(s, d).select(col("vec_id"),
+      transform(col("e"),
+        x => floor(x / col("nrm") * lit(1e3) + lit(0.5)).cast("long"))
+        .as("ku"))
+    val cnt = base.agg(count(lit(1)).as("n"))
+    val m = Checkpoints.pin(
+      base.select(col("ku"), posexplode(col("ku")).as(Seq("p", "kp")))
+        .select(col("p"), col("kp"),
+          posexplode(col("ku")).as(Seq("q", "kq")))
+        .groupBy(col("p"), col("q"))
+        .agg(sum(col("kp") * col("kq")).as("s"))
+        .crossJoin(broadcast(cnt))
+        // 1-based pos to match the oracle's array indexing
+        .select((col("p") + 1).cast("long").as("p"),
+          (col("q") + 1).cast("long").as("q"),
+          expr("(s - pmod(s, n)) div n").as("m"))
+        .localCheckpoint())
+    var v: org.apache.spark.sql.DataFrame = Checkpoints.pin(
+      m.select(col("p").as("pos")).distinct()
+        .select(col("pos"), lit(1000L).as("v")).localCheckpoint())
+    val rows = (1 to 3).map { r =>
+      val mv = m.join(broadcast(v.withColumnRenamed("pos", "q")), "q")
+        .groupBy(col("p").as("pos"))
+        .agg(sum(col("m") * col("v")).as("mv"))
+      val l = mv.agg(greatest(lit(1L), max(abs(col("mv")))).as("l"))
+      v = Checkpoints.pin(
+        mv.crossJoin(broadcast(l))
+          .select(col("pos"), expr(
+            "(1000L * mv - pmod(1000L * mv, l)) div l").as("v"))
+          .localCheckpoint())
+      v.crossJoin(broadcast(l))
+        .select(lit(r.toLong).as("round"), col("pos"),
+          col("v").as("v_milli"),
+          expr("l div 1000L").as("lambda_micro"))
+    }
+    rows.reduce(_ unionByName _).orderBy("round", "pos")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131,
       q134, q135, q151, q155, q174, q179, q196, q197, q202, q203, q207,
-      q226, q234, q287, q301, q302, q307, q310)
+      q226, q234, q287, q301, q302, q307, q310, q316)
 }

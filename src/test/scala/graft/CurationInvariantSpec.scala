@@ -151,6 +151,70 @@ class CurationInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q315 UniMax allocation respects budget, caps, and water level") {
+    val rows = TrainQueries.q315.run(spark, sf).collect()
+    val n = rows.map(_.getAs[Long]("n_tok")).sum
+    val b = 3L * n / 2L
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens"))
+    // budget never exceeded; floor slack < |languages| tokens
+    assert(alloc.sum <= b && b - alloc.sum < rows.length.toLong,
+      s"allocated ${alloc.sum} of $b")
+    rows.foreach { r =>
+      // epoch cap holds everywhere; capped rows get exactly their cap
+      assert(r.getAs[Long]("epochs_ppm") <= 2000000L)
+      if (r.getAs[Long]("is_capped") == 1L)
+        assert(r.getAs[Long]("alloc_tokens") ==
+          r.getAs[Long]("cap_tokens"))
+    }
+    // uncapped rows all sit at ONE water level
+    val levels = rows.filter(_.getAs[Long]("is_capped") == 0L)
+      .map(_.getAs[Long]("alloc_tokens")).distinct
+    assert(levels.length <= 1, s"water levels $levels")
+    // non-degenerate on this corpus: both capped and uncapped exist
+    assert(rows.exists(_.getAs[Long]("is_capped") == 1L) &&
+      rows.exists(_.getAs[Long]("is_capped") == 0L))
+  }
+
+  test("q316 power iteration stays sup-normalized and contracts") {
+    val rows = VectorQueries.q316.run(spark, sf).collect()
+    val byRound = rows.groupBy(_.getAs[Long]("round"))
+    assert(byRound.keySet == Set(1L, 2L, 3L))
+    byRound.foreach { case (r, rs) =>
+      assert(rs.length == 64)
+      assert(rs.map(x => math.abs(x.getAs[Long]("v_milli"))).max == 1000L,
+        s"round $r not sup-normalized")
+      assert(rs.head.getAs[Long]("lambda_micro") > 0L)
+    }
+    def vec(r: Long) = byRound(r).map(x =>
+      (x.getAs[Long]("pos"), x.getAs[Long]("v_milli"))).toMap
+    def l1(a: Map[Long, Long], b: Map[Long, Long]) =
+      a.keys.map(k => math.abs(a(k) - b(k))).sum
+    // successive iterates contract toward the dominant eigenvector
+    assert(l1(vec(3), vec(2)) <= l1(vec(2), vec(1)),
+      s"no contraction: ${l1(vec(2), vec(1))} -> ${l1(vec(3), vec(2))}")
+  }
+
+  test("q317/q318 censuses partition the corpus exactly") {
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    val carto = TrainQueries.q317.run(spark, sf).collect()
+    assert(carto.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    carto.foreach { r =>
+      assert(r.getAs[Long]("n_label_pos") <= r.getAs[Long]("n_docs"))
+      val mu = r.getAs[Long]("mu_band")
+      assert(mu >= 0L && mu <= 10L)
+    }
+    val cj = TrainQueries.q318.run(spark, sf).collect()
+    assert(cj.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // floored ppm shares sum to <= 1e6, within |cells| of it
+    val shares = cj.map(_.getAs[Long]("share_ppm")).sum
+    assert(shares <= 1000000L && shares > 1000000L - cj.length)
+    // every confident cell is one of the five legal (y, yhat) pairs
+    cj.foreach { r =>
+      assert(Set(0L, 1L).contains(r.getAs[Long]("y")))
+      assert(Set(-1L, 0L, 1L).contains(r.getAs[Long]("yhat_conf")))
+    }
+  }
+
   test("q314 LOO deltas and exclusive vocab are conservation-consistent") {
     val rows = TrainQueries.q314.run(spark, sf).collect()
     val shareSum = rows.map(_.getAs[Long]("token_share_ppm")).sum

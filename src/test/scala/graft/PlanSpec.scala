@@ -117,7 +117,10 @@ class PlanSpec extends SparkSpec {
       // census (~1e4 rungs regardless of row count, the q236 argument)
       "q294_auc",
       // q299's cumulative share runs over the 10-row decile frame
-      "q299_lorenz_deciles")
+      "q299_lorenz_deciles",
+      // q315's water-filling sort/prefix windows run over the
+      // |languages|-row token census (bounded by construction)
+      "q315_unimax_allocation")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => allowed.contains(n) }
       .flatMap { case (name, fn) =>
@@ -252,7 +255,15 @@ class PlanSpec extends SparkSpec {
       "q311_fs_em" ->
         "one-row EM parameter frame x 16-row pattern census",
       "q312_sampling_ess" -> "3-row temperature-ladder frame",
-      "q314_source_ablation" -> "one-row corpus-total frame")
+      "q314_source_ablation" -> "one-row corpus-total frame",
+      "q315_unimax_allocation" ->
+        "one-row corpus-total and water-level frames",
+      "q316_power_iteration" ->
+        "one-row count and per-round sup-norm frames",
+      "q317_dataset_cartography" ->
+        "3-row GD-checkpoint weight frame (the q303 census)",
+      "q318_confident_learning" ->
+        "one-row weight/threshold/count frames")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
