@@ -104,6 +104,43 @@ object QualityClassifier {
     accs.reduce(_ unionByName _).orderBy("step")
   }
 
+  /** Per-(doc, step) training errors of the SAME GD run as
+    * [[trainCensus]] — err_i under checkpoint w_{i−1}, the quantity
+    * TracIn-style influence rides (for the linear scorer the per-doc
+    * gradient is err·x, so influence products reduce to err arithmetic
+    * times feature dot products). Identical weight-update arithmetic;
+    * output (doc_id, y, step, err), `steps`·n rows. */
+  def stepErrors(feat0: DataFrame, steps: Int = 3): DataFrame = {
+    val feat = Checkpoints.pin(
+      feat0.select("doc_id", "y", "x0", "x1", "x2", "x3")
+        .localCheckpoint())
+    val nRow = feat.agg(count(lit(1)).as("n"))
+    val s = feat.sparkSession
+    var w: DataFrame = s.range(1)
+      .select(lit(0L).as("w0"), lit(0L).as("w1"),
+        lit(0L).as("w2"), lit(0L).as("w3"))
+    val es = (1 to steps).map { i =>
+      val e = feat.crossJoin(broadcast(w)).crossJoin(broadcast(nRow))
+        .withColumn("err",
+          least(lit(1000000L),
+            greatest(lit(0L), expr(
+              "(x0*w0 + x1*w1 + x2*w2 + x3*w3 + 2000000) div 4")))
+            - col("y") * 1000000L)
+      w = e.agg(
+        (max(col("w0")) - fdCol(sum(col("err") * col("x0")),
+          max(col("n")) * 1000L)).as("w0"),
+        (max(col("w1")) - fdCol(sum(col("err") * col("x1")),
+          max(col("n")) * 1000L)).as("w1"),
+        (max(col("w2")) - fdCol(sum(col("err") * col("x2")),
+          max(col("n")) * 1000L)).as("w2"),
+        (max(col("w3")) - fdCol(sum(col("err") * col("x3")),
+          max(col("n")) * 1000L)).as("w3"))
+      e.select(col("doc_id"), col("y"), lit(i.toLong).as("step"),
+        col("err"))
+    }
+    es.reduce(_ unionByName _)
+  }
+
   /** The final weight row (w0..w3) of a [[trainCensus]] frame. */
   def weights(census: DataFrame, steps: Int = 3): DataFrame =
     census.filter(col("step") === steps.toLong)

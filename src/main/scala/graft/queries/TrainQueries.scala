@@ -67,7 +67,7 @@ object TrainQueries {
       s"CAST(MAX(w.w$j) - (${fdSql(s"SUM(err*x$j)", "MAX(n.n)*1000")}) AS BIGINT)"
     s""",
     |e$i AS (
-    |  SELECT f.y, f.x0, f.x1, f.x2, f.x3,
+    |  SELECT f.doc_id, f.y, f.x0, f.x1, f.x2, f.x3,
     |    $pred - f.y*1000000 AS err
     |  FROM feat f CROSS JOIN w${i - 1} w),
     |w$i AS (
@@ -735,6 +735,176 @@ object TrainQueries {
   }
 
   // ---------------------------------------------------------------------
+  // q319 — TracIn self-influence census (memorization triage)
+  // ---------------------------------------------------------------------
+
+  /** q319 — SELF-INFLUENCE census, TracIn-style (Pruthi et al. 2020;
+    * the Feldman & Zhang 2020 memorization proxy): how much does each
+    * document's own training update reduce its own loss? For the q303
+    * linear scorer the per-doc gradient at checkpoint i is err_i·x, so
+    * TracIn's Σᵢ ∇ℓᵢ(d)·∇ℓᵢ(d) collapses to
+    *   si(d) = ‖x_d‖² · Σᵢ errm_i²,   errm = fd(err, 10³)
+    * (milli-scaled errors keep the product exact int64 at ANY corpus
+    * size: ‖x‖² ≤ ~10⁶ on the declared feature grids and Σ errm² ≤
+    * 3·10⁶, so si ≤ 3·10¹² — per-doc, never corpus-summed). High
+    * self-influence = atypical/memorized candidates (the
+    * inspect-before-training list); the output is a 1–3–10 ladder
+    * band census (decades alone collapse this statistic: ‖x‖²·Σerrm²
+    * spreads within ~1.5 decades on near-full-scale errors) with
+    * label composition and the per-band max. Complements q317
+    * (trajectory SHAPE) and q318 (label contradiction) — this is
+    * gradient MAGNITUDE.
+    *
+    * Scale: the per-(doc, step) error frame is the q303 training pass
+    * itself (3 broadcast-weight projections); the census is one
+    * doc-keyed agg + one band-keyed agg, both map-side combinable. */
+  val q319 = QueryDef(
+    "q319_tracin_self_influence", {
+      val errm = fdSql("g.err", "1000")
+      gdPrefixSql + s""",
+      |g AS (
+      |  SELECT doc_id, y, err FROM e1
+      |  UNION ALL SELECT doc_id, y, err FROM e2
+      |  UNION ALL SELECT doc_id, y, err FROM e3),
+      |se AS (
+      |  SELECT g.doc_id, MAX(g.y) AS y,
+      |    CAST(SUM(($errm) * ($errm)) AS BIGINT) AS se2
+      |  FROM g GROUP BY 1),
+      |nx AS (
+      |  SELECT doc_id, x0*x0 + x1*x1 + x2*x2 + x3*x3 AS nx FROM feat),
+      |si AS (
+      |  SELECT se.y, CAST(nx.nx * se.se2 AS BIGINT) AS si
+      |  FROM se JOIN nx ON nx.doc_id = se.doc_id)
+      |SELECT CAST(CASE WHEN si >= 1000000000000 THEN 9
+      |    WHEN si >= 300000000000 THEN 8
+      |    WHEN si >= 100000000000 THEN 7
+      |    WHEN si >= 30000000000 THEN 6
+      |    WHEN si >= 10000000000 THEN 5
+      |    WHEN si >= 3000000000 THEN 4
+      |    WHEN si >= 1000000000 THEN 3
+      |    WHEN si >= 300000000 THEN 2
+      |    WHEN si >= 100000000 THEN 1 ELSE 0 END AS BIGINT) AS si_band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(y) AS BIGINT) AS n_label_pos,
+      |  CAST(MAX(si) AS BIGINT) AS si_max
+      |FROM si GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.Checkpoints
+    import graft.ml.QualityClassifier
+    val feat = Checkpoints.pin(
+      QualityClassifier.featurize(Tables.documents(s, d))
+        .select("doc_id", "y", "x0", "x1", "x2", "x3").localCheckpoint())
+    val errs = QualityClassifier.stepErrors(feat)
+    val se = errs
+      .withColumn("errm", fdCol(col("err"), lit(1000L)))
+      .groupBy(col("doc_id"))
+      .agg(max(col("y")).as("y"),
+        sum(col("errm") * col("errm")).as("se2"))
+    val nx = feat.select(col("doc_id"),
+      expr("x0*x0 + x1*x1 + x2*x2 + x3*x3").as("nx"))
+    se.join(nx, "doc_id")
+      .select(col("y"), (col("nx") * col("se2")).as("si"))
+      .groupBy(expr("""CASE WHEN si >= 1000000000000 THEN 9L
+        | WHEN si >= 300000000000 THEN 8L
+        | WHEN si >= 100000000000 THEN 7L
+        | WHEN si >= 30000000000 THEN 6L
+        | WHEN si >= 10000000000 THEN 5L
+        | WHEN si >= 3000000000 THEN 4L
+        | WHEN si >= 1000000000 THEN 3L
+        | WHEN si >= 300000000 THEN 2L
+        | WHEN si >= 100000000 THEN 1L ELSE 0L END""".stripMargin)
+        .as("si_band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_label_pos"),
+        max(col("si")).as("si_max"))
+      .orderBy("si_band")
+  }
+
+  // ---------------------------------------------------------------------
+  // q320 — IPF raking of the source × language table
+  // ---------------------------------------------------------------------
+
+  /** q320 — ITERATIVE PROPORTIONAL FITTING (raking; Deming & Stephan
+    * 1940) of the (source × language) document table to uniform
+    * marginals — the two-facet balancing act single-axis mixers (q48
+    * rates, q315 budgets, q304 α) cannot express: resample weights
+    * that simultaneously level sources AND languages. Exact-integer
+    * IPF on the micro-doc grid: m⁰ = 10⁶·N_sl; two full sweeps, each
+    *   row step  m ← ⌊m · R_s / rowsum(m)⌋   (R_s = ⌊10⁶·N/|S|⌋),
+    *   col step  m ← ⌊m · C_l / colsum(m)⌋   (C_l = ⌊10⁶·N/|L|⌋);
+    * all quantities positive (plain floor division), products ≤
+    * (10⁶N)² — int64-exact for corpora ≤ ~3·10⁶ docs, the documented
+    * headroom (beyond: DECIMAL(38), the q312 hatch). Output per cell:
+    * docs, fitted micro-docs, and the implied per-doc resample weight
+    * (ppm) a q70-style weighted sampler consumes.
+    *
+    * Scale: one (source, lang) keyed count collapses the corpus to a
+    * |S|·|L|-cell table; every IPF step is a keyed agg + broadcast
+    * join on that bounded frame. */
+  val q320 = QueryDef(
+    "q320_ipf_raking", {
+      def rowStep(i: Int, prev: String): String = s""",
+      |rs$i AS (SELECT source, CAST(SUM(m) AS BIGINT) AS rsum
+      |  FROM $prev GROUP BY 1),
+      |r$i AS (
+      |  SELECT p.source, p.lang, p.n_docs,
+      |    CAST(p.m * t.rt // rs.rsum AS BIGINT) AS m
+      |  FROM $prev p JOIN rs$i rs ON rs.source = p.source
+      |  CROSS JOIN t)""".stripMargin
+      def colStep(i: Int, prev: String): String = s""",
+      |cs$i AS (SELECT lang, CAST(SUM(m) AS BIGINT) AS csum
+      |  FROM $prev GROUP BY 1),
+      |c$i AS (
+      |  SELECT p.source, p.lang, p.n_docs,
+      |    CAST(p.m * t.ct // cs.csum AS BIGINT) AS m
+      |  FROM $prev p JOIN cs$i cs ON cs.lang = p.lang
+      |  CROSS JOIN t)""".stripMargin
+      """WITH cell AS (
+      |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(1000000 * COUNT(*) AS BIGINT) AS m
+      |  FROM documents GROUP BY 1, 2),
+      |t AS (
+      |  SELECT CAST(1000000 * SUM(n_docs) //
+      |      COUNT(DISTINCT source) AS BIGINT) AS rt,
+      |    CAST(1000000 * SUM(n_docs) //
+      |      COUNT(DISTINCT lang) AS BIGINT) AS ct
+      |  FROM cell)""".stripMargin +
+        rowStep(1, "cell") + colStep(1, "r1") +
+        rowStep(2, "c1") + colStep(2, "r2") + """
+      |SELECT source, lang, n_docs, m AS fitted_micro,
+      |  CAST(m // n_docs AS BIGINT) AS weight_ppm
+      |FROM c2 ORDER BY source, lang""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.Checkpoints
+    val cell0 = Tables.documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("m", col("n_docs") * 1000000L)
+    val cell = Checkpoints.pin(cell0.localCheckpoint())
+    val t = cell.agg(
+      expr("1000000L * sum(n_docs) div count(DISTINCT source)").as("rt"),
+      expr("1000000L * sum(n_docs) div count(DISTINCT lang)").as("ct"))
+    def rowStep(p: DataFrame): DataFrame = {
+      val rs = p.groupBy(col("source")).agg(sum(col("m")).as("rsum"))
+      p.join(broadcast(rs), "source").crossJoin(broadcast(t))
+        .select(col("source"), col("lang"), col("n_docs"),
+          expr("m * rt div rsum").as("m"))
+    }
+    def colStep(p: DataFrame): DataFrame = {
+      val cs = p.groupBy(col("lang")).agg(sum(col("m")).as("csum"))
+      p.join(broadcast(cs), "lang").crossJoin(broadcast(t))
+        .select(col("source"), col("lang"), col("n_docs"),
+          expr("m * ct div csum").as("m"))
+    }
+    val fitted = colStep(rowStep(Checkpoints.pin(
+      colStep(rowStep(cell)).localCheckpoint())))
+    fitted
+      .select(col("source"), col("lang"), col("n_docs"),
+        col("m").as("fitted_micro"),
+        expr("m div n_docs").as("weight_ppm"))
+      .orderBy("source", "lang")
+  }
+
+  // ---------------------------------------------------------------------
   // q315 — UniMax budget allocation (epoch-capped water-filling)
   // ---------------------------------------------------------------------
 
@@ -910,5 +1080,5 @@ object TrainQueries {
 
   val all: Seq[QueryDef] =
     Seq(q303, q304, q306, q308, q312, q313, q313b, q314, q315, q317,
-      q318)
+      q318, q319, q320)
 }

@@ -215,6 +215,39 @@ class CurationInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q319 self-influence census partitions the corpus, bands ordered") {
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    val rows = TrainQueries.q319.run(spark, sf)
+      .orderBy("si_band").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // non-degenerate ladder (the reason the 1-3-10 bands exist)
+    assert(rows.length >= 3, s"only ${rows.length} bands")
+    // per-band max is monotone in the band — the ladder is an order
+    val maxes = rows.map(_.getAs[Long]("si_max"))
+    maxes.sliding(2).foreach { case Array(a, b) => assert(a < b) }
+  }
+
+  test("q320 IPF raking hits the column marginals and levels rows") {
+    val rows = TrainQueries.q320.run(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    val nSrc = rows.map(_.getAs[String]("source")).distinct.length
+    val nLang = rows.map(_.getAs[String]("lang")).distinct.length
+    val rt = 1000000L * nDocs / nSrc
+    val ct = 1000000L * nDocs / nLang
+    // the final sweep ends on a column step: colsums exact to floor
+    // slack (< |S| per column)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (l, rs) =>
+      val cs = rs.map(_.getAs[Long]("fitted_micro")).sum
+      assert(ct - cs >= 0 && ct - cs < nSrc.toLong, s"colsum $l = $cs")
+    }
+    // rows are LEVELED (within 2% of target after two sweeps) even
+    // though only columns are exact — the raking trade-off
+    rows.groupBy(_.getAs[String]("source")).foreach { case (s0, rs) =>
+      val rsum = rs.map(_.getAs[Long]("fitted_micro")).sum
+      assert(math.abs(rsum - rt) <= rt / 50, s"rowsum $s0 = $rsum")
+    }
+  }
+
   test("q314 LOO deltas and exclusive vocab are conservation-consistent") {
     val rows = TrainQueries.q314.run(spark, sf).collect()
     val shareSum = rows.map(_.getAs[Long]("token_share_ppm")).sum

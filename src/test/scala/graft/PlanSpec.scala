@@ -263,7 +263,11 @@ class PlanSpec extends SparkSpec {
       "q317_dataset_cartography" ->
         "3-row GD-checkpoint weight frame (the q303 census)",
       "q318_confident_learning" ->
-        "one-row weight/threshold/count frames")
+        "one-row weight/threshold/count frames",
+      "q319_tracin_self_influence" ->
+        "one-row weight/count frames (the q303 training chain)",
+      "q320_ipf_raking" ->
+        "one-row target-marginal frame over the |S|x|L| cell table")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
