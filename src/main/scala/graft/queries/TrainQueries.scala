@@ -905,6 +905,120 @@ object TrainQueries {
   }
 
   // ---------------------------------------------------------------------
+  // q321 — greedy max-coverage source selection
+  // ---------------------------------------------------------------------
+
+  /** q321 — GREEDY MAX-COVERAGE source selection (the Nemhauser,
+    * Wolsey & Fisher 1978 (1−1/e) greedy on the coverage submodular):
+    * which K sources, bought in order, cover the most of the corpus's
+    * bigram vocabulary? The selection counterpart of q314's removal
+    * counterfactual and q110's pairwise overlap — a data-buying /
+    * shard-prioritization census. Three unrolled greedy rounds: pick
+    * the source with the largest UNCOVERED-bigram gain (ties → source
+    * name), fold its bigrams into the covered set, repeat. Bigram
+    * types (the q101 unit) because this corpus's unigram vocabulary
+    * is fully shared (31 types — q314's honest-null exclusive-vocab
+    * reading); bigrams differentiate sources. A round whose best
+    * remaining gain is zero emits no row (greedy stops buying),
+    * stated semantics in both engines. Output per round: source,
+    * marginal gain, covered total, coverage ppm of |V|.
+    *
+    * Scale: the working frame is the DISTINCT (source, bigram) census
+    * — |S|·|V|-bounded, NOT corpus-sized — built in one exploded
+    * distinct; each round is one anti-join + keyed count on it, a
+    * 1-row argmax (TakeOrdered on the |S|-row gain frame), and a
+    * bounded covered-set union, all checkpoint-pinned (the q304
+    * round discipline). */
+  val q321 = QueryDef(
+    "q321_greedy_coverage", {
+      def pick(i: Int, notIn: String, coveredPrev: Option[Int]):
+          String = {
+        val uncov = coveredPrev.map(c =>
+          s"LEFT JOIN c$c ON c$c.b = st.b WHERE c$c.b IS NULL AND ")
+          .getOrElse("WHERE ")
+        s""",
+        |g$i AS (
+        |  SELECT st.source, CAST(COUNT(*) AS BIGINT) AS gain
+        |  FROM st $uncov st.source NOT IN ($notIn)
+        |  GROUP BY 1),
+        |p$i AS MATERIALIZED (
+        |  SELECT source, gain FROM g$i
+        |  ORDER BY gain DESC, source LIMIT 1),
+        |c$i AS MATERIALIZED (
+        |  SELECT DISTINCT b FROM (${coveredPrev.map(c =>
+          s"SELECT b FROM c$c UNION ALL ").getOrElse("")}
+        |    SELECT st.b FROM st JOIN p$i ON p$i.source = st.source))"""
+          .stripMargin
+      }
+      def outRow(i: Int) =
+        s"""SELECT CAST($i AS BIGINT) AS round, p$i.source,
+           | p$i.gain AS gain_new_types,
+           | (SELECT CAST(COUNT(*) AS BIGINT) FROM c$i)
+           |   AS covered_total,
+           | CAST(1000000 * (SELECT COUNT(*) FROM c$i) // nv.nv
+           |   AS BIGINT) AS coverage_ppm
+           |FROM p$i CROSS JOIN nv""".stripMargin
+      """WITH l AS (
+      |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+      |e AS (
+      |  SELECT source, toks, unnest(range(1, len(toks))) AS i
+      |  FROM l WHERE len(toks) >= 2),
+      |st AS (
+      |  SELECT DISTINCT source,
+      |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS b
+      |  FROM e),
+      |nv AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS nv FROM st)"""
+        .stripMargin +
+        pick(1, "SELECT NULL WHERE FALSE", None) +
+        pick(2, "SELECT source FROM p1", Some(1)) +
+        pick(3, "SELECT source FROM p1 UNION ALL SELECT source FROM p2",
+          Some(2)) +
+        "\nSELECT * FROM (" + (1 to 3).map(outRow).mkString(
+          " UNION ALL ") + ") ORDER BY round"
+    }) { (s, d) =>
+    import graft.functions.Checkpoints
+    val st = Checkpoints.pin(
+      Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("source"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+        .select(col("source"),
+          concat(expr("element_at(toks, i)"), lit(" "),
+            expr("element_at(toks, i + 1)")).as("b"))
+        .distinct()
+        .localCheckpoint())
+    val nv = st.agg(countDistinct(col("b")).as("nv"))
+    var covered: Option[DataFrame] = None
+    var picked: Option[DataFrame] = None
+    val rows = (1 to 3).map { r =>
+      val remaining = picked.fold(st)(p =>
+        st.join(broadcast(p), Seq("source"), "left_anti"))
+      val fresh = covered.fold(remaining)(c =>
+        remaining.join(c, Seq("b"), "left_anti"))
+      val pick = Checkpoints.pin(
+        fresh.groupBy(col("source")).agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("source")).limit(1)
+          .localCheckpoint())
+      val newCov = st.join(broadcast(pick.select(col("source"))),
+        Seq("source")).select(col("b"))
+      covered = Some(Checkpoints.pin(
+        covered.fold(newCov.distinct())(c =>
+          c.unionByName(newCov).distinct()).localCheckpoint()))
+      picked = Some(Checkpoints.pin(
+        picked.fold(pick.select(col("source")))(p =>
+          p.unionByName(pick.select(col("source"))))
+          .localCheckpoint()))
+      val covCnt = covered.get.agg(count(lit(1)).as("covered_total"))
+      pick.crossJoin(broadcast(covCnt)).crossJoin(broadcast(nv))
+        .select(lit(r.toLong).as("round"), col("source"),
+          col("gain").as("gain_new_types"), col("covered_total"),
+          expr("1000000L * covered_total div nv").as("coverage_ppm"))
+    }
+    rows.reduce(_ unionByName _).orderBy("round")
+  }
+
+  // ---------------------------------------------------------------------
   // q315 — UniMax budget allocation (epoch-capped water-filling)
   // ---------------------------------------------------------------------
 
@@ -1080,5 +1194,5 @@ object TrainQueries {
 
   val all: Seq[QueryDef] =
     Seq(q303, q304, q306, q308, q312, q313, q313b, q314, q315, q317,
-      q318, q319, q320)
+      q318, q319, q320, q321)
 }

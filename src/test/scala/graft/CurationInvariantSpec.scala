@@ -248,6 +248,24 @@ class CurationInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q321 greedy coverage has diminishing returns and exact cumsum") {
+    val rows = TrainQueries.q321.run(spark, sf).orderBy("round").collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    // greedy on a submodular objective: marginal gains nonincreasing
+    val gains = rows.map(_.getAs[Long]("gain_new_types"))
+    gains.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"gain grew: $a -> $b")
+    }
+    // covered_total is exactly the running gain sum; no double count
+    assert(rows.map(_.getAs[Long]("covered_total")).toSeq ==
+      gains.scanLeft(0L)(_ + _).tail.toSeq)
+    // distinct sources, coverage within [0, 1e6]
+    assert(rows.map(_.getAs[String]("source")).distinct.length ==
+      rows.length)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("coverage_ppm") <= 1000000L))
+  }
+
   test("q314 LOO deltas and exclusive vocab are conservation-consistent") {
     val rows = TrainQueries.q314.run(spark, sf).collect()
     val shareSum = rows.map(_.getAs[Long]("token_share_ppm")).sum

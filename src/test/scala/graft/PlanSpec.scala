@@ -267,7 +267,9 @@ class PlanSpec extends SparkSpec {
       "q319_tracin_self_influence" ->
         "one-row weight/count frames (the q303 training chain)",
       "q320_ipf_raking" ->
-        "one-row target-marginal frame over the |S|x|L| cell table")
+        "one-row target-marginal frame over the |S|x|L| cell table",
+      "q321_greedy_coverage" ->
+        "1-row greedy pick + one-row coverage/vocab-count frames")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
