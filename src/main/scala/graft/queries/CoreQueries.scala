@@ -6633,6 +6633,106 @@ object CoreQueries {
       .orderBy(col("month_idx"))
   }
 
+  /** q322 — KENDALL τ-b rank correlation (Kendall 1938) between a
+    * part's price band and its sales-frequency band, computed WITHOUT
+    * the O(n²) pair scan: both variables are quantized onto declared
+    * bounded grids (price: 10 decicent-millibands over the catalog's
+    * spec range, frequency: ⌊f/8⌋ capped at 15 — the banding IS part
+    * of the statistic, stated), so every pair comparison collapses
+    * onto the ≤160-cell joint census and the concordant/discordant
+    * masses are Σ c_a·c_b over strictly-ordered cell pairs — a
+    * broadcast self-join of the bounded census, never of parts. Ties
+    * (the reason τ-b over τ-a): n1/n2 from the census margins,
+    * τ_b = (C−D)/√((n0−n1)(n0−n2)) with the √ as the single trailing
+    * float (q292's Spearman discipline — there ranks, here pairs;
+    * the two coefficients read the same monotone association through
+    * different loss functions). Parts with zero sales never enter
+    * (frequency is undefined for them), stated.
+    *
+    * Scale: one keyed count per part (map-side combinable), one
+    * broadcast dim join, one ≤160-row census — the cell-pair join and
+    * every margin ride the census, so nothing downstream of the
+    * per-part agg grows with the data. Headroom: C, D ≤ n(n−1)/2
+    * wraps int64 only past n ≈ 4.3·10⁹ parts; the √ argument is
+    * computed in double throughout (exact to 2⁵³). */
+  val q322 = QueryDef(
+    "q322_kendall_tau",
+    """WITH pc AS (
+      |  SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM lineitem GROUP BY 1),
+      |bv AS (
+      |  SELECT
+      |    CAST((CAST(FLOOR(p.p_retailprice * 100 + 0.5) AS BIGINT)
+      |      - 90000) // 1000 AS BIGINT) AS bx,
+      |    CAST(LEAST(pc.freq // 8, 15) AS BIGINT) AS yv
+      |  FROM pc JOIN part p ON p.p_partkey = pc.pk),
+      |cells AS (
+      |  SELECT bx, yv, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM bv GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+      |pr AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN a.bx < d.bx AND a.yv < d.yv
+      |      THEN a.c * d.c ELSE 0 END) AS BIGINT) AS nc,
+      |    CAST(SUM(CASE WHEN a.bx < d.bx AND a.yv > d.yv
+      |      THEN a.c * d.c ELSE 0 END) AS BIGINT) AS nd
+      |  FROM cells a, cells d),
+      |tx AS (
+      |  SELECT CAST(SUM(cx * (cx - 1) // 2) AS BIGINT) AS n1
+      |  FROM (SELECT CAST(SUM(c) AS BIGINT) AS cx FROM cells
+      |    GROUP BY bx)),
+      |ty AS (
+      |  SELECT CAST(SUM(cy * (cy - 1) // 2) AS BIGINT) AS n2
+      |  FROM (SELECT CAST(SUM(c) AS BIGINT) AS cy FROM cells
+      |    GROUP BY yv))
+      |SELECT t.n AS n_parts, pr.nc AS concordant, pr.nd AS discordant,
+      |  tx.n1 AS ties_x, ty.n2 AS ties_y,
+      |  CAST(FLOOR(1000.0 * (pr.nc - pr.nd) /
+      |    sqrt((CAST(t.n AS DOUBLE) * (t.n - 1) / 2 - tx.n1)
+      |      * (CAST(t.n AS DOUBLE) * (t.n - 1) / 2 - ty.n2)))
+      |    AS BIGINT) AS tau_b_milli
+      |FROM pr CROSS JOIN tot t CROSS JOIN tx CROSS JOIN ty
+      |WHERE t.n >= 2""".stripMargin) { (s, d) =>
+    import graft.functions.Checkpoints
+    val pc = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("freq"))
+    // eager checkpoint + pin, not cache(): cells feeds FOUR broadcast
+    // subtrees (pair join, total, two margins) whose jobs launch
+    // concurrently — the measured q310 cache race
+    val cells = Checkpoints.pin(
+      pc.join(Tables.part(s, d), col("pk") === col("p_partkey"))
+        .select(
+          expr("(cast(floor(p_retailprice * 100 + 0.5) as bigint)" +
+            " - 90000L) div 1000").as("bx"),
+          expr("least(freq div 8, 15L)").as("yv"))
+        .groupBy(col("bx"), col("yv")).agg(count(lit(1)).as("c"))
+        .localCheckpoint())
+    val tot = cells.agg(sum(col("c")).as("n"))
+    val pr = cells.crossJoin(broadcast(
+        cells.select(col("bx").as("dbx"), col("yv").as("dyv"),
+          col("c").as("dc"))))
+      .agg(
+        sum(when(col("bx") < col("dbx") && col("yv") < col("dyv"),
+          col("c") * col("dc")).otherwise(0L)).as("nc"),
+        sum(when(col("bx") < col("dbx") && col("yv") > col("dyv"),
+          col("c") * col("dc")).otherwise(0L)).as("nd"))
+    val tx = cells.groupBy(col("bx")).agg(sum(col("c")).as("cx"))
+      .agg(sum(expr("cx * (cx - 1L) div 2")).as("n1"))
+    val ty = cells.groupBy(col("yv")).agg(sum(col("c")).as("cy"))
+      .agg(sum(expr("cy * (cy - 1L) div 2")).as("n2"))
+    pr.crossJoin(broadcast(tot)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .filter(col("n") >= 2)
+      .select(col("n").as("n_parts"), col("nc").as("concordant"),
+        col("nd").as("discordant"), col("n1").as("ties_x"),
+        col("n2").as("ties_y"),
+        expr("cast(floor(1000.0 * (nc - nd) /" +
+          " sqrt((cast(n as double) * (n - 1) / 2 - n1)" +
+          " * (cast(n as double) * (n - 1) / 2 - n2))) as bigint)")
+          .as("tau_b_milli"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
@@ -6643,5 +6743,5 @@ object CoreQueries {
     q255, q256, q259, q260, q261, q262, q263, q264, q267, q268,
     q270, q271, q272, q274, q275, q277, q278, q279, q280, q281,
     q283, q284, q285, q286, q288, q289, q290, q291, q292, q293,
-    q294, q295, q297, q299, q300)
+    q294, q295, q297, q299, q300, q322)
 }

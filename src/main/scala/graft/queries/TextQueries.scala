@@ -3810,11 +3810,139 @@ object TextQueries {
       .orderBy("a_title", "a_lang", "a_source", "a_ncb")
   }
 
+  // ---------------------------------------------------------------------
+  // q326 — Chao1 vocabulary-richness estimator
+  // ---------------------------------------------------------------------
+
+  /** q326 — CHAO1 unseen-vocabulary estimator (Chao 1984, the
+    * bias-corrected form; Good 1953 for the coverage companion): how
+    * many word types does the corpus's POPULATION hold beyond the V
+    * observed — the capture-recapture answer to the question q249's
+    * Heaps-law fit extrapolates and q273's Good–Turing mass answers
+    * probabilistically. From the token-frequency census alone:
+    * singletons F1, doubletons F2,
+    *   Chao1 = V + F1(F1−1)/(2(F2+1))  (bias-corrected — defined even
+    * at F2 = 0), here floored on the milli grid; Good's sample
+    * coverage Ĉ = 1 − F1/N in exact ppm. On this 31-type synthetic
+    * vocabulary F1 = 0 at any tested SF, so Chao1 = V and Ĉ = 1 —
+    * the honest saturated-corpus reading (stated; the estimator's
+    * discriminating power needs a long-tail vocabulary, which the
+    * oracle pins arithmetically all the same).
+    *
+    * Scale: one exploded token count (map-side combinable), one
+    * |V|-bounded frequency census, three scalar aggregates. All
+    * int64: 1000·F1·(F1−1) wraps only past F1 ≈ 3·10⁶ types
+    * (beyond: DECIMAL, the q312 hatch). */
+  val q326 = QueryDef(
+    "q326_chao1_richness",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+      |  GROUP BY 1),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+      |    CAST(SUM(c) AS BIGINT) AS n
+      |  FROM tf)
+      |SELECT v AS v_types, f1, f2, n AS n_tokens,
+      |  CAST(1000 * v + (1000 * f1 * (f1 - 1)) // (2 * (f2 + 1))
+      |    AS BIGINT) AS chao1_milli,
+      |  CAST(1000000 - (1000000 * f1) // n AS BIGINT) AS coverage_ppm
+      |FROM agg WHERE n > 0""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("v"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"),
+        sum(col("c")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("v").as("v_types"), col("f1"), col("f2"),
+        col("n").as("n_tokens"),
+        expr("1000L * v + (1000L * f1 * (f1 - 1)) div (2 * (f2 + 1))")
+          .as("chao1_milli"),
+        expr("1000000L - (1000000L * f1) div n").as("coverage_ppm"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q327 — first-occurrence novelty census
+  // ---------------------------------------------------------------------
+
+  /** q327 — FIRST-OCCURRENCE NOVELTY census: for every document, what
+    * fraction of its bigram types appears here FIRST (no earlier
+    * doc_id contains it)? The per-document ordering signal behind
+    * dedup-aware curation (Lee et al. 2022 showed duplicated n-grams
+    * dominate web corpora; a doc whose types all premiered earlier is
+    * the marginal-value-zero candidate q321/q328 price at source
+    * grain — this is the doc-grain view). doc_id order is the
+    * DECLARED arrival order (the q66 incremental-dedup convention).
+    * Per doc: bigram types, novel types (min-doc_id ownership —
+    * each type credited to exactly ONE doc, so novelty masses are
+    * conservation-exact: Σ novel = |V|), novelty ratio in exact ppm,
+    * rolled into the (source, novelty-decile) census.
+    *
+    * Scale: one exploded DISTINCT (doc, bigram) frame, one min-keyed
+    * census over it, one join back on the bigram key, two keyed aggs
+    * — all linear, one shuffle each, nothing pairwise. */
+  val q327 = QueryDef(
+    "q327_novelty_census",
+    """WITH l AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, source, toks,
+      |    unnest(range(1, len(toks))) AS i
+      |  FROM l WHERE len(toks) >= 2),
+      |db AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS b
+      |  FROM e),
+      |fo AS (SELECT b, CAST(MIN(doc_id) AS BIGINT) AS fd FROM db
+      |  GROUP BY 1),
+      |pd AS (
+      |  SELECT db.doc_id, db.source,
+      |    CAST(COUNT(*) AS BIGINT) AS types,
+      |    CAST(SUM(CASE WHEN fo.fd = db.doc_id THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS novel
+      |  FROM db JOIN fo ON fo.b = db.b
+      |  GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(((1000000 * novel) // types) // 100000 AS BIGINT)
+      |    AS nov_band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(types) AS BIGINT) AS sum_types,
+      |  CAST(SUM(novel) AS BIGINT) AS sum_novel
+      |FROM pd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val db = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+      .select(col("doc_id"), col("source"),
+        concat(expr("element_at(toks, i)"), lit(" "),
+          expr("element_at(toks, i + 1)")).as("b"))
+      .distinct()
+    val fo = db.groupBy(col("b")).agg(min(col("doc_id")).as("fd"))
+    db.join(fo, "b")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("types"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel"))
+      .groupBy(col("source"),
+        expr("((1000000L * novel) div types) div 100000")
+          .as("nov_band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("types")).as("sum_types"),
+        sum(col("novel")).as("sum_novel"))
+      .orderBy("source", "nov_band")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
       q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181,
       q184, q185, q190, q192, q193, q200, q208, q232, q238, q249, q266,
-      q269, q273, q276, q282, q296, q311)
+      q269, q273, q276, q282, q296, q311, q326, q327)
 }

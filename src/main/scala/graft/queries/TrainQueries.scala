@@ -1192,7 +1192,351 @@ object TrainQueries {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------------
+  // q323 — Borda rank-aggregation of quality signals
+  // ---------------------------------------------------------------------
+
+  /** q323 — BORDA RANK-AGGREGATION of quality signals (Borda 1781;
+    * Dwork et al. 2001 "Rank aggregation methods for the Web" — the
+    * MC/Borda family as the practical Kemeny approximation): fuse
+    * three per-document quality signals (token count, char count,
+    * stopword count — the q85 Gopher raw inputs) into ONE consensus
+    * ordering without learning weights, the unsupervised ensemble
+    * beside q303's trained scorer. Each signal ranks ascending by
+    * COMPETITION rank (ties share the min rank — 1 + #docs strictly
+    * below), computed from the signal's VALUE CENSUS: a prefix sum
+    * over the bounded distinct-value frame broadcast-joined back, so
+    * no global window ever touches the corpus. Borda score = Σ ranks;
+    * the output is the scale-free decile census of the score
+    * (band = ⌊10·(score−3)/(3n−2)⌋) with the cross-signal rank SPREAD
+    * (max−min rank per doc) — low-spread bands are signal-consensus
+    * docs, high-spread bands the disagreement frontier a curator
+    * inspects. All exact int64 (score ≤ 3n; 10·score wraps only past
+    * n ≈ 3·10¹⁷).
+    *
+    * Scale: three value censuses (map-side combinable, bounded by the
+    * signals' VALUE RANGES, never the corpus), three broadcast
+    * rank-joins, one per-doc projection, one ≤10-row keyed census. */
+  val q323 = QueryDef(
+    "q323_borda_ensemble", {
+      def rankCte(i: Int, vExpr: String) = s"""
+        |c$i AS (SELECT $vExpr AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM f GROUP BY 1),
+        |r$i AS (SELECT v, CAST(COALESCE(SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+        |  AS BIGINT) AS r FROM c$i)""".stripMargin
+      s"""WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v1,
+      |    CAST(n_chars AS BIGINT) AS v2,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS v3
+      |  FROM documents),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),${
+        rankCte(1, "v1")},${rankCte(2, "v2")},${rankCte(3, "v3")},
+      |j AS (
+      |  SELECT f.doc_id, r1.r AS ra, r2.r AS rb, r3.r AS rc
+      |  FROM f JOIN r1 ON r1.v = f.v1 JOIN r2 ON r2.v = f.v2
+      |    JOIN r3 ON r3.v = f.v3),
+      |sc AS (
+      |  SELECT doc_id, ra + rb + rc AS score,
+      |    GREATEST(ra, rb, rc) - LEAST(ra, rb, rc) AS spread
+      |  FROM j)
+      |SELECT CAST(((score - 3) * 10) // (3 * n.n - 2) AS BIGINT)
+      |    AS borda_band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(spread) AS BIGINT) AS sum_spread,
+      |  CAST(SUM(spread) // COUNT(*) AS BIGINT) AS mean_spread,
+      |  CAST(MIN(score) AS BIGINT) AS min_score,
+      |  CAST(MAX(score) AS BIGINT) AS max_score
+      |FROM sc CROSS JOIN n GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Checkpoints
+    // eager checkpoint + pin, not cache(): f feeds three census
+    // subtrees plus the final join — concurrent broadcast consumers
+    // (the measured q310 cache race)
+    val f = Checkpoints.pin(
+      Tables.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("v1"),
+        col("n_chars").cast("long").as("v2"),
+        size(filter(split(col("text"), " "),
+          t => t.isin("the", "a", "of", "and"))).cast("long").as("v3"))
+        .localCheckpoint())
+    val n = f.agg(count(lit(1)).as("n"))
+    def rankOf(vc: String): org.apache.spark.sql.DataFrame = {
+      // the prefix window rides the bounded distinct-VALUE census
+      // (value-range-bounded, never corpus-sized) — PlanSpec
+      // window-allowlisted
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      f.groupBy(col(vc).as("v")).agg(count(lit(1)).as("c"))
+        .select(col("v"),
+          (coalesce(sum(col("c")).over(w), lit(0L)) + 1L).as("r"))
+    }
+    val j = f
+      .join(broadcast(rankOf("v1").select(col("v").as("v1"),
+        col("r").as("ra"))), Seq("v1"))
+      .join(broadcast(rankOf("v2").select(col("v").as("v2"),
+        col("r").as("rb"))), Seq("v2"))
+      .join(broadcast(rankOf("v3").select(col("v").as("v3"),
+        col("r").as("rc"))), Seq("v3"))
+      .select(
+        (col("ra") + col("rb") + col("rc")).as("score"),
+        (greatest(col("ra"), col("rb"), col("rc"))
+          - least(col("ra"), col("rb"), col("rc"))).as("spread"))
+    j.crossJoin(broadcast(n))
+      .groupBy(expr("((score - 3L) * 10) div (3L * n - 2)")
+        .as("borda_band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("spread")).as("sum_spread"),
+        expr("sum(spread) div count(1)").as("mean_spread"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy("borda_band")
+  }
+
+  // ---------------------------------------------------------------------
+  // q324 — curriculum pacing schedule (competence-based admission)
+  // ---------------------------------------------------------------------
+
+  /** q324 — CURRICULUM PACING schedule (Bengio et al. 2009;
+    * competence function c(t) = √(t/T) of Platanios et al. 2019): when
+    * does each document ENTER training under a difficulty-ordered
+    * curriculum? Difficulty = token count (the Platanios sentence-
+    * length difficulty); the 4-epoch √-competence ladder is the
+    * DECLARED ppm constant vector c = (500000, 707107, 866025,
+    * 1000000) — spec constants like Buckets' cut points, not
+    * data-derived. A document (and its whole difficulty tie-group —
+    * all-or-nothing, stated) is admitted at the first epoch t with
+    * 10⁶·below < c_t·n, where below = #docs strictly easier — so
+    * admission needs only the difficulty VALUE CENSUS and its prefix
+    * sum, never a per-doc global rank. Output per epoch: newly
+    * admitted docs, cumulative docs, min/max/floored-mean difficulty
+    * of the new intake — the curriculum's data-loading manifest. An
+    * epoch whose competence window admits nothing emits no row
+    * (stated in both engines).
+    *
+    * Scale: one map-side value census + a prefix window over it
+    * (bounded by the difficulty value range, never the corpus), one
+    * one-row count, a ≤4-row epoch census + its prefix window. 10⁶·n
+    * wraps int64 only past n ≈ 9·10¹². */
+  val q324 = QueryDef(
+    "q324_curriculum_pacing",
+    """WITH f AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS d
+      |  FROM documents),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),
+      |c AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY 1),
+      |p AS (
+      |  SELECT d, c, CAST(COALESCE(SUM(c) OVER (ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS below
+      |  FROM c),
+      |e AS (
+      |  SELECT d, c, CASE
+      |      WHEN 1000000 * below < 500000 * n.n THEN 1
+      |      WHEN 1000000 * below < 707107 * n.n THEN 2
+      |      WHEN 1000000 * below < 866025 * n.n THEN 3
+      |      ELSE 4 END AS epoch
+      |  FROM p CROSS JOIN n),
+      |g AS (
+      |  SELECT CAST(epoch AS BIGINT) AS epoch,
+      |    CAST(SUM(c) AS BIGINT) AS n_new_docs,
+      |    CAST(MIN(d) AS BIGINT) AS min_difficulty,
+      |    CAST(MAX(d) AS BIGINT) AS max_difficulty,
+      |    CAST(SUM(d * c) // SUM(c) AS BIGINT) AS mean_difficulty
+      |  FROM e GROUP BY 1)
+      |SELECT epoch, n_new_docs,
+      |  CAST(SUM(n_new_docs) OVER (ORDER BY epoch
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS n_cum_docs,
+      |  min_difficulty, max_difficulty, mean_difficulty
+      |FROM g ORDER BY epoch""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables.documents(s, d)
+      .select(size(split(col("text"), " ")).cast("long").as("d"))
+    val n = f.agg(count(lit(1)).as("n"))
+    // both prefix windows ride bounded frames (difficulty value
+    // census; ≤4-row epoch census) — PlanSpec window-allowlisted
+    val wd = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val p = f.groupBy(col("d")).agg(count(lit(1)).as("c"))
+      .select(col("d"), col("c"),
+        coalesce(sum(col("c")).over(wd), lit(0L)).as("below"))
+    val e = p.crossJoin(broadcast(n))
+      .select(col("d"), col("c"),
+        when(lit(1000000L) * col("below") < lit(500000L) * col("n"), 1L)
+          .when(lit(1000000L) * col("below") < lit(707107L) * col("n"), 2L)
+          .when(lit(1000000L) * col("below") < lit(866025L) * col("n"), 3L)
+          .otherwise(4L).as("epoch"))
+    val g = e.groupBy(col("epoch"))
+      .agg(sum(col("c")).as("n_new_docs"),
+        min(col("d")).as("min_difficulty"),
+        max(col("d")).as("max_difficulty"),
+        expr("sum(d * c) div sum(c)").as("mean_difficulty"))
+    val we = Window.orderBy(col("epoch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.select(col("epoch"), col("n_new_docs"),
+        sum(col("n_new_docs")).over(we).as("n_cum_docs"),
+        col("min_difficulty"), col("max_difficulty"),
+        col("mean_difficulty"))
+      .orderBy("epoch")
+  }
+
+  // ---------------------------------------------------------------------
+  // q328 — exact Data-Shapley source valuation (coverage game)
+  // ---------------------------------------------------------------------
+
+  /** q328 — EXACT DATA-SHAPLEY valuation of sources (Ghorbani & Zou
+    * 2019's framing, computed EXACTLY — no Monte Carlo — for the
+    * bigram-coverage utility v(S) = |∪_{s∈S} B_s|): the coverage game
+    * decomposes into one elementary game per bigram (worth 1 to any
+    * coalition holding a coverer), and the Shapley value of an
+    * m-coverer elementary game splits the unit equally — so
+    * φ_s = Σ_{b ∈ B_s} 1/m_b, computed from the (source, bigram)
+    * census and the per-bigram coverer count alone. The axiomatic
+    * completion of the selection suite: q314's LOO is v(N)−v(N∖{s})
+    * (= the exclusive-type count, a column here), q321's greedy buys
+    * marginal coverage — Shapley prices EVERY marginal position at
+    * once. Exact integers: m_b ∈ 1..|S| = 20, so each term rides the
+    * lcm(1..20) = 232,792,560 grid (L/m_b exact), Σφ·L = L·|V| —
+    * the EFFICIENCY axiom as a spec invariant. share_ppm floors
+    * 10⁶·φ/|V|; int64 needs |V| ≤ 3.9·10⁴ on this grid (this
+    * corpus's 31-token unigram vocab bounds |V| ≤ 961 at ANY SF;
+    * beyond: DECIMAL, the q312 hatch).
+    *
+    * Scale: one exploded DISTINCT (source, bigram) census
+    * (|S|·|V|-bounded, the q321 working frame), one |V|-row coverer
+    * count, one join on the bigram key, one |S|-row keyed agg —
+    * corpus-sized work only in the first explode. */
+  val q328 = QueryDef(
+    "q328_source_shapley",
+    """WITH l AS (
+      |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+      |e AS (
+      |  SELECT source, toks, unnest(range(1, len(toks))) AS i
+      |  FROM l WHERE len(toks) >= 2),
+      |sb AS (
+      |  SELECT DISTINCT source,
+      |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS b
+      |  FROM e),
+      |mb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS m FROM sb
+      |  GROUP BY 1),
+      |vt AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM mb),
+      |ps AS (
+      |  SELECT sb.source, CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(CASE WHEN mb.m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_exclusive,
+      |    CAST(SUM(232792560 // mb.m) AS BIGINT) AS phi_xl
+      |  FROM sb JOIN mb ON mb.b = sb.b GROUP BY 1)
+      |SELECT source, n_types, n_exclusive, phi_xl,
+      |  CAST((1000000 * phi_xl) // (232792560 * vt.v) AS BIGINT)
+      |    AS share_ppm
+      |FROM ps CROSS JOIN vt ORDER BY source""".stripMargin) { (s, d) =>
+    import graft.functions.Checkpoints
+    // eager checkpoint + pin, not cache(): sb feeds the coverer
+    // census, the join, and (via mb) the broadcast |V| frame —
+    // concurrent broadcast consumers (the measured q310 cache race)
+    val sb = Checkpoints.pin(
+      Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("source"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+        .select(col("source"),
+          concat(expr("element_at(toks, i)"), lit(" "),
+            expr("element_at(toks, i + 1)")).as("b"))
+        .distinct()
+        .localCheckpoint())
+    val mb = Checkpoints.pin(
+      sb.groupBy(col("b")).agg(count(lit(1)).as("m")).localCheckpoint())
+    val vt = mb.agg(count(lit(1)).as("v"))
+    sb.join(mb, "b")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("m") === 1L, 1L).otherwise(0L)).as("n_exclusive"),
+        sum(expr("232792560L div m")).as("phi_xl"))
+      .crossJoin(broadcast(vt))
+      .select(col("source"), col("n_types"), col("n_exclusive"),
+        col("phi_xl"),
+        expr("(1000000L * phi_xl) div (232792560L * v)")
+          .as("share_ppm"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------------
+  // q329 — token-budget knapsack selection (density greedy)
+  // ---------------------------------------------------------------------
+
+  /** q329 — TOKEN-BUDGET KNAPSACK selection, density-greedy census
+    * (Dantzig 1957's greedy solves the knapsack LP relaxation
+    * exactly; within one band of optimal for the integer program):
+    * under a training-token budget B = ⌊N/4⌋, which documents does a
+    * value-per-token curator admit? Value = distinct-type count
+    * (lexical diversity), cost = token count, density quantized to
+    * the permille band rb = ⌊(10⁶·value/cost)/1000⌋ ∈ 0..1000 — the
+    * band ladder IS the greedy order, so admission needs only the
+    * ≤1001-row band census and its descending prefix sum, never a
+    * per-doc global sort (the q236/q294 census-first discipline).
+    * Output per band: docs, tokens, cumulative tokens, and status
+    * 2 = fully admitted / 1 = boundary band (the greedy's fractional
+    * band — the curator's tie-break zone) / 0 = excluded. The
+    * budget-constrained completion of the selection suite: q321/q328
+    * price SOURCES, q324 orders by difficulty — this packs by
+    * value-density under a hard budget.
+    *
+    * Scale: one per-row projection, one ≤1001-row keyed census, a
+    * prefix window over it, a one-row total frame. 10⁶·value wraps
+    * int64 only past 9·10¹² types/doc — never. */
+  val q329 = QueryDef(
+    "q329_budget_knapsack",
+    """WITH f AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS cost,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |      AS val
+      |  FROM documents),
+      |t AS (SELECT CAST(SUM(cost) AS BIGINT) AS tot FROM f),
+      |bnd AS (
+      |  SELECT CAST(((1000000 * val) // cost) // 1000 AS BIGINT) AS rb,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(cost) AS BIGINT) AS tokens
+      |  FROM f GROUP BY 1),
+      |c AS (
+      |  SELECT rb, n_docs, tokens,
+      |    CAST(SUM(tokens) OVER (ORDER BY rb DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum_tokens
+      |  FROM bnd)
+      |SELECT c.rb AS ratio_band, c.n_docs, c.tokens, c.cum_tokens,
+      |  CAST(CASE WHEN c.cum_tokens <= t.tot // 4 THEN 2
+      |    WHEN c.cum_tokens - c.tokens < t.tot // 4 THEN 1
+      |    ELSE 0 END AS BIGINT) AS status
+      |FROM c CROSS JOIN t ORDER BY ratio_band DESC""".stripMargin) {
+    (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables.documents(s, d)
+      .select(size(split(col("text"), " ")).cast("long").as("cost"),
+        size(array_distinct(split(col("text"), " "))).cast("long")
+          .as("val"))
+    val t = f.agg(sum(col("cost")).as("tot"))
+    // the prefix window rides the ≤1001-row permille band census —
+    // PlanSpec window-allowlisted
+    val w = Window.orderBy(col("rb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    f.groupBy(expr("((1000000L * val) div cost) div 1000").as("rb"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("cost")).as("tokens"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .crossJoin(broadcast(t))
+      .select(col("rb").as("ratio_band"), col("n_docs"), col("tokens"),
+        col("cum_tokens"),
+        when(col("cum_tokens") <= expr("tot div 4"), 2L)
+          .when(col("cum_tokens") - col("tokens") < expr("tot div 4"),
+            1L)
+          .otherwise(0L).as("status"))
+      .orderBy(col("ratio_band").desc)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q303, q304, q306, q308, q312, q313, q313b, q314, q315, q317,
-      q318, q319, q320, q321)
+      q318, q319, q320, q321, q323, q324, q328, q329)
 }

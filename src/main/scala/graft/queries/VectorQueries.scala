@@ -2331,8 +2331,136 @@ object VectorQueries {
     rows.reduce(_ unionByName _).orderBy("round", "pos")
   }
 
+  /** q325 — FACILITY-LOCATION greedy data selection (Lin & Bilmes
+    * 2011's submodular summarization objective; Mirzasoleiman et al.
+    * 2020 CRAIG uses the same F for coreset selection):
+    * F(S) = Σ_i max_{j∈S} sim⁺(i, j) — pick the K=4 centers from a
+    * bounded candidate pool that best REPRESENT the embedding corpus,
+    * the maximization complement of q307's k-center (which MINIMIZES
+    * the worst gap; facility location maximizes average coverage, so
+    * it chases dense mass where k-center chases outliers). The
+    * Nemhauser greedy (1−1/e as in q321) runs 4 unrolled rounds on
+    * exact int64: sim⁺ = max(0, ⟨milli-unit k_i, milli-unit k_j⟩)
+    * (clamp stated — facility location needs a nonneg kernel), the
+    * candidate pool is the 16 vectors with smallest
+    * (md5(vec_id), vec_id) — a deterministic uniform-hash draw both
+    * engines derive identically, bounded at ANY corpus size. Per
+    * round: marginal gain Σ_i (max(best_i, sim) − best_i) per
+    * unpicked candidate, argmax (ties → vec_id), fold the winner into
+    * the per-point best-coverage state, report the realized objective.
+    *
+    * Scale: the sim matrix is n×16 (|pool| broadcast linear passes,
+    * built once, checkpoint-pinned); each round is one keyed agg over
+    * it + a 1-row argmax + an n-row state update — the q307/q304
+    * round discipline. Headroom: sim ≤ 64·10⁶, so the objective wraps
+    * int64 only past ~1.4·10¹¹ vectors. */
+  val q325 = QueryDef(
+    "q325_facility_location", {
+      val base = normCte.replace("WITH n AS (", "WITH n AS MATERIALIZED (") +
+        s""",
+        |u AS MATERIALIZED (
+        |  SELECT vec_id, t.i AS pos,
+        |    CAST(FLOOR(CAST(e[t.i] AS DOUBLE)/nrm*1e3 + 0.5) AS BIGINT)
+        |      AS k
+        |  FROM n CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) t),
+        |pool AS MATERIALIZED (
+        |  SELECT vec_id AS cand FROM n
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |sm AS MATERIALIZED (
+        |  SELECT a.vec_id, cu.cand,
+        |    GREATEST(CAST(SUM(a.k * cu.k) AS BIGINT), 0) AS sim
+        |  FROM u a JOIN (SELECT p.cand, uu.pos, uu.k FROM u uu
+        |    JOIN pool p ON uu.vec_id = p.cand) cu ON cu.pos = a.pos
+        |  GROUP BY 1, 2),
+        |b0 AS (SELECT vec_id, CAST(0 AS BIGINT) AS best FROM n)"""
+          .stripMargin
+      def rnd(r: Int) = {
+        val excl = if (r == 1) "" else {
+          val notIn = (1 until r).map(i => s"SELECT cand FROM p$i")
+            .mkString(" UNION ALL ")
+          s"WHERE sm.cand NOT IN ($notIn)"
+        }
+        s""",
+        |g$r AS (
+        |  SELECT sm.cand,
+        |    CAST(SUM(GREATEST(sm.sim - b${r - 1}.best, 0)) AS BIGINT)
+        |      AS gain
+        |  FROM sm JOIN b${r - 1} ON b${r - 1}.vec_id = sm.vec_id
+        |  $excl GROUP BY 1),
+        |p$r AS MATERIALIZED (
+        |  SELECT cand, gain FROM g$r ORDER BY gain DESC, cand LIMIT 1),
+        |b$r AS MATERIALIZED (
+        |  SELECT b.vec_id, GREATEST(b.best, s.sim) AS best
+        |  FROM b${r - 1} b JOIN (SELECT sm.vec_id, sm.sim FROM sm
+        |    JOIN p$r ON p$r.cand = sm.cand) s ON s.vec_id = b.vec_id),
+        |o$r AS (SELECT CAST(SUM(best) AS BIGINT) AS obj FROM b$r)"""
+          .stripMargin
+      }
+      def outRow(r: Int) =
+        s"SELECT CAST($r AS BIGINT) AS round, p$r.cand AS center_id, " +
+          s"p$r.gain AS gain, o$r.obj AS objective " +
+          s"FROM p$r CROSS JOIN o$r"
+      base + (1 to 4).map(rnd).mkString + "\n" +
+        "SELECT * FROM (" + (1 to 4).map(outRow).mkString(" UNION ALL ") +
+        ") ORDER BY round"
+    }) { (s, d) =>
+    import graft.functions.Checkpoints
+    // eager checkpoint + pin, not cache(): km feeds the pool argsort,
+    // the broadcast sim subtree, and the state init — concurrent
+    // broadcast consumers (the measured q310 cache race)
+    val km = Checkpoints.pin(
+      normed(s, d).select(col("vec_id"),
+        transform(col("e"),
+          x => floor(x / col("nrm") * lit(1e3) + lit(0.5)).cast("long"))
+          .as("km"))
+        .localCheckpoint())
+    val pool = km
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(16)
+      .select(col("vec_id").as("cand"), col("km").as("ckm"))
+    val sm = Checkpoints.pin(
+      km.crossJoin(broadcast(pool))
+        .select(col("vec_id"), col("cand"),
+          greatest(
+            aggregate(zip_with(col("km"), col("ckm"),
+              (a, b) => a * b), lit(0L), (acc, x) => acc + x),
+            lit(0L)).as("sim"))
+        .localCheckpoint())
+    var best = Checkpoints.pin(
+      km.select(col("vec_id"), lit(0L).as("best")).localCheckpoint())
+    var picked: Option[org.apache.spark.sql.DataFrame] = None
+    val rows = (1 to 4).map { r =>
+      val candSide = picked.fold(sm)(p =>
+        sm.join(broadcast(p), Seq("cand"), "left_anti"))
+      val pick = Checkpoints.pin(
+        candSide.join(best, "vec_id")
+          .groupBy(col("cand"))
+          .agg(sum(greatest(col("sim") - col("best"), lit(0L)))
+            .as("gain"))
+          .orderBy(col("gain").desc, col("cand")).limit(1)
+          .localCheckpoint())
+      best = Checkpoints.pin(
+        best.join(
+            sm.join(broadcast(pick.select(col("cand"))), Seq("cand"))
+              .select(col("vec_id"), col("sim")),
+            Seq("vec_id"))
+          .select(col("vec_id"),
+            greatest(col("best"), col("sim")).as("best"))
+          .localCheckpoint())
+      picked = Some(Checkpoints.pin(
+        picked.fold(pick.select(col("cand")))(p =>
+          p.unionByName(pick.select(col("cand"))))
+          .localCheckpoint()))
+      val obj = best.agg(sum(col("best")).as("objective"))
+      pick.crossJoin(broadcast(obj))
+        .select(lit(r.toLong).as("round"), col("cand").as("center_id"),
+          col("gain"), col("objective"))
+    }
+    rows.reduce(_ unionByName _).orderBy("round")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131,
       q134, q135, q151, q155, q174, q179, q196, q197, q202, q203, q207,
-      q226, q234, q287, q301, q302, q307, q310, q316)
+      q226, q234, q287, q301, q302, q307, q310, q316, q325)
 }

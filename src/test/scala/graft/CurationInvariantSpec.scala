@@ -266,6 +266,164 @@ class CurationInvariantSpec extends SparkSpec {
       assert(r.getAs[Long]("coverage_ppm") <= 1000000L))
   }
 
+  test("q322 Kendall pair masses satisfy the tau-b pair identity") {
+    import org.apache.spark.sql.functions._
+    val r = graft.queries.CoreQueries.q322.run(spark, sf).collect().head
+    val (n, c, dd, tx, ty) = (r.getAs[Long]("n_parts"),
+      r.getAs[Long]("concordant"), r.getAs[Long]("discordant"),
+      r.getAs[Long]("ties_x"), r.getAs[Long]("ties_y"))
+    // rebuild the joint census to get Txy (pairs tied in BOTH — the
+    // one mass the query doesn't emit) and close the exact identity
+    // n(n-1)/2 = C + D + Tx + Ty - Txy
+    val cells = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey").as("pk")).agg(count(lit(1)).as("freq"))
+      .join(Tables.part(spark, sf), col("pk") === col("p_partkey"))
+      .select(
+        expr("(cast(floor(p_retailprice * 100 + 0.5) as bigint)" +
+          " - 90000L) div 1000").as("bx"),
+        expr("least(freq div 8, 15L)").as("yv"))
+      .groupBy("bx", "yv").agg(count(lit(1)).as("c"))
+    val txy = cells.select(expr("sum(c * (c - 1L) div 2)").as("t"))
+      .collect().head.getAs[Long]("t")
+    assert(c + dd + tx + ty - txy == n * (n - 1) / 2,
+      s"pair identity: C=$c D=$dd Tx=$tx Ty=$ty Txy=$txy n=$n")
+    val tau = r.getAs[Long]("tau_b_milli")
+    assert(tau >= -1000L && tau <= 1000L, s"tau out of range: $tau")
+  }
+
+  test("q323 Borda census partitions the corpus; spread bounds hold") {
+    val rows = TrainQueries.q323.run(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      val band = r.getAs[Long]("borda_band")
+      assert(band >= 0L && band <= 9L, s"band $band")
+      val (nd, ss, ms) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("sum_spread"), r.getAs[Long]("mean_spread"))
+      // floored mean brackets the sum; spread < n by rank range
+      assert(ms * nd <= ss && ss < (ms + 1) * nd)
+      assert(ss <= nd * (nDocs - 1))
+      // score bounds: 3 <= score <= 3n
+      assert(r.getAs[Long]("min_score") >= 3L &&
+        r.getAs[Long]("max_score") <= 3L * nDocs)
+    }
+  }
+
+  test("q324 curriculum admits in difficulty order and exhausts corpus") {
+    val rows = TrainQueries.q324.run(spark, sf).orderBy("epoch").collect()
+    assert(rows.nonEmpty && rows.length <= 4)
+    val nDocs = Tables.documents(spark, sf).count()
+    // cumulative counts are the exact running sum and end at n
+    val news = rows.map(_.getAs[Long]("n_new_docs"))
+    assert(rows.map(_.getAs[Long]("n_cum_docs")).toSeq ==
+      news.scanLeft(0L)(_ + _).tail.toSeq)
+    assert(rows.last.getAs[Long]("n_cum_docs") == nDocs)
+    // admission is difficulty-ordered: epoch t's hardest newly
+    // admitted doc is strictly easier than epoch t+1's easiest
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_difficulty") <
+          b.getAs[Long]("min_difficulty"),
+          s"epochs overlap: ${a.getAs[Long]("max_difficulty")} vs " +
+            s"${b.getAs[Long]("min_difficulty")}")
+      case _ => ()
+    }
+    rows.foreach { r =>
+      val e = r.getAs[Long]("epoch")
+      assert(e >= 1L && e <= 4L)
+      assert(r.getAs[Long]("min_difficulty") <=
+        r.getAs[Long]("mean_difficulty") &&
+        r.getAs[Long]("mean_difficulty") <=
+          r.getAs[Long]("max_difficulty"))
+    }
+  }
+
+  test("q325 facility-location greedy: diminishing gains, exact cumsum") {
+    val rows = VectorQueries.q325.run(spark, sf).orderBy("round").collect()
+    assert(rows.length == 4)
+    val gains = rows.map(_.getAs[Long]("gain"))
+    // submodularity: greedy marginal gains are nonincreasing
+    gains.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"gain grew: $a -> $b")
+    }
+    // the realized objective is exactly the running gain sum
+    assert(rows.map(_.getAs[Long]("objective")).toSeq ==
+      gains.scanLeft(0L)(_ + _).tail.toSeq)
+    // 4 distinct centers, all from the pool; objective nonnegative
+    assert(rows.map(_.getAs[Long]("center_id")).distinct.length == 4)
+    assert(gains.forall(_ >= 0L))
+  }
+
+  test("q326 Chao1 never estimates below the observed vocabulary") {
+    val r = TextQueries.q326.run(spark, sf).collect().head
+    val (v, f1, f2, n) = (r.getAs[Long]("v_types"), r.getAs[Long]("f1"),
+      r.getAs[Long]("f2"), r.getAs[Long]("n_tokens"))
+    assert(f1 >= 0 && f2 >= 0 && f1 + f2 <= v && v <= n)
+    assert(r.getAs[Long]("chao1_milli") >= 1000L * v)
+    val cov = r.getAs[Long]("coverage_ppm")
+    assert(cov >= 0L && cov <= 1000000L)
+  }
+
+  test("q327 novelty masses conserve: every bigram premieres exactly once") {
+    import org.apache.spark.sql.functions._
+    val rows = TextQueries.q327.run(spark, sf).collect()
+    // Σ novel over the whole census = |corpus bigram vocabulary|
+    val vocab = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> concat(element_at(toks, i), ' '," +
+          " element_at(toks, i + 1)))")).as("b"))
+      .select("b").distinct().count()
+    assert(rows.map(_.getAs[Long]("sum_novel")).sum == vocab)
+    rows.foreach { r =>
+      val band = r.getAs[Long]("nov_band")
+      assert(band >= 0L && band <= 10L)
+      assert(r.getAs[Long]("sum_novel") <= r.getAs[Long]("sum_types"))
+    }
+  }
+
+  test("q328 Shapley satisfies the efficiency axiom exactly") {
+    val rows = TrainQueries.q328.run(spark, sf).collect()
+    val L = 232792560L
+    // Σ_s φ_s = v(N) = |V|, exactly on the lcm grid
+    val phiSum = rows.map(_.getAs[Long]("phi_xl")).sum
+    assert(phiSum % L == 0, s"phi sum $phiSum not a multiple of L")
+    val v = phiSum / L
+    assert(v > 0)
+    rows.foreach { r =>
+      val (nt, ne, phi) = (r.getAs[Long]("n_types"),
+        r.getAs[Long]("n_exclusive"), r.getAs[Long]("phi_xl"))
+      // exclusive types contribute L each; shared ones (1/m)·L < L
+      assert(ne <= nt)
+      assert(phi >= ne * L && phi <= nt * L,
+        s"phi $phi outside [${ne}L, ${nt}L]")
+    }
+  }
+
+  test("q329 knapsack statuses are a monotone ladder within budget") {
+    val rows = TrainQueries.q329.run(spark, sf)
+      .orderBy(col("ratio_band").desc).collect()
+    val total = rows.map(_.getAs[Long]("tokens")).sum
+    // cum is the exact running token sum in greedy (density) order
+    assert(rows.map(_.getAs[Long]("cum_tokens")).toSeq ==
+      rows.map(_.getAs[Long]("tokens")).scanLeft(0L)(_ + _).tail.toSeq)
+    val budget = total / 4
+    val statuses = rows.map(_.getAs[Long]("status")).toSeq
+    // 2s, then at most one 1, then 0s — the greedy admission ladder
+    assert(statuses == statuses.sortBy(-_), s"not a ladder: $statuses")
+    assert(statuses.count(_ == 1L) <= 1)
+    // every fully-admitted prefix fits the budget; adding the first
+    // excluded/boundary band overflows it
+    rows.zip(statuses).foreach { case (r, st) =>
+      if (st == 2L) assert(r.getAs[Long]("cum_tokens") <= budget)
+      if (st == 0L)
+        assert(r.getAs[Long]("cum_tokens") - r.getAs[Long]("tokens")
+          >= budget)
+    }
+  }
+
   test("q314 LOO deltas and exclusive vocab are conservation-consistent") {
     val rows = TrainQueries.q314.run(spark, sf).collect()
     val shareSum = rows.map(_.getAs[Long]("token_share_ppm")).sum

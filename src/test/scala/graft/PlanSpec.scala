@@ -120,7 +120,17 @@ class PlanSpec extends SparkSpec {
       "q299_lorenz_deciles",
       // q315's water-filling sort/prefix windows run over the
       // |languages|-row token census (bounded by construction)
-      "q315_unimax_allocation")
+      "q315_unimax_allocation",
+      // q323's rank prefix windows run over the distinct-VALUE
+      // censuses of the three signals (value-range-bounded, the
+      // q236 census-first argument)
+      "q323_borda_ensemble",
+      // q324's prefix windows run over the difficulty value census
+      // and the ≤4-row epoch frame
+      "q324_curriculum_pacing",
+      // q329's prefix window runs over the ≤1001-row permille
+      // density-band census
+      "q329_budget_knapsack")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => allowed.contains(n) }
       .flatMap { case (name, fn) =>
@@ -269,7 +279,15 @@ class PlanSpec extends SparkSpec {
       "q320_ipf_raking" ->
         "one-row target-marginal frame over the |S|x|L| cell table",
       "q321_greedy_coverage" ->
-        "1-row greedy pick + one-row coverage/vocab-count frames")
+        "1-row greedy pick + one-row coverage/vocab-count frames",
+      "q322_kendall_tau" ->
+        "≤160-cell joint-census self-cross + one-row total/margin frames",
+      "q323_borda_ensemble" -> "one-row corpus-count frame",
+      "q324_curriculum_pacing" -> "one-row corpus-count frame",
+      "q325_facility_location" ->
+        "16-row candidate pool + 1-row pick/objective frames",
+      "q328_source_shapley" -> "one-row vocabulary-count frame",
+      "q329_budget_knapsack" -> "one-row token-total frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
