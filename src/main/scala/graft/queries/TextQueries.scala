@@ -3938,11 +3938,82 @@ object TextQueries {
       .orderBy("source", "nov_band")
   }
 
+  // ---------------------------------------------------------------------
+  // q331 — Hill tail-index estimator of the token-frequency tail
+  // ---------------------------------------------------------------------
+
+  /** q331 — HILL TAIL-INDEX estimator (Hill 1975) of the token
+    * frequency distribution's upper tail: the conditional-MLE
+    * companion to q184's Zipf fit — q184 regresses the WHOLE log-log
+    * rank curve, Hill reads only the k largest order statistics,
+    *   1/α̂ = (1/k) Σ_{i≤k} ln(f_(i) / f_(k+1)),
+    * so it prices exactly the heavy head that sizes every
+    * heavy-hitter structure (q121's Misra–Gries width, q78's
+    * thresholds). Spec constant k = 8; order statistics are the
+    * top-(k+1) census rows by (count desc, token) — fully tie-broken,
+    * so both engines pick the identical multiset. Every ln rides the
+    * LangModel milli-nat grid (floored per ROW, then exact integer
+    * sums — the q130 portability contract), and α̂ appears in milli
+    * as ⌊10⁶ / H_mnat⌋ with H_mnat = ⌊Σ/k⌋ clamped ≥ 1 (a flat head
+    * — all top frequencies equal — reads as the α → ∞ sentinel 10⁶,
+    * stated). Emits nothing when the vocabulary has < k+1 types.
+    *
+    * Scale: one exploded token count (map-side combinable), one
+    * |V|-bounded census, a 9-row TakeOrdered, scalar folds — the
+    * corpus touches only the first agg. */
+  val q331 = QueryDef(
+    "q331_hill_tail_index", {
+      import graft.functions.LangModel.mnatSql
+      s"""WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+      |  GROUP BY 1),
+      |t8 AS MATERIALIZED (
+      |  SELECT c FROM tf ORDER BY c DESC, t LIMIT 8),
+      |k1 AS MATERIALIZED (
+      |  SELECT CAST(MIN(c) AS BIGINT) AS ck, CAST(COUNT(*) AS BIGINT)
+      |    AS m
+      |  FROM (SELECT c FROM tf ORDER BY c DESC, t LIMIT 9)),
+      |h AS (
+      |  SELECT CAST(SUM(${mnatSql("t8.c")}) AS BIGINT)
+      |      - 8 * ${mnatSql("MAX(k1.ck)")} AS hsum,
+      |    MAX(k1.ck) AS ck, MAX(k1.m) AS m
+      |  FROM t8 CROSS JOIN k1)
+      |SELECT CAST(8 AS BIGINT) AS k, ck AS f_kplus1,
+      |  CAST(hsum AS BIGINT) AS sum_lnratio_mnat,
+      |  CAST(hsum // 8 AS BIGINT) AS hill_inv_mnat,
+      |  CAST(1000000 // GREATEST(1, hsum // 8) AS BIGINT)
+      |    AS alpha_milli
+      |FROM h WHERE m >= 9""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.LangModel.mnat
+    import graft.functions.Checkpoints
+    // eager checkpoint + pin, not cache(): tf feeds the two
+    // TakeOrdered subtrees consumed concurrently (q310 race shape)
+    val tf = Checkpoints.pin(
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .localCheckpoint())
+    val t8 = tf.orderBy(col("c").desc, col("t")).limit(8).select("c")
+    val k1 = tf.orderBy(col("c").desc, col("t")).limit(9)
+      .agg(min(col("c")).as("ck"), count(lit(1)).as("m"))
+    t8.crossJoin(broadcast(k1))
+      .agg((sum(mnat(col("c"))) - lit(8L) * mnat(max(col("ck"))))
+          .as("hsum"),
+        max(col("ck")).as("ck"), max(col("m")).as("m"))
+      .filter(col("m") >= 9)
+      .select(lit(8L).as("k"), col("ck").as("f_kplus1"),
+        col("hsum").as("sum_lnratio_mnat"),
+        expr("hsum div 8").as("hill_inv_mnat"),
+        expr("1000000L div greatest(1L, hsum div 8)").as("alpha_milli"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
       q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181,
       q184, q185, q190, q192, q193, q200, q208, q232, q238, q249, q266,
-      q269, q273, q276, q282, q296, q311, q326, q327)
+      q269, q273, q276, q282, q296, q311, q326, q327, q331)
 }

@@ -1536,7 +1536,189 @@ object TrainQueries {
       .orderBy(col("ratio_band").desc)
   }
 
+  // ---------------------------------------------------------------------
+  // q330 — domain gradient-conflict census
+  // ---------------------------------------------------------------------
+
+  /** q330 — DOMAIN GRADIENT-CONFLICT census (Yu et al. 2020 PCGrad's
+    * diagnostic: two task/domain gradients with negative cosine fight
+    * each other at every shared update): under q303's final
+    * checkpoint w₃, compute each source's MEAN gradient of the
+    * training loss, ḡ_s = ⌊Σ_{i∈s} err_i·x_i / n_s⌋ (sign-safe floor
+    * per dimension — numerators are signed), and the pairwise cosine
+    * between the |S| mean gradients. Negative-cosine pairs are the
+    * mixture's internal conflicts — the sign DoReMi's α (q304)
+    * responds to but never shows; this is the map a curator reads
+    * before merging sources into one training stream. Exact integers
+    * end-to-end: the three Gram numbers (g_a·g_b, ‖g_a‖², ‖g_b‖²)
+    * are int64 (mean-gradient entries are N-independent, bounded by
+    * err_max·x_max ≈ 10⁹ on this featurizer's grids → Gram terms
+    * ≤ 4·10¹⁸, documented); cosine takes the single trailing √ in
+    * double (q292's discipline), zero-norm gradients read cos = 0
+    * (stated).
+    *
+    * Scale: the q303 training passes + ONE extra linear pass (err
+    * under the broadcast 1-row w₃, keyed by source) → an |S|-row
+    * gradient frame; the pair census is the broadcast self-join of
+    * that bounded frame (≤ |S|² rows, never corpus-sized). */
+  val q330 = QueryDef(
+    "q330_gradient_conflict", {
+      val pred = "LEAST(1000000, GREATEST(0, " +
+        "(f.x0*w.w0 + f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3 + 2000000) // 4))"
+      def g(j: Int) = fdSql(s"SUM(err * x$j)", "COUNT(*)")
+      gdPrefixSql + s""",
+      |ge AS (
+      |  SELECT dd.source, f.x0, f.x1, f.x2, f.x3,
+      |    $pred - f.y * 1000000 AS err
+      |  FROM feat f JOIN documents dd ON dd.doc_id = f.doc_id
+      |  CROSS JOIN w3 w),
+      |gm AS (
+      |  SELECT source, CAST(${g(0)} AS BIGINT) AS g0,
+      |    CAST(${g(1)} AS BIGINT) AS g1, CAST(${g(2)} AS BIGINT) AS g2,
+      |    CAST(${g(3)} AS BIGINT) AS g3
+      |  FROM ge GROUP BY 1),
+      |pc AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(a.g0*b.g0 + a.g1*b.g1 + a.g2*b.g2 + a.g3*b.g3
+      |      AS BIGINT) AS dab,
+      |    CAST(a.g0*a.g0 + a.g1*a.g1 + a.g2*a.g2 + a.g3*a.g3
+      |      AS BIGINT) AS daa,
+      |    CAST(b.g0*b.g0 + b.g1*b.g1 + b.g2*b.g2 + b.g3*b.g3
+      |      AS BIGINT) AS dbb
+      |  FROM gm a JOIN gm b ON a.source < b.source)
+      |SELECT src_a, src_b,
+      |  CAST(CASE WHEN daa = 0 OR dbb = 0 THEN 0
+      |    ELSE FLOOR(1000.0 * dab /
+      |      sqrt(CAST(daa AS DOUBLE) * dbb)) END AS BIGINT)
+      |    AS cos_milli,
+      |  CAST(CASE WHEN dab < 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS conflict
+      |FROM pc ORDER BY src_a, src_b""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.Checkpoints
+    import graft.ml.QualityClassifier
+    val feat = Checkpoints.pin(
+      QualityClassifier.featurize(Tables.documents(s, d))
+        .select("doc_id", "y", "x0", "x1", "x2", "x3").localCheckpoint())
+    val w3 = QualityClassifier.weights(QualityClassifier.trainCensus(feat))
+    val ge = feat
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id")
+      .crossJoin(broadcast(w3))
+      .withColumn("err",
+        least(lit(1000000L), greatest(lit(0L),
+          expr("(x0*w0 + x1*w1 + x2*w2 + x3*w3 + 2000000) div 4")))
+          - col("y") * 1000000L)
+    val gm = Checkpoints.pin(
+      ge.groupBy(col("source"))
+        .agg(fdCol(sum(col("err") * col("x0")), count(lit(1))).as("g0"),
+          fdCol(sum(col("err") * col("x1")), count(lit(1))).as("g1"),
+          fdCol(sum(col("err") * col("x2")), count(lit(1))).as("g2"),
+          fdCol(sum(col("err") * col("x3")), count(lit(1))).as("g3"))
+        .localCheckpoint())
+    val b = gm.select(col("source").as("src_b"), col("g0").as("h0"),
+      col("g1").as("h1"), col("g2").as("h2"), col("g3").as("h3"))
+    gm.withColumnRenamed("source", "src_a")
+      .join(broadcast(b), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        expr("g0*h0 + g1*h1 + g2*h2 + g3*h3").as("dab"),
+        expr("g0*g0 + g1*g1 + g2*g2 + g3*g3").as("daa"),
+        expr("h0*h0 + h1*h1 + h2*h2 + h3*h3").as("dbb"))
+      .select(col("src_a"), col("src_b"),
+        when(col("daa") === 0L || col("dbb") === 0L, 0L)
+          .otherwise(expr("cast(floor(1000.0 * dab /" +
+            " sqrt(cast(daa as double) * dbb)) as bigint)"))
+          .as("cos_milli"),
+        when(col("dab") < 0L, 1L).otherwise(0L).as("conflict"))
+      .orderBy("src_a", "src_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // q332 — Horvitz–Thompson debiasing of a gated corpus statistic
+  // ---------------------------------------------------------------------
+
+  /** q332 — HORVITZ–THOMPSON debiasing (Horvitz & Thompson 1952) of a
+    * statistic computed on a quality-GATED corpus: every filter in
+    * the curation funnel (q85's Gopher gates, q303's learned gate)
+    * reshapes the surviving sample, and any downstream mean read off
+    * the survivors silently inherits that selection. With the
+    * per-stratum survival rates OBSERVED (kept_s/n_s per source —
+    * known here because the gate ran on the full corpus), the HT
+    * estimator reweights each surviving doc by the inverse inclusion
+    * rate, removing the BETWEEN-STRATUM composition term of the
+    * selection bias exactly; what remains in ht_bias is the
+    * within-stratum term (a deterministic gate correlated with the
+    * statistic keeps it — stated), so the (naive_bias, ht_bias) pair
+    * DECOMPOSES the gate's distortion into composition vs
+    * within-stratum parts. Gate: token count ≥ 55 (declared cut, the
+    * q85 family); statistic: mean chars/doc. Output one row: true
+    * mean (full corpus — computable here, which is what makes the
+    * bias MEASURABLE), naive survivor mean, HT estimate
+    * ⌊Σ_s ⌊kept_sum_s·n_s/k_s⌋ / N⌋, both bias columns, and the
+    * zero-survivor stratum count (those contribute 0 — the HT
+    * undercoverage term, reported not hidden). Int64: kept_sum_s·n_s
+    * wraps past ~10⁹ docs/stratum on the chars grid (documented;
+    * beyond: DECIMAL, the q312 hatch).
+    *
+    * Scale: one keyed (source) agg over the corpus + a ≤|S|-row fold
+    * — nothing else. */
+  val q332 = QueryDef(
+    "q332_ht_debias",
+    s"""WITH f AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS ch,
+      |    CASE WHEN len(string_split(text, ' ')) >= 55 THEN 1 ELSE 0
+      |      END AS keep
+      |  FROM documents),
+      |st AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS ns,
+      |    CAST(SUM(keep) AS BIGINT) AS ks,
+      |    CAST(SUM(CASE WHEN keep = 1 THEN ch ELSE 0 END) AS BIGINT)
+      |      AS kc
+      |  FROM f GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(ns) AS BIGINT) AS n,
+      |    CAST(SUM(ks) AS BIGINT) AS k,
+      |    CAST(SUM(kc) AS BIGINT) AS kcs,
+      |    CAST(SUM(CASE WHEN ks > 0 THEN (kc * ns) // ks ELSE 0 END)
+      |      AS BIGINT) AS ht_num,
+      |    CAST(SUM(CASE WHEN ks = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS dead
+      |  FROM st),
+      |tr AS (SELECT CAST(SUM(ch) AS BIGINT) AS sc FROM f)
+      |SELECT t.n AS n_docs, t.k AS n_kept,
+      |  CAST(tr.sc // t.n AS BIGINT) AS true_mean,
+      |  CAST(t.kcs // t.k AS BIGINT) AS naive_mean,
+      |  CAST(t.ht_num // t.n AS BIGINT) AS ht_mean,
+      |  CAST(t.kcs // t.k - tr.sc // t.n AS BIGINT) AS naive_bias,
+      |  CAST(t.ht_num // t.n - tr.sc // t.n AS BIGINT) AS ht_bias,
+      |  t.dead AS n_dead_strata
+      |FROM tot t CROSS JOIN tr
+      |WHERE t.k > 0""".stripMargin) { (s, d) =>
+    val f = Tables.documents(s, d)
+      .select(col("source"), col("n_chars").cast("long").as("ch"),
+        when(size(split(col("text"), " ")) >= 55, 1L).otherwise(0L)
+          .as("keep"))
+    val st = f.groupBy(col("source"))
+      .agg(count(lit(1)).as("ns"), sum(col("keep")).as("ks"),
+        sum(when(col("keep") === 1L, col("ch")).otherwise(0L)).as("kc"))
+    val tot = st.agg(sum(col("ns")).as("n"), sum(col("ks")).as("k"),
+      sum(col("kc")).as("kcs"),
+      sum(when(col("ks") > 0L, expr("(kc * ns) div ks")).otherwise(0L))
+        .as("ht_num"),
+      sum(when(col("ks") === 0L, 1L).otherwise(0L)).as("dead"))
+    val tr = f.agg(sum(col("ch")).as("sc"))
+    tot.crossJoin(broadcast(tr))
+      .filter(col("k") > 0)
+      .select(col("n").as("n_docs"), col("k").as("n_kept"),
+        expr("sc div n").as("true_mean"),
+        expr("kcs div k").as("naive_mean"),
+        expr("ht_num div n").as("ht_mean"),
+        expr("kcs div k - sc div n").as("naive_bias"),
+        expr("ht_num div n - sc div n").as("ht_bias"),
+        col("dead").as("n_dead_strata"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q303, q304, q306, q308, q312, q313, q313b, q314, q315, q317,
-      q318, q319, q320, q321, q323, q324, q328, q329)
+      q318, q319, q320, q321, q323, q324, q328, q329, q330, q332)
 }

@@ -424,6 +424,60 @@ class CurationInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q330 gradient-conflict cosines are bounded and sign-consistent") {
+    val rows = TrainQueries.q330.run(spark, sf).collect()
+    // 20 sources -> C(20,2) ordered pairs, each exactly once
+    assert(rows.length == 190)
+    assert(rows.forall(r =>
+      r.getAs[String]("src_a") < r.getAs[String]("src_b")))
+    rows.foreach { r =>
+      val c = r.getAs[Long]("cos_milli")
+      assert(c >= -1000L && c <= 1000L, s"cos out of range: $c")
+      // conflict flag is exactly the cosine's sign (dab < 0 iff
+      // floor(1000 cos) < 0; zero-norm rows emit cos = 0, conflict 0)
+      assert((r.getAs[Long]("conflict") == 1L) == (c < 0L))
+    }
+  }
+
+  test("q331 Hill estimator internal identities hold") {
+    val rows = TextQueries.q331.run(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (hsum, hinv, alpha) = (r.getAs[Long]("sum_lnratio_mnat"),
+      r.getAs[Long]("hill_inv_mnat"), r.getAs[Long]("alpha_milli"))
+    // top-8 frequencies dominate the 9th: every log-ratio >= 0
+    assert(hsum >= 0L)
+    assert(hinv == hsum / 8)
+    assert(alpha == 1000000L / math.max(1L, hinv))
+    assert(r.getAs[Long]("f_kplus1") >= 1L)
+  }
+
+  test("q332 HT estimate matches an independent stratum-fold replay") {
+    import org.apache.spark.sql.functions._
+    val r = TrainQueries.q332.run(spark, sf).collect().head
+    val st = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars").cast("long").as("ch"),
+        when(size(split(col("text"), " ")) >= 55, 1L).otherwise(0L)
+          .as("keep"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("ns"), sum(col("keep")).as("ks"),
+        sum(when(col("keep") === 1L, col("ch")).otherwise(0L)).as("kc"))
+      .collect()
+    val n = st.map(_.getAs[Long]("ns")).sum
+    val htNum = st.filter(_.getAs[Long]("ks") > 0).map(x =>
+      x.getAs[Long]("kc") * x.getAs[Long]("ns") / x.getAs[Long]("ks"))
+      .sum
+    assert(r.getAs[Long]("n_docs") == n)
+    assert(r.getAs[Long]("ht_mean") == htNum / n)
+    assert(r.getAs[Long]("n_dead_strata") ==
+      st.count(_.getAs[Long]("ks") == 0L))
+    // bias columns are the exact differences of the mean columns
+    assert(r.getAs[Long]("naive_bias") ==
+      r.getAs[Long]("naive_mean") - r.getAs[Long]("true_mean"))
+    assert(r.getAs[Long]("ht_bias") ==
+      r.getAs[Long]("ht_mean") - r.getAs[Long]("true_mean"))
+  }
+
   test("q314 LOO deltas and exclusive vocab are conservation-consistent") {
     val rows = TrainQueries.q314.run(spark, sf).collect()
     val shareSum = rows.map(_.getAs[Long]("token_share_ppm")).sum

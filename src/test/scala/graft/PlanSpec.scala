@@ -287,7 +287,13 @@ class PlanSpec extends SparkSpec {
       "q325_facility_location" ->
         "16-row candidate pool + 1-row pick/objective frames",
       "q328_source_shapley" -> "one-row vocabulary-count frame",
-      "q329_budget_knapsack" -> "one-row token-total frame")
+      "q329_budget_knapsack" -> "one-row token-total frame",
+      "q330_gradient_conflict" ->
+        ("one-row weight/count frames (q303 chain) + |S|-row " +
+          "mean-gradient self-join"),
+      "q331_hill_tail_index" ->
+        "8-row top-frequency frame + one-row kth-order frame",
+      "q332_ht_debias" -> "one-row stratum-fold and true-total frames")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
