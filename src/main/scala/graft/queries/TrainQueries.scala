@@ -1718,7 +1718,182 @@ object TrainQueries {
         col("dead").as("n_dead_strata"))
   }
 
+  // ---------------------------------------------------------------------
+  // q333 — RHO-loss prioritized selection (holdout excess loss)
+  // ---------------------------------------------------------------------
+
+  /** Suffixed replica of the q303 GD chain over a FILTERED corpus —
+    * q333 trains two disjoint models (parity split), so the shared
+    * CTE names must fork. */
+  private def chainSql(sfx: String, where: String): String = {
+    val head = featSql
+      .replace("feat AS (", s"feat$sfx AS (")
+      .replace("FROM documents)", s"FROM documents WHERE $where)")
+    def step(i: Int): String = {
+      val z = "f.x0*w.w0 + f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3"
+      val pred = s"LEAST(1000000, GREATEST(0, ($z + 2000000) // 4))"
+      def upd(j: Int) =
+        s"CAST(MAX(w.w$j) - (${fdSql(s"SUM(err*x$j)",
+          s"MAX(n$sfx.n)*1000")}) AS BIGINT)"
+      s""",
+      |e$i$sfx AS (
+      |  SELECT f.doc_id, f.y, f.x0, f.x1, f.x2, f.x3,
+      |    $pred - f.y*1000000 AS err
+      |  FROM feat$sfx f CROSS JOIN w${i - 1}$sfx w),
+      |w$i$sfx AS (
+      |  SELECT ${upd(0)} AS w0, ${upd(1)} AS w1,
+      |    ${upd(2)} AS w2, ${upd(3)} AS w3
+      |  FROM e$i$sfx, w${i - 1}$sfx w, n$sfx)""".stripMargin
+    }
+    s"""$head,
+    |n$sfx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feat$sfx),
+    |w0$sfx AS (SELECT CAST(0 AS BIGINT) w0, CAST(0 AS BIGINT) w1,
+    |  CAST(0 AS BIGINT) w2, CAST(0 AS BIGINT) w3)""".stripMargin +
+      (1 to 3).map(step).mkString
+  }
+
+  /** q333 — RHO-LOSS prioritized selection (Mindermann et al. 2022,
+    * "prioritize points that are learnable, worth learning, and not
+    * yet learnt"): per training-pool document, the REDUCIBLE holdout
+    * loss L(x | θ_pool) − L(x | θ_holdout), where θ_holdout is an
+    * irreducible-loss model trained on data the pool never sees.
+    * Both models are q303 GD chains over a deterministic parity
+    * split (pool = odd doc_id, holdout-model = even); per-doc loss is
+    * the absolute hard-sigmoid error |σ̂_ppm − 10⁶·y| (the q319 loss
+    * family, stated). High-priority bands = noisy-or-hard points the
+    * holdout model also fails (worth learning); negative bands =
+    * points the holdout model already solves better than the pool
+    * model (not yet learnt by θ_pool alone — the classic RHO keep
+    * set). Census over the signed priority's 100k-ppm bands with
+    * sign-safe floor banding (priorities are signed — fdSql/fdCol).
+    *
+    * Scale: two independent 3-pass GD chains over disjoint halves
+    * (each the q303 cost), then ONE extra linear pass scoring the
+    * pool under two broadcast 1-row weight frames; the census is a
+    * ≤21-row keyed agg. */
+  val q333 = QueryDef(
+    "q333_rho_loss", {
+      def pred(w: String) = "LEAST(1000000, GREATEST(0, " +
+        s"(f.x0*$w.w0 + f.x1*$w.w1 + f.x2*$w.w2 + f.x3*$w.w3" +
+        " + 2000000) // 4))"
+      s"""WITH ${chainSql("_p", "doc_id % 2 = 1")},
+      ${chainSql("_h", "doc_id % 2 = 0")},
+      |pr AS (
+      |  SELECT f.y,
+      |    ABS(${pred("wp")} - f.y*1000000)
+      |      - ABS(${pred("wh")} - f.y*1000000) AS prio
+      |  FROM feat_p f CROSS JOIN w3_p wp CROSS JOIN w3_h wh)
+      |SELECT CAST(${fdSql("prio", "100000")} AS BIGINT) AS prio_band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(y) AS BIGINT) AS n_pos,
+      |  CAST(SUM(prio) AS BIGINT) AS sum_prio,
+      |  CAST(${fdSql("SUM(prio)", "COUNT(*)")} AS BIGINT)
+      |    AS mean_prio
+      |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.Checkpoints
+    import graft.ml.QualityClassifier
+    val docs = Tables.documents(s, d)
+    def feats(parity: Int) = Checkpoints.pin(
+      QualityClassifier.featurize(docs.filter(pmod(col("doc_id"),
+          lit(2L)) === parity.toLong))
+        .select("doc_id", "y", "x0", "x1", "x2", "x3").localCheckpoint())
+    val fp = feats(1)
+    val fh = feats(0)
+    val wp = QualityClassifier.weights(QualityClassifier.trainCensus(fp))
+      .select(col("w0").as("p0"), col("w1").as("p1"),
+        col("w2").as("p2"), col("w3").as("p3"))
+    val wh = QualityClassifier.weights(QualityClassifier.trainCensus(fh))
+      .select(col("w0").as("h0"), col("w1").as("h1"),
+        col("w2").as("h2"), col("w3").as("h3"))
+    def sig(a: String, b: String, c: String, e: String) =
+      s"least(1000000L, greatest(0L, (x0*$a + x1*$b + x2*$c + x3*$e" +
+        " + 2000000) div 4))"
+    fp.crossJoin(broadcast(wp)).crossJoin(broadcast(wh))
+      .withColumn("prio",
+        abs(expr(sig("p0", "p1", "p2", "p3")) - col("y") * 1000000L)
+          - abs(expr(sig("h0", "h1", "h2", "h3"))
+            - col("y") * 1000000L))
+      .groupBy(fdCol(col("prio"), lit(100000L)).as("prio_band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
+        sum(col("prio")).as("sum_prio"),
+        fdCol(sum(col("prio")), count(lit(1))).as("mean_prio"))
+      .orderBy("prio_band")
+  }
+
+  // ---------------------------------------------------------------------
+  // q335 — reliability diagram + expected calibration error
+  // ---------------------------------------------------------------------
+
+  /** q335 — RELIABILITY CENSUS + ECE (Naeini et al. 2015; Guo et al.
+    * 2017) of the q303 classifier: per confidence decile, the mean
+    * predicted probability vs the empirical positive rate, and the
+    * expected calibration error ECE = Σ_b (n_b/N)·|conf_b − acc_b| —
+    * the number that says whether the learned gate's scores can be
+    * READ as probabilities (q304's mixture weights and q329's
+    * knapsack both consume scores as if calibrated; this query is
+    * that assumption's audit — the GD-model companion to q191's NB
+    * calibration and q236's isotonic recalibration). All exact
+    * integers: p̂ ∈ [0, 10⁶] under the final checkpoint, bands
+    * ⌊p̂/10⁵⌋ clamped to 9, per-band means floored (nonneg — plain
+    * floor div), ECE from the floored per-band gaps (stated).
+    *
+    * Scale: the q303 training passes + one scoring pass under the
+    * broadcast 1-row w₃ + a ≤10-row keyed census. */
+  val q335 = QueryDef(
+    "q335_reliability_ece", {
+      val pred = "LEAST(1000000, GREATEST(0, " +
+        "(f.x0*w.w0 + f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3 + 2000000) // 4))"
+      gdPrefixSql + s""",
+      |sc AS (
+      |  SELECT f.y, $pred AS p FROM feat f CROSS JOIN w3 w),
+      |nb AS (
+      |  SELECT LEAST(p // 100000, 9) AS band,
+      |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS sp,
+      |    CAST(SUM(y) AS BIGINT) AS sy
+      |  FROM sc GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS nt,
+      |    CAST(SUM(n * ABS(sp // n - (1000000 * sy) // n)) AS BIGINT)
+      |      AS en
+      |  FROM nb)
+      |SELECT CAST(band AS BIGINT) AS conf_band, n AS n_docs,
+      |  CAST(sp // n AS BIGINT) AS mean_conf_ppm,
+      |  CAST((1000000 * sy) // n AS BIGINT) AS pos_rate_ppm,
+      |  CAST(ABS(sp // n - (1000000 * sy) // n) AS BIGINT) AS gap_ppm,
+      |  CAST(tot.en // tot.nt AS BIGINT) AS ece_ppm
+      |FROM nb CROSS JOIN tot ORDER BY conf_band""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.Checkpoints
+    import graft.ml.QualityClassifier
+    val feat = Checkpoints.pin(
+      QualityClassifier.featurize(Tables.documents(s, d))
+        .select("doc_id", "y", "x0", "x1", "x2", "x3").localCheckpoint())
+    val w3 = QualityClassifier.weights(QualityClassifier.trainCensus(feat))
+    val nb = Checkpoints.pin(
+      feat.crossJoin(broadcast(w3))
+        .select(col("y"),
+          expr("least(1000000L, greatest(0L," +
+            " (x0*w0 + x1*w1 + x2*w2 + x3*w3 + 2000000) div 4))")
+            .as("p"))
+        .groupBy(least(expr("p div 100000"), lit(9L)).as("band"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"),
+          sum(col("y")).as("sy"))
+        .localCheckpoint())
+    val tot = nb.agg(sum(col("n")).as("nt"),
+      sum(col("n") * abs(expr("sp div n - (1000000L * sy) div n")))
+        .as("en"))
+    nb.crossJoin(broadcast(tot))
+      .select(col("band").as("conf_band"), col("n").as("n_docs"),
+        expr("sp div n").as("mean_conf_ppm"),
+        expr("(1000000L * sy) div n").as("pos_rate_ppm"),
+        abs(expr("sp div n - (1000000L * sy) div n")).as("gap_ppm"),
+        expr("en div nt").as("ece_ppm"))
+      .orderBy("conf_band")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q303, q304, q306, q308, q312, q313, q313b, q314, q315, q317,
-      q318, q319, q320, q321, q323, q324, q328, q329, q330, q332)
+      q318, q319, q320, q321, q323, q324, q328, q329, q330, q332,
+      q333, q335)
 }

@@ -478,6 +478,45 @@ class CurationInvariantSpec extends SparkSpec {
       r.getAs[Long]("ht_mean") - r.getAs[Long]("true_mean"))
   }
 
+  test("q333 RHO priorities partition the pool; floored means bracket") {
+    import org.apache.spark.sql.functions._
+    val rows = TrainQueries.q333.run(spark, sf).collect()
+    val nPool = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(2L)) === 1L).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nPool)
+    rows.foreach { r =>
+      val band = r.getAs[Long]("prio_band")
+      assert(band >= -10L && band <= 10L, s"band $band")
+      val (n, sp, mp) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("sum_prio"), r.getAs[Long]("mean_prio"))
+      // sign-safe floored mean brackets the sum
+      assert(mp * n <= sp && sp < (mp + 1) * n, s"mean $mp sum $sp n $n")
+      assert(r.getAs[Long]("n_pos") <= n)
+    }
+  }
+
+  test("q335 reliability census partitions the corpus; ECE replays") {
+    val rows = TrainQueries.q335.run(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    val eces = rows.map(_.getAs[Long]("ece_ppm")).distinct
+    assert(eces.length == 1)
+    // ECE is exactly the doc-weighted mean of the per-band gaps
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    val wg = rows.map(r =>
+      r.getAs[Long]("n_docs") * r.getAs[Long]("gap_ppm")).sum
+    assert(eces.head == wg / n)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("conf_band") >= 0L &&
+        r.getAs[Long]("conf_band") <= 9L)
+      assert(r.getAs[Long]("gap_ppm") ==
+        math.abs(r.getAs[Long]("mean_conf_ppm")
+          - r.getAs[Long]("pos_rate_ppm")))
+      assert(r.getAs[Long]("mean_conf_ppm") <= 1000000L &&
+        r.getAs[Long]("pos_rate_ppm") <= 1000000L)
+    }
+  }
+
   test("q314 LOO deltas and exclusive vocab are conservation-consistent") {
     val rows = TrainQueries.q314.run(spark, sf).collect()
     val shareSum = rows.map(_.getAs[Long]("token_share_ppm")).sum

@@ -293,7 +293,11 @@ class PlanSpec extends SparkSpec {
           "mean-gradient self-join"),
       "q331_hill_tail_index" ->
         "8-row top-frequency frame + one-row kth-order frame",
-      "q332_ht_debias" -> "one-row stratum-fold and true-total frames")
+      "q332_ht_debias" -> "one-row stratum-fold and true-total frames",
+      "q333_rho_loss" ->
+        "one-row weight/count frames per parity GD chain (q303 x2)",
+      "q335_reliability_ece" ->
+        "one-row weight/ECE-total frames (q303 chain)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
