@@ -613,6 +613,105 @@ object QualityQueries {
       .orderBy("metric", "bucket")
   }
 
+  // ---------------------------------------------------------------------
+  // q338 — SPRT quality-gate monitor (Wald sequential test)
+  // ---------------------------------------------------------------------
+
+  /** q338 — SPRT gate monitor (Wald 1945's sequential probability
+    * ratio test): replay the purchase-rate stream day by day and ask
+    * WHEN a sequential monitor would have stopped — the
+    * fixed-horizon companions (q214's A/B z-test, q215's CUSUM
+    * changepoint) decide after seeing everything; SPRT decides as
+    * early as the evidence allows with guaranteed error rates.
+    * Spec constants: H₀ p₀ = 200000 ppm (healthy purchase share),
+    * H₁ p₁ = 150000 ppm (degraded), α = β = 0.05 → Wald bounds
+    * ±⌊1000·ln 19⌋ = ±2944 mnat. Per day the exact-integer LLR
+    * increment n_pass·Δ₁ + (n−n_pass)·Δ₂ with
+    * Δ₁ = mnat(p₁)−mnat(p₀), Δ₂ = mnat(10⁶−p₁)−mnat(10⁶−p₀) — lns
+    * of INTEGER constants floored to the milli-nat grid (the q130
+    * portability contract), all downstream arithmetic exact. Output
+    * per day: counts, daily and cumulative LLR, the instantaneous
+    * state (2 = reject H₀ / 1 = continue / 0 = accept H₀ — per-row,
+    * not sticky, stated), plus the monitor's verdict as constant
+    * columns (first crossing day and its sign).
+    *
+    * Scale: one daily keyed census (calendar-bounded), a prefix
+    * window + a one-row first-crossing fold over it — the corpus
+    * touches only the first agg. */
+  val q338 = QueryDef(
+    "q338_sprt_monitor", {
+      def mn(k: Long) = s"CAST(FLOOR(LN(CAST($k AS DOUBLE)) * 1000) AS BIGINT)"
+      val d1 = s"(${mn(150000L)} - ${mn(200000L)})"
+      val d2 = s"(${mn(850000L)} - ${mn(800000L)})"
+      s"""WITH dx AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS np
+      |  FROM events GROUP BY 1),
+      |cs AS (
+      |  SELECT day, n, np,
+      |    CAST(np * $d1 + (n - np) * $d2 AS BIGINT) AS llr_day,
+      |    CAST(SUM(np * $d1 + (n - np) * $d2) OVER (ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS llr_cum
+      |  FROM dx),
+      |stop AS (
+      |  SELECT COALESCE(MIN(day), DATE '9999-12-31') AS stop_day,
+      |    CAST(COALESCE(MAX(CASE WHEN rk = 1 THEN st END), 1)
+      |      AS BIGINT) AS stop_state
+      |  FROM (
+      |    SELECT day, CASE WHEN llr_cum >= 2944 THEN 2 ELSE 0 END
+      |        AS st,
+      |      ROW_NUMBER() OVER (ORDER BY day) AS rk
+      |    FROM cs WHERE llr_cum >= 2944 OR llr_cum <= -2944))
+      |SELECT cs.day, cs.n AS n_events, cs.np AS n_pass,
+      |  cs.llr_day AS llr_day_mnat, cs.llr_cum AS llr_cum_mnat,
+      |  CAST(CASE WHEN cs.llr_cum >= 2944 THEN 2
+      |    WHEN cs.llr_cum <= -2944 THEN 0 ELSE 1 END AS BIGINT)
+      |    AS state,
+      |  stop.stop_day, stop.stop_state
+      |FROM cs CROSS JOIN stop ORDER BY cs.day""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Checkpoints
+    def mn(k: Long) =
+      floor(log(lit(k).cast("double")) * 1000).cast("long")
+    val d1 = mn(150000L) - mn(200000L)
+    val d2 = mn(850000L) - mn(800000L)
+    // prefix/rank windows ride the calendar-bounded daily census —
+    // PlanSpec window-allowlisted
+    val wd = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cs = Checkpoints.pin(
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("np"))
+        .withColumn("llr_day",
+          col("np") * d1 + (col("n") - col("np")) * d2)
+        .withColumn("llr_cum", sum(col("llr_day")).over(wd))
+        .localCheckpoint())
+    val crossed = cs
+      .filter(col("llr_cum") >= 2944L || col("llr_cum") <= -2944L)
+      .withColumn("rk",
+        org.apache.spark.sql.functions.row_number()
+          .over(Window.orderBy(col("day"))))
+      .agg(
+        coalesce(min(col("day")), lit(java.sql.Date.valueOf("9999-12-31")))
+          .as("stop_day"),
+        coalesce(max(when(col("rk") === 1,
+            when(col("llr_cum") >= 2944L, 2L).otherwise(0L))),
+          lit(1L)).as("stop_state"))
+    cs.crossJoin(broadcast(crossed))
+      .select(col("day"), col("n").as("n_events"), col("np").as("n_pass"),
+        col("llr_day").as("llr_day_mnat"),
+        col("llr_cum").as("llr_cum_mnat"),
+        when(col("llr_cum") >= 2944L, 2L)
+          .when(col("llr_cum") <= -2944L, 0L).otherwise(1L).as("state"),
+        col("stop_day"), col("stop_state"))
+      .orderBy("day")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q35, q39, q40, q93, q95, q142, q154, q180, q199)
+    Seq(q35, q39, q40, q93, q95, q142, q154, q180, q199, q338)
 }

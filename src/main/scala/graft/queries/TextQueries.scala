@@ -4009,11 +4009,87 @@ object TextQueries {
         expr("1000000L div greatest(1L, hsum div 8)").as("alpha_milli"))
   }
 
+  // ---------------------------------------------------------------------
+  // q337 — Hill-numbers diversity ladder per source
+  // ---------------------------------------------------------------------
+
+  /** q337 — HILL-NUMBERS diversity ladder (Hill 1973 — the ecologist,
+    * not q331's tail statistician): the three classic diversity
+    * orders of each source's token distribution in ONE frame —
+    * q = 0 richness (type count), q = 1 Shannon entropy (q162's
+    * statistic, here in milli-nats via the exact grid identity
+    * H = ⌊Σ c·(mnat(n) − mnat(c))⌋/n), q = 2 inverse Simpson
+    * n²/Σc² in exact milli — plus Pielou evenness H/ln(richness).
+    * The orders answer different curation questions: richness bounds
+    * vocabulary structures, Shannon weighs typical tokens, inverse
+    * Simpson counts "effective heavy types" (the dedup-relevant
+    * number: a source with inv-Simpson ≈ 5 is five tokens in a
+    * trench coat no matter its richness). All exact int64:
+    * inverse-Simpson's 1000·n² wraps past n ≈ 3·10⁶ tokens/source
+    * (documented; beyond: DECIMAL, the q312 hatch).
+    *
+    * Scale: one exploded (source, token) count (map-side
+    * combinable), one |S|·|V|-bounded census, one |S|-row fold. */
+  val q337 = QueryDef(
+    "q337_hill_diversity", {
+      import graft.functions.LangModel.mnatSql
+      s"""WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |tf AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY 1, 2),
+      |sn AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS q0,
+      |    CAST(SUM(c * c) AS BIGINT) AS sc2
+      |  FROM tf GROUP BY 1),
+      |hs AS (
+      |  SELECT tf.source,
+      |    CAST(SUM(tf.c * (${mnatSql("sn.n")} - ${mnatSql("tf.c")}))
+      |      // MAX(sn.n) AS BIGINT) AS h_mnat
+      |  FROM tf JOIN sn ON sn.source = tf.source GROUP BY 1)
+      |SELECT sn.source, sn.n AS n_tokens, sn.q0 AS q0_types,
+      |  hs.h_mnat AS shannon_mnat,
+      |  CAST((1000 * sn.n * sn.n) // sn.sc2 AS BIGINT)
+      |    AS inv_simpson_milli,
+      |  CAST((1000 * hs.h_mnat) // GREATEST(1, ${mnatSql("sn.q0")})
+      |    AS BIGINT) AS evenness_milli
+      |FROM sn JOIN hs ON hs.source = sn.source
+      |ORDER BY sn.source""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.LangModel.mnat
+    import graft.functions.Checkpoints
+    // eager checkpoint + pin, not cache(): tf feeds the totals census
+    // and the entropy join consumed concurrently (q310 race shape)
+    val tf = Checkpoints.pin(
+      Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+        .localCheckpoint())
+    val sn = tf.groupBy(col("source"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("q0"),
+        sum(col("c") * col("c")).as("sc2"))
+    val hs = tf.join(broadcast(sn.select(col("source"), col("n"))),
+        "source")
+      .groupBy(col("source"))
+      .agg((sum(col("c") * (mnat(col("n")) - mnat(col("c"))))
+        .cast("long")).as("hnum"),
+        max(col("n")).as("nn"))
+      .select(col("source"), expr("hnum div nn").as("h_mnat"))
+    sn.join(hs, "source")
+      .select(col("source"), col("n").as("n_tokens"),
+        col("q0").as("q0_types"), col("h_mnat").as("shannon_mnat"),
+        expr("(1000L * n * n) div sc2").as("inv_simpson_milli"),
+        expr("(1000L * h_mnat) div greatest(1L," +
+          " cast(floor(ln(cast(q0 as double)) * 1000) as bigint))")
+          .as("evenness_milli"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
       q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181,
       q184, q185, q190, q192, q193, q200, q208, q232, q238, q249, q266,
-      q269, q273, q276, q282, q296, q311, q326, q327, q331)
+      q269, q273, q276, q282, q296, q311, q326, q327, q331, q337)
 }

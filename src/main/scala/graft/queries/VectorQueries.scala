@@ -2459,8 +2459,132 @@ object VectorQueries {
     rows.reduce(_ unionByName _).orderBy("round")
   }
 
+  /** q336 — OTSU THRESHOLD calibration (Otsu 1979) of the near-dup
+    * cosine cut: every dedup consumer of a similarity threshold
+    * (q42's exact-recall yardstick, q131's SemDeDup cut) takes the
+    * cut as a DECLARED constant — this query DERIVES one from the
+    * similarity histogram itself, choosing the threshold that
+    * maximizes between-class variance ω₀ω₁(μ₀−μ₁)² over the banded
+    * cosine census (the unsupervised two-class split; q231's stump
+    * is the same algebra supervised by a label). Similarities: the
+    * q325 bounded frame — every vector against the 16-candidate
+    * md5 pool, self-pairs excluded, dots of milli-snapped units
+    * floor-scaled (sign-safe) to cosine millis, banded to 41 rungs
+    * of width 50. The score maximization rides the census prefix
+    * sums: score(t) = (S·n₀ − N·s₀)² / (n₀·(N−n₀)) with exact
+    * integer numerator components and ONE float expression ranked
+    * (score desc, band) — the q231/q214 identical-doubles ranking
+    * contract. Output: the winning cut (band and its upper cosine
+    * edge), class sizes, floored class means on the band grid
+    * (sign-safe — bands are indices ≥ 0, plain floor), and the score.
+    *
+    * Scale: the n×16 sim frame (|pool| broadcast linear passes), one
+    * ≤41-row keyed census, prefix + rank windows on that bounded
+    * frame. Headroom: the score numerator rides a double (exact to
+    * 2⁵³; S, s₀ ≤ 40·n — documented). */
+  val q336 = QueryDef(
+    "q336_otsu_threshold", {
+      val base = normCte.replace("WITH n AS (", "WITH n AS MATERIALIZED (") +
+        s""",
+        |u AS MATERIALIZED (
+        |  SELECT vec_id, t.i AS pos,
+        |    CAST(FLOOR(CAST(e[t.i] AS DOUBLE)/nrm*1e3 + 0.5) AS BIGINT)
+        |      AS k
+        |  FROM n CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) t),
+        |pool AS MATERIALIZED (
+        |  SELECT vec_id AS cand FROM n
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |sm AS (
+        |  SELECT a.vec_id, cu.cand, CAST(SUM(a.k * cu.k) AS BIGINT)
+        |    AS dot
+        |  FROM u a JOIN (SELECT p.cand, uu.pos, uu.k FROM u uu
+        |    JOIN pool p ON uu.vec_id = p.cand) cu ON cu.pos = a.pos
+        |  WHERE a.vec_id <> cu.cand
+        |  GROUP BY 1, 2),
+        |hb AS (
+        |  SELECT (((dot - ((dot % 1000 + 1000) % 1000)) // 1000)
+        |    + 1000) // 50 AS band, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM sm GROUP BY 1),
+        |pf AS (
+        |  SELECT band, c,
+        |    CAST(SUM(c) OVER (ORDER BY band ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS n0,
+        |    CAST(SUM(band * c) OVER (ORDER BY band
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s0,
+        |    CAST(SUM(c) OVER () AS BIGINT) AS nt,
+        |    CAST(SUM(band * c) OVER () AS BIGINT) AS st
+        |  FROM hb),
+        |sc AS (
+        |  SELECT band, n0, s0, nt, st,
+        |    CASE WHEN n0 = 0 OR n0 = nt THEN 0.0
+        |      ELSE (CAST(st AS DOUBLE) * n0 - CAST(nt AS DOUBLE) * s0)
+        |        * (CAST(st AS DOUBLE) * n0 - CAST(nt AS DOUBLE) * s0)
+        |        / (CAST(n0 AS DOUBLE) * (nt - n0)) END AS score
+        |  FROM pf WHERE n0 > 0 AND n0 < nt),
+        |win AS (
+        |  SELECT band, n0, s0, nt, st, score,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, band) AS rk
+        |  FROM sc)""".stripMargin
+      base + """
+        |SELECT CAST(band AS BIGINT) AS threshold_band,
+        |  CAST(band * 50 - 1000 + 49 AS BIGINT) AS cut_cos_milli,
+        |  n0 AS n_below, nt - n0 AS n_above,
+        |  CAST(s0 // n0 AS BIGINT) AS mean_band_below,
+        |  CAST((st - s0) // (nt - n0) AS BIGINT) AS mean_band_above,
+        |  CAST(FLOOR(score) AS BIGINT) AS score_floor
+        |FROM win WHERE rk = 1""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Checkpoints
+    val km = Checkpoints.pin(
+      normed(s, d).select(col("vec_id"),
+        transform(col("e"),
+          x => floor(x / col("nrm") * lit(1e3) + lit(0.5)).cast("long"))
+          .as("km"))
+        .localCheckpoint())
+    val pool = km
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(16)
+      .select(col("vec_id").as("cand"), col("km").as("ckm"))
+    val hb = Checkpoints.pin(
+      km.crossJoin(broadcast(pool))
+        .filter(col("vec_id") =!= col("cand"))
+        .select(aggregate(zip_with(col("km"), col("ckm"),
+          (a, b) => a * b), lit(0L), (acc, x) => acc + x).as("dot"))
+        .groupBy(expr(
+          "(((dot - pmod(dot, 1000)) div 1000) + 1000) div 50")
+          .as("band"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint())
+    // prefix/rank windows ride the ≤41-row band census — PlanSpec
+    // window-allowlisted
+    val wp = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wa = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pf = hb
+      .withColumn("n0", sum(col("c")).over(wp))
+      .withColumn("s0", sum(col("band") * col("c")).over(wp))
+      .withColumn("nt", sum(col("c")).over(wa))
+      .withColumn("st", sum(col("band") * col("c")).over(wa))
+      .filter(col("n0") > 0 && col("n0") < col("nt"))
+      .withColumn("score", expr(
+        "(cast(st as double) * n0 - cast(nt as double) * s0)" +
+          " * (cast(st as double) * n0 - cast(nt as double) * s0)" +
+          " / (cast(n0 as double) * (nt - n0))"))
+    pf.withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("band"))))
+      .filter(col("rk") === 1)
+      .select(col("band").as("threshold_band"),
+        (col("band") * 50L - 1000L + 49L).as("cut_cos_milli"),
+        col("n0").as("n_below"), (col("nt") - col("n0")).as("n_above"),
+        expr("s0 div n0").as("mean_band_below"),
+        expr("(st - s0) div (nt - n0)").as("mean_band_above"),
+        expr("cast(floor(score) as bigint)").as("score_floor"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131,
       q134, q135, q151, q155, q174, q179, q196, q197, q202, q203, q207,
-      q226, q234, q287, q301, q302, q307, q310, q316, q325)
+      q226, q234, q287, q301, q302, q307, q310, q316, q325, q336)
 }

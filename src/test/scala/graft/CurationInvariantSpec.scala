@@ -517,6 +517,67 @@ class CurationInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q336 Otsu cut covers all pool sims and orders class means") {
+    val r = VectorQueries.q336.run(spark, sf).collect().head
+    val nVecs = Tables.embeddings(spark, sf).count()
+    // every (vector, pool candidate) pair except the 16 self-pairs
+    assert(r.getAs[Long]("n_below") + r.getAs[Long]("n_above") ==
+      nVecs * 16 - 16)
+    assert(r.getAs[Long]("n_below") > 0 && r.getAs[Long]("n_above") > 0)
+    // a threshold split of an ordered grid: below-mean < above-mean
+    assert(r.getAs[Long]("mean_band_below") <
+      r.getAs[Long]("mean_band_above"))
+    val cut = r.getAs[Long]("cut_cos_milli")
+    assert(cut >= -1000L && cut <= 1049L)
+    assert(r.getAs[Long]("score_floor") >= 0L)
+  }
+
+  test("q337 Hill orders are consistent per source") {
+    val rows = TextQueries.q337.run(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (n, q0) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("q0_types"))
+      assert(q0 >= 1L && q0 <= n)
+      // 1 <= inverse Simpson <= richness (Hill-number ordering)
+      val is = r.getAs[Long]("inv_simpson_milli")
+      assert(is >= 1000L - 1 && is <= 1000L * q0, s"invSimpson $is q0 $q0")
+      assert(r.getAs[Long]("shannon_mnat") >= 0L)
+      // Pielou evenness <= 1 up to grid flooring slack
+      assert(r.getAs[Long]("evenness_milli") <= 1050L)
+    }
+  }
+
+  test("q338 SPRT walk replays exactly and the verdict is the first crossing") {
+    val rows = graft.queries.QualityQueries.q338.run(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.length == 30)
+    // cumulative LLR is the exact running sum of the daily increments
+    val daily = rows.map(_.getAs[Long]("llr_day_mnat"))
+    assert(rows.map(_.getAs[Long]("llr_cum_mnat")).toSeq ==
+      daily.scanLeft(0L)(_ + _).tail.toSeq)
+    // per-row state matches the Wald bounds
+    rows.foreach { r =>
+      val c = r.getAs[Long]("llr_cum_mnat")
+      val expect = if (c >= 2944L) 2L else if (c <= -2944L) 0L else 1L
+      assert(r.getAs[Long]("state") == expect)
+      assert(r.getAs[Long]("n_pass") <= r.getAs[Long]("n_events"))
+    }
+    // the constant verdict columns are the first crossing
+    val firstCross = rows.find(r =>
+      math.abs(r.getAs[Long]("llr_cum_mnat")) >= 2944L)
+    val stopDays = rows.map(_.getAs[java.sql.Date]("stop_day")).distinct
+    val stopStates = rows.map(_.getAs[Long]("stop_state")).distinct
+    assert(stopDays.length == 1 && stopStates.length == 1)
+    firstCross match {
+      case Some(fc) =>
+        assert(stopDays.head == fc.getAs[java.sql.Date]("day"))
+        assert(stopStates.head ==
+          (if (fc.getAs[Long]("llr_cum_mnat") >= 2944L) 2L else 0L))
+      case None =>
+        assert(stopStates.head == 1L)
+    }
+  }
+
   test("q314 LOO deltas and exclusive vocab are conservation-consistent") {
     val rows = TrainQueries.q314.run(spark, sf).collect()
     val shareSum = rows.map(_.getAs[Long]("token_share_ppm")).sum

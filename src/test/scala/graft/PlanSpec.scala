@@ -130,7 +130,13 @@ class PlanSpec extends SparkSpec {
       "q324_curriculum_pacing",
       // q329's prefix window runs over the ≤1001-row permille
       // density-band census
-      "q329_budget_knapsack")
+      "q329_budget_knapsack",
+      // q336's prefix/rank windows run over the ≤41-row cosine-band
+      // census
+      "q336_otsu_threshold",
+      // q338's prefix/rank windows run over the calendar-bounded
+      // daily census (the q252 argument)
+      "q338_sprt_monitor")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => allowed.contains(n) }
       .flatMap { case (name, fn) =>
@@ -297,7 +303,11 @@ class PlanSpec extends SparkSpec {
       "q333_rho_loss" ->
         "one-row weight/count frames per parity GD chain (q303 x2)",
       "q335_reliability_ece" ->
-        "one-row weight/ECE-total frames (q303 chain)")
+        "one-row weight/ECE-total frames (q303 chain)",
+      "q336_otsu_threshold" ->
+        "16-row candidate pool (the q325 bound) + ≤41-row band census",
+      "q337_hill_diversity" -> "|S|-row per-source totals frame",
+      "q338_sprt_monitor" -> "one-row first-crossing verdict frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
