@@ -1892,8 +1892,204 @@ object TrainQueries {
       .orderBy("conf_band")
   }
 
+  // ---------------------------------------------------------------------
+  // q339 — black-box label-shift estimation (BBSE)
+  // ---------------------------------------------------------------------
+
+  /** q339 — BLACK-BOX LABEL-SHIFT estimation (Lipton, Wang & Smola
+    * 2018, BBSE): estimate how the label prior moved between two
+    * corpus slices using ONLY a classifier's hard predictions — the
+    * confusion matrix on the source slice and the prediction
+    * histogram on the target slice; no target labels touched. Under
+    * label shift, C·w = μ̂ with C the source joint (ŷ, y) count
+    * matrix and w_y = q(y)/p(y); for binary classes the inverse is
+    * closed-form, so both weights are EXACT rationals on the count
+    * grid: w_y = n_src·(adj · μ̂)_y / (n_tgt·det C), emitted in
+    * sign-safe ppm (the estimator can go negative when the classifier
+    * is near-uninformative — reported raw, stated, with the
+    * determinant guard emitting nothing on det = 0). Slices: parity
+    * split (source = even, target = odd); scorer: the q303 chain
+    * trained on source only; ŷ = [z > 0] (the gate's rule). Both
+    * halves of this synthetic corpus share the prior, so w ≈ 1 is
+    * the honest-null reading — the gate pins the arithmetic.
+    *
+    * Scale: one GD chain on the source half + two linear scoring
+    * passes + two bounded (≤4-row) censuses and a one-row closed-form
+    * solve. Headroom: 10⁶·c·m·n products wrap int64 past ~10⁶ docs
+    * per slice on this grid (documented; DECIMAL beyond). */
+  val q339 = QueryDef(
+    "q339_bbse_label_shift", {
+      def pred(w: String) = "CASE WHEN f.x0*" + w + ".w0 + f.x1*" + w +
+        ".w1 + f.x2*" + w + ".w2 + f.x3*" + w + ".w3 > 0" +
+        " THEN 1 ELSE 0 END"
+      s"""WITH ${chainSql("_s", "doc_id % 2 = 0")},
+      |cm AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN ${pred("w")} = 0 AND f.y = 0 THEN 1
+      |      ELSE 0 END) AS BIGINT) AS c00,
+      |    CAST(SUM(CASE WHEN ${pred("w")} = 0 AND f.y = 1 THEN 1
+      |      ELSE 0 END) AS BIGINT) AS c01,
+      |    CAST(SUM(CASE WHEN ${pred("w")} = 1 AND f.y = 0 THEN 1
+      |      ELSE 0 END) AS BIGINT) AS c10,
+      |    CAST(SUM(CASE WHEN ${pred("w")} = 1 AND f.y = 1 THEN 1
+      |      ELSE 0 END) AS BIGINT) AS c11,
+      |    CAST(COUNT(*) AS BIGINT) AS ns
+      |  FROM feat_s f CROSS JOIN w3_s w),
+      |tg AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
+      |    CAST(10 AS BIGINT) AS x0,
+      |    CAST(len(string_split(text, ' ')) - 50 AS BIGINT) AS x1,
+      |    CAST((100 * n_chars) // len(string_split(text, ' ')) - 550
+      |      AS BIGINT) AS x2,
+      |    CAST(10 * len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the', 'a', 'of', 'and'))) - 30 AS BIGINT) AS x3
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |mu AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN ${pred("w")} = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS m0,
+      |    CAST(SUM(CASE WHEN ${pred("w")} = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS m1,
+      |    CAST(COUNT(*) AS BIGINT) AS nt
+      |  FROM tg f CROSS JOIN w3_s w)
+      |SELECT cm.ns AS n_src, mu.nt AS n_tgt,
+      |  cm.c00, cm.c01, cm.c10, cm.c11, mu.m0, mu.m1,
+      |  CAST(${fdSql("1000000 * cm.ns * (cm.c11 * mu.m0 - cm.c01 * mu.m1)",
+        "mu.nt * (cm.c00 * cm.c11 - cm.c01 * cm.c10)")} AS BIGINT)
+      |    AS w0_ppm,
+      |  CAST(${fdSql("1000000 * cm.ns * (cm.c00 * mu.m1 - cm.c10 * mu.m0)",
+        "mu.nt * (cm.c00 * cm.c11 - cm.c01 * cm.c10)")} AS BIGINT)
+      |    AS w1_ppm
+      |FROM cm CROSS JOIN mu
+      |WHERE cm.c00 * cm.c11 - cm.c01 * cm.c10 <> 0""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.Checkpoints
+    import graft.ml.QualityClassifier
+    val docs = Tables.documents(s, d)
+    val fs = Checkpoints.pin(
+      QualityClassifier.featurize(docs.filter(pmod(col("doc_id"),
+          lit(2L)) === 0L))
+        .select("doc_id", "y", "x0", "x1", "x2", "x3").localCheckpoint())
+    val ft = Checkpoints.pin(
+      QualityClassifier.featurize(docs.filter(pmod(col("doc_id"),
+          lit(2L)) === 1L))
+        .select("doc_id", "y", "x0", "x1", "x2", "x3").localCheckpoint())
+    val w3 = QualityClassifier.weights(QualityClassifier.trainCensus(fs))
+    val yhat = expr(
+      "case when x0*w0 + x1*w1 + x2*w2 + x3*w3 > 0 then 1L else 0L end")
+    val cm = fs.crossJoin(broadcast(w3))
+      .agg(
+        sum(when(yhat === 0L && col("y") === 0L, 1L).otherwise(0L))
+          .as("c00"),
+        sum(when(yhat === 0L && col("y") === 1L, 1L).otherwise(0L))
+          .as("c01"),
+        sum(when(yhat === 1L && col("y") === 0L, 1L).otherwise(0L))
+          .as("c10"),
+        sum(when(yhat === 1L && col("y") === 1L, 1L).otherwise(0L))
+          .as("c11"),
+        count(lit(1)).as("ns"))
+    val mu = ft.crossJoin(broadcast(w3))
+      .agg(sum(when(yhat === 0L, 1L).otherwise(0L)).as("m0"),
+        sum(when(yhat === 1L, 1L).otherwise(0L)).as("m1"),
+        count(lit(1)).as("nt"))
+    cm.crossJoin(broadcast(mu))
+      .filter(expr("c00 * c11 - c01 * c10 != 0"))
+      .select(col("ns").as("n_src"), col("nt").as("n_tgt"),
+        col("c00"), col("c01"), col("c10"), col("c11"),
+        col("m0"), col("m1"),
+        fdCol(expr("1000000L * ns * (c11 * m0 - c01 * m1)"),
+          expr("nt * (c00 * c11 - c01 * c10)")).as("w0_ppm"),
+        fdCol(expr("1000000L * ns * (c00 * m1 - c10 * m0)"),
+          expr("nt * (c00 * c11 - c01 * c10)")).as("w1_ppm"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q340 — selective-classification risk–coverage curve
+  // ---------------------------------------------------------------------
+
+  /** q340 — RISK–COVERAGE curve for selective classification
+    * (El-Yaniv & Wiener 2010; Geifman & El-Yaniv 2017): if the
+    * curation pipeline only acts on documents the q303 gate is
+    * CONFIDENT about (the standard selective-prediction deployment),
+    * what error rate does each coverage level buy? Confidence =
+    * margin |p̂ − ½| banded to ten 50k-ppm rungs; descending the
+    * ladder from most- to least-confident accumulates coverage and
+    * error, giving the exact risk–coverage staircase: per band,
+    * marginal docs/errors and cumulative coverage_ppm / risk_ppm
+    * (floored — stated). The curve is the operating manual for the
+    * gate: q335 says whether scores are calibrated, this says what
+    * abstention buys even when they are not. Error = [ŷ ≠ y] with
+    * ŷ = [p̂ ≥ ½] (ties to positive, stated).
+    *
+    * Scale: the q303 chain + one scoring pass + a ≤10-row margin
+    * census with prefix windows on it. */
+  val q340 = QueryDef(
+    "q340_risk_coverage", {
+      val pred = "LEAST(1000000, GREATEST(0, " +
+        "(f.x0*w.w0 + f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3 + 2000000) // 4))"
+      gdPrefixSql + s""",
+      |sc AS (
+      |  SELECT f.y, $pred AS p FROM feat f CROSS JOIN w3 w),
+      |er AS (
+      |  SELECT ABS(p - 500000) // 50000 AS mband,
+      |    CASE WHEN (CASE WHEN p >= 500000 THEN 1 ELSE 0 END) <> y
+      |      THEN 1 ELSE 0 END AS err
+      |  FROM sc),
+      |nb AS (
+      |  SELECT CAST(mband AS BIGINT) AS mband,
+      |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(err) AS BIGINT) AS e
+      |  FROM er GROUP BY 1),
+      |cv AS (
+      |  SELECT mband, n, e,
+      |    CAST(SUM(n) OVER (ORDER BY mband DESC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+      |    CAST(SUM(e) OVER (ORDER BY mband DESC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ce,
+      |    CAST(SUM(n) OVER () AS BIGINT) AS nt
+      |  FROM nb)
+      |SELECT mband AS margin_band, n AS n_docs, e AS n_errors,
+      |  CAST((1000000 * cn) // nt AS BIGINT) AS coverage_ppm,
+      |  CAST((1000000 * ce) // cn AS BIGINT) AS risk_ppm
+      |FROM cv ORDER BY margin_band DESC""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Checkpoints
+    import graft.ml.QualityClassifier
+    val feat = Checkpoints.pin(
+      QualityClassifier.featurize(Tables.documents(s, d))
+        .select("doc_id", "y", "x0", "x1", "x2", "x3").localCheckpoint())
+    val w3 = QualityClassifier.weights(QualityClassifier.trainCensus(feat))
+    val nb = Checkpoints.pin(
+      feat.crossJoin(broadcast(w3))
+        .select(col("y"),
+          expr("least(1000000L, greatest(0L," +
+            " (x0*w0 + x1*w1 + x2*w2 + x3*w3 + 2000000) div 4))")
+            .as("p"))
+        .select(expr("abs(p - 500000L) div 50000").as("mband"),
+          when(when(col("p") >= 500000L, 1L).otherwise(0L)
+            =!= col("y"), 1L).otherwise(0L).as("err"))
+        .groupBy(col("mband"))
+        .agg(count(lit(1)).as("n"), sum(col("err")).as("e"))
+        .localCheckpoint())
+    // prefix windows ride the ≤10-row margin census — PlanSpec
+    // window-allowlisted
+    val wd = Window.orderBy(col("mband").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wa = Window.orderBy(col("mband").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    nb.withColumn("cn", sum(col("n")).over(wd))
+      .withColumn("ce", sum(col("e")).over(wd))
+      .withColumn("nt", sum(col("n")).over(wa))
+      .select(col("mband").as("margin_band"), col("n").as("n_docs"),
+        col("e").as("n_errors"),
+        expr("(1000000L * cn) div nt").as("coverage_ppm"),
+        expr("(1000000L * ce) div cn").as("risk_ppm"))
+      .orderBy(col("margin_band").desc)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q303, q304, q306, q308, q312, q313, q313b, q314, q315, q317,
       q318, q319, q320, q321, q323, q324, q328, q329, q330, q332,
-      q333, q335)
+      q333, q335, q339, q340)
 }

@@ -578,6 +578,46 @@ class CurationInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q339 BBSE moment equation holds within flooring slack") {
+    val r = TrainQueries.q339.run(spark, sf).collect().head
+    val (c00, c01, c10, c11) = (r.getAs[Long]("c00"), r.getAs[Long]("c01"),
+      r.getAs[Long]("c10"), r.getAs[Long]("c11"))
+    val (ns, nt) = (r.getAs[Long]("n_src"), r.getAs[Long]("n_tgt"))
+    val (m0, m1) = (r.getAs[Long]("m0"), r.getAs[Long]("m1"))
+    assert(c00 + c01 + c10 + c11 == ns)
+    assert(m0 + m1 == nt)
+    // the estimator inverts C exactly: plugging the floored w's back
+    // into C·w = 10^6·ns·μ/nt must land within the flooring slack
+    val (w0, w1) = (r.getAs[Long]("w0_ppm"), r.getAs[Long]("w1_ppm"))
+    val lhs0 = c00 * w0 + c01 * w1
+    val rhs0 = 1000000L * ns * m0 / nt
+    assert(math.abs(lhs0 - rhs0) <= c00 + c01 + nt,
+      s"moment eq: $lhs0 vs $rhs0")
+    val lhs1 = c10 * w0 + c11 * w1
+    val rhs1 = 1000000L * ns * m1 / nt
+    assert(math.abs(lhs1 - rhs1) <= c10 + c11 + nt,
+      s"moment eq: $lhs1 vs $rhs1")
+  }
+
+  test("q340 risk-coverage staircase partitions and ends at full coverage") {
+    val rows = TrainQueries.q340.run(spark, sf)
+      .orderBy(col("margin_band").desc).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // coverage is strictly increasing down the ladder and ends at 1
+    val covs = rows.map(_.getAs[Long]("coverage_ppm"))
+    covs.sliding(2).foreach {
+      case Array(a, b) => assert(b > a)
+      case _ => ()
+    }
+    assert(covs.last == 1000000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_errors") <= r.getAs[Long]("n_docs"))
+      val risk = r.getAs[Long]("risk_ppm")
+      assert(risk >= 0L && risk <= 1000000L)
+    }
+  }
+
   test("q314 LOO deltas and exclusive vocab are conservation-consistent") {
     val rows = TrainQueries.q314.run(spark, sf).collect()
     val shareSum = rows.map(_.getAs[Long]("token_share_ppm")).sum

@@ -136,7 +136,9 @@ class PlanSpec extends SparkSpec {
       "q336_otsu_threshold",
       // q338's prefix/rank windows run over the calendar-bounded
       // daily census (the q252 argument)
-      "q338_sprt_monitor")
+      "q338_sprt_monitor",
+      // q340's prefix windows run over the ≤10-row margin census
+      "q340_risk_coverage")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => allowed.contains(n) }
       .flatMap { case (name, fn) =>
@@ -307,7 +309,11 @@ class PlanSpec extends SparkSpec {
       "q336_otsu_threshold" ->
         "16-row candidate pool (the q325 bound) + ≤41-row band census",
       "q337_hill_diversity" -> "|S|-row per-source totals frame",
-      "q338_sprt_monitor" -> "one-row first-crossing verdict frame")
+      "q338_sprt_monitor" -> "one-row first-crossing verdict frame",
+      "q339_bbse_label_shift" ->
+        "one-row weight/confusion/prediction-histogram frames",
+      "q340_risk_coverage" ->
+        "one-row weight/count frames (q303 chain)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
