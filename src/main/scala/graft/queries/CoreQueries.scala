@@ -6733,6 +6733,94 @@ object CoreQueries {
           .as("tau_b_milli"))
   }
 
+  /** q342 — TWO-PROPORTION POWER PLANNER for the A/B harness: before
+    * q214's z-test can be trusted, the experiment must be SIZED — the
+    * classical per-arm requirement
+    *   n = (z_{α/2} + z_β)² · 2·p̄(1−p̄) / δ²
+    * (two-sided α = 5%, power 80%; z constants are DECLARED spec
+    * milli constants 1960 + 842 = 2802, squared once to the micro
+    * grid 7,851,204 — not computed from any erf), evaluated against
+    * the pooled rate of a per-user high-value flag (floored mean
+    * event value ≥ 5500 cents — SF-invariant and non-degenerate on
+    * this corpus, where both "any purchase event" and q214's absolute
+    * spend cut saturate at one SF or another, stated) and the REALIZED
+    * arm sizes under q214's own md5 variant split, over a declared
+    * MDE ladder {1%, 2.5%, 5%, 10%} absolute. Output per rung:
+    * required n per arm (exact ceiling division), both realized arm
+    * sizes, and the powered flag — the "can this corpus even answer
+    * that question?" table read before any test statistic.
+    *
+    * Scale: one per-user keyed agg (map-side combinable), a one-row
+    * pooled fold, a 4-row declared ladder cross — nothing downstream
+    * of the first agg grows. Int64: the numerator tops out at
+    * ~3.9·10¹⁸ at p̄ = ½ — inside int64 by construction at any
+    * corpus size (rates, not counts). */
+  val q342 = QueryDef(
+    "q342_power_planning",
+    s"""WITH uu AS (
+      |  SELECT user_id,
+      |    CASE WHEN SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+      |      // COUNT(*) >= 5500 THEN 1 ELSE 0 END AS conv
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |hv AS (
+      |  SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS hx
+      |  FROM (SELECT DISTINCT user_id FROM events
+      |        WHERE user_id IS NOT NULL)),
+      |vv AS (SELECT user_id, ${TextQueries.hexU32Sql(1)} % 2 AS variant
+      |  FROM hv),
+      |arms AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n0,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n1,
+      |    CAST(SUM(conv) AS BIGINT) AS x,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM uu JOIN vv ON vv.user_id = uu.user_id),
+      |p AS (SELECT n0, n1, CAST((1000000 * x) // n AS BIGINT) AS pp
+      |  FROM arms WHERE n > 0),
+      |ladder AS (SELECT CAST(unnest([10000, 25000, 50000, 100000])
+      |  AS BIGINT) AS mde),
+      |rq AS (
+      |  SELECT l.mde, p.pp, p.n0, p.n1,
+      |    (7851204 * 2 * p.pp * (1000000 - p.pp)
+      |      + 1000000 * l.mde * l.mde - 1)
+      |      // (1000000 * l.mde * l.mde) AS req
+      |  FROM ladder l CROSS JOIN p)
+      |SELECT CAST(mde AS BIGINT) AS mde_ppm, pp AS pool_p_ppm,
+      |  CAST(req AS BIGINT) AS n_required_per_arm,
+      |  n0 AS n_arm0, n1 AS n_arm1,
+      |  CAST(CASE WHEN n0 >= req AND n1 >= req THEN 1 ELSE 0 END
+      |    AS BIGINT) AS powered
+      |FROM rq ORDER BY mde_ppm""".stripMargin) { (s, d) =>
+    val uu = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(when(expr("sum(cast(floor(value * 100 + 0.5) as bigint))" +
+        " div count(1)") >= 5500L, 1L).otherwise(0L).as("conv"))
+      .withColumn("variant",
+        graft.curation.Curation.contentU32(col("user_id")) % 2L)
+    val arms = uu.agg(
+      sum(when(col("variant") === 0L, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("variant") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(col("conv")).as("x"), count(lit(1)).as("n"))
+    val p = arms.filter(col("n") > 0)
+      .select(col("n0"), col("n1"),
+        expr("(1000000L * x) div n").as("pp"))
+    val ladder = s.range(1)
+      .select(explode(array(lit(10000L), lit(25000L), lit(50000L),
+        lit(100000L))).as("mde"))
+    ladder.crossJoin(broadcast(p))
+      .withColumn("req", expr(
+        "(7851204L * 2 * pp * (1000000L - pp)" +
+          " + 1000000L * mde * mde - 1) div (1000000L * mde * mde)"))
+      .select(col("mde").as("mde_ppm"), col("pp").as("pool_p_ppm"),
+        col("req").as("n_required_per_arm"),
+        col("n0").as("n_arm0"), col("n1").as("n_arm1"),
+        when(col("n0") >= col("req") && col("n1") >= col("req"), 1L)
+          .otherwise(0L).as("powered"))
+      .orderBy("mde_ppm")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
@@ -6743,5 +6831,5 @@ object CoreQueries {
     q255, q256, q259, q260, q261, q262, q263, q264, q267, q268,
     q270, q271, q272, q274, q275, q277, q278, q279, q280, q281,
     q283, q284, q285, q286, q288, q289, q290, q291, q292, q293,
-    q294, q295, q297, q299, q300, q322)
+    q294, q295, q297, q299, q300, q322, q342)
 }

@@ -2088,8 +2088,186 @@ object TrainQueries {
       .orderBy(col("margin_band").desc)
   }
 
+  // ---------------------------------------------------------------------
+  // q341 — Brier score decomposition (reliability/resolution/uncertainty)
+  // ---------------------------------------------------------------------
+
+  /** q341 — BRIER SCORE DECOMPOSITION (Murphy 1973): the quadratic
+    * score of the q303 gate split into its three classical parts over
+    * the confidence-decile partition —
+    *   Brier = REL − RES + UNC,
+    *   REL = Σ n_b(conf_b − acc_b)²/N  (calibration deficit — what
+    *         q335's ECE reads in L1),
+    *   RES = Σ n_b(acc_b − base)²/N    (how much the score SEPARATES
+    *         outcomes — the part ECE cannot see),
+    *   UNC = base(1 − base)            (the label's own entropy
+    *         floor).
+    * The identity binds for the BINNED forecaster (predictions
+    * replaced by their bin means — Murphy's construction), so the
+    * census emits BOTH quadratic scores: brier_ppm2 (raw) and
+    * brier_binned_ppm2 = Σ n_b[(conf_b−acc_b)² + acc_b(10⁶−acc_b)]/N;
+    * decomposition_gap_ppm2 = binned − (REL − RES + UNC) is pure
+    * flooring residual (spec-pinned tiny), while binning_loss_ppm2 =
+    * raw − binned is the real within-bin variance/covariance term —
+    * REPORTED, not hidden. All exact ppm² int64. A scorer can have
+    * zero ECE and zero resolution (constant base-rate prediction);
+    * this query is the audit that catches it.
+    *
+    * Scale: the q303 training passes + one scoring pass + a ≤10-row
+    * keyed census and one-row folds. Headroom: Σ(p−10⁶y)² ≤ N·10¹²
+    * wraps int64 past N ≈ 9·10⁶ (documented; DECIMAL beyond). */
+  val q341 = QueryDef(
+    "q341_brier_decomposition", {
+      val pred = "LEAST(1000000, GREATEST(0, " +
+        "(f.x0*w.w0 + f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3 + 2000000) // 4))"
+      gdPrefixSql + s""",
+      |sc AS (
+      |  SELECT f.y, $pred AS p FROM feat f CROSS JOIN w3 w),
+      |tt AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM((p - 1000000 * y) * (p - 1000000 * y)) AS BIGINT)
+      |      AS sbr,
+      |    CAST((1000000 * SUM(y)) // COUNT(*) AS BIGINT) AS base
+      |  FROM sc),
+      |nb AS (
+      |  SELECT LEAST(p // 100000, 9) AS band,
+      |    CAST(COUNT(*) AS BIGINT) AS nb, CAST(SUM(p) AS BIGINT) AS sp,
+      |    CAST(SUM(y) AS BIGINT) AS sy
+      |  FROM sc GROUP BY 1),
+      |dd AS (
+      |  SELECT
+      |    CAST(SUM(nb * (sp // nb - (1000000 * sy) // nb)
+      |      * (sp // nb - (1000000 * sy) // nb)) AS BIGINT) AS reln,
+      |    CAST(SUM(nb * ((1000000 * sy) // nb - tt.base)
+      |      * ((1000000 * sy) // nb - tt.base)) AS BIGINT) AS resn,
+      |    CAST(SUM(nb * ((sp // nb - (1000000 * sy) // nb)
+      |        * (sp // nb - (1000000 * sy) // nb)
+      |      + ((1000000 * sy) // nb)
+      |        * (1000000 - (1000000 * sy) // nb))) AS BIGINT) AS bbin
+      |  FROM nb CROSS JOIN tt GROUP BY tt.n)
+      |SELECT tt.n AS n_docs, CAST(tt.sbr // tt.n AS BIGINT)
+      |    AS brier_ppm2,
+      |  CAST(dd.bbin // tt.n AS BIGINT) AS brier_binned_ppm2,
+      |  CAST(dd.reln // tt.n AS BIGINT) AS rel_ppm2,
+      |  CAST(dd.resn // tt.n AS BIGINT) AS res_ppm2,
+      |  CAST(tt.base * (1000000 - tt.base) AS BIGINT) AS unc_ppm2,
+      |  CAST(dd.bbin // tt.n
+      |    - (dd.reln // tt.n - dd.resn // tt.n
+      |       + tt.base * (1000000 - tt.base)) AS BIGINT)
+      |    AS decomposition_gap_ppm2,
+      |  CAST(tt.sbr // tt.n - dd.bbin // tt.n AS BIGINT)
+      |    AS binning_loss_ppm2
+      |FROM tt CROSS JOIN dd""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.Checkpoints
+    import graft.ml.QualityClassifier
+    val feat = Checkpoints.pin(
+      QualityClassifier.featurize(Tables.documents(s, d))
+        .select("doc_id", "y", "x0", "x1", "x2", "x3").localCheckpoint())
+    val w3 = QualityClassifier.weights(QualityClassifier.trainCensus(feat))
+    val sc = Checkpoints.pin(
+      feat.crossJoin(broadcast(w3))
+        .select(col("y"),
+          expr("least(1000000L, greatest(0L," +
+            " (x0*w0 + x1*w1 + x2*w2 + x3*w3 + 2000000) div 4))")
+            .as("p"))
+        .localCheckpoint())
+    val tt = sc.agg(count(lit(1)).as("n"),
+      sum(expr("(p - 1000000L * y) * (p - 1000000L * y)")).as("sbr"),
+      expr("(1000000L * sum(y)) div count(1)").as("base"))
+    val nb = sc.groupBy(least(expr("p div 100000"), lit(9L)).as("band"))
+      .agg(count(lit(1)).as("nb"), sum(col("p")).as("sp"),
+        sum(col("y")).as("sy"))
+    val dd = nb.crossJoin(broadcast(tt))
+      .agg(
+        sum(expr("nb * (sp div nb - (1000000L * sy) div nb)" +
+          " * (sp div nb - (1000000L * sy) div nb)")).as("reln"),
+        sum(expr("nb * ((1000000L * sy) div nb - base)" +
+          " * ((1000000L * sy) div nb - base)")).as("resn"),
+        sum(expr("nb * ((sp div nb - (1000000L * sy) div nb)" +
+          " * (sp div nb - (1000000L * sy) div nb)" +
+          " + ((1000000L * sy) div nb)" +
+          " * (1000000L - (1000000L * sy) div nb))")).as("bbin"))
+    tt.crossJoin(broadcast(dd))
+      .select(col("n").as("n_docs"),
+        expr("sbr div n").as("brier_ppm2"),
+        expr("bbin div n").as("brier_binned_ppm2"),
+        expr("reln div n").as("rel_ppm2"),
+        expr("resn div n").as("res_ppm2"),
+        expr("base * (1000000L - base)").as("unc_ppm2"),
+        expr("bbin div n - (reln div n - resn div n" +
+          " + base * (1000000L - base))").as("decomposition_gap_ppm2"),
+        expr("sbr div n - bbin div n").as("binning_loss_ppm2"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q343 — Kish design effect of post-stratification weights
+  // ---------------------------------------------------------------------
+
+  /** q343 — KISH DESIGN EFFECT (Kish 1965) of balancing the corpus to
+    * UNIFORM sources: the weighting that q320 (IPF), q315 (UniMax)
+    * and q304 (DoReMi) all imply has a price — weighted estimates
+    * lose effective sample size by deff = n·Σn_c w_c² / (Σn_c w_c)².
+    * Weights here are the post-stratification-to-uniform family
+    * w_c = N/(|S|·n_c) on the MILLI grid (floored — stated; the
+    * coarser grid buys int64 headroom: S₁ ≈ 10³·N, so S₁² wraps past
+    * N ≈ 3·10⁶ docs — documented, DECIMAL beyond). Output: corpus
+    * and cell counts, weight range, deff in milli, and the Kish
+    * effective sample size n_eff = ⌊10³·n/deff⌋ — the single number
+    * that says what a balanced read of this corpus is WORTH in
+    * unweighted-doc units (q312's ESS prices a sampling temperature;
+    * this prices a balancing weight).
+    *
+    * Scale: one (source) keyed count + |S|-row folds — nothing else
+    * grows. */
+  val q343 = QueryDef(
+    "q343_kish_deff",
+    """WITH sc AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS nc
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(nc) AS BIGINT) AS n,
+      |  CAST(COUNT(*) AS BIGINT) AS s FROM sc),
+      |wc AS (
+      |  SELECT sc.nc,
+      |    CAST((1000 * t.n) // (t.s * sc.nc) AS BIGINT) AS wm
+      |  FROM sc CROSS JOIN t),
+      |agg AS (
+      |  SELECT CAST(SUM(nc * wm) AS BIGINT) AS s1,
+      |    CAST(SUM(nc * wm * wm) AS BIGINT) AS s2,
+      |    CAST(MIN(wm) AS BIGINT) AS wmin, CAST(MAX(wm) AS BIGINT)
+      |      AS wmax
+      |  FROM wc)
+      |SELECT t.n AS n_docs, t.s AS n_cells, a.wmin AS w_min_milli,
+      |  a.wmax AS w_max_milli,
+      |  CAST((1000 * t.n * a.s2) // (a.s1 * a.s1) AS BIGINT)
+      |    AS deff_milli,
+      |  CAST((1000 * t.n) //
+      |    GREATEST(1, (1000 * t.n * a.s2) // (a.s1 * a.s1))
+      |    AS BIGINT) AS n_eff
+      |FROM t CROSS JOIN agg a WHERE t.n > 0""".stripMargin) { (s, d) =>
+    import graft.functions.Checkpoints
+    val sc = Checkpoints.pin(
+      Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("nc"))
+        .localCheckpoint())
+    val t = sc.agg(sum(col("nc")).as("n"), count(lit(1)).as("s"))
+    val agg = sc.crossJoin(broadcast(t))
+      .select(col("nc"),
+        expr("(1000L * n) div (s * nc)").as("wm"))
+      .agg(sum(expr("nc * wm")).as("s1"),
+        sum(expr("nc * wm * wm")).as("s2"),
+        min(col("wm")).as("wmin"), max(col("wm")).as("wmax"))
+    t.crossJoin(broadcast(agg))
+      .filter(col("n") > 0)
+      .select(col("n").as("n_docs"), col("s").as("n_cells"),
+        col("wmin").as("w_min_milli"), col("wmax").as("w_max_milli"),
+        expr("(1000L * n * s2) div (s1 * s1)").as("deff_milli"),
+        expr("(1000L * n) div" +
+          " greatest(1L, (1000L * n * s2) div (s1 * s1))").as("n_eff"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q303, q304, q306, q308, q312, q313, q313b, q314, q315, q317,
       q318, q319, q320, q321, q323, q324, q328, q329, q330, q332,
-      q333, q335, q339, q340)
+      q333, q335, q339, q340, q341, q343)
 }

@@ -618,6 +618,62 @@ class CurationInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q341 Brier decomposition closes within flooring slack") {
+    val r = TrainQueries.q341.run(spark, sf).collect().head
+    val (brier, rel, res, unc, gap) = (r.getAs[Long]("brier_ppm2"),
+      r.getAs[Long]("rel_ppm2"), r.getAs[Long]("res_ppm2"),
+      r.getAs[Long]("unc_ppm2"), r.getAs[Long]("decomposition_gap_ppm2"))
+    val bbin = r.getAs[Long]("brier_binned_ppm2")
+    assert(rel >= 0L && res >= 0L && unc >= 0L)
+    assert(brier >= 0L && brier <= 1000000000000L)
+    // Murphy's identity binds for the BINNED forecaster, up to ppm
+    // flooring of the band/base means: the residual is tiny on the
+    // ppm^2 scale
+    assert(gap == bbin - (rel - res + unc))
+    assert(math.abs(gap) <= 5000000L, s"gap $gap")
+    // binning loss is the raw-vs-binned difference, exactly
+    assert(r.getAs[Long]("binning_loss_ppm2") == brier - bbin)
+    // resolution can never exceed the uncertainty it explains
+    assert(res <= unc + 5000000L)
+  }
+
+  test("q342 power ladder is monotone and the arm split is exhaustive") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.CoreQueries.q342.run(spark, sf)
+      .orderBy("mde_ppm").collect()
+    assert(rows.length == 4)
+    // required n strictly decreases as the detectable effect grows
+    val reqs = rows.map(_.getAs[Long]("n_required_per_arm"))
+    reqs.sliding(2).foreach { case Array(a, b) => assert(b < a) }
+    // powered flag is monotone nondecreasing along the ladder
+    val pw = rows.map(_.getAs[Long]("powered"))
+    pw.sliding(2).foreach { case Array(a, b) => assert(b >= a) }
+    // the md5 split is exhaustive over distinct users
+    val nUsers = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull).select("user_id").distinct()
+      .count()
+    assert(rows.head.getAs[Long]("n_arm0")
+      + rows.head.getAs[Long]("n_arm1") == nUsers)
+    // closed-form replay for the first rung
+    val p = rows.head.getAs[Long]("pool_p_ppm")
+    val mde = rows.head.getAs[Long]("mde_ppm")
+    val num = 7851204L * 2 * p * (1000000L - p)
+    val den = 1000000L * mde * mde
+    assert(reqs.head == (num + den - 1) / den)
+  }
+
+  test("q343 Kish deff >= 1 and n_eff prices the balancing exactly") {
+    val r = TrainQueries.q343.run(spark, sf).collect().head
+    val (n, deff, neff) = (r.getAs[Long]("n_docs"),
+      r.getAs[Long]("deff_milli"), r.getAs[Long]("n_eff"))
+    // Cauchy-Schwarz: deff >= 1 (up to milli-grid flooring)
+    assert(deff >= 999L, s"deff $deff")
+    assert(neff <= n && neff >= 1L)
+    assert(neff == 1000L * n / math.max(1L, deff))
+    assert(r.getAs[Long]("w_min_milli") <= r.getAs[Long]("w_max_milli"))
+    assert(r.getAs[Long]("n_cells") == 20L)
+  }
+
   test("q314 LOO deltas and exclusive vocab are conservation-consistent") {
     val rows = TrainQueries.q314.run(spark, sf).collect()
     val shareSum = rows.map(_.getAs[Long]("token_share_ppm")).sum

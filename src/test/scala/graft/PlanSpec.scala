@@ -313,7 +313,12 @@ class PlanSpec extends SparkSpec {
       "q339_bbse_label_shift" ->
         "one-row weight/confusion/prediction-histogram frames",
       "q340_risk_coverage" ->
-        "one-row weight/count frames (q303 chain)")
+        "one-row weight/count frames (q303 chain)",
+      "q341_brier_decomposition" ->
+        "one-row weight/total/decomposition frames (q303 chain)",
+      "q342_power_planning" ->
+        "one-row pooled-rate frame x 4-row declared MDE ladder",
+      "q343_kish_deff" -> "one-row corpus-total and weight-fold frames")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
