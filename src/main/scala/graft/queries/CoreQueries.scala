@@ -6636,12 +6636,15 @@ object CoreQueries {
   /** q322 — KENDALL τ-b rank correlation (Kendall 1938) between a
     * part's price band and its sales-frequency band, computed WITHOUT
     * the O(n²) pair scan: both variables are quantized onto declared
-    * bounded grids (price: 10 decicent-millibands over the catalog's
-    * spec range, frequency: ⌊f/8⌋ capped at 15 — the banding IS part
-    * of the statistic, stated), so every pair comparison collapses
-    * onto the ≤160-cell joint census and the concordant/discordant
-    * masses are Σ c_a·c_b over strictly-ordered cell pairs — a
-    * broadcast self-join of the bounded census, never of parts. Ties
+    * bounded grids (price: 1000-cent millibands anchored at 90000
+    * cents — the TPC-H retail-price span $900–$2099 yields ~120
+    * occupied bands; frequency: ⌊f/8⌋ capped at 15 — the banding IS
+    * part of the statistic, stated), so every pair comparison
+    * collapses onto the ≤1920-cell joint census (120 × 16) and the
+    * concordant/discordant masses are Σ c_a·c_b over
+    * strictly-ordered cell pairs — a broadcast self-join of the
+    * bounded census (≤ ~3.7M cell pairs, constant in the data),
+    * never of parts. Ties
     * (the reason τ-b over τ-a): n1/n2 from the census margins,
     * τ_b = (C−D)/√((n0−n1)(n0−n2)) with the √ as the single trailing
     * float (q292's Spearman discipline — there ranks, here pairs;
@@ -6650,11 +6653,15 @@ object CoreQueries {
     * (frequency is undefined for them), stated.
     *
     * Scale: one keyed count per part (map-side combinable), one
-    * broadcast dim join, one ≤160-row census — the cell-pair join and
-    * every margin ride the census, so nothing downstream of the
+    * broadcast dim join, one ≤1920-row census — the cell-pair join
+    * and every margin ride the census, so nothing downstream of the
     * per-part agg grows with the data. Headroom: C, D ≤ n(n−1)/2
     * wraps int64 only past n ≈ 4.3·10⁹ parts; the √ argument is
-    * computed in double throughout (exact to 2⁵³). */
+    * computed in double throughout (exact to 2⁵³). Degenerate
+    * guard: τ-b is undefined when either variable is completely
+    * tied (a zero divisor); both engines filter those out with the
+    * same n₀−n₁ > 0 ∧ n₀−n₂ > 0 predicate rather than diverge on
+    * CAST(inf AS BIGINT). */
   val q322 = QueryDef(
     "q322_kendall_tau",
     """WITH pc AS (
@@ -6692,7 +6699,9 @@ object CoreQueries {
       |      * (CAST(t.n AS DOUBLE) * (t.n - 1) / 2 - ty.n2)))
       |    AS BIGINT) AS tau_b_milli
       |FROM pr CROSS JOIN tot t CROSS JOIN tx CROSS JOIN ty
-      |WHERE t.n >= 2""".stripMargin) { (s, d) =>
+      |WHERE t.n >= 2
+      |  AND t.n * (t.n - 1) // 2 - tx.n1 > 0
+      |  AND t.n * (t.n - 1) // 2 - ty.n2 > 0""".stripMargin) { (s, d) =>
     import graft.functions.Checkpoints
     val pc = Tables.lineitem(s, d)
       .groupBy(col("l_partkey").as("pk"))
@@ -6724,6 +6733,8 @@ object CoreQueries {
     pr.crossJoin(broadcast(tot)).crossJoin(broadcast(tx))
       .crossJoin(broadcast(ty))
       .filter(col("n") >= 2)
+      .filter(expr("n * (n - 1L) div 2 - n1 > 0") &&
+        expr("n * (n - 1L) div 2 - n2 > 0"))
       .select(col("n").as("n_parts"), col("nc").as("concordant"),
         col("nd").as("discordant"), col("n1").as("ties_x"),
         col("n2").as("ties_y"),

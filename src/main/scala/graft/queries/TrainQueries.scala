@@ -1915,8 +1915,13 @@ object TrainQueries {
     *
     * Scale: one GD chain on the source half + two linear scoring
     * passes + two bounded (≤4-row) censuses and a one-row closed-form
-    * solve. Headroom: 10⁶·c·m·n products wrap int64 past ~10⁶ docs
-    * per slice on this grid (documented; DECIMAL beyond). */
+    * solve. Headroom: the 10⁶·ns·(c·m) numerator is cubic in the
+    * slice size, which would wrap int64 already at ~2·10⁴ docs per
+    * slice — so the ratio rides the q312 wide-integer hatch from the
+    * start: DECIMAL(38,0) on the Spark side, HUGEINT (int128) in the
+    * oracle, exact to ~5·10¹⁰ docs per slice (10⁶·n³ < 10³⁸). Only
+    * the one-row closed-form solve is wide; every census stays
+    * int64. */
   val q339 = QueryDef(
     "q339_bbse_label_shift", {
       def pred(w: String) = "CASE WHEN f.x0*" + w + ".w0 + f.x1*" + w +
@@ -1955,12 +1960,14 @@ object TrainQueries {
       |  FROM tg f CROSS JOIN w3_s w)
       |SELECT cm.ns AS n_src, mu.nt AS n_tgt,
       |  cm.c00, cm.c01, cm.c10, cm.c11, mu.m0, mu.m1,
-      |  CAST(${fdSql("1000000 * cm.ns * (cm.c11 * mu.m0 - cm.c01 * mu.m1)",
-        "mu.nt * (cm.c00 * cm.c11 - cm.c01 * cm.c10)")} AS BIGINT)
-      |    AS w0_ppm,
-      |  CAST(${fdSql("1000000 * cm.ns * (cm.c00 * mu.m1 - cm.c10 * mu.m0)",
-        "mu.nt * (cm.c00 * cm.c11 - cm.c01 * cm.c10)")} AS BIGINT)
-      |    AS w1_ppm
+      |  CAST(${fdSql(
+        "CAST(1000000 AS HUGEINT) * cm.ns * (cm.c11 * mu.m0 - cm.c01 * mu.m1)",
+        "CAST(mu.nt AS HUGEINT) * (cm.c00 * cm.c11 - cm.c01 * cm.c10)")}
+      |    AS BIGINT) AS w0_ppm,
+      |  CAST(${fdSql(
+        "CAST(1000000 AS HUGEINT) * cm.ns * (cm.c00 * mu.m1 - cm.c10 * mu.m0)",
+        "CAST(mu.nt AS HUGEINT) * (cm.c00 * cm.c11 - cm.c01 * cm.c10)")}
+      |    AS BIGINT) AS w1_ppm
       |FROM cm CROSS JOIN mu
       |WHERE cm.c00 * cm.c11 - cm.c01 * cm.c10 <> 0""".stripMargin
     }) { (s, d) =>
@@ -1998,10 +2005,16 @@ object TrainQueries {
       .select(col("ns").as("n_src"), col("nt").as("n_tgt"),
         col("c00"), col("c01"), col("c10"), col("c11"),
         col("m0"), col("m1"),
-        fdCol(expr("1000000L * ns * (c11 * m0 - c01 * m1)"),
-          expr("nt * (c00 * c11 - c01 * c10)")).as("w0_ppm"),
-        fdCol(expr("1000000L * ns * (c00 * m1 - c10 * m0)"),
-          expr("nt * (c00 * c11 - c01 * c10)")).as("w1_ppm"))
+        fdCol(
+          expr("CAST(1000000 AS DECIMAL(38,0)) * ns" +
+            " * (c11 * m0 - c01 * m1)"),
+          expr("CAST(nt AS DECIMAL(38,0))" +
+            " * (c00 * c11 - c01 * c10)")).cast("long").as("w0_ppm"),
+        fdCol(
+          expr("CAST(1000000 AS DECIMAL(38,0)) * ns" +
+            " * (c00 * m1 - c10 * m0)"),
+          expr("CAST(nt AS DECIMAL(38,0))" +
+            " * (c00 * c11 - c01 * c10)")).cast("long").as("w1_ppm"))
   }
 
   // ---------------------------------------------------------------------
@@ -2115,7 +2128,10 @@ object TrainQueries {
     *
     * Scale: the q303 training passes + one scoring pass + a ≤10-row
     * keyed census and one-row folds. Headroom: Σ(p−10⁶y)² ≤ N·10¹²
-    * wraps int64 past N ≈ 9·10⁶ (documented; DECIMAL beyond). */
+    * wraps int64 past N ≈ 9·10⁶ (documented; DECIMAL beyond).
+    * Empty-corpus symmetry: dd is a global agg (no GROUP BY) and the
+    * final select guards n > 0 in BOTH engines, so an empty corpus
+    * emits zero rows everywhere (the q332/q343 convention). */
   val q341 = QueryDef(
     "q341_brier_decomposition", {
       val pred = "LEAST(1000000, GREATEST(0, " +
@@ -2144,7 +2160,7 @@ object TrainQueries {
       |        * (sp // nb - (1000000 * sy) // nb)
       |      + ((1000000 * sy) // nb)
       |        * (1000000 - (1000000 * sy) // nb))) AS BIGINT) AS bbin
-      |  FROM nb CROSS JOIN tt GROUP BY tt.n)
+      |  FROM nb CROSS JOIN tt)
       |SELECT tt.n AS n_docs, CAST(tt.sbr // tt.n AS BIGINT)
       |    AS brier_ppm2,
       |  CAST(dd.bbin // tt.n AS BIGINT) AS brier_binned_ppm2,
@@ -2157,7 +2173,7 @@ object TrainQueries {
       |    AS decomposition_gap_ppm2,
       |  CAST(tt.sbr // tt.n - dd.bbin // tt.n AS BIGINT)
       |    AS binning_loss_ppm2
-      |FROM tt CROSS JOIN dd""".stripMargin
+      |FROM tt CROSS JOIN dd WHERE tt.n > 0""".stripMargin
     }) { (s, d) =>
     import graft.functions.Checkpoints
     import graft.ml.QualityClassifier
@@ -2189,6 +2205,7 @@ object TrainQueries {
           " + ((1000000L * sy) div nb)" +
           " * (1000000L - (1000000L * sy) div nb))")).as("bbin"))
     tt.crossJoin(broadcast(dd))
+      .filter(col("n") > 0)
       .select(col("n").as("n_docs"),
         expr("sbr div n").as("brier_ppm2"),
         expr("bbin div n").as("brier_binned_ppm2"),

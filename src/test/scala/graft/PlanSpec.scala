@@ -289,7 +289,8 @@ class PlanSpec extends SparkSpec {
       "q321_greedy_coverage" ->
         "1-row greedy pick + one-row coverage/vocab-count frames",
       "q322_kendall_tau" ->
-        "≤160-cell joint-census self-cross + one-row total/margin frames",
+        "≤1920-cell (120 price bands × 16 freq bands) joint-census " +
+          "self-cross + one-row total/margin frames",
       "q323_borda_ensemble" -> "one-row corpus-count frame",
       "q324_curriculum_pacing" -> "one-row corpus-count frame",
       "q325_facility_location" ->
