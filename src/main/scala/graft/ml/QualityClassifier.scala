@@ -66,7 +66,18 @@ object QualityClassifier {
   def trainCensus(feat0: DataFrame, steps: Int = 3): DataFrame = {
     val feat = Checkpoints.pin(
       feat0.select("y", "x0", "x1", "x2", "x3").localCheckpoint())
-    val nRow = feat.agg(count(lit(1)).as("n"))
+    // The 1-row count and per-step weight frames are eagerly
+    // checkpointed too (pennies: one row each). Without this every
+    // broadcast(w_i) subtree re-runs the WHOLE chain up to step i —
+    // O(steps²) passes inside training and one more full chain per
+    // downstream consumer — and, worse, each consumer's plan inlines
+    // the unrolled chain, producing the giant Janino classes behind
+    // the measured JIT-compile storms on the q303-family queries
+    // (round-1 mechanism; round-10 suspects q333/q310). Checkpointed,
+    // every step and every consumer compiles one SMALL reused unit
+    // and the chain executes exactly once per step.
+    val nRow = Checkpoints.pin(
+      feat.agg(count(lit(1)).as("n")).localCheckpoint())
     val s = feat.sparkSession
     var w: DataFrame = s.range(1)
       .select(lit(0L).as("w0"), lit(0L).as("w1"),
@@ -87,6 +98,7 @@ object QualityClassifier {
           max(col("n")) * 1000L)).as("w2"),
         (max(col("w3")) - fdCol(sum(col("err") * col("x3")),
           max(col("n")) * 1000L)).as("w3"))
+      w = Checkpoints.pin(w.localCheckpoint())
       val hit = when(expr("x0*w0 + x1*w1 + x2*w2 + x3*w3") > 0, 1L)
         .otherwise(0L)
       feat.crossJoin(broadcast(w)).crossJoin(broadcast(nRow))
@@ -114,7 +126,10 @@ object QualityClassifier {
     val feat = Checkpoints.pin(
       feat0.select("doc_id", "y", "x0", "x1", "x2", "x3")
         .localCheckpoint())
-    val nRow = feat.agg(count(lit(1)).as("n"))
+    // Same per-step checkpoint discipline as [[trainCensus]] — see
+    // the rationale there (chain re-execution + JIT-storm codegen).
+    val nRow = Checkpoints.pin(
+      feat.agg(count(lit(1)).as("n")).localCheckpoint())
     val s = feat.sparkSession
     var w: DataFrame = s.range(1)
       .select(lit(0L).as("w0"), lit(0L).as("w1"),
@@ -135,6 +150,7 @@ object QualityClassifier {
           max(col("n")) * 1000L)).as("w2"),
         (max(col("w3")) - fdCol(sum(col("err") * col("x3")),
           max(col("n")) * 1000L)).as("w3"))
+      w = Checkpoints.pin(w.localCheckpoint())
       e.select(col("doc_id"), col("y"), lit(i.toLong).as("step"),
         col("err"))
     }

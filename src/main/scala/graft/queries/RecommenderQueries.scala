@@ -424,11 +424,17 @@ object RecommenderQueries {
       .join(Tables.orders(s, d),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
-    // Cache the distinct projection BEFORE the histogram probe: the
-    // cap derivation and the pair pipeline both consume it, and
-    // without the cache each re-runs the lineitem⋈orders join +
-    // distinct from scratch (measured ~2× the whole query at sf0.1).
-    val up0 = raw.distinct().cache()
+    // Materialize the distinct projection BEFORE the histogram probe:
+    // the cap derivation and the pair pipeline both consume it, and
+    // without it each re-runs the lineitem⋈orders join + distinct from
+    // scratch (measured ~2× the whole query at sf0.1). Eager
+    // localCheckpoint, NOT cache(): the default-level cache was the
+    // heap-pressure epicenter of three rounds of q219 bench variance —
+    // under memory pressure its blocks evict and the join+distinct
+    // recomputes mid-query, doubling the wall time; checkpoint blocks
+    // are MEMORY_AND_DISK, so pressure spills them instead.
+    val up0 = graft.functions.Checkpoints.pin(
+      raw.distinct().localCheckpoint())
     // Breadth cap from the size histogram (see scaladoc): at test SFs
     // the budget admits the whole histogram, so nothing is dropped and
     // the uncapped oracle proves it; at scale this bounds the pair join.

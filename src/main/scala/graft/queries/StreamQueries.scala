@@ -235,5 +235,94 @@ object StreamQueries {
       .orderBy("window_start_s", "product_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q83, q91, q94)
+  /** q345 — incremental IVF UPSERT census
+    * ([[graft.streaming.IvfUpsert]]) in batch: the newly-arrived
+    * vector slice (vec_id % 5 = 0 — the q174/q302 fresh-data
+    * convention) is assigned to the EXISTING coarse quantizer
+    * (vec_id % 32 centroids, the q38/q344 cells) and folded through
+    * the streaming `transformWithState` processor — Spark runs the v2
+    * state API in batch with identical group semantics, so the DuckDB
+    * oracle certifies the processor's state transition itself, the
+    * q83/q91 discipline on the serving-side ANN path. Per touched
+    * cell: arrival count, summed/floored-mean assignment d², the seed
+    * radius (floored mean d² of the base slice, 0 for base-empty
+    * cells — stated), and the q302-style retrain trigger: fresh mean
+    * d² > 1.25× seed radius, exact integers (4·mean > 5·radius).
+    * q302's drift monitor answers "did the codebook move"; this
+    * answers "are the arrivals still well-served by the frozen
+    * cells" — together they close the retrain loop.
+    *
+    * Scale: one broadcast-quantizer assignment pass (per-row fold —
+    * no window, streaming-safe), one keyed two-long state per touched
+    * cell, one |cells|-bounded join against the radius census. */
+  val q345 = QueryDef(
+    "q345_ivf_upsert", {
+      import graft.functions.Vectors
+      val dim = 64
+      s"""WITH n AS (
+      |  SELECT vec_id, embedding AS e,
+      |    sqrt(${Vectors.dotSql("embedding", "embedding", dim)}) AS nrm
+      |  FROM embeddings),
+      |u AS (
+      |  SELECT vec_id, t.i AS pos,
+      |    CAST(FLOOR(CAST(e[t.i] AS DOUBLE)/nrm*1e6 + 0.5) AS BIGINT)
+      |      AS k
+      |  FROM n CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) t),
+      |cent AS (SELECT vec_id AS cell, pos, k AS ck FROM u
+      |         WHERE vec_id % 32 = 0),
+      |ad AS (
+      |  SELECT u.vec_id, c.cell,
+      |    CAST(SUM((u.k - c.ck)*(u.k - c.ck)) AS BIGINT) AS d2
+      |  FROM u JOIN cent c ON c.pos = u.pos GROUP BY 1, 2),
+      |asn AS (
+      |  SELECT vec_id, cell, d2 FROM (
+      |    SELECT vec_id, cell, d2,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell)
+      |        AS rc
+      |    FROM ad) WHERE rc = 1),
+      |rad AS (
+      |  SELECT cell, CAST(SUM(d2) // COUNT(*) AS BIGINT) AS radius
+      |  FROM asn WHERE vec_id % 5 <> 0 GROUP BY 1),
+      |cen AS (
+      |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_new,
+      |    CAST(SUM(d2) AS BIGINT) AS sum_d2
+      |  FROM asn WHERE vec_id % 5 = 0 GROUP BY 1)
+      |SELECT c.cell, c.n_new, c.sum_d2,
+      |  CAST(c.sum_d2 // c.n_new AS BIGINT) AS mean_d2,
+      |  CAST(COALESCE(r.radius, 0) AS BIGINT) AS seed_radius,
+      |  CAST(CASE WHEN 4 * (c.sum_d2 // c.n_new)
+      |    > 5 * COALESCE(r.radius, 0) THEN 1 ELSE 0 END AS BIGINT)
+      |    AS retrain
+      |FROM cen c LEFT JOIN rad r ON r.cell = c.cell
+      |ORDER BY c.cell""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    import graft.functions.Checkpoints
+    import graft.streaming.IvfUpsert
+    val ku = IvfUpsert.units(Tables.embeddings(s, d))
+    val cent = ku.filter(col("vec_id") % 32 === 0)
+      .select(col("vec_id").as("cell"), col("ku").as("cku"))
+    // one materialized assignment pass feeds BOTH the radius census
+    // and the fresh-slice fold (the q310 concurrent-subtree shape)
+    val asn = Checkpoints.pin(
+      IvfUpsert.assign(ku, IvfUpsert.centroidRow(cent))
+        .localCheckpoint())
+    val rad = asn.filter(col("vec_id") % 5 =!= 0)
+      .groupBy(col("cell"))
+      .agg(expr("sum(d2) div count(1)").as("radius"))
+    val cen = IvfUpsert.upsert(
+      asn.filter(col("vec_id") % 5 === 0)
+        .select(col("cell"), col("d2")).as[IvfUpsert.VecObs])
+      .toDF()
+    cen.join(rad, Seq("cell"), "left")
+      .select(col("cell"), col("n_new"), col("sum_d2"),
+        expr("sum_d2 div n_new").as("mean_d2"),
+        coalesce(col("radius"), lit(0L)).as("seed_radius"),
+        when(expr("4 * (sum_d2 div n_new)")
+          > lit(5L) * coalesce(col("radius"), lit(0L)), 1L)
+          .otherwise(0L).as("retrain"))
+      .orderBy(col("cell"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q83, q91, q94, q345)
 }

@@ -2583,8 +2583,315 @@ object VectorQueries {
         expr("cast(floor(score) as bigint)").as("score_floor"))
   }
 
+  /** q344 — GRAPH-ANN beam search over a bounded-degree LAYERED
+    * navigable neighbor graph (the HNSW family: Malkov & Yashunin
+    * 2018; NSW: Malkov et al. 2014) with its recall–latency ladder,
+    * completing the similarity-search inventory next to LSH (q33),
+    * IVF (q38/q301) and PQ (q196–q203) — graph ANN is what serving
+    * stacks run at recall > 0.95. Everything deterministic and exact
+    * on the q301 micro unit grid, so the whole search replays
+    * bit-for-bit in the DuckDB oracle:
+    *
+    *  - LEVELS: node v is promoted to the upper layer iff
+    *    u32(md5(v)) ≡ 0 (mod 4) — the deterministic stand-in for
+    *    HNSW's geometric level draw (expected 1/4 of nodes; V₁ ⊆ V₀
+    *    by construction). Two layers (L = 1) — the corpus sizes here
+    *    fill one promotion tier; the ladder extends by adding md5
+    *    moduli.
+    *  - EDGES (construction, NO all-pairs): candidates per node are
+    *    the members of its 2 nearest coarse cells under the q38
+    *    quantizer (centroids vec_id ≡ 0 mod 32, so CELL COUNT grows
+    *    with the table and expected cell size stays ~32 — pair
+    *    volume ≈ 64·N, linear); per layer, each node keeps its M = 8
+    *    nearest candidates by integer d² (ties on neighbor id) —
+    *    a bounded-degree directed kNN graph, degree ≤ M per layer.
+    *  - SEARCH (per query, vec_id < 25 — the q32 bounded-slice
+    *    contract): enter at the minimum-id upper-layer node (the
+    *    fixed global entry, HNSW §4), take 2 greedy steps on the
+    *    layer-1 graph (beam 1 above the base layer, exactly the
+    *    paper's descent), then 2 beam-expansion rounds on layer 0
+    *    per beam width B ∈ {1, 2, 4} (the efSearch knob): visited ∪=
+    *    N(beam), beam = top-B of visited by (d², id).
+    *  - CENSUS: per width, total visited candidates (the latency
+    *    proxy — ≤ 1 + M + B·M nodes per query for the two rounds
+    *    (round 1 expands a single node), CONSTANT in N: the whole
+    *    point of graph ANN) and recall@10 of the visited
+    *    set against the exact top-10 (q32's brute-force yardstick),
+    *    in exact ppm.
+    *
+    * The embeddings are uniform random — the ANN worst case
+    * (AnnRecallSpec's standing caveat) — so the absolute recall is a
+    * regression pin, not an aspiration; the LADDER (more beam →
+    * more visited → more recall on this data) is the operational
+    * content, same as q301's nprobe frontier.
+    *
+    * Scale: one broadcast-quantizer assignment pass (the q38
+    * contract — hierarchical at 100 TB), one bounded-cell pair join
+    * (≈ 64·N rows), M·N edge rows, and a 25-query search whose every
+    * frontier frame is ≤ 25·(1 + 2·B·M) rows — no stage is
+    * quadratic in N, and search cost per query is independent of N
+    * once the graph is built. */
+  val q344 = QueryDef(
+    "q344_hnsw_beam", {
+      val M = 8
+      // layer-1 greedy step r: current ∪ its layer-1 out-neighbors,
+      // keep the (d2, id)-minimum
+      def gRound(r: Int) =
+        s"""g$r AS (
+        |  SELECT query_id, node_id AS cur FROM (
+        |    SELECT x.query_id, x.node_id,
+        |      ROW_NUMBER() OVER (PARTITION BY x.query_id
+        |        ORDER BY x.d2, x.node_id) AS rn
+        |    FROM (
+        |      SELECT query_id, cur AS node FROM g${r - 1}
+        |      UNION
+        |      SELECT g.query_id, e.dst AS node
+        |      FROM g${r - 1} g JOIN ed1 e ON e.src = g.cur) c
+        |    JOIN qd x ON x.query_id = c.query_id
+        |      AND x.node_id = c.node)
+        |  WHERE rn = 1)""".stripMargin
+      // layer-0 beam rounds for width b: visited accumulates the
+      // beam's out-neighbors; beam = top-b of visited
+      def bRounds(b: Int) = (1 to 2).map { r =>
+        s"""v${b}_$r AS MATERIALIZED (
+        |  SELECT DISTINCT query_id, node FROM (
+        |    SELECT query_id, node FROM v${b}_${r - 1}
+        |    UNION ALL
+        |    SELECT w.query_id, e.dst AS node
+        |    FROM b${b}_${r - 1} w JOIN ed0 e ON e.src = w.node)),
+        |b${b}_$r AS (
+        |  SELECT query_id, node FROM (
+        |    SELECT v.query_id, v.node,
+        |      ROW_NUMBER() OVER (PARTITION BY v.query_id
+        |        ORDER BY x.d2, v.node) AS rn
+        |    FROM v${b}_$r v JOIN qd x ON x.query_id = v.query_id
+        |      AND x.node_id = v.node)
+        |  WHERE rn <= $b)""".stripMargin
+      }.mkString(",\n")
+      def widthCtes(b: Int) =
+        s"""v${b}_0 AS (SELECT query_id, cur AS node FROM g2),
+        |b${b}_0 AS (SELECT query_id, node FROM v${b}_0),
+        |${bRounds(b)},
+        |res$b AS (
+        |  SELECT CAST($b AS BIGINT) AS beam_width,
+        |    CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |    CAST(COALESCE(SUM(CASE WHEN t.node_id IS NOT NULL
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+        |  FROM (SELECT query_id, node FROM v${b}_2
+        |        WHERE node <> query_id) f
+        |  LEFT JOIN top10 t ON t.query_id = f.query_id
+        |    AND t.node_id = f.node)""".stripMargin
+      normCte +
+        s""",
+        |u AS (
+        |  SELECT vec_id, t.i AS pos,
+        |    CAST(FLOOR(CAST(e[t.i] AS DOUBLE)/nrm*1e6 + 0.5) AS BIGINT)
+        |      AS k
+        |  FROM n CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) t),
+        |lv AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ${TextQueries.hexU32Sql(1)} % 4 = 0
+        |      THEN 1 ELSE 0 END AS lvl
+        |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS hx
+        |        FROM n)),
+        |cent AS (SELECT vec_id AS cell, pos, k AS ck FROM u
+        |         WHERE vec_id % 32 = 0),
+        |cd AS (
+        |  SELECT u.vec_id, c.cell,
+        |    CAST(SUM((u.k - c.ck)*(u.k - c.ck)) AS BIGINT) AS d2
+        |  FROM u JOIN cent c ON c.pos = u.pos GROUP BY 1, 2),
+        |ncr AS (
+        |  SELECT vec_id, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell)
+        |      AS rc
+        |  FROM cd),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.vec_id AS src, h.vec_id AS dst
+        |  FROM (SELECT vec_id, cell FROM ncr WHERE rc <= 2) a
+        |  JOIN (SELECT vec_id, cell FROM ncr WHERE rc = 1) h
+        |    ON h.cell = a.cell AND h.vec_id <> a.vec_id),
+        |pd AS MATERIALIZED (
+        |  SELECT c.src, c.dst,
+        |    CAST(SUM((ua.k - ub.k)*(ua.k - ub.k)) AS BIGINT) AS d2
+        |  FROM cand c JOIN u ua ON ua.vec_id = c.src
+        |  JOIN u ub ON ub.vec_id = c.dst AND ub.pos = ua.pos
+        |  GROUP BY 1, 2),
+        |ed0 AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, dst)
+        |        AS rn
+        |    FROM pd) WHERE rn <= $M),
+        |ed1 AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT p.src, p.dst,
+        |      ROW_NUMBER() OVER (PARTITION BY p.src
+        |        ORDER BY p.d2, p.dst) AS rn
+        |    FROM pd p
+        |    JOIN lv la ON la.vec_id = p.src AND la.lvl >= 1
+        |    JOIN lv lb ON lb.vec_id = p.dst AND lb.lvl >= 1)
+        |  WHERE rn <= $M),
+        |qd AS MATERIALIZED (
+        |  SELECT uq.vec_id AS query_id, un.vec_id AS node_id,
+        |    CAST(SUM((uq.k - un.k)*(uq.k - un.k)) AS BIGINT) AS d2
+        |  FROM u uq JOIN u un ON un.pos = uq.pos
+        |  WHERE uq.vec_id < 25 GROUP BY 1, 2),
+        |top10 AS MATERIALIZED (
+        |  SELECT query_id, node_id FROM (
+        |    SELECT query_id, node_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY d2, node_id) AS rnk
+        |    FROM qd WHERE node_id <> query_id) WHERE rnk <= 10),
+        |nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS nq
+        |       FROM qd),
+        |ent AS (SELECT COALESCE(
+        |  (SELECT MIN(vec_id) FROM lv WHERE lvl >= 1),
+        |  (SELECT MIN(vec_id) FROM n)) AS e),
+        |g0 AS (SELECT DISTINCT query_id, ent.e AS cur
+        |       FROM qd CROSS JOIN ent),
+        |${gRound(1)},
+        |${gRound(2)},
+        |${widthCtes(1)},
+        |${widthCtes(2)},
+        |${widthCtes(4)}
+        |SELECT r.beam_width, nq.nq AS n_queries, r.n_candidates,
+        |  r.n_hits,
+        |  CAST(1000000 * r.n_hits // (10 * nq.nq) AS BIGINT)
+        |    AS recall_ppm
+        |FROM (SELECT * FROM res1 UNION ALL SELECT * FROM res2
+        |      UNION ALL SELECT * FROM res4) r
+        |CROSS JOIN nq
+        |ORDER BY r.beam_width""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.Checkpoints
+    val M = 8
+    def sqDist(a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    // Every intermediate below is eagerly checkpoint-pinned: the
+    // search rounds re-read edges/qd from many small subtrees (the
+    // q310 concurrent-broadcast shape), and per-round checkpoints
+    // keep each generated code unit small (the JIT-storm lesson).
+    val ku = Checkpoints.pin(pqUnits(s, d).localCheckpoint())
+    val lvlOne = ku.select(col("vec_id"))
+      .filter(conv(substring(md5(col("vec_id").cast("string")), 1, 8),
+        16, 10).cast("long") % 4 === 0)
+    val cent = ku.filter(col("vec_id") % 32 === 0)
+      .select(col("vec_id").as("cell"), col("ku").as("cku"))
+    val cd = ku.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cell"),
+        sqDist(col("ku"), col("cku")).as("d2"))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("cell"))
+    val ncr = Checkpoints.pin(
+      cd.withColumn("rc", row_number().over(wCell))
+        .filter(col("rc") <= 2)
+        .select(col("vec_id"), col("cell"), col("rc"))
+        .localCheckpoint())
+    val cand = ncr.select(col("vec_id").as("src"), col("cell"))
+      .join(ncr.filter(col("rc") === 1)
+        .select(col("vec_id").as("dst"), col("cell")), Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val pdist = Checkpoints.pin(cand
+      .join(ku.select(col("vec_id").as("src"), col("ku").as("ka")),
+        Seq("src"))
+      .join(ku.select(col("vec_id").as("dst"), col("ku").as("kb")),
+        Seq("dst"))
+      .select(col("src"), col("dst"),
+        sqDist(col("ka"), col("kb")).as("d2"))
+      .localCheckpoint())
+    val wSrc = Window.partitionBy(col("src"))
+      .orderBy(col("d2"), col("dst"))
+    val ed0 = Checkpoints.pin(
+      pdist.withColumn("rn", row_number().over(wSrc))
+        .filter(col("rn") <= M).select(col("src"), col("dst"))
+        .localCheckpoint())
+    val ed1 = Checkpoints.pin(pdist
+      .join(lvlOne.select(col("vec_id").as("src")), Seq("src"))
+      .join(lvlOne.select(col("vec_id").as("dst")), Seq("dst"))
+      .withColumn("rn", row_number().over(wSrc))
+      .filter(col("rn") <= M).select(col("src"), col("dst"))
+      .localCheckpoint())
+    val q = ku.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("ku").as("qk"))
+    val qd = Checkpoints.pin(ku.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("node_id"),
+        sqDist(col("qk"), col("ku")).as("d2"))
+      .localCheckpoint())
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("node_id"))
+    val top10 = Checkpoints.pin(
+      qd.filter(col("node_id") =!= col("query_id"))
+        .withColumn("rnk", row_number().over(wq))
+        .filter(col("rnk") <= 10)
+        .select(col("query_id"), col("node_id"))
+        .localCheckpoint())
+    val ent = Checkpoints.pin(
+      lvlOne.agg(min(col("vec_id")).as("e1"))
+        .crossJoin(broadcast(ku.agg(min(col("vec_id")).as("e0"))))
+        .select(coalesce(col("e1"), col("e0")).as("e"))
+        .localCheckpoint())
+    var g = Checkpoints.pin(
+      qd.select(col("query_id")).distinct().crossJoin(broadcast(ent))
+        .select(col("query_id"), col("e").as("cur"))
+        .localCheckpoint())
+    for (_ <- 1 to 2) {
+      val c = g.select(col("query_id"), col("cur").as("node"))
+        .unionByName(g.join(ed1, col("cur") === col("src"))
+          .select(col("query_id"), col("dst").as("node")))
+        .distinct()
+      g = Checkpoints.pin(c
+        .join(qd.select(col("query_id").as("qid"),
+          col("node_id").as("nid"), col("d2")),
+          col("query_id") === col("qid") && col("node") === col("nid"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("d2"), col("node"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("node").as("cur"))
+        .localCheckpoint())
+    }
+    val results = Seq(1, 2, 4).map { b =>
+      var visited = g.select(col("query_id"), col("cur").as("node"))
+      var beam = visited
+      for (_ <- 1 to 2) {
+        visited = Checkpoints.pin(visited.unionByName(
+          beam.join(ed0, col("node") === col("src"))
+            .select(col("query_id"), col("dst").as("node")))
+          .distinct().localCheckpoint())
+        beam = visited
+          .join(qd.select(col("query_id").as("qid"),
+            col("node_id").as("nid"), col("d2")),
+            col("query_id") === col("qid") && col("node") === col("nid"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("d2"), col("node"))))
+          .filter(col("rn") <= b)
+          .select(col("query_id"), col("node"))
+      }
+      visited.filter(col("node") =!= col("query_id"))
+        .join(top10.select(col("query_id").as("tq"),
+          col("node_id").as("tn"))
+          .withColumn("hit", lit(1L)),
+          col("query_id") === col("tq") && col("node") === col("tn"),
+          "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .select(lit(b.toLong).as("beam_width"), col("n_candidates"),
+          col("n_hits"))
+    }
+    val nq = qd.agg(countDistinct(col("query_id")).as("nq"))
+    results.reduce(_ unionByName _).crossJoin(broadcast(nq))
+      .select(col("beam_width"), col("nq").as("n_queries"),
+        col("n_candidates"), col("n_hits"),
+        expr("1000000L * n_hits div (10 * nq)").as("recall_ppm"))
+      .orderBy(col("beam_width"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131,
       q134, q135, q151, q155, q174, q179, q196, q197, q202, q203, q207,
-      q226, q234, q287, q301, q302, q307, q310, q316, q325, q336)
+      q226, q234, q287, q301, q302, q307, q310, q316, q325, q336, q344)
 }

@@ -161,4 +161,34 @@ class AnnRecallSpec extends SparkSpec {
       }
     }
   }
+
+  test("graph-ANN beam ladder (q344): visited/recall monotone in beam " +
+      "width, visited bounded by construction") {
+    // Beam searches at different widths are run INDEPENDENTLY (beam
+    // sets don't nest by theory, unlike q301's probed cells), so the
+    // monotone ladder is a measured deterministic fact of the
+    // committed corpus+graph, pinned here against regression; the
+    // visited bound 1 + M + B·M per query IS structural (2 expansion
+    // rounds, degree ≤ M = 8).
+    val rows = VectorQueries.q344.run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("beam_width"), r.getAs[Long]("n_queries"),
+        r.getAs[Long]("n_candidates"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("recall_ppm")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    rows.foreach { case (b, nq, cand, hits, rec) =>
+      info(s"beam=$b visited=$cand recall_ppm=$rec")
+      assert(cand <= nq * (1 + 8 + b * 8),
+        s"beam=$b visited $cand above the structural bound")
+      assert(hits <= 10 * nq && rec <= 1000000L)
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3, s"visited not monotone: $a vs $b")
+      assert(a._5 <= b._5, s"recall not monotone: $a vs $b")
+    }
+    // floors: beam=1 must beat random guess (~visited/N ≈ 0.02 here);
+    // measured 0.168 / 0.192 at sf0.001 — regression pins
+    assert(rows.head._5 >= 160000, s"beam=1 recall ${rows.head._5}")
+    assert(rows.last._5 >= 190000, s"beam=4 recall ${rows.last._5}")
+  }
 }

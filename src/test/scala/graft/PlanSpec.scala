@@ -289,8 +289,8 @@ class PlanSpec extends SparkSpec {
       "q321_greedy_coverage" ->
         "1-row greedy pick + one-row coverage/vocab-count frames",
       "q322_kendall_tau" ->
-        "≤1920-cell (120 price bands × 16 freq bands) joint-census " +
-          "self-cross + one-row total/margin frames",
+        ("≤1920-cell (120 price bands × 16 freq bands) joint-census " +
+          "self-cross + one-row total/margin frames"),
       "q323_borda_ensemble" -> "one-row corpus-count frame",
       "q324_curriculum_pacing" -> "one-row corpus-count frame",
       "q325_facility_location" ->
@@ -319,7 +319,11 @@ class PlanSpec extends SparkSpec {
         "one-row weight/total/decomposition frames (q303 chain)",
       "q342_power_planning" ->
         "one-row pooled-rate frame x 4-row declared MDE ladder",
-      "q343_kish_deff" -> "one-row corpus-total and weight-fold frames")
+      "q343_kish_deff" -> "one-row corpus-total and weight-fold frames",
+      "q344_hnsw_beam" ->
+        ("broadcast q38 quantizer + query slice (vec_id < 25, the " +
+          "q32 contract) + one-row entry frame + ≤25-row frontier " +
+          "frames per beam round"))
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString

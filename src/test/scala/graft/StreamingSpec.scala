@@ -304,6 +304,76 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("IvfUpsert accumulates per-cell census across query RESTARTS " +
+      "(transformWithState + RocksDB checkpoint recovery)") {
+    import graft.streaming.IvfUpsert
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ivf_ups").toString
+    val mem = MemoryStream[(Long, Long)]
+    val sunk = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)]
+    def drain(): Unit = {
+      val q = IvfUpsert.upsert(
+          mem.toDS().map(p => IvfUpsert.VecObs(p._1, p._2)))
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[IvfUpsert.CellCensus],
+           _: Long) =>
+            sunk.synchronized {
+              sunk ++= b.collect().map(c => (c.cell, c.n_new, c.sum_d2))
+            }
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("update").start()
+      q.awaitTermination()
+    }
+    try {
+      mem.addData((1L, 10L), (1L, 20L), (2L, 5L))
+      drain()
+      mem.addData((1L, 5L), (2L, 5L))
+      drain()
+      // run 2 only saw one arrival per cell, but the census includes
+      // run 1's counts, recovered from the RocksDB checkpoint
+      val byCell = sunk.toSeq.groupBy(_._1)
+      assert(byCell(1L).maxBy(_._2) == ((1L, 3L, 35L)))
+      assert(byCell(2L).maxBy(_._2) == ((2L, 2L, 10L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("IvfUpsert.assign picks the nearest centroid with lowest-cell " +
+      "ties (per-row fold, no window)") {
+    import graft.streaming.IvfUpsert
+    // 2-dim embeddings: v0=(1,0) → cell 10 exactly; v1=(0,1) → cell
+    // 20 exactly; v2=(√½,√½) equidistant from both → tie → cell 10
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (10L, Array(1000000L, 0L)),
+      (20L, Array(0L, 1000000L)))
+      .toDF("cell", "cku")
+    val got = IvfUpsert.assign(IvfUpsert.units(emb),
+        IvfUpsert.centroidRow(cents))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(0L) == ((10L, 0L)))
+    assert(got(1L) == ((20L, 0L)))
+    assert(got(2L)._1 == 10L) // exact tie → lowest cell id
+  }
+
   test("enrichStream joins a static dimension without dropping events") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
