@@ -4085,11 +4085,205 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** q346 — GOPHER REPETITION rules (Rae et al. 2021 Table A1, the
+    * repetition half — q85 carries the word-level gates): the
+    * boilerplate/loop detector every crawl-curation pipeline runs.
+    * Per document, four exact-ppm signals on the house grids:
+    *   top_word_char_ppm   — largest single-token character mass
+    *     max_w(c_w·len(w)) / Σc·len (plain MAX, tie-free by
+    *     construction — the Gopher "fraction of characters in the
+    *     most common n-gram" with the mass itself as the statistic),
+    *   top_bigram_char_ppm — same for bigrams (chars of both words),
+    *   dup_word_ppm        — occurrences of words appearing ≥2× / n,
+    *   dup_bigram_ppm      — same at bigram grain.
+    * Census per source: doc count, floored mean of each signal, and
+    * failure counts under DECLARED cuts re-anchored to this corpus'
+    * token grid (top word > 18 %, top bigram > 9 %, dup bigram >
+    * 12 % — Gopher's own 0.20/0.18 line re-expressed where this
+    * synthetic vocabulary actually separates; both SFs non-degenerate,
+    * the q342 discipline). Single-token documents carry no bigram and
+    * are excluded by the join (stated; this corpus has none).
+    *
+    * Scale: two per-doc keyed censuses (word, bigram — map-side
+    * combinable, explode ×n_tokens), one |docs|-row join, one
+    * |sources|-row census — no window, no self-join, linear at any
+    * corpus size. */
+  val q346 = QueryDef(
+    "q346_gopher_repetition",
+    """WITH t0 AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |tok AS (SELECT doc_id, source, unnest(toks) AS t FROM t0),
+      |wc AS (
+      |  SELECT doc_id, source, t, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY 1, 2, 3),
+      |dtot AS (
+      |  SELECT doc_id, source, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(c * length(t)) AS BIGINT) AS tc,
+      |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+      |      AS dupocc,
+      |    CAST(MAX(c * length(t)) AS BIGINT) AS topchars
+      |  FROM wc GROUP BY 1, 2),
+      |p AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+      |  FROM t0),
+      |bgc AS (
+      |  SELECT doc_id,
+      |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS cb
+      |  FROM p GROUP BY 1, 2),
+      |bgt AS (
+      |  SELECT doc_id, CAST(SUM(cb) AS BIGINT) AS nb,
+      |    CAST(MAX(cb * (length(b) - 1)) AS BIGINT) AS top2chars,
+      |    CAST(SUM(CASE WHEN cb >= 2 THEN cb ELSE 0 END) AS BIGINT)
+      |      AS dup2
+      |  FROM bgc GROUP BY 1),
+      |per AS (
+      |  SELECT d.source,
+      |    1000000 * d.topchars // d.tc AS t1,
+      |    1000000 * b.top2chars // d.tc AS t2,
+      |    1000000 * d.dupocc // d.n AS dw,
+      |    1000000 * b.dup2 // b.nb AS d2
+      |  FROM dtot d JOIN bgt b ON b.doc_id = d.doc_id)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+      |  CAST(SUM(t1) // COUNT(*) AS BIGINT) AS top_word_char_ppm,
+      |  CAST(SUM(t2) // COUNT(*) AS BIGINT) AS top_bigram_char_ppm,
+      |  CAST(SUM(dw) // COUNT(*) AS BIGINT) AS dup_word_ppm,
+      |  CAST(SUM(d2) // COUNT(*) AS BIGINT) AS dup_bigram_ppm,
+      |  CAST(SUM(CASE WHEN t1 > 180000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS f_top_word,
+      |  CAST(SUM(CASE WHEN t2 > 90000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS f_top_bigram,
+      |  CAST(SUM(CASE WHEN d2 > 120000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS f_dup_bigram
+      |FROM per GROUP BY source ORDER BY source""".stripMargin) {
+    (s, d) =>
+    import graft.functions.Checkpoints
+    val t0 = Checkpoints.pin(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .localCheckpoint())
+    val dtot = t0
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("t"))
+      .groupBy(col("doc_id"), col("source"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * length(col("t"))).as("tc"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dupocc"),
+        max(col("c") * length(col("t"))).as("topchars"))
+    val bgt = t0
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          | i -> concat(toks[i], ' ', toks[i + 1]))""".stripMargin))
+        .as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("cb"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cb")).as("nb"),
+        max(col("cb") * (length(col("b")) - 1)).as("top2chars"),
+        sum(when(col("cb") >= 2, col("cb")).otherwise(0L)).as("dup2"))
+    dtot.join(bgt, "doc_id")
+      .select(col("source"),
+        expr("1000000L * topchars div tc").as("t1"),
+        expr("1000000L * top2chars div tc").as("t2"),
+        expr("1000000L * dupocc div n").as("dw"),
+        expr("1000000L * dup2 div nb").as("d2"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        expr("sum(t1) div count(1)").as("top_word_char_ppm"),
+        expr("sum(t2) div count(1)").as("top_bigram_char_ppm"),
+        expr("sum(dw) div count(1)").as("dup_word_ppm"),
+        expr("sum(d2) div count(1)").as("dup_bigram_ppm"),
+        sum(when(col("t1") > 180000L, 1L).otherwise(0L))
+          .as("f_top_word"),
+        sum(when(col("t2") > 90000L, 1L).otherwise(0L))
+          .as("f_top_bigram"),
+        sum(when(col("d2") > 120000L, 1L).otherwise(0L))
+          .as("f_dup_bigram"))
+      .orderBy(col("source"))
+  }
+
+  /** q348 — per-document CHARACTER-ENTROPY gate (the C4/CCNet
+    * "gibberish" filter: Raffel et al. 2020's heuristic line, Wenzek
+    * et al. 2020 §4.3 — a document whose character distribution is
+    * too concentrated is boilerplate, binary junk, or a repetition
+    * loop; q337 reads token entropy per SOURCE, this is the per-DOC
+    * curation cut): H = Σ_c k_c·(ln n − ln k_c)/n over the document's
+    * non-space characters, exact on the milli-nat grid
+    * ([[graft.functions.LangModel.mnat]], floored per-doc — stated).
+    * Census per source: docs, floored mean/min/max H, and fail counts
+    * under two DECLARED cuts — soft H < 2800 mnat and hard H < 2650
+    * mnat (re-anchored where this corpus' ~15-letter char
+    * distribution actually separates: measured spread 2521–3012 at
+    * both SFs, non-degenerate — the q342 discipline).
+    *
+    * Scale: one per-(doc, char) keyed census (explode ×n_chars,
+    * map-side combinable; alphabet-bounded ≤ |charset| rows per doc),
+    * one |docs|-row join, one |sources|-row census — linear, no
+    * window, no self-join. */
+  val q348 = QueryDef(
+    "q348_char_entropy", {
+      import graft.functions.LangModel.mnatSql
+      s"""WITH ch AS (
+      |  SELECT doc_id, source,
+      |    unnest(string_split(replace(text, ' ', ''), '')) AS c
+      |  FROM documents),
+      |cc AS (
+      |  SELECT doc_id, source, c, CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM ch WHERE c <> '' GROUP BY 1, 2, 3),
+      |dn AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n FROM cc
+      |  GROUP BY 1),
+      |dt AS (
+      |  SELECT cc.source, cc.doc_id,
+      |    CAST(SUM(cc.k * (${mnatSql("dn.n")} - ${mnatSql("cc.k")}))
+      |      // MAX(dn.n) AS BIGINT) AS hm
+      |  FROM cc JOIN dn ON dn.doc_id = cc.doc_id GROUP BY 1, 2)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+      |  CAST(SUM(hm) // COUNT(*) AS BIGINT) AS mean_h_mnat,
+      |  CAST(MIN(hm) AS BIGINT) AS min_h_mnat,
+      |  CAST(MAX(hm) AS BIGINT) AS max_h_mnat,
+      |  CAST(SUM(CASE WHEN hm < 2800 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS f_soft,
+      |  CAST(SUM(CASE WHEN hm < 2650 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS f_hard
+      |FROM dt GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.LangModel.mnat
+    import graft.functions.Checkpoints
+    // cc feeds the per-doc total AND the entropy fold (q310 race shape)
+    val cc = Checkpoints.pin(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(translate(col("text"), " ", ""), "")).as("c"))
+        .filter(col("c") =!= "")
+        .groupBy(col("doc_id"), col("source"), col("c"))
+        .agg(count(lit(1)).as("k"))
+        .localCheckpoint())
+    val dn = cc.groupBy(col("doc_id")).agg(sum(col("k")).as("n"))
+    val dt = cc.join(dn, "doc_id")
+      .groupBy(col("source"), col("doc_id"))
+      .agg((sum(col("k") * (mnat(col("n")) - mnat(col("k"))))
+        .cast("long")).as("hnum"), max(col("n")).as("nn"))
+      .select(col("source"), expr("hnum div nn").as("hm"))
+    dt.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        expr("sum(hm) div count(1)").as("mean_h_mnat"),
+        min(col("hm")).as("min_h_mnat"),
+        max(col("hm")).as("max_h_mnat"),
+        sum(when(col("hm") < 2800L, 1L).otherwise(0L)).as("f_soft"),
+        sum(when(col("hm") < 2650L, 1L).otherwise(0L)).as("f_hard"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
       q104, q107, q109, q110, q125, q127, q128, q137, q140, q145, q147,
       q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181,
       q184, q185, q190, q192, q193, q200, q208, q232, q238, q249, q266,
-      q269, q273, q276, q282, q296, q311, q326, q327, q331, q337)
+      q269, q273, q276, q282, q296, q311, q326, q327, q331, q337,
+      q346, q348)
 }

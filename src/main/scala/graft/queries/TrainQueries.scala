@@ -2283,8 +2283,108 @@ object TrainQueries {
           " greatest(1L, (1000L * n * s2) div (s1 * s1))").as("n_eff"))
   }
 
+  // ---------------------------------------------------------------------
+  // q347 — EL2N data-diet pruning census
+  // ---------------------------------------------------------------------
+
+  /** q347 — EL2N "DATA DIET" pruning census (Paul, Ganguli & Dziugaite
+    * 2021): can an EARLY checkpoint's per-example error norm predict
+    * which documents the FINAL model still gets wrong — i.e. which
+    * examples a curation pass could prune without losing the hard
+    * cases? For the q303 linear scorer the per-example EL2N is exactly
+    * |err| = |σ̂_ppm(z) − 10⁶y| (ppm grid), so the score needs no new
+    * machinery: err at step 2 (the first INFORMED checkpoint — step 1
+    * runs under all-zero weights, where every |err| is the constant
+    * 5·10⁵ and the census would be degenerate, stated) is banded by
+    * its margin past the decision boundary, band = min(⌊max(|err| −
+    * 5·10⁵, 0)/2000⌋, 9) (the GREATEST(·,0) keeps the dividend
+    * non-negative, where DuckDB's floor `//` and Spark's truncating
+    * `div` agree), and each band reports its FINAL-checkpoint
+    * misclassification count (mis = err₃ ≥ 5·10⁵ ∨ err₃ ≤ −(5·10⁵+1),
+    * the ≥-tie convention of q340, stated) plus the descending
+    * cumulative ladder: keep_frac_ppm (corpus kept if everything from
+    * this band up is retained) and err_coverage_ppm (share of final
+    * errors that kept set contains). The data-diet claim is the shape
+    * of that ladder — high-EL2N bands carry nearly all the final
+    * errors at a small keep fraction.
+    *
+    * Scale: the q303 chain + one ≤10-row band census; the cumulative
+    * windows ride the census (PlanSpec-allowlisted bounded window).
+    * Empty-corpus symmetry: global aggs + n > 0 guard in both engines
+    * (the q341 convention). */
+  val q347 = QueryDef(
+    "q347_el2n_pruning",
+    gdPrefixSql + s""",
+    |el AS (
+    |  SELECT doc_id,
+    |    LEAST(GREATEST(ABS(err) - 500000, 0) // 2000, 9) AS band
+    |  FROM e2),
+    |fin AS (
+    |  SELECT doc_id,
+    |    CASE WHEN err >= 500000 OR err <= -500001 THEN 1 ELSE 0 END
+    |      AS mis
+    |  FROM e3),
+    |bb AS (
+    |  SELECT CAST(el.band AS BIGINT) AS band,
+    |    CAST(COUNT(*) AS BIGINT) AS n,
+    |    CAST(SUM(fin.mis) AS BIGINT) AS mis
+    |  FROM el JOIN fin ON fin.doc_id = el.doc_id GROUP BY 1),
+    |cv AS (
+    |  SELECT band, n, mis,
+    |    CAST(SUM(n) OVER (ORDER BY band DESC
+    |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+    |    CAST(SUM(mis) OVER (ORDER BY band DESC
+    |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cmis,
+    |    CAST(SUM(n) OVER () AS BIGINT) AS nt,
+    |    CAST(SUM(mis) OVER () AS BIGINT) AS mt
+    |  FROM bb)
+    |SELECT band AS el2n_band, n AS n_docs, mis AS n_mis_final,
+    |  CAST(1000000 * mis // n AS BIGINT) AS mis_rate_ppm,
+    |  CAST(1000000 * cn // nt AS BIGINT) AS keep_frac_ppm,
+    |  CAST(CASE WHEN mt = 0 THEN 1000000
+    |    ELSE 1000000 * cmis // mt END AS BIGINT) AS err_coverage_ppm
+    |FROM cv WHERE nt > 0 ORDER BY el2n_band DESC""".stripMargin) {
+    (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Checkpoints
+    import graft.ml.QualityClassifier
+    val feat = Checkpoints.pin(
+      QualityClassifier.featurize(Tables.documents(s, d))
+        .select("doc_id", "y", "x0", "x1", "x2", "x3").localCheckpoint())
+    val errs = Checkpoints.pin(
+      QualityClassifier.stepErrors(feat).toDF().localCheckpoint())
+    val el = errs.filter(col("step") === 2L)
+      .select(col("doc_id"),
+        least(expr("greatest(abs(err) - 500000L, 0L) div 2000"),
+          lit(9L)).as("band"))
+    val fin = errs.filter(col("step") === 3L)
+      .select(col("doc_id"),
+        when(col("err") >= 500000L || col("err") <= -500001L, 1L)
+          .otherwise(0L).as("mis"))
+    val bb = el.join(fin, "doc_id")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), sum(col("mis")).as("mis"))
+    val wd = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wa = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bb.withColumn("cn", sum(col("n")).over(wd))
+      .withColumn("cmis", sum(col("mis")).over(wd))
+      .withColumn("nt", sum(col("n")).over(wa))
+      .withColumn("mt", sum(col("mis")).over(wa))
+      .filter(col("nt") > 0)
+      .select(col("band").as("el2n_band"), col("n").as("n_docs"),
+        col("mis").as("n_mis_final"),
+        expr("1000000L * mis div n").as("mis_rate_ppm"),
+        expr("1000000L * cn div nt").as("keep_frac_ppm"),
+        when(col("mt") === 0, 1000000L)
+          .otherwise(expr("1000000L * cmis div mt"))
+          .as("err_coverage_ppm"))
+      .orderBy(col("el2n_band").desc)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q303, q304, q306, q308, q312, q313, q313b, q314, q315, q317,
       q318, q319, q320, q321, q323, q324, q328, q329, q330, q332,
-      q333, q335, q339, q340, q341, q343)
+      q333, q335, q339, q340, q341, q343, q347)
 }

@@ -687,4 +687,77 @@ class CurationInvariantSpec extends SparkSpec {
       .select("t").distinct().count()
     assert(rows.map(_.getAs[Long]("vocab_exclusive")).sum <= tokCount)
   }
+
+  test("q347 EL2N ladder: cumulative columns monotone, full coverage " +
+      "at band 0, data-diet separation (coverage above keep share)") {
+    val rows = TrainQueries.q347.run(spark, sf)
+      .orderBy(col("el2n_band").desc).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_mis_final") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("mis_rate_ppm") <= 1000000L)
+    }
+    // descending the ladder keeps more docs and covers more errors
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("keep_frac_ppm")
+          <= b.getAs[Long]("keep_frac_ppm"))
+        assert(a.getAs[Long]("err_coverage_ppm")
+          <= b.getAs[Long]("err_coverage_ppm"))
+      case _ => ()
+    }
+    // the whole corpus (band 0 rung) is full keep and full coverage
+    val last = rows.last
+    assert(last.getAs[Long]("keep_frac_ppm") == 1000000L)
+    assert(last.getAs[Long]("err_coverage_ppm") == 1000000L)
+    // the operational claim: the top rung's error coverage strictly
+    // exceeds its keep fraction (pruning low-EL2N docs keeps the
+    // hard cases) — measured 416666 vs 180000 at sf0.001
+    val top = rows.head
+    assert(top.getAs[Long]("err_coverage_ppm")
+      > top.getAs[Long]("keep_frac_ppm"),
+      s"no separation: ${top.mkString(",")}")
+  }
+
+  test("q346 repetition census: ppm bounds, fail counts within docs, " +
+      "docs partition the multi-token corpus") {
+    val rows = TextQueries.q346.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("top_word_char_ppm", "top_bigram_char_ppm", "dup_word_ppm",
+        "dup_bigram_ppm").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 0L && v <= 1000000L, s"$c = $v")
+      }
+      val docs = r.getAs[Long]("docs")
+      Seq("f_top_word", "f_top_bigram", "f_dup_bigram").foreach { c =>
+        assert(r.getAs[Long](c) <= docs, s"$c above docs")
+      }
+      // word-grain duplication dominates bigram-grain duplication on
+      // any natural token stream (measured ~0.78e6 vs ~0.05e6)
+      assert(r.getAs[Long]("dup_word_ppm")
+        > r.getAs[Long]("dup_bigram_ppm"))
+    }
+    val multiTok = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")) >= 2)
+      .count()
+    assert(rows.map(_.getAs[Long]("docs")).sum == multiTok)
+  }
+
+  test("q348 char entropy: min <= mean <= max, fail nesting, " +
+      "alphabet-bounded values") {
+    val rows = TextQueries.q348.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, mean, mx) = (r.getAs[Long]("min_h_mnat"),
+        r.getAs[Long]("mean_h_mnat"), r.getAs[Long]("max_h_mnat"))
+      assert(mn <= mean && mean <= mx, s"$mn / $mean / $mx")
+      // H <= ln(|alphabet|); the corpus vocabulary spells with well
+      // under 40 distinct characters -> 3689 mnat ceiling
+      assert(mn >= 0L && mx <= 3689L)
+      assert(r.getAs[Long]("f_hard") <= r.getAs[Long]("f_soft"))
+      assert(r.getAs[Long]("f_soft") <= r.getAs[Long]("docs"))
+    }
+  }
 }

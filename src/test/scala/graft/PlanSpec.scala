@@ -138,7 +138,9 @@ class PlanSpec extends SparkSpec {
       // daily census (the q252 argument)
       "q338_sprt_monitor",
       // q340's prefix windows run over the ≤10-row margin census
-      "q340_risk_coverage")
+      "q340_risk_coverage",
+      // q347's prefix windows run over the ≤10-row EL2N band census
+      "q347_el2n_pruning")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => allowed.contains(n) }
       .flatMap { case (name, fn) =>
@@ -323,7 +325,12 @@ class PlanSpec extends SparkSpec {
       "q344_hnsw_beam" ->
         ("broadcast q38 quantizer + query slice (vec_id < 25, the " +
           "q32 contract) + one-row entry frame + ≤25-row frontier " +
-          "frames per beam round"))
+          "frames per beam round"),
+      "q345_ivf_upsert" ->
+        ("one-row broadcast centroid-array frame (the q38 quantizer " +
+          "folded per row — streaming-safe assignment)"),
+      "q347_el2n_pruning" ->
+        "one-row weight/count frames (q303 chain) + ≤10-row band census")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
