@@ -36,6 +36,21 @@ object Vectors {
   def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Exact int64 squared L2 distance Σ(aᵢ−bᵢ)² of two long arrays —
+    * a native codegen Expression
+    * ([[org.apache.spark.sql.graft.SqDistLong]]); identical values to
+    * the HOF fold (integer arithmetic, exact), compiled to a
+    * primitive loop. The unit-grid distance of the IVF/PQ/graph-ANN
+    * family. */
+  def sqDistL(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.SqDistLong(a, b)
+
+  /** The HOF formulation of [[sqDistL]] (the executable spec the
+    * custom expression is tested against). */
+  def sqDistFold(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
   /** L2 norm via the same sequential fold. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -36,8 +36,7 @@ object IvfMonitor {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
     vectors.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("cid"),
-        aggregate(zip_with(col("k"), col("ck"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d2"))
+        graft.functions.Vectors.sqDistL(col("k"), col("ck")).as("d2"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"), col("d2"))

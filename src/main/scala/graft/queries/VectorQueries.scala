@@ -336,9 +336,7 @@ object VectorQueries {
       .orderBy(col("d2"), col("cid"))
     ke.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cid"),
-        aggregate(zip_with(col("k"), col("ck"),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d2"))
+        Vectors.sqDistL(col("k"), col("ck")).as("d2"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"), col("d2"))
@@ -692,9 +690,7 @@ object VectorQueries {
       .select(col("vec_id").as("query_id"), col("y").as("qy"))
     val d2 = broadcast(q).join(y, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        aggregate(zip_with(col("qy"), col("y"),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d2"))
+        Vectors.sqDistL(col("qy"), col("y")).as("d2"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("d2"), col("neighbor_id"))
     d2.withColumn("rnk", row_number().over(w).cast("long"))
@@ -1018,9 +1014,7 @@ object VectorQueries {
       .orderBy(col("d2"), col("cid"))
     sv.join(broadcast(cb), Seq("sub"))
       .select(col("vec_id"), col("sub"), col("cid"),
-        aggregate(zip_with(col("kv"), col("cv"),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d2"))
+        Vectors.sqDistL(col("kv"), col("cv")).as("d2"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("sub"), col("cid"), col("d2"))
@@ -1124,9 +1118,7 @@ object VectorQueries {
       .select(col("vec_id").as("query_id"), col("sub"), col("kv").as("qv"))
       .join(cb, Seq("sub"))
       .select(col("query_id"), col("sub"), col("cid"),
-        aggregate(zip_with(col("qv"), col("cv"),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("qd2"))
+        Vectors.sqDistL(col("qv"), col("cv")).as("qd2"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_d2"), col("neighbor_id"))
     asg.join(broadcast(dt), Seq("sub", "cid"))
@@ -1338,8 +1330,7 @@ object VectorQueries {
       .select(col("vec_id").as("cell"), col("ku").as("ckv"))
     def sqDist(a: org.apache.spark.sql.Column,
                b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)
+      Vectors.sqDistL(a, b) // native codegen'd exact int64 loop
     val ad = ku.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cell"),
         sqDist(col("ku"), col("ckv")).as("d2"))
@@ -1870,8 +1861,7 @@ object VectorQueries {
       |ORDER BY c.nprobe""".stripMargin) { (s, d) =>
     def sqDist(a: org.apache.spark.sql.Column,
                b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)
+      Vectors.sqDistL(a, b) // native codegen'd exact int64 loop
     val ku = pqUnits(s, d)
     val cent = ku.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cell"), col("ku").as("ckv"))
@@ -2069,8 +2059,7 @@ object VectorQueries {
     import graft.functions.Checkpoints
     def sqDist(a: org.apache.spark.sql.Column,
                b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)
+      Vectors.sqDistL(a, b) // native codegen'd exact int64 loop
     // Eager localCheckpoint + pin, NOT cache(): every round's distTo
     // crossJoins kul against a broadcast center whose subtree job
     // launches concurrently with the main scan — racing readers of an
@@ -2767,8 +2756,7 @@ object VectorQueries {
     val M = 8
     def sqDist(a: org.apache.spark.sql.Column,
                b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)
+      Vectors.sqDistL(a, b) // native codegen'd exact int64 loop
     // Every intermediate below is eagerly checkpoint-pinned: the
     // search rounds re-read edges/qd from many small subtrees (the
     // q310 concurrent-broadcast shape), and per-round checkpoints

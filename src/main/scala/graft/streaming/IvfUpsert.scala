@@ -80,8 +80,7 @@ object IvfUpsert {
   }
 
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.Vectors.sqDistL(a, b) // native codegen'd int64 loop
 
   /** The quantizer as ONE broadcastable row: every (cell, centroid)
     * pair folded into a cell-sorted array. Bounded by the quantizer

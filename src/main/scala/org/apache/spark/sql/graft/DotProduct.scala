@@ -134,6 +134,76 @@ case class SelfDot(child: Expression)
     copy(child = c)
 }
 
+/** Native squared L2 distance over two `array<bigint>` columns —
+  * exact int64 Σ(aᵢ−bᵢ)², the unit-micro-grid distance every
+  * IVF/PQ/graph-ANN operator computes in its hot path. Same
+  * motivation as [[DotProduct]]: the HOF form
+  * `aggregate(zip_with(a,b,(x,y)=>(x−y)²),0,+)` is interpreted per
+  * element with a materialized intermediate array and measurable
+  * per-ROW interpreter setup (~40 µs/row — 5 s on a 124k-row
+  * assignment join at sf0.1); this compiles to a tight primitive
+  * loop inside WholeStageCodegen. Integer arithmetic is exact, so
+  * swapping the form never changes a value. Null arrays propagate
+  * null; null elements are treated as 0 (the unit grids carry
+  * none).
+  */
+case class SqDistLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType),
+      ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_sqdist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val xv = if (x.isNullAt(i)) 0L else x.getLong(i)
+      val yv = if (y.isNullAt(i)) 0L else y.getLong(i)
+      val d = xv - yv
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val dd = ctx.freshName("dd")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $dd = ($a.isNullAt($i) ? 0L : $a.getLong($i))
+         |    - ($b.isNullAt($i) ? 0L : $b.getLong($i));
+         |  $acc += $dd * $dd;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqDistLong {
+  /** Column API: codegen'd exact Σ(aᵢ−bᵢ)² of two `array<bigint>`
+    * columns. */
+  def apply(a: Column, b: Column): Column =
+    ExpressionUtils.column(SqDistLong(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
 /** Optimizer rule: `graft_dot(x, x)` → `graft_self_dot(x)` whenever
   * both sides are semantically the same deterministic expression —
   * norms (`sqrt(dot(e, e))`) hit this on every vector query. The

@@ -124,6 +124,21 @@ class FunctionsSpec extends SparkSpec {
     assert(nr.isNullAt(0))
   }
 
+  test("SqDistLong expression equals the HOF fold spec exactly") {
+    val vecs = (0 until 50).map(i =>
+      Array.tabulate(64)(j => ((i * 131L + j * 17L) % 2000003L)
+        - 1000000L))
+    val df = vecs.zip(vecs.reverse).toDF("a", "b")
+      .select(
+        Vectors.sqDistL(col("a"), col("b")).as("fast"),
+        Vectors.sqDistFold(col("a"), col("b")).as("spec"))
+    assert(df.filter(col("fast") =!= col("spec")).count() == 0)
+    // null array propagates null
+    val nr = Seq((Option.empty[Array[Long]], Option(Array(1L))))
+      .toDF("a", "b").select(Vectors.sqDistL(col("a"), col("b"))).head()
+    assert(nr.isNullAt(0))
+  }
+
   test("Vectors.hyperplane is deterministic and lshBucket in range") {
     assert(Vectors.hyperplane(0, 8) == Vectors.hyperplane(0, 8))
     assert(Vectors.hyperplane(0, 64).forall(v => v == 1.0 || v == -1.0))
