@@ -4001,9 +4001,13 @@ object CoreQueries {
     * `//` agree with no sign offset), and the asymptotic 3σ limits
     * μ ± 3σ·√(λ/(2−λ)) collapse to μ ± σ because λ/(2−λ) = 1/9 —
     * the √ cancels, so the breach test is one integer comparison
-    * (z_δ − μ_δ)² > Var_δ on the dollars grid (cents² would overflow
-    * 2⁶³ in n·Σy² at sf0.1; the grid coarsens with scale, the q233
-    * composed-grid discipline). Chart seeded at the in-control mean
+    * (z_δ − μ_δ)² > Var_δ on the dollars grid; the one-row-per-series
+    * moment solve n·Σy² − (Σy)² wraps int64 even on dollars at sf0.1
+    * (measured 6.3·10¹⁹ — caught by the round-11 sf0.1 gate), so the
+    * variance rides the q312 wide-integer hatch: DECIMAL(38) on the
+    * Spark side, HUGEINT in the oracle — wide arithmetic on the
+    * |priorities|-row frame only; every corpus-sized sum stays
+    * int64. Chart seeded at the in-control mean
     * (z₀ = μ, textbook), so every day is a monitored step. The fold
     * carries (z, breaches, first-breach) — a recurrence no window
     * frame expresses (the q108/q225 argument); the oracle replays the
@@ -4032,7 +4036,9 @@ object CoreQueries {
       |  FROM obs GROUP BY 1),
       |lim AS (
       |  SELECT pri, n, s, (1000 * s) // n AS mu_milli,
-      |    sd // n AS mu_d, (n * qd - sd * sd) // (n * n) AS var_d
+      |    sd // n AS mu_d,
+      |    CAST((CAST(n AS HUGEINT) * qd - CAST(sd AS HUGEINT) * sd)
+      |      // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_d
       |  FROM mom WHERE n >= 2),
       |st AS (
       |  SELECT l.pri, CAST(0 AS BIGINT) AS idx, l.mu_milli AS z,
@@ -4075,7 +4081,10 @@ object CoreQueries {
       .filter(col("n") >= 2)
       .withColumn("mu_milli", expr("(1000L * s) div n"))
       .withColumn("mu_d", expr("sd div n"))
-      .withColumn("var_d", expr("(n * qd - sd * sd) div (n * n)"))
+      .withColumn("var_d", expr(
+        "CAST((CAST(n AS DECIMAL(38,0)) * qd" +
+          " - CAST(sd AS DECIMAL(38,0)) * sd)" +
+          " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
       .withColumn("st", expr(
         """aggregate(
           |  recs,
