@@ -30,7 +30,14 @@ object TrainQueries {
     * the division is the integral `div` (pure int64: `Column.divide`
     * promotes to double, whose 2^53 mantissa silently goes off by one
     * once the corrected numerator passes ~9·10¹⁵ — the hazard
-    * Intervals.floorDiv documents). */
+    * Intervals.floorDiv documents). The b > 0 precondition is REAL:
+    * Spark's `pmod(a, b)` adds b only when the truncated remainder is
+    * negative — for b < 0 it returns the POSITIVE representative while
+    * fdSql's double-% returns the negative one, so the two engines go
+    * off by one whenever b < 0 and b ∤ a (caught live by the round-11
+    * sf0.1 gate on q339, whose determinant first goes negative at that
+    * SF). Callers with sign-varying divisors must normalize: fold
+    * sign(b) into the numerator and pass |b| (the q339 form). */
   private def fdCol(a: Column, b: Column): Column =
     call_function("div", a - pmod(a, b), b)
 
@@ -1961,12 +1968,18 @@ object TrainQueries {
       |SELECT cm.ns AS n_src, mu.nt AS n_tgt,
       |  cm.c00, cm.c01, cm.c10, cm.c11, mu.m0, mu.m1,
       |  CAST(${fdSql(
-        "CAST(1000000 AS HUGEINT) * cm.ns * (cm.c11 * mu.m0 - cm.c01 * mu.m1)",
-        "CAST(mu.nt AS HUGEINT) * (cm.c00 * cm.c11 - cm.c01 * cm.c10)")}
+        "CAST(CASE WHEN cm.c00 * cm.c11 - cm.c01 * cm.c10 < 0" +
+          " THEN -1000000 ELSE 1000000 END AS HUGEINT)" +
+          " * cm.ns * (cm.c11 * mu.m0 - cm.c01 * mu.m1)",
+        "CAST(mu.nt AS HUGEINT)" +
+          " * ABS(cm.c00 * cm.c11 - cm.c01 * cm.c10)")}
       |    AS BIGINT) AS w0_ppm,
       |  CAST(${fdSql(
-        "CAST(1000000 AS HUGEINT) * cm.ns * (cm.c00 * mu.m1 - cm.c10 * mu.m0)",
-        "CAST(mu.nt AS HUGEINT) * (cm.c00 * cm.c11 - cm.c01 * cm.c10)")}
+        "CAST(CASE WHEN cm.c00 * cm.c11 - cm.c01 * cm.c10 < 0" +
+          " THEN -1000000 ELSE 1000000 END AS HUGEINT)" +
+          " * cm.ns * (cm.c00 * mu.m1 - cm.c10 * mu.m0)",
+        "CAST(mu.nt AS HUGEINT)" +
+          " * ABS(cm.c00 * cm.c11 - cm.c01 * cm.c10)")}
       |    AS BIGINT) AS w1_ppm
       |FROM cm CROSS JOIN mu
       |WHERE cm.c00 * cm.c11 - cm.c01 * cm.c10 <> 0""".stripMargin
@@ -2006,15 +2019,17 @@ object TrainQueries {
         col("c00"), col("c01"), col("c10"), col("c11"),
         col("m0"), col("m1"),
         fdCol(
-          expr("CAST(1000000 AS DECIMAL(38,0)) * ns" +
+          expr("CAST(CASE WHEN c00 * c11 - c01 * c10 < 0" +
+            " THEN -1000000L ELSE 1000000L END AS DECIMAL(38,0)) * ns" +
             " * (c11 * m0 - c01 * m1)"),
           expr("CAST(nt AS DECIMAL(38,0))" +
-            " * (c00 * c11 - c01 * c10)")).cast("long").as("w0_ppm"),
+            " * ABS(c00 * c11 - c01 * c10)")).cast("long").as("w0_ppm"),
         fdCol(
-          expr("CAST(1000000 AS DECIMAL(38,0)) * ns" +
+          expr("CAST(CASE WHEN c00 * c11 - c01 * c10 < 0" +
+            " THEN -1000000L ELSE 1000000L END AS DECIMAL(38,0)) * ns" +
             " * (c00 * m1 - c10 * m0)"),
           expr("CAST(nt AS DECIMAL(38,0))" +
-            " * (c00 * c11 - c01 * c10)")).cast("long").as("w1_ppm"))
+            " * ABS(c00 * c11 - c01 * c10)")).cast("long").as("w1_ppm"))
   }
 
   // ---------------------------------------------------------------------
