@@ -4102,7 +4102,11 @@ object TextQueries {
     * 12 % — Gopher's own 0.20/0.18 line re-expressed where this
     * synthetic vocabulary actually separates; both SFs non-degenerate,
     * the q342 discipline). Single-token documents carry no bigram and
-    * are excluded by the join (stated; this corpus has none).
+    * are excluded by the join; all-empty-token documents
+    * (separator-only text, tc = 0) are excluded by an explicit
+    * tc > 0 guard mirrored in both engines (stated; this corpus has
+    * neither — without the guard Spark's div nulls where DuckDB's //
+    * raises, a silent engine divergence).
     *
     * Scale: two per-doc keyed censuses (word, bigram — map-side
     * combinable, explode ×n_tokens), one |docs|-row join, one
@@ -4144,7 +4148,8 @@ object TextQueries {
       |    1000000 * b.top2chars // d.tc AS t2,
       |    1000000 * d.dupocc // d.n AS dw,
       |    1000000 * b.dup2 // b.nb AS d2
-      |  FROM dtot d JOIN bgt b ON b.doc_id = d.doc_id)
+      |  FROM dtot d JOIN bgt b ON b.doc_id = d.doc_id
+      |  WHERE d.tc > 0)
       |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
       |  CAST(SUM(t1) // COUNT(*) AS BIGINT) AS top_word_char_ppm,
       |  CAST(SUM(t2) // COUNT(*) AS BIGINT) AS top_bigram_char_ppm,
@@ -4186,6 +4191,13 @@ object TextQueries {
         max(col("cb") * (length(col("b")) - 1)).as("top2chars"),
         sum(when(col("cb") >= 2, col("cb")).otherwise(0L)).as("dup2"))
     dtot.join(bgt, "doc_id")
+      // tc > 0 guard in BOTH engines (round-11 ADVICE): a document
+      // whose tokens are all empty strings (separator-only text)
+      // passes size >= 2 with tc = 0, where Spark's div yields NULL
+      // but DuckDB's // raises division-by-zero — an engine
+      // divergence. nb needs no guard: every joined doc has >= 1
+      // bigram, so nb >= 1 by construction.
+      .filter(col("tc") > 0L)
       .select(col("source"),
         expr("1000000L * topchars div tc").as("t1"),
         expr("1000000L * top2chars div tc").as("t2"),

@@ -1924,11 +1924,15 @@ object TrainQueries {
     * passes + two bounded (≤4-row) censuses and a one-row closed-form
     * solve. Headroom: the 10⁶·ns·(c·m) numerator is cubic in the
     * slice size, which would wrap int64 already at ~2·10⁴ docs per
-    * slice — so the ratio rides the q312 wide-integer hatch from the
-    * start: DECIMAL(38,0) on the Spark side, HUGEINT (int128) in the
-    * oracle, exact to ~5·10¹⁰ docs per slice (10⁶·n³ < 10³⁸). Only
-    * the one-row closed-form solve is wide; every census stays
-    * int64. */
+    * slice — so the ENTIRE solve rides the q312 wide-integer hatch:
+    * the cofactor products (det = c00·c11 − c01·c10, the c·m
+    * numerator terms) and the det ≠ 0 guard are cast to
+    * DECIMAL(38,0)/HUGEINT BEFORE multiplying (round-11 ADVICE: an
+    * int64 cofactor would wrap silently in Spark at n² ≈ 9.2·10¹⁸,
+    * i.e. ~3·10⁹ docs, capping the headroom below the documented
+    * bound), making the whole ratio exact to ~5·10¹⁰ docs per slice
+    * (10⁶·n³ < 10³⁸). Only the one-row closed-form solve is wide;
+    * every census stays int64. */
   val q339 = QueryDef(
     "q339_bbse_label_shift", {
       def pred(w: String) = "CASE WHEN f.x0*" + w + ".w0 + f.x1*" + w +
@@ -1964,25 +1968,29 @@ object TrainQueries {
       |    CAST(SUM(CASE WHEN ${pred("w")} = 1 THEN 1 ELSE 0 END)
       |      AS BIGINT) AS m1,
       |    CAST(COUNT(*) AS BIGINT) AS nt
-      |  FROM tg f CROSS JOIN w3_s w)
-      |SELECT cm.ns AS n_src, mu.nt AS n_tgt,
-      |  cm.c00, cm.c01, cm.c10, cm.c11, mu.m0, mu.m1,
+      |  FROM tg f CROSS JOIN w3_s w),
+      |sv AS (
+      |  SELECT cm.ns, mu.nt, cm.c00, cm.c01, cm.c10, cm.c11,
+      |    mu.m0, mu.m1,
+      |    CAST(cm.c00 AS HUGEINT) * cm.c11
+      |      - CAST(cm.c01 AS HUGEINT) * cm.c10 AS det,
+      |    CAST(cm.c11 AS HUGEINT) * mu.m0
+      |      - CAST(cm.c01 AS HUGEINT) * mu.m1 AS a0,
+      |    CAST(cm.c00 AS HUGEINT) * mu.m1
+      |      - CAST(cm.c10 AS HUGEINT) * mu.m0 AS a1
+      |  FROM cm CROSS JOIN mu)
+      |SELECT ns AS n_src, nt AS n_tgt, c00, c01, c10, c11, m0, m1,
       |  CAST(${fdSql(
-        "CAST(CASE WHEN cm.c00 * cm.c11 - cm.c01 * cm.c10 < 0" +
-          " THEN -1000000 ELSE 1000000 END AS HUGEINT)" +
-          " * cm.ns * (cm.c11 * mu.m0 - cm.c01 * mu.m1)",
-        "CAST(mu.nt AS HUGEINT)" +
-          " * ABS(cm.c00 * cm.c11 - cm.c01 * cm.c10)")}
+        "CAST(CASE WHEN det < 0 THEN -1000000 ELSE 1000000 END" +
+          " AS HUGEINT) * ns * a0",
+        "CAST(nt AS HUGEINT) * ABS(det)")}
       |    AS BIGINT) AS w0_ppm,
       |  CAST(${fdSql(
-        "CAST(CASE WHEN cm.c00 * cm.c11 - cm.c01 * cm.c10 < 0" +
-          " THEN -1000000 ELSE 1000000 END AS HUGEINT)" +
-          " * cm.ns * (cm.c00 * mu.m1 - cm.c10 * mu.m0)",
-        "CAST(mu.nt AS HUGEINT)" +
-          " * ABS(cm.c00 * cm.c11 - cm.c01 * cm.c10)")}
+        "CAST(CASE WHEN det < 0 THEN -1000000 ELSE 1000000 END" +
+          " AS HUGEINT) * ns * a1",
+        "CAST(nt AS HUGEINT) * ABS(det)")}
       |    AS BIGINT) AS w1_ppm
-      |FROM cm CROSS JOIN mu
-      |WHERE cm.c00 * cm.c11 - cm.c01 * cm.c10 <> 0""".stripMargin
+      |FROM sv WHERE det <> 0""".stripMargin
     }) { (s, d) =>
     import graft.functions.Checkpoints
     import graft.ml.QualityClassifier
@@ -2013,23 +2021,35 @@ object TrainQueries {
       .agg(sum(when(yhat === 0L, 1L).otherwise(0L)).as("m0"),
         sum(when(yhat === 1L, 1L).otherwise(0L)).as("m1"),
         count(lit(1)).as("nt"))
+    // Wide cofactors BEFORE the products (round-11 ADVICE): det and
+    // the adj·μ̂ terms ride DECIMAL(38,0) from the first multiply, so
+    // nothing in the solve ever touches int64 beyond the raw counts.
     cm.crossJoin(broadcast(mu))
-      .filter(expr("c00 * c11 - c01 * c10 != 0"))
+      .withColumn("det",
+        expr("CAST(c00 AS DECIMAL(38,0)) * c11" +
+          " - CAST(c01 AS DECIMAL(38,0)) * c10"))
+      .withColumn("a0",
+        expr("CAST(c11 AS DECIMAL(38,0)) * m0" +
+          " - CAST(c01 AS DECIMAL(38,0)) * m1"))
+      .withColumn("a1",
+        expr("CAST(c00 AS DECIMAL(38,0)) * m1" +
+          " - CAST(c10 AS DECIMAL(38,0)) * m0"))
+      .filter(col("det") =!= 0)
       .select(col("ns").as("n_src"), col("nt").as("n_tgt"),
         col("c00"), col("c01"), col("c10"), col("c11"),
         col("m0"), col("m1"),
         fdCol(
-          expr("CAST(CASE WHEN c00 * c11 - c01 * c10 < 0" +
-            " THEN -1000000L ELSE 1000000L END AS DECIMAL(38,0)) * ns" +
-            " * (c11 * m0 - c01 * m1)"),
-          expr("CAST(nt AS DECIMAL(38,0))" +
-            " * ABS(c00 * c11 - c01 * c10)")).cast("long").as("w0_ppm"),
+          expr("CAST(CASE WHEN det < 0" +
+            " THEN -1000000L ELSE 1000000L END AS DECIMAL(38,0))" +
+            " * ns * a0"),
+          expr("CAST(nt AS DECIMAL(38,0)) * ABS(det)"))
+          .cast("long").as("w0_ppm"),
         fdCol(
-          expr("CAST(CASE WHEN c00 * c11 - c01 * c10 < 0" +
-            " THEN -1000000L ELSE 1000000L END AS DECIMAL(38,0)) * ns" +
-            " * (c00 * m1 - c10 * m0)"),
-          expr("CAST(nt AS DECIMAL(38,0))" +
-            " * ABS(c00 * c11 - c01 * c10)")).cast("long").as("w1_ppm"))
+          expr("CAST(CASE WHEN det < 0" +
+            " THEN -1000000L ELSE 1000000L END AS DECIMAL(38,0))" +
+            " * ns * a1"),
+          expr("CAST(nt AS DECIMAL(38,0)) * ABS(det)"))
+          .cast("long").as("w1_ppm"))
   }
 
   // ---------------------------------------------------------------------

@@ -145,7 +145,11 @@ case class SelfDot(child: Expression)
   * loop inside WholeStageCodegen. Integer arithmetic is exact, so
   * swapping the form never changes a value. Null arrays propagate
   * null; null elements are treated as 0 (the unit grids carry
-  * none).
+  * none). RAGGED arrays (unequal lengths) return NULL — exactly what
+  * the HOF fold returns, because `zip_with` pads the shorter array
+  * with nulls and the sum then nulls out; truncating to min(len)
+  * would turn a malformed embedding row into a plausible wrong
+  * distance instead of a visible null (round-11 ADVICE).
   */
 case class SqDistLong(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -155,11 +159,14 @@ case class SqDistLong(left: Expression, right: Expression)
       ArrayType(org.apache.spark.sql.types.LongType))
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "graft_sqdist"
+  // Nullable even over non-null inputs: ragged lengths yield null.
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -180,14 +187,18 @@ case class SqDistLong(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val dd = ctx.freshName("dd")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $dd = ($a.isNullAt($i) ? 0L : $a.getLong($i))
-         |    - ($b.isNullAt($i) ? 0L : $b.getLong($i));
-         |  $acc += $dd * $dd;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $dd = ($a.isNullAt($i) ? 0L : $a.getLong($i))
+         |      - ($b.isNullAt($i) ? 0L : $b.getLong($i));
+         |    $acc += $dd * $dd;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

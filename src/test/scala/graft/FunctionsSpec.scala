@@ -137,6 +137,16 @@ class FunctionsSpec extends SparkSpec {
     val nr = Seq((Option.empty[Array[Long]], Option(Array(1L))))
       .toDF("a", "b").select(Vectors.sqDistL(col("a"), col("b"))).head()
     assert(nr.isNullAt(0))
+    // RAGGED arrays return null in BOTH forms (round-11 ADVICE): the
+    // HOF fold nulls out because zip_with pads the shorter array with
+    // nulls; the native expression must match, not truncate to
+    // min(len) and return a plausible partial distance.
+    val rg = Seq((Array(1L, 2L, 3L), Array(1L, 2L)))
+      .toDF("a", "b")
+      .select(Vectors.sqDistL(col("a"), col("b")).as("fast"),
+        Vectors.sqDistFold(col("a"), col("b")).as("spec"))
+      .head()
+    assert(rg.isNullAt(0) && rg.isNullAt(1))
   }
 
   test("Vectors.hyperplane is deterministic and lshBucket in range") {
