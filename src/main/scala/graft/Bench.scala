@@ -11,6 +11,48 @@ object Bench {
     graft.curation.Curation.releaseBoilerplate()
   }
 
+  /** Host-factor canary set (round-12): five stable, plan-frozen,
+    * cheap queries spanning the engine's stage types (scan+agg,
+    * dedup, quantiles, partitioned write, sketch). Run first and
+    * last in every pass; the ratio of their summed wall time to
+    * their committed seed measures THIS RUN's host speed, so a
+    * uniformly slow day (r10: 1.05×, r11: 1.20× — half the suite
+    * over threshold with zero code changes) raises the suspect bar
+    * instead of flooding the record with storm-pattern flags. */
+  val canaryNames: Seq[String] = Seq(
+    "q01_pricing_summary", "q22_exact_dedup",
+    "q52_order_value_quantiles", "q96_partitioned_silver",
+    "q121_sketch_heavy_hitters")
+
+  /** Measured host factor: summed canary time now vs at seed time,
+    * floored at 1.0 (a FAST host must not tighten the suspect bar
+    * below its design value — seeds are already best-known minima).
+    * No overlap or degenerate seed → 1.0 (factor stays neutral). */
+  def hostFactor(now: Map[String, Double],
+                 seed: Map[String, Double]): Double = {
+    val common = now.keySet.intersect(seed.keySet)
+      .filter(k => now(k) > 0 && seed(k) > 0)
+    if (common.isEmpty) 1.0
+    else {
+      val sn = common.iterator.map(now).sum
+      val ss = common.iterator.map(seed).sum
+      if (ss <= 0) 1.0 else math.max(1.0, sn / ss)
+    }
+  }
+
+  /** Suspect test, host-factor aware: a recorded value that survived
+    * the storm defense is flagged only when it exceeds
+    * stormFactor × hostFactor × prior AND prior + 1 s (the absolute
+    * floor keeps sub-second JIT noise from firing). hostFactor < 1
+    * is clamped to 1 — the bar only ever LOOSENS on a measured slow
+    * host, never tightens. */
+  def isSuspect(recorded: Double, prior: Option[Double],
+                stormFactor: Double, hostFactor: Double): Boolean =
+    prior.exists { p =>
+      val hf = math.max(1.0, hostFactor)
+      recorded > stormFactor * hf * p && recorded > p + 1.0
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -91,6 +133,13 @@ object Bench {
     // forensics (round-6 verdict item 1b).
     case class QRow(name: String, sec: Double, err: Option[String],
                     suspect: Option[Double])
+    // Host-factor canary state (round-12): measured before the sweep,
+    // re-measured after it; rendered into every JSON rewrite so even
+    // a killed run carries its own host context.
+    var hostF: Double = 1.0
+    var canaryStart: Map[String, Double] = Map.empty
+    var canaryEnd: Map[String, Double] = Map.empty
+    var hostFEnd: Double = 0.0 // 0 = not yet measured
     def renderJson(results: Seq[QRow], done: Boolean): String = {
       val qs = results.map { r => jstr(r.name) + ":" + r.sec }
         .mkString("{", ",", "}")
@@ -99,8 +148,12 @@ object Bench {
       val sus = results.collect { case QRow(k, v, None, Some(p)) =>
         jstr(k) + s""":{"recorded":$v,"history":$p}"""
       }.mkString("{", ",", "}")
+      val can = canaryStart.toSeq.sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+      val canE = canaryEnd.toSeq.sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
       val total = results.collect { case QRow(_, v, None, _) => v }.sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"suspect":$sus,"sf":${Json.str(sfDir)},"complete":$done,"n_queries":${results.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"suspect":$sus,"host_factor":$hostF,"host_factor_end":$hostFEnd,"canary":$can,"canary_end":$canE,"sf":${Json.str(sfDir)},"complete":$done,"n_queries":${results.size}}"""
     }
     // Partial-evidence file, rewritten after EVERY query: a harness
     // timeout (BENCH_r02 was rc=124 with parsed:null) now leaves a
@@ -191,6 +244,56 @@ object Bench {
     // Dev-only subset filter; the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // ---- Host-factor canary (round-12) ----
+    // Seed canary timings live under the seed file's "canary" key,
+    // measured in exactly this position (start-of-JVM, after one
+    // untimed warm-up sweep of the canary list to absorb session
+    // init); falling back to the mid-suite per-query seeds would
+    // overstate the factor on every run (cold-JIT canaries vs warm
+    // seeds), so without a canary seed the factor stays 1.0.
+    def readCanarySeed(path: String): Map[String, Double] =
+      try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(
+            java.nio.file.Paths.get(path)))
+        val c = root.get("canary")
+        if (c == null) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          c.properties().asScala.iterator
+            .filter(e => e.getValue.isNumber && e.getValue.asDouble > 0)
+            .map(e => e.getKey -> e.getValue.asDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    val canarySeed = readCanarySeed(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_SEED", "BENCH_seed.json"))
+    val canaryOn = only.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CANARY", "1") != "0"
+    def canaryPass(): Map[String, Double] = {
+      val fns = SparkEntry.queries
+      Bench.canaryNames.filter(fns.contains).map { n =>
+        val (a, _) = timeOnce(n, fns(n))
+        Bench.releaseAll(spark)
+        val (b, _) = timeOnce(n, fns(n))
+        Bench.releaseAll(spark)
+        n -> math.min(a, b)
+      }.toMap
+    }
+    if (canaryOn) {
+      // untimed warm-up: session init + canary codegen compile once
+      Bench.canaryNames.filter(SparkEntry.queries.contains).foreach { n =>
+        Watchdog.run(spark, s"warmup:$n", queryTimeoutSec) {
+          SparkEntry.queries(n)(spark, sfDir).count(): Unit
+        }
+        Bench.releaseAll(spark)
+      }
+      canaryStart = canaryPass()
+      hostF = Bench.hostFactor(canaryStart, canarySeed)
+      System.err.println(
+        f"[bench][canary] start sum=${canaryStart.values.sum}%.2fs " +
+          f"seed sum=${canarySeed.values.sum}%.2fs host_factor=$hostF%.2f " +
+          s"(${canaryStart.size} canaries, ${canarySeed.size} seeded)")
+    }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
@@ -211,8 +314,12 @@ object Bench {
       val err = ea.orElse(eb)
       var dt = if (err.isDefined) -1.0 else math.min(a, b)
       val prior = priorBench.get(name)
-      def isStormy(v: Double): Boolean = err.isEmpty && prior.exists(p =>
-        v > stormFactor * p && v > p + 1.0)
+      // Host-factor-aware threshold (round-12): on a measured-slow
+      // day the bar is stormFactor × hostF × prior, so uniform host
+      // inflation (r11: 1.20× suite-wide) no longer floods the
+      // record with storm-pattern flags it can't adjudicate.
+      def isStormy(v: Double): Boolean = err.isEmpty &&
+        Bench.isSuspect(v, prior, stormFactor, hostF)
       if (isStormy(dt) && stormRetriesLeft > 0) {
         stormRetriesLeft -= 1
         System.err.println(
@@ -232,8 +339,9 @@ object Bench {
         // far above history (>escalateFactor x). A 10s backoff can't
         // outwait a multi-minute degradation; one long backoff often
         // can, and a real regression costs only one extra pass.
-        if (err.isEmpty && prior.exists(p => dt > escalateFactor * p &&
-            dt > p + 1.0) && escalationsLeft > 0) {
+        if (err.isEmpty &&
+            Bench.isSuspect(dt, prior, escalateFactor, hostF) &&
+            escalationsLeft > 0) {
           escalationsLeft -= 1
           System.err.println(
             f"[bench][storm] $name still $dt%.1fs (> ${escalateFactor}%.1fx prior " +
@@ -291,7 +399,7 @@ object Bench {
         val (c, ec) = timeOnce(n, fns(n))
         Bench.releaseAll(spark)
         if (ec.isEmpty && c < v) {
-          val still = c > stormFactor * p && c > p + 1.0
+          val still = Bench.isSuspect(c, Some(p), stormFactor, hostF)
           System.err.println(
             f"[bench][postpass] $n recovered: $v%.1fs -> $c%.1fs" +
               (if (still) " (still flagged vs history)" else " (unflagged)"))
@@ -303,6 +411,17 @@ object Bench {
           partialPath, renderJson(acc.toSeq, done = false) + "\n")
         catch { case _: Throwable => () }
       }
+    }
+    // Closing canary pass: the start/end pair brackets the sweep, so
+    // the record shows whether the host was slow THROUGHOUT or
+    // degraded mid-run (informational — thresholds used the start
+    // factor, which was the one in force during the sweep).
+    if (canaryOn) {
+      canaryEnd = canaryPass()
+      hostFEnd = Bench.hostFactor(canaryEnd, canarySeed)
+      System.err.println(
+        f"[bench][canary] end sum=${canaryEnd.values.sum}%.2fs " +
+          f"host_factor_end=$hostFEnd%.2f (start was $hostF%.2f)")
     }
     val finalJson = renderJson(acc.toSeq, done = true)
     try java.nio.file.Files.writeString(partialPath, finalJson + "\n")

@@ -2189,17 +2189,29 @@ object VectorQueries {
         .agg(sum(col("kp") * col("kq")).as("s")).localCheckpoint())
     def splitRow(name: String, axis: String) = {
       val grp = col(axis).as("grp")
-      val cnt = cntJ.groupBy(grp).agg(sum(col("n")).as("n"))
-      val mv = uJ.groupBy(grp, col("pos0"))
-        .agg(sum(col("sk")).as("sk"))
-        .join(broadcast(cnt), "grp")
-        .select(col("grp"), col("pos0"),
-          expr("(sk - pmod(sk, n)) div n").as("m"))
-      val sm = smJ.groupBy(grp, col("p"), col("q"))
-        .agg(sum(col("s")).as("s"))
-        .join(broadcast(cnt), "grp")
-        .select(col("grp"), col("p"), col("q"),
-          expr("(s - pmod(s, n)) div n").as("m"))
+      val cnt = Checkpoints.pin(
+        cntJ.groupBy(grp).agg(sum(col("n")).as("n")).localCheckpoint())
+      // Checkpoint the per-split moment frames too (round-12: q310 was
+      // driver-flagged two rounds running — the GD-chain lesson says
+      // shrink the generated-code units, not just the heavy scans):
+      // without these, the final two-row plan per split fuses both
+      // re-aggregations plus four gap joins into one giant Janino
+      // unit. mv is 2·64 rows, sm is 2·4096 rows — the checkpoints
+      // are all but free and each consumer below compiles small.
+      val mv = Checkpoints.pin(
+        uJ.groupBy(grp, col("pos0"))
+          .agg(sum(col("sk")).as("sk"))
+          .join(broadcast(cnt), "grp")
+          .select(col("grp"), col("pos0"),
+            expr("(sk - pmod(sk, n)) div n").as("m"))
+          .localCheckpoint())
+      val sm = Checkpoints.pin(
+        smJ.groupBy(grp, col("p"), col("q"))
+          .agg(sum(col("s")).as("s"))
+          .join(broadcast(cnt), "grp")
+          .select(col("grp"), col("p"), col("q"),
+            expr("(s - pmod(s, n)) div n").as("m"))
+          .localCheckpoint())
       val meanGap = mv.filter(col("grp") === 0).as("a")
         .join(mv.filter(col("grp") === 1).as("b"),
           col("a.pos0") === col("b.pos0"))
