@@ -2890,8 +2890,369 @@ object VectorQueries {
       .orderBy(col("beam_width"))
   }
 
+  /** q350 — CONVERGENCE-TERMINATED graph-ANN search under a VISITED
+    * BUDGET (the efSearch contract, Malkov & Yashunin 2018 Alg. 2 —
+    * round-11 verdict item 4: q344's fixed 2+2 rounds pin the ladder
+    * shape, but what a serving stack tunes is the BUDGET, stopping
+    * when the beam stops improving or the budget is spent), on a
+    * THREE-layer navigable graph (upper layers by md5 ≡ 0 mod 16 and
+    * mod 4 — V₂ ⊆ V₁ ⊆ V₀ since 16 | x ⇒ 4 | x, the deterministic
+    * stand-in for the geometric level draw; the md5-moduli ladder
+    * q344's scaladoc promised). Same deterministic construction as
+    * q344 (2-nearest-cell candidates under the q38 quantizer, pair
+    * volume ≈ 64·N, degree ≤ M = 8 per layer); search descends 2
+    * greedy steps on layer 2, then 2 on layer 1, then runs
+    * budget-gated beam-4 expansion rounds at layer 0: a round
+    * expands a query's beam ONLY while its visited count is below
+    * the budget E, so once a query hits its budget — or its visited
+    * set reaches a fixpoint (the beam stopped improving: every
+    * neighbor of the beam is already visited) — further rounds are
+    * no-ops for it. Six rounds is the documented horizon; the
+    * n_stopped census (queries whose visited set did not grow in the
+    * final round — i.e. stop condition reached BEFORE the horizon)
+    * measures whether the horizon bound anything, and AnnRecallSpec
+    * pins n_stopped = n_queries at the tested SFs (the horizon did
+    * not bind — the search genuinely ran to convergence-or-budget).
+    *
+    * Census per budget E ∈ {16, 32, 64}: visited candidates, exact
+    * recall@10 vs the q32 brute-force yardstick (ppm), n_stopped,
+    * and max per-query visited (≤ E + B·M by the gate: one final
+    * expansion can overshoot by at most a beam's out-degree —
+    * exactly HNSW's dynamic-list overshoot). The ladder pins recall
+    * AND visited as functions of the budget — the number a serving
+    * stack actually tunes.
+    *
+    * Scale: identical construction cost to q344 (linear in N); the
+    * budget cap makes per-query search cost O(E·M) INDEPENDENT of
+    * both N and the round horizon — the 100-TB recall story. */
+  val q350 = QueryDef(
+    "q350_hnsw_efsearch", {
+      val M = 8
+      val B = 4
+      val K = 6
+      // one greedy descent step on edge table `ed`: current ∪ its
+      // out-neighbors, keep the (d2, id)-minimum
+      def gStep(prev: String, cur: String, ed: String) =
+        s"""$cur AS (
+        |  SELECT query_id, node_id AS cur FROM (
+        |    SELECT x.query_id, x.node_id,
+        |      ROW_NUMBER() OVER (PARTITION BY x.query_id
+        |        ORDER BY x.d2, x.node_id) AS rn
+        |    FROM (
+        |      SELECT query_id, cur AS node FROM $prev
+        |      UNION
+        |      SELECT g.query_id, e.dst AS node
+        |      FROM $prev g JOIN $ed e ON e.src = g.cur) c
+        |    JOIN qd x ON x.query_id = c.query_id
+        |      AND x.node_id = c.node)
+        |  WHERE rn = 1)""".stripMargin
+      // one budget-gated beam round at layer 0
+      def bRound(e: Int, r: Int) =
+        s"""v${e}_$r AS MATERIALIZED (
+        |  SELECT DISTINCT query_id, node FROM (
+        |    SELECT query_id, node FROM v${e}_${r - 1}
+        |    UNION ALL
+        |    SELECT w.query_id, ee.dst AS node
+        |    FROM b${e}_${r - 1} w
+        |    JOIN c${e}_${r - 1} cc ON cc.query_id = w.query_id
+        |      AND cc.nv < $e
+        |    JOIN ed0 ee ON ee.src = w.node)),
+        |c${e}_$r AS (
+        |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nv
+        |  FROM v${e}_$r GROUP BY 1),
+        |b${e}_$r AS (
+        |  SELECT query_id, node FROM (
+        |    SELECT v.query_id, v.node,
+        |      ROW_NUMBER() OVER (PARTITION BY v.query_id
+        |        ORDER BY x.d2, v.node) AS rn
+        |    FROM v${e}_$r v JOIN qd x ON x.query_id = v.query_id
+        |      AND x.node_id = v.node)
+        |  WHERE rn <= $B)""".stripMargin
+      def budgetCtes(e: Int) =
+        s"""v${e}_0 AS (SELECT query_id, cur AS node FROM h2),
+        |c${e}_0 AS (
+        |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nv
+        |  FROM v${e}_0 GROUP BY 1),
+        |b${e}_0 AS (SELECT query_id, node FROM v${e}_0),
+        |${(1 to K).map(r => bRound(e, r)).mkString(",\n")},
+        |res$e AS (
+        |  SELECT CAST($e AS BIGINT) AS budget,
+        |    CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |    CAST(COALESCE(SUM(CASE WHEN t.node_id IS NOT NULL
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+        |  FROM (SELECT query_id, node FROM v${e}_$K
+        |        WHERE node <> query_id) f
+        |  LEFT JOIN top10 t ON t.query_id = f.query_id
+        |    AND t.node_id = f.node),
+        |stp$e AS (
+        |  SELECT CAST(SUM(CASE WHEN a.nv = b.nv THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_stopped,
+        |    CAST(MAX(a.nv) AS BIGINT) AS max_visited
+        |  FROM c${e}_$K a JOIN c${e}_${K - 1} b
+        |    ON b.query_id = a.query_id)""".stripMargin
+      normCte +
+        s""",
+        |u AS (
+        |  SELECT vec_id, t.i AS pos,
+        |    CAST(FLOOR(CAST(e[t.i] AS DOUBLE)/nrm*1e6 + 0.5) AS BIGINT)
+        |      AS k
+        |  FROM n CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) t),
+        |lv AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ${TextQueries.hexU32Sql(1)} % 16 = 0 THEN 2
+        |         WHEN ${TextQueries.hexU32Sql(1)} % 4 = 0 THEN 1
+        |         ELSE 0 END AS lvl
+        |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS hx
+        |        FROM n)),
+        |cent AS (SELECT vec_id AS cell, pos, k AS ck FROM u
+        |         WHERE vec_id % 32 = 0),
+        |cd AS (
+        |  SELECT u.vec_id, c.cell,
+        |    CAST(SUM((u.k - c.ck)*(u.k - c.ck)) AS BIGINT) AS d2
+        |  FROM u JOIN cent c ON c.pos = u.pos GROUP BY 1, 2),
+        |ncr AS (
+        |  SELECT vec_id, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell)
+        |      AS rc
+        |  FROM cd),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.vec_id AS src, h.vec_id AS dst
+        |  FROM (SELECT vec_id, cell FROM ncr WHERE rc <= 2) a
+        |  JOIN (SELECT vec_id, cell FROM ncr WHERE rc = 1) h
+        |    ON h.cell = a.cell AND h.vec_id <> a.vec_id),
+        |pd AS MATERIALIZED (
+        |  SELECT c.src, c.dst,
+        |    CAST(SUM((ua.k - ub.k)*(ua.k - ub.k)) AS BIGINT) AS d2
+        |  FROM cand c JOIN u ua ON ua.vec_id = c.src
+        |  JOIN u ub ON ub.vec_id = c.dst AND ub.pos = ua.pos
+        |  GROUP BY 1, 2),
+        |ed0 AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, dst)
+        |        AS rn
+        |    FROM pd) WHERE rn <= $M),
+        |ed1 AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT p.src, p.dst,
+        |      ROW_NUMBER() OVER (PARTITION BY p.src
+        |        ORDER BY p.d2, p.dst) AS rn
+        |    FROM pd p
+        |    JOIN lv la ON la.vec_id = p.src AND la.lvl >= 1
+        |    JOIN lv lb ON lb.vec_id = p.dst AND lb.lvl >= 1)
+        |  WHERE rn <= $M),
+        |ed2 AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT p.src, p.dst,
+        |      ROW_NUMBER() OVER (PARTITION BY p.src
+        |        ORDER BY p.d2, p.dst) AS rn
+        |    FROM pd p
+        |    JOIN lv la ON la.vec_id = p.src AND la.lvl >= 2
+        |    JOIN lv lb ON lb.vec_id = p.dst AND lb.lvl >= 2)
+        |  WHERE rn <= $M),
+        |qd AS MATERIALIZED (
+        |  SELECT uq.vec_id AS query_id, un.vec_id AS node_id,
+        |    CAST(SUM((uq.k - un.k)*(uq.k - un.k)) AS BIGINT) AS d2
+        |  FROM u uq JOIN u un ON un.pos = uq.pos
+        |  WHERE uq.vec_id < 25 GROUP BY 1, 2),
+        |top10 AS MATERIALIZED (
+        |  SELECT query_id, node_id FROM (
+        |    SELECT query_id, node_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY d2, node_id) AS rnk
+        |    FROM qd WHERE node_id <> query_id) WHERE rnk <= 10),
+        |nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS nq
+        |       FROM qd),
+        |ent AS (SELECT COALESCE(
+        |  (SELECT MIN(vec_id) FROM lv WHERE lvl >= 2),
+        |  (SELECT MIN(vec_id) FROM lv WHERE lvl >= 1),
+        |  (SELECT MIN(vec_id) FROM n)) AS e),
+        |d0 AS (SELECT DISTINCT query_id, ent.e AS cur
+        |       FROM qd CROSS JOIN ent),
+        |${gStep("d0", "d1", "ed2")},
+        |${gStep("d1", "d2", "ed2")},
+        |${gStep("d2", "h1", "ed1")},
+        |${gStep("h1", "h2", "ed1")},
+        |${budgetCtes(16)},
+        |${budgetCtes(32)},
+        |${budgetCtes(64)}
+        |SELECT r.budget, nq.nq AS n_queries, r.n_candidates, r.n_hits,
+        |  CAST(1000000 * r.n_hits // (10 * nq.nq) AS BIGINT)
+        |    AS recall_ppm,
+        |  r.n_stopped, r.max_visited
+        |FROM (
+        |  SELECT res16.*, stp16.n_stopped, stp16.max_visited
+        |    FROM res16 CROSS JOIN stp16
+        |  UNION ALL
+        |  SELECT res32.*, stp32.n_stopped, stp32.max_visited
+        |    FROM res32 CROSS JOIN stp32
+        |  UNION ALL
+        |  SELECT res64.*, stp64.n_stopped, stp64.max_visited
+        |    FROM res64 CROSS JOIN stp64) r
+        |CROSS JOIN nq
+        |ORDER BY r.budget""".stripMargin
+    }) { (s, d) =>
+    import graft.functions.Checkpoints
+    val M = 8
+    val B = 4
+    val K = 6
+    def sqDist(a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column) =
+      Vectors.sqDistL(a, b)
+    // q344's construction with a third layer; every intermediate is
+    // eagerly checkpoint-pinned (the JIT-storm discipline — each
+    // round compiles a small generated unit and re-reads tiny
+    // materialized frames).
+    val ku = Checkpoints.pin(pqUnits(s, d).localCheckpoint())
+    val lvl = Checkpoints.pin(ku.select(col("vec_id"),
+        (conv(substring(md5(col("vec_id").cast("string")), 1, 8),
+          16, 10).cast("long") % 16).as("h16"),
+        (conv(substring(md5(col("vec_id").cast("string")), 1, 8),
+          16, 10).cast("long") % 4).as("h4"))
+      .select(col("vec_id"),
+        when(col("h16") === 0, 2L).when(col("h4") === 0, 1L)
+          .otherwise(0L).as("lvl"))
+      .localCheckpoint())
+    val cent = ku.filter(col("vec_id") % 32 === 0)
+      .select(col("vec_id").as("cell"), col("ku").as("cku"))
+    val cd = ku.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cell"),
+        sqDist(col("ku"), col("cku")).as("d2"))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("cell"))
+    val ncr = Checkpoints.pin(
+      cd.withColumn("rc", row_number().over(wCell))
+        .filter(col("rc") <= 2)
+        .select(col("vec_id"), col("cell"), col("rc"))
+        .localCheckpoint())
+    val cand = ncr.select(col("vec_id").as("src"), col("cell"))
+      .join(ncr.filter(col("rc") === 1)
+        .select(col("vec_id").as("dst"), col("cell")), Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val pdist = Checkpoints.pin(cand
+      .join(ku.select(col("vec_id").as("src"), col("ku").as("ka")),
+        Seq("src"))
+      .join(ku.select(col("vec_id").as("dst"), col("ku").as("kb")),
+        Seq("dst"))
+      .select(col("src"), col("dst"),
+        sqDist(col("ka"), col("kb")).as("d2"))
+      .localCheckpoint())
+    val wSrc = Window.partitionBy(col("src"))
+      .orderBy(col("d2"), col("dst"))
+    val ed0 = Checkpoints.pin(
+      pdist.withColumn("rn", row_number().over(wSrc))
+        .filter(col("rn") <= M).select(col("src"), col("dst"))
+        .localCheckpoint())
+    def edAt(minLvl: Long) = Checkpoints.pin(pdist
+      .join(lvl.filter(col("lvl") >= minLvl)
+        .select(col("vec_id").as("src")), Seq("src"))
+      .join(lvl.filter(col("lvl") >= minLvl)
+        .select(col("vec_id").as("dst")), Seq("dst"))
+      .withColumn("rn", row_number().over(wSrc))
+      .filter(col("rn") <= M).select(col("src"), col("dst"))
+      .localCheckpoint())
+    val ed1 = edAt(1L)
+    val ed2 = edAt(2L)
+    val q = ku.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("ku").as("qk"))
+    val qd = Checkpoints.pin(ku.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("node_id"),
+        sqDist(col("qk"), col("ku")).as("d2"))
+      .localCheckpoint())
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("node_id"))
+    val top10 = Checkpoints.pin(
+      qd.filter(col("node_id") =!= col("query_id"))
+        .withColumn("rnk", row_number().over(wq))
+        .filter(col("rnk") <= 10)
+        .select(col("query_id"), col("node_id"))
+        .localCheckpoint())
+    val ent = Checkpoints.pin(
+      lvl.filter(col("lvl") >= 2).agg(min(col("vec_id")).as("e2"))
+        .crossJoin(broadcast(
+          lvl.filter(col("lvl") >= 1).agg(min(col("vec_id")).as("e1"))))
+        .crossJoin(broadcast(ku.agg(min(col("vec_id")).as("e0"))))
+        .select(coalesce(col("e2"), col("e1"), col("e0")).as("e"))
+        .localCheckpoint())
+    var g = Checkpoints.pin(
+      qd.select(col("query_id")).distinct().crossJoin(broadcast(ent))
+        .select(col("query_id"), col("e").as("cur"))
+        .localCheckpoint())
+    for (ed <- Seq(ed2, ed2, ed1, ed1)) {
+      val c = g.select(col("query_id"), col("cur").as("node"))
+        .unionByName(g.join(ed, col("cur") === col("src"))
+          .select(col("query_id"), col("dst").as("node")))
+        .distinct()
+      g = Checkpoints.pin(c
+        .join(qd.select(col("query_id").as("qid"),
+          col("node_id").as("nid"), col("d2")),
+          col("query_id") === col("qid") && col("node") === col("nid"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("d2"), col("node"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("node").as("cur"))
+        .localCheckpoint())
+    }
+    val results = Seq(16, 32, 64).map { e =>
+      var visited = Checkpoints.pin(
+        g.select(col("query_id"), col("cur").as("node"))
+          .localCheckpoint())
+      var cnt = Checkpoints.pin(visited.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("nv")).localCheckpoint())
+      var prevCnt = cnt
+      var beam = visited
+      for (_ <- 1 to K) {
+        val expand = beam
+          .join(cnt.filter(col("nv") < e).select(col("query_id")),
+            Seq("query_id"))
+          .join(ed0, col("node") === col("src"))
+          .select(col("query_id"), col("dst").as("node"))
+        visited = Checkpoints.pin(visited.unionByName(expand)
+          .distinct().localCheckpoint())
+        prevCnt = cnt
+        cnt = Checkpoints.pin(visited.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("nv")).localCheckpoint())
+        beam = visited
+          .join(qd.select(col("query_id").as("qid"),
+            col("node_id").as("nid"), col("d2")),
+            col("query_id") === col("qid") && col("node") === col("nid"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("d2"), col("node"))))
+          .filter(col("rn") <= B)
+          .select(col("query_id"), col("node"))
+      }
+      val res = visited.filter(col("node") =!= col("query_id"))
+        .join(top10.select(col("query_id").as("tq"),
+          col("node_id").as("tn"))
+          .withColumn("hit", lit(1L)),
+          col("query_id") === col("tq") && col("node") === col("tn"),
+          "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      val stp = cnt.as("a")
+        .join(prevCnt.as("b"), col("a.query_id") === col("b.query_id"))
+        .agg(sum(when(col("a.nv") === col("b.nv"), 1L).otherwise(0L))
+          .as("n_stopped"),
+          max(col("a.nv")).as("max_visited"))
+      res.crossJoin(broadcast(stp))
+        .select(lit(e.toLong).as("budget"), col("n_candidates"),
+          col("n_hits"), col("n_stopped"), col("max_visited"))
+    }
+    val nq = qd.agg(countDistinct(col("query_id")).as("nq"))
+    results.reduce(_ unionByName _).crossJoin(broadcast(nq))
+      .select(col("budget"), col("nq").as("n_queries"),
+        col("n_candidates"), col("n_hits"),
+        expr("1000000L * n_hits div (10 * nq)").as("recall_ppm"),
+        col("n_stopped"), col("max_visited"))
+      .orderBy(col("budget"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131,
       q134, q135, q151, q155, q174, q179, q196, q197, q202, q203, q207,
-      q226, q234, q287, q301, q302, q307, q310, q316, q325, q336, q344)
+      q226, q234, q287, q301, q302, q307, q310, q316, q325, q336, q344,
+      q350)
 }

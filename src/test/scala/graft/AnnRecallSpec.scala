@@ -191,4 +191,41 @@ class AnnRecallSpec extends SparkSpec {
     assert(rows.head._5 >= 160000, s"beam=1 recall ${rows.head._5}")
     assert(rows.last._5 >= 190000, s"beam=4 recall ${rows.last._5}")
   }
+
+  test("efSearch budget ladder (q350): visited/recall monotone in " +
+      "budget, gate overshoot bounded, horizon does not bind") {
+    // The convergence-terminated variant (round-11 verdict item 4):
+    // per-query expansion stops at visited-set fixpoint (beam stopped
+    // improving) or at the visited budget E; six rounds is the
+    // documented horizon. n_stopped = n_queries asserts the horizon
+    // did NOT bind — every query genuinely reached its stop condition
+    // — and max_visited ≤ E + B·M is the structural gate-overshoot
+    // bound (one final expansion past the budget check, ≤ beam ×
+    // degree new nodes).
+    val rows = VectorQueries.q350.run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("budget"), r.getAs[Long]("n_queries"),
+        r.getAs[Long]("n_candidates"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("recall_ppm"), r.getAs[Long]("n_stopped"),
+        r.getAs[Long]("max_visited")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(16L, 32L, 64L))
+    rows.foreach { case (e, nq, cand, hits, rec, stopped, maxV) =>
+      info(s"budget=$e visited=$cand recall_ppm=$rec " +
+        s"stopped=$stopped/$nq max_visited=$maxV")
+      assert(stopped == nq,
+        s"budget=$e: ${nq - stopped} queries still expanding at the " +
+          "round horizon — raise K or the claim is wrong")
+      assert(maxV <= e + 4 * 8,
+        s"budget=$e max_visited $maxV above the gate-overshoot bound")
+      assert(hits <= 10 * nq && rec <= 1000000L)
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3, s"visited not monotone in budget: $a vs $b")
+      assert(a._5 <= b._5, s"recall not monotone in budget: $a vs $b")
+    }
+    // the budget ladder must buy recall over q344's fixed 2-round
+    // beam=4 search (same graph, same queries): budget 64 explores
+    // deeper than 2 rounds ever can
+    assert(rows.last._5 >= 190000, s"budget=64 recall ${rows.last._5}")
+  }
 }

@@ -182,4 +182,57 @@ class MediaSpec extends SparkSpec {
     (0L until 4L).foreach(b => assert(hs((1L, b)) == hs((2L, b))))
     assert((0L until 4L).exists(b => hs((1L, b)) != hs((3L, b))))
   }
+
+  // ---- PNG codec (Png.scala, round-12) -----------------------------
+
+  test("PNG encode/decode round-trips RGB and RGBA across all filters") {
+    import graft.multimodal.Png
+    // h >= 6 so the row % 5 filter cycle exercises every filter type,
+    // including a wrapped repeat of filter 0.
+    for (ch <- Seq(3, 4)) {
+      val (w, h) = (11, 7) // odd width: sub/average/paeth cross pixels
+      val px = Array.tabulate(w * h * ch)(i =>
+        ((i.toLong * 9973 + 17) % 256).toByte)
+      val (dw, dh, dch, dpx) = Png.decode(Png.encode(w, h, ch, px))
+      assert((dw, dh, dch) == (w, h, ch))
+      assert(java.util.Arrays.equals(dpx, px), s"pixels differ at ch=$ch")
+    }
+  }
+
+  test("PNG decode matches the q349 generating formula (oracle twin)") {
+    import graft.queries.MediaQueries
+    for (id <- Seq(0L, 1L, 7L, 42L)) {
+      val (w, h, ch, px) = graft.multimodal.Png.decode(
+        MediaQueries.pngBlobFor(id))
+      assert(w == 8 + id % 9 && h == 8 + id % 7 && ch == 3 + id % 2)
+      px.zipWithIndex.foreach { case (b, i) =>
+        assert((b & 0xff) == ((id * 6007 + i.toLong * 9973) % 256),
+          s"pixel $i of blob $id")
+      }
+    }
+  }
+
+  test("poisoned PNG blobs fail loudly, not silently") {
+    import graft.multimodal.Png
+    val good = Png.encode(4, 4, 3, Array.tabulate(48)(_.toByte))
+    // bad signature
+    intercept[IllegalArgumentException] {
+      Png.decode("notapng!".getBytes ++ good.drop(8))
+    }
+    // flipped payload byte -> CRC mismatch (decoder checks every chunk)
+    val flipped = good.clone()
+    flipped(good.length / 2) = (flipped(good.length / 2) ^ 0x5a).toByte
+    intercept[IllegalArgumentException] { Png.decode(flipped) }
+    // truncated file -> truncated chunk / missing IEND
+    intercept[IllegalArgumentException] {
+      Png.decode(good.take(good.length - 16))
+    }
+    // unsupported color type (grayscale, ct=0) with repaired CRCs
+    val gray = good.clone()
+    gray(8 + 4 + 4 + 9) = 0.toByte // IHDR color type byte
+    val crc = new java.util.zip.CRC32()
+    crc.update(gray, 12, 17) // tag + 13 data bytes
+    java.nio.ByteBuffer.wrap(gray).putInt(29, crc.getValue.toInt)
+    intercept[IllegalArgumentException] { Png.decode(gray) }
+  }
 }

@@ -330,7 +330,11 @@ class PlanSpec extends SparkSpec {
         ("one-row broadcast centroid-array frame (the q38 quantizer " +
           "folded per row — streaming-safe assignment)"),
       "q347_el2n_pruning" ->
-        "one-row weight/count frames (q303 chain) + ≤10-row band census")
+        "one-row weight/count frames (q303 chain) + ≤10-row band census",
+      "q350_hnsw_efsearch" ->
+        ("the q344 shape: broadcast q38 quantizer + query slice " +
+          "(vec_id < 25) + one-row entry frame + ≤25-row frontier/" +
+          "count frames per budget round"))
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
