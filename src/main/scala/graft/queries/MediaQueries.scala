@@ -599,7 +599,7 @@ object MediaQueries {
     * scanline filter (row % 5), so every decode exercises ALL FIVE
     * PNG filters — a bug in any one unfilter path shifts pixel values
     * and the position-weighted checksum catches it. */
-  private[queries] def pngBlobFor(id: Long): Array[Byte] = {
+  private[graft] def pngBlobFor(id: Long): Array[Byte] = {
     val w = (8 + id % 9).toInt
     val h = (8 + id % 7).toInt
     val ch = (3 + id % 2).toInt

@@ -2907,7 +2907,8 @@ object VectorQueries {
     * the budget E, so once a query hits its budget — or its visited
     * set reaches a fixpoint (the beam stopped improving: every
     * neighbor of the beam is already visited) — further rounds are
-    * no-ops for it. Six rounds is the documented horizon; the
+    * no-ops for it. Eight rounds is the documented horizon (six left
+    * 4/25 sf0.001 queries still expanding under budget 64); the
     * n_stopped census (queries whose visited set did not grow in the
     * final round — i.e. stop condition reached BEFORE the horizon)
     * measures whether the horizon bound anything, and AnnRecallSpec
@@ -2929,7 +2930,7 @@ object VectorQueries {
     "q350_hnsw_efsearch", {
       val M = 8
       val B = 4
-      val K = 6
+      val K = 8
       // one greedy descent step on edge table `ed`: current ∪ its
       // out-neighbors, keep the (d2, id)-minimum
       def gStep(prev: String, cur: String, ed: String) =
@@ -3095,7 +3096,7 @@ object VectorQueries {
     import graft.functions.Checkpoints
     val M = 8
     val B = 4
-    val K = 6
+    val K = 8
     def sqDist(a: org.apache.spark.sql.Column,
                b: org.apache.spark.sql.Column) =
       Vectors.sqDistL(a, b)

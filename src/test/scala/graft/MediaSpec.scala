@@ -205,7 +205,7 @@ class MediaSpec extends SparkSpec {
       val (w, h, ch, px) = graft.multimodal.Png.decode(
         MediaQueries.pngBlobFor(id))
       assert(w == 8 + id % 9 && h == 8 + id % 7 && ch == 3 + id % 2)
-      px.zipWithIndex.foreach { case (b, i) =>
+      px.zipWithIndex.foreach { case (b: Byte, i: Int) =>
         assert((b & 0xff) == ((id * 6007 + i.toLong * 9973) % 256),
           s"pixel $i of blob $id")
       }
