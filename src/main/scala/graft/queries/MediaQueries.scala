@@ -676,5 +676,142 @@ object MediaQueries {
       .orderBy("media_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q44, q71, q144, q198, q201, q204, q349)
+  /** The declared quantized twiddle table both q351 engines share:
+    * `SPEC_TAB(m) = floor(1000·cos(2πm/64))` — computed ONCE and
+    * frozen as integer literals, so no engine ever evaluates a
+    * trig function (libm cos implementations may differ in the last
+    * ulp, and a value landing exactly on a milli boundary would
+    * floor differently — the q130 portability lesson applied to
+    * trigonometry). `sin(2πm/64) = SPEC_TAB((m+48) mod 64)` (shift
+    * by 3π/2), so ONE 64-entry table serves both components; the
+    * m = 48 entry is −1 rather than 0 because cos(3π/2) evaluates
+    * to a tiny negative double — harmless, the table IS the
+    * contract. */
+  private[queries] val SPEC_TAB: Array[Int] = Array(
+    1000, 995, 980, 956, 923, 881, 831, 773, 707, 634, 555, 471,
+    382, 290, 195, 98, 0, -99, -196, -291, -383, -472, -556, -635,
+    -708, -774, -832, -882, -924, -957, -981, -996, -1000, -996,
+    -981, -957, -924, -882, -832, -774, -708, -635, -556, -472,
+    -383, -291, -196, -99, -1, 98, 195, 290, 382, 471, 555, 634,
+    707, 773, 831, 881, 923, 956, 980, 995)
+
+  private def specTabSql: String =
+    "tb AS (SELECT * FROM (VALUES " +
+      SPEC_TAB.zipWithIndex.map { case (c, m) => s"($m, $c)" }
+        .mkString(", ") + ") AS t(m, c))"
+
+  /** q351 — AUDIO SPECTRAL-FEATURE extraction (the feature step the
+    * multimodal brief names beside decode/fingerprint): 64-point
+    * quantized DFT per non-overlapping frame over the REAL WAV
+    * decode path, bins k = 1..8, with power, per-bin energy census
+    * and dominant-bin recovery. Twiddles come from [[SPEC_TAB]]
+    * (declared milli-cos integers; sin via the +48 shift), so
+    *   re(f,k) = Σₙ s[64f+n]·TAB[(k·n) mod 64]
+    *   im(f,k) = Σₙ s[64f+n]·TAB[(k·n+48) mod 64]
+    *   power   = re² + im²
+    * is EXACT int64 end to end (|s| ≤ 1030, |re| ≤ 6.6e7, power ≤
+    * 8.7e15 — headroom stated, no float anywhere).
+    *
+    * Fixtures are planted TONES: clip id carries a pure tone at bin
+    * k₀ = 1 + id mod 8 (samples drawn from the same table —
+    * s_i = TAB[(k₀·i) mod 64] + small deterministic noise), so the
+    * census demonstrably RECOVERS the planted frequency: dominant
+    * bin = k₀ for every frame of every clip (pinned in MediaSpec).
+    * The engine round-trips genuine RIFF/WAV bytes
+    * ([[graft.multimodal.Codec.encodeWav]]/`decodeWav`) and runs the
+    * DFT loop inside the decode `mapPartitions` (integer hot loop,
+    * codec-adjacent — the q44 production shape); the oracle replays
+    * sample generation AND the transform from the formulas + the
+    * declared table, never parsing a container.
+    *
+    * Scale: per-blob decode+transform only (O(frames·8·64) per
+    * clip), then two keyed aggregations over (clip, frame, bin) —
+    * nothing grows with corpus size except the embarrassingly
+    * parallel map side. */
+  val q351 = QueryDef(
+    "q351_audio_spectral",
+    s"""WITH $specTabSql,
+      |m AS (
+      |  SELECT doc_id AS media_id, 1 + doc_id % 8 AS k0,
+      |    256 + (doc_id % 4) * 64 AS ns
+      |  FROM documents WHERE doc_id < 200 AND doc_id % 3 = 1),
+      |x AS (
+      |  SELECT media_id, k0, ns, unnest(range(0, ns)) AS i
+      |  FROM m),
+      |sv AS (
+      |  SELECT media_id, i // 64 AS f, i % 64 AS n,
+      |    tb.c + (media_id * 31 + i * 17) % 61 - 30 AS s
+      |  FROM x JOIN tb ON tb.m = (k0 * i) % 64),
+      |bins AS (SELECT unnest(range(1, 9)) AS k),
+      |r AS (
+      |  SELECT media_id, f, k,
+      |    CAST(SUM(s * tc.c) AS BIGINT) AS re,
+      |    CAST(SUM(s * ts.c) AS BIGINT) AS im
+      |  FROM sv CROSS JOIN bins
+      |  JOIN tb tc ON tc.m = (k * n) % 64
+      |  JOIN tb ts ON ts.m = (k * n + 48) % 64
+      |  GROUP BY 1, 2, 3),
+      |p AS (
+      |  SELECT media_id, f, k, re * re + im * im AS pw FROM r),
+      |mx AS (
+      |  SELECT media_id, f, MAX(pw) AS pmax FROM p GROUP BY 1, 2),
+      |dom AS (
+      |  SELECT p.media_id, p.f, MIN(k) AS dk
+      |  FROM p JOIN mx ON p.media_id = mx.media_id AND p.f = mx.f
+      |  WHERE pw = pmax GROUP BY 1, 2)
+      |SELECT p.media_id, CAST(p.k AS BIGINT) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |  CAST(SUM(pw) AS BIGINT) AS power_sum,
+      |  CAST(SUM(CASE WHEN p.k = dom.dk THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dominant
+      |FROM p JOIN dom ON p.media_id = dom.media_id AND p.f = dom.f
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val tab = SPEC_TAB
+    val blob = udf { (id: Long) =>
+      val k0 = (1 + id % 8).toInt
+      val ns = (256 + (id % 4) * 64).toInt
+      val samples = Array.tabulate(ns) { i =>
+        (tab((k0 * i) % 64) + (id * 31 + i.toLong * 17) % 61 - 30).toShort
+      }
+      graft.multimodal.Codec.encodeWav(16000, samples)
+    }
+    val frames = Tables.documents(s, d)
+      .filter(col("doc_id") < 200 && col("doc_id") % 3 === 1)
+      .select(col("doc_id").as("media_id"))
+      .withColumn("bytes", blob(col("media_id")))
+      .as[(Long, Array[Byte])]
+      .repartition(32, col("media_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val sm = graft.multimodal.Codec.decodeWav(bytes)._2
+          val nf = sm.length / 64
+          for (f <- (0 until nf).iterator; k <- (1 to 8).iterator) yield {
+            var re = 0L; var im = 0L; var n = 0
+            while (n < 64) {
+              val s0 = sm(f * 64 + n).toLong
+              re += s0 * tab((k * n) % 64)
+              im += s0 * tab((k * n + 48) % 64)
+              n += 1
+            }
+            (id, f.toLong, k.toLong, re * re + im * im)
+          }
+        }
+      }
+      .toDF("media_id", "f", "bin", "pw")
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id"), col("f"))
+    frames
+      .withColumn("pmax", max(col("pw")).over(wf))
+      .withColumn("dk",
+        min(when(col("pw") === col("pmax"), col("bin"))).over(wf))
+      .groupBy(col("media_id"), col("bin"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("pw")).as("power_sum"),
+        sum(when(col("bin") === col("dk"), 1L).otherwise(0L))
+          .as("n_dominant"))
+      .orderBy("media_id", "bin")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q44, q71, q144, q198, q201, q204, q349, q351)
 }

@@ -4290,6 +4290,285 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** q352 — inverted-index POSTING-LIST COMPRESSION census (the
+    * storage-planning read an index build consults before choosing
+    * its posting encoding — at 100 TB the difference between raw
+    * 64-bit ids, varint deltas, and Elias–Fano is the index's disk
+    * footprint): postings = DISTINCT (term, doc_id) over whitespace
+    * tokens; per term the sorted doc-id list is delta-coded (first
+    * gap = id₀ + 1, i.e. the delta from sentinel −1; every gap ≥ 1),
+    * and three exact storage costs are censused per df band
+    * (band = bit length of document frequency — power-of-two df
+    * buckets, the shape of every df histogram):
+    *   gap_bits     = Σ bitlen(gap)          (the entropy-ish floor)
+    *   varint_bytes = Σ ⌈bitlen(gap)/7⌉      (LEB128 group varint)
+    *   ef_bits      = Σ df·(l+2), l = max(0, ⌊log₂(U/df)⌋)
+    * — the quasi-succinct Elias–Fano bound (Elias 1974; Vigna 2013),
+    * with ⌊log₂(U/df)⌋ computed EXACTLY as bitlen(U div df) − 1
+    * (valid for U ≥ df; floor(log₂) of a real x ≥ 1 equals the bit
+    * length of ⌊x⌋ minus one — no float log anywhere, the q339
+    * lesson). bitlen is `length(bin(x))` in BOTH engines (unpadded
+    * binary strings, verified). raw_bits = 64·postings; the ppm
+    * ratios are the report's headline.
+    *
+    * Scale shape: token explode → one DISTINCT (term, doc) keyed
+    * dedup, gaps via a per-term keyed window (hash-partitioned on
+    * term, never global), U on a broadcast one-row frame, then one
+    * map-side-combined census over ≤ 64 bands. */
+  val q352 = QueryDef(
+    "q352_posting_compression",
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |p AS (
+      |  SELECT DISTINCT term, doc_id FROM t WHERE term <> ''),
+      |u AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM documents),
+      |g AS (
+      |  SELECT term, doc_id - COALESCE(LAG(doc_id) OVER
+      |      (PARTITION BY term ORDER BY doc_id), -1) AS gap
+      |  FROM p),
+      |tc AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+      |    CAST(SUM(length(bin(gap))) AS BIGINT) AS gbits,
+      |    CAST(SUM((length(bin(gap)) + 6) // 7) AS BIGINT) AS vbytes
+      |  FROM g GROUP BY 1),
+      |tf AS (
+      |  SELECT length(bin(df)) AS band, df, gbits, vbytes,
+      |    df * (GREATEST(0, length(bin(nu // df)) - 1) + 2) AS efb
+      |  FROM tc CROSS JOIN u)
+      |SELECT CAST(band AS BIGINT) AS band,
+      |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  CAST(SUM(df) AS BIGINT) AS n_postings,
+      |  CAST(SUM(gbits) AS BIGINT) AS gap_bits,
+      |  CAST(SUM(vbytes) AS BIGINT) AS varint_bytes,
+      |  CAST(SUM(efb) AS BIGINT) AS ef_bits,
+      |  CAST(SUM(df) * 64 AS BIGINT) AS raw_bits,
+      |  CAST(SUM(vbytes) * 8 * 1000000 // (SUM(df) * 64) AS BIGINT)
+      |    AS varint_ppm,
+      |  CAST(SUM(efb) * 1000000 // (SUM(df) * 64) AS BIGINT) AS ef_ppm
+      |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val p = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("term"), col("doc_id")).distinct()
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id"))
+    val g = p.withColumn("gap",
+      col("doc_id") - coalesce(lag(col("doc_id"), 1).over(wT), lit(-1L)))
+    val tc = g.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(length(bin(col("gap")))).as("gbits"),
+        sum(expr("(length(bin(gap)) + 6) div 7")).as("vbytes"))
+    val u = docs.agg(count(lit(1)).as("nu"))
+    tc.crossJoin(broadcast(u))
+      .select(length(bin(col("df"))).cast("long").as("band"),
+        col("df"), col("gbits"), col("vbytes"),
+        (col("df") * (greatest(lit(0),
+          expr("length(bin(nu div df)) - 1")) + 2)).as("efb"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("n_postings"),
+        sum(col("gbits")).as("gap_bits"),
+        sum(col("vbytes")).as("varint_bytes"),
+        sum(col("efb")).as("ef_bits"))
+      .withColumn("raw_bits", col("n_postings") * 64)
+      .withColumn("varint_ppm",
+        expr("varint_bytes * 8 * 1000000 div raw_bits"))
+      .withColumn("ef_ppm", expr("ef_bits * 1000000 div raw_bits"))
+      .orderBy("band")
+  }
+
+  /** q353 — LCP ARRAY construction (Manber–Myers / Kasai output; the
+    * index artifact that upgrades the q181 suffix array into a full
+    * string index — longest-repeated-substring, suffix-interval and
+    * document-listing queries all read LCP[i]): for every position in
+    * the bounded slice (doc_id < 50, the q181 oracle-cost contract),
+    * the length of the longest common prefix between its suffix's
+    * 64-truncated prefix and its PREDECESSOR's in suffix-array order
+    * (first SA position → 0).
+    *
+    * Engine = BINARY LIFTING over the prefix-doubling rank levels
+    * ([[graft.functions.SuffixRanks.rankLevels]], ordered): equal
+    * level-64 ranks resolve immediately (lcp = min remaining length,
+    * capped 64 — the truncation contract); unequal pairs descend
+    * k = 32, 16, 8, advancing h += k whenever the level-k ranks at
+    * (doc, i+h) match — each level is ONE keyed equi-join per side on
+    * 8-byte ranks — then the sub-8 residual is read off an 8-byte
+    * probe against the encoded text (7 bounded comparisons). The
+    * advance is sound because rank_k(a+h) = rank_k(b+h) ⟺ the next k
+    * characters match exactly (truncated-equality with one side
+    * ended would force the full suffixes equal — level-64-equal, the
+    * other branch). Adjacency comes from the distributed dense rank
+    * ([[graft.functions.Ranks.rowNumberGlobal]] on (r, pos)) + one
+    * self-join on sidx−1 — no global window anywhere. The oracle
+    * sorts the materialized 64-prefix strings and counts matching
+    * prefix lengths positionally — the |slice|·64-byte shuffle shape
+    * the rank machinery exists to avoid at 100 TB. */
+  val q353 = QueryDef(
+    "q353_lcp_array",
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len FROM documents
+      |  WHERE doc_id < 50),
+      |o AS (
+      |  SELECT doc_id, text, len,
+      |    SUM(len) OVER (ORDER BY doc_id) - len AS off FROM d),
+      |e AS (
+      |  SELECT doc_id AS doc, text, len, off, unnest(range(0, len)) AS i
+      |  FROM o),
+      |p AS (
+      |  SELECT doc, CAST(i AS BIGINT) AS i, off + i + 1 AS pos,
+      |    substr(text, CAST(i + 1 AS INT), 64) AS pfx FROM e),
+      |s AS (
+      |  SELECT doc, i, pfx, LAG(pfx) OVER (ORDER BY pfx, pos) AS prev
+      |  FROM p),
+      |l AS (
+      |  SELECT doc, i, prev, pfx, unnest(range(1, 65)) AS j FROM s)
+      |SELECT doc, i,
+      |  CAST(COALESCE(SUM(CASE WHEN j <= length(prev)
+      |    AND j <= length(pfx)
+      |    AND substr(prev, 1, CAST(j AS INT))
+      |      = substr(pfx, 1, CAST(j AS INT))
+      |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS lcp
+      |FROM l GROUP BY doc, i ORDER BY doc, i""".stripMargin) { (s, d) =>
+    val docsIn = Tables.documents(s, d).filter(col("doc_id") < 50)
+      .select(col("doc_id").cast("long").as("doc"), col("text"))
+    val levels = graft.functions.SuffixRanks
+      .rankLevels(docsIn, L = 64, ordered = true)
+    val lv = levels.toMap
+    levels.collect { case (k, f) if !Set(8, 16, 32, 64)(k) =>
+      graft.functions.Checkpoints.free(f)
+    }
+    require(Seq(8, 16, 32, 64).forall(lv.contains),
+      "q353 lifting expects levels 8/16/32/64 (ASCII base step)")
+    val sa = graft.functions.Ranks.rowNumberGlobal(
+      lv(64).select(col("doc"), col("i"), col("pos"), col("r")),
+      col("r"), col("pos"), "sidx")
+    val cur = sa.select(col("doc"), col("i"), col("r"), col("sidx"))
+    val prevS = sa.select(col("doc").as("pdoc"), col("i").as("pi"),
+      col("r").as("pr"), (col("sidx") + 1).as("sidx"))
+    val lens = docsIn.select(col("doc"),
+      length(encode(col("text"), "UTF-8")).cast("long").as("len"))
+    val base = cur.join(prevS, Seq("sidx"), "left")
+    val firstRow = base.filter(col("pr").isNull)
+      .select(col("doc"), col("i"), lit(0L).as("lcp"))
+    val eqRows = base.filter(col("pr").isNotNull && col("pr") === col("r"))
+      .join(broadcast(lens), Seq("doc"))
+      .join(broadcast(lens.select(col("doc").as("pdoc"),
+        col("len").as("plen"))), Seq("pdoc"))
+      .select(col("doc"), col("i"),
+        least(lit(64L), col("len") - col("i"),
+          col("plen") - col("pi")).as("lcp"))
+    var ne = base.filter(col("pr").isNotNull && col("pr") =!= col("r"))
+      .select(col("doc"), col("i"), col("pdoc"), col("pi"))
+      .withColumn("h", lit(0L))
+    Seq(32, 16, 8).foreach { k =>
+      val ra = lv(k).select(col("doc").as("qd"), col("i").as("qi"),
+        col("r").as("rka"))
+      val rb = lv(k).select(col("doc").as("qd2"), col("i").as("qi2"),
+        col("r").as("rkb"))
+      ne = ne
+        .join(ra, ne("doc") === ra("qd") &&
+          ra("qi") === ne("i") + ne("h"), "left")
+        .join(rb, ne("pdoc") === rb("qd2") &&
+          rb("qi2") === ne("pi") + ne("h"), "left")
+        .withColumn("h", when(col("rka").isNotNull &&
+          col("rka") === col("rkb"), col("h") + k).otherwise(col("h")))
+        .select(col("doc"), col("i"), col("pdoc"), col("pi"), col("h"))
+    }
+    val bins = docsIn.select(col("doc"),
+      encode(col("text"), "UTF-8").as("bin"))
+    val res = (1 to 7).map { j =>
+      when(length(col("g1")) >= j && length(col("g2")) >= j &&
+        expr(s"substr(g1, 1, $j)") === expr(s"substr(g2, 1, $j)"), 1L)
+        .otherwise(0L)
+    }.reduce(_ + _)
+    val neRows = ne
+      .join(broadcast(bins.select(col("doc"), col("bin").as("bin_c"))),
+        Seq("doc"))
+      .join(broadcast(bins.select(col("doc").as("pdoc"),
+        col("bin").as("bin_p"))), Seq("pdoc"))
+      .withColumn("g1", expr("substr(bin_c, cast(i + h + 1 as int), 8)"))
+      .withColumn("g2", expr("substr(bin_p, cast(pi + h + 1 as int), 8)"))
+      .select(col("doc"), col("i"), (col("h") + res).as("lcp"))
+    firstRow.union(eqRows).union(neRows).orderBy("doc", "i")
+  }
+
+  /** q354 — BWT RUN-FRACTION compressibility census (Burrows &
+    * Wheeler 1994; the run count r is the size parameter of
+    * run-length FM-indexes, Mäkinen & Navarro 2005, and r/n is a
+    * classic corpus compressibility estimate — the oracle-able twin
+    * of the deflate-ratio quality filter RedPajama-class pipelines
+    * apply, which no independent SQL engine can replay): per
+    * document, suffixes are ordered by their 64-truncated prefixes
+    * (ties by position — the declared truncated-BWT contract; the
+    * corpus-wide ordered rank restricted to one doc IS that doc's
+    * suffix order), the BWT character at SA position j is the byte
+    * at text[SA[j]−1] (sentinel 0 for the first suffix), and the
+    * census reports per source how many RUNS the transformed corpus
+    * has — fewer runs per char = more repetitive/templated text.
+    *
+    * Scale shape: the rank table is the same O(n log n)-shuffle
+    * prefix-doubling build as q172 (8-byte payloads, never gram
+    * strings); the BWT byte is computed map-side against the
+    * broadcast-joined encoded doc, the per-doc suffix order is a
+    * doc-keyed window over SKINNY rows (the text column is dropped
+    * before the shuffle), and the census is one map-side-combined
+    * aggregation over |sources| groups. */
+  val q354 = QueryDef(
+    "q354_bwt_runs",
+    """WITH d AS (
+      |  SELECT doc_id AS doc, source, text, length(text) AS len
+      |  FROM documents WHERE length(text) > 0),
+      |e AS (
+      |  SELECT doc, source, text, len, unnest(range(0, len)) AS i
+      |  FROM d),
+      |p AS (
+      |  SELECT doc, source, CAST(i AS BIGINT) AS i,
+      |    substr(text, CAST(i + 1 AS INT), 64) AS pfx,
+      |    CASE WHEN i = 0 THEN 0
+      |      ELSE ord(substr(text, CAST(i AS INT), 1)) END AS bwt
+      |  FROM e),
+      |s AS (
+      |  SELECT doc, source, bwt,
+      |    LAG(bwt) OVER (PARTITION BY doc ORDER BY pfx, i) AS prev
+      |  FROM p)
+      |SELECT source,
+      |  CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pos,
+      |  CAST(SUM(CASE WHEN prev IS NULL OR prev <> bwt
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+      |  CAST(SUM(CASE WHEN prev IS NULL OR prev <> bwt
+      |    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+      |    AS runs_ppm
+      |FROM s GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val docsIn = docs.select(col("doc_id").cast("long").as("doc"),
+      col("text"))
+    val r = graft.functions.SuffixRanks.ranks(docsIn, L = 64,
+      ordered = true)
+    val meta = docs.select(col("doc_id").as("doc"), col("source"),
+      encode(col("text"), "UTF-8").as("bin"))
+    // bwt byte computed map-side against the broadcast doc bytes,
+    // then the text column is DROPPED before the window shuffle —
+    // the per-doc sort moves only (doc, source, i, r, bwt)
+    val withB = r.join(broadcast(meta), Seq("doc"))
+      .select(col("doc"), col("source"), col("i"), col("r"),
+        when(col("i") === 0, lit(0)).otherwise(expr(
+          "ascii(decode(substr(bin, cast(i as int), 1), 'ISO-8859-1'))"))
+          .as("bwt"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("r"), col("i"))
+    withB
+      .withColumn("prev", lag(col("bwt"), 1).over(wD))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc")).as("n_docs"),
+        count(lit(1)).as("n_pos"),
+        sum(when(col("prev").isNull || col("prev") =!= col("bwt"), 1L)
+          .otherwise(0L)).as("n_runs"))
+      .withColumn("runs_ppm", expr("n_runs * 1000000 div n_pos"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q41, q46,
       q48, q49, q50, q57, q59, q66, q67, q70, q73, q76, q77, q79, q84,
@@ -4297,5 +4576,5 @@ object TextQueries {
       q156, q164, q165, q169, q172, q173, q175, q176, q177, q178, q181,
       q184, q185, q190, q192, q193, q200, q208, q232, q238, q249, q266,
       q269, q273, q276, q282, q296, q311, q326, q327, q331, q337,
-      q346, q348)
+      q346, q348, q352, q353, q354)
 }

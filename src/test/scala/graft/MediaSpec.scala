@@ -212,6 +212,33 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("q351 spectral census recovers every planted tone (dominant bin = k0)") {
+    // End-to-end through the real WAV round-trip: every clip carries a
+    // pure tone at bin k0 = 1 + id mod 8 plus small deterministic
+    // noise, so the quantized DFT must (a) mark k0 dominant in EVERY
+    // frame and (b) put overwhelmingly more energy there than in any
+    // other bin — the census demonstrably recovers the planted
+    // frequency, not just a checksum.
+    val out = graft.queries.MediaQueries.q351
+      .run(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ids = out.keySet.map(_._1)
+    assert(ids.nonEmpty)
+    for (id <- ids) {
+      val k0 = 1 + id % 8
+      val nf = (256 + (id % 4) * 64) / 64
+      for (k <- 1L to 8L) {
+        val (nFrames, _, nDom) = out((id, k))
+        assert(nFrames == nf, s"clip $id bin $k frame count")
+        assert(nDom == (if (k == k0) nf else 0L), s"clip $id bin $k dom")
+      }
+      val pk0 = out((id, k0))._2
+      for (k <- 1L to 8L if k != k0)
+        assert(pk0 > 20L * out((id, k))._2, s"clip $id margin at bin $k")
+    }
+  }
+
   test("poisoned PNG blobs fail loudly, not silently") {
     import graft.multimodal.Png
     val good = Png.encode(4, 4, 3, Array.tabulate(48)(_.toByte))

@@ -334,7 +334,8 @@ class PlanSpec extends SparkSpec {
       "q350_hnsw_efsearch" ->
         ("the q344 shape: broadcast q38 quantizer + query slice " +
           "(vec_id < 25) + one-row entry frame + ≤25-row frontier/" +
-          "count frames per budget round"))
+          "count frames per budget round"),
+      "q352_posting_compression" -> "one-row corpus doc-count frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString

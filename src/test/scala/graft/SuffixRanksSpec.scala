@@ -102,6 +102,102 @@ class SuffixRanksSpec extends SparkSpec {
     assert(full.size > 30 && full.map(r).size == 1)
   }
 
+  test("q353 LCP array equals the naive sorted-suffix LCP (third implementation)") {
+    // The engine computes LCP by binary lifting over rank levels; the
+    // DuckDB oracle counts matching prefix positions after a full
+    // sort. This is a THIRD, driver-side implementation over the same
+    // slice — sort all truncated suffixes, compare neighbors char by
+    // char — so a shared blind spot between the two engines' set
+    // arithmetic can't hide.
+    val sf = "/root/testdata/sf0.001"
+    val texts = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 50).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val sufs = texts.flatMap { case (d, t) =>
+      (0 until t.length).map(i =>
+        (t.substring(i, math.min(i + 64, t.length)), d, i.toLong))
+    }
+    // engine order is (rank, pos) = (prefix, doc, i): pos is the
+    // doc-ordered global offset, monotone in (doc, i)
+    val sorted = sufs.sortBy { case (p, d, i) => (p, d, i) }
+    def lcp(a: String, b: String): Long =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+    val expected = sorted.zipWithIndex.map { case ((p, d, i), j) =>
+      (d, i) -> (if (j == 0) 0L else lcp(sorted(j - 1)._1, p))
+    }.toMap
+    val got = graft.queries.TextQueries.q353.run(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == expected.size)
+    val diffs = expected.collect {
+      case (k, v) if got(k) != v => (k, v, got(k))
+    }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
+  }
+
+  test("q354 BWT runs census equals the naive per-doc BWT (third implementation)") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._3.nonEmpty)
+    val agg = scala.collection.mutable.Map[String, (Long, Long, Long)]()
+    for ((_, src, t) <- docs) {
+      val order = (0 until t.length).sortBy(i =>
+        (t.substring(i, math.min(i + 64, t.length)), i))
+      var prev = -1; var runs = 0L; var first = true
+      for (i <- order) {
+        val b = if (i == 0) 0 else t.charAt(i - 1).toInt
+        if (first || b != prev) runs += 1
+        prev = b; first = false
+      }
+      val (nd, np, nr) = agg.getOrElse(src, (0L, 0L, 0L))
+      agg(src) = (nd + 1, np + t.length, nr + runs)
+    }
+    val got = graft.queries.TextQueries.q354.run(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == agg.keySet)
+    for ((src, (nd, np, nr)) <- agg)
+      assert(got(src) == (nd, np, nr, nr * 1000000L / np), s"source $src")
+  }
+
+  test("q352 posting compression equals the naive driver-side codec costs") {
+    val sf = "/root/testdata/sf0.001"
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val postings = texts.flatMap { case (d, t) =>
+      t.split(" ").filter(_.nonEmpty).map(w => (w, d))
+    }.distinct
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val u = texts.length.toLong
+    val perBand = postings.groupBy(_._1).toSeq.map { case (_, ps) =>
+      val ids = ps.map(_._2).sorted
+      val gaps = (ids.head + 1) +: ids.sliding(2).collect {
+        case Array(a, b) => b - a
+      }.toSeq
+      val df = ids.size.toLong
+      val l = math.max(0L, bitlen(u / df) - 1)
+      (bitlen(df), df, gaps.map(bitlen).sum,
+        gaps.map(g => (bitlen(g) + 6) / 7).sum, df * (l + 2))
+    }.groupBy(_._1).map { case (band, ts) =>
+      band -> (ts.size.toLong, ts.map(_._2).sum, ts.map(_._3).sum,
+        ts.map(_._4).sum, ts.map(_._5).sum)
+    }
+    val got = graft.queries.TextQueries.q352.run(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    assert(got.keySet == perBand.keySet)
+    for ((band, (nt, np, gb, vb, ef)) <- perBand) {
+      val (gnt, gnp, ggb, gvb, gef, graw, gvppm, gefppm) = got(band)
+      assert((gnt, gnp, ggb, gvb, gef) == (nt, np, gb, vb, ef),
+        s"band $band")
+      assert(graw == np * 64 && gvppm == vb * 8L * 1000000L / graw &&
+        gefppm == ef * 1000000L / graw, s"band $band ratios")
+    }
+  }
+
   test("release() frees pinned checkpoint blocks") {
     // localCheckpoint blocks are RDD-level persists invisible to
     // spark.catalog.clearCache(); release() must drain exactly the
