@@ -812,6 +812,284 @@ object MediaQueries {
       .orderBy("media_id", "bin")
   }
 
+  /** q355 — HAAR WAVELET energy decomposition over the real WAV
+    * decode path (Haar 1910; the multi-resolution feature ladder a
+    * signal pipeline reads beside q351's single-resolution DFT —
+    * which frequency BAND carries the energy, per octave): each
+    * 64-sample frame runs six levels of the UNNORMALIZED Haar
+    * lifting step
+    *   a_ℓ[j] = a_{ℓ−1}[2j] + a_{ℓ−1}[2j+1]
+    *   d_ℓ[j] = a_{ℓ−1}[2j] − a_{ℓ−1}[2j+1]
+    * (pure integer adds — the reason Haar is the one wavelet an
+    * exact cross-engine oracle can replay; |a₆| ≤ 64·2048 = 2¹⁷,
+    * energies far inside int64). Census per (clip, level): total
+    * approx/detail energies and coefficient counts. The energy-
+    * conservation identity 2·E_a(ℓ−1) = E_a(ℓ) + E_d(ℓ) holds
+    * EXACTLY between adjacent output rows (with E_a(0) = input
+    * energy) — pinned in MediaSpec from the output alone, the
+    * Parseval face of the transform.
+    *
+    * Clips are q44's audio fixtures ([[blobFor]]), so the engine
+    * round-trips genuine RIFF/WAV bytes and the oracle replays both
+    * the samples AND six unrolled lifting levels from the generating
+    * formula. Scale: per-blob O(n) lifting inside the decode
+    * `mapPartitions`, then one keyed census — map-parallel
+    * everywhere. */
+  val q355 = QueryDef(
+    "q355_haar_energy", {
+      val levels = (1 to 6).map { l =>
+        s"""h$l AS (
+           |  SELECT media_id, f, p${l - 1} // 2 AS p$l,
+           |    SUM(a${l - 1}) AS a$l,
+           |    SUM(CASE WHEN p${l - 1} % 2 = 0 THEN a${l - 1}
+           |      ELSE -a${l - 1} END) AS d$l
+           |  FROM h${l - 1} GROUP BY 1, 2, 3),
+           |e$l AS (
+           |  SELECT media_id, $l AS level,
+           |    CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+           |    CAST(SUM(a$l * a$l) AS BIGINT) AS approx_energy,
+           |    CAST(SUM(d$l * d$l) AS BIGINT) AS detail_energy
+           |  FROM h$l GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, 256 + doc_id % 101 AS ns
+         |  FROM documents WHERE doc_id < 200 AND doc_id % 3 = 1),
+         |x AS (
+         |  SELECT media_id, unnest(range(0, (ns // 64) * 64)) AS i
+         |  FROM m),
+         |h0 AS (
+         |  SELECT media_id, i // 64 AS f, (i % 64) AS p0,
+         |    (media_id * 31 + i * 17) % 4096 - 2048 AS a0
+         |  FROM x),
+         |$levels
+         |SELECT * FROM (${(1 to 6).map(l => s"SELECT * FROM e$l")
+        .mkString(" UNION ALL ")})
+         |ORDER BY media_id, level""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val blobUdf = udf((id: Long) => blobFor(id, "audio"))
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 200 && col("doc_id") % 3 === 1)
+      .select(col("doc_id").as("media_id"))
+      .withColumn("bytes", blobUdf(col("media_id")))
+      .as[(Long, Array[Byte])]
+      .repartition(32, col("media_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val sm = graft.multimodal.Codec.decodeWav(bytes)._2
+          val nf = sm.length / 64
+          for (f <- (0 until nf).iterator; l <- (1 to 6).iterator) yield {
+            // lift from the frame's samples up to level l
+            var cur = Array.tabulate(64)(n => sm(f * 64 + n).toLong)
+            var lev = 0
+            var ea = 0L; var ed = 0L
+            while (lev < l) {
+              val half = cur.length / 2
+              val nxt = new Array[Long](half)
+              ea = 0L; ed = 0L
+              var j = 0
+              while (j < half) {
+                val a = cur(2 * j) + cur(2 * j + 1)
+                val dd = cur(2 * j) - cur(2 * j + 1)
+                nxt(j) = a
+                ea += a * a; ed += dd * dd
+                j += 1
+              }
+              cur = nxt; lev += 1
+            }
+            (id, l.toLong, cur.length.toLong, ea, ed)
+          }
+        }
+      }
+      .toDF("media_id", "level", "nc", "ea", "ed")
+      .groupBy(col("media_id"), col("level"))
+      .agg(sum(col("nc")).as("n_coeffs"),
+        sum(col("ea")).as("approx_energy"),
+        sum(col("ed")).as("detail_energy"))
+      .orderBy("media_id", "level")
+  }
+
+  /** q356 — IMAGE RESIZE over the real BMP decode path (the resize
+    * step the multimodal brief names explicitly): two exact-integer
+    * resamplers a thumbnail/feature pipeline actually ships —
+    * nearest-neighbor to a fixed 16×16 grid
+    * (src = (⌊y·h/16⌋, ⌊x·w/16⌋) — pure index arithmetic) and 2×
+    * box down-sampling (⌊(p₀+p₁+p₂+p₃)/4⌋ over each 2×2 block,
+    * truncating odd edges — the average-pool mip level). Both
+    * outputs are censused with q44's order-sensitive
+    * position-weighted checksum, so resampling must place every
+    * pixel at the right OUTPUT coordinate, not just preserve sums.
+    * The oracle recomputes both resamples from the generating pixel
+    * formula without parsing a container. Scale: per-blob work in
+    * the decode repartition only. */
+  val q356 = QueryDef(
+    "q356_image_resize",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      |  FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0),
+      |nn AS (
+      |  SELECT media_id, w, h,
+      |    unnest(range(0, 256)) AS o
+      |  FROM m),
+      |nv AS (
+      |  SELECT media_id, w, h, o,
+      |    (media_id * 7919 +
+      |      (((o // 16) * h // 16) * w + ((o % 16) * w // 16)) * 104729)
+      |      % 256 AS v
+      |  FROM nn),
+      |ns AS (
+      |  SELECT media_id,
+      |    CAST(SUM(v) AS BIGINT) AS nn_sum,
+      |    CAST(MIN(v) AS BIGINT) AS nn_min,
+      |    CAST(MAX(v) AS BIGINT) AS nn_max,
+      |    CAST(SUM((o + 1) * v) % 1000003 AS BIGINT) AS nn_checksum
+      |  FROM nv GROUP BY 1),
+      |bx AS (
+      |  SELECT media_id, w, h, w // 2 AS bw, h // 2 AS bh,
+      |    unnest(range(0, (w // 2) * (h // 2))) AS o
+      |  FROM m),
+      |bv AS (
+      |  SELECT media_id, bw, bh, o,
+      |    ((media_id * 7919 + ((o // bw) * 2 * w + (o % bw) * 2) * 104729) % 256
+      |     + (media_id * 7919 + ((o // bw) * 2 * w + (o % bw) * 2 + 1) * 104729) % 256
+      |     + (media_id * 7919 + (((o // bw) * 2 + 1) * w + (o % bw) * 2) * 104729) % 256
+      |     + (media_id * 7919 + (((o // bw) * 2 + 1) * w + (o % bw) * 2 + 1) * 104729) % 256
+      |    ) // 4 AS v
+      |  FROM bx),
+      |bs AS (
+      |  SELECT media_id, MIN(bw) AS box_w, MIN(bh) AS box_h,
+      |    CAST(SUM(v) AS BIGINT) AS box_sum,
+      |    CAST(MIN(v) AS BIGINT) AS box_min,
+      |    CAST(MAX(v) AS BIGINT) AS box_max,
+      |    CAST(SUM((o + 1) * v) % 1000003 AS BIGINT) AS box_checksum
+      |  FROM bv GROUP BY 1)
+      |SELECT m.media_id, CAST(w AS BIGINT) AS width,
+      |  CAST(h AS BIGINT) AS height,
+      |  nn_sum, nn_min, nn_max, nn_checksum,
+      |  CAST(box_w AS BIGINT) AS box_w, CAST(box_h AS BIGINT) AS box_h,
+      |  box_sum, box_min, box_max, box_checksum
+      |FROM m JOIN ns ON m.media_id = ns.media_id
+      |  JOIN bs ON m.media_id = bs.media_id
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val blobUdf = udf((id: Long) => blobFor(id, "image"))
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 200 && col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("media_id"))
+      .withColumn("bytes", blobUdf(col("media_id")))
+      .as[(Long, Array[Byte])]
+      .repartition(32, col("media_id"))
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (w, h, px) = graft.multimodal.Codec.decodeBmp(bytes)
+          def p(x: Int, y: Int): Int = px(y * w + x) & 0xff
+          val nn = for (y <- 0 until 16; x <- 0 until 16)
+            yield p(x * w / 16, y * h / 16)
+          val (_, nnSum, nnMin, nnMax, nnCk) =
+            graft.multimodal.Codec.stats(nn.iterator)
+          val bw = w / 2; val bh = h / 2
+          val box = for (y <- 0 until bh; x <- 0 until bw)
+            yield (p(2 * x, 2 * y) + p(2 * x + 1, 2 * y) +
+              p(2 * x, 2 * y + 1) + p(2 * x + 1, 2 * y + 1)) / 4
+          val (_, bSum, bMin, bMax, bCk) =
+            graft.multimodal.Codec.stats(box.iterator)
+          (id, w.toLong, h.toLong, nnSum, nnMin, nnMax, nnCk,
+            bw.toLong, bh.toLong, bSum, bMin, bMax, bCk)
+        }
+      }
+      .toDF("media_id", "width", "height", "nn_sum", "nn_min", "nn_max",
+        "nn_checksum", "box_w", "box_h", "box_sum", "box_min", "box_max",
+        "box_checksum")
+      .orderBy("media_id")
+  }
+
+  /** q357 — SOBEL edge-feature census over the real BMP decode path
+    * (Sobel & Feldman 1968; the convolution face of image feature
+    * extraction — edge density is the classic blur/quality signal a
+    * vision curation gate reads): the 3×3 Sobel pair at every
+    * interior pixel, magnitude |gx| + |gy| (the L1 form — exact
+    * integer, no √), censused per image: interior count, total and
+    * max magnitude, edge count at the declared threshold 300, and
+    * the position-weighted checksum over interior row-major order
+    * (a transposed kernel or flipped scan can't hide in sums). The
+    * oracle expands all nine taps from the generating pixel formula.
+    * Scale: per-blob convolution in the decode repartition only. */
+  val q357 = QueryDef(
+    "q357_sobel_edges",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      |  FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0),
+      |e AS (
+      |  SELECT media_id, w, h, unnest(range(0, (w - 2) * (h - 2))) AS o
+      |  FROM m),
+      |g AS (
+      |  SELECT media_id, w, h, o,
+      |    o % (w - 2) + 1 AS x, o // (w - 2) + 1 AS y
+      |  FROM e),
+      |v AS (
+      |  SELECT media_id, o,
+      |    abs(  (media_id * 7919 + ((y - 1) * w + x + 1) * 104729) % 256
+      |      + 2*((media_id * 7919 + (y * w + x + 1) * 104729) % 256)
+      |      +   (media_id * 7919 + ((y + 1) * w + x + 1) * 104729) % 256
+      |      -   (media_id * 7919 + ((y - 1) * w + x - 1) * 104729) % 256
+      |      - 2*((media_id * 7919 + (y * w + x - 1) * 104729) % 256)
+      |      -   (media_id * 7919 + ((y + 1) * w + x - 1) * 104729) % 256)
+      |    + abs((media_id * 7919 + ((y + 1) * w + x - 1) * 104729) % 256
+      |      + 2*((media_id * 7919 + ((y + 1) * w + x) * 104729) % 256)
+      |      +   (media_id * 7919 + ((y + 1) * w + x + 1) * 104729) % 256
+      |      -   (media_id * 7919 + ((y - 1) * w + x - 1) * 104729) % 256
+      |      - 2*((media_id * 7919 + ((y - 1) * w + x) * 104729) % 256)
+      |      -   (media_id * 7919 + ((y - 1) * w + x + 1) * 104729) % 256)
+      |      AS mag
+      |  FROM g)
+      |SELECT media_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_interior,
+      |  CAST(SUM(mag) AS BIGINT) AS sum_mag,
+      |  CAST(MAX(mag) AS BIGINT) AS max_mag,
+      |  CAST(SUM(CASE WHEN mag >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_edges,
+      |  CAST(SUM((o + 1) * mag) % 1000003 AS BIGINT) AS checksum
+      |FROM v GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val blobUdf = udf((id: Long) => blobFor(id, "image"))
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 200 && col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("media_id"))
+      .withColumn("bytes", blobUdf(col("media_id")))
+      .as[(Long, Array[Byte])]
+      .repartition(32, col("media_id"))
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (w, h, px) = graft.multimodal.Codec.decodeBmp(bytes)
+          def p(x: Int, y: Int): Long = (px(y * w + x) & 0xff).toLong
+          var n = 0L; var sm = 0L; var mx = 0L; var ne = 0L; var ck = 0L
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val gx = p(x + 1, y - 1) + 2 * p(x + 1, y) + p(x + 1, y + 1) -
+                p(x - 1, y - 1) - 2 * p(x - 1, y) - p(x - 1, y + 1)
+              val gy = p(x - 1, y + 1) + 2 * p(x, y + 1) + p(x + 1, y + 1) -
+                p(x - 1, y - 1) - 2 * p(x, y - 1) - p(x + 1, y - 1)
+              val mag = math.abs(gx) + math.abs(gy)
+              n += 1; sm += mag
+              if (mag > mx) mx = mag
+              if (mag >= 300) ne += 1
+              ck = (ck + n * mag) % 1000003
+              x += 1
+            }
+            y += 1
+          }
+          (id, n, sm, mx, ne, ck)
+        }
+      }
+      .toDF("media_id", "n_interior", "sum_mag", "max_mag", "n_edges",
+        "checksum")
+      .orderBy("media_id")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q44, q71, q144, q198, q201, q204, q349, q351)
+    Seq(q44, q71, q144, q198, q201, q204, q349, q351, q355, q356, q357)
 }

@@ -239,6 +239,88 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("q355 Haar ladder: exact energy conservation between adjacent levels") {
+    // Parseval for the unnormalized lifting step: E_a(l) + E_d(l) =
+    // 2 * E_a(l-1), with E_a(0) = raw input energy — checked from the
+    // OUTPUT rows alone (levels 2..6 against level l-1) plus the
+    // level-1 anchor recomputed from the generating sample formula.
+    val out = graft.queries.MediaQueries.q355
+      .run(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ids = out.keySet.map(_._1)
+    assert(ids.nonEmpty)
+    for (id <- ids) {
+      val nf = (256 + id % 101) / 64
+      var e0 = 0L // raw energy over the framed samples
+      for (i <- 0 until (nf * 64).toInt) {
+        val s = (id * 31 + i.toLong * 17) % 4096 - 2048
+        e0 += s * s
+      }
+      for (l <- 1L to 6L) {
+        val (nc, ea, ed) = out((id, l))
+        assert(nc == nf * (64 >> l.toInt), s"clip $id level $l coeffs")
+        val prev = if (l == 1) e0 else out((id, l - 1))._2
+        assert(ea + ed == 2 * prev, s"clip $id level $l conservation")
+      }
+    }
+  }
+
+  test("q356/q357 image ops match the formula twins (third implementation)") {
+    // Engine decodes real BMP bytes; DuckDB replays the pixel
+    // formula; this recomputes both resamples and the Sobel census
+    // in plain Scala FROM THE FORMULA — a third path that catches a
+    // shared coordinate-convention blind spot.
+    def p(id: Long, w: Int)(x: Int, y: Int): Long =
+      (id * 7919 + (y.toLong * w + x) * 104729) % 256
+    val rz = graft.queries.MediaQueries.q356
+      .run(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val sb = graft.queries.MediaQueries.q357
+      .run(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rz.keySet == sb.keySet && rz.nonEmpty)
+    for (id <- rz.keySet) {
+      val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+      val px = p(id, w) _
+      // nearest-neighbor 16x16
+      val nn = for (y <- 0 until 16; x <- 0 until 16)
+        yield px(x * w / 16, y * h / 16)
+      val nnCk = nn.zipWithIndex.map { case (v, i) => (i + 1) * v }
+        .sum % 1000003
+      val r = rz(id)
+      assert(r.getLong(1) == w && r.getLong(2) == h, s"dims $id")
+      assert(r.getLong(3) == nn.sum && r.getLong(4) == nn.min &&
+        r.getLong(5) == nn.max && r.getLong(6) == nnCk, s"nn $id")
+      // 2x box
+      val bw = w / 2; val bh = h / 2
+      val box = for (y <- 0 until bh; x <- 0 until bw)
+        yield (px(2 * x, 2 * y) + px(2 * x + 1, 2 * y) +
+          px(2 * x, 2 * y + 1) + px(2 * x + 1, 2 * y + 1)) / 4
+      val boxCk = box.zipWithIndex.map { case (v, i) => (i + 1) * v }
+        .sum % 1000003
+      assert(r.getLong(7) == bw && r.getLong(8) == bh &&
+        r.getLong(9) == box.sum && r.getLong(10) == box.min &&
+        r.getLong(11) == box.max && r.getLong(12) == boxCk, s"box $id")
+      // sobel census
+      var n = 0L; var sm = 0L; var mx = 0L; var ne = 0L; var ck = 0L
+      for (y <- 1 until h - 1; x <- 1 until w - 1) {
+        val gx = px(x + 1, y - 1) + 2 * px(x + 1, y) + px(x + 1, y + 1) -
+          px(x - 1, y - 1) - 2 * px(x - 1, y) - px(x - 1, y + 1)
+        val gy = px(x - 1, y + 1) + 2 * px(x, y + 1) + px(x + 1, y + 1) -
+          px(x - 1, y - 1) - 2 * px(x, y - 1) - px(x + 1, y - 1)
+        val mag = math.abs(gx) + math.abs(gy)
+        n += 1; sm += mag; mx = math.max(mx, mag)
+        if (mag >= 300) ne += 1
+        ck = (ck + n * mag) % 1000003
+      }
+      val s0 = sb(id)
+      assert(s0.getLong(1) == n && s0.getLong(2) == sm &&
+        s0.getLong(3) == mx && s0.getLong(4) == ne &&
+        s0.getLong(5) == ck, s"sobel $id")
+    }
+  }
+
   test("poisoned PNG blobs fail loudly, not silently") {
     import graft.multimodal.Png
     val good = Png.encode(4, 4, 3, Array.tabulate(48)(_.toByte))
