@@ -2418,8 +2418,72 @@ object TrainQueries {
       .orderBy(col("el2n_band").desc)
   }
 
+  /** q359 — COHEN'S KAPPA inter-gate agreement census (Cohen 1960;
+    * the QA read a curation stack does before composing two quality
+    * gates: raw agreement is inflated by marginal prevalence — two
+    * gates that both pass 90% of docs "agree" 82% by chance alone —
+    * kappa is the chance-corrected number): two declared heuristic
+    * gates over every document — A: n_chars ≥ 280 (the length gate),
+    * B: centi-mean-token-length ≥ 560 (the q303-featurizer word-
+    * length signal) — censused per source as the 2×2 confusion plus
+    *   κ = (n·agree − (a₁b₁ + a₀b₀)) / (n² − (a₁b₁ + a₀b₀))
+    * in exact ppm (the closed form of (p_o − p_e)/(1 − p_e) over a
+    * common denominator n² — all int64, headroom n ≤ 3·10⁶ per
+    * source before n²·10⁶ nears the int64 edge; shard the census
+    * key beyond that). The numerator is sign-valid (κ < 0 = worse
+    * than chance), so the division is the sign-safe pmod floor form;
+    * a source where both gates are constant and identical has
+    * p_e = 1 → κ undefined → NULL in both engines (stated).
+    *
+    * Scale: one map-side projection per doc + one |sources|-group
+    * census — no joins, no windows, nothing grows beyond the scan. */
+  val q359 = QueryDef(
+    "q359_kappa_agreement",
+    s"""WITH g AS (
+      |  SELECT source,
+      |    CASE WHEN n_chars >= 280 THEN 1 ELSE 0 END AS ga,
+      |    CASE WHEN (100 * n_chars) //
+      |      len(string_split(text, ' ')) >= 560 THEN 1 ELSE 0 END AS gb
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(ga) AS BIGINT) AS a_pos,
+      |    CAST(SUM(gb) AS BIGINT) AS b_pos,
+      |    CAST(SUM(CASE WHEN ga = gb THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_agree
+      |  FROM g GROUP BY 1),
+      |k AS (
+      |  SELECT source, n_docs, a_pos, b_pos, n_agree,
+      |    a_pos * b_pos + (n_docs - a_pos) * (n_docs - b_pos) AS pn
+      |  FROM c)
+      |SELECT source, n_docs, a_pos, b_pos, n_agree,
+      |  CASE WHEN n_docs * n_docs = pn THEN NULL
+      |    ELSE ${fdSql("1000000 * (n_docs * n_agree - pn)",
+             "n_docs * n_docs - pn")} END AS kappa_ppm
+      |FROM k ORDER BY source""".stripMargin) { (s, d) =>
+    val g = Tables.documents(s, d).select(col("source"),
+      when(col("n_chars") >= 280, 1L).otherwise(0L).as("ga"),
+      when(expr("(100 * n_chars) div size(split(text, ' '))") >= 560,
+        1L).otherwise(0L).as("gb"))
+    g.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ga")).as("a_pos"),
+        sum(col("gb")).as("b_pos"),
+        sum(when(col("ga") === col("gb"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .withColumn("pn", col("a_pos") * col("b_pos") +
+        (col("n_docs") - col("a_pos")) * (col("n_docs") - col("b_pos")))
+      .select(col("source"), col("n_docs"), col("a_pos"), col("b_pos"),
+        col("n_agree"),
+        when(col("n_docs") * col("n_docs") === col("pn"),
+          lit(null).cast("long"))
+          .otherwise(fdCol(
+            lit(1000000L) * (col("n_docs") * col("n_agree") - col("pn")),
+            col("n_docs") * col("n_docs") - col("pn"))).as("kappa_ppm"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q303, q304, q306, q308, q312, q313, q313b, q314, q315, q317,
       q318, q319, q320, q321, q323, q324, q328, q329, q330, q332,
-      q333, q335, q339, q340, q341, q343, q347)
+      q333, q335, q339, q340, q341, q343, q347, q359)
 }

@@ -3251,9 +3251,105 @@ object VectorQueries {
       .orderBy(col("budget"))
   }
 
+  /** q358 — MATRYOSHKA truncated-dimension recall ladder (Kusupati
+    * et al. 2022; the dimension knob a serving stack tunes beside
+    * q301's nprobe and q350's efSearch budget — truncating stored
+    * vectors to a prefix is the zero-rebuild way to trade index
+    * size and scan cost for recall): for prefix widths m ∈ {8, 16,
+    * 32, 64}, rank all neighbors of each bounded-slice query
+    * (vec_id < 25, the q32 contract) by the TRUNCATED-prefix squared
+    * L2 distance on the unit micro-grid (declared contract: no
+    * re-normalization after truncation), take top-10, and report how
+    * many of the FULL-dimension exact top-10 survive. The m = 64 rung
+    * is the reference ranking itself, so its recall is exactly
+    * 10⁶ ppm by construction — a structural self-check in the output.
+    * All four distances come from ONE pair scan (four
+    * [[graft.functions.Vectors.sqDistL]] native loops over array
+    * slices — exact int64), stacked and ranked by one keyed window.
+    *
+    * Scale: one broadcast-query pair scan (the q32 shape) regardless
+    * of m-count; the ladder frames are ≤ 4·10·|queries| rows. */
+  val q358 = QueryDef(
+    "q358_matryoshka_recall",
+    normCte +
+      s""",
+      |u AS (
+      |  SELECT vec_id, t.i AS pos,
+      |    CAST(FLOOR(CAST(e[t.i] AS DOUBLE)/nrm*1e6 + 0.5) AS BIGINT) AS k
+      |  FROM n CROSS JOIN (SELECT unnest(range(1, ${DIM + 1})) AS i) t),
+      |ex AS (
+      |  SELECT uq.vec_id AS query_id, un.vec_id AS neighbor_id,
+      |    CAST(SUM(CASE WHEN uq.pos <= 8
+      |      THEN (uq.k-un.k)*(uq.k-un.k) ELSE 0 END) AS BIGINT) AS d8,
+      |    CAST(SUM(CASE WHEN uq.pos <= 16
+      |      THEN (uq.k-un.k)*(uq.k-un.k) ELSE 0 END) AS BIGINT) AS d16,
+      |    CAST(SUM(CASE WHEN uq.pos <= 32
+      |      THEN (uq.k-un.k)*(uq.k-un.k) ELSE 0 END) AS BIGINT) AS d32,
+      |    CAST(SUM((uq.k-un.k)*(uq.k-un.k)) AS BIGINT) AS d64
+      |  FROM u uq JOIN u un
+      |    ON un.pos = uq.pos AND un.vec_id <> uq.vec_id
+      |  WHERE uq.vec_id < 25 GROUP BY 1, 2),
+      |st AS (
+      |  SELECT query_id, neighbor_id, mm.m,
+      |    CASE mm.m WHEN 8 THEN d8 WHEN 16 THEN d16
+      |      WHEN 32 THEN d32 ELSE d64 END AS d2
+      |  FROM ex CROSS JOIN
+      |    (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS m) mm),
+      |tm AS (
+      |  SELECT m, query_id, neighbor_id FROM (
+      |    SELECT m, query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id, m
+      |        ORDER BY d2, neighbor_id) AS rnk
+      |    FROM st) WHERE rnk <= 10),
+      |ref AS (SELECT query_id, neighbor_id FROM tm WHERE m = 64),
+      |h AS (
+      |  SELECT tm.m, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |  FROM tm JOIN ref USING (query_id, neighbor_id) GROUP BY 1),
+      |nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS nq
+      |  FROM tm)
+      |SELECT h.m, nq.nq AS n_queries, h.n_hits,
+      |  CAST(1000000 * h.n_hits // (10 * nq.nq) AS BIGINT) AS recall_ppm
+      |FROM h CROSS JOIN nq ORDER BY h.m""".stripMargin) { (s, d) =>
+    val ku = pqUnits(s, d)
+    val q = ku.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("ku").as("qk"))
+    val pairs = broadcast(q).join(ku, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.sqDistL(slice(col("qk"), 1, 8),
+          slice(col("ku"), 1, 8)).as("d8"),
+        Vectors.sqDistL(slice(col("qk"), 1, 16),
+          slice(col("ku"), 1, 16)).as("d16"),
+        Vectors.sqDistL(slice(col("qk"), 1, 32),
+          slice(col("ku"), 1, 32)).as("d32"),
+        Vectors.sqDistL(col("qk"), col("ku")).as("d64"))
+    val stacked = pairs.select(col("query_id"), col("neighbor_id"),
+        explode(array(
+          struct(lit(8L).as("m"), col("d8").as("d2")),
+          struct(lit(16L).as("m"), col("d16").as("d2")),
+          struct(lit(32L).as("m"), col("d32").as("d2")),
+          struct(lit(64L).as("m"), col("d64").as("d2")))).as("x"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("x.m").as("m"), col("x.d2").as("d2"))
+    val wm = Window.partitionBy(col("query_id"), col("m"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    val topm = stacked.withColumn("rnk", row_number().over(wm))
+      .filter(col("rnk") <= 10)
+      .select(col("m"), col("query_id"), col("neighbor_id"))
+      .persist() // two consumers: the ladder and its m=64 reference
+    val ref = topm.filter(col("m") === 64)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = topm.join(ref, Seq("query_id", "neighbor_id"))
+      .groupBy(col("m")).agg(count(lit(1)).as("n_hits"))
+    val nq = topm.agg(countDistinct(col("query_id")).as("nq"))
+    hits.crossJoin(broadcast(nq))
+      .select(col("m"), col("nq").as("n_queries"), col("n_hits"),
+        expr("1000000L * n_hits div (10 * nq)").as("recall_ppm"))
+      .orderBy(col("m"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q32, q33, q34, q38, q42, q43, q43b, q47, q56, q103, q131,
       q134, q135, q151, q155, q174, q179, q196, q197, q202, q203, q207,
       q226, q234, q287, q301, q302, q307, q310, q316, q325, q336, q344,
-      q350)
+      q350, q358)
 }

@@ -228,4 +228,32 @@ class AnnRecallSpec extends SparkSpec {
     // deeper than 2 rounds ever can
     assert(rows.last._5 >= 190000, s"budget=64 recall ${rows.last._5}")
   }
+
+  test("Matryoshka ladder (q358): m=64 rung is exactly the reference; " +
+      "recall monotone in prefix width") {
+    // The m = 64 rung ranks by the same (d2, neighbor_id) key as the
+    // reference set itself, so its recall is exactly 10^6 ppm and its
+    // hit count exactly 10 per query — a structural identity, not a
+    // measurement. Monotonicity across nested prefixes is empirical
+    // (not guaranteed by construction) but holds on this corpus and
+    // is the property the ladder exists to expose; a regression here
+    // means the truncated distances stopped being prefix sums.
+    val rows = VectorQueries.q358.run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("m"), r.getAs[Long]("n_queries"),
+        r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(8L, 16L, 32L, 64L))
+    val nq = rows.head._2
+    assert(rows.forall(_._2 == nq) && nq >= 10)
+    rows.foreach { case (m, _, hits, rec) =>
+      info(s"m=$m hits=$hits/$nq*10 recall_ppm=$rec")
+      assert(hits <= 10 * nq && rec <= 1000000L)
+      assert(rec == 1000000L * hits / (10 * nq))
+    }
+    assert(rows.last._3 == 10 * nq && rows.last._4 == 1000000L,
+      "m=64 must reproduce the reference exactly")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4, s"recall not monotone in m: $a vs $b")
+    }
+  }
 }

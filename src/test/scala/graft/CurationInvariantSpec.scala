@@ -674,6 +674,38 @@ class CurationInvariantSpec extends SparkSpec {
     assert(r.getAs[Long]("n_cells") == 20L)
   }
 
+  test("q359 kappa census equals the naive 2x2 recomputation (third implementation)") {
+    // Engine and oracle share the set-arithmetic shape; this replays
+    // the gates and the closed-form kappa per source in plain Scala.
+    // Spark's split(text, ' ') keeps trailing empties (limit -1) —
+    // the naive twin must match that tokenization exactly.
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "n_chars", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val bySrc = docs.groupBy(_._1).map { case (src, ds) =>
+      val n = ds.length.toLong
+      var a1 = 0L; var b1 = 0L; var agree = 0L
+      for ((_, nc, t) <- ds) {
+        val ga = if (nc >= 280) 1 else 0
+        val wc = t.split(" ", -1).length.toLong
+        val gb = if (100 * nc / wc >= 560) 1 else 0
+        a1 += ga; b1 += gb
+        if (ga == gb) agree += 1
+      }
+      val pn = a1 * b1 + (n - a1) * (n - b1)
+      val kappa: Option[Long] =
+        if (n * n == pn) None
+        else Some(Math.floorDiv(1000000L * (n * agree - pn), n * n - pn))
+      src -> (n, a1, b1, agree, kappa)
+    }
+    val got = TrainQueries.q359.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    assert(got.keySet == bySrc.keySet)
+    for ((src, exp) <- bySrc) assert(got(src) == exp, s"source $src")
+  }
+
   test("q314 LOO deltas and exclusive vocab are conservation-consistent") {
     val rows = TrainQueries.q314.run(spark, sf).collect()
     val shareSum = rows.map(_.getAs[Long]("token_share_ppm")).sum
