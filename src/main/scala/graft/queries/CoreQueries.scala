@@ -6841,6 +6841,113 @@ object CoreQueries {
       .orderBy("mde_ppm")
   }
 
+  /** q360 — columnar ENCODING-SELECTION census (the per-column
+    * decision every Parquet/ORC writer makes — plain vs dictionary
+    * vs run-length — surfaced as a query, the column-storage sibling
+    * of q352's posting-list report; at 100 TB this table IS the
+    * storage bill): for four declared lineitem columns, exact bit
+    * costs under three declared encoding models over the clustered
+    * (l_orderkey, l_linenumber) layout —
+    *   plain = Σ value width (strings 8·len, int64 columns 64)
+    *   dict  = rows·⌈log₂ d⌉ + Σ_{distinct} value width
+    *   rle   = Σ_runs (run-value width + 32)
+    * with ⌈log₂ d⌉ = bitlen(d−1) via `length(bin(...))` (the q352
+    * no-float-log rule) and runs counted WITHIN each l_orderkey
+    * group in the declared (l_linenumber, value) order — the value
+    * tie-break makes the run count well-defined when line numbers
+    * repeat (equal-key ties then share a value, so their relative
+    * order cannot change any run boundary) and keeps the window
+    * keyed; a global-sort run count would be a partition-less
+    * window. The winner column applies the declared
+    * tie order plain ≺ dict ≺ rle. Doubles and timestamps are
+    * excluded by design: their string forms differ across engines,
+    * and their encodings are byte-identical int64 questions anyway.
+    *
+    * Scale: ONE scan exploded ×4 (map-side), one keyed window, two
+    * keyed censuses over 4 groups — nothing partition-less. */
+  val q360 = QueryDef(
+    "q360_encoding_selection",
+    """WITH u AS (
+      |  SELECT l_orderkey, l_linenumber, 'l_returnflag' AS cname,
+      |    l_returnflag AS v, 8 * length(l_returnflag) AS pbits
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_linestatus',
+      |    l_linestatus, 8 * length(l_linestatus) FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_suppkey',
+      |    CAST(l_suppkey AS VARCHAR), 64 FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_partkey',
+      |    CAST(l_partkey AS VARCHAR), 64 FROM lineitem),
+      |r AS (
+      |  SELECT cname, v, pbits,
+      |    CASE WHEN LAG(v) OVER (PARTITION BY cname, l_orderkey
+      |      ORDER BY l_linenumber, v) IS DISTINCT FROM v
+      |      THEN 1 ELSE 0 END AS rs
+      |  FROM u),
+      |m AS (
+      |  SELECT cname, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(pbits) AS BIGINT) AS plain_bits,
+      |    CAST(SUM(rs) AS BIGINT) AS n_runs,
+      |    CAST(SUM(CASE WHEN rs = 1 THEN pbits + 32 ELSE 0 END)
+      |      AS BIGINT) AS rle_bits
+      |  FROM r GROUP BY 1),
+      |dv AS (
+      |  SELECT cname, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |    CAST(SUM(pbits) AS BIGINT) AS dict_val_bits
+      |  FROM (SELECT DISTINCT cname, v, pbits FROM u) GROUP BY 1),
+      |j AS (
+      |  SELECT m.cname, n_rows, n_distinct, n_runs, plain_bits,
+      |    CAST(n_rows * length(bin(GREATEST(1, n_distinct - 1)))
+      |      + dict_val_bits AS BIGINT) AS dict_bits, rle_bits
+      |  FROM m JOIN dv USING (cname))
+      |SELECT cname, n_rows, n_distinct, n_runs, plain_bits, dict_bits,
+      |  rle_bits,
+      |  CASE WHEN plain_bits <= dict_bits AND plain_bits <= rle_bits
+      |    THEN 'plain' WHEN dict_bits <= rle_bits THEN 'dict'
+      |    ELSE 'rle' END AS best
+      |FROM j ORDER BY cname""".stripMargin) { (s, d) =>
+    val cols = Seq(("l_returnflag", true), ("l_linestatus", true),
+      ("l_suppkey", false), ("l_partkey", false))
+    val base = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        explode(array(cols.map { case (c, isStr) =>
+          struct(lit(c).as("cname"), col(c).cast("string").as("v"),
+            (if (isStr) length(col(c)).cast("long") * 8 else lit(64L))
+              .as("pbits"))
+        }: _*)).as("x"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("x.cname"),
+        col("x.v"), col("x.pbits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cname"), col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("v"))
+    val runs = base.withColumn("prev", lag(col("v"), 1).over(w))
+      .withColumn("rs", when(col("prev").isNull ||
+        col("prev") =!= col("v"), 1L).otherwise(0L))
+    val main = runs.groupBy(col("cname"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("pbits")).as("plain_bits"),
+        sum(col("rs")).as("n_runs"),
+        sum(when(col("rs") === 1, col("pbits") + 32).otherwise(0L))
+          .as("rle_bits"))
+    val dv = base.select(col("cname"), col("v"), col("pbits")).distinct()
+      .groupBy(col("cname"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("pbits")).as("dict_val_bits"))
+    main.join(dv, Seq("cname"))
+      .withColumn("dict_bits", col("n_rows") *
+        expr("length(bin(greatest(1L, n_distinct - 1)))").cast("long")
+        + col("dict_val_bits"))
+      .select(col("cname"), col("n_rows"), col("n_distinct"),
+        col("n_runs"), col("plain_bits"), col("dict_bits"),
+        col("rle_bits"),
+        when(col("plain_bits") <= col("dict_bits") &&
+          col("plain_bits") <= col("rle_bits"), "plain")
+          .when(col("dict_bits") <= col("rle_bits"), "dict")
+          .otherwise("rle").as("best"))
+      .orderBy("cname")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
     q15, q16, q17, q18, q19, q20, q21, q51, q52, q53, q54, q55, q58, q60,
@@ -6851,5 +6958,5 @@ object CoreQueries {
     q255, q256, q259, q260, q261, q262, q263, q264, q267, q268,
     q270, q271, q272, q274, q275, q277, q278, q279, q280, q281,
     q283, q284, q285, q286, q288, q289, q290, q291, q292, q293,
-    q294, q295, q297, q299, q300, q322, q342)
+    q294, q295, q297, q299, q300, q322, q342, q360)
 }
