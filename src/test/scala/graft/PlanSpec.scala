@@ -335,7 +335,9 @@ class PlanSpec extends SparkSpec {
         ("the q344 shape: broadcast q38 quantizer + query slice " +
           "(vec_id < 25) + one-row entry frame + ≤25-row frontier/" +
           "count frames per budget round"),
-      "q352_posting_compression" -> "one-row corpus doc-count frame")
+      "q352_posting_compression" -> "one-row corpus doc-count frame",
+      "q358_matryoshka_recall" ->
+        "broadcast query slice (vec_id < 25, the q32 contract) + one-row query-count frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
