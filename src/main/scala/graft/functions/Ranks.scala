@@ -156,6 +156,34 @@ object Ranks {
       .withColumn(as, col("__pos").cast("long"))
       .drop(internals: _*)
 
+  /** SQL `DENSE_RANK() OVER (ORDER BY orderCol)` — distributed, and
+    * FUSED: unlike `rowNumberGlobal(df.select(key).distinct(), …)` +
+    * join-back (the shape this replaces in the ordered suffix-rank
+    * relabel), the dense label is computed on the frame in place —
+    * per-bucket `dense_rank` plus cumulative per-bucket
+    * DISTINCT-count offsets (a tie class never straddles buckets, so
+    * local dense rank + distinct-mass-before-bucket = global dense
+    * rank exactly). Saves one distinct exchange and one join-back
+    * exchange per call.
+    *
+    * PRECONDITION: `orderCol` is null-free (`countDistinct` skips
+    * nulls, so a null class would shift every later offset; the
+    * suffix-rank keys are coalesced before this point). The
+    * monotone-cast bucketing argument of the class doc applies
+    * unchanged: equal values share a bucket, cross-bucket order is
+    * preserved, in-bucket ordering uses the exact column. */
+  def denseRankGlobal(df: DataFrame, orderCol: Column, as: String,
+                      buckets: Int = 32): DataFrame = {
+    val in = cached(df)
+    val withB = in.withColumn("__b", bucketOf(
+      orderCol, boundaries(in, orderCol, buckets)))
+    val (offExpr, _) = bucketOffsets(withB, countDistinct(orderCol))
+    val local = Window.partitionBy(col("__b")).orderBy(orderCol)
+    withB
+      .withColumn(as, (offExpr + dense_rank().over(local)).cast("long"))
+      .drop("__b")
+  }
+
   /** SQL `NTILE(n) OVER (ORDER BY orderCol, tieBreak)` — distributed.
     * Standard semantics: with N rows, the first `N % n` tiles get
     * `floor(N/n) + 1` rows, the rest `floor(N/n)` (what Spark and

@@ -116,11 +116,52 @@ object Recommender {
         Window.partitionBy(col("b"))))
       .filter(col("__n") <= maxBasket)
       .drop("__n")
-    bounded.as("x").join(bounded.as("y"),
+    pairCensus(bounded)
+  }
+
+  /** The co-occurrence pair census over an ALREADY distinct, already
+    * breadth-bounded (b, i) frame — the self-join half of
+    * [[coOccurrence]], factored out so [[boundedItems]] callers reuse
+    * the one materialized projection instead of re-deriving it. */
+  def pairCensus(items: DataFrame): DataFrame =
+    items.as("x").join(items.as("y"),
         col("x.b") === col("y.b") && col("x.i") =!= col("y.i"))
       .groupBy(col("x.i").as("item"), col("y.i").as("co_item"))
       .agg(count(lit(1)).as("n_baskets"))
+
+  /** The fused co-occurrence scaffold every graph/pair query should
+    * ride: distinct (basket, item) projection materialized EXACTLY
+    * once (eager spill-safe localCheckpoint, pinned for end-of-query
+    * release), histogram-derived cost cap computed FROM that pinned
+    * frame (the old two-call shape — `coOccurrence(li, maxBasket =
+    * maxBasketFromHistogram(li, ...))` — re-ran the scan + distinct
+    * shuffle once for the probe and once for the pipeline), and the
+    * breadth-cap window filter elided when the cap provably keeps
+    * every basket (cap >= maxObs — the q219 no-op-filter elision,
+    * hoisted here so all ~10 call sites get it). Value-identical to
+    * the two-call shape at every scale: same distinct, same histogram,
+    * same threshold semantics when the cap binds. */
+  def boundedItems(baskets: DataFrame, basketCol: String,
+                   itemCol: String,
+                   pairBudget: Long = 100000000L): DataFrame = {
+    val items = graft.functions.Checkpoints.pin(
+      baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
+        .distinct().localCheckpoint())
+    val (cap, maxObs) = capFromDistinct(items, "b", pairBudget)
+    if (cap >= maxObs) items
+    else items
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("b"))))
+      .filter(col("__n") <= cap)
+      .drop("__n")
   }
+
+  /** [[coOccurrence]] + [[maxBasketFromHistogram]] in ONE pass over
+    * the fact table (see [[boundedItems]]). */
+  def coOccurrenceAuto(baskets: DataFrame, basketCol: String,
+                       itemCol: String,
+                       pairBudget: Long = 100000000L): DataFrame =
+    pairCensus(boundedItems(baskets, basketCol, itemCol, pairBudget))
 
   /** Cost-based basket cap, derived from the basket-size histogram
     * (exactly the q37 distribution — that query IS this cost model).
@@ -151,10 +192,21 @@ object Recommender {
     * budget, `cap < maxObs` and the filter binds. */
   def capAndMaxObserved(baskets: DataFrame, basketCol: String,
                         itemCol: String,
-                        pairBudget: Long = 100000000L): (Int, Long) = {
-    val hist = baskets
-      .select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
-      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+                        pairBudget: Long = 100000000L): (Int, Long) =
+    capFromDistinct(
+      baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
+        .distinct(),
+      "b", pairBudget)
+
+  /** [[capAndMaxObserved]] over a frame whose rows are ALREADY
+    * distinct per (basket, item) — e.g. a checkpointed projection the
+    * caller also feeds the pair pipeline. Skips the redundant
+    * distinct exchange the raw-baskets entry point must pay (an
+    * optimizer can't see through a checkpoint to prove distinctness). */
+  def capFromDistinct(items: DataFrame, basketCol: String,
+                      pairBudget: Long = 100000000L): (Int, Long) = {
+    val hist = items
+      .groupBy(col(basketCol)).agg(count(lit(1)).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Par.FanoutOps
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
@@ -2251,17 +2252,24 @@ object CoreQueries {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    val e = li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("x"), col("b.p").as("y"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2).select(col("x"), col("y"))
+    // Eager pinned checkpoints on the two reused frames: e feeds deg,
+    // ed and the edge census (3 consumers), ed feeds both sides of
+    // the wedge self-join plus the closing join (3 consumers) — an
+    // unpinned plan replays the distinct + pair self-join + agg chain
+    // once per consumer (the q310/q309 recompute mechanism).
+    val e = graft.functions.Checkpoints.pin(
+      li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2).select(col("x"), col("y"))
+        .localCheckpoint())
     val deg = e.select(col("x").as("v"))
       .union(e.select(col("y").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))
     val keyed = deg.select(col("v"),
       (col("dg") * lit(1000000L) + col("v")).as("k"))
-    val ed = e
+    val ed = graft.functions.Checkpoints.pin(e
       .join(keyed.select(col("v").as("x"), col("k").as("kx")), Seq("x"))
       .join(keyed.select(col("v").as("y"), col("k").as("ky")), Seq("y"))
       .select(
@@ -2269,6 +2277,7 @@ object CoreQueries {
           .as("ks"),
         when(col("kx") < col("ky"), col("ky")).otherwise(col("kx"))
           .as("kd"))
+      .localCheckpoint())
     val wedges = ed.as("e1").join(ed.as("e2"),
         col("e1.ks") === col("e2.ks") && col("e1.kd") < col("e2.kd"))
       .select(col("e1.kd").as("ks"), col("e2.kd").as("kd"))
@@ -2435,7 +2444,7 @@ object CoreQueries {
     // and its per-row md5 — stays on those few cores (measured: 70 s
     // vs ~3 s at sf0.1). One cheap shuffle of the un-exploded rows
     // buys full-width parallelism for the heavy projection.
-    val ob = o.repartition(32, col("k"))
+    val ob = o.fanoutBy(col("k"))
       .withColumn("b", explode(sequence(lit(0L), lit(99L))))
       .withColumn("u32", graft.curation.Curation.contentU32(
         concat(col("k").cast("string"), lit("_"),
@@ -4639,13 +4648,19 @@ object CoreQueries {
       |FROM t WHERE support >= 2
       |ORDER BY support DESC, item1, item2, item3""".stripMargin) {
     (s, d) =>
-    val items = Tables.lineitem(s, d)
+    // Pinned checkpoints on the reused frames: items feeds three join
+    // sides (x, y, z) and pairs feeds both the F2 census and the
+    // semi-join — an unpinned plan replays the scan + distinct (and
+    // the pair self-join) once per consumer.
+    val items = graft.functions.Checkpoints.pin(Tables.lineitem(s, d)
       .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
-      .distinct()
-    val pairs = items.as("x").join(items.as("y"),
-        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
-      .select(col("x.b").as("b"), col("x.i").as("pa"),
-        col("y.i").as("pb"))
+      .distinct().localCheckpoint())
+    val pairs = graft.functions.Checkpoints.pin(
+      items.as("x").join(items.as("y"),
+          col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+        .select(col("x.b").as("b"), col("x.i").as("pa"),
+          col("y.i").as("pb"))
+        .localCheckpoint())
     val f2 = pairs.groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.functions.Par.FanoutOps
 
 import graft.Tables
 import graft.multimodal.Media
@@ -110,7 +111,7 @@ object MediaQueries {
       .withColumn("bytes", blobUdf(col("media_id"), col("kind")))
       .select("media_id", "kind", "bytes")
       .as[(Long, String, Array[Byte])]
-      .repartition(32, col("media_id"))
+      .fanoutBy(col("media_id"))
       .mapPartitions { rows =>
         // real decode, once-per-partition init shape
         rows.map { case (id, kind, bytes) =>
@@ -324,7 +325,7 @@ object MediaQueries {
       .select(col("doc_id").as("id"))
       .withColumn("bytes", blob(col("id")))
       .select("id", "bytes").as[(Long, Array[Byte])]
-      .repartition(32, col("id"))
+      .fanoutBy(col("id"))
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
           val (w, _, g) = graft.multimodal.Codec.decodeBmp(bytes)
@@ -443,7 +444,7 @@ object MediaQueries {
       .select(col("doc_id").as("id"))
       .withColumn("bytes", blob(col("id")))
       .select("id", "bytes").as[(Long, Array[Byte])]
-      .repartition(32, col("id"))
+      .fanoutBy(col("id"))
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
           val samples = graft.multimodal.Codec.decodeWav(bytes)._2
@@ -561,7 +562,7 @@ object MediaQueries {
       .select(col("doc_id").as("id"))
       .withColumn("bytes", blob(col("id")))
       .select("id", "bytes").as[(Long, Array[Byte])]
-      .repartition(32, col("id"))
+      .fanoutBy(col("id"))
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
           val frames = graft.multimodal.Codec.decodePpmSeq(bytes)
@@ -662,7 +663,7 @@ object MediaQueries {
       .select(col("doc_id").as("media_id"))
       .withColumn("bytes", blobUdf(col("media_id")))
       .as[(Long, Array[Byte])]
-      .repartition(32, col("media_id"))
+      .fanoutBy(col("media_id"))
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
           val (w, h, ch, px) = graft.multimodal.Png.decode(bytes)
@@ -781,7 +782,7 @@ object MediaQueries {
       .select(col("doc_id").as("media_id"))
       .withColumn("bytes", blob(col("media_id")))
       .as[(Long, Array[Byte])]
-      .repartition(32, col("media_id"))
+      .fanoutBy(col("media_id"))
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
           val sm = graft.multimodal.Codec.decodeWav(bytes)._2
@@ -873,7 +874,7 @@ object MediaQueries {
       .select(col("doc_id").as("media_id"))
       .withColumn("bytes", blobUdf(col("media_id")))
       .as[(Long, Array[Byte])]
-      .repartition(32, col("media_id"))
+      .fanoutBy(col("media_id"))
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
           val sm = graft.multimodal.Codec.decodeWav(bytes)._2
@@ -979,7 +980,7 @@ object MediaQueries {
       .select(col("doc_id").as("media_id"))
       .withColumn("bytes", blobUdf(col("media_id")))
       .as[(Long, Array[Byte])]
-      .repartition(32, col("media_id"))
+      .fanoutBy(col("media_id"))
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
           val (w, h, px) = graft.multimodal.Codec.decodeBmp(bytes)
@@ -1059,7 +1060,7 @@ object MediaQueries {
       .select(col("doc_id").as("media_id"))
       .withColumn("bytes", blobUdf(col("media_id")))
       .as[(Long, Array[Byte])]
-      .repartition(32, col("media_id"))
+      .fanoutBy(col("media_id"))
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
           val (w, h, px) = graft.multimodal.Codec.decodeBmp(bytes)

@@ -35,10 +35,8 @@ object RecommenderQueries {
       |FROM r WHERE rnk <= 3 AND item < 50
       |ORDER BY item, rnk""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d)
-    val co = Recommender.coOccurrence(
-      li, "l_orderkey", "l_partkey",
-      maxBasket = Recommender.maxBasketFromHistogram(
-        li, "l_orderkey", "l_partkey"))
+    val co = Recommender.coOccurrenceAuto(
+      li, "l_orderkey", "l_partkey")
     Recommender.topCoItems(co, 3)
       .filter(col("item") < 50)
       .select(col("item"), col("rnk"), col("co_item"), col("n_baskets"))
@@ -442,7 +440,10 @@ object RecommenderQueries {
     // provable no-op — elide it (it costs a per-key count pass worth
     // ~2x the pair stage); when the histogram busts the budget
     // (cap < maxObs, the 100-TB case) the same code path binds.
-    val (cap, maxObs) = Recommender.capAndMaxObserved(up0, "u", "i")
+    // capFromDistinct, not capAndMaxObserved: up0 IS the distinct
+    // projection (checkpointed — the optimizer can't see through the
+    // checkpoint to elide a redundant re-distinct in the probe)
+    val (cap, maxObs) = Recommender.capFromDistinct(up0, "u")
     val up = if (cap >= maxObs) up0 else up0
       .withColumn("__n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("u"))))
@@ -514,15 +515,22 @@ object RecommenderQueries {
       |FROM r ORDER BY lift_ppm DESC, antecedent, consequent
       |LIMIT 100""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d)
-    val items = li
+    // ONE pinned distinct serves nb, ni AND the pair census (was
+    // three separate scan+distinct chains); nb/ni stay on the
+    // UNCAPPED frame — only the pair expansion rides the cost cap,
+    // exactly as before
+    val items = graft.functions.Checkpoints.pin(li
       .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
-      .distinct()
+      .distinct().localCheckpoint())
+    val (cap, maxObs) = Recommender.capFromDistinct(items, "b")
+    val bounded = if (cap >= maxObs) items else items
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("b"))))
+      .filter(col("__n") <= cap)
+      .drop("__n")
     val nb = items.agg(countDistinct(col("b")).as("n_baskets"))
     val ni = items.groupBy(col("i")).agg(count(lit(1)).as("n"))
-    val co = Recommender.coOccurrence(
-        li, "l_orderkey", "l_partkey",
-        maxBasket = Recommender.maxBasketFromHistogram(
-          li, "l_orderkey", "l_partkey"))
+    val co = Recommender.pairCensus(bounded)
       .filter(col("n_baskets") >= 2)
       .select(col("item").as("a"), col("co_item").as("c"),
         col("n_baskets").as("n_both"))
@@ -561,10 +569,8 @@ object RecommenderQueries {
       |${graft.functions.KCore.peelCensusSql(k = 3, rounds = 12)}"""
       .stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d)
-    val support = Recommender.coOccurrence(
-        li, "l_orderkey", "l_partkey",
-        maxBasket = Recommender.maxBasketFromHistogram(
-          li, "l_orderkey", "l_partkey"))
+    val support = Recommender.coOccurrenceAuto(
+        li, "l_orderkey", "l_partkey")
       .filter(col("n_baskets") >= 2)
       .select(col("item").as("src"), col("co_item").as("dst"))
     graft.functions.KCore.peelCensus(support, "src", "dst",
@@ -628,10 +634,8 @@ object RecommenderQueries {
     }) { (s, d) =>
     import graft.functions.Checkpoints
     val li = Tables.lineitem(s, d)
-    val e = Checkpoints.pin(Recommender.coOccurrence(
-        li, "l_orderkey", "l_partkey",
-        maxBasket = Recommender.maxBasketFromHistogram(
-          li, "l_orderkey", "l_partkey"))
+    val e = Checkpoints.pin(Recommender.coOccurrenceAuto(
+        li, "l_orderkey", "l_partkey")
       .filter(col("n_baskets") >= 2)
       .select(col("item").as("src"), col("co_item").as("dst"))
       .localCheckpoint())
@@ -721,10 +725,8 @@ object RecommenderQueries {
     }) { (s, d) =>
     import graft.functions.Checkpoints
     val li = Tables.lineitem(s, d)
-    val e = Checkpoints.pin(Recommender.coOccurrence(
-        li, "l_orderkey", "l_partkey",
-        maxBasket = Recommender.maxBasketFromHistogram(
-          li, "l_orderkey", "l_partkey"))
+    val e = Checkpoints.pin(Recommender.coOccurrenceAuto(
+        li, "l_orderkey", "l_partkey")
       .filter(col("n_baskets") >= 2)
       .select(col("item").as("src"), col("co_item").as("dst"))
       .localCheckpoint())
@@ -858,10 +860,8 @@ object RecommenderQueries {
     }) { (s, d) =>
     import graft.functions.Checkpoints
     val li = Tables.lineitem(s, d)
-    val e = Checkpoints.pin(Recommender.coOccurrence(
-        li, "l_orderkey", "l_partkey",
-        maxBasket = Recommender.maxBasketFromHistogram(
-          li, "l_orderkey", "l_partkey"))
+    val e = Checkpoints.pin(Recommender.coOccurrenceAuto(
+        li, "l_orderkey", "l_partkey")
       .filter(col("n_baskets") >= 2)
       .select(col("item").as("src"), col("co_item").as("dst"))
       .localCheckpoint())
@@ -978,10 +978,8 @@ object RecommenderQueries {
       |WHERE n * sxx > sx * sx AND n * syy > sy * sy""".stripMargin) {
     (s, d) =>
     val li = Tables.lineitem(s, d)
-    val e = Recommender.coOccurrence(
-        li, "l_orderkey", "l_partkey",
-        maxBasket = Recommender.maxBasketFromHistogram(
-          li, "l_orderkey", "l_partkey"))
+    val e = Recommender.coOccurrenceAuto(
+        li, "l_orderkey", "l_partkey")
       .filter(col("n_baskets") >= 2)
       .select(col("item").as("src"), col("co_item").as("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -1066,15 +1064,21 @@ object RecommenderQueries {
         |ORDER BY pi_micro DESC, part LIMIT 25""".stripMargin
     }) { (s, d) =>
     val li = Tables.lineitem(s, d)
-    val cap = Recommender.maxBasketFromHistogram(
-      li, "l_orderkey", "l_partkey")
     // the q36 cost-based cap: exact at test scale (histogram fits the
     // budget, nothing dropped — the oracle stays uncapped), bounding
-    // the quadratic pair expansion at 100 TB
-    val iq = li
+    // the quadratic pair expansion at 100 TB. The cap histogram is
+    // derived from the SAME pinned (b, i, q) frame the pair join
+    // consumes (one row per distinct (b, i) by construction — was a
+    // separate scan+distinct probe), and the breadth filter is elided
+    // when the budget admits every basket (the boundedItems no-op
+    // elision).
+    val iq0 = graft.functions.Checkpoints.pin(li
       .groupBy(col("l_orderkey").as("b"), col("l_partkey").as("i"))
       .agg(sum(expr("cast(floor(l_quantity + 0.5) as bigint)"))
         .as("q"))
+      .localCheckpoint())
+    val (cap, maxObs) = Recommender.capFromDistinct(iq0, "b")
+    val iq = if (cap >= maxObs) iq0 else iq0
       .withColumn("__n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("b"))))
       .filter(col("__n") <= cap)
@@ -1243,10 +1247,8 @@ object RecommenderQueries {
     }) { (s, d) =>
     import graft.functions.Checkpoints
     val li = Tables.lineitem(s, d)
-    val e = Checkpoints.pin(Recommender.coOccurrence(
-        li, "l_orderkey", "l_partkey",
-        maxBasket = Recommender.maxBasketFromHistogram(
-          li, "l_orderkey", "l_partkey"))
+    val e = Checkpoints.pin(Recommender.coOccurrenceAuto(
+        li, "l_orderkey", "l_partkey")
       .filter(col("n_baskets") >= 2)
       .select(col("item").as("src"), col("co_item").as("dst"))
       .localCheckpoint())
@@ -1340,10 +1342,8 @@ object RecommenderQueries {
       |ORDER BY cc.comm""".stripMargin
     }) { (s, d) =>
     val li = Tables.lineitem(s, d)
-    val support = Recommender.coOccurrence(
-        li, "l_orderkey", "l_partkey",
-        maxBasket = Recommender.maxBasketFromHistogram(
-          li, "l_orderkey", "l_partkey"))
+    val support = Recommender.coOccurrenceAuto(
+        li, "l_orderkey", "l_partkey")
       .filter(col("n_baskets") >= 2)
       .select(col("item").as("src"), col("co_item").as("dst"))
     val lab = Tables.part(s, d)

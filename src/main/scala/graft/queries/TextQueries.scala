@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.functions.Par.FanoutOps
 
 import graft.Tables
 import graft.functions.{LangModel, Text}
@@ -44,7 +45,7 @@ object TextQueries {
       // this repartition every per-document expression below runs in
       // a single task (at production scale the many input splits make
       // it unnecessary, but it must not be the code's assumption)
-      .repartition(32, col("doc_id"))
+      .fanoutBy(col("doc_id"))
       .select(col("doc_id"), Text.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), Text.shingles3(col("t")).as("sh"))
@@ -289,7 +290,7 @@ object TextQueries {
         |FROM b ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
     Tables.documents(s, d)
-      .repartition(32, col("doc_id"))
+      .fanoutBy(col("doc_id"))
       .select(col("doc_id"), Text.tokens(col("text")).as("t"))
       .select(col("doc_id"),
         org.apache.spark.sql.graft.GraftText.simhash16(col("t"))
@@ -333,7 +334,7 @@ object TextQueries {
     // BroadcastNestedLoopJoin); the O(D²) loop is a bounded constant
     // at any corpus size.
     val sh = Tables.documents(s, d)
-      .repartition(32, col("doc_id"))
+      .fanoutBy(col("doc_id"))
       .select(col("doc_id"), Text.tokens(col("text")).as("t"))
       .select(org.apache.spark.sql.graft.GraftText.simhash16(col("t"))
         .as("sim"))
@@ -361,7 +362,7 @@ object TextQueries {
       |WHERE length(text) >= 8
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
-      .repartition(32, col("doc_id"))
+      .fanoutBy(col("doc_id"))
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"),
         org.apache.spark.sql.graft.GraftText.gram8Fingerprint(col("text"))
@@ -400,7 +401,7 @@ object TextQueries {
     // the round-2 "random 10-30s stall" was exactly this query family
     // running serial + re-evaluating split per expression occurrence).
     Tables.documents(s, d)
-      .repartition(32, col("doc_id"))
+      .fanoutBy(col("doc_id"))
       .select(col("source"), length(col("text")).as("n_chars"),
         Text.tokens(col("text")).as("t"))
       .select(col("source"), col("n_chars"),
@@ -448,7 +449,7 @@ object TextQueries {
     // the scores materialized as int columns the argmax is pure scalar
     // codegen and split runs once per row.
     Tables.documents(s, d)
-      .repartition(32, col("doc_id"))
+      .fanoutBy(col("doc_id"))
       .select(col("lang"), Text.tokens(col("text")).as("t"))
       .select(col("lang") +: Text.langMarkers.map { case (l, m) =>
         Text.langScore(col("t"), m).as(s"s_$l")
@@ -483,7 +484,7 @@ object TextQueries {
     // Materialize the regex token array once (referenced twice below —
     // same CollapseProject reasoning as q29), and parallelize the scan.
     Tables.documents(s, d)
-      .repartition(32, col("doc_id"))
+      .fanoutBy(col("doc_id"))
       .select(col("source"),
         size(Text.tokens(col("text"))).as("ws_tokens"),
         expr("regexp_extract_all(text, '[a-z0-9]+', 0)").as("re"))
@@ -516,7 +517,7 @@ object TextQueries {
       |ORDER BY tf DESC, token
       |LIMIT 25""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
-      .repartition(32, col("doc_id"))
+      .fanoutBy(col("doc_id"))
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
@@ -624,7 +625,7 @@ object TextQueries {
       |    AS BIGINT) / 100.0 AS top_pct
       |FROM st ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
-      .repartition(32, col("doc_id"))
+      .fanoutBy(col("doc_id"))
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
@@ -1569,7 +1570,7 @@ object TextQueries {
         |FROM ex GROUP BY source ORDER BY source""".stripMargin
     }) { (s, d) =>
     Tables.documents(s, d)
-      .repartition(32, col("doc_id"))
+      .fanoutBy(col("doc_id"))
       .filter(length(col("text")) >= 8)
       .select(col("source"),
         explode(graft.curation.Curation.cdcChunks(col("text"))).as("ck"))
@@ -2140,14 +2141,20 @@ object TextQueries {
       .join(docs.select(col("doc_id").as("doc"), col("source"),
         col("len")), Seq("doc"))
       .filter(col("i") + 64 <= col("len"))
-    // class size via ONE keyed window (hash-partitioned on the rank,
-    // never a global sort) instead of a groupBy + join-back
-    full
-      .withColumn("cnt", count(lit(1)).over(
+    // pre-aggregate to (rank, source) cells BEFORE the class-size
+    // window: the window input shrinks to three long/string columns
+    // of map-side-combined cells instead of the full position frame,
+    // and the per-source census is a re-sum of the cells — same
+    // algebra: a position in a global class of size cnt > 1 counted 1
+    // per row = c_{r,source} per cell
+    full.groupBy(col("r"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cnt", sum(col("c")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("r"))))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_pos64"),
-        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_pos"))
+      .agg(sum(col("c")).as("n_pos64"),
+        sum(when(col("cnt") > 1, col("c")).otherwise(0L))
+          .as("n_dup_pos"))
       .withColumn("dup_ppm", expr("n_dup_pos * 1000000 div n_pos64"))
       .orderBy("source")
   }
@@ -2417,12 +2424,19 @@ object TextQueries {
     val levels = graft.functions.SuffixRanks.rankLevels(
       docs.select(col("doc"), col("text")), L = 64)
     val perLevel = levels.map { case (k, f) =>
+      // class-size census as TWO hash aggregations (map-side partial
+      // agg, narrow (r, cnt) rows over the exchange) instead of a
+      // sort-based Window over the full position frame — same
+      // algebra: n_pos = Σ cnt, n_dup = Σ_{cnt>1} cnt (a row in a
+      // class of size cnt > 1 contributed 1 per row = cnt per class)
       f.join(lenF, Seq("doc"))
         .filter(col("i") + k <= col("len"))
-        .withColumn("cnt", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("r"))))
-        .agg(count(lit(1)).as("n_pos"),
-          sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .groupBy(col("r")).agg(count(lit(1)).as("cnt"))
+        // coalesce keeps the empty-level row at n_pos = 0, exactly
+        // what count(*) over zero rows produced before this rewrite
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_pos"),
+          sum(when(col("cnt") > 1, col("cnt")).otherwise(0L))
+            .as("n_dup"))
         .select(lit(k).as("k"), col("n_pos"), col("n_dup"))
     }
     perLevel.reduce(_ union _)
@@ -2606,7 +2620,7 @@ object TextQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin
     }) { (s, d) =>
     val sh = Tables.documents(s, d)
-      .repartition(32, col("doc_id"))
+      .fanoutBy(col("doc_id"))
       .select(col("doc_id"), Text.tokens(col("text")).as("t"))
       .select(col("doc_id"),
         org.apache.spark.sql.graft.GraftText.simhash16(col("t")).as("sim"))

@@ -1569,21 +1569,30 @@ object VectorQueries {
         col("nrm").as("qn"))
     val wR = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("cid"))
-    val cand = broadcast(q).join(n, col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("cid"),
-        (Vectors.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
-          .as("rel"),
-        col("e"), col("nrm"))
-      .withColumn("rnk", row_number().over(wR))
-      .filter(col("rnk") <= 8)
-    val pw = cand.select(col("query_id"), col("cid").as("i"),
-        col("e").as("ea"), col("nrm").as("na"))
-      .join(cand.select(col("query_id"), col("cid").as("j"),
-        col("e").as("eb"), col("nrm").as("nb")), Seq("query_id"))
-      .filter(col("i") =!= col("j"))
-      .select(col("query_id"), col("i"), col("j"),
-        (Vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-          .as("sim"))
+    // Eager pinned checkpoints on the two reused frames (the q310
+    // discipline): cand is read by pw (twice), sel1 and both argmax
+    // rounds, pw by both rounds — an unpinned plan replays the full
+    // |corpus|-scan relevance pass once per consumer (~6×). Both
+    // frames are ≤ |queries|·8 rows by construction.
+    val cand = graft.functions.Checkpoints.pin(
+      broadcast(q).join(n, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("cid"),
+          (Vectors.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+            .as("rel"),
+          col("e"), col("nrm"))
+        .withColumn("rnk", row_number().over(wR))
+        .filter(col("rnk") <= 8)
+        .localCheckpoint())
+    val pw = graft.functions.Checkpoints.pin(
+      cand.select(col("query_id"), col("cid").as("i"),
+          col("e").as("ea"), col("nrm").as("na"))
+        .join(cand.select(col("query_id"), col("cid").as("j"),
+          col("e").as("eb"), col("nrm").as("nb")), Seq("query_id"))
+        .filter(col("i") =!= col("j"))
+        .select(col("query_id"), col("i"), col("j"),
+          (Vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+            .as("sim"))
+        .localCheckpoint())
     val sel1 = cand.filter(col("rnk") === 1)
       .select(col("query_id"), col("cid"), col("rel"))
     def argmaxRound(sel: org.apache.spark.sql.DataFrame) = {
@@ -2853,7 +2862,11 @@ object VectorQueries {
         .select(col("query_id"), col("node").as("cur"))
         .localCheckpoint())
     }
-    val results = Seq(1, 2, 4).map { b =>
+    // the three width ladders are independent checkpoint chains off
+    // the same pinned descent state — overlap them on driver threads
+    // (round-12; guide §2.6), wall time = the widest ladder
+    val results = graft.functions.Concurrent.inParallel(s,
+      Seq(1, 2, 4).map { b => () =>
       var visited = g.select(col("query_id"), col("cur").as("node"))
       var beam = visited
       for (_ <- 1 to 2) {
@@ -2881,7 +2894,7 @@ object VectorQueries {
           coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
         .select(lit(b.toLong).as("beam_width"), col("n_candidates"),
           col("n_hits"))
-    }
+    })
     val nq = qd.agg(countDistinct(col("query_id")).as("nq"))
     results.reduce(_ unionByName _).crossJoin(broadcast(nq))
       .select(col("beam_width"), col("nq").as("n_queries"),
@@ -3196,52 +3209,60 @@ object VectorQueries {
         .select(col("query_id"), col("node").as("cur"))
         .localCheckpoint())
     }
-    val results = Seq(16, 32, 64).map { e =>
-      var visited = Checkpoints.pin(
-        g.select(col("query_id"), col("cur").as("node"))
-          .localCheckpoint())
-      var cnt = Checkpoints.pin(visited.groupBy(col("query_id"))
-        .agg(count(lit(1)).as("nv")).localCheckpoint())
-      var prevCnt = cnt
-      var beam = visited
-      for (_ <- 1 to K) {
-        val expand = beam
-          .join(cnt.filter(col("nv") < e).select(col("query_id")),
-            Seq("query_id"))
-          .join(ed0, col("node") === col("src"))
-          .select(col("query_id"), col("dst").as("node"))
-        visited = Checkpoints.pin(visited.unionByName(expand)
-          .distinct().localCheckpoint())
-        prevCnt = cnt
-        cnt = Checkpoints.pin(visited.groupBy(col("query_id"))
-          .agg(count(lit(1)).as("nv")).localCheckpoint())
-        beam = visited
-          .join(qd.select(col("query_id").as("qid"),
-            col("node_id").as("nid"), col("d2")),
-            col("query_id") === col("qid") && col("node") === col("nid"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(col("d2"), col("node"))))
-          .filter(col("rn") <= B)
-          .select(col("query_id"), col("node"))
-      }
-      val res = visited.filter(col("node") =!= col("query_id"))
-        .join(top10.select(col("query_id").as("tq"),
-          col("node_id").as("tn"))
-          .withColumn("hit", lit(1L)),
-          col("query_id") === col("tq") && col("node") === col("tn"),
-          "left")
-        .agg(count(lit(1)).as("n_candidates"),
-          coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
-      val stp = cnt.as("a")
-        .join(prevCnt.as("b"), col("a.query_id") === col("b.query_id"))
-        .agg(sum(when(col("a.nv") === col("b.nv"), 1L).otherwise(0L))
-          .as("n_stopped"),
-          max(col("a.nv")).as("max_visited"))
-      res.crossJoin(broadcast(stp))
-        .select(lit(e.toLong).as("budget"), col("n_candidates"),
-          col("n_hits"), col("n_stopped"), col("max_visited"))
-    }
+    // The three budget ladders are INDEPENDENT chains of tiny
+    // eager-checkpoint rounds off the same pinned descent state —
+    // run them on driver threads so the chains back-fill each other
+    // (round-12; guide §2.6 overlap), and keep the per-round count
+    // frames LAZY aggregations over the checkpointed visited set
+    // instead of dedicated eager checkpoints (each was a near-empty
+    // job paying fixed submit overhead — 2×8×3 of them).
+    val results = graft.functions.Concurrent.inParallel(s,
+      Seq(16, 32, 64).map { e => () =>
+        var visited = Checkpoints.pin(
+          g.select(col("query_id"), col("cur").as("node"))
+            .localCheckpoint())
+        var cnt = visited.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("nv"))
+        var prevCnt = cnt
+        var beam = visited
+        for (_ <- 1 to K) {
+          val expand = beam
+            .join(cnt.filter(col("nv") < e).select(col("query_id")),
+              Seq("query_id"))
+            .join(ed0, col("node") === col("src"))
+            .select(col("query_id"), col("dst").as("node"))
+          visited = Checkpoints.pin(visited.unionByName(expand)
+            .distinct().localCheckpoint())
+          prevCnt = cnt
+          cnt = visited.groupBy(col("query_id"))
+            .agg(count(lit(1)).as("nv"))
+          beam = visited
+            .join(qd.select(col("query_id").as("qid"),
+              col("node_id").as("nid"), col("d2")),
+              col("query_id") === col("qid") && col("node") === col("nid"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("query_id"))
+                .orderBy(col("d2"), col("node"))))
+            .filter(col("rn") <= B)
+            .select(col("query_id"), col("node"))
+        }
+        val res = visited.filter(col("node") =!= col("query_id"))
+          .join(top10.select(col("query_id").as("tq"),
+            col("node_id").as("tn"))
+            .withColumn("hit", lit(1L)),
+            col("query_id") === col("tq") && col("node") === col("tn"),
+            "left")
+          .agg(count(lit(1)).as("n_candidates"),
+            coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        val stp = cnt.as("a")
+          .join(prevCnt.as("b"), col("a.query_id") === col("b.query_id"))
+          .agg(sum(when(col("a.nv") === col("b.nv"), 1L).otherwise(0L))
+            .as("n_stopped"),
+            max(col("a.nv")).as("max_visited"))
+        res.crossJoin(broadcast(stp))
+          .select(lit(e.toLong).as("budget"), col("n_candidates"),
+            col("n_hits"), col("n_stopped"), col("max_visited"))
+      })
     val nq = qd.agg(countDistinct(col("query_id")).as("nq"))
     results.reduce(_ unionByName _).crossJoin(broadcast(nq))
       .select(col("budget"), col("nq").as("n_queries"),
