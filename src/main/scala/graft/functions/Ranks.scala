@@ -173,15 +173,31 @@ object Ranks {
     * unchanged: equal values share a bucket, cross-bucket order is
     * preserved, in-bucket ordering uses the exact column. */
   def denseRankGlobal(df: DataFrame, orderCol: Column, as: String,
-                      buckets: Int = 32): DataFrame = {
+                      buckets: Int = 32): DataFrame =
+    denseRankGlobalCounted(df, orderCol, as, buckets)._1
+
+  /** [[denseRankGlobal]] returning `(frame, n_classes)` and accepting
+    * caller-supplied bucket boundaries. When the caller KNOWS the key
+    * distribution — the suffix-rank doubling levels pack
+    * `key = r·M + r₂` with r a dense label in [1, prevClasses], so
+    * uniform cuts on r are balanced by class count — passing `bounds`
+    * skips the approxQuantile estimation pass entirely (one full scan
+    * of the frame per call; at 100 TB, per doubling level). Boundary
+    * placement affects only balance, never values (class-doc
+    * argument above). `n_classes` is the exact distinct-key count,
+    * free from the offsets job. */
+  def denseRankGlobalCounted(df: DataFrame, orderCol: Column,
+                             as: String, buckets: Int = 32,
+                             bounds: Option[Seq[Double]] = None)
+      : (DataFrame, Long) = {
     val in = cached(df)
-    val withB = in.withColumn("__b", bucketOf(
-      orderCol, boundaries(in, orderCol, buckets)))
-    val (offExpr, _) = bucketOffsets(withB, countDistinct(orderCol))
+    val bnds = bounds.getOrElse(boundaries(in, orderCol, buckets))
+    val withB = in.withColumn("__b", bucketOf(orderCol, bnds))
+    val (offExpr, total) = bucketOffsets(withB, countDistinct(orderCol))
     val local = Window.partitionBy(col("__b")).orderBy(orderCol)
-    withB
+    (withB
       .withColumn(as, (offExpr + dense_rank().over(local)).cast("long"))
-      .drop("__b")
+      .drop("__b"), total)
   }
 
   /** SQL `NTILE(n) OVER (ORDER BY orderCol, tieBreak)` — distributed.

@@ -112,10 +112,19 @@ object SuffixRanks {
     // encoded bytes. For ASCII corpora byte ranks ≡ char ranks; for
     // multibyte UTF-8 the dedup is over byte L-grams (well-defined,
     // equal byte prefixes ⟺ equal encoded text).
+    // Fan the docs out by doc id BEFORE the per-position explode (the
+    // q221 repartition-before-the-blowup rule): the corpus arrives as
+    // a couple of parquet splits, so without this the explode + byte
+    // decode + block-key assembly run on those few cores. Keying the
+    // fan-out by doc means the doc-partitioned windows below reuse
+    // this exchange — no extra shuffle appears, the blowup just runs
+    // at full width (width = session shuffle parallelism, Par.fanout).
+    import graft.functions.Par.FanoutOps
     val base = docs.select(col("doc").cast("long").as("doc"),
         encode(col("text"), "UTF-8").as("bin"))
       .withColumn("len", length(col("bin")).cast("long"))
       .filter(col("len") > 0)
+      .fanoutBy(col("doc"))
     // Global 1-based position id (the class-representative pool):
     // doc-offset prefix sum + in-doc index. One row per doc; the
     // prefix sum distributes via Ranks.
@@ -148,12 +157,20 @@ object SuffixRanks {
         else (coalesce(lead(col("c"), j).over(wDoc), lit(-1)) + 1).cast("long")
       digit * lit(powL(radix, b - 1 - j))
     }.reduce(_ + _)
-    val keyed = chars
+    def probed[T](name: String)(f: => T): T =
+      if (sys.env.contains("SPARK_GRAFT_RANK_PROBE")) {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(
+          f"[rankprobe] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+        r
+      } else f
+    val keyed = probed("base keys ckpt")(chars
       .select(col("doc"), col("i"), (col("off") + col("i") + 1).as("pos"),
         byteAt(0).as("c"))
       .withColumn("key", key0)
       .select(col("doc"), col("i"), col("pos"), col("key"))
-      .localCheckpoint() // eager: truncate lineage at the source
+      .localCheckpoint()) // eager: truncate lineage at the source
     Checkpoints.pin(keyed)
     val n = keyed.count()
     require(n < M, s"$n positions exceeds the packed-rank capacity $M; shard the corpus")
@@ -162,29 +179,53 @@ object SuffixRanks {
     // join-back shuffle. The ordered variant pays the extra dense-rank
     // machinery (distinct + distributed row number + join) to make
     // label ORDER lexicographic.
-    def relabel(frame: DataFrame): DataFrame =
-      if (ordered)
+    // Ordered relabels thread the exact class count forward: level
+    // 2k's keys are r·M + r₂ with r dense in [1, nClasses], so
+    // uniform cuts on r are balanced by class count and the per-level
+    // approxQuantile estimation pass is skipped (base level still
+    // probes quantiles — byte distributions are genuinely skewed).
+    var nClasses = 0L
+    def relabel(frame: DataFrame,
+                bounds: Option[Seq[Double]] = None): DataFrame =
+      if (ordered) {
         // fused distributed dense rank (round-12): same labels as the
         // old rowNumberGlobal-over-distinct + join-back, minus the
         // distinct exchange and the join-back exchange per level —
         // ~40% of the ordered build's shuffle count (q181/q353/q354)
-        Ranks.denseRankGlobal(frame, col("key"), "nr", buckets)
-          .select(col("doc"), col("i"), col("pos"), col("nr").as("r"))
-      else frame
+        val (ranked, total) = Ranks.denseRankGlobalCounted(
+          frame, col("key"), "nr", buckets, bounds)
+        nClasses = total
+        ranked.select(col("doc"), col("i"), col("pos"), col("nr").as("r"))
+      } else frame
         .withColumn("nr", min(col("pos")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("key"))))
         .select(col("doc"), col("i"), col("pos"), col("nr").as("r"))
-    var p = relabel(keyed).localCheckpoint()
+    def levelBounds: Option[Seq[Double]] =
+      if (!ordered || nClasses <= 0) None
+      else Some((1 until buckets)
+        .map(j => (j.toDouble * nClasses / buckets) * M.toDouble)
+        .distinct.sorted)
+    var p = probed(s"relabel base b=$b")(relabel(keyed).localCheckpoint())
     Checkpoints.pin(p)
     Checkpoints.free(keyed) // base keys never read again past level b
     var k = b
     val levels = scala.collection.mutable.ArrayBuffer(k -> p)
     while (k < L) {
-      val shifted = p.select(col("doc"), (col("i") - k).as("i"),
-        col("r").as("r2"))
-      val paired = p.join(shifted, Seq("doc", "i"), "left")
-        .withColumn("key", col("r") * M + coalesce(col("r2"), lit(0L)))
-      val next = relabel(paired).localCheckpoint()
+      // k-successor rank via lead(r, k) over the doc-keyed position
+      // window (round-12): position rows are CONSECUTIVE integers
+      // 0..len-1 within each doc by construction (the explode above;
+      // nothing is filtered before this point), so the row k ahead IS
+      // position i+k and lead-past-doc-end is null → sentinel 0 —
+      // exactly the (doc, i+k) self-join this replaces, minus both of
+      // the join's hash exchanges (ONE doc-keyed sort instead; the
+      // same trick the base step uses for its block digits).
+      val wDocK = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc")).orderBy(col("i"))
+      val paired = p.withColumn("key",
+        col("r") * M + coalesce(lead(col("r"), k).over(wDocK), lit(0L)))
+      val bnds = levelBounds // from the PREVIOUS level's class count
+      val next = probed(s"relabel level ${k * 2}")(
+        relabel(paired, bnds).localCheckpoint())
       Checkpoints.pin(next)
       p = next
       k *= 2
