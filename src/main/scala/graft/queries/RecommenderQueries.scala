@@ -454,9 +454,14 @@ object RecommenderQueries {
         col("a.u") === col("b.u") && col("a.i") < col("b.i"))
       .groupBy(col("a.i").as("x"), col("b.i").as("y"))
       .agg(count(lit(1)).as("c"))
-    val sym = pp.select(col("x").as("i"), col("y").as("j"), col("c"))
-      .unionByName(
-        pp.select(col("y").as("i"), col("x").as("j"), col("c")))
+    // both orientations in ONE pass over the pair census (explode of
+    // a 2-struct array) — the unionByName(swap) form evaluated the
+    // 13M-row post-shuffle aggregation twice, once per branch, with
+    // only the exchange reused (round-12; same rows, oracle unchanged)
+    val sym = pp.select(explode(array(
+        struct(col("x").as("i"), col("y").as("j"), col("c")),
+        struct(col("y").as("i"), col("x").as("j"), col("c")))).as("s"))
+      .select(col("s.i").as("i"), col("s.j").as("j"), col("s.c").as("c"))
     val sim = sym
       .join(ni.select(col("i"), col("n").as("na")), Seq("i"))
       .join(ni.select(col("i").as("j"), col("n").as("nb")), Seq("j"))
@@ -877,36 +882,50 @@ object RecommenderQueries {
         (lit(33) - length(ltrim(expr(
           "bin(conv(substring(hx, 9, 8), 16, 10))"), "0")))
           .cast("long").as("m"))
-    var b = Checkpoints.pin(b0.localCheckpoint())
-    val sketches = scala.collection.mutable.ArrayBuffer.empty[
-      org.apache.spark.sql.DataFrame]
-    for (_ <- 1 to 4) {
-      val nb = b.unionByName(
-          e.join(b.withColumnRenamed("node", "dstn"),
-            col("dstn") === col("dst"))
-            .select(col("src").as("node"), col("bucket"), col("m")))
-        .groupBy(col("node"), col("bucket"))
-        .agg(max(col("m")).as("m"))
-      b = Checkpoints.pin(nb.localCheckpoint())
-      sketches += b
-    }
-    // exact reach (the q228 loop)
-    var reach = Checkpoints.pin(seeds
-      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
-      .localCheckpoint())
-    for (h <- 1 to 4) {
-      val cand = reach.filter(col("dist") === (h - 1))
-        .join(e, col("node") === col("src"))
-        .select(col("seed"), col("dst").as("node")).distinct()
-      val fresh = cand
-        .join(reach.select(col("seed"), col("node")),
-          Seq("seed", "node"), "left_anti")
-        .select(col("seed"), col("node"), lit(h.toLong).as("dist"))
-      val next = Checkpoints.pin(
-        reach.unionByName(fresh).localCheckpoint())
-      Checkpoints.free(reach)
-      reach = next
-    }
+    // The HLL sketch rounds and the exact-BFS audit rounds are two
+    // INDEPENDENT iterative checkpoint chains off the same pinned
+    // edge frame, only meeting at the final estimate-vs-exact join —
+    // overlap them on driver threads (round-12; guide §2.6), the same
+    // treatment as the q344/q350 ladders.
+    val chains = graft.functions.Concurrent.inParallel[AnyRef](s, Seq(
+      () => {
+        var b = Checkpoints.pin(b0.localCheckpoint())
+        val acc = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+        for (_ <- 1 to 4) {
+          val nb = b.unionByName(
+              e.join(b.withColumnRenamed("node", "dstn"),
+                col("dstn") === col("dst"))
+                .select(col("src").as("node"), col("bucket"), col("m")))
+            .groupBy(col("node"), col("bucket"))
+            .agg(max(col("m")).as("m"))
+          b = Checkpoints.pin(nb.localCheckpoint())
+          acc += b
+        }
+        acc.result()
+      },
+      () => {
+        // exact reach (the q228 loop)
+        var reach = Checkpoints.pin(seeds
+          .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+          .localCheckpoint())
+        for (h <- 1 to 4) {
+          val cand = reach.filter(col("dist") === (h - 1))
+            .join(e, col("node") === col("src"))
+            .select(col("seed"), col("dst").as("node")).distinct()
+          val fresh = cand
+            .join(reach.select(col("seed"), col("node")),
+              Seq("seed", "node"), "left_anti")
+            .select(col("seed"), col("node"), lit(h.toLong).as("dist"))
+          val next = Checkpoints.pin(
+            reach.unionByName(fresh).localCheckpoint())
+          Checkpoints.free(reach)
+          reach = next
+        }
+        reach
+      }))
+    val sketches = chains(0)
+      .asInstanceOf[Seq[org.apache.spark.sql.DataFrame]]
+    val reach = chains(1).asInstanceOf[org.apache.spark.sql.DataFrame]
     import graft.functions.LangModel.mnat
     val perHop = (1 to 4).map { h =>
       val sr = sketches(h - 1)
@@ -1090,10 +1109,19 @@ object RecommenderQueries {
       .groupBy(col("x"), col("y"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("qx") > col("qy"), 1L).otherwise(0L)).as("wx"))
-    val dir = pc.select(col("x").as("i"), col("y").as("j"), col("n"),
-        col("wx").as("w"))
-      .unionByName(pc.select(col("y").as("i"), col("x").as("j"),
-        col("n"), (col("n") - col("wx")).as("w")))
+    // both orientations in one pass (the q219 explode form) — the
+    // unionByName(swap) shape re-ran the post-shuffle pair census per
+    // branch — and the frame is checkpoint-pinned: dir feeds the win
+    // census plus BOTH sides of each MM round's join (5 consumers),
+    // which otherwise each replay the pair census + explode
+    val dir = graft.functions.Checkpoints.pin(pc.select(explode(array(
+        struct(col("x").as("i"), col("y").as("j"), col("n"),
+          col("wx").as("w")),
+        struct(col("y").as("i"), col("x").as("j"), col("n"),
+          (col("n") - col("wx")).as("w")))).as("s"))
+      .select(col("s.i").as("i"), col("s.j").as("j"),
+        col("s.n").as("n"), col("s.w").as("w"))
+      .localCheckpoint())
     val wtab = dir.groupBy(col("i"))
       .agg(sum(col("n")).as("n_comp"), sum(col("w")).as("w"))
     var pi = wtab.select(col("i"), lit(1000000L).as("pi"))

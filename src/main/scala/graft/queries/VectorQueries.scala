@@ -1450,8 +1450,13 @@ object VectorQueries {
       |GROUP BY 1 ORDER BY label""".stripMargin) { (s, d) =>
     import graft.functions.Ranks
     val ku = pqUnits(s, d)
-    val pd = ku.select(col("vec_id"),
-      posexplode(col("ku")).as(Seq("dim", "v")))
+    // pinned: the exploded unit frame feeds both the centroid census
+    // and the per-vector distance agg — unpinned, each replays the
+    // normalize + explode pass (round-12)
+    val pd = graft.functions.Checkpoints.pin(
+      ku.select(col("vec_id"),
+        posexplode(col("ku")).as(Seq("dim", "v")))
+        .localCheckpoint())
     val cent = pd.groupBy(col("dim"))
       .agg(sum(col("v")).as("sv"), count(lit(1)).as("nv"))
       .select(col("dim"), expr("sv div nv").as("cv"))

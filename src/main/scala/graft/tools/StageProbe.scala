@@ -76,6 +76,40 @@ object StageProbe {
           timed(s"pass$pass final count")(levels.last._2.count())
           graft.Bench.releaseAll(spark)
         }
+      case "q219" =>
+        val raw = graft.Tables.lineitem(spark, sfDir)
+          .join(graft.Tables.orders(spark, sfDir),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+        val up0 = timed("up0 distinct ckpt") {
+          graft.functions.Checkpoints.pin(
+            raw.distinct().localCheckpoint())
+        }
+        timed("cap probe") {
+          graft.ml.Recommender.capFromDistinct(up0, "u")
+        }
+        val ni = up0.groupBy(col("i")).agg(count(lit(1)).as("n"))
+        timed("ni noop")(noop(ni))
+        val pp = up0.as("a").join(up0.as("b"),
+            col("a.u") === col("b.u") && col("a.i") < col("b.i"))
+          .groupBy(col("a.i").as("x"), col("b.i").as("y"))
+          .agg(count(lit(1)).as("c"))
+        timed("pair census noop")(noop(pp))
+        val sym = pp.select(col("x").as("i"), col("y").as("j"), col("c"))
+          .unionByName(
+            pp.select(col("y").as("i"), col("x").as("j"), col("c")))
+        val sim = sym
+          .join(ni.select(col("i"), col("n").as("na")), Seq("i"))
+          .join(ni.select(col("i").as("j"), col("n").as("nb")), Seq("j"))
+          .select(col("i"), col("j"), col("c"),
+            expr("(1000000 * c * c) div (na * nb)").as("sim2_ppm"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("i")).orderBy(col("sim2_ppm").desc, col("j"))
+        timed("full rest") {
+          noop(sim.withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 3))
+        }
+        graft.Bench.releaseAll(spark)
       case _ => System.err.println(s"unknown probe $what")
     }
     spark.stop()
