@@ -291,10 +291,15 @@ object RecommenderQueries {
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
         .distinct()
-      val edges = items.as("x").join(items.as("y"),
-          col("x.b") === col("y.b") && col("x.i") =!= col("y.i"))
-        .select(col("x.i").as("src"), col("y.i").as("dst"))
-        .distinct()
+      // pinned: the seed derivation (srcs → seedBase → scnt) and
+      // PageRank's own eager edge checkpoint otherwise each replay
+      // the scan + distinct + pair self-join + distinct chain
+      // (round-12)
+      val edges = graft.functions.Checkpoints.pin(
+        items.as("x").join(items.as("y"),
+            col("x.b") === col("y.b") && col("x.i") =!= col("y.i"))
+          .select(col("x.i").as("src"), col("y.i").as("dst"))
+          .distinct().localCheckpoint())
       val srcs = edges.select(col("src")).distinct()
       val seedBase = srcs.filter(col("src") % 20 === 0)
       val scnt = seedBase.agg(count(lit(1)).as("scnt"))
