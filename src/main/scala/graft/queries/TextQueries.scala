@@ -2262,19 +2262,32 @@ object TextQueries {
       |WHERE c_pair >= 5
       |ORDER BY pmi_milli DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
     import graft.functions.LangModel.mnat
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id").as("doc"),
-        posexplode(split(col("text"), " ")).as(Seq("i0", "w")))
-      .select(col("doc"), (col("i0") + 1).cast("long").as("i"), col("w"))
-    // context side re-keyed to (doc, i-1)/(doc, i-2), so the row
-    // joined at key i carries the token from i+1/i+2 (the LATER
-    // token = w2): ONE equi-join, never a per-doc quadratic
-    // join+filter
-    val ctx = toks.select(col("doc"), explode(array(col("i") - 1,
-        col("i") - 2)).as("i"), col("w").as("w2"))
-    val pairs = toks.withColumnRenamed("w", "w1")
-      .join(ctx, Seq("doc", "i"))
-      .select(col("w1"), col("w2"))
+    // token frame feeds THREE consumers (pair windows, unigram census,
+    // token total) — eager checkpoint so the documents scan + explode
+    // run once (round-12 phase 2; the q226 reused-frame discipline)
+    val toks = graft.functions.Checkpoints.pin(
+      Tables.documents(s, d)
+        .select(col("doc_id").as("doc"),
+          posexplode(split(col("text"), " ")).as(Seq("i0", "w")))
+        .select(col("doc"), (col("i0") + 1).cast("long").as("i"),
+          col("w"))
+        .localCheckpoint())
+    // w2 at i+1/i+2 via lead() over the doc-keyed position window
+    // (round-12 phase 2): positions are CONSECUTIVE integers within a
+    // doc by construction (the posexplode above), so the row k ahead
+    // IS position i+k and lead-past-doc-end is null → dropped — the
+    // same pairs the old (doc, i±k) equi-join built, minus both of
+    // the join's hash exchanges (ONE doc-keyed sort instead; the
+    // SuffixRanks lead(r, k) trick).
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("i"))
+    val pairs = toks
+      .select(col("w").as("w1"),
+        lead(col("w"), 1).over(wDoc).as("n1"),
+        lead(col("w"), 2).over(wDoc).as("n2"))
+      .select(col("w1"),
+        explode(array(col("n1"), col("n2"))).as("w2"))
+      .filter(col("w2").isNotNull)
       .persist() // feeds the pair census AND the total
     val pc = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_pair"))

@@ -2167,40 +2167,39 @@ object VectorQueries {
       |  SELECT * FROM row_mod3 UNION ALL SELECT * FROM row_parity)
       |ORDER BY split""".stripMargin
     }) { (s, d) =>
-    // ONE d²-explosion pass for BOTH splits: tag every vector with its
-    // (mod3, parity) group cell, aggregate moments per 4-cell joint key
-    // (≤ 4·d² rows), then each split's moments are re-sums of the joint
-    // frame along the other split's axis — the heavy n·d² scan runs
-    // once, and exact integer sums commute with the re-aggregation.
-    // localCheckpoint (EAGER), not cache(): the final two-row plan
-    // references these frames from several broadcast subtrees whose
-    // jobs launch concurrently — parallel readers of a not-yet-
-    // populated cache each recompute the n·d² explode (measured
-    // slower than running the explode per split); the eager
-    // checkpoint materializes once, before any consumer.
+    // ONE moment pass for BOTH splits (round-12 phase 2): tag every
+    // vector with its (mod3, parity) group cell and fold count +
+    // first-moment vector + full Gram matrix per 4-cell joint key in a
+    // SINGLE typed aggregate over the raw ku arrays
+    // ([[graft.functions.Gram]]) — this deletes the n·d² double-
+    // posexplode stream (two Generate operators + a 4·d²-key hash agg
+    // probed once per product) in favor of d(d+1)/2 multiply-adds per
+    // row into a primitive per-group buffer. Long sums are exact and
+    // commutative, so every downstream value is bit-identical; each
+    // split's moments are re-sums of the 4-row joint frame along the
+    // other split's axis. The joint frame is the ONLY checkpoint the
+    // heavy scan needs now (4 rows; cnt/u/sm below are lazy
+    // projections of it).
     import graft.functions.Checkpoints
-    val base = Checkpoints.pin(
-      normed(s, d).select(col("vec_id"),
-        when(col("vec_id") % 3 === 0, 0L).otherwise(1L).as("g3"),
-        when(col("vec_id") % 2 === 0, 0L).otherwise(1L).as("g2"),
-        transform(col("e"),
-          x => floor(x / col("nrm") * lit(1e3) + lit(0.5)).cast("long"))
-          .as("ku")).localCheckpoint())
-    val cntJ = Checkpoints.pin(
-      base.groupBy(col("g3"), col("g2"))
-        .agg(count(lit(1)).as("n")).localCheckpoint())
-    val uJ = Checkpoints.pin(
-      base.select(col("g3"), col("g2"),
-          posexplode(col("ku")).as(Seq("pos0", "k")))
-        .groupBy(col("g3"), col("g2"), col("pos0"))
-        .agg(sum(col("k")).as("sk")).localCheckpoint())
-    val smJ = Checkpoints.pin(
-      base.select(col("g3"), col("g2"), col("ku"),
-          posexplode(col("ku")).as(Seq("p", "kp")))
-        .select(col("g3"), col("g2"), col("p"), col("kp"),
-          posexplode(col("ku")).as(Seq("q", "kq")))
-        .groupBy(col("g3"), col("g2"), col("p"), col("q"))
-        .agg(sum(col("kp") * col("kq")).as("s")).localCheckpoint())
+    val mj = Checkpoints.pin(
+      normed(s, d).select(
+          when(col("vec_id") % 3 === 0, 0L).otherwise(1L).as("g3"),
+          when(col("vec_id") % 2 === 0, 0L).otherwise(1L).as("g2"),
+          transform(col("e"),
+            x => floor(x / col("nrm") * lit(1e3) + lit(0.5)).cast("long"))
+            .as("ku"))
+        .groupBy(col("g3"), col("g2"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Gram.moments(col("ku"), DIM).as("mm"))
+        .localCheckpoint())
+    val cntJ = mj.select(col("g3"), col("g2"), col("n"))
+    val uJ = mj.select(col("g3"), col("g2"),
+        posexplode(col("mm._1")).as(Seq("pos0", "sk")))
+    val smJ = mj.select(col("g3"), col("g2"),
+        posexplode(col("mm._2")).as(Seq("pq", "s")))
+      .select(col("g3"), col("g2"),
+        expr(s"pq div $DIM").cast("int").as("p"),
+        expr(s"pq % $DIM").cast("int").as("q"), col("s"))
     def splitRow(name: String, axis: String) = {
       val grp = col(axis).as("grp")
       val cnt = Checkpoints.pin(
@@ -2308,21 +2307,22 @@ object VectorQueries {
       |) ORDER BY round, pos""".stripMargin
     }) { (s, d) =>
     import graft.functions.Checkpoints
-    val base = normed(s, d).select(col("vec_id"),
-      transform(col("e"),
-        x => floor(x / col("nrm") * lit(1e3) + lit(0.5)).cast("long"))
-        .as("ku"))
-    val cnt = base.agg(count(lit(1)).as("n"))
+    // ONE typed moment pass (round-12 phase 2, the q310 treatment):
+    // count + full Gram matrix per corpus in a single aggregate over
+    // the raw ku arrays ([[graft.functions.Gram]]) — the n·d² double-
+    // posexplode stream and its separate count pass collapse into one
+    // scan; long sums are exact and commutative, so M is bit-identical.
+    val agg0 = normed(s, d).select(
+        transform(col("e"),
+          x => floor(x / col("nrm") * lit(1e3) + lit(0.5)).cast("long"))
+          .as("ku"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Gram.moments(col("ku"), DIM).as("mm"))
     val m = Checkpoints.pin(
-      base.select(col("ku"), posexplode(col("ku")).as(Seq("p", "kp")))
-        .select(col("p"), col("kp"),
-          posexplode(col("ku")).as(Seq("q", "kq")))
-        .groupBy(col("p"), col("q"))
-        .agg(sum(col("kp") * col("kq")).as("s"))
-        .crossJoin(broadcast(cnt))
+      agg0.select(col("n"), posexplode(col("mm._2")).as(Seq("pq", "s")))
         // 1-based pos to match the oracle's array indexing
-        .select((col("p") + 1).cast("long").as("p"),
-          (col("q") + 1).cast("long").as("q"),
+        .select((expr(s"pq div $DIM") + 1).cast("long").as("p"),
+          (expr(s"pq % $DIM") + 1).cast("long").as("q"),
           expr("(s - pmod(s, n)) div n").as("m"))
         .localCheckpoint())
     var v: org.apache.spark.sql.DataFrame = Checkpoints.pin(
