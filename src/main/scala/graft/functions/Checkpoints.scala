@@ -27,10 +27,17 @@ object Checkpoints {
     // too — otherwise a superseded-then-freed frame stays queued (a
     // driver-side leak for long-lived callers that never releaseAll).
     pinned.remove(df)
-    df.queryExecution.analyzed match {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking)
-      case _ => df.unpersist(blocking)
+    // Collect EVERY LogicalRDD in the plan, not just a root match: an
+    // operator may hand back a cheap projection OVER its checkpoint
+    // (the SuffixRanks fused relabel) and freeing that frame must
+    // still release the underlying blocks. OWNERSHIP CAVEAT: only
+    // free frames whose whole plan you own — a frame that embeds
+    // ANOTHER operator's live checkpoint would free that too.
+    val rdds = df.queryExecution.analyzed.collect {
+      case lr: LogicalRDD => lr
     }
+    if (rdds.nonEmpty) rdds.foreach(_.rdd.unpersist(blocking))
+    else df.unpersist(blocking)
   }
 
   /** Checkpointed frames that must OUTLIVE the operator call that

@@ -37,8 +37,8 @@ object Ranks {
   /** Interior quantile boundaries of `orderCol` (cast to double).
     * Driver-side result is `<= buckets - 1` doubles — bounded by the
     * knob. One aggregation pass over the (persisted) input. */
-  private def boundaries(df: DataFrame, orderCol: Column,
-                         buckets: Int): Seq[Double] =
+  private[functions] def boundaries(df: DataFrame, orderCol: Column,
+                                    buckets: Int): Seq[Double] =
     if (buckets <= 1) Seq.empty
     else {
       val probs = (1 until buckets).map(_.toDouble / buckets).toArray
@@ -51,7 +51,8 @@ object Ranks {
   /** Bucket id = number of boundaries strictly below the value (null
     * orders first, as SQL ASC NULLS FIRST does). Pure per-row, codegen
     * friendly. */
-  private def bucketOf(orderCol: Column, bounds: Seq[Double]): Column =
+  private[functions] def bucketOf(orderCol: Column,
+                                  bounds: Seq[Double]): Column =
     bounds.foldLeft(when(orderCol.isNull, lit(-1)).otherwise(lit(0))) {
       (acc, t) =>
         acc + when(orderCol.cast("double") > lit(t), 1).otherwise(0)

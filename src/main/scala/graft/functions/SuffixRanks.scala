@@ -120,25 +120,47 @@ object SuffixRanks {
     // this exchange — no extra shuffle appears, the blowup just runs
     // at full width (width = session shuffle parallelism, Par.fanout).
     import graft.functions.Par.FanoutOps
-    val base = docs.select(col("doc").cast("long").as("doc"),
+    val raw = docs.select(col("doc").cast("long").as("doc"),
         encode(col("text"), "UTF-8").as("bin"))
       .withColumn("len", length(col("bin")).cast("long"))
       .filter(col("len") > 0)
-      .fanoutBy(col("doc"))
+    val base = raw.fanoutBy(col("doc"))
     // Global 1-based position id (the class-representative pool):
     // doc-offset prefix sum + in-doc index. One row per doc; the
     // prefix sum distributes via Ranks.
+    def probed[T](name: String)(f: => T): T =
+      if (sys.env.contains("SPARK_GRAFT_RANK_PROBE")) {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(
+          f"[rankprobe] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+        r
+      } else f
+    // lens and the alphabet probe read the FANNED frame: the docs
+    // parquet arrives as one split, and the per-doc byte fold in the
+    // alphabet probe is a blowup (n bytes of work from |docs| rows) —
+    // without the fan-out it runs on one core (measured 0.7s → 3.1s)
     val lens = base.select(col("doc"), col("len"))
-    val off = Ranks.prefixSum(lens, col("doc"), col("doc"), col("len"), "cum")
-      .select(col("doc"), (col("cum") - col("len")).as("off"))
+    val off = probed("off prefixSum")(
+      Ranks.prefixSum(lens, col("doc"), col("doc"), col("len"), "cum")
+        .select(col("doc"), (col("cum") - col("len")).as("off")))
     def byteAt(offset: Int): org.apache.spark.sql.Column =
       expr(s"ascii(decode(substr(bin, cast(i as int) + ${offset + 1}, 1), 'ISO-8859-1'))")
     val chars = base.join(off, Seq("doc"))
       .select(col("doc"), col("bin"), col("len"), col("off"),
         explode(sequence(lit(0L), col("len") - 1)).as("i"))
-    // alphabet probe: one scan; digits are code+1 so the off-end
-    // sentinel 0 sorts below every real byte
-    val maxCode = chars.agg(max(byteAt(0))).head().getInt(0)
+    // alphabet probe: max byte code per DOC via a fold over the
+    // binary, then max over docs — value-identical to probing every
+    // exploded position (same byte set) but it never materializes the
+    // per-position frame, so the explode+decode pass runs once (for
+    // `keyed` below), not twice (round-12 phase 2; measured ~2s per
+    // suffix query at sf0.1). Digits are code+1 so the off-end
+    // sentinel 0 sorts below every real byte.
+    val maxCode = probed("maxCode probe")(base.select(expr(
+        "aggregate(sequence(1, cast(len as int)), 0, (acc, j) -> " +
+          "greatest(acc, ascii(decode(substr(bin, j, 1), 'ISO-8859-1'))))")
+        .as("m"))
+      .agg(max(col("m"))).head().getInt(0))
     val radix = maxCode.toLong + 2
     // largest power-of-two block with radix^b <= 2^62, capped at L
     var b = 1
@@ -157,14 +179,6 @@ object SuffixRanks {
         else (coalesce(lead(col("c"), j).over(wDoc), lit(-1)) + 1).cast("long")
       digit * lit(powL(radix, b - 1 - j))
     }.reduce(_ + _)
-    def probed[T](name: String)(f: => T): T =
-      if (sys.env.contains("SPARK_GRAFT_RANK_PROBE")) {
-        val t0 = System.nanoTime()
-        val r = f
-        System.err.println(
-          f"[rankprobe] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
-        r
-      } else f
     val keyed = probed("base keys ckpt")(chars
       .select(col("doc"), col("i"), (col("off") + col("i") + 1).as("pos"),
         byteAt(0).as("c"))
@@ -172,7 +186,7 @@ object SuffixRanks {
       .select(col("doc"), col("i"), col("pos"), col("key"))
       .localCheckpoint()) // eager: truncate lineage at the source
     Checkpoints.pin(keyed)
-    val n = keyed.count()
+    val n = probed("keyed count")(keyed.count())
     require(n < M, s"$n positions exceeds the packed-rank capacity $M; shard the corpus")
     // Relabel = ONE hash-partitioned window per step (min(pos) over
     // the key class) for the dedup variant — no global sort, no
@@ -188,14 +202,40 @@ object SuffixRanks {
     def relabel(frame: DataFrame,
                 bounds: Option[Seq[Double]] = None): DataFrame =
       if (ordered) {
-        // fused distributed dense rank (round-12): same labels as the
-        // old rowNumberGlobal-over-distinct + join-back, minus the
-        // distinct exchange and the join-back exchange per level —
-        // ~40% of the ordered build's shuffle count (q181/q353/q354)
-        val (ranked, total) = Ranks.denseRankGlobalCounted(
-          frame, col("key"), "nr", buckets, bounds)
-        nClasses = total
-        ranked.select(col("doc"), col("i"), col("pos"), col("nr").as("r"))
+        // fused distributed dense rank, ONE pass over the frame
+        // (round-12 phase 2): the per-bucket dense_rank is
+        // materialized as this level's eager checkpoint DIRECTLY, and
+        // the cumulative per-bucket offsets are read back from the
+        // MATERIALIZED checkpoint (max local rank per bucket ≡
+        // countDistinct per bucket; ≤ `buckets` rows driver-side) and
+        // applied as a literal when-chain in a lazy projection. The
+        // previous shape (Ranks.denseRankGlobalCounted) paid a
+        // separate countDistinct pre-pass plus a full cache
+        // write+read of the paired frame per level; labels are
+        // value-identical (local dense rank + distinct-mass-before-
+        // bucket = global dense rank — a tie class never straddles
+        // buckets, the class-doc argument).
+        val bnds = bounds.getOrElse(
+          Ranks.boundaries(frame, col("key"), buckets))
+        val local = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__b")).orderBy(col("key"))
+        val ck = Checkpoints.pin(frame
+          .withColumn("__b", Ranks.bucketOf(col("key"), bnds))
+          .withColumn("__lr", dense_rank().over(local).cast("long"))
+          .select(col("doc"), col("i"), col("pos"), col("__b"),
+            col("__lr"))
+          .localCheckpoint())
+        val maxima = ck.groupBy(col("__b"))
+          .agg(max(col("__lr")).as("m")).collect()
+          .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val prefix = maxima.scanLeft(0L)(_ + _._2)
+        val offExpr = maxima.zipWithIndex.foldLeft(lit(0L)) {
+          case (acc, ((bid, _), ix)) =>
+            when(col("__b") === bid, lit(prefix(ix))).otherwise(acc)
+        }
+        nClasses = prefix.last
+        ck.select(col("doc"), col("i"), col("pos"),
+          (col("__lr") + offExpr).as("r"))
       } else frame
         .withColumn("nr", min(col("pos")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("key"))))
@@ -205,8 +245,12 @@ object SuffixRanks {
       else Some((1 until buckets)
         .map(j => (j.toDouble * nClasses / buckets) * M.toDouble)
         .distinct.sorted)
-    var p = probed(s"relabel base b=$b")(relabel(keyed).localCheckpoint())
-    Checkpoints.pin(p)
+    // ordered relabels checkpoint INSIDE relabel (the offsets job must
+    // read the materialized frame); the dedup relabel stays lazy and
+    // is checkpointed here.
+    def materialized(r: DataFrame): DataFrame =
+      if (ordered) r else Checkpoints.pin(r.localCheckpoint())
+    var p = probed(s"relabel base b=$b")(materialized(relabel(keyed)))
     Checkpoints.free(keyed) // base keys never read again past level b
     var k = b
     val levels = scala.collection.mutable.ArrayBuffer(k -> p)
@@ -225,8 +269,7 @@ object SuffixRanks {
         col("r") * M + coalesce(lead(col("r"), k).over(wDocK), lit(0L)))
       val bnds = levelBounds // from the PREVIOUS level's class count
       val next = probed(s"relabel level ${k * 2}")(
-        relabel(paired, bnds).localCheckpoint())
-      Checkpoints.pin(next)
+        materialized(relabel(paired, bnds)))
       p = next
       k *= 2
       levels += k -> p

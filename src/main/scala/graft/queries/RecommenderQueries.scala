@@ -462,16 +462,23 @@ object RecommenderQueries {
     // both orientations in ONE pass over the pair census (explode of
     // a 2-struct array) — the unionByName(swap) form evaluated the
     // 13M-row post-shuffle aggregation twice, once per branch, with
-    // only the exchange reused (round-12; same rows, oracle unchanged)
-    val sym = pp.select(explode(array(
-        struct(col("x").as("i"), col("y").as("j"), col("c")),
-        struct(col("y").as("i"), col("x").as("j"), col("c")))).as("s"))
-      .select(col("s.i").as("i"), col("s.j").as("j"), col("s.c").as("c"))
-    val sim = sym
-      .join(ni.select(col("i"), col("n").as("na")), Seq("i"))
-      .join(ni.select(col("i").as("j"), col("n").as("nb")), Seq("j"))
-      .select(col("i"), col("j"), col("c"),
-        expr("(1000000 * c * c) div (na * nb)").as("sim2_ppm"))
+    // only the exchange reused (round-12; same rows, oracle unchanged).
+    // Audience joins run on the HALF-SIZED x<y census and the explode
+    // symmetrizes AFTERWARDS (round-12 phase 2): the two ni joins each
+    // exchange |pp| rows instead of 2·|pp|, and the only operator that
+    // ever sees the doubled frame is the per-item top-3 window, whose
+    // exchange is pre-shrunk by the partial WindowGroupLimit (≤ 3 rows
+    // per item per partition). Same rows by construction.
+    val sim = pp
+      .join(ni.select(col("i").as("x"), col("n").as("nx")), Seq("x"))
+      .join(ni.select(col("i").as("y"), col("n").as("ny")), Seq("y"))
+      .select(explode(array(
+        struct(col("x").as("i"), col("y").as("j"), col("c"),
+          col("nx").as("na"), col("ny").as("nb")),
+        struct(col("y").as("i"), col("x").as("j"), col("c"),
+          col("ny").as("na"), col("nx").as("nb")))).as("s"))
+      .select(col("s.i").as("i"), col("s.j").as("j"), col("s.c").as("c"),
+        expr("(1000000 * s.c * s.c) div (s.na * s.nb)").as("sim2_ppm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("i")).orderBy(col("sim2_ppm").desc, col("j"))
     sim.withColumn("rn", row_number().over(w))
