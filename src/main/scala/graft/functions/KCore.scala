@@ -52,17 +52,27 @@ object KCore {
       val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
       // eager one-row checkpoint: the census must be MATERIALIZED
       // before this round's edge frame is freed below, or the final
-      // union replays it against released checkpoint blocks
-      rows += Checkpoints.pin(census(deg, r).localCheckpoint())
+      // union replays it against released checkpoint blocks.
+      // The census and the next-round edge build are INDEPENDENT
+      // given this round's frame, so they run overlapped on driver
+      // threads (guide §2.6; the q344/q350 ladder treatment) — the
+      // per-round wall time drops to the larger of the two jobs
+      // instead of their sum, across `rounds` sequential rounds.
       if (r < rounds) {
         val keep = deg.filter(col("d") >= k).select(col("src").as("n"))
-        val next = Checkpoints.pin(
-          e.join(keep, e("src") === keep("n")).drop("n")
-            .join(keep, e("dst") === keep("n")).drop("n")
-            .select(col("src"), col("dst"))
-            .localCheckpoint())
+        val eCur = e
+        val both = Concurrent.inParallel(edges.sparkSession, Seq(
+          () => Checkpoints.pin(census(deg, r).localCheckpoint()),
+          () => Checkpoints.pin(
+            eCur.join(keep, eCur("src") === keep("n")).drop("n")
+              .join(keep, eCur("dst") === keep("n")).drop("n")
+              .select(col("src"), col("dst"))
+              .localCheckpoint())))
+        rows += both(0)
         Checkpoints.free(e)
-        e = next
+        e = both(1)
+      } else {
+        rows += Checkpoints.pin(census(deg, r).localCheckpoint())
       }
     }
     rows.result().reduce(_ unionByName _).orderBy(col("round"))

@@ -871,19 +871,35 @@ object PipelineQueries {
       |  CAST(cum * 1000000 // (SELECT total FROM tot) AS BIGINT)
       |    AS cov_ppm
       |FROM c ORDER BY cnt DESC, token LIMIT 20""".stripMargin) { (s, d) =>
+    // Only the TOP-20 rows of the coverage curve are reported, and
+    // their cumulative counts involve only each other (they are the
+    // 20 most frequent terms in the same (cnt desc, t) order the
+    // window runs in) — so the corpus-wide distributed prefix sum the
+    // curve would need is unnecessary here (round-12 phase 2): a
+    // global TakeOrdered(20) + a 20-row bounded window replaces the
+    // quantile probe, two offset collects and the bucketed window,
+    // and is the strictly more scalable plan at 100 TB (top-k
+    // selection over the vocab census, no global ordering pass).
+    // Values identical: prefix over the top-20 set = prefix over the
+    // full curve for those rows.
     val vocab = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("t"))
       .filter(col("t") =!= "")
       .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-    // descending frequency curve = ascending on the negated key
-    val withCum = graft.functions.Ranks.prefixSum(
-      vocab, negate(col("cnt")), col("t"), col("cnt"), "cum_cnt")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = vocab.orderBy(col("cnt").desc, col("t")).limit(20)
     val tot = vocab.agg(sum(col("cnt")).as("total"))
-    withCum.crossJoin(broadcast(tot))
+    // 20-row frame by construction (the limit above) — bounded, never
+    // the data-sized partition-less window the class doc warns about
+    val w20 = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    top.withColumn("cum_cnt", sum(col("cnt")).over(w20))
+      .crossJoin(broadcast(tot))
       .select(col("t").as("token"), col("cnt"), col("cum_cnt"),
         expr("cum_cnt * 1000000 div total").as("cov_ppm"))
       .orderBy(col("cnt").desc, col("token"))
-      .limit(20)
   }
 
   /** q117 — URL canonicalization census

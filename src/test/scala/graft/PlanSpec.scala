@@ -140,7 +140,12 @@ class PlanSpec extends SparkSpec {
       // q340's prefix windows run over the ≤10-row margin census
       "q340_risk_coverage",
       // q347's prefix windows run over the ≤10-row EL2N band census
-      "q347_el2n_pruning")
+      "q347_el2n_pruning",
+      // q116's coverage cumsum runs over the LIMIT-20 top-terms frame
+      // (the q193 LIMIT-bounded argument; round-12 phase 2 rewrite —
+      // only the reported top-20 rows need the prefix, so the
+      // corpus-wide distributed prefix sum was dead machinery)
+      "q116_vocab_coverage")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => allowed.contains(n) }
       .flatMap { case (name, fn) =>
