@@ -144,9 +144,17 @@ object Recommender {
   def boundedItems(baskets: DataFrame, basketCol: String,
                    itemCol: String,
                    pairBudget: Long = 100000000L): DataFrame = {
+    // checkpoint WITH declared basket-key partitioning + order
+    // (round-12 phase 2): the cap histogram (groupBy b), the breadth
+    // window (partitionBy b) and BOTH sides of the pair self-join
+    // (join on b) then plan with no exchange and no re-sort — one
+    // extra keyed exchange at build time buys zero afterwards
+    // (plain localCheckpoint loses the partitioning under AQE;
+    // see PartitionedCheckpoint's scaladoc)
     val items = graft.functions.Checkpoints.pin(
-      baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
-        .distinct().localCheckpoint())
+      org.apache.spark.sql.graft.PartitionedCheckpoint.byKey(
+        baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
+          .distinct(), Seq("b")))
     val (cap, maxObs) = capFromDistinct(items, "b", pairBudget)
     if (cap >= maxObs) items
     else items

@@ -437,7 +437,8 @@ object RecommenderQueries {
     // recomputes mid-query, doubling the wall time; checkpoint blocks
     // are MEMORY_AND_DISK, so pressure spills them instead.
     val up0 = graft.functions.Checkpoints.pin(
-      raw.distinct().localCheckpoint())
+      org.apache.spark.sql.graft.PartitionedCheckpoint.byKey(
+        raw.distinct(), Seq("u")))
     // Breadth cap from the size histogram (see scaladoc): at test SFs
     // the budget admits the whole histogram, so nothing is dropped and
     // the uncapped oracle proves it; at scale this bounds the pair join.
@@ -536,9 +537,10 @@ object RecommenderQueries {
     // three separate scan+distinct chains); nb/ni stay on the
     // UNCAPPED frame — only the pair expansion rides the cost cap,
     // exactly as before
-    val items = graft.functions.Checkpoints.pin(li
-      .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
-      .distinct().localCheckpoint())
+    val items = graft.functions.Checkpoints.pin(
+      org.apache.spark.sql.graft.PartitionedCheckpoint.byKey(li
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .distinct(), Seq("b")))
     val (cap, maxObs) = Recommender.capFromDistinct(items, "b")
     val bounded = if (cap >= maxObs) items else items
       .withColumn("__n", count(lit(1)).over(
@@ -1103,11 +1105,11 @@ object RecommenderQueries {
     // separate scan+distinct probe), and the breadth filter is elided
     // when the budget admits every basket (the boundedItems no-op
     // elision).
-    val iq0 = graft.functions.Checkpoints.pin(li
-      .groupBy(col("l_orderkey").as("b"), col("l_partkey").as("i"))
-      .agg(sum(expr("cast(floor(l_quantity + 0.5) as bigint)"))
-        .as("q"))
-      .localCheckpoint())
+    val iq0 = graft.functions.Checkpoints.pin(
+      org.apache.spark.sql.graft.PartitionedCheckpoint.byKey(li
+        .groupBy(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .agg(sum(expr("cast(floor(l_quantity + 0.5) as bigint)"))
+          .as("q")), Seq("b")))
     val (cap, maxObs) = Recommender.capFromDistinct(iq0, "b")
     val iq = if (cap >= maxObs) iq0 else iq0
       .withColumn("__n", count(lit(1)).over(
