@@ -37,9 +37,15 @@ object KCore {
   def peelCensus(edges: DataFrame, srcCol: String, dstCol: String,
                  k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got $k/$rounds")
-    var e = Checkpoints.pin(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .localCheckpoint())
+    // every round's frame is pinned WITH declared src partitioning
+    // (round-12 phase 3): the degree census (groupBy src) and the
+    // src-side survivor semi-join then plan exchange-free every
+    // round — the dst-side join is the only per-round shuffle left
+    def pinSrc(f: DataFrame): DataFrame = Checkpoints.pin(
+      org.apache.spark.sql.graft.PartitionedCheckpoint.byKey(
+        f, Seq("src")))
+    var e = pinSrc(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     def census(deg: DataFrame, r: Int): DataFrame =
       deg.agg(count(lit(1)).as("n_nodes"),
           coalesce(sum(col("d")), lit(0L)).as("n_edges"),
@@ -63,11 +69,10 @@ object KCore {
         val eCur = e
         val both = Concurrent.inParallel(edges.sparkSession, Seq(
           () => Checkpoints.pin(census(deg, r).localCheckpoint()),
-          () => Checkpoints.pin(
+          () => pinSrc(
             eCur.join(keep, eCur("src") === keep("n")).drop("n")
               .join(keep, eCur("dst") === keep("n")).drop("n")
-              .select(col("src"), col("dst"))
-              .localCheckpoint())))
+              .select(col("src"), col("dst")))))
         rows += both(0)
         Checkpoints.free(e)
         e = both(1)

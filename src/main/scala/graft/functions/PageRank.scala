@@ -54,11 +54,25 @@ object PageRank {
     val tp = if (teleport.isNaN) 1.0 - damping else teleport
     // One materialization: e feeds deg, n, and every iteration — an
     // unpersisted plan would recompute the caller's edge derivation
-    // 2+iterations times (the Ranks/Components reuse lesson). Eager
-    // localCheckpoint also truncates lineage across rounds.
-    val e = graft.functions.Checkpoints.pin(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .localCheckpoint(true))
+    // 2+iterations times (the Ranks/Components reuse lesson). The pin
+    // DECLARES src-hash partitioning (round-12 phase 3,
+    // PartitionedCheckpoint): deg (groupBy src) and the e-side of
+    // every iteration's contribution join then plan with no exchange
+    // and no re-sort — the checkpointed stats are unknown, so Spark
+    // plans those joins as SortMergeJoin and a plain localCheckpoint
+    // re-exchanged |E| rows per iteration (q82's before-plan: 12 SMJ,
+    // 0 broadcast). A caller that already built the edge frame with
+    // PartitionedCheckpoint.byKey on the source column (q82/q189's
+    // fused distinct-pair build) is detected and used as-is — the
+    // rename to src/dst is alias-preserving projection, no second
+    // materialization.
+    val e = {
+      import org.apache.spark.sql.graft.PartitionedCheckpoint
+      val sel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      if (PartitionedCheckpoint.declaredKeys(edges) == Seq(srcCol)) sel
+      else graft.functions.Checkpoints.pin(
+        PartitionedCheckpoint.byKey(sel, Seq("src")))
+    }
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val n = deg.agg(count(lit(1)).as("cnt"))
     val seedW = seeds.map(sw => graft.functions.Checkpoints.pin(

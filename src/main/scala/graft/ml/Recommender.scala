@@ -150,11 +150,15 @@ object Recommender {
     // (join on b) then plan with no exchange and no re-sort — one
     // extra keyed exchange at build time buys zero afterwards
     // (plain localCheckpoint loses the partitioning under AQE;
-    // see PartitionedCheckpoint's scaladoc)
+    // see PartitionedCheckpoint's scaladoc). The distinct is FUSED
+    // into that keyed exchange (round-12 phase 3): b-partitioning
+    // colocates every copy of a (b, i) row, so the dedup runs
+    // partition-local with no exchange of its own — one shuffle
+    // total where distinct-then-byKey paid two.
     val items = graft.functions.Checkpoints.pin(
-      org.apache.spark.sql.graft.PartitionedCheckpoint.byKey(
-        baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
-          .distinct(), Seq("b")))
+      org.apache.spark.sql.graft.PartitionedCheckpoint.byKeyWith(
+        baskets.select(col(basketCol).as("b"), col(itemCol).as("i")),
+        Seq("b"))(_.dropDuplicates()))
     val (cap, maxObs) = capFromDistinct(items, "b", pairBudget)
     if (cap >= maxObs) items
     else items

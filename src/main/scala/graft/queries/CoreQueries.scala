@@ -2249,35 +2249,48 @@ object CoreQueries {
       |    AS BIGINT) AS cc_milli,
       |  (SELECT CAST(MAX(dg) AS BIGINT) FROM deg) AS max_degree""".stripMargin) {
     (s, d) =>
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    // Eager pinned checkpoints on the two reused frames: e feeds deg,
-    // ed and the edge census (3 consumers), ed feeds both sides of
-    // the wedge self-join plus the closing join (3 consumers) — an
+    // Eager pinned checkpoints on the reused frames: e feeds deg, ed
+    // and the edge census (3 consumers), ed feeds both sides of the
+    // wedge self-join plus the closing join (3 consumers) — an
     // unpinned plan replays the distinct + pair self-join + agg chain
     // once per consumer (the q310/q309 recompute mechanism).
+    // Round-12 phase 3: the (o, p) distinct and the pair census are
+    // FUSED into declared keyed checkpoints — the o-partitioned li
+    // makes the self-join exchange-free on both sides, and the pair
+    // aggregation rides its x-keyed exchange (x ⊆ (x, y) clustering),
+    // which also serves ed's x join.
+    import org.apache.spark.sql.graft.PartitionedCheckpoint
+    val li = graft.functions.Checkpoints.pin(
+      PartitionedCheckpoint.byKeyWith(Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        Seq("o"))(_.dropDuplicates()))
     val e = graft.functions.Checkpoints.pin(
-      li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("x"), col("b.p").as("y"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2).select(col("x"), col("y"))
-        .localCheckpoint())
+      PartitionedCheckpoint.byKeyWith(
+        li.as("a").join(li.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("x"), col("b.p").as("y")),
+        Seq("x"))(
+        _.groupBy(col("x"), col("y"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2).select(col("x"), col("y"))))
     val deg = e.select(col("x").as("v"))
       .union(e.select(col("y").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))
     val keyed = deg.select(col("v"),
       (col("dg") * lit(1000000L) + col("v")).as("k"))
-    val ed = graft.functions.Checkpoints.pin(e
-      .join(keyed.select(col("v").as("x"), col("k").as("kx")), Seq("x"))
-      .join(keyed.select(col("v").as("y"), col("k").as("ky")), Seq("y"))
-      .select(
-        when(col("kx") < col("ky"), col("kx")).otherwise(col("ky"))
-          .as("ks"),
-        when(col("kx") < col("ky"), col("ky")).otherwise(col("kx"))
-          .as("kd"))
-      .localCheckpoint())
+    // ks-keyed pin: both sides of the wedge self-join (on ks) and the
+    // closing triangle join (on ks, kd — ks ⊆ keys clustering) plan
+    // exchange-free
+    val ed = graft.functions.Checkpoints.pin(
+      PartitionedCheckpoint.byKey(e
+        .join(keyed.select(col("v").as("x"), col("k").as("kx")), Seq("x"))
+        .join(keyed.select(col("v").as("y"), col("k").as("ky")), Seq("y"))
+        .select(
+          when(col("kx") < col("ky"), col("kx")).otherwise(col("ky"))
+            .as("ks"),
+          when(col("kx") < col("ky"), col("ky")).otherwise(col("kx"))
+            .as("kd")),
+        Seq("ks")))
     val wedges = ed.as("e1").join(ed.as("e2"),
         col("e1.ks") === col("e2.ks") && col("e1.kd") < col("e2.kd"))
       .select(col("e1.kd").as("ks"), col("e2.kd").as("kd"))

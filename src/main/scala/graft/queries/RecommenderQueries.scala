@@ -218,13 +218,24 @@ object RecommenderQueries {
       |SELECT node, CAST(FLOOR(r * 1e9 + 0.5) AS BIGINT) AS rank_nano
       |FROM r2 ORDER BY rank_nano DESC, node LIMIT 25""".stripMargin) {
     (s, d) =>
-      val items = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
-        .distinct()
-      val edges = items.as("x").join(items.as("y"),
-          col("x.b") === col("y.b") && col("x.i") =!= col("y.i"))
-        .select(col("x.i").as("src"), col("y.i").as("dst"))
-        .distinct()
+      // Fused partitioned edge build (round-12 phase 3): the (b, i)
+      // distinct rides its byKey exchange (self-join on b then plans
+      // exchange-free on both sides), and the pair distinct rides a
+      // src-keyed byKey whose declared partitioning PageRank.run
+      // detects — deg and both contribution joins run with no edge-
+      // side exchange (before: 48 Exchanges / 12 SMJ, every one
+      // re-shuffling |E| rows).
+      import org.apache.spark.sql.graft.PartitionedCheckpoint
+      val items = graft.functions.Checkpoints.pin(
+        PartitionedCheckpoint.byKeyWith(Tables.lineitem(s, d)
+            .select(col("l_orderkey").as("b"), col("l_partkey").as("i")),
+          Seq("b"))(_.dropDuplicates()))
+      val edges = graft.functions.Checkpoints.pin(
+        PartitionedCheckpoint.byKeyWith(
+          items.as("x").join(items.as("y"),
+              col("x.b") === col("y.b") && col("x.i") =!= col("y.i"))
+            .select(col("x.i").as("src"), col("y.i").as("dst")),
+          Seq("src"))(_.dropDuplicates()))
       // teleport passed EXPLICITLY as the literal 0.15 the oracle SQL
       // uses: the default `1.0 - 0.85` is 0.15000000000000002 in IEEE
       // double — 2 ulps off — and the divergence can flip a floor-
@@ -288,18 +299,21 @@ object RecommenderQueries {
       |SELECT node, CAST(FLOOR(r * 1e9 + 0.5) AS BIGINT) AS rank_nano
       |FROM r2 ORDER BY rank_nano DESC, node LIMIT 25""".stripMargin) {
     (s, d) =>
-      val items = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
-        .distinct()
-      // pinned: the seed derivation (srcs → seedBase → scnt) and
-      // PageRank's own eager edge checkpoint otherwise each replay
-      // the scan + distinct + pair self-join + distinct chain
-      // (round-12)
+      // Fused partitioned edge build — the q82 shape (round-12
+      // phase 3); the src-keyed pin serves the seed derivation
+      // (srcs distinct + scnt, both exchange-free on src) AND
+      // PageRank's detected pre-partitioned edge frame.
+      import org.apache.spark.sql.graft.PartitionedCheckpoint
+      val items = graft.functions.Checkpoints.pin(
+        PartitionedCheckpoint.byKeyWith(Tables.lineitem(s, d)
+            .select(col("l_orderkey").as("b"), col("l_partkey").as("i")),
+          Seq("b"))(_.dropDuplicates()))
       val edges = graft.functions.Checkpoints.pin(
-        items.as("x").join(items.as("y"),
-            col("x.b") === col("y.b") && col("x.i") =!= col("y.i"))
-          .select(col("x.i").as("src"), col("y.i").as("dst"))
-          .distinct().localCheckpoint())
+        PartitionedCheckpoint.byKeyWith(
+          items.as("x").join(items.as("y"),
+              col("x.b") === col("y.b") && col("x.i") =!= col("y.i"))
+            .select(col("x.i").as("src"), col("y.i").as("dst")),
+          Seq("src"))(_.dropDuplicates()))
       val srcs = edges.select(col("src")).distinct()
       val seedBase = srcs.filter(col("src") % 20 === 0)
       val scnt = seedBase.agg(count(lit(1)).as("scnt"))
@@ -436,9 +450,13 @@ object RecommenderQueries {
     // under memory pressure its blocks evict and the join+distinct
     // recomputes mid-query, doubling the wall time; checkpoint blocks
     // are MEMORY_AND_DISK, so pressure spills them instead.
+    // distinct FUSED into the u-keyed exchange (round-12 phase 3):
+    // u-partitioning colocates every copy of a (u, i) row, so the
+    // dedup is partition-local — one shuffle where distinct-then-
+    // byKey paid two full passes over the joined projection.
     val up0 = graft.functions.Checkpoints.pin(
-      org.apache.spark.sql.graft.PartitionedCheckpoint.byKey(
-        raw.distinct(), Seq("u")))
+      org.apache.spark.sql.graft.PartitionedCheckpoint.byKeyWith(
+        raw, Seq("u"))(_.dropDuplicates()))
     // Breadth cap from the size histogram (see scaladoc): at test SFs
     // the budget admits the whole histogram, so nothing is dropped and
     // the uncapped oracle proves it; at scale this bounds the pair join.
@@ -538,9 +556,9 @@ object RecommenderQueries {
     // UNCAPPED frame — only the pair expansion rides the cost cap,
     // exactly as before
     val items = graft.functions.Checkpoints.pin(
-      org.apache.spark.sql.graft.PartitionedCheckpoint.byKey(li
-        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
-        .distinct(), Seq("b")))
+      org.apache.spark.sql.graft.PartitionedCheckpoint.byKeyWith(li
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i")),
+        Seq("b"))(_.dropDuplicates()))
     val (cap, maxObs) = Recommender.capFromDistinct(items, "b")
     val bounded = if (cap >= maxObs) items else items
       .withColumn("__n", count(lit(1)).over(
@@ -653,11 +671,16 @@ object RecommenderQueries {
     }) { (s, d) =>
     import graft.functions.Checkpoints
     val li = Tables.lineitem(s, d)
-    val e = Checkpoints.pin(Recommender.coOccurrenceAuto(
-        li, "l_orderkey", "l_partkey")
-      .filter(col("n_baskets") >= 2)
-      .select(col("item").as("src"), col("co_item").as("dst"))
-      .localCheckpoint())
+    // support-graph pin DECLARES src-hash partitioning (round-12
+    // phase 3, PartitionedCheckpoint): every BFS round joins the frontier on e.src and the seed
+    // degree census groups by src — all now exchange-free on the
+    // edge side
+    val e = Checkpoints.pin(
+      org.apache.spark.sql.graft.PartitionedCheckpoint.byKey(
+        Recommender.coOccurrenceAuto(li, "l_orderkey", "l_partkey")
+          .filter(col("n_baskets") >= 2)
+          .select(col("item").as("src"), col("co_item").as("dst")),
+        Seq("src")))
     val seeds = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("src")).limit(5)
       .select(col("src").as("seed"))
@@ -744,11 +767,16 @@ object RecommenderQueries {
     }) { (s, d) =>
     import graft.functions.Checkpoints
     val li = Tables.lineitem(s, d)
-    val e = Checkpoints.pin(Recommender.coOccurrenceAuto(
-        li, "l_orderkey", "l_partkey")
-      .filter(col("n_baskets") >= 2)
-      .select(col("item").as("src"), col("co_item").as("dst"))
-      .localCheckpoint())
+    // support-graph pin DECLARES dst-hash partitioning (round-12
+    // phase 3, PartitionedCheckpoint): every propagation round joins labels on e.dst — the edge
+    // side of that join is now exchange-free (seeds/nodes pay their
+    // own src exchanges either way)
+    val e = Checkpoints.pin(
+      org.apache.spark.sql.graft.PartitionedCheckpoint.byKey(
+        Recommender.coOccurrenceAuto(li, "l_orderkey", "l_partkey")
+          .filter(col("n_baskets") >= 2)
+          .select(col("item").as("src"), col("co_item").as("dst")),
+        Seq("dst")))
     val seeds = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("src")).limit(10)
       .select(col("src").as("seed"))
@@ -879,14 +907,24 @@ object RecommenderQueries {
     }) { (s, d) =>
     import graft.functions.Checkpoints
     val li = Tables.lineitem(s, d)
-    val e = Checkpoints.pin(Recommender.coOccurrenceAuto(
-        li, "l_orderkey", "l_partkey")
-      .filter(col("n_baskets") >= 2)
-      .select(col("item").as("src"), col("co_item").as("dst"))
-      .localCheckpoint())
+    // support-graph pin DECLARES src-hash partitioning (round-12
+    // phase 3, PartitionedCheckpoint): the BFS audit rounds join the frontier on e.src; the HLL
+    // chain gets its own dst-keyed copy below
+    val e = Checkpoints.pin(
+      org.apache.spark.sql.graft.PartitionedCheckpoint.byKey(
+        Recommender.coOccurrenceAuto(li, "l_orderkey", "l_partkey")
+          .filter(col("n_baskets") >= 2)
+          .select(col("item").as("src"), col("co_item").as("dst")),
+        Seq("src")))
     val seeds = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("src")).limit(5)
       .select(col("src").as("seed"))
+    // dst-keyed copy for the HLL chain: each of its 4 rounds joins
+    // registers on e.dst, so the edge side of every round is
+    // exchange-free (one extra |E|-row materialization buys 4)
+    val eDst = Checkpoints.pin(
+      org.apache.spark.sql.graft.PartitionedCheckpoint.byKey(
+        e, Seq("dst")))
     // per-node HLL registers (the q210 grid)
     val b0 = e.select(col("src").as("node")).distinct()
       .withColumn("hx", md5(col("node").cast("string")))
@@ -907,7 +945,7 @@ object RecommenderQueries {
         val acc = Seq.newBuilder[org.apache.spark.sql.DataFrame]
         for (_ <- 1 to 4) {
           val nb = b.unionByName(
-              e.join(b.withColumnRenamed("node", "dstn"),
+              eDst.join(b.withColumnRenamed("node", "dstn"),
                 col("dstn") === col("dst"))
                 .select(col("src").as("node"), col("bucket"), col("m")))
             .groupBy(col("node"), col("bucket"))
@@ -1011,10 +1049,16 @@ object RecommenderQueries {
       |WHERE n * sxx > sx * sx AND n * syy > sy * sy""".stripMargin) {
     (s, d) =>
     val li = Tables.lineitem(s, d)
-    val e = Recommender.coOccurrenceAuto(
+    val e0 = Recommender.coOccurrenceAuto(
         li, "l_orderkey", "l_partkey")
       .filter(col("n_baskets") >= 2)
       .select(col("item").as("src"), col("co_item").as("dst"))
+    // pin with declared src partitioning (round-12 phase 3): e feeds
+    // deg AND ed — unpinned, each replayed the pair census; keyed,
+    // the degree agg and ed's src join are also exchange-free
+    val e = graft.functions.Checkpoints.pin(
+      org.apache.spark.sql.graft.PartitionedCheckpoint.byKey(
+        e0, Seq("src")))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val ed = e.join(deg.select(col("src"), col("d").as("x")),
         Seq("src"))
@@ -1105,11 +1149,17 @@ object RecommenderQueries {
     // separate scan+distinct probe), and the breadth filter is elided
     // when the budget admits every basket (the boundedItems no-op
     // elision).
+    // the (b, i) aggregation FUSED into the b-keyed exchange
+    // (round-12 phase 3): b-partitioning satisfies the (b, i)
+    // grouping's clustering, so the agg runs in place — one shuffle
+    // where agg-then-byKey paid two.
     val iq0 = graft.functions.Checkpoints.pin(
-      org.apache.spark.sql.graft.PartitionedCheckpoint.byKey(li
-        .groupBy(col("l_orderkey").as("b"), col("l_partkey").as("i"))
-        .agg(sum(expr("cast(floor(l_quantity + 0.5) as bigint)"))
-          .as("q")), Seq("b")))
+      org.apache.spark.sql.graft.PartitionedCheckpoint.byKeyWith(li
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"),
+          col("l_quantity")), Seq("b"))(
+        _.groupBy(col("b"), col("i"))
+          .agg(sum(expr("cast(floor(l_quantity + 0.5) as bigint)"))
+            .as("q"))))
     val (cap, maxObs) = Recommender.capFromDistinct(iq0, "b")
     val iq = if (cap >= maxObs) iq0 else iq0
       .withColumn("__n", count(lit(1)).over(
@@ -1205,22 +1255,35 @@ object RecommenderQueries {
       |FROM a2 CROSS JOIN am2
       |ORDER BY authority_micro DESC, part LIMIT 25""".stripMargin) {
     (s, d) =>
-    val e = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
-      .distinct()
-    val a1 = e.groupBy(col("p"))
+    // ONE pinned (u, p) distinct with declared p partitioning
+    // (round-12 phase 3): before, e was a lazy distinct over the
+    // orders⋈lineitem join replayed by all three HITS phases (and
+    // each phase's max-crossJoin replayed the phase itself — 124
+    // Exchanges in the before-plan); now a1 and h1's p-join are
+    // exchange-free, and each phase's small keyed aggregate is
+    // materialized once so its max is a one-pass scan, not a replay.
+    import graft.functions.Checkpoints
+    val e = Checkpoints.pin(
+      org.apache.spark.sql.graft.PartitionedCheckpoint.byKeyWith(
+        Tables.orders(s, d)
+          .join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("u"), col("l_partkey").as("p")),
+        Seq("p"))(_.dropDuplicates()))
+    val a1 = Checkpoints.pin(e.groupBy(col("p"))
       .agg((lit(1000000L) * count(lit(1))).as("a"))
+      .localCheckpoint())
     val a1n = a1.crossJoin(broadcast(a1.agg(max(col("a")).as("m"))))
       .select(col("p"), expr("(1000000L * a) div m").as("a"))
-    val h1 = e.join(a1n, Seq("p"))
+    val h1 = Checkpoints.pin(e.join(a1n, Seq("p"))
       .groupBy(col("u")).agg(sum(col("a")).as("h"))
+      .localCheckpoint())
     val h1n = h1.crossJoin(broadcast(h1.agg(max(col("h")).as("m"))))
       .select(col("u"), expr("(1000000L * h) div m").as("h"))
-    val a2 = e.join(h1n, Seq("u"))
+    val a2 = Checkpoints.pin(e.join(h1n, Seq("u"))
       .groupBy(col("p"))
       .agg(sum(col("h")).as("a"), count(lit(1)).as("n_buyers"))
+      .localCheckpoint())
     a2.crossJoin(broadcast(a2.agg(max(col("a")).as("m"))))
       .select(col("p").as("part"), col("n_buyers"),
         expr("(1000000L * a) div m").as("authority_micro"))
@@ -1289,11 +1352,16 @@ object RecommenderQueries {
     }) { (s, d) =>
     import graft.functions.Checkpoints
     val li = Tables.lineitem(s, d)
-    val e = Checkpoints.pin(Recommender.coOccurrenceAuto(
-        li, "l_orderkey", "l_partkey")
-      .filter(col("n_baskets") >= 2)
-      .select(col("item").as("src"), col("co_item").as("dst"))
-      .localCheckpoint())
+    // support-graph pin DECLARES src-hash partitioning (round-12
+    // phase 3, PartitionedCheckpoint): every BFS round joins the frontier on e.src and the seed
+    // degree census groups by src — all now exchange-free on the
+    // edge side
+    val e = Checkpoints.pin(
+      org.apache.spark.sql.graft.PartitionedCheckpoint.byKey(
+        Recommender.coOccurrenceAuto(li, "l_orderkey", "l_partkey")
+          .filter(col("n_baskets") >= 2)
+          .select(col("item").as("src"), col("co_item").as("dst")),
+        Seq("src")))
     val nt = e.select(col("src")).distinct()
       .agg(count(lit(1)).as("n"))
     val seeds = e.groupBy(col("src")).agg(count(lit(1)).as("d"))

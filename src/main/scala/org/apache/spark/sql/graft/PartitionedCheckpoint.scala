@@ -4,10 +4,11 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, SortOrder}
 import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSession}
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Eager local checkpoint that KEEPS its hash partitioning and sort
   * order visible to the planner.
@@ -39,13 +40,31 @@ object PartitionedCheckpoint {
   /** Repartition `df` by `keys` (session shuffle width), sort within
     * partitions by `keys`, eagerly local-checkpoint, and return a
     * frame whose plan DECLARES that partitioning + ordering. */
-  def byKey(df: DataFrame, keys: Seq[String]): DataFrame = {
+  def byKey(df: DataFrame, keys: Seq[String]): DataFrame =
+    byKeyWith(df, keys)(identity)
+
+  /** [[byKey]] with a partitioning-preserving transform FUSED between
+    * the keyed exchange and the materialization: `f` runs on the
+    * already-repartitioned frame, so a dedup or keyed aggregation
+    * whose grouping keys CONTAIN the partition keys plans with no
+    * exchange of its own (HashPartitioning(keys) satisfies
+    * ClusteredDistribution(keys ⊆ group cols)) — one shuffle where
+    * the unfused `byKey(df.distinct(), keys)` shape pays two (the
+    * dedup's own (all-cols) exchange, then the keyed one).
+    *
+    * SAFETY: the declared metadata is verified against the PHYSICAL
+    * plan's own claims — after materialization, the executed plan's
+    * `outputPartitioning` must be exactly HashPartitioning(keys, n)
+    * (attribute-name match) — so a transform that secretly
+    * re-exchanges or otherwise breaks the layout fails LOUDLY here
+    * instead of producing wrong joins downstream. */
+  def byKeyWith(df: DataFrame, keys: Seq[String])
+               (f: DataFrame => DataFrame): DataFrame = {
     require(keys.nonEmpty, "PartitionedCheckpoint.byKey needs keys")
     val spark = df.sparkSession.asInstanceOf[ClassicSession]
     val n = spark.sessionState.conf.numShufflePartitions
-    val keyCols = keys.map(df.col)
-    val rp = df.repartition(n, keyCols: _*)
-      .sortWithinPartitions(keyCols: _*)
+    val rp0 = f(df.repartition(n, keys.map(df.col): _*))
+    val rp = rp0.sortWithinPartitions(keys.map(rp0.col): _*)
     val qe = rp.queryExecution
     // same materialization as Dataset.localCheckpoint(eager = true):
     // copy the reused UnsafeRows, mark for local checkpoint, run one
@@ -56,6 +75,25 @@ object PartitionedCheckpoint {
     require(rdd.getNumPartitions == n,
       s"PartitionedCheckpoint: materialized ${rdd.getNumPartitions} " +
         s"partitions, declared $n — refusing to stamp wrong metadata")
+    // Verify the finalized physical plan itself claims the declared
+    // hash partitioning (AQE has finalized after the count above).
+    val physical = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    physical.outputPartitioning match {
+      case h: HashPartitioning
+        if h.numPartitions == n &&
+          h.expressions.length == keys.length &&
+          h.expressions.zip(keys).forall {
+            case (a: Attribute, k) => a.name == k
+            case _ => false
+          } => ()
+      case other => throw new IllegalStateException(
+        s"PartitionedCheckpoint: physical plan partitioning $other " +
+          s"does not match declared HashPartitioning($keys, $n) — " +
+          "the fused transform broke the layout; refusing to stamp")
+    }
     val output = qe.analyzed.output
     val keyAttrs = keys.map { k =>
       output.find(_.name == k).getOrElse(
@@ -69,4 +107,20 @@ object PartitionedCheckpoint {
       isStreaming = false)(spark)
     ClassicDataset.ofRows(spark, plan)
   }
+
+  /** The key-column names a frame produced by [[byKey]]/[[byKeyWith]]
+    * declares — Nil for anything else (including frames with a
+    * projection on top). Lets a library operator (e.g. PageRank) skip
+    * re-checkpointing an edge frame its caller already partitioned by
+    * the right key. */
+  def declaredKeys(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD => l.outputPartitioning match {
+        case h: HashPartitioning =>
+          val names = h.expressions.collect { case a: Attribute => a.name }
+          if (names.length == h.expressions.length) names else Nil
+        case _ => Nil
+      }
+      case _ => Nil
+    }
 }
