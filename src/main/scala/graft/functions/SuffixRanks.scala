@@ -87,8 +87,8 @@ object SuffixRanks {
     * does NOT free — callers must call [[release]] after their final
     * action (the Bench/Verify harness does so per query). */
   def ranks(docs: DataFrame, L: Int, ordered: Boolean = false,
-            buckets: Int = 32): DataFrame = {
-    val levels = rankLevels(docs, L, ordered, buckets)
+            buckets: Int = 32, wideBase: Boolean = false): DataFrame = {
+    val levels = rankLevels(docs, L, ordered, buckets, wideBase)
     levels.init.foreach(l => Checkpoints.free(l._2)) // keep only level L
     levels.last._2.select(col("doc"), col("i"), col("r"))
   }
@@ -101,8 +101,19 @@ object SuffixRanks {
     * what makes a duplication-length SPECTRUM one run instead of
     * log L separate ones. All frames stay live; callers unpersist
     * the ones they drop. */
+  /** `wideBase = true` packs TWO longs of block digits at the base
+    * step (2b characters, e.g. 16 for ASCII instead of 8), removing
+    * one full doubling round — one fewer full-corpus shuffle+sort+
+    * checkpoint pass (round-12 phase 3). Only for callers that
+    * consume the FINAL level: the level ladder then starts at 2b, so
+    * spectrum/lifting consumers that read intermediate levels
+    * (q178/q353) must keep the narrow base. Label semantics at every
+    * produced level are identical to the narrow path (the two-long
+    * key (kh, kl) orders and equates exactly like the one 2b-digit
+    * number it represents). */
   def rankLevels(docs: DataFrame, L: Int, ordered: Boolean = false,
-                 buckets: Int = 32): Seq[(Int, DataFrame)] = {
+                 buckets: Int = 32,
+                 wideBase: Boolean = false): Seq[(Int, DataFrame)] = {
     require(L >= 2 && (L & (L - 1)) == 0, s"L must be a power of two, got $L")
     // BYTE-level positions: `substr` on a STRING column is O(i) (it
     // must scan for UTF-8 char boundaries), which makes per-position
@@ -166,24 +177,31 @@ object SuffixRanks {
     var b = 1
     while (b * 2 <= L && BigInt(radix).pow(b * 2) <= (BigInt(1) << 62))
       b *= 2
-    // ONE byte extraction per position; the other b-1 block digits
-    // come from lead() over a doc-keyed window — one sort per doc,
-    // b-1 frame reads, instead of b decode calls per row (measured
-    // ~3x on the base step). lead past the doc end is null → digit 0,
-    // the same off-end sentinel as the doubling rounds.
+    // wide base: 2b digits across TWO packed longs (kh, kl) — orders
+    // and equates exactly like the one 2b-digit number, so the base
+    // level IS level 2b and one doubling round disappears
+    val wide = wideBase && b * 2 <= L
+    // ONE byte extraction per position; the other block digits come
+    // from lead() over a doc-keyed window — one sort per doc, frame
+    // reads instead of decode calls per row (measured ~3x on the base
+    // step). lead past the doc end is null → digit 0, the same
+    // off-end sentinel as the doubling rounds.
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("i"))
-    val key0 = (0 until b).map { j =>
-      val digit =
-        if (j == 0) (col("c") + 1).cast("long")
-        else (coalesce(lead(col("c"), j).over(wDoc), lit(-1)) + 1).cast("long")
-      digit * lit(powL(radix, b - 1 - j))
-    }.reduce(_ + _)
+    def digit(j: Int): org.apache.spark.sql.Column =
+      if (j == 0) (col("c") + 1).cast("long")
+      else (coalesce(lead(col("c"), j).over(wDoc), lit(-1)) + 1).cast("long")
+    def packed(lo: Int, hi: Int): org.apache.spark.sql.Column =
+      (lo until hi).map(j => digit(j) * lit(powL(radix, hi - 1 - j)))
+        .reduce(_ + _)
+    val baseCols =
+      if (wide) Seq(packed(0, b).as("kh"), packed(b, 2 * b).as("kl"))
+      else Seq(packed(0, b).as("key"))
+    val baseKeys = if (wide) Seq("kh", "kl") else Seq("key")
     val keyed = probed("base keys ckpt")(chars
       .select(col("doc"), col("i"), (col("off") + col("i") + 1).as("pos"),
         byteAt(0).as("c"))
-      .withColumn("key", key0)
-      .select(col("doc"), col("i"), col("pos"), col("key"))
+      .select(Seq(col("doc"), col("i"), col("pos")) ++ baseCols: _*)
       .localCheckpoint()) // eager: truncate lineage at the source
     Checkpoints.pin(keyed)
     val n = probed("keyed count")(keyed.count())
@@ -200,7 +218,8 @@ object SuffixRanks {
     // probes quantiles — byte distributions are genuinely skewed).
     var nClasses = 0L
     def relabel(frame: DataFrame,
-                bounds: Option[Seq[Double]] = None): DataFrame =
+                bounds: Option[Seq[Double]] = None,
+                keyCols: Seq[String] = Seq("key")): DataFrame =
       if (ordered) {
         // fused distributed dense rank, ONE pass over the frame
         // (round-12 phase 2): the per-bucket dense_rank is
@@ -215,12 +234,14 @@ object SuffixRanks {
         // value-identical (local dense rank + distinct-mass-before-
         // bucket = global dense rank — a tie class never straddles
         // buckets, the class-doc argument).
+        // buckets cut on the FIRST key column (a tie class has equal
+        // full keys, hence an equal first column — never straddles)
         val bnds = bounds.getOrElse(
-          Ranks.boundaries(frame, col("key"), buckets))
+          Ranks.boundaries(frame, col(keyCols.head), buckets))
         val local = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__b")).orderBy(col("key"))
+          .partitionBy(col("__b")).orderBy(keyCols.map(col): _*)
         val ck = Checkpoints.pin(frame
-          .withColumn("__b", Ranks.bucketOf(col("key"), bnds))
+          .withColumn("__b", Ranks.bucketOf(col(keyCols.head), bnds))
           .withColumn("__lr", dense_rank().over(local).cast("long"))
           .select(col("doc"), col("i"), col("pos"), col("__b"),
             col("__lr"))
@@ -238,7 +259,8 @@ object SuffixRanks {
           (col("__lr") + offExpr).as("r"))
       } else frame
         .withColumn("nr", min(col("pos")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("key"))))
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCols.map(col): _*)))
         .select(col("doc"), col("i"), col("pos"), col("nr").as("r"))
     def levelBounds: Option[Seq[Double]] =
       if (!ordered || nClasses <= 0) None
@@ -250,9 +272,11 @@ object SuffixRanks {
     // is checkpointed here.
     def materialized(r: DataFrame): DataFrame =
       if (ordered) r else Checkpoints.pin(r.localCheckpoint())
-    var p = probed(s"relabel base b=$b")(materialized(relabel(keyed)))
-    Checkpoints.free(keyed) // base keys never read again past level b
-    var k = b
+    val b0 = if (wide) 2 * b else b
+    var p = probed(s"relabel base b=$b0")(
+      materialized(relabel(keyed, keyCols = baseKeys)))
+    Checkpoints.free(keyed) // base keys never read again past level b0
+    var k = b0
     val levels = scala.collection.mutable.ArrayBuffer(k -> p)
     while (k < L) {
       // k-successor rank via lead(r, k) over the doc-keyed position

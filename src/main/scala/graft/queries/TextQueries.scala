@@ -2135,8 +2135,12 @@ object TextQueries {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("text"),
         length(encode(col("text"), "UTF-8")).as("len"))
+    // wideBase: only the FINAL level-64 rank classes matter here, so
+    // the 16-byte packed base removes one full doubling round
+    // (round-12 phase 3)
     val r = graft.functions.SuffixRanks.ranks(
-      docs.select(col("doc_id").as("doc"), col("text")), L = 64)
+      docs.select(col("doc_id").as("doc"), col("text")), L = 64,
+      wideBase = true)
     val full = r
       .join(docs.select(col("doc_id").as("doc"), col("source"),
         col("len")), Seq("doc"))
@@ -2486,7 +2490,7 @@ object TextQueries {
     graft.functions.SuffixRanks.ranks(
       Tables.documents(s, d).filter(col("doc_id") < 50)
         .select(col("doc_id").as("doc"), col("text")),
-      L = 64, ordered = true)
+      L = 64, ordered = true, wideBase = true)
       .select(col("doc"), col("i"), col("r").as("sa_rank"))
       .orderBy("doc", "i")
   }
@@ -4571,8 +4575,12 @@ object TextQueries {
     val docs = Tables.documents(s, d)
     val docsIn = docs.select(col("doc_id").cast("long").as("doc"),
       col("text"))
+    // wideBase: the BWT needs only the final suffix order — the
+    // 16-byte packed base removes one full doubling round over the
+    // whole corpus, the single most expensive relabel pass in the
+    // suite (round-12 phase 3)
     val r = graft.functions.SuffixRanks.ranks(docsIn, L = 64,
-      ordered = true)
+      ordered = true, wideBase = true)
     val meta = docs.select(col("doc_id").as("doc"), col("source"),
       encode(col("text"), "UTF-8").as("bin"))
     // bwt byte computed map-side against the broadcast doc bytes,

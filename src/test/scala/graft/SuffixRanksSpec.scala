@@ -24,8 +24,10 @@ class SuffixRanksSpec extends SparkSpec {
       (0 until t.length).map(i => (d, i.toLong) -> t.substring(i, math.min(i + L, t.length)))
     }.toMap
 
-  private def check(L: Int, ordered: Boolean): Unit = {
-    val r = SuffixRanks.ranks(docsDf, L, ordered = ordered)
+  private def check(L: Int, ordered: Boolean,
+                    wideBase: Boolean = false): Unit = {
+    val r = SuffixRanks.ranks(docsDf, L, ordered = ordered,
+        wideBase = wideBase)
       .collect().map(row => (row.getLong(0), row.getLong(1)) -> row.getLong(2)).toMap
     val truth = naive(L)
     assert(r.keySet == truth.keySet)
@@ -51,6 +53,23 @@ class SuffixRanksSpec extends SparkSpec {
 
   test("L=16 with docs shorter than L (pure truncation classes)") {
     check(16, ordered = false)
+  }
+
+  test("wideBase: identical rank semantics with one fewer round (both variants)") {
+    // 16-byte packed base (two longs) — levels start at 2b; the final
+    // level's classes and (ordered) order must match the narrow path's
+    check(16, ordered = false, wideBase = true)
+    check(16, ordered = true, wideBase = true)
+    check(32, ordered = true, wideBase = true)
+  }
+
+  test("wideBase ordered labels are value-identical to the narrow path") {
+    val wide = SuffixRanks.ranks(docsDf, 32, ordered = true, wideBase = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    SuffixRanks.release()
+    val narrow = SuffixRanks.ranks(docsDf, 32, ordered = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(wide == narrow)
   }
 
   test("one doubling round plans a keyed join + keyed window — no cartesian, no single-partition exchange") {
