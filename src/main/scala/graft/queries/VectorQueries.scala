@@ -2798,55 +2798,75 @@ object VectorQueries {
         sqDist(col("ku"), col("cku")).as("d2"))
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2"), col("cell"))
-    val ncr = Checkpoints.pin(
-      cd.withColumn("rc", row_number().over(wCell))
-        .filter(col("rc") <= 2)
-        .select(col("vec_id"), col("cell"), col("rc"))
-        .localCheckpoint())
-    val cand = ncr.select(col("vec_id").as("src"), col("cell"))
-      .join(ncr.filter(col("rc") === 1)
-        .select(col("vec_id").as("dst"), col("cell")), Seq("cell"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct()
-    val pdist = Checkpoints.pin(cand
-      .join(ku.select(col("vec_id").as("src"), col("ku").as("ka")),
-        Seq("src"))
-      .join(ku.select(col("vec_id").as("dst"), col("ku").as("kb")),
-        Seq("dst"))
-      .select(col("src"), col("dst"),
-        sqDist(col("ka"), col("kb")).as("d2"))
-      .localCheckpoint())
     val wSrc = Window.partitionBy(col("src"))
       .orderBy(col("d2"), col("dst"))
-    val ed0 = Checkpoints.pin(
-      pdist.withColumn("rn", row_number().over(wSrc))
-        .filter(col("rn") <= M).select(col("src"), col("dst"))
-        .localCheckpoint())
-    val ed1 = Checkpoints.pin(pdist
-      .join(lvlOne.select(col("vec_id").as("src")), Seq("src"))
-      .join(lvlOne.select(col("vec_id").as("dst")), Seq("dst"))
-      .withColumn("rn", row_number().over(wSrc))
-      .filter(col("rn") <= M).select(col("src"), col("dst"))
-      .localCheckpoint())
-    val q = ku.filter(col("vec_id") < 25)
-      .select(col("vec_id").as("query_id"), col("ku").as("qk"))
-    val qd = Checkpoints.pin(ku.crossJoin(broadcast(q))
-      .select(col("query_id"), col("vec_id").as("node_id"),
-        sqDist(col("qk"), col("ku")).as("d2"))
-      .localCheckpoint())
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("d2"), col("node_id"))
-    val top10 = Checkpoints.pin(
-      qd.filter(col("node_id") =!= col("query_id"))
-        .withColumn("rnk", row_number().over(wq))
-        .filter(col("rnk") <= 10)
-        .select(col("query_id"), col("node_id"))
-        .localCheckpoint())
-    val ent = Checkpoints.pin(
-      lvlOne.agg(min(col("vec_id")).as("e1"))
-        .crossJoin(broadcast(ku.agg(min(col("vec_id")).as("e0"))))
-        .select(coalesce(col("e1"), col("e0")).as("e"))
-        .localCheckpoint())
+    // The edge-construction chain (ncr → pdist → per-layer prunes),
+    // the query-distance chain (qd → top10) and the entry derivation
+    // are INDEPENDENT given the pinned ku — overlap their tiny eager-
+    // checkpoint jobs on driver threads (round-12 phase 3; the ladder
+    // treatment applied to the BUILD): this section's wall time drops
+    // from 7 sequential near-empty jobs to the longest chain.
+    val built = graft.functions.Concurrent.inParallel[AnyRef](s, Seq(
+      () => {
+        val ncr = Checkpoints.pin(
+          cd.withColumn("rc", row_number().over(wCell))
+            .filter(col("rc") <= 2)
+            .select(col("vec_id"), col("cell"), col("rc"))
+            .localCheckpoint())
+        val cand = ncr.select(col("vec_id").as("src"), col("cell"))
+          .join(ncr.filter(col("rc") === 1)
+            .select(col("vec_id").as("dst"), col("cell")), Seq("cell"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst")).distinct()
+        val pdist = Checkpoints.pin(cand
+          .join(ku.select(col("vec_id").as("src"), col("ku").as("ka")),
+            Seq("src"))
+          .join(ku.select(col("vec_id").as("dst"), col("ku").as("kb")),
+            Seq("dst"))
+          .select(col("src"), col("dst"),
+            sqDist(col("ka"), col("kb")).as("d2"))
+          .localCheckpoint())
+        // the two layer prunes are independent given pdist
+        graft.functions.Concurrent.inParallel(s, Seq(
+          () => Checkpoints.pin(
+            pdist.withColumn("rn", row_number().over(wSrc))
+              .filter(col("rn") <= M).select(col("src"), col("dst"))
+              .localCheckpoint()),
+          () => Checkpoints.pin(pdist
+            .join(lvlOne.select(col("vec_id").as("src")), Seq("src"))
+            .join(lvlOne.select(col("vec_id").as("dst")), Seq("dst"))
+            .withColumn("rn", row_number().over(wSrc))
+            .filter(col("rn") <= M).select(col("src"), col("dst"))
+            .localCheckpoint())))
+      },
+      () => {
+        val q = ku.filter(col("vec_id") < 25)
+          .select(col("vec_id").as("query_id"), col("ku").as("qk"))
+        val qdL = Checkpoints.pin(ku.crossJoin(broadcast(q))
+          .select(col("query_id"), col("vec_id").as("node_id"),
+            sqDist(col("qk"), col("ku")).as("d2"))
+          .localCheckpoint())
+        val topL = Checkpoints.pin(
+          qdL.filter(col("node_id") =!= col("query_id"))
+            .withColumn("rnk", row_number().over(wq))
+            .filter(col("rnk") <= 10)
+            .select(col("query_id"), col("node_id"))
+            .localCheckpoint())
+        (qdL, topL)
+      },
+      () => Checkpoints.pin(
+        lvlOne.agg(min(col("vec_id")).as("e1"))
+          .crossJoin(broadcast(ku.agg(min(col("vec_id")).as("e0"))))
+          .select(coalesce(col("e1"), col("e0")).as("e"))
+          .localCheckpoint())))
+    val eds = built(0).asInstanceOf[Seq[org.apache.spark.sql.DataFrame]]
+    val ed0 = eds(0)
+    val ed1 = eds(1)
+    val (qd, top10) = built(1).asInstanceOf[
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+    val ent = built(2).asInstanceOf[org.apache.spark.sql.DataFrame]
     var g = Checkpoints.pin(
       qd.select(col("query_id")).distinct().crossJoin(broadcast(ent))
         .select(col("query_id"), col("e").as("cur"))
@@ -3139,61 +3159,79 @@ object VectorQueries {
         sqDist(col("ku"), col("cku")).as("d2"))
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2"), col("cell"))
-    val ncr = Checkpoints.pin(
-      cd.withColumn("rc", row_number().over(wCell))
-        .filter(col("rc") <= 2)
-        .select(col("vec_id"), col("cell"), col("rc"))
-        .localCheckpoint())
-    val cand = ncr.select(col("vec_id").as("src"), col("cell"))
-      .join(ncr.filter(col("rc") === 1)
-        .select(col("vec_id").as("dst"), col("cell")), Seq("cell"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct()
-    val pdist = Checkpoints.pin(cand
-      .join(ku.select(col("vec_id").as("src"), col("ku").as("ka")),
-        Seq("src"))
-      .join(ku.select(col("vec_id").as("dst"), col("ku").as("kb")),
-        Seq("dst"))
-      .select(col("src"), col("dst"),
-        sqDist(col("ka"), col("kb")).as("d2"))
-      .localCheckpoint())
     val wSrc = Window.partitionBy(col("src"))
       .orderBy(col("d2"), col("dst"))
-    val ed0 = Checkpoints.pin(
-      pdist.withColumn("rn", row_number().over(wSrc))
-        .filter(col("rn") <= M).select(col("src"), col("dst"))
-        .localCheckpoint())
-    def edAt(minLvl: Long) = Checkpoints.pin(pdist
-      .join(lvl.filter(col("lvl") >= minLvl)
-        .select(col("vec_id").as("src")), Seq("src"))
-      .join(lvl.filter(col("lvl") >= minLvl)
-        .select(col("vec_id").as("dst")), Seq("dst"))
-      .withColumn("rn", row_number().over(wSrc))
-      .filter(col("rn") <= M).select(col("src"), col("dst"))
-      .localCheckpoint())
-    val ed1 = edAt(1L)
-    val ed2 = edAt(2L)
-    val q = ku.filter(col("vec_id") < 25)
-      .select(col("vec_id").as("query_id"), col("ku").as("qk"))
-    val qd = Checkpoints.pin(ku.crossJoin(broadcast(q))
-      .select(col("query_id"), col("vec_id").as("node_id"),
-        sqDist(col("qk"), col("ku")).as("d2"))
-      .localCheckpoint())
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("d2"), col("node_id"))
-    val top10 = Checkpoints.pin(
-      qd.filter(col("node_id") =!= col("query_id"))
-        .withColumn("rnk", row_number().over(wq))
-        .filter(col("rnk") <= 10)
-        .select(col("query_id"), col("node_id"))
-        .localCheckpoint())
-    val ent = Checkpoints.pin(
-      lvl.filter(col("lvl") >= 2).agg(min(col("vec_id")).as("e2"))
-        .crossJoin(broadcast(
-          lvl.filter(col("lvl") >= 1).agg(min(col("vec_id")).as("e1"))))
-        .crossJoin(broadcast(ku.agg(min(col("vec_id")).as("e0"))))
-        .select(coalesce(col("e2"), col("e1"), col("e0")).as("e"))
-        .localCheckpoint())
+    // the q344 build-overlap shape (round-12 phase 3): edge chain
+    // (ncr → pdist → three independent layer prunes), query-distance
+    // chain (qd → top10) and entry derivation run on driver threads —
+    // 9 sequential near-empty jobs become the longest chain
+    val built = graft.functions.Concurrent.inParallel[AnyRef](s, Seq(
+      () => {
+        val ncr = Checkpoints.pin(
+          cd.withColumn("rc", row_number().over(wCell))
+            .filter(col("rc") <= 2)
+            .select(col("vec_id"), col("cell"), col("rc"))
+            .localCheckpoint())
+        val cand = ncr.select(col("vec_id").as("src"), col("cell"))
+          .join(ncr.filter(col("rc") === 1)
+            .select(col("vec_id").as("dst"), col("cell")), Seq("cell"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst")).distinct()
+        val pdist = Checkpoints.pin(cand
+          .join(ku.select(col("vec_id").as("src"), col("ku").as("ka")),
+            Seq("src"))
+          .join(ku.select(col("vec_id").as("dst"), col("ku").as("kb")),
+            Seq("dst"))
+          .select(col("src"), col("dst"),
+            sqDist(col("ka"), col("kb")).as("d2"))
+          .localCheckpoint())
+        def edAt(minLvl: Long) = Checkpoints.pin(pdist
+          .join(lvl.filter(col("lvl") >= minLvl)
+            .select(col("vec_id").as("src")), Seq("src"))
+          .join(lvl.filter(col("lvl") >= minLvl)
+            .select(col("vec_id").as("dst")), Seq("dst"))
+          .withColumn("rn", row_number().over(wSrc))
+          .filter(col("rn") <= M).select(col("src"), col("dst"))
+          .localCheckpoint())
+        graft.functions.Concurrent.inParallel(s, Seq(
+          () => Checkpoints.pin(
+            pdist.withColumn("rn", row_number().over(wSrc))
+              .filter(col("rn") <= M).select(col("src"), col("dst"))
+              .localCheckpoint()),
+          () => edAt(1L),
+          () => edAt(2L)))
+      },
+      () => {
+        val q = ku.filter(col("vec_id") < 25)
+          .select(col("vec_id").as("query_id"), col("ku").as("qk"))
+        val qdL = Checkpoints.pin(ku.crossJoin(broadcast(q))
+          .select(col("query_id"), col("vec_id").as("node_id"),
+            sqDist(col("qk"), col("ku")).as("d2"))
+          .localCheckpoint())
+        val topL = Checkpoints.pin(
+          qdL.filter(col("node_id") =!= col("query_id"))
+            .withColumn("rnk", row_number().over(wq))
+            .filter(col("rnk") <= 10)
+            .select(col("query_id"), col("node_id"))
+            .localCheckpoint())
+        (qdL, topL)
+      },
+      () => Checkpoints.pin(
+        lvl.filter(col("lvl") >= 2).agg(min(col("vec_id")).as("e2"))
+          .crossJoin(broadcast(
+            lvl.filter(col("lvl") >= 1).agg(min(col("vec_id")).as("e1"))))
+          .crossJoin(broadcast(ku.agg(min(col("vec_id")).as("e0"))))
+          .select(coalesce(col("e2"), col("e1"), col("e0")).as("e"))
+          .localCheckpoint())))
+    val eds = built(0).asInstanceOf[Seq[org.apache.spark.sql.DataFrame]]
+    val ed0 = eds(0)
+    val ed1 = eds(1)
+    val ed2 = eds(2)
+    val (qd, top10) = built(1).asInstanceOf[
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+    val ent = built(2).asInstanceOf[org.apache.spark.sql.DataFrame]
     var g = Checkpoints.pin(
       qd.select(col("query_id")).distinct().crossJoin(broadcast(ent))
         .select(col("query_id"), col("e").as("cur"))
