@@ -51,6 +51,19 @@ object Vectors {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
 
+  /** Exact int64 dot product Σ aᵢ·bᵢ of two long arrays — native
+    * codegen ([[org.apache.spark.sql.graft.DotLong]]); identical
+    * values to the HOF fold (integer arithmetic, exact; ragged →
+    * null), compiled to a primitive loop. */
+  def dotL(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.DotLong(a, b)
+
+  /** The HOF formulation of [[dotL]] (the executable spec the custom
+    * expression is tested against). */
+  def dotLFold(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+
   /** L2 norm via the same sequential fold. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -2782,9 +2782,16 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), col("lang"),
         (graft.curation.Curation.contentU32(col("feat")) % 128).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tot = occ.agg(count(lit(1)).as("nr"), sum(isTgt).as("nt"))
     val bc = occ.groupBy(col("b"))
       .agg(count(lit(1)).as("cr"), sum(isTgt).as("ct"))
+      // ≤128 rows, reused by the totals re-sum below — persist so the
+      // totals don't replay the occurrence aggregation
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // totals = column sums of the bucket census (exact integer re-sum
+    // of disjoint bucket counts — same nr/nt by definition); the old
+    // shape aggregated the full occurrence frame a second time
+    // (round-12 phase 3: one fewer corpus-sized pass)
+    val tot = bc.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     val ratio = bc.crossJoin(broadcast(tot))
       .select(col("b"),
         ((mnat(col("ct") + 1) - mnat(col("nt") + 128))

@@ -2436,10 +2436,11 @@ object VectorQueries {
     val sm = Checkpoints.pin(
       km.crossJoin(broadcast(pool))
         .select(col("vec_id"), col("cand"),
-          greatest(
-            aggregate(zip_with(col("km"), col("ckm"),
-              (a, b) => a * b), lit(0L), (acc, x) => acc + x),
-            lit(0L)).as("sim"))
+          // native codegen'd exact int64 dot (the SqDistLong
+          // treatment; the HOF fold ran interpreted per element —
+          // round-12 phase 3)
+          greatest(Vectors.dotL(col("km"), col("ckm")), lit(0L))
+            .as("sim"))
         .localCheckpoint())
     var best = Checkpoints.pin(
       km.select(col("vec_id"), lit(0L).as("best")).localCheckpoint())
@@ -2564,8 +2565,9 @@ object VectorQueries {
     val hb = Checkpoints.pin(
       km.crossJoin(broadcast(pool))
         .filter(col("vec_id") =!= col("cand"))
-        .select(aggregate(zip_with(col("km"), col("ckm"),
-          (a, b) => a * b), lit(0L), (acc, x) => acc + x).as("dot"))
+        // native codegen'd exact int64 dot (the SqDistLong treatment;
+        // the HOF fold ran interpreted per element — round-12 phase 3)
+        .select(Vectors.dotL(col("km"), col("ckm")).as("dot"))
         .groupBy(expr(
           "(((dot - pmod(dot, 1000)) div 1000) + 1000) div 50")
           .as("band"))

@@ -215,6 +215,75 @@ object SqDistLong {
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
 
+/** Exact int64 dot product Σ aᵢ·bᵢ of two long arrays — the integer
+  * sibling of [[DotProduct]] with [[SqDistLong]]'s contract: compiled
+  * primitive loop, null arrays propagate, null elements are 0, RAGGED
+  * arrays return NULL (exactly the HOF fold's value — zip_with pads
+  * with nulls and the sum nulls out; round-11 ADVICE). Serves the
+  * milli/micro-grid similarity queries (q325/q336 facility-location
+  * and Otsu frames) whose `aggregate(zip_with(a,b,*),0,+)` ran
+  * interpreted per element. */
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType),
+      ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_dot_long"
+  // Nullable even over non-null inputs: ragged lengths yield null.
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val xv = if (x.isNullAt(i)) 0L else x.getLong(i)
+      val yv = if (y.isNullAt(i)) 0L else y.getLong(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ($a.isNullAt($i) ? 0L : $a.getLong($i))
+         |      * ($b.isNullAt($i) ? 0L : $b.getLong($i));
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotLong {
+  /** Column API: codegen'd exact Σ aᵢ·bᵢ of two `array<bigint>`
+    * columns. */
+  def apply(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotLong(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
 /** Optimizer rule: `graft_dot(x, x)` → `graft_self_dot(x)` whenever
   * both sides are semantically the same deterministic expression —
   * norms (`sqrt(dot(e, e))`) hit this on every vector query. The

@@ -149,6 +149,29 @@ class FunctionsSpec extends SparkSpec {
     assert(rg.isNullAt(0) && rg.isNullAt(1))
   }
 
+  test("DotLong expression equals the HOF fold spec exactly") {
+    val vecs = (0 until 50).map(i =>
+      Array.tabulate(64)(j => ((i * 131L + j * 17L) % 2003L) - 1000L))
+    val df = vecs.zip(vecs.reverse).toDF("a", "b")
+      .select(
+        Vectors.dotL(col("a"), col("b")).as("fast"),
+        Vectors.dotLFold(col("a"), col("b")).as("spec"))
+    assert(df.filter(col("fast") =!= col("spec")).count() == 0)
+    // null array propagates null
+    val nr = Seq((Option.empty[Array[Long]], Option(Array(1L))))
+      .toDF("a", "b").select(Vectors.dotL(col("a"), col("b"))).head()
+    assert(nr.isNullAt(0))
+    // RAGGED arrays return null in BOTH forms (the SqDistLong
+    // contract): truncating to min(len) would return a plausible
+    // partial dot instead of a visible null.
+    val rg = Seq((Array(1L, 2L, 3L), Array(1L, 2L)))
+      .toDF("a", "b")
+      .select(Vectors.dotL(col("a"), col("b")).as("fast"),
+        Vectors.dotLFold(col("a"), col("b")).as("spec"))
+      .head()
+    assert(rg.isNullAt(0) && rg.isNullAt(1))
+  }
+
   test("Vectors.hyperplane is deterministic and lshBucket in range") {
     assert(Vectors.hyperplane(0, 8) == Vectors.hyperplane(0, 8))
     assert(Vectors.hyperplane(0, 64).forall(v => v == 1.0 || v == -1.0))
