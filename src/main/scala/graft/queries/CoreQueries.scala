@@ -1734,8 +1734,13 @@ object CoreQueries {
     val orders = Tables.orders(s, d)
     val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("key"))
-    val bitsSet = urgent.select(explode(bits(col("key"))).as("bit"))
-      .distinct()
+    // pinned: the ≤m-row bitset feeds BOTH the broadcast probe join
+    // and the n_bits_set census — unpinned, each consumer replayed
+    // the member md5+explode+distinct chain (round-12 phase 3; the
+    // q257 max-crossJoin replay mechanism)
+    val bitsSet = graft.functions.Checkpoints.pin(
+      urgent.select(explode(bits(col("key"))).as("bit"))
+        .distinct().localCheckpoint())
     val probes = orders.filter(col("o_orderpriority") =!= "1-URGENT")
       .select(col("o_orderkey").as("key"))
     val nFp = probes
